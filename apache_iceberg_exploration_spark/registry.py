@@ -1,0 +1,78 @@
+"""Query registry.
+
+Binds every implemented operator (SURVEY.md §2 plus the LLM-pipeline
+extensions) to (a) a Spark callable ``fn(spark, sf_dir) -> DataFrame`` and
+(b) an optional DuckDB oracle SQL string over the same parquet tables.
+``__spark_entry__.py`` exposes this registry to the driver.
+
+Conventions (driver contract):
+- every computed/aggregate column is aliased identically in the Spark plan
+  and the oracle SQL (the driver sorts columns by name before hashing);
+- double-typed aggregates are rounded (usually 2-4 decimals) on BOTH sides
+  so cross-engine float summation order can't flip the value hash;
+- queries with no oracle entry get a weaker rows-only check (reserved for
+  genuinely non-SQL-expressible ops, e.g. streaming state machines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as a named query with an optional DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {q.name: q.fn for q in _REGISTRY.values()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every operator module so decorators run."""
+    global _LOADED
+    if _LOADED:
+        return
+    from .operators import (  # noqa: F401
+        dedup,
+        medallion,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
+    from .streaming import windows  # noqa: F401
+
+    _LOADED = True

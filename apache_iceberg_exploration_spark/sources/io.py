@@ -1,0 +1,147 @@
+"""Scans and sinks (SURVEY.md §2.1 S1-S12), Spark-native.
+
+The reference funnels every extract through a pandas frame in the driver
+(dags/etl.py:42-48 — ``PostgresHook.get_pandas_df`` → ``to_parquet('/tmp')``
+→ ``spark.read.parquet``), which caps scale at driver RAM and breaks on
+multi-worker Airflow (the /tmp handoff, etl.py:59/65). Here every source is
+a distributed Spark scan and stages hand off via tables, never local files.
+
+Parquet scans always declare the explicit schema from ``schemas.py``
+(schema-on-read validation; pruning/pushdown still apply because the
+declared columns match the footer exactly).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TABLES
+
+
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with ``ts`` as raw INT64 epoch-nanos.
+
+    The driver writes events.ts as parquet TIMESTAMP(NANOS), which Spark
+    rejects outright (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on. Reading raw also keeps
+    watermark predicates pushable: compare against an epoch-nano literal on
+    the INT64 column (pushed to the parquet reader), then convert — a filter
+    above ``timestamp_micros(...)`` would not push down.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in TABLES["events"].fields
+        ]
+    )
+    return spark.read.schema(schema).parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """epoch-nanos INT64 → TimestampType.
+
+    Integer division, NOT ``/1000`` — epoch-nanos (~1.7e18) exceed a
+    double's 53-bit mantissa, so float division silently rounds the odd
+    microseconds."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of a testdata table with its declared schema (S3).
+
+    Column pruning and predicate pushdown stay effective: Catalyst prunes
+    against the declared StructType and pushes comparisons into the parquet
+    reader (verify with ``plans.explain_str`` — tests assert PushedFilters).
+    """
+    if name == "events":
+        return events_ts_to_timestamp(load_events_raw(spark, sf_dir))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    reader = spark.read
+    if name in TABLES:
+        reader = reader.schema(TABLES[name])
+    return reader.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Parquet sink (S4). ``partition_by`` enables partition pruning for
+    downstream readers — the reference wrote everything unpartitioned
+    (etl.py:51-54), which at 100 TB forfeits pruning entirely."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (S9 — test-backup variant's pandas ``to_csv`` equivalent)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV source (S8). Explicit schema preferred; header inference is the
+    reference's approach (sparkmini passes CSV options even to parquet)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicate: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan (S1/S2), parallelized.
+
+    The reference's incremental extract (etl.py:38-42) interpolates the
+    watermark into an f-string SQL and materializes the full result in the
+    driver. Here the predicate is pushed via ``dbtable`` subquery and the
+    scan is split across executors with partitionColumn bounds — the
+    100 TB-safe shape. Untested in-container (no live Postgres); exercised
+    via its option-dict in tests.
+    """
+    dbtable = f"(SELECT * FROM {table}" + (
+        f" WHERE {predicate})" if predicate else ")"
+    ) + " AS src"
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def jdbc_options_for_incremental(
+    url: str, table: str, watermark_column: str, watermark_value: str
+) -> dict[str, str]:
+    """Pure builder for the S1 incremental-scan options (unit-testable
+    without a database). Parameterizes what etl.py:41 string-interpolated."""
+    return {
+        "url": url,
+        "dbtable": (
+            f"(SELECT * FROM {table} WHERE {watermark_column} > "
+            f"'{watermark_value}') AS src"
+        ),
+    }
