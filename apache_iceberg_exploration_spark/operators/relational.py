@@ -1,0 +1,619 @@
+"""Relational operator suite: joins / windows / sorts / set ops / scalar
+functions over the star schema.
+
+The reference implements NONE of these (SURVEY.md §2.3: zero joins in all
+four pipeline variants; §2.5-2.7: no windows, sorts, set ops) — its layers
+chain linearly by overwrite. They are nevertheless required capability for
+any engine fronting the same data (SURVEY.md §7 step 3), so each is built
+here as a named query with a DuckDB oracle.
+
+Scale notes are attached per query: which side broadcasts, where the
+shuffles are, and why the plan survives a 1000-executor 100 TB run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load_table
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                   AS sum_qty,
+               round(sum(l_extendedprice), 2)                              AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2)                                   AS avg_qty,
+               round(avg(l_extendedprice), 2)                              AS avg_price,
+               round(avg(l_discount), 4)                                   AS avg_disc,
+               count(*)                                                    AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → 2-key hash agg, 8 aggregates.
+
+    Scale: the canonical map-side-combine aggregate — partial HashAggregate
+    per input partition, shuffle carries only (4 groups × 8 columns),
+    final aggregate trivial. Filter pushes to parquet row-group stats.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o    ON c.c_custkey = o.o_custkey
+        JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered on both fact and dim, grouped
+    top-10 by revenue (deterministic tiebreak on o_orderkey).
+
+    Scale: customer is the selective dim → broadcast it (hint), so the
+    customer⋈orders join is shuffle-free; orders⋈lineitem shuffles on
+    orderkey (both huge — the unavoidable shuffle). TakeOrderedAndProject
+    caps the sort at K per partition; no global sort materializes.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o    ON c.c_custkey   = o.o_custkey
+        JOIN lineitem l  ON l.l_orderkey  = o.o_orderkey
+        JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+        JOIN nation n    ON s.s_nationkey = n.n_nationkey
+        JOIN region r    ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with the customer-nation =
+    supplier-nation colocation predicate, grouped by nation.
+
+    Scale: region/nation/supplier broadcast (KB-MB at any SF); the only
+    data-sized shuffle is orders⋈lineitem on orderkey. (No region filter —
+    with only 5 synthetic regions the revenue list stays interesting
+    unfiltered; the date range still prunes.)
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 200000)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS. Scale: semi joins ship only the key column
+    of the probe side and stop at first match — prefer over inner+distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS (orphan detection)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_order_stats",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               count(o.o_orderkey)                    AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders, then a keyed
+    aggregate. Scale: better written as pre-aggregate-then-join (shrinks the
+    shuffle to one row per custkey before the join) — which is what this
+    does: aggregate orders first, then left-join the per-key totals.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum("o_totalprice").alias("spent"),
+        )
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce(F.col("spent"), F.lit(0.0)), 2).alias("total_spent"),
+    )
+
+
+@query(
+    "topk_orders_per_segment",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice
+        FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                   ) AS rn
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        WHERE rn <= 3
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (deterministic tiebreak).
+
+    Scale: one shuffle on the group key; rank-then-filter keeps K rows per
+    partition. For very hot groups, pre-aggregate a per-partition top-K
+    first (AQE handles moderate skew)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "window_running_revenue_per_supplier",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(sum(l_extendedprice) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_revenue
+        FROM lineitem
+        WHERE l_suppkey <= 3
+    """,
+)
+def window_running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: running sum per key over a fully-deterministic
+    ordering (shipdate, orderkey, linenumber is a unique triple — float
+    running sums are order-sensitive, so ties must be impossible)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+@query(
+    "window_lag_gap_events",
+    oracle="""
+        SELECT user_id, event_id,
+               round(coalesce(
+                   CAST(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) AS DOUBLE) / 1e6, 0), 3) AS gap_seconds
+        FROM events
+        WHERE user_id <= 10
+    """,
+)
+def window_lag_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap per user — the building block for
+    sessionization (see streaming.windows.sessionize_batch)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = (
+        F.col("ts").cast("double") - prev.cast("double")
+    )  # seconds as double (μs precision)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.coalesce(gap, F.lit(0.0)), 3).alias("gap_seconds"),
+    )
+
+
+@query(
+    "set_union_high_value_keys",
+    oracle="""
+        SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+        UNION
+        SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def set_union_high_value_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) across two derivations (§2.7 — absent in ref)."""
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect_active_buyers",
+    oracle="""
+        SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return a.intersect(b)
+
+
+@query(
+    "set_except_inactive_customers",
+    oracle="""
+        SELECT c_custkey AS key FROM customer
+        EXCEPT
+        SELECT o_custkey AS key FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def set_except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("key"))
+    )
+    return a.exceptAll(b).distinct()
+
+
+@query(
+    "scalar_functions_events",
+    oracle="""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INTEGER) AS k_value,
+               CAST(year(ts) AS INTEGER)  AS event_year,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+               upper(event_type)          AS type_upper,
+               concat(event_type, ':', CAST(user_id AS VARCHAR)) AS type_user,
+               round(value * 1.1, 2)      AS value_taxed,
+               length(props)              AS props_len
+        FROM events
+        WHERE user_id <= 5
+    """,
+)
+def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (F1-F4): JSON field access (the reference's
+    ``r.json()['number']``, exampledag orig 40), date formatting/truncation
+    (F2 pendulum usage), string concat (F3 f-strings) — all JVM-side
+    builtins, no Python UDF."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT")["k"].alias("k_value"),
+        F.year("ts").cast("int").alias("event_year"),
+        F.date_trunc("day", F.col("ts")).alias("event_day"),
+        F.upper("event_type").alias("type_upper"),
+        F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias(
+            "type_user"
+        ),
+        F.round(F.col("value") * 1.1, 2).alias("value_taxed"),
+        F.length("props").alias("props_len"),
+    )
+
+
+@query(
+    "orderby_limit_top_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+)
+def orderby_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Catalyst compiles orderBy+limit to
+    TakeOrderedAndProject (per-partition heap + driver merge of K·P rows),
+    never a full sort — the only global-sort shape that scales."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey)                   AS n_customers,
+               count(*)                                    AS n_orders,
+               round(quantile_cont(o_totalprice, 0.5), 2)  AS median_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + exact continuous median per group.
+
+    Scale: count-distinct expands to a two-phase aggregate; when exactness
+    isn't required use approx_distinct_users (HLL, one pass, no expansion).
+    Exact percentiles need the full value multiset per group — at 100 TB
+    switch to percentile_approx (see approx_distinct_users)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias(
+                "median_price"
+            ),
+        )
+    )
+
+
+@query("approx_distinct_users")  # no oracle: HLL sketches differ per engine
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + approximate percentile) —
+    the 100 TB substitutes for agg_distinct_counts' exact forms. No DuckDB
+    oracle: sketch implementations differ across engines by design; the
+    driver records the rows-only check, and tests bound the relative error
+    vs the exact answer instead."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95_value"),
+        )
+    )
+
+
+@query(
+    "rollup_lineitem_status",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*)                      AS n_items,
+               round(sum(l_quantity), 2)     AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total; §2.4 'notably
+    absent' in the reference). Scale: rollup of k keys multiplies agg
+    state ×(k+1), shuffle still carries only group rows."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^k grouping sets."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "pivot_qty_by_status",
+    oracle="""
+        SELECT l_returnflag,
+               round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_O,
+               round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_F
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (unlisted values would need a
+    driver-side distinct scan — never do that at scale)."""
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return df.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+    )
+
+
+@query(
+    "unpivot_supplier_balances",
+    oracle="""
+        SELECT s_suppkey, 'acctbal' AS metric, round(s_acctbal, 2) AS metric_value
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS metric_value
+        FROM supplier
+    """,
+)
+def unpivot_supplier_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) via the native unpivot operator — wide→long without
+    a shuffle (pure projection + generate)."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+    )
+    return s.unpivot(
+        ["s_suppkey"], ["acctbal", "nationkey"], "metric", "metric_value"
+    )
+
+
+@query(
+    "explode_order_lineitems",
+    oracle="""
+        SELECT o_orderkey, part_key
+        FROM (
+            SELECT l_orderkey AS o_orderkey, list(l_partkey ORDER BY l_partkey) AS parts
+            FROM lineitem
+            GROUP BY l_orderkey
+        ), UNNEST(parts) AS u(part_key)
+        WHERE o_orderkey <= 100
+    """,
+)
+def explode_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array build (collect_list) + explode — the §1.1 fan-out analogue of
+    the reference's dynamic task mapping (`.partial(...).expand(...)`,
+    exampledag orig 30), as a data-plane operator round-trip."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    nested = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    )
+    return nested.select(
+        "o_orderkey", F.explode("parts").alias("part_key")
+    )
