@@ -1,0 +1,350 @@
+"""Deduplication family over the ``documents`` / ``embeddings`` tables.
+
+The reference's entire dedup surface is one full-row ``dropDuplicates()``
+(dags/etl.py:68 — a knowing no-op, SURVEY.md §5) plus the Gold
+duplicate-count audit (etl.py:86). This module keeps that parity (see
+operators.medallion) and builds the real large-scale toolkit on top:
+
+- exact dedup        hash-groupBy on content           (dedup_exact_documents)
+- MinHash + LSH      shingle → k-min-hash → band join  (dedup_minhash_lsh_pairs)
+- SimHash            sign-aggregated word hashes        (dedup_simhash_fingerprint/_clusters)
+- n-gram Jaccard     shared-shingle blocked verify      (dedup_ngram_jaccard_pairs)
+- embedding cosine   label-blocked near-dup pairs       (dedup_embedding_neardup_pairs)
+
+Every hash is the md5-based portable family from ``functions.hashing`` so
+the DuckDB oracles reproduce values exactly.
+
+Scale design (the point): nothing here compares all-pairs. Candidate
+generation is always an equi-join on a blocking key — LSH band signature,
+shared shingle, or embedding-cluster label — so the shuffle is keyed and
+data-proportional, and each block's pair expansion is bounded. That is
+the shape that survives 100 TB; the O(n²) cross join does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64_sql
+from ..functions.vectors import cosine_similarity, cosine_similarity_sql
+from ..registry import query
+from ..sources.io import load_table
+
+SHINGLE_K = 3  # word-level shingle width
+NUM_MINHASH = 8
+BAND_SIZE = 2  # → 4 bands of 2 hashes
+
+
+def word_shingles(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) distinct word-k-grams. Pure builtin functions:
+    split → transform(sequence) → explode; no Python boundary."""
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+    )
+    return (
+        df.select("doc_id", F.explode(grams).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+        SELECT DISTINCT doc_id,
+               array_to_string(words[i + 1 : i + {SHINGLE_K}], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             UNNEST(range(greatest(len(words) - {SHINGLE_K} + 1, 1))) AS t(i)
+"""
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+            ) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: partition by content hash, keep the
+    lowest doc_id.
+
+    Scale: grouping on md5(text) instead of the full text keeps the
+    shuffle key at 32 bytes regardless of document size — the standard
+    trick for multi-KB documents at 100 TB. (Hash collisions: for exact
+    guarantees group on (md5, length) or re-verify within groups.)
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        mh AS (
+            SELECT doc_id, seed,
+                   min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS h
+            FROM shingles, UNNEST(range({NUM_MINHASH})) AS s(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
+                   string_agg(h, '' ORDER BY seed) AS sig
+            FROM mh GROUP BY doc_id, seed // {BAND_SIZE}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: shingle → 8 md5-seeded min-hashes →
+    4 bands of 2 → docs sharing any band signature.
+
+    Scale: the signature step is two keyed aggregations (doc×seed, then
+    doc×band); the candidate join is an equi-join on (band, sig) whose
+    match groups are tiny by construction (only near-dups collide). No
+    pairwise comparison ever materializes outside buckets. This is the
+    canonical web-scale fuzzy-dedup shape (MMDS ch.3).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(NUM_MINHASH - 1))).alias("seed")
+    mh = (
+        sh.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("seed").cast("string"), "shingle"))
+            ).alias("h")
+        )
+    )
+    bands = (
+        mh.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "h"))
+                    ),
+                    lambda s: s["h"],
+                ),
+            ).alias("sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(i.n_common AS DOUBLE)
+                     / (sa.sz + sb.sz - i.n_common), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by shared shingles:
+    candidates come from an equi-join on shingle (a pair is considered at
+    most min(|A|,|B|) times and only if it shares ≥1 shingle), then
+    J = |∩| / (|A|+|B|−|∩|) with a 0.5 threshold.
+
+    Scale: the shingle join's fan-out is Σ_s c_s² over shingle doc-counts;
+    with a stopword/high-DF shingle cap (drop shingles above a document
+    frequency ceiling — standard at scale) the blocks stay bounded. AQE
+    skew-join handles residual hot shingles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_bit_sign_spark(word_col, j: int):
+    return F.when(
+        F.substring(F.md5(word_col), j + 1, 1).isin(*list("89abcdef")), 1
+    ).otherwise(-1)
+
+
+def _simhash_sql_bit(j: int) -> str:
+    return (
+        f"CASE WHEN substring(md5(word), {j + 1}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
+    )
+
+
+@query(
+    "dedup_simhash_fingerprint",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, word, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE length(word) > 0
+            GROUP BY doc_id, word
+        )
+        SELECT doc_id,
+               {' + '.join(f"(CASE WHEN sum(cnt * ({_simhash_sql_bit(j)})) > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))}
+               AS simhash
+        FROM words GROUP BY doc_id
+    """,
+)
+def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar) fingerprint, 16-bit: per word-frequency vector,
+    each hash bit contributes ±count; fingerprint bit j = sign of the sum.
+
+    Scale: two keyed aggregations (doc×word, then doc) — fully
+    distributed, no pairwise work. Near-dup docs land on equal (or
+    Hamming-close) fingerprints; `dedup_simhash_clusters` groups the
+    exact-collision case. 16 bits keeps the oracle SQL readable; the
+    Spark path generalizes to 64 by changing ``_SIMHASH_BITS``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    fingerprint = None
+    for j in range(_SIMHASH_BITS):
+        contrib = F.sum(F.col("cnt") * _simhash_bit_sign_spark(F.col("word"), j))
+        bit = F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return words.groupBy("doc_id").agg(fingerprint.alias("simhash"))
+
+
+@query(
+    "dedup_simhash_clusters",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, word, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE length(word) > 0
+            GROUP BY doc_id, word
+        ),
+        fp AS (
+            SELECT doc_id,
+                   {' + '.join(f"(CASE WHEN sum(cnt * ({_simhash_sql_bit(j)})) > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))}
+                   AS simhash
+            FROM words GROUP BY doc_id
+        )
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS representative
+        FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-0 SimHash clusters (identical fingerprints) with a
+    deterministic representative — the grouping that turns fingerprints
+    into dedup decisions."""
+    fp = dedup_simhash_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "dedup_embedding_neardup_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {cosine_similarity_sql('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on the cluster label:
+    candidates are generated by an equi-join on ``label`` (the coarse
+    quantization cell), cosine ≥ 0.35 confirms (threshold tuned to this synthetic corpus, whose max within-label cosine is ~0.51 — real corpora use 0.9+).
+
+    Scale: all-pairs cosine is O(n²d) and dead at 10⁹ vectors; blocking on
+    a centroid/cluster id turns it into Σ_c |c|² with |c| ≈ n/k — the IVF
+    idea (see operators.similarity for the search-side variant). Cosine is
+    evaluated with zip_with/aggregate in double precision, JVM-side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,202 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Two tiers, per the standard ANN playbook:
+- brute-force cosine top-k — the exact baseline, linear scan;
+- IVF-style probed search — coarse centroids (here: per-``label`` means,
+  i.e. the quantization cells the data already carries), probe the top-P
+  nearest cells, exact-rank only inside them.
+
+Everything is JVM-side higher-order-function arithmetic in double
+precision (functions.vectors), so the DuckDB oracle matches bit-exactly.
+
+The reference has no vector operations at all; this is the BASELINE.json
+north-star ('similarity search over embeddings') built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, cosine_similarity_sql
+from ..registry import query
+from ..sources.io import load_table
+
+TOP_K = 10
+N_PROBE = 2
+QUERY_VEC_ID = 0  # the fixed query vector for the oracle-checked queries
+
+
+def _query_vector(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+
+
+@query(
+    "ann_cosine_topk_bruteforce",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings
+                   WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, e.label,
+               round({cosine_similarity_sql('e.embedding', 'q.q_emb')}, 4) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {cosine_similarity_sql('e.embedding', 'q.q_emb')} DESC, e.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for one query vector: broadcast the query,
+    linear-scan the corpus, TakeOrderedAndProject keeps k per partition.
+
+    Scale: O(n·d) with no shuffle beyond the final top-k merge (k rows per
+    partition to the driver). This is the correctness baseline the IVF
+    path is measured against; for batched query sets, broadcast the query
+    block and loop JVM-side (see `ann_ivf_probe_topk` for the sublinear
+    variant).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(emb)
+    cos = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+_CENTROIDS_SQL = """
+        centroids AS (
+            SELECT label,
+                   list(dim_avg ORDER BY i) AS centroid
+            FROM (
+                SELECT label, i,
+                       avg(CAST(embedding[i + 1] AS DOUBLE)) AS dim_avg
+                FROM embeddings,
+                     UNNEST(range(len(embedding))) AS t(i)
+                GROUP BY label, i
+            )
+            GROUP BY label
+        )
+"""
+
+
+@query(
+    "ann_ivf_probe_topk",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings
+                   WHERE vec_id = {QUERY_VEC_ID}),
+        {_CENTROIDS_SQL},
+        probed AS (
+            SELECT c.label
+            FROM centroids c, q
+            ORDER BY {cosine_similarity_sql('c.centroid', 'q.q_emb')} DESC, c.label
+            LIMIT {N_PROBE}
+        )
+        SELECT e.vec_id, e.label,
+               round({cosine_similarity_sql('e.embedding', 'q.q_emb')}, 4) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.label IN (SELECT label FROM probed)
+          AND e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {cosine_similarity_sql('e.embedding', 'q.q_emb')} DESC, e.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: compute per-cell centroids
+    (elementwise mean via posexplode + two keyed aggs), rank cells by
+    query-to-centroid cosine, probe the best N_PROBE cells, exact-rank
+    only within them.
+
+    Scale: this is the 100 TB path — the scan touches n·(P/k) vectors
+    instead of n. Centroid construction is a (label, dim) aggregate:
+    shuffle rows = k·d, negligible. At a billion vectors the same plan
+    holds with k-means cell ids in place of `label` (assignment itself =
+    one broadcast-centroids crossJoin + argmin, iterated — same operators).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(emb)
+
+    centroids = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("dim_avg"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dim_avg"))),
+                lambda s: s["dim_avg"],
+            ).alias("centroid")
+        )
+    )
+    probe_cos = cosine_similarity(F.col("centroid"), F.col("q_emb"))
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .orderBy(probe_cos.desc(), F.col("label"))
+        .limit(N_PROBE)
+        .select("label")
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (
+        emb.join(F.broadcast(probed), "label", "left_semi")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "similarity_knn_join_blocked",
+    oracle=f"""
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_similarity_sql('a.embedding', 'b.embedding')} DESC,
+                                b.vec_id
+                   ) AS rn
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < 50
+        ) WHERE rn = 1
+    """,
+)
+def similarity_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN similarity join, label-blocked: for each query vector (first
+    50 ids), its nearest neighbor within the same quantization cell —
+    the all-pairs version of IVF probing, as used for embedding-level
+    near-dup mining.
+
+    Scale: equi-join on the cell id bounds the pair expansion to Σ|cell|²;
+    the ranking window then keeps one row per query. Never a full cross
+    join."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 50).alias("a")
+    b = emb.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    w = Window.partitionBy("vec_a").orderBy(F.col("cos_raw").desc(), F.col("vec_b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,186 @@
+"""Text-analysis operators over ``documents`` — the training-data-pipeline
+surface (language-ID heuristic, quality scoring, token counting, document
+fingerprinting). All pure builtin SQL functions (split/filter/aggregate/
+regexp) — no Python UDFs in any hot path, every value reproduced exactly
+by the DuckDB oracle.
+
+The reference has no text processing at all (SURVEY.md §2.8 'notably
+absent'); these are the BASELINE.json north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load_table
+
+# marker stopwords per language for the n-gram/stopword language heuristic
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "los", "de", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de5", "shi4", "le5", "he2", "zai4"),  # romanized placeholders
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "is", "in", "to")
+
+
+def _hits_spark(words, markers):
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def _hits_sql(markers) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(words, w -> w IN ({lst})))"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS words
+                     FROM documents)
+        SELECT doc_id,
+               CASE
+                 {' '.join(f"WHEN {_hits_sql(m)} >= GREATEST({', '.join(_hits_sql(m2) for l2, m2 in sorted(_LANG_MARKERS.items()) if l2 != l)}) AND {_hits_sql(m)} > 0 THEN '{l}'" for l, m in sorted(_LANG_MARKERS.items()))}
+                 ELSE 'und'
+               END AS predicted_lang,
+               lang AS actual_lang,
+               {_hits_sql(_LANG_MARKERS['en'])} AS en_hits
+        FROM tok
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language marker-stopword hit
+    counts (deterministic first-wins tiebreak in lang-code order), 'und'
+    when nothing matches — the classic cheap n-gram/stopword pre-filter
+    run before an expensive model at corpus scale.
+
+    Scale: narrow projection + per-row array ops; no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    hits = {l: _hits_spark(words, m) for l, m in sorted(_LANG_MARKERS.items())}
+    pred = F.lit("und")
+    # build reverse CASE chain so earlier languages win ties, as in SQL
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        h = hits[lang]
+        others = [hits[l2] for l2 in sorted(_LANG_MARKERS) if l2 != lang]
+        cond = (h >= F.greatest(*others)) & (h > 0)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    # reverse iteration builds first-wins priority: 'de' check wraps 'en', etc.
+    return docs.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+        hits["en"].alias("en_hits"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, n_chars, string_split(text, ' ') AS words
+            FROM documents
+        )
+        SELECT doc_id,
+               len(words) AS n_tokens,
+               round(CAST(n_chars AS DOUBLE) / len(words), 4) AS avg_token_len,
+               round(CAST(len(list_filter(words, w -> w IN ({', '.join(f"'{s}'" for s in _STOPWORDS)}))) AS DOUBLE)
+                     / len(words), 4) AS stopword_ratio,
+               CAST(floor((least(1.0, len(words) / 100.0) * 0.5
+                     + least(1.0, CAST(len(list_filter(words, w -> w IN ({', '.join(f"'{s}'" for s in _STOPWORDS)}))) AS DOUBLE) / len(words) * 5) * 0.3
+                     + CASE WHEN CAST(n_chars AS DOUBLE) / len(words) BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
+                     * 10000 + 0.5) AS BIGINT) AS quality_score_bp
+        FROM tok
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (Gopher/C4-style cheap filters): token count,
+    average token length, stopword ratio, combined into a bounded [0,1]
+    score — the pre-training corpus filter. Scale: shuffle-free row-local
+    arithmetic.
+
+    The combined score is emitted as integer basis points via
+    ``floor(x*10000 + 0.5)`` rather than ``round(x, 4)``: Spark rounds the
+    DECIMAL rendering (HALF_UP) while DuckDB rounds the binary double, so
+    a score landing exactly on a half boundary (e.g. 0.53375) diverges
+    under round() but not under floor arithmetic, which is pure IEEE ops
+    on identical operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tok = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("double")
+    avg_len = F.col("n_chars").cast("double") / n_tok
+    score = (
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), sw / n_tok * 5) * 0.3
+        + F.when(avg_len.between(3, 10), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(sw / n_tok, 4).alias("stopword_ratio"),
+        F.floor(score * 10000 + 0.5).cast("long").alias("quality_score_bp"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
+               n_chars
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation) — the
+    cheap token-budget estimator for corpus accounting. Shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+        ).alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_doc_fingerprint",
+    oracle="""
+        WITH shingles AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(words[i + 1 : i + 3], ' ')) AS h
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+                 UNNEST(range(greatest(len(words) - 2, 1))) AS t(i)
+        )
+        SELECT doc_id,
+               array_to_string(list_sort(list(h))[1:3], ',') AS fingerprint
+        FROM shingles GROUP BY doc_id
+    """,
+)
+def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: the 3 smallest distinct shingle hashes
+    (winnowing-style min-sampling of a rolling shingle hash). Equal
+    fingerprints ⇒ near-identical prefix content; used as a compact
+    dedup/provenance key. One keyed aggregation."""
+    from .dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs).select(
+        "doc_id", F.md5("shingle").alias("h")
+    )
+    return sh.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_set("h")), 1, 3)
+        ).alias("fingerprint")
+    )

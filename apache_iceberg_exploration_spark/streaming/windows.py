@@ -1,0 +1,209 @@
+"""Structured-Streaming operators over the ``events`` stream, plus their
+batch-equivalent forms (same window semantics, verifiable by SQL oracle).
+
+The reference has NO streaming (SURVEY.md §2.9): its incrementality is an
+Airflow cron + high-watermark predicate (constant.py:66-85, etl.py:41).
+The idiomatic Spark replacement implemented here:
+  cron poll            → Trigger.AvailableNow file stream
+  watermark from       → ``withWatermark("ts", ...)``
+    task metadata
+  daily overwrite agg  → windowed aggregation (tumbling/sliding/session)
+
+Batch and streaming share the identical ``F.window`` expressions —
+the batch queries are the oracle-checkable semantics, the
+``streaming_*`` query drives the real ``readStream`` machinery through
+an in-memory sink (AvailableNow processes the whole directory then
+stops, so the result is deterministic and oracle-checkable too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import events_ts_to_timestamp, load_table
+
+_TUMBLING_ORACLE = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+"""
+
+
+@query("window_tumbling_daily", oracle=_TUMBLING_ORACLE)
+def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows × event_type (batch form).
+
+    Scale: F.window is a row-local projection then a keyed agg with
+    map-side combine — shuffle carries only (window, type) group rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_sliding_2h_1h",
+    oracle="""
+        WITH assigned AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, value
+            FROM events
+            UNION ALL
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR, value
+            FROM events
+        )
+        SELECT window_start, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM assigned GROUP BY window_start
+    """,
+)
+def window_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in 2
+    overlapping windows. The oracle replays the same assignment as a
+    UNION ALL of the two hour-truncated shifts.
+
+    Scale: slide expansion multiplies rows by length/slide BEFORE the
+    shuffle — keep the ratio small, or pre-aggregate per slide quantum
+    (1h) and roll 2 quanta up post-shuffle, which is the composable form
+    of this exact query."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_session_30m_per_user",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+)
+def window_session_30m_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user, batch form via
+    ``F.session_window`` — the oracle derives identical sessions with the
+    classic lag-gap-cumsum construction (session end = last event + gap,
+    matching Spark's session_window.end).
+
+    Scale: session_window aggregates shuffle on user_id only; state per
+    key is one open session — this is also exactly the streaming stateful
+    shape (see streaming_tumbling_available_now for the readStream side).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("streaming_tumbling_available_now", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path: ``readStream`` over the events
+    parquet, event-time watermark, tumbling 1-day window aggregation,
+    ``Trigger.AvailableNow`` into an in-memory sink (complete mode), then
+    the materialized result is returned.
+
+    AvailableNow processes every available file then stops — the batch
+    world's deterministic answer with the streaming world's machinery, so
+    the same SQL oracle applies. In production the trigger becomes
+    ``processingTime`` and the sink ``foreachBatch → MERGE`` (see
+    sources.lakehouse.merge_into); the plan is unchanged.
+
+    The watermark (10 minutes) bounds state for append-mode/late-data
+    handling; with complete-mode output it does not drop this dataset's
+    rows (files arrive as one AvailableNow batch).
+    """
+    import uuid
+
+    from ..schemas import TABLES
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in TABLES["events"].fields
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = events_ts_to_timestamp(stream).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
