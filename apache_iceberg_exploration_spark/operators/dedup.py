@@ -36,19 +36,31 @@ NUM_MINHASH = 8
 BAND_SIZE = 2  # → 4 bands of 2 hashes
 
 
-def word_shingles(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) distinct word-k-grams. Pure builtin functions:
-    split → transform(sequence) → explode; no Python boundary."""
+def word_shingles(
+    df: DataFrame, k: int = SHINGLE_K, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) word-k-grams (distinct by default — pass
+    ``distinct=False`` for consumers with multiset-invariant aggregates
+    like min-hash, saving the dedup shuffle). Pure builtin functions:
+    split → transform(sequence) → explode; no Python boundary.
+
+    The input is repartitioned on doc_id first: document corpora often
+    arrive as few large files (here: one), and the per-row array work
+    (split + k-gram transform + explode) is the CPU hot spot — without
+    the repartition it runs on as many cores as there are input splits.
+    """
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     words = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
-    return (
-        df.select("doc_id", F.explode(grams).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    out = spread.select("doc_id", F.explode(grams).alias("shingle")).filter(
+        F.length("shingle") > 0
     )
+    return out.distinct() if distinct else out
 
 
 _SHINGLES_SQL = f"""
@@ -116,39 +128,59 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH candidate pairs: shingle → 8 md5-seeded min-hashes →
     4 bands of 2 → docs sharing any band signature.
 
-    Scale: the signature step is two keyed aggregations (doc×seed, then
-    doc×band); the candidate join is an equi-join on (band, sig) whose
-    match groups are tiny by construction (only near-dups collide). No
-    pairwise comparison ever materializes outside buckets. This is the
-    canonical web-scale fuzzy-dedup shape (MMDS ch.3).
+    Scale: hashes are computed once per DISTINCT shingle (vocabulary ≪
+    incidence) and broadcast back; the signature step is then a single
+    aggregation producing all 8 min-hashes as columns, so the shuffle
+    carries one row per document. The candidate join is an equi-join on
+    (band, sig) whose match groups are tiny by construction (only
+    near-dups collide) — no pairwise comparison outside buckets. This is
+    the canonical web-scale fuzzy-dedup shape (MMDS ch.3). At corpora
+    where the vocabulary itself is huge, drop the distinct-hash
+    pre-pass and hash inline (same plan minus the broadcast).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(NUM_MINHASH - 1))).alias("seed")
-    mh = (
-        sh.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("seed").cast("string"), "shingle"))
-            ).alias("h")
-        )
+    # persisted: feeds both the distinct-hash branch and the join input.
+    # distinct=False — min() is multiset-invariant, so the dedup shuffle
+    # would be pure cost here.
+    sh = word_shingles(docs, distinct=False).persist()
+
+    # Hash each DISTINCT shingle once per seed (corpus vocabulary is far
+    # smaller than the doc×shingle incidence), broadcast the tiny hash
+    # table back, then ONE aggregation computes all 8 mins as columns —
+    # no seed-explosion: the shuffle carries n_docs rows, not
+    # n_docs × n_shingles × n_seeds.
+    hash_cols = [
+        F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_MINHASH)
+    ]
+    shingle_hashes = sh.select("shingle").distinct().select(
+        "shingle",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(i)), "shingle")).alias(f"h{i}")
+            for i in range(NUM_MINHASH)
+        ],
     )
-    bands = (
-        mh.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "h"))
-                    ),
-                    lambda s: s["h"],
-                ),
-            ).alias("sig")
-        )
+    sigs = (
+        sh.join(F.broadcast(shingle_hashes), "shingle")
+        .groupBy("doc_id")
+        .agg(*hash_cols)
     )
+    band_pairs = [
+        F.concat(
+            *[F.col(f"h{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        ).alias(f"sig{b}")
+        for b in range(NUM_MINHASH // BAND_SIZE)
+    ]
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_pairs[b].alias("sig"))
+                    for b in range(NUM_MINHASH // BAND_SIZE)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -196,7 +228,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-join handles residual hot shingles.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs)
+    # the shingle relation feeds three plan branches (sizes + both join
+    # sides); persist so split/explode/distinct runs once, not three times
+    sh = word_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -267,7 +301,8 @@ def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     words = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("cnt"))
@@ -332,9 +367,24 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     idea (see operators.similarity for the search-side variant). Cosine is
     evaluated with zip_with/aggregate in double precision, JVM-side.
     """
+    from ..functions.vectors import _dot, _norm2, as_double_array
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    # Precompute each vector's norm ONCE (n rows) instead of twice per
+    # pair (n²/k rows) — identical IEEE value, ~3× less array arithmetic.
+    # persist() is load-bearing: without it Catalyst substitutes the alias
+    # back into the pushed-down join filter and evaluates the norm (and
+    # the array cast) per PAIR again.
+    normed = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select(
+        "vec_id",
+        "label",
+        as_double_array("embedding").alias("v"),
+        _norm2(as_double_array("embedding")).alias("nrm"),
+    ).persist()
+    a, b = normed.alias("a"), normed.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full action (count() of the result — forces the
+whole plan including shuffles/writes, avoids collect-to-driver cost
+dominating). A warmup query first absorbs JVM/codegen startup so
+per-query numbers measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apache_iceberg_exploration_spark import registry  # noqa: E402
+from apache_iceberg_exploration_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "gold_customer_agg",
+    "silver_dedup_keyed",
+    "topk_orders_per_segment",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_fingerprint",
+    "dedup_embedding_neardup_pairs",
+    "ann_cosine_topk_bruteforce",
+    "ann_ivf_probe_topk",
+    "text_quality_score",
+    "text_token_count",
+    "multimodal_decode_features",
+    "window_tumbling_daily",
+    "window_session_30m_per_user",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(app_name="bench", cpus=cpus)
+
+    queries = registry.all_queries()
+    # warmup: JVM + codegen + parquet footer caches
+    queries["gold_customer_agg"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time, local[%d]" % cpus,
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
