@@ -67,6 +67,7 @@ def _load_all() -> None:
         return
     from .operators import (  # noqa: F401
         dedup,
+        lakehouse_ops,
         medallion,
         multimodal,
         relational,

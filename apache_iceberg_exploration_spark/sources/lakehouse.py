@@ -1,0 +1,269 @@
+"""Snapshot-versioned lakehouse tables: the Iceberg capability surface of
+the reference (etl.py:51-54 overwrite sinks, sparkmini read-back,
+constant.py:43-55 catalog config, and the `IcebergSparkSessionExtensions`
+features it enables but never uses — MERGE INTO, snapshot procedures),
+rebuilt on plain parquet + JSON manifests because no iceberg-spark-runtime
+jar ships in this container. ``session.get_spark`` still wires the real
+Iceberg catalog whenever the jar IS present; this module is the
+jar-independent implementation of the same semantics:
+
+- atomic snapshot commits (create-exclusive manifest files),
+- append / overwrite / merge / compact operations,
+- time travel (``VERSION AS OF`` ↔ ``read(version=N)``),
+- snapshot expiration (``expire_snapshots``),
+- file compaction (``rewrite_data_files``),
+- optimistic concurrency: concurrent committers race on the manifest
+  create; losers rebase and retry (the snapshot-isolation behavior the
+  reference's sparkmini experiment targets — appName
+  'iceberg-concurrent-write-isolation-test', SURVEY.md O9).
+
+Layout per table::
+
+    <root>/data/<snapshot-uuid>/part-*.parquet   (files added by a commit)
+    <root>/snapshots/v{N}.json                    (manifest: full file list)
+
+A manifest lists the COMPLETE set of data files visible at that version,
+so reads never chase parent chains. Scale: reads are
+``spark.read.parquet(*files)`` — all pruning/pushdown intact; the
+manifest is O(files), kept small by compaction, exactly like Iceberg's
+manifest-list design.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first."""
+
+
+@dataclass
+class LakehouseTable:
+    """Handle to a snapshot-versioned table rooted at ``path``."""
+
+    spark: SparkSession
+    path: str
+    max_commit_retries: int = 10
+
+    # -- manifest bookkeeping -------------------------------------------------
+
+    @property
+    def _snap_dir(self) -> str:
+        return os.path.join(self.path, "snapshots")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._snap_dir, f"v{version}.json")
+
+    def current_version(self) -> int:
+        """Highest committed version (0 = table does not exist yet)."""
+        if not os.path.isdir(self._snap_dir):
+            return 0
+        versions = [
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self._snap_dir, "v*.json"))
+        ]
+        return max(versions, default=0)
+
+    def snapshots(self) -> list[dict]:
+        """All snapshot manifests, oldest first (the history/metadata view —
+        Iceberg's ``<table>.snapshots``)."""
+        out = []
+        for v in range(1, self.current_version() + 1):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _try_commit(self, version: int, manifest: dict) -> None:
+        """Atomic commit: POSIX O_EXCL create of the manifest file. Exactly
+        one concurrent committer can win a given version — the loser gets
+        CommitConflict and must rebase (re-read the new current version)
+        and retry. This is the optimistic-concurrency core."""
+        os.makedirs(self._snap_dir, exist_ok=True)
+        try:
+            fd = os.open(
+                self._manifest_path(version),
+                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            )
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    # -- data-file production -------------------------------------------------
+
+    def _write_data_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> tuple[str, list[str]]:
+        snap_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.path, "data", snap_id)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        files = [
+            p
+            for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+        ]
+        return snap_id, sorted(files)
+
+    def _commit_with_retry(self, build_manifest) -> dict:
+        """Run ``build_manifest(parent_version) -> manifest`` under the
+        optimistic protocol: on conflict, rebase on the new tip and retry."""
+        for _ in range(self.max_commit_retries):
+            parent = self.current_version()
+            manifest = build_manifest(parent)
+            try:
+                self._try_commit(parent + 1, manifest)
+                return manifest
+            except CommitConflict:
+                time.sleep(0.01)
+        raise CommitConflict(
+            f"gave up after {self.max_commit_retries} rebases: {self.path}"
+        )
+
+    # -- table operations -----------------------------------------------------
+
+    def _snapshot(self, op: str, files: list[str], parent: int, **summary) -> dict:
+        return {
+            "version": parent + 1,
+            "parent": parent,
+            "operation": op,
+            "files": files,
+            "summary": {"added_files": summary.get("added", 0), **summary},
+        }
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
+        """Full-replace snapshot — the reference's only write mode
+        (``mode("overwrite").saveAsTable``, etl.py:51-54)."""
+        _, files = self._write_data_files(df, partition_by)
+        return self._commit_with_retry(
+            lambda parent: self._snapshot("overwrite", files, parent, added=len(files))
+        )
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
+        """Additive snapshot: new files + every file of the parent version.
+        Data files are written ONCE before the commit loop — a rebase after
+        a lost race only re-reads the parent manifest, it never rewrites
+        data (Iceberg's fast-append behavior)."""
+        _, files = self._write_data_files(df, partition_by)
+
+        def build(parent: int) -> dict:
+            prev = self._read_manifest(parent)["files"] if parent else []
+            return self._snapshot("append", prev + files, parent, added=len(files))
+
+        return self._commit_with_retry(build)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Scan the table at a version (default: latest) — time travel ↔
+        Iceberg ``VERSION AS OF``. Empty table → raises FileNotFoundError."""
+        v = self.current_version() if version is None else version
+        manifest = self._read_manifest(v)
+        if not manifest["files"]:
+            raise FileNotFoundError(f"no data files at version {v}")
+        return self.spark.read.parquet(*manifest["files"])
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        update_cols: dict[str, F.Column] | None = None,
+        insert_unmatched: bool = True,
+    ) -> dict:
+        """MERGE INTO (upsert): rows matched on ``on`` are updated with
+        ``update_cols`` expressions (evaluated over target columns and
+        ``source.<col>`` references), unmatched source rows are inserted,
+        unmatched target rows pass through.
+
+        The reference configures IcebergSparkSessionExtensions precisely to
+        enable MERGE (constant.py:48) but never issues one; with the jar
+        present this is SQL ``MERGE INTO``. Here it compiles to the
+        equivalent DataFrame plan: one outer join + projection, then an
+        overwrite snapshot (op='merge').
+
+        Scale: a single shuffle on the merge key for the join; at 100 TB
+        add partition filtering so only affected partitions rewrite
+        (copy-on-write Iceberg does exactly this).
+        """
+        target = self.read().alias("t")
+        src = source.alias("s")
+        cond = [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on]
+        joined = target.join(src, cond, "full_outer")
+
+        t_cols = self.read().columns
+        matched = F.col(f"t.{on[0]}").isNotNull() & F.col(f"s.{on[0]}").isNotNull()
+        only_src = F.col(f"t.{on[0]}").isNull()
+
+        projections = []
+        for c in t_cols:
+            expr = F.col(f"t.{c}")
+            if update_cols and c in update_cols:
+                expr = F.when(matched, update_cols[c]).otherwise(expr)
+            if insert_unmatched:
+                src_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+                expr = F.when(only_src, src_val).otherwise(expr)
+            projections.append(expr.alias(c))
+        merged = joined.select(*projections)
+
+        _, files = self._write_data_files(merged)
+        return self._commit_with_retry(
+            lambda parent: self._snapshot("merge", files, parent, added=len(files))
+        )
+
+    # -- maintenance (BASELINE.json: 'Spark read/write + compaction') ---------
+
+    def rewrite_data_files(self, target_file_count: int | None = None) -> dict:
+        """Compaction: rewrite the current snapshot's files into
+        ``target_file_count`` larger ones (default: executor parallelism).
+        Data is unchanged; small-file pressure (the append pattern's cost)
+        resets. Mirrors Iceberg ``CALL system.rewrite_data_files``."""
+        n = target_file_count or self.spark.sparkContext.defaultParallelism
+        df = self.read().coalesce(n)
+        _, files = self._write_data_files(df)
+        return self._commit_with_retry(
+            lambda parent: self._snapshot(
+                "compact", files, parent, added=len(files)
+            )
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the last ``keep_last`` snapshot manifests and
+        garbage-collect data directories no retained manifest references.
+        Mirrors Iceberg ``CALL system.expire_snapshots``. Returns expired
+        version numbers."""
+        current = self.current_version()
+        cutoff = max(current - keep_last + 1, 1)
+        retained_files: set[str] = set()
+        for v in range(cutoff, current + 1):
+            if os.path.exists(self._manifest_path(v)):
+                retained_files.update(self._read_manifest(v)["files"])
+
+        expired = []
+        for v in range(1, cutoff):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                os.remove(p)
+                expired.append(v)
+
+        for snap_dir in glob.glob(os.path.join(self.path, "data", "*")):
+            files = set(
+                glob.glob(os.path.join(snap_dir, "**", "*.parquet"), recursive=True)
+            )
+            if files and not (files & retained_files):
+                shutil.rmtree(snap_dir)
+        return expired

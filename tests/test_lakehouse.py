@@ -1,0 +1,132 @@
+"""Lakehouse table-format tests: snapshot round-trip (formalizes the
+reference sparkmini's eyeball read-back verification, SURVEY.md §5.1),
+time travel, MERGE upsert, compaction, snapshot expiration, and the
+concurrent-append snapshot-isolation experiment (O9 — the reference's
+'iceberg-concurrent-write-isolation-test' appName, made a real test)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.sources.lakehouse import (
+    LakehouseTable,
+)
+
+from .conftest import SF_SMOKE
+from .oracle_utils import value_hash
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return LakehouseTable(spark, str(tmp_path / "tbl"))
+
+
+def _hash_df(df):
+    return value_hash([tuple(r) for r in df.collect()], df.columns)
+
+
+def test_roundtrip_hash(spark, table):
+    src = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(src)
+    assert _hash_df(table.read()) == _hash_df(src)
+    assert table.current_version() == 1
+
+
+def test_append_and_time_travel(spark, table):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    first = cust.filter(F.col("c_custkey") < 50)
+    rest = cust.filter(F.col("c_custkey") >= 50)
+    table.overwrite(first)
+    table.append(rest)
+    assert table.read(version=1).count() == first.count()
+    assert table.read(version=2).count() == cust.count()
+    assert _hash_df(table.read()) == _hash_df(cust)
+    ops = [s["operation"] for s in table.snapshots()]
+    assert ops == ["overwrite", "append"]
+
+
+def test_merge_upsert(spark, table):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust)
+    source = spark.createDataFrame(
+        [(1, 999.99), (2, 111.11), (10_000_001, 42.0)],
+        "c_custkey long, new_bal double",
+    ).select(
+        "c_custkey",
+        F.lit("NEW CUSTOMER").alias("c_name"),
+        F.lit(0).alias("c_nationkey"),
+        F.col("new_bal").alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    table.merge_into(
+        source,
+        on=["c_custkey"],
+        update_cols={"c_acctbal": F.col("s.c_acctbal")},
+    )
+    out = {r.c_custkey: r for r in table.read().collect()}
+    assert out[1].c_acctbal == 999.99  # matched → updated
+    assert out[2].c_acctbal == 111.11
+    assert out[1].c_name != "NEW CUSTOMER"  # matched keeps other cols
+    assert out[10_000_001].c_name == "NEW CUSTOMER"  # unmatched → inserted
+    assert len(out) == cust.count() + 1
+
+
+def test_compaction_preserves_data(spark, table):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    for i in range(4):  # many small appends → many files
+        table.append(cust.filter(F.col("c_custkey") % 4 == i).repartition(4))
+    before = table._read_manifest(table.current_version())["files"]
+    pre_hash = _hash_df(table.read())
+    table.rewrite_data_files(target_file_count=2)
+    after = table._read_manifest(table.current_version())["files"]
+    assert len(after) < len(before)
+    assert len(after) <= 2
+    assert _hash_df(table.read()) == pre_hash
+
+
+def test_expire_snapshots(spark, table):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust.filter(F.col("c_custkey") < 10))
+    table.overwrite(cust.filter(F.col("c_custkey") < 20))
+    table.overwrite(cust.filter(F.col("c_custkey") < 30))
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    assert table.read().count() == cust.filter(F.col("c_custkey") < 30).count()
+    with pytest.raises(FileNotFoundError):
+        table._read_manifest(1)
+    # only the surviving snapshot's data dirs remain on disk
+    import glob as g
+    import os
+
+    live_dirs = g.glob(os.path.join(table.path, "data", "*"))
+    assert len(live_dirs) == 1
+
+
+def test_concurrent_append_isolation(spark, table):
+    """O9: N threads append concurrently; optimistic retry must linearize
+    them — every row lands exactly once, versions form a gapless chain."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    cust.count()
+    table.overwrite(cust.filter(F.col("c_custkey") < 0))  # empty base
+    n_writers = 6
+    errs = []
+
+    def writer(i):
+        try:
+            table.append(cust.filter(F.col("c_custkey") % n_writers == i))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errs
+    assert table.current_version() == 1 + n_writers  # gapless chain
+    assert table.read().count() == cust.count()  # nothing lost or doubled
+    assert _hash_df(table.read()) == _hash_df(cust)

@@ -1,0 +1,69 @@
+"""Pipeline composition + IO-surface tests (S-operators from SURVEY §2.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.pipeline import lakehouse_medallion
+from apache_iceberg_exploration_spark.schemas import CUSTOMER_DATA
+from apache_iceberg_exploration_spark.sources.io import (
+    jdbc_options_for_incremental,
+    load_table,
+    read_csv,
+    write_csv,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_lakehouse_medallion_end_to_end(spark, tmp_path):
+    tables = lakehouse_medallion(spark, SF_SMOKE, str(tmp_path))
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # silver = keyed dedup of bronze
+    n_distinct_texts = docs.select("text").distinct().count()
+    assert tables["silver"].read().count() == n_distinct_texts
+    # gold equals direct aggregation of silver
+    gold = {
+        (r.lang, r.source): (r.total_count, r.avg_chars)
+        for r in tables["gold"].read().collect()
+    }
+    assert sum(c for c, _ in gold.values()) == n_distinct_texts
+    # re-run is incremental (silver merges, versions advance)
+    tables2 = lakehouse_medallion(spark, SF_SMOKE, str(tmp_path))
+    assert tables2["silver"].current_version() == 2
+    assert tables2["silver"].read().count() == n_distinct_texts
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    """S8/S9: the test-backup variant's CSV layer (pandas to_csv/read_csv,
+    test-backup.cpython-37.pyc orig 40-87) as distributed CSV sink+source."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    path = str(tmp_path / "cust_csv")
+    write_csv(cust, path)
+    back = read_csv(spark, path, schema=cust.schema)
+    assert back.count() == cust.count()
+    assert sorted(back.columns) == sorted(cust.columns)
+    a = cust.agg(F.round(F.sum("c_acctbal"), 2)).first()[0]
+    b = back.agg(F.round(F.sum("c_acctbal"), 2)).first()[0]
+    assert a == b
+
+
+def test_jdbc_incremental_options():
+    """S1: the incremental JDBC extract builds the pushed-predicate
+    subquery (etl.py:41's f-string, parameterized)."""
+    opts = jdbc_options_for_incremental(
+        "jdbc:postgresql://dwh:5432/db",
+        "public.customer_data",
+        "last_updated",
+        "2024-01-15 00:00:00",
+    )
+    assert opts["dbtable"] == (
+        "(SELECT * FROM public.customer_data WHERE last_updated > "
+        "'2024-01-15 00:00:00') AS src"
+    )
+
+
+def test_customer_data_schema_has_watermark_column():
+    """The reference's schema-drift bug (etl.py:41 filters a column
+    init.sql never defines) is fixed in our declared schema."""
+    assert "last_updated" in CUSTOMER_DATA.fieldNames()
