@@ -617,3 +617,118 @@ def explode_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested.select(
         "o_orderkey", F.explode("parts").alias("part_key")
     )
+
+
+@query(
+    "asof_join_purchase_to_click",
+    oracle="""
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+               last_click_ts
+        FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   max(CASE WHEN event_type = 'click' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_ts
+            FROM events
+        )
+        WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (Spark has no native one — §'Common OLAP patterns'):
+    each purchase event paired with the same user's most recent strictly-
+    earlier click. Implemented as a running max over the interleaved
+    event stream — one shuffle on user_id, no range-join explosion.
+
+    Scale: this windowed formulation is THE scalable as-of shape: the
+    alternative (inequality join) is O(n·m) per key. For two separate
+    tables, union them with a tag column first — identical plan."""
+    from ..sources.io import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+@query(
+    "skew_salted_aggregation",
+    oracle="""
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: stage 1 groups on (key, salt) — hot
+    keys spread over 16 reducers — stage 2 merges partials per key. The
+    result is identical to a direct groupBy (the oracle IS the direct
+    form); the plan is the one that survives a power-law key at 100 TB.
+
+    Salt must be deterministic-per-row but uniform: hash of a unique id
+    mod 16, not rand() (retries/speculative tasks would double-count).
+    Count merges by SUM; sum merges by SUM — avg would merge as
+    (sum,count) pairs."""
+    from ..sources.io import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pc"), F.sum("value").alias("ps")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.round(F.sum("ps"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "timezone_functions_orders",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderdate + INTERVAL 7 HOUR  AS orderdate_jakarta,
+               o_orderdate - INTERVAL 1 DAY   AS prev_day,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate_str,
+               CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+                   AS days_since_epoch_start
+        FROM orders WHERE o_orderkey < 100
+    """,
+)
+def timezone_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 parity: the reference's pendulum timestamp toolkit
+    (constant.py:83-85 epoch/subtract(days=1); notifications_send_mail.py:24
+    `in_timezone('Asia/Jakarta').to_datetime_string()`) as builtin Spark
+    functions. Jakarta is UTC+7 with no DST, so the conversion is exact
+    interval arithmetic — no tz database needed in either engine."""
+    from ..sources.io import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 HOURS")).alias(
+            "orderdate_jakarta"
+        ),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 DAY")).alias("prev_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "orderdate_str"
+        ),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+    )

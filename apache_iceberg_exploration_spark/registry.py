@@ -74,6 +74,7 @@ def _load_all() -> None:
         similarity,
         text,
     )
-    from .streaming import windows  # noqa: F401
+    from .operators import ingest  # noqa: F401
+    from .streaming import stateful, windows  # noqa: F401
 
     _LOADED = True
