@@ -732,3 +732,292 @@ def timezone_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
         ).alias("days_since_epoch_start"),
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — every predicate pushes to
+    the parquet reader (range + between + less-than), zero shuffle beyond
+    the single-row final agg. The I/O-bound benchmark query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority_exists",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: EXISTS with a correlated inequality → left-semi join
+    with a mixed equi+theta condition, then aggregate. Catalyst keeps the
+    equi part as the join key (shuffle on orderkey) and evaluates the
+    inequality post-probe."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+        SELECT l.l_returnflag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation — the
+    filter-into-aggregate pattern; one shuffle on orderkey, one on the
+    single-char group key."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+        SELECT round(
+                 100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4
+               ) AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: broadcast dim join + LIKE-predicated ratio aggregate.
+    part broadcasts at any SF where it fits (hint explicit)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               round(sum(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-subquery membership → pre-aggregate lineitem,
+    semi-join orders against the qualifying keys, then the detail join.
+    The pre-aggregation runs FIRST so the big join only sees qualifying
+    orders — the pushed-aggregate pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "deterministic_hash_sample",
+    oracle=f"""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE try_cast('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 100 < 10
+    """,
+)
+def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key-hash bucket — the reproducible
+    sampling a training-data pipeline needs (rand()-based TABLESAMPLE is
+    neither stable across retries nor portable across engines). Same rows
+    every run, every engine, any partitioning."""
+    from ..functions.hashing import hash64
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.pmod(hash64(F.col("c_custkey").cast("string")), F.lit(100)) < 10
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "window_rank_lead_ntile",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               rank()         OVER w AS price_rank,
+               dense_rank()   OVER w AS price_dense_rank,
+               ntile(4)       OVER w AS price_quartile,
+               lead(o_orderkey) OVER w AS next_orderkey,
+               round(percent_rank() OVER w, 6) AS price_pct_rank
+        FROM orders
+        WHERE o_custkey < 20
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window family: rank, dense_rank,
+    ntile, lead, percent_rank over a deterministic ordering."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+        SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS bucket_min,
+               round(max(o_totalprice), 2) AS bucket_max
+        FROM orders GROUP BY 1
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-division bucketing — one keyed agg;
+    the distributed histogram primitive (width_bucket is sugar over the
+    same arithmetic)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / 50000).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               grouping(l_returnflag)  AS g_flag,
+               grouping(l_linestatus)  AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) with grouping()
+    indicator columns disambiguating real NULLs from subtotal rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+               CAST(grouping(l_linestatus) AS INT)  AS g_status
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )

@@ -184,3 +184,129 @@ def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.slice(F.array_sort(F.collect_set("h")), 1, 3)
         ).alias("fingerprint")
     )
+
+
+@query(
+    "fuzzy_name_match_levenshtein",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_type, p_name FROM part)
+        SELECT a.p_type, a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS edit_dist
+        FROM names a JOIN names b
+          ON a.p_type = b.p_type AND a.p_name < b.p_name
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_name_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy match over the DISTINCT name dictionary,
+    blocked on category: near-identical part names (≤2 edits) — the
+    entity-resolution primitive.
+
+    Scale, in order of leverage: (1) dedupe BEFORE matching — row-level
+    fuzzy joins multiply every dictionary pair by its duplicate counts
+    (at sf0.1 that's 398k row pairs vs ~10² dictionary pairs for the
+    same information); (2) |len(a)−len(b)| ≤ k prefilter (a lower bound
+    on edit distance) before the quadratic comparison; (3) the bounded
+    ``levenshtein(l, r, threshold)`` variant, which early-exits the DP
+    once the bound is exceeded. Row-level matches, if needed, come from
+    joining this pair table back on name — a cheap equi-join."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_type", "p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    bounded = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
+    exact = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(
+            (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 2
+            )
+            & (bounded >= 0)
+        )
+        .select(
+            F.col("a.p_type").alias("p_type"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            exact.alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE length(word) > 0
+            GROUP BY doc_id, word
+        ),
+        df AS (SELECT word, count(*) AS doc_freq FROM words GROUP BY word),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, word,
+               CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq) * 10000 + 0.5)
+                    AS BIGINT) AS tfidf_bp
+        FROM (
+            SELECT w.doc_id, w.word, w.tf, d.doc_freq, n.n_docs,
+                   row_number() OVER (
+                       PARTITION BY w.doc_id
+                       ORDER BY w.tf * ln(CAST(n.n_docs AS DOUBLE) / d.doc_freq) DESC,
+                                w.word
+                   ) AS rn
+            FROM words w JOIN df d ON w.word = d.word, n
+        )
+        WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring: term frequency × inverse document frequency, top-3
+    scoring terms per document (deterministic word tiebreak). The
+    document-representation primitive under keyword search / relevance.
+
+    Emitted as integer basis points (floor(x·10⁴+0.5)) — same IEEE ops in
+    both engines, immune to round-half divergence (see
+    text_quality_score).
+
+    Scale: two keyed aggregations (doc×word, word) + one broadcast-able
+    DF table join + a ranking window on doc_id. No driver materialization;
+    idf's ln(N/df) uses a scalar N via crossJoin(broadcast(count))."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    words = (
+        spread.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = words.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        words.join(F.broadcast(df_tbl), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            F.floor(F.col("tfidf") * 10000 + 0.5).cast("long").alias("tfidf_bp"),
+        )
+    )

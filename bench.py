@@ -43,6 +43,12 @@ HEADLINE = [
     "multimodal_decode_features",
     "window_tumbling_daily",
     "window_session_30m_per_user",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "asof_join_purchase_to_click",
+    "tfidf_top_terms",
+    "fuzzy_name_match_levenshtein",
+    "stateful_running_user_totals",
 ]
 
 
