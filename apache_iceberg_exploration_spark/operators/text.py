@@ -310,3 +310,111 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("tfidf") * 10000 + 0.5).cast("long").alias("tfidf_bp"),
         )
     )
+
+
+@query(
+    "pii_scrub_documents",
+    oracle=r"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com or +1-555-000-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+?\d[\d-]{7,}\d', '<PHONE>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g') AS scrubbed,
+               length(text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1-555-000-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                 - length(regexp_replace(
+                     regexp_replace(text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com or +1-555-000-'
+                                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+                     '\+?\d[\d-]{7,}\d', '', 'g')) AS n_pii_chars
+        FROM documents WHERE doc_id < 100
+    """,
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone/URL patterns replaced with typed
+    placeholder tokens — the mandatory redaction pass of a training-data
+    pipeline. (The synthetic corpus contains no PII, so a deterministic
+    contact line derived from doc_id is appended first; the scrubber then
+    provably removes exactly what was injected.) Pure regexp_replace —
+    JVM-side, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-000-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?\d[\d-]{7,}\d"
+    url = r"https?://[^\s]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(synth, email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        url,
+        "<URL>",
+    )
+    pii_removed = F.regexp_replace(F.regexp_replace(synth, email, ""), phone, "")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length(synth) - F.length(pii_removed)).alias("n_pii_chars"),
+    )
+
+
+_CHUNK = 40  # tokens per chunk
+_OVERLAP = 10
+
+
+@query(
+    "document_chunking",
+    oracle=f"""
+        SELECT doc_id, chunk_idx,
+               array_to_string(words[chunk_idx * {_CHUNK - _OVERLAP} + 1 :
+                                     chunk_idx * {_CHUNK - _OVERLAP} + {_CHUNK}],
+                               ' ') AS chunk_text,
+               least(len(words) - chunk_idx * {_CHUNK - _OVERLAP}, {_CHUNK})
+                   AS chunk_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             UNNEST(range(CAST(ceil(greatest(len(words) - {_OVERLAP}, 1)
+                                    / {_CHUNK - _OVERLAP}.0) AS BIGINT)))
+               AS t(chunk_idx)
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: {chunk} tokens per chunk with
+    {overlap}-token overlap — the context-window packing step before
+    embedding/training. One row per chunk via sequence+explode (fan-out
+    stays on executors; no Python).
+
+    Scale: shuffle-free projection; chunk count ≈ tokens/(chunk−overlap)
+    rows emitted per document.""".format(chunk=_CHUNK, overlap=_OVERLAP)
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    words = F.split(F.col("text"), " ")
+    stride = _CHUNK - _OVERLAP
+    n_chunks = F.ceil(
+        F.greatest(F.size(words) - _OVERLAP, F.lit(1)) / float(stride)
+    ).cast("bigint")
+    chunked = spread.select(
+        "doc_id",
+        words.alias("words"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("words"), F.col("chunk_idx") * stride + 1, _CHUNK)
+        ).alias("chunk_text"),
+        F.least(
+            F.size("words") - F.col("chunk_idx") * stride, F.lit(_CHUNK)
+        ).alias("chunk_tokens"),
+    )

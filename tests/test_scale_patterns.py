@@ -1,0 +1,119 @@
+"""Scale-pattern tests: bucketed shuffle-free joins, approximate-aggregate
+error bounds, and the Iceberg-native path (gated on the runtime jar)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.operators.relational import (
+    approx_distinct_users,
+)
+from apache_iceberg_exploration_spark.plans import executed_plan
+from apache_iceberg_exploration_spark.session import _iceberg_jar_available
+from apache_iceberg_exploration_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy(8, key) on both sides co-locates join keys at write time:
+    the subsequent join plans SortMergeJoin with NO Exchange on either
+    side — the pre-shuffled join that amortizes one shuffle across every
+    future join on that key (the 100 TB fact-to-fact pattern)."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_li = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    # disable broadcast so the join must pick a partitioned strategy —
+    # the bucketing claim is about avoiding the EXCHANGE, not the join algo
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_ORACLE, "orders")
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            t_orders
+        )
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            t_li
+        )
+
+        joined = (
+            spark.table(t_li)
+            .join(
+                spark.table(t_orders),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        # result parity with the unbucketed join
+        expect = {
+            r.o_orderstatus: r.n
+            for r in li.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = {r.o_orderstatus: r.n for r in joined.collect()}
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+
+
+def test_approx_distinct_error_bound(spark):
+    """approx_count_distinct(rsd=0.02) must land within ~3×rsd of exact;
+    percentile_approx(p95) within the neighboring exact percentiles."""
+    approx = {
+        r.event_type: (r.approx_users, r.p95_value)
+        for r in approx_distinct_users(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, n_exact in exact.items():
+        n_approx = approx[etype][0]
+        assert abs(n_approx - n_exact) <= max(3, 0.06 * n_exact), (
+            etype,
+            n_approx,
+            n_exact,
+        )
+    p94, p96 = (
+        ev.filter(F.col("event_type") == "click")
+        .agg(
+            F.percentile("value", F.lit(0.93)).alias("lo"),
+            F.percentile("value", F.lit(0.97)).alias("hi"),
+        )
+        .first()
+    )
+    assert p94 <= approx["click"][1] <= p96
+
+
+@pytest.mark.skipif(
+    not _iceberg_jar_available(),
+    reason="iceberg-spark-runtime jar not on the classpath in this "
+    "container; session.get_spark wires the catalog automatically when "
+    "it is (see session.py)",
+)
+def test_iceberg_native_roundtrip(spark):  # pragma: no cover
+    """When the real Iceberg runtime is present: DDL + insert + read-back
+    through the configured catalog (parity with etl.py:51-54)."""
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS my_catalog.bronze")
+    spark.sql(
+        "CREATE OR REPLACE TABLE my_catalog.bronze.smoke USING iceberg AS "
+        "SELECT 1 AS id"
+    )
+    assert spark.table("my_catalog.bronze.smoke").count() == 1
