@@ -398,3 +398,89 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(cos, 4).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle=f"""
+        WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+        mh AS (
+            SELECT doc_id, seed,
+                   min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS h
+            FROM shingles, UNNEST(range({NUM_MINHASH})) AS s(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
+                   string_agg(h, '' ORDER BY seed) AS sig
+            FROM mh GROUP BY doc_id, seed // {BAND_SIZE}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT da AS a, db AS b FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        cc(n, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, cc.lbl FROM cc JOIN edges e
+              ON e.a = cc.n AND cc.lbl < e.b
+        )
+        SELECT n AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY n
+    """,
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from LSH candidate pairs: connected components
+    with cluster id = smallest doc_id in the component (docs with no
+    near-dup form singletons). This is the step that turns pairwise
+    dedup evidence into keep/drop decisions (keep the representative,
+    drop the rest).
+
+    Implementation: iterative min-label propagation — labels start as
+    self, each round takes the min over neighbors, until a fixpoint
+    (O(component diameter) rounds; near-dup components are tiny cliques,
+    so 2-4 rounds in practice; each round is one join + one keyed min).
+    The oracle reaches the same fixpoint via a recursive CTE.
+
+    Scale: this is the standard large-graph CC loop (label propagation /
+    'hash-to-min'); every round is shuffle-on-node-id — no driver-side
+    graph. For web-scale graphs swap in the large-star/small-star
+    optimization; the operator surface is unchanged.
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).persist()
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("n"), F.col("doc_id").alias("lbl")
+    ).persist()
+
+    for _ in range(20):  # diameter bound; tiny components converge fast
+        propagated = (
+            edges.join(labels, edges.a == labels.n)
+            .select(F.col("b").alias("n"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.union(propagated).groupBy("n").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), F.col("x.n") == F.col("y.n"))
+            .filter(F.col("x.lbl") != F.col("y.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    return out

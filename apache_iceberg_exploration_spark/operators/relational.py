@@ -1021,3 +1021,28 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag, l_linestatus))
         """
     )
+
+
+@query(
+    "map_functions_events",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+               len(json_keys(props)) AS n_keys,
+               CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END AS has_k
+        FROM events WHERE user_id <= 3
+    """,
+)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props into map<string,int>, then
+    map_keys/element_at/contains — the semi-structured column toolkit
+    (§1.2: the rebuild needs MapType for events.props)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 3)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
+    )

@@ -200,3 +200,87 @@ def similarity_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              v -> CAST(floor(v * 127.0 / 0.5) AS INTEGER)) AS q8,
+               CAST(floor(list_aggregate(
+                     list_transform(CAST(embedding AS DOUBLE[]), v -> v * v),
+                     'sum') * 10000 + 0.5) AS BIGINT) AS sq_norm_bp
+        FROM embeddings WHERE vec_id < 200
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (fixed scale 0.5 ≈ the
+    corpus max-abs): the 4× storage/bandwidth cut applied before ANN
+    serving; plus the squared norm (basis points) kept alongside for
+    asymmetric distance correction. All higher-order array functions —
+    JVM-side, shuffle-free."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.col("embedding").cast("array<double>")
+    q8 = F.transform(v, lambda x: F.floor(x * 127.0 / 0.5).cast("int"))
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        "label",
+        q8.alias("q8"),
+        F.floor(sq * 10000 + 0.5).cast("long").alias("sq_norm_bp"),
+    )
+
+
+@query(
+    "ann_batch_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 20),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   {cosine_similarity_sql('e.embedding', 'q.q_emb')} AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {cosine_similarity_sql('e.embedding', 'q.q_emb')} DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.q_id
+        )
+        SELECT q_id, vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+        FROM scored WHERE rn <= 3
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched top-k: 20 query vectors answered in ONE pass — broadcast
+    the query block, score corpus×queries, rank per query. This is the
+    throughput shape for bulk retrieval (per-query loops multiply scan
+    cost by |Q|; the broadcast product amortizes one corpus scan across
+    the whole batch).
+
+    Scale: corpus×|Q| pairs stream through the ranking window sharded on
+    q_id; for large |Q|, tile the query block and/or route through the
+    IVF cells first (ann_ivf_probe_topk)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )
