@@ -1046,3 +1046,41 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
     )
+
+
+@query(
+    "scd2_customer_order_history",
+    oracle="""
+        SELECT o_custkey AS c_custkey, o_orderkey,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS valid_to,
+               CASE WHEN lead(o_orderdate) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ) IS NULL THEN 1 ELSE 0 END AS is_current,
+               round(o_totalprice, 2) AS state_totalprice
+        FROM orders WHERE o_custkey < 50
+    """,
+)
+def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history construction: each change event (order) becomes
+    a versioned row with [valid_from, valid_to) from the next event's
+    timestamp via lead(); open-ended row flagged is_current. The
+    dimension-versioning pattern the guide notes must be emulated without
+    a MERGE-native format (and with one: this plus
+    sources.lakehouse.merge_into is the incremental SCD2 upsert).
+
+    Scale: one shuffle on the business key; lead() is a streaming window
+    over the sorted partition."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        F.round("o_totalprice", 2).alias("state_totalprice"),
+    )

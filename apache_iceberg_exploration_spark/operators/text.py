@@ -418,3 +418,67 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("words") - F.col("chunk_idx") * stride, F.lit(_CHUNK)
         ).alias("chunk_tokens"),
     )
+
+
+@query(
+    "training_data_pipeline",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, text, lang,
+                   string_split(text, ' ') AS words
+            FROM documents
+        ),
+        filtered AS (
+            SELECT doc_id, text, lang, len(words) AS n_tokens
+            FROM scored
+            WHERE len(words) >= 30
+              AND len(list_filter(words, w -> w IN ({', '.join(f"'{s}'" for s in _STOPWORDS)}))) > 0
+              AND lang IN ('en', 'es', 'de', 'fr')
+        ),
+        deduped AS (
+            SELECT doc_id, text, lang, n_tokens
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                  FROM filtered)
+            WHERE rn = 1
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               CAST(floor(avg(n_tokens) * 100 + 0.5) AS BIGINT) AS avg_tokens_c
+        FROM deduped GROUP BY lang
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE lazy DataFrame program:
+    quality gate (length + stopword presence) → language allowlist →
+    exact dedup (content-hash, keep-first) → per-language corpus stats.
+    Each stage is a transformation — Catalyst fuses the filters into the
+    scan and the whole thing runs as two stages (scan+filter, then the
+    dedup shuffle feeding the final aggregate).
+
+    This is the composition target the individual operators exist for:
+    swap the dedup stage for MinHash-LSH clusters
+    (dedup_cluster_assignment), append chunking (document_chunking) —
+    same shape, still no driver materialization anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    filtered = docs.filter(
+        (F.size(words) >= 30)
+        & (F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))) > 0)
+        & F.col("lang").isin("en", "es", "de", "fr")
+    ).select("doc_id", "text", "lang", F.size(words).alias("n_tokens"))
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.floor(F.avg("n_tokens") * 100 + 0.5).cast("long").alias("avg_tokens_c"),
+    )
