@@ -40,7 +40,3 @@ def seeded_md5(col: Column | str, seed: Column | str | int) -> Column:
 def seeded_md5_sql(expr: str, seed_expr: str) -> str:
     return f"md5(CAST({seed_expr} AS VARCHAR) || '|' || {expr})"
 
-
-def md5_min_signature(num_hashes: int) -> list[int]:
-    """Seed list for a MinHash signature of length ``num_hashes``."""
-    return list(range(num_hashes))

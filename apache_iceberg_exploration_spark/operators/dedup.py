@@ -26,8 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64_sql
-from ..functions.vectors import cosine_similarity, cosine_similarity_sql
+from ..functions.caching import scoped_persist, track
+from ..functions.hashing import seeded_md5, seeded_md5_sql
+from ..functions.vectors import cosine_similarity_sql
 from ..registry import query
 from ..sources.io import load_table
 
@@ -110,7 +111,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH shingles AS ({_SHINGLES_SQL}),
         mh AS (
             SELECT doc_id, seed,
-                   min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS h
+                   min({seeded_md5_sql('shingle', 'seed')}) AS h
             FROM shingles, UNNEST(range({NUM_MINHASH})) AS s(seed)
             GROUP BY doc_id, seed
         ),
@@ -142,7 +143,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: feeds both the distinct-hash branch and the join input.
     # distinct=False — min() is multiset-invariant, so the dedup shuffle
     # would be pure cost here.
-    sh = word_shingles(docs, distinct=False).persist()
+    sh = scoped_persist(word_shingles(docs, distinct=False))
 
     # Hash each DISTINCT shingle once per seed (corpus vocabulary is far
     # smaller than the doc×shingle incidence), broadcast the tiny hash
@@ -155,7 +156,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_hashes = sh.select("shingle").distinct().select(
         "shingle",
         *[
-            F.md5(F.concat_ws("|", F.lit(str(i)), "shingle")).alias(f"h{i}")
+            seeded_md5("shingle", i).alias(f"h{i}")
             for i in range(NUM_MINHASH)
         ],
     )
@@ -230,7 +231,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the shingle relation feeds three plan branches (sizes + both join
     # sides); persist so split/explode/distinct runs once, not three times
-    sh = word_shingles(docs).persist()
+    sh = scoped_persist(word_shingles(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -382,7 +383,8 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         "label",
         as_double_array("embedding").alias("v"),
         _norm2(as_double_array("embedding")).alias("nrm"),
-    ).persist()
+    )
+    normed = scoped_persist(normed)
     a, b = normed.alias("a"), normed.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
@@ -406,7 +408,7 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
         mh AS (
             SELECT doc_id, seed,
-                   min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS h
+                   min({seeded_md5_sql('shingle', 'seed')}) AS h
             FROM shingles, UNNEST(range({NUM_MINHASH})) AS s(seed)
             GROUP BY doc_id, seed
         ),
@@ -451,14 +453,16 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = fwd.union(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    ).persist()
+    edges = scoped_persist(
+        fwd.union(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     labels = docs.select(
         F.col("doc_id").alias("n"), F.col("doc_id").alias("lbl")
-    ).persist()
+    ).persist()  # iteration frees each superseded generation below
 
     for _ in range(20):  # diameter bound; tiny components converge fast
         propagated = (
@@ -479,6 +483,7 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    track(labels)  # final generation released when the next query runs
 
     out = labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")

@@ -199,40 +199,3 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("latest_ts"),
         )
     )
-
-
-def medallion_pipeline(
-    spark: SparkSession, sf_dir: str, warehouse: str
-) -> dict[str, str]:
-    """O1: the bronze→silver→gold composition (etl.py:99-103), handing off
-    via warehouse tables instead of /tmp files (fixes the delete-before-read
-    bug at etl.py:59/65). Returns layer→path. Exercised by tests.
-    """
-    from ..sources.io import write_parquet
-
-    bronze = load_table(spark, sf_dir, "documents")
-    paths = {}
-    paths["bronze"] = f"{warehouse}/bronze/documents"
-    write_parquet(bronze, paths["bronze"])
-
-    w = Window.partitionBy("text").orderBy("doc_id")
-    silver = (
-        spark.read.parquet(paths["bronze"])
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    paths["silver"] = f"{warehouse}/silver/documents"
-    write_parquet(silver, paths["silver"])
-
-    gold = (
-        spark.read.parquet(paths["silver"])
-        .groupBy("lang", "source")
-        .agg(
-            F.count("*").alias("total_count"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-        )
-    )
-    paths["gold"] = f"{warehouse}/gold/documents"
-    write_parquet(gold, paths["gold"])
-    return paths

@@ -304,27 +304,26 @@ def window_running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> Dat
     "window_lag_gap_events",
     oracle="""
         SELECT user_id, event_id,
-               round(coalesce(
-                   CAST(date_diff('microsecond',
-                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                        ts) AS DOUBLE) / 1e6, 0), 3) AS gap_seconds
+               coalesce(date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts), 0) AS gap_micros
         FROM events
         WHERE user_id <= 10
     """,
 )
 def window_lag_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() inter-event gap per user — the building block for
-    sessionization (see streaming.windows.sessionize_batch)."""
+    sessionization. The gap is an EXACT integer microsecond count
+    (unix_micros subtraction): a double-cast timestamp difference loses
+    ~2.4e-7 s at epoch magnitude and a rounded-seconds value can split
+    across engines on half boundaries."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    gap = (
-        F.col("ts").cast("double") - prev.cast("double")
-    )  # seconds as double (μs precision)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.coalesce(gap, F.lit(0.0)), 3).alias("gap_seconds"),
+        F.coalesce(gap, F.lit(0)).alias("gap_micros"),
     )
 
 

@@ -389,13 +389,13 @@ _OVERLAP = 10
     """,
 )
 def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking: {chunk} tokens per chunk with
-    {overlap}-token overlap — the context-window packing step before
-    embedding/training. One row per chunk via sequence+explode (fan-out
-    stays on executors; no Python).
+    """Sliding-window document chunking: 40 tokens per chunk with
+    10-token overlap (``_CHUNK``/``_OVERLAP``) — the context-window
+    packing step before embedding/training. One row per chunk via
+    sequence+explode (fan-out stays on executors; no Python).
 
     Scale: shuffle-free projection; chunk count ≈ tokens/(chunk−overlap)
-    rows emitted per document.""".format(chunk=_CHUNK, overlap=_OVERLAP)
+    rows emitted per document."""
     docs = load_table(spark, sf_dir, "documents")
     spread = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = F.split(F.col("text"), " ")

@@ -17,6 +17,7 @@ Conventions (driver contract):
 from __future__ import annotations
 
 from collections.abc import Callable
+import functools
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,8 +42,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
-        return fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # free whatever intermediates the PREVIOUS query pinned
+            # (functions.caching) — keeps bench/driver sessions bounded
+            from .functions.caching import release_scoped
+
+            release_scoped()
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Query(
+            name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or ""
+        )
+        return wrapped
 
     return deco
 

@@ -133,15 +133,31 @@ def read_jdbc(
     return reader.load()
 
 
+import re as _re
+
+_IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
 def jdbc_options_for_incremental(
     url: str, table: str, watermark_column: str, watermark_value: str
 ) -> dict[str, str]:
     """Pure builder for the S1 incremental-scan options (unit-testable
-    without a database). Parameterizes what etl.py:41 string-interpolated."""
+    without a database).
+
+    The reference interpolates the watermark into source SQL unescaped
+    (etl.py:41). Here identifiers are validated against an identifier
+    grammar and the watermark literal is single-quote-escaped, so a value
+    sourced from task metadata can't break out of the predicate. (True
+    driver-level bind parameters aren't available in the dbtable option;
+    escaping + validation is the JDBC-source-compatible equivalent.)"""
+    for ident in (table, watermark_column):
+        if not _IDENT_RE.match(ident):
+            raise ValueError(f"invalid SQL identifier: {ident!r}")
+    escaped = watermark_value.replace("'", "''")
     return {
         "url": url,
         "dbtable": (
             f"(SELECT * FROM {table} WHERE {watermark_column} > "
-            f"'{watermark_value}') AS src"
+            f"'{escaped}') AS src"
         ),
     }

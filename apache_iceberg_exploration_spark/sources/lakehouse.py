@@ -90,20 +90,28 @@ class LakehouseTable:
             return json.load(f)
 
     def _try_commit(self, version: int, manifest: dict) -> None:
-        """Atomic commit: POSIX O_EXCL create of the manifest file. Exactly
-        one concurrent committer can win a given version — the loser gets
-        CommitConflict and must rebase (re-read the new current version)
-        and retry. This is the optimistic-concurrency core."""
+        """Atomic commit: the manifest is FULLY written to a private temp
+        file first, then published with ``os.link`` — a POSIX atomic
+        create-if-absent of the final name. Exactly one concurrent
+        committer can win a given version (the loser gets CommitConflict,
+        rebases, retries), and no reader can ever observe a partial
+        manifest: the final path either doesn't exist or holds complete
+        JSON. (Create-then-write had a window where a rebasing committer
+        json.load'ed a truncated file.)"""
         os.makedirs(self._snap_dir, exist_ok=True)
+        tmp = os.path.join(
+            self._snap_dir, f".tmp-{uuid.uuid4().hex}-v{version}.json"
+        )
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(
-                self._manifest_path(version),
-                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-            )
+            os.link(tmp, self._manifest_path(version))
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f, indent=1)
+        finally:
+            os.unlink(tmp)
 
     # -- data-file production -------------------------------------------------
 
@@ -200,12 +208,13 @@ class LakehouseTable:
         add partition filtering so only affected partitions rewrite
         (copy-on-write Iceberg does exactly this).
         """
-        target = self.read().alias("t")
+        target_df = self.read()
+        target = target_df.alias("t")
         src = source.alias("s")
         cond = [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on]
         joined = target.join(src, cond, "full_outer")
 
-        t_cols = self.read().columns
+        t_cols = target_df.columns  # same snapshot as the join target
         matched = F.col(f"t.{on[0]}").isNotNull() & F.col(f"s.{on[0]}").isNotNull()
         only_src = F.col(f"t.{on[0]}").isNull()
 
@@ -243,9 +252,16 @@ class LakehouseTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last ``keep_last`` snapshot manifests and
-        garbage-collect data directories no retained manifest references.
-        Mirrors Iceberg ``CALL system.expire_snapshots``. Returns expired
-        version numbers."""
+        garbage-collect the data directories those EXPIRED manifests
+        referenced (minus anything a retained manifest still needs).
+        Mirrors Iceberg ``CALL system.expire_snapshots``.
+
+        Deliberately does NOT delete unreferenced directories it has never
+        seen in a manifest: those may belong to an in-flight commit whose
+        data files are written but whose manifest isn't published yet
+        (concurrent committers are supported). Cleaning true orphans is a
+        separate age-based pass (``remove_orphan_files``), exactly as in
+        Iceberg. Returns expired version numbers."""
         current = self.current_version()
         cutoff = max(current - keep_last + 1, 1)
         retained_files: set[str] = set()
@@ -254,16 +270,39 @@ class LakehouseTable:
                 retained_files.update(self._read_manifest(v)["files"])
 
         expired = []
+        expired_files: set[str] = set()
         for v in range(1, cutoff):
             p = self._manifest_path(v)
             if os.path.exists(p):
+                expired_files.update(self._read_manifest(v)["files"])
                 os.remove(p)
                 expired.append(v)
 
+        doomed = expired_files - retained_files
         for snap_dir in glob.glob(os.path.join(self.path, "data", "*")):
             files = set(
                 glob.glob(os.path.join(snap_dir, "**", "*.parquet"), recursive=True)
             )
-            if files and not (files & retained_files):
+            if files and files <= doomed:
                 shutil.rmtree(snap_dir)
         return expired
+
+    def remove_orphan_files(self, older_than_seconds: float = 3600.0) -> list[str]:
+        """Age-based orphan cleanup: delete data directories referenced by
+        NO manifest (committed or expired) that are older than the grace
+        period — old enough that no in-flight commit can still claim them.
+        Mirrors Iceberg ``CALL system.remove_orphan_files``."""
+        referenced: set[str] = set()
+        for snap in self.snapshots():
+            referenced.update(snap["files"])
+        removed = []
+        now = time.time()
+        for snap_dir in glob.glob(os.path.join(self.path, "data", "*")):
+            files = set(
+                glob.glob(os.path.join(snap_dir, "**", "*.parquet"), recursive=True)
+            )
+            age = now - os.path.getmtime(snap_dir)
+            if files and not (files & referenced) and age > older_than_seconds:
+                shutil.rmtree(snap_dir)
+                removed.append(snap_dir)
+        return removed

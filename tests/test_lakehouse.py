@@ -130,3 +130,27 @@ def test_concurrent_append_isolation(spark, table):
     assert table.current_version() == 1 + n_writers  # gapless chain
     assert table.read().count() == cust.count()  # nothing lost or doubled
     assert _hash_df(table.read()) == _hash_df(cust)
+
+
+def test_expire_leaves_inflight_data_dirs(spark, table):
+    """A data directory written but not yet committed (in-flight writer)
+    must survive expire_snapshots; remove_orphan_files reaps it only
+    after the grace period."""
+    import glob as g
+    import os
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust)
+    table.overwrite(cust.limit(5))
+    # simulate an in-flight commit: data files exist, manifest not published
+    table._write_data_files(cust.limit(3))
+    n_dirs = len(g.glob(os.path.join(table.path, "data", "*")))
+    table.expire_snapshots(keep_last=1)
+    live = g.glob(os.path.join(table.path, "data", "*"))
+    # v1's dir is gone, the in-flight dir survives alongside v2's
+    assert len(live) == n_dirs - 1
+    # age-gated orphan cleanup: too young -> kept; age 0 -> reaped
+    assert table.remove_orphan_files(older_than_seconds=3600) == []
+    removed = table.remove_orphan_files(older_than_seconds=0.0)
+    assert len(removed) == 1
+    assert table.read().count() == 5  # committed data untouched

@@ -67,3 +67,20 @@ def test_customer_data_schema_has_watermark_column():
     """The reference's schema-drift bug (etl.py:41 filters a column
     init.sql never defines) is fixed in our declared schema."""
     assert "last_updated" in CUSTOMER_DATA.fieldNames()
+
+
+def test_jdbc_incremental_options_escape_injection():
+    """Quote-bearing watermark values cannot break out of the predicate;
+    malformed identifiers are rejected outright."""
+    import pytest as _pytest
+
+    opts = jdbc_options_for_incremental(
+        "jdbc:postgresql://dwh:5432/db",
+        "public.customer_data",
+        "last_updated",
+        "2024-01-15' OR '1'='1",
+    )
+    assert "OR '1'" not in opts["dbtable"].replace("''", "")
+    assert "2024-01-15'' OR ''1''=''1" in opts["dbtable"]
+    with _pytest.raises(ValueError):
+        jdbc_options_for_incremental("u", "tbl; DROP TABLE x", "c", "v")
