@@ -1083,3 +1083,100 @@ def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
         F.round("o_totalprice", 2).alias("state_totalprice"),
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT n_orders, count(*) AS n_customers
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY n_orders
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: orders-per-customer distribution — LEFT join with a
+    join-side filter (customers with zero qualifying orders count as 0),
+    then a second aggregation over the counts. Two shuffles; the second
+    one is tiny (distinct counts)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN (
+            SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+            FROM lineitem GROUP BY l_partkey
+        ) t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity < t.half_avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part average quantity)
+    decorrelated into aggregate-then-join — the manual form of what
+    Catalyst's decorrelation does, stated explicitly so the plan is one
+    aggregation + one equi-join on partkey rather than a per-row
+    subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half_avg = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(half_avg, li.l_partkey == half_avg.p_key)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey AS cntry, count(*) AS numcust,
+               round(sum(c.c_acctbal), 2) AS totacctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.a
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global average balance,
+    broadcast as a 1-row frame) + NOT EXISTS anti join + grouped count.
+    Note at sf≤0.01 every customer has orders so the result is empty —
+    the oracle agrees on emptiness, and at sf0.1 rows appear."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): cross-engine hash parity over
+arbitrary strings, chunking reconstruction, and merge upsert semantics
+over randomized tables. Few examples with batched payloads — each
+example pays a Spark job, so the strategy packs many values per run."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.functions.hashing import (
+    hash64,
+    hash64_sql,
+    seeded_md5,
+    seeded_md5_sql,
+)
+from apache_iceberg_exploration_spark.sources.lakehouse import LakehouseTable
+
+# printable-ish strings incl. unicode, no surrogates
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_texts)
+def test_hash64_cross_engine_parity(spark, texts):
+    sdf = spark.createDataFrame([(t,) for t in texts], "s string")
+    svals = [
+        (r.h, r.m)
+        for r in sdf.select(
+            hash64("s").alias("h"), seeded_md5("s", 3).alias("m")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    dvals = [
+        con.execute(
+            f"SELECT {hash64_sql('?')}, {seeded_md5_sql('?', '3')}", [t, t]
+        ).fetchone()
+        for t in texts
+    ]
+    assert svals == [tuple(d) for d in dvals]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg ", min_size=1, max_size=120), min_size=1, max_size=12
+    )
+)
+def test_chunking_reconstructs_documents(spark, docs):
+    """Dropping each chunk's overlap prefix (after the first) and
+    concatenating must reproduce the original token stream."""
+    from apache_iceberg_exploration_spark.operators.text import _CHUNK, _OVERLAP
+    from apache_iceberg_exploration_spark.operators import text as text_ops
+
+    rows = [
+        (i, d, "en", "src", len(d)) for i, d in enumerate(docs) if d.strip()
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    # reuse the query's plan on an in-memory table via monkeypatched loader
+    import apache_iceberg_exploration_spark.operators.text as m
+
+    orig = m.load_table
+    m.load_table = lambda _s, _d, _n: df
+    try:
+        out = m.document_chunking(spark, "ignored").collect()
+    finally:
+        m.load_table = orig
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text, *_ in rows:
+        words = text.split(" ")
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        rebuilt = []
+        for i, ch in enumerate(chunks):
+            toks = ch.chunk_text.split(" ") if ch.chunk_text else []
+            rebuilt.extend(toks if i == 0 else toks[_OVERLAP:])
+        assert rebuilt == words, (doc_id, rebuilt, words)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 1000)), min_size=1, max_size=30),
+    st.lists(st.tuples(st.integers(0, 30), st.integers(0, 1000)), min_size=1, max_size=30),
+)
+def test_merge_semantics_match_python_model(spark, tmp_path_factory, base, updates):
+    """lakehouse merge_into ≡ dict-based upsert for arbitrary key/value
+    multisets (last-dedup-wins on key, update overwrites, insert adds)."""
+    base = list({k: v for k, v in base}.items())  # unique keys
+    updates = list({k: v for k, v in updates}.items())
+    tbl = LakehouseTable(
+        spark, str(tmp_path_factory.mktemp("prop") / "t")
+    )
+    tbl.overwrite(spark.createDataFrame(base, "k long, v long"))
+    src = spark.createDataFrame(updates, "k long, v long")
+    tbl.merge_into(src, on=["k"], update_cols={"v": F.col("s.v")})
+
+    model = dict(base)
+    model.update(dict(updates))
+    got = {r.k: r.v for r in tbl.read().collect()}
+    assert got == model
