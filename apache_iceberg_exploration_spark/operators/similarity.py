@@ -284,3 +284,88 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
+
+
+K_CELLS = 8
+KMEANS_ITERS = 4
+
+
+@query("ann_kmeans_cells")  # no oracle: iterative algorithm (driver records rows-only)
+def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell CONSTRUCTION: k-means (Lloyd's) over the embeddings with
+    deterministic init (the K lowest vec_ids) and a fixed iteration
+    budget — produces (vec_id, cell, cos_to_centroid). This replaces the
+    'label' column the other ANN queries lean on with cells the engine
+    derives itself; ann_ivf_probe_topk over these cells is the full
+    self-contained IVF pipeline.
+
+    Each iteration is: broadcast K centroids → per-vector argmax cosine
+    (JVM higher-order functions, no Python) → new centroids via
+    posexplode + (cell, dim) average. No oracle: iterative fixpoints are
+    exactly the non-SQL-expressible class the contract exempts; tests
+    assert determinism, total coverage, and assignment improvement
+    instead.
+
+    Scale: per iteration one broadcast (K·d doubles) + one narrow
+    argmax pass + one k·d-row shuffle — Lloyd's at any corpus size;
+    k-means|| init swaps in for the deterministic seed without touching
+    the loop."""
+    from pyspark.sql import Window as W
+
+    from ..functions.caching import scoped_persist
+
+    emb = scoped_persist(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(K_CELLS)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("v").alias("c"),
+        )
+    )
+
+    cos = cosine_similarity(F.col("v"), F.col("c"))
+    for _ in range(KMEANS_ITERS):
+        assigned = (
+            emb.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "v", "cell", cos.alias("sim"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(
+                        F.col("sim").desc(), F.col("cell")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        centroids = (
+            assigned.select("cell", F.posexplode("v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("dim_avg"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "dim_avg"))),
+                    lambda s: s["dim_avg"],
+                ).alias("c")
+            )
+        )
+
+    final = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "cell", cos.alias("sim"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round("sim", 4).alias("cos_to_centroid"))
+    )

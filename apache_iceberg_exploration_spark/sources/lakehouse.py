@@ -236,13 +236,28 @@ class LakehouseTable:
 
     # -- maintenance (BASELINE.json: 'Spark read/write + compaction') ---------
 
-    def rewrite_data_files(self, target_file_count: int | None = None) -> dict:
+    def rewrite_data_files(
+        self,
+        target_file_count: int | None = None,
+        sort_by: list[str] | None = None,
+    ) -> dict:
         """Compaction: rewrite the current snapshot's files into
         ``target_file_count`` larger ones (default: executor parallelism).
         Data is unchanged; small-file pressure (the append pattern's cost)
-        resets. Mirrors Iceberg ``CALL system.rewrite_data_files``."""
+        resets. Mirrors Iceberg ``CALL system.rewrite_data_files``.
+
+        ``sort_by`` range-partitions + sorts the rewrite on those columns
+        (Iceberg's sort-order rewrite): each output file then covers a
+        narrow value range, so parquet min/max row-group stats prune
+        filtered scans far harder — the cheap substitute for Z-ordering
+        when one or two columns dominate the predicates."""
         n = target_file_count or self.spark.sparkContext.defaultParallelism
-        df = self.read().coalesce(n)
+        if sort_by:
+            df = self.read().repartitionByRange(n, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = self.read().coalesce(n)
         _, files = self._write_data_files(df)
         return self._commit_with_retry(
             lambda parent: self._snapshot(

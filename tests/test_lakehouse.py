@@ -154,3 +154,33 @@ def test_expire_leaves_inflight_data_dirs(spark, table):
     removed = table.remove_orphan_files(older_than_seconds=0.0)
     assert len(removed) == 1
     assert table.read().count() == 5  # committed data untouched
+
+
+def test_sorted_compaction_clusters_files(spark, table):
+    """Sort-order rewrite: each output file covers a narrow key range
+    (verified from parquet footers), so min/max pruning can skip files —
+    and the data is unchanged."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    for i in range(3):
+        table.append(orders.filter(F.col("o_orderkey") % 3 == i).repartition(3))
+    pre = _hash_df(table.read().select("o_orderkey", "o_totalprice"))
+    table.rewrite_data_files(target_file_count=4, sort_by=["o_orderkey"])
+    assert table.snapshots()[-1]["operation"] == "compact"
+    post_files = table._read_manifest(table.current_version())["files"]
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in post_files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+        )
+        mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # files are disjoint by key range (clustered), not interleaved
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    assert _hash_df(table.read().select("o_orderkey", "o_totalprice")) == pre

@@ -111,3 +111,61 @@ def test_foreachbatch_merge_into_lakehouse(spark, tmp_path):
     }
     assert got == want
     assert tbl.snapshots()[-1]["operation"] == "merge"
+
+
+def test_streaming_sliding_and_session_windows(spark, tmp_path):
+    """Real readStream runs of the sliding and session window plans —
+    AvailableNow over two files; results equal the batch forms."""
+    d, ev = _two_batch_stream_dir(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+
+    sliding = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("ws"), "n_events")
+    )
+    q = (
+        sliding.writeStream.outputMode("complete")
+        .format("memory").queryName("slide_out")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300); q.stop()
+    got = {r.ws: r.n_events for r in spark.sql("SELECT * FROM slide_out").collect()}
+    want = {
+        r.ws: r.n
+        for r in ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n").collect()
+    }
+    assert got == want
+
+    session = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("ss"), "n_events")
+    )
+    q2 = (
+        session.writeStream.outputMode("complete")
+        .format("memory").queryName("sess_out")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(300); q2.stop()
+    got2 = {
+        (r.user_id, r.ss): r.n_events
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want2 = {
+        (r.user_id, r.ss): r.n
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("session_window.start").alias("ss"), "n")
+        .collect()
+    }
+    assert got2 == want2
