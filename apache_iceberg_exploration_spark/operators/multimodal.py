@@ -114,7 +114,13 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     m = media_table(spark, sf_dir)
     flat = m.select("doc_id", "media", F.col("meta.mime").alias("mime"))
-    return flat.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+    # spread across Python workers: the source is a single parquet file
+    # (one partition), and decode cost is per-row Python/Arrow work — 8
+    # workers halve wall time here; on a cluster size to cores-per-stage
+    spread = flat.repartition(
+        min(8, spark.sparkContext.defaultParallelism), "doc_id"
+    )
+    return spread.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
 
 
 @query(
