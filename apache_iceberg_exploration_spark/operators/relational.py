@@ -1180,3 +1180,273 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q7_nation_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+              AND n1.n_nationkey <> n2.n_nationkey
+              AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                   AND TIMESTAMP '1997-12-31 00:00:00'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by
+    year — the two-role dimension pattern (nation joined twice under
+    different aliases). Both nation sides broadcast."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3)
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 3)
+        .select(
+            F.col("n_nationkey").alias("n2_nationkey"),
+            F.col("n_name").alias("n2_name"),
+        )
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_nationkey"))
+        .filter(F.col("n_nationkey") != F.col("n2_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.col("n2_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue — join +
+    grouped agg + TakeOrderedAndProject (deterministic tiebreak)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (anti join on a filtered dim) +
+    IN-list predicate + grouped count-distinct."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    l = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad_supp),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_matches
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 21)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 45
+               AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive multi-clause predicate spanning both join
+    sides. The join stays an equi-join on partkey; the OR-of-ANDs is a
+    post-join filter (Catalyst also derives the prunable parts)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 45)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_matches"),
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s.s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest subquery pattern — EXISTS plus a
+    correlated NOT EXISTS with an inequality over the same table.
+    Decorrelated Spark-side per LINE (the SQL counts qualifying l1 rows):
+    a line qualifies iff its order has >1 distinct supplier AND no OTHER
+    supplier's latest shipment in the order is strictly after this line.
+
+    'Max over other suppliers' is derived without a per-line correlated
+    scan: per order, take the top supplier-level max shipdate (max1),
+    how many suppliers attain it (n_at_max), and the runner-up (max2);
+    for a line of supplier s, max-over-others = max1 unless s alone
+    holds max1, in which case max2. Three keyed aggregations + one
+    broadcast join replace two correlated subqueries — the explicit form
+    of the decorrelation a warehouse optimizer applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier")
+
+    supp_max = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("sm")
+    )
+    per_order = supp_max.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supps"),
+        F.max("sm").alias("max1"),
+    )
+    # count suppliers attaining max1 and the runner-up max in one more agg
+    stats = (
+        supp_max.join(
+            per_order.select("ok", "n_supps", "max1"),
+            supp_max.l_orderkey == F.col("ok"),
+        )
+        .groupBy("l_orderkey", "n_supps", "max1")
+        .agg(
+            F.count(F.when(F.col("sm") == F.col("max1"), 1)).alias("n_at_max"),
+            F.max(F.when(F.col("sm") < F.col("max1"), F.col("sm"))).alias("max2"),
+        )
+    )
+    enriched = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        supp_max.select(
+            F.col("l_orderkey").alias("so"),
+            F.col("l_suppkey").alias("ss"),
+            "sm",
+        ),
+        (F.col("l_orderkey") == F.col("so")) & (F.col("l_suppkey") == F.col("ss")),
+    ).join(
+        stats.select(
+            F.col("l_orderkey").alias("sk"), "n_supps", "max1", "n_at_max", "max2"
+        ),
+        F.col("l_orderkey") == F.col("sk"),
+    )
+    max_other = F.when(
+        (F.col("sm") == F.col("max1")) & (F.col("n_at_max") == 1),
+        F.col("max2"),
+    ).otherwise(F.col("max1"))
+    qualifying = enriched.filter(
+        (F.col("n_supps") > 1) & ~(max_other > F.col("l_shipdate"))
+    )
+    return (
+        qualifying.join(o, qualifying.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
