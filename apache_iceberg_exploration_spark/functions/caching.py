@@ -17,6 +17,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
+_DEPTH = 0  # registered-query nesting depth (see registry.query wrapper)
+
+
+class query_scope:
+    """Context manager the registry wrapper enters per query call.
+    Releases the previous query's caches only on TOP-LEVEL entry —
+    composed queries (one registered query calling another, e.g.
+    cluster-assignment → minhash-pairs) must not release their caller's
+    freshly-persisted intermediates mid-plan."""
+
+    def __enter__(self):
+        global _DEPTH
+        if _DEPTH == 0:
+            release_scoped()
+        _DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _DEPTH
+        _DEPTH -= 1
+        return False
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:

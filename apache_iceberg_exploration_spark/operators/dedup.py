@@ -451,7 +451,9 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. For web-scale graphs swap in the large-star/small-star
     optimization; the operator surface is unchanged.
     """
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    # persist the pair list itself: the union below references it twice,
+    # and the LSH band self-join + distinct above it is the expensive part
+    pairs = scoped_persist(dedup_minhash_lsh_pairs(spark, sf_dir))
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = scoped_persist(
         fwd.union(
@@ -464,7 +466,9 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("n"), F.col("doc_id").alias("lbl")
     ).persist()  # iteration frees each superseded generation below
 
-    for _ in range(20):  # diameter bound; tiny components converge fast
+    max_rounds = 30
+    converged = False
+    for _ in range(max_rounds):
         propagated = (
             edges.join(labels, edges.a == labels.n)
             .select(F.col("b").alias("n"), F.col("lbl"))
@@ -482,8 +486,17 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     track(labels)  # final generation released when the next query runs
+    if not converged:
+        # never return intermediate labels as if they were components —
+        # a silently split duplicate cluster means wrong keep/drop calls
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the bound; raise max_rounds or "
+            "switch to the large-star/small-star variant)"
+        )
 
     out = labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")

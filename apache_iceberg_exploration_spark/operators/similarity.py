@@ -361,8 +361,6 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(centroids))
         .select("vec_id", "cell", cos.alias("sim"))
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
     return (
         final.withColumn("rn", F.row_number().over(w))

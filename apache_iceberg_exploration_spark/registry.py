@@ -46,11 +46,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # free whatever intermediates the PREVIOUS query pinned
-            # (functions.caching) — keeps bench/driver sessions bounded
-            from .functions.caching import release_scoped
+            # (functions.caching) — keeps bench/driver sessions bounded.
+            # query_scope is re-entrancy aware: a registered query calling
+            # another one does NOT release its own fresh caches.
+            from .functions.caching import query_scope
 
-            release_scoped()
-            return fn(spark, sf_dir)
+            with query_scope():
+                return fn(spark, sf_dir)
 
         _REGISTRY[name] = Query(
             name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or ""

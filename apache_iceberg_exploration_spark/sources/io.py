@@ -136,6 +136,11 @@ def read_jdbc(
 import re as _re
 
 _IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+# watermark literals are timestamps/dates — allow exactly that shape.
+# An allowlist beats escaping here: quote-doubling alone is unsafe on
+# backends with backslash string escapes (MySQL default sql_mode), where
+# `\' OR ...` survives doubling and still terminates the literal.
+_WATERMARK_RE = _re.compile(r"^[0-9][0-9:\-+. TZ]*$")
 
 
 def jdbc_options_for_incremental(
@@ -145,19 +150,22 @@ def jdbc_options_for_incremental(
     without a database).
 
     The reference interpolates the watermark into source SQL unescaped
-    (etl.py:41). Here identifiers are validated against an identifier
-    grammar and the watermark literal is single-quote-escaped, so a value
-    sourced from task metadata can't break out of the predicate. (True
-    driver-level bind parameters aren't available in the dbtable option;
-    escaping + validation is the JDBC-source-compatible equivalent.)"""
+    (etl.py:41). Here identifiers must match an identifier grammar and
+    the watermark must be a timestamp-shaped literal (digits/:-+. TZ) —
+    values that can't break out of the predicate on any JDBC dialect,
+    including backslash-escaping ones. Anything else is rejected rather
+    than escaped."""
     for ident in (table, watermark_column):
         if not _IDENT_RE.match(ident):
             raise ValueError(f"invalid SQL identifier: {ident!r}")
-    escaped = watermark_value.replace("'", "''")
+    if not _WATERMARK_RE.match(watermark_value):
+        raise ValueError(
+            f"watermark must be a timestamp-shaped literal: {watermark_value!r}"
+        )
     return {
         "url": url,
         "dbtable": (
             f"(SELECT * FROM {table} WHERE {watermark_column} > "
-            f"'{escaped}') AS src"
+            f"'{watermark_value}') AS src"
         ),
     }

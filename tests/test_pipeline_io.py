@@ -69,18 +69,23 @@ def test_customer_data_schema_has_watermark_column():
     assert "last_updated" in CUSTOMER_DATA.fieldNames()
 
 
-def test_jdbc_incremental_options_escape_injection():
-    """Quote-bearing watermark values cannot break out of the predicate;
+def test_jdbc_incremental_options_reject_injection():
+    """Non-timestamp-shaped watermark values are rejected (quote AND
+    backslash breakouts — escaping alone is dialect-dependent);
     malformed identifiers are rejected outright."""
     import pytest as _pytest
 
-    opts = jdbc_options_for_incremental(
-        "jdbc:postgresql://dwh:5432/db",
-        "public.customer_data",
-        "last_updated",
-        "2024-01-15' OR '1'='1",
-    )
-    assert "OR '1'" not in opts["dbtable"].replace("''", "")
-    assert "2024-01-15'' OR ''1''=''1" in opts["dbtable"]
+    for bad in ("2024-01-15' OR '1'='1", "2024-01-15\\' OR sleep(10) -- "):
+        with _pytest.raises(ValueError):
+            jdbc_options_for_incremental(
+                "jdbc:postgresql://dwh:5432/db",
+                "public.customer_data",
+                "last_updated",
+                bad,
+            )
     with _pytest.raises(ValueError):
-        jdbc_options_for_incremental("u", "tbl; DROP TABLE x", "c", "v")
+        jdbc_options_for_incremental("u", "tbl; DROP TABLE x", "c", "2024-01-01")
+    ok = jdbc_options_for_incremental(
+        "u", "public.t", "last_updated", "2024-01-15 00:00:00"
+    )
+    assert "'2024-01-15 00:00:00'" in ok["dbtable"]

@@ -117,3 +117,42 @@ def test_iceberg_native_roundtrip(spark):  # pragma: no cover
         "SELECT 1 AS id"
     )
     assert spark.table("my_catalog.bronze.smoke").count() == 1
+
+
+def test_kmeans_cells_determinism_coverage_improvement(spark):
+    """The compensating checks ann_kmeans_cells' docstring promises in
+    lieu of an oracle: deterministic across runs, every vector assigned,
+    exactly K cells, and the final assignment is at least as good as
+    assigning to the initial centroids (Lloyd's monotonicity)."""
+    from apache_iceberg_exploration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from apache_iceberg_exploration_spark.operators.similarity import (
+        K_CELLS,
+        ann_kmeans_cells,
+    )
+
+    a = ann_kmeans_cells(spark, SF_ORACLE).collect()
+    b = ann_kmeans_cells(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    n = emb.count()
+    assert len(a) == n  # every vector assigned exactly once
+    assert {r.cell for r in a} == set(range(K_CELLS))
+
+    # Lloyd's improves (or matches) the init assignment: mean cos to the
+    # final centroid >= mean cos to the best INITIAL centroid
+    init = emb.orderBy("vec_id").limit(K_CELLS).select(
+        F.col("embedding").alias("c")
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("c"))
+    best_init = (
+        emb.crossJoin(init)
+        .groupBy("vec_id")
+        .agg(F.max(cos).alias("best"))
+        .agg(F.avg("best"))
+        .first()[0]
+    )
+    final_mean = sum(r.cos_to_centroid for r in a) / len(a)
+    assert final_mean >= best_init - 1e-6, (final_mean, best_init)
