@@ -1450,3 +1450,161 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+        SELECT l_year,
+               round(sum(CASE WHEN supp_region = 0 THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share
+        FROM (
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n.n_regionkey AS supp_region
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        GROUP BY l_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share of one supplier region as a ratio of
+    conditional to total volume per year — CASE-ratio aggregate over a
+    star join (dims broadcast)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_regionkey") == 0, vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the revenue 'view' + max-of-view membership — the
+    aggregate-reuse pattern: build once, persist, consume twice (members
+    and max) without recomputing the scan. Ties all surface (no LIMIT),
+    matching the SQL semantics exactly."""
+    from ..functions.caching import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = scoped_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "window_range_frame_trailing",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(sum(l_extendedprice) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY epoch(l_shipdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+               ), 2) AS trailing_30d_revenue
+        FROM lineitem WHERE l_suppkey <= 2
+    """,
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 30-day trailing revenue per supplier —
+    value-based frames (rangeBetween over epoch seconds) vs the row-based
+    frames used elsewhere. All rows sharing a shipdate get the same
+    trailing sum, which is what makes the result deterministic without a
+    unique tiebreak (RANGE frames are peer-inclusive by definition)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 2)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias(
+            "trailing_30d_revenue"
+        ),
+    )
+
+
+@query(
+    "array_functions_toolkit",
+    oracle="""
+        SELECT o_custkey,
+               list_sort(list(DISTINCT o_orderpriority))              AS priorities,
+               len(list_distinct(list(o_orderstatus)))                AS n_statuses,
+               list_contains(list(o_orderstatus), 'F')                AS has_final,
+               list_sort(list(o_orderkey))[1:3]                       AS first_orders
+        FROM orders
+        WHERE o_custkey < 30
+        GROUP BY o_custkey
+    """,
+)
+def array_functions_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: collect_set/sort_array/array_distinct/
+    array_contains/slice over grouped data — the §1.2 ArrayType toolkit
+    beyond embeddings (build arrays with aggregation, manipulate them
+    with higher-order builtins)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.size(F.array_distinct(F.collect_list("o_orderstatus"))).alias(
+            "n_statuses"
+        ),
+        F.array_contains(F.collect_list("o_orderstatus"), "F").alias(
+            "has_final"
+        ),
+        F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 3).alias(
+            "first_orders"
+        ),
+    )
