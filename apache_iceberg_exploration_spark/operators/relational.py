@@ -1608,3 +1608,227 @@ def array_functions_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_orders"
         ),
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eligible AS (
+            SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal,
+                   n.n_name, ps.supplycost
+            FROM ps
+            JOIN part p     ON p.p_partkey = ps.l_partkey
+            JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_type = 'LARGE' AND n.n_regionkey = 0
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(supplycost, 2) AS supplycost
+        FROM eligible e
+        WHERE supplycost = (SELECT min(supplycost) FROM eligible e2
+                            WHERE e2.p_partkey = e.p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part — correlated-min
+    subquery decorrelated into a window min. The reference has no
+    partsupp table, so the supply-cost relation is DERIVED from lineitem
+    (min unit price per part-supplier pair), keeping the query shape
+    (per-group min membership over a snowflake join) intact.
+
+    Scale: the derived partsupp aggregates lineitem down to |part×supp|
+    before any join — map-side combine carries only 3 columns. part and
+    supplier/nation broadcast; the window min re-partitions by p_partkey
+    only over the already-tiny eligible set. Top-100 via
+    TakeOrderedAndProject, never a global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    eligible = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.1 * p.p_retailprice * l.l_quantity), 0) AS sum_profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%rod%'
+        GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation per year over a 5-way join with a
+    LIKE filter on the part dimension. Supply cost is proxied as 10% of
+    p_retailprice (no partsupp in this schema).
+
+    Scale: part filtered by LIKE then broadcast — the filter cuts the
+    build side before it ships. supplier+nation broadcast. The only
+    big-big shuffle is lineitem⋈orders on orderkey; the final group-by is
+    tiny (nations × years) so partial aggregation collapses it map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 0).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_part_value",
+    oracle="""
+        WITH grouped AS (
+            SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS part_value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_regionkey = 1
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, round(part_value, 2) AS part_value
+        FROM grouped
+        WHERE part_value > (SELECT 0.001 * sum(part_value) FROM grouped)
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value with HAVING > fraction-of-global-sum
+    — the aggregate-reuse + global-scalar-subquery pattern. availqty ×
+    supplycost is proxied by extendedprice × quantity (no partsupp).
+
+    Scale: grouped is persisted once and consumed twice (membership +
+    global sum) — one lineitem scan, not two. The global sum is a
+    1-row broadcast; the threshold filter is map-side. Same pattern as
+    q15 (scoped_persist releases the cache after the action).
+    """
+    from ..functions.caching import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    grouped = scoped_persist(
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+                "part_value"
+            )
+        )
+    )
+    threshold = grouped.agg(
+        (F.sum("part_value") * 0.001).alias("threshold")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "q20_promotable_suppliers",
+    oracle="""
+        WITH perkey AS (
+            SELECT l_suppkey,
+                   sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                             AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                            THEN l_quantity ELSE 0 END) AS qty_1997,
+                   sum(l_quantity) AS qty_total
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT DISTINCT s.s_name, s.s_acctbal
+        FROM supplier s
+        JOIN perkey pk ON pk.l_suppkey = s.s_suppkey
+        WHERE pk.qty_1997 > 0.5 * pk.qty_total
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose recent shipments of a named part
+    family exceed half their all-time volume — nested IN + correlated
+    scalar-aggregate threshold, decorrelated into one conditional
+    aggregate and a semi join (availqty proxied by all-time shipped
+    quantity; no partsupp in this schema).
+
+    Scale: the part IN-list is a broadcast semi join pruning lineitem
+    before the aggregate; the correlated subquery pair (qty in window /
+    qty total) collapses into ONE grouped pass with a conditional sum —
+    no per-row subquery execution. supplier joins broadcast against the
+    tiny surviving key set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    in_window = (
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    perkey = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_window, F.col("l_quantity")).otherwise(0)).alias(
+                "qty_1997"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_1997") > 0.5 * F.col("qty_total"))
+    )
+    return (
+        s.join(perkey, s.s_suppkey == perkey.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
