@@ -1,0 +1,278 @@
+"""Training-data pipeline operators: packing, mixing, sampling, ordering,
+contamination.
+
+The reference has no training-data plane at all (SURVEY.md §2 — it is a
+customer-table ELT), but BASELINE.json's north star is an engine a
+large-scale LLM-data pipeline could run on. This module adds the
+corpus-preparation operators that sit between "deduped documents"
+(operators/dedup.py) and "tokens on a trainer": sequence packing, source
+mixing, stratified sampling, deterministic global shuffle, and benchmark
+contamination checks. All pure built-in Spark functions — no Python row
+boundary — and every query has a DuckDB oracle.
+
+Cross-engine determinism: anything "random" is keyed on
+``functions.hashing.hash64`` (md5-based, byte-identical in both engines);
+nothing uses ``rand()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..registry import query
+from ..sources.io import load_table
+from .dedup import _SHINGLES_SQL, word_shingles
+
+CHUNK_TOKENS = 512  # packing budget per training sequence
+PACK_BUCKET = 2048  # doc_ids per cumsum bucket (two-phase prefix sum)
+
+
+@query(
+    "pack_concat_chunks",
+    oracle=f"""
+        SELECT doc_id, n_tokens,
+               CAST(floor(cum_before / {CHUNK_TOKENS}) AS BIGINT) AS start_chunk,
+               CAST(floor((cum_before + n_tokens - 1) / {CHUNK_TOKENS})
+                    - floor(cum_before / {CHUNK_TOKENS}) + 1 AS BIGINT)
+                   AS chunks_spanned
+        FROM (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   coalesce(sum(len(string_split(text, ' '))) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM documents
+        )
+    """,
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid out
+    in a deterministic order (doc_id), concatenated, and cut every
+    CHUNK_TOKENS tokens; each document reports its starting chunk and how
+    many chunk boundaries it spans.
+
+    Scale: a naive global-window cumsum collapses to ONE partition. This
+    uses the two-phase distributed prefix sum instead: (1) cumsum within
+    doc_id-range buckets (window partitioned by bucket — parallel), (2)
+    per-bucket totals are a tiny aggregate, cumulated and broadcast back
+    as offsets. O(rows/buckets) per task, no single-partition stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toks.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    # phase 2: exclusive prefix of bucket totals (few rows → window over
+    # the aggregate is cheap; broadcast back into the big side)
+    w_bucket = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "bucket_offset",
+            F.coalesce(F.sum("bucket_total").over(w_bucket), F.lit(0)),
+        )
+        .select("bucket", "bucket_offset")
+    )
+    cum = local.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum_before", F.col("local_before") + F.col("bucket_offset")
+    )
+    start = F.floor(F.col("cum_before") / CHUNK_TOKENS)
+    end = F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / CHUNK_TOKENS)
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.cast("long").alias("start_chunk"),
+        (end - start + 1).cast("long").alias("chunks_spanned"),
+    )
+
+
+@query(
+    "stratified_sample_per_lang",
+    oracle=f"""
+        SELECT doc_id, lang, sample_rank
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        WHERE sample_rank <= 20
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: 20 documents per language, chosen by
+    deterministic key-hash order (reproducible across runs, retries, and
+    engines — rand()-based sampling is neither).
+
+    Scale: one shuffle on the stratum key; row_number stops mattering
+    after rank 20 so skewed strata cost only their sort. For heavy skew,
+    pre-filter with an approximate per-stratum hash threshold before the
+    exact rank.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+_MIX_RATE_SQL = """CASE WHEN source IN ('src0', 'src1') THEN 0.8
+                        WHEN source LIKE 'src1_' THEN 0.3
+                        ELSE 0.1 END"""
+
+
+def _mix_rate_spark():
+    return (
+        F.when(F.col("source").isin("src0", "src1"), F.lit(0.8))
+        .when(F.col("source").rlike("^src1.$"), F.lit(0.3))
+        .otherwise(F.lit(0.1))
+    )
+
+
+@query(
+    "data_mixing_weighted",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_total,
+               sum(CASE WHEN {hash64_sql("CAST(doc_id AS VARCHAR)")} % 1000
+                             < CAST({_MIX_RATE_SQL} * 1000 AS BIGINT)
+                        THEN 1 ELSE 0 END) AS n_sampled
+        FROM documents
+        GROUP BY source
+    """,
+)
+def data_mixing_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling — each source is down/up-weighted
+    to a target rate (the 'data mixing' step that turns raw crawl+curated
+    sources into a training mixture). Selection is a per-source hash
+    threshold, so the mixture is reproducible and rescalable (raising a
+    rate keeps previously selected rows — nested samples).
+
+    Scale: embarrassingly parallel scan (the hash test is per-row,
+    map-side); the group-by here only REPORTS realized counts per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    picked = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(1000)) < (
+        _mix_rate_spark() * 1000
+    ).cast("long")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(picked, 1).otherwise(0)).alias("n_sampled"),
+    )
+
+
+@query(
+    "global_shuffle_shards",
+    oracle=f"""
+        SELECT doc_id, shard, pos_in_shard
+        FROM (
+            SELECT doc_id,
+                   {hash64_sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+                   row_number() OVER (
+                       PARTITION BY {hash64_sql("CAST(doc_id AS VARCHAR)")} % 8
+                       ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+                   ) AS pos_in_shard
+            FROM documents
+        )
+    """,
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: hash-assign each
+    document to one of 8 shards, with a stable pseudo-random order inside
+    each shard — the epoch-reshuffle a trainer consumes, without any
+    driver-side randomness.
+
+    Scale: this is the RIGHT way to globally shuffle 100 TB — a global
+    ORDER BY hash is one total sort, but sharding first turns it into
+    independent per-shard sorts (shuffle keyed on shard, sort within);
+    shard count = number of output files the trainer wants.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash64(F.col("doc_id").cast("string"))
+    sharded = docs.select("doc_id", F.pmod(h, F.lit(8)).alias("shard"), h.alias("h"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos_in_shard")
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        bench AS (
+            SELECT DISTINCT shingle FROM shingles WHERE doc_id % 23 = 0
+        ),
+        corpus AS (
+            SELECT * FROM shingles WHERE doc_id % 23 <> 0
+        )
+        SELECT c.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_contaminated,
+               round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 4) AS contamination_rate
+        FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+        HAVING contamination_rate >= 0.3
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents whose word
+    3-gram shingles overlap a held-out benchmark set (here: every 23rd
+    doc_id stands in for the eval set) above a 30% rate — the n-gram
+    decontamination step every pretraining pipeline runs before training.
+
+    Scale: shingles shuffle once keyed by shingle text; the benchmark
+    side is distinct-reduced BEFORE the join so fan-out is bounded by
+    corpus shingle count. At real benchmark sizes the bench set fits in a
+    broadcast; the left join + conditional count computes membership and
+    totals in ONE pass (no second join back for the denominator). For
+    100 TB drop shingles whose benchmark document frequency exceeds a cap
+    (stop-gram removal) to kill the hot-key skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = word_shingles(docs)  # distinct (doc_id, shingle)
+    bench = (
+        shingles.filter(F.col("doc_id") % 23 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("in_bench", F.lit(1))
+    )
+    corpus = shingles.filter(F.col("doc_id") % 23 != 0)
+    joined = corpus.join(F.broadcast(bench), "shingle", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("in_bench"), F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 4),
+        )
+        .filter(F.col("contamination_rate") >= 0.3)
+    )

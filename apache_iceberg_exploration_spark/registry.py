@@ -88,6 +88,7 @@ def _load_all() -> None:
         relational,
         similarity,
         text,
+        training,
     )
     from .operators import ingest  # noqa: F401
     from .streaming import stateful, windows  # noqa: F401
