@@ -66,3 +66,76 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(order_year" in plan, plan
     assert back.count() == orders.filter(F.year("o_orderdate") == 1996).count()
+
+
+def test_q9_broadcasts_dims_pushes_like(spark):
+    """q9: LIKE reaches the part scan as StringContains; all three dims
+    broadcast; lineitem-orders is the only shuffle pair."""
+    from apache_iceberg_exploration_spark.operators.relational import (
+        q9_product_type_profit,
+    )
+    from apache_iceberg_exploration_spark.plans.explain import shuffle_count
+
+    df = q9_product_type_profit(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "StringContains(p_name,rod)" in pf, pf
+    assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_q2_aggregates_before_join(spark):
+    """q2: the derived partsupp is reduced by aggregation before any join
+    (2 shuffles total: the pre-aggregate and the window re-key), dims
+    broadcast."""
+    from apache_iceberg_exploration_spark.operators.relational import (
+        q2_min_cost_supplier,
+    )
+    from apache_iceberg_exploration_spark.plans.explain import shuffle_count
+
+    df = q2_min_cost_supplier(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_pack_chunks_windows_partition_by_bucket(spark):
+    """Sequence packing must not run its cumsum in one task: the big-side
+    window is partitioned by bucket; only the few-row bucket-offset branch
+    may single-partition, and it joins back as a broadcast."""
+    from apache_iceberg_exploration_spark.operators.training import (
+        pack_concat_chunks,
+    )
+    from apache_iceberg_exploration_spark.plans import executed_plan
+
+    df = pack_concat_chunks(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "windowspecdefinition(bucket" in plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert has_broadcast_join(df)
+
+
+def test_training_samplers_single_shuffle(spark):
+    """Stratified sampling, mixture counting, and shard shuffling are each
+    one keyed exchange — no extra sorts/shuffles sneak in."""
+    from apache_iceberg_exploration_spark.operators.training import (
+        data_mixing_weighted,
+        global_shuffle_shards,
+        stratified_sample_per_lang,
+    )
+    from apache_iceberg_exploration_spark.plans.explain import shuffle_count
+
+    for fn in (
+        data_mixing_weighted,
+        global_shuffle_shards,
+        stratified_sample_per_lang,
+    ):
+        assert shuffle_count(fn(spark, SF_ORACLE)) == 1, fn.__name__
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The benchmark shingle set joins as a broadcast — corpus shingles
+    are never shuffled for the membership test."""
+    from apache_iceberg_exploration_spark.operators.training import (
+        contamination_ngram_overlap,
+    )
+
+    assert has_broadcast_join(contamination_ngram_overlap(spark, SF_ORACLE))
