@@ -1832,3 +1832,120 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(perkey, s.s_suppkey == perkey.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@query(
+    "stats_moments_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 2) AS sd_price,
+               round(var_samp(l_quantity), 2)         AS var_qty,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+               round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: sample stddev/variance, covariance,
+    correlation per group — the data-profiling pass a feature pipeline
+    runs before normalization.
+
+    Scale: all four are single-pass streaming moments (Welford-style
+    partial states merge associatively), so they cost exactly one keyed
+    shuffle carrying constant-size state per group — same plan class as
+    sum/count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@query(
+    "percentile_exact_lineitem",
+    oracle="""
+        SELECT l_linestatus,
+               round(median(l_extendedprice), 2)             AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+               round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def percentile_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 / p99) per group —
+    Spark's `percentile` and DuckDB's `quantile_cont` share the linear
+    interpolation definition, so this oracle-checks bit-for-bit after
+    rounding.
+
+    Scale: exact percentile buffers each group's values — fine for
+    bounded group counts; at 100 TB switch the same query to
+    `percentile_approx` (t-digest sketch, mergeable partial state) and
+    accept rank error. Both spellings are one keyed shuffle; the
+    approx one has constant memory.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias(
+            "median_price"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias(
+            "p90_price"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias(
+            "p99_price"
+        ),
+    )
+
+
+@query(
+    "range_join_event_attribution",
+    oracle="""
+        SELECT a.event_id                    AS signup_event_id,
+               count(e.event_id)             AS n_follow_events,
+               round(sum(e.value), 2)        AS follow_value
+        FROM events a
+        JOIN events e
+          ON e.user_id = a.user_id
+         AND e.ts >  a.ts
+         AND e.ts <= a.ts + INTERVAL 7 DAY
+        WHERE a.event_type = 'signup'
+        GROUP BY a.event_id
+    """,
+)
+def range_join_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: all activity within 7 days after each signup
+    event, keyed by user — the attribution-window pattern (features
+    around an anchor event, conversion windows).
+
+    Scale: the equality key (user_id) makes this a hash join with the
+    time range as a residual predicate — NOT a cross-product range join;
+    the shuffle is keyed on user. Without an equality key Spark would
+    nested-loop: bucket time into coarse bins on both sides and join on
+    (key, bin) to restore an equi-key. Skewed power users are AQE
+    skew-join territory.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").alias("a")
+    e = ev.alias("e")
+    cond = (
+        (F.col("e.user_id") == F.col("a.user_id"))
+        & (F.col("e.ts") > F.col("a.ts"))
+        & (F.col("e.ts") <= F.col("a.ts") + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        a.join(e, cond)
+        .groupBy(F.col("a.event_id").alias("signup_event_id"))
+        .agg(
+            F.count(F.col("e.event_id")).alias("n_follow_events"),
+            F.round(F.sum(F.col("e.value")), 2).alias("follow_value"),
+        )
+    )

@@ -367,3 +367,55 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", F.round("sim", 4).alias("cos_to_centroid"))
     )
+
+
+@query(
+    "embedding_centroid_per_label",
+    oracle="""
+        SELECT label, list(av ORDER BY pos) AS centroid
+        FROM (
+            SELECT label, pos, round(avg(v), 3) + 0.0 AS av
+            FROM (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            GROUP BY label, pos
+        )
+        GROUP BY label
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of an embedding column — the reduce step of
+    k-means / class prototypes / IVF codebook training, expressed as a
+    dimension-exploded aggregate.
+
+    Scale: posexplode turns n×d rows into the shuffle, keyed (label, pos)
+    — partial aggregation collapses each task's contribution to one
+    partial sum per (label, dim) BEFORE the exchange, so the shuffle
+    carries |labels|×d rows per task, independent of n. The array is
+    reassembled with a sort inside each tiny (label) group. For very
+    wide vectors prefer F.aggregate over zip_with on array sums (one row
+    per group, no explode); the exploded form wins when d is modest and
+    skew matters.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0 in
+        # one engine and +0.0 in the other; -0.0 + 0.0 == +0.0 always)
+        .agg((F.round(F.avg("v"), 3) + F.lit(0.0)).alias("av"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("av")))
+                ),
+                lambda s: s["av"],
+            ).alias("centroid")
+        )
+    )
