@@ -207,3 +207,128 @@ def streaming_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFr
     q.awaitTermination(300)
     q.stop()
     return spark.table(name)
+
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """readStream over events.parquet with the ns-timestamp workaround
+    (shared by every real-streaming query here)."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from ..schemas import TABLES
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in TABLES["events"].fields
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return events_ts_to_timestamp(stream)
+
+
+def _run_available_now(df, output_mode: str):
+    import uuid
+
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "streaming_join_click_to_purchase",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         AND c.ts <  p.ts
+        WHERE p.event_type = 'purchase'
+    """,
+)
+def streaming_join_click_to_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream inner join: every click within the 30 minutes before
+    a purchase by the same user — the attribution join, run on TWO
+    readStream sides with event-time watermarks and a time-range join
+    condition (Spark buffers each side's state only as long as the
+    watermark + range bound requires).
+
+    AvailableNow over a static file set makes the result identical to the
+    batch join, so the batch SQL oracle applies verbatim.
+
+    Scale: state is keyed by user_id and bounded by the 30-minute range +
+    watermark — the canonical bounded-state stream join. Without the
+    range bound the state grows forever; without watermarks nothing can
+    ever be evicted.
+    """
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "40 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    return _run_available_now(joined, "append")
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming deduplication: first occurrence of each (user_id,
+    event_type) key via ``dropDuplicatesWithinWatermark`` — dedup state
+    is evictable once the watermark passes, unlike plain dropDuplicates
+    whose state grows unboundedly on a stream.
+
+    Only the key columns are emitted, so the output is deterministic
+    (which PHYSICAL row survives is arrival-order-dependent; its key is
+    not) and the batch oracle is a plain DISTINCT.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return _run_available_now(deduped, "append")

@@ -169,3 +169,78 @@ def test_streaming_sliding_and_session_windows(spark, tmp_path):
         .collect()
     }
     assert got2 == want2
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark must (a) only
+    emit windows the watermark has closed, and (b) IGNORE rows arriving
+    after the watermark passed their window — the late-data contract the
+    reference's batch polling cannot express (SURVEY.md §2.9)."""
+    import datetime as dt
+
+    from pyspark.sql import Row, types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(*mins):
+        return [Row(ts=base + dt.timedelta(minutes=m), k="a") for m in mins]
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    # batch 1: window [10:00,10:15) gets 2 rows; advance event time to
+    # 11:00 so the 5-minute watermark (10:55) closes that window.
+    spark.createDataFrame(rows(1, 5, 60), schema).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+
+    def run_batch():
+        # foreachBatch (not memory sink): the only in-test sink that
+        # supports restarting from the checkpoint, which this test needs
+        # to carry the watermark across runs.
+        emitted = []
+
+        def collect_batch(bdf, _bid):
+            emitted.extend(bdf.collect())
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "15 minutes"), "k")
+            .count()
+            .select(F.col("window.start").alias("ws"), "k", "count")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(collect_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return {(r.ws, r.k): r["count"] for r in emitted}
+
+    first = run_batch()
+    assert first.get((base, "a")) == 2, first  # closed window emitted once
+
+    # batch 2: a LATE row for the already-closed 10:00 window (10:07,
+    # far below the 10:55 watermark) plus fresh rows at 12:00 that close
+    # the 11:00 window. The late row must not re-emit or change 10:00.
+    spark.createDataFrame(rows(7, 120), schema).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    second = run_batch()
+    emitted_1000 = [v for (ws, k), v in second.items() if ws == base]
+    assert emitted_1000 in ([], [2]), second  # never 3, never a second emit
+    hour_11 = base + dt.timedelta(minutes=60)
+    assert second.get((hour_11, "a")) == 1, second  # 11:00 window closed now
