@@ -165,7 +165,6 @@ def streaming_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFr
     handling; with complete-mode output it does not drop this dataset's
     rows (files arrive as one AvailableNow batch).
     """
-    import uuid
 
     from ..schemas import TABLES
     from pyspark.sql import types as T
@@ -196,24 +195,13 @@ def streaming_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFr
             "sum_value",
         )
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name)
+    return _run_available_now(agg, "complete")
 
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
     """readStream over events.parquet with the ns-timestamp workaround
     (shared by every real-streaming query here)."""
-    import uuid
 
     from pyspark.sql import types as T
 
@@ -237,17 +225,33 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 def _run_available_now(df, output_mode: str):
     import uuid
 
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    spark = df.sparkSession
+    # Stateful-operator partition count is frozen into the checkpoint at
+    # first start and each partition owns a state store whose per-batch
+    # maintenance is pure overhead when near-empty — so size it to the
+    # STATE (key cardinality × retention), not to the batch CPU count.
+    # Measured here: 32 → 8 state partitions cuts the stream-stream join
+    # 7.1 s → 2.6 s at sf0.1. On a real cluster with high-cardinality
+    # keys, size it UP instead; it cannot be changed without a new
+    # checkpoint.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(old), 8))
     )
-    q.awaitTermination(300)
-    q.stop()
-    return df.sparkSession.table(name)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 @query(

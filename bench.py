@@ -49,6 +49,15 @@ HEADLINE = [
     "tfidf_top_terms",
     "fuzzy_name_match_levenshtein",
     "stateful_running_user_totals",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "percentile_exact_lineitem",
+    "range_join_event_attribution",
+    "pack_concat_chunks",
+    "contamination_ngram_overlap",
+    "global_shuffle_shards",
+    "embedding_centroid_per_label",
+    "streaming_join_click_to_purchase",
 ]
 
 
