@@ -95,6 +95,36 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.csv(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format REST-ish consumers expect
+    (S11's payload shape, as a distributed file sink). One JSON object
+    per line per row; compression via the standard codec option."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Explicit schema strongly preferred: schema
+    inference on JSON runs a full extra pass over the data AND types every
+    bare integer as long/double by sample — the same inference trap the
+    reference fell into on parquet (SURVEY.md §1.3)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar format Spark ships native vectorized
+    support for; interchange with Hive/Trino warehouses."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (self-describing schema, vectorized reader, predicate
+    pushdown — same scan contract as parquet)."""
+    return spark.read.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

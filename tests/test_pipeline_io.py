@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from apache_iceberg_exploration_spark.pipeline import lakehouse_medallion
@@ -89,3 +91,46 @@ def test_jdbc_incremental_options_reject_injection():
         "u", "public.t", "last_updated", "2024-01-15 00:00:00"
     )
     assert "'2024-01-15 00:00:00'" in ok["dbtable"]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    """JSON-lines sink → source with explicit schema preserves values and
+    types (inference-free, unlike the reference's readers)."""
+    from apache_iceberg_exploration_spark.sources.io import (
+        load_table,
+        read_json,
+        write_json,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").limit(200)
+    path = str(tmp_path / "orders_json")
+    write_json(orders, path)
+    back = read_json(spark, path, schema=orders.schema)
+    assert back.schema == orders.schema
+    assert sorted(r.o_orderkey for r in back.collect()) == sorted(
+        r.o_orderkey for r in orders.collect()
+    )
+    assert back.agg({"o_totalprice": "sum"}).first()[0] == pytest.approx(
+        orders.agg({"o_totalprice": "sum"}).first()[0]
+    )
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink → source: schema survives self-described, and filters
+    reach the ORC scan (same pushdown contract as parquet)."""
+    from apache_iceberg_exploration_spark.plans import formatted_plan
+    from apache_iceberg_exploration_spark.sources.io import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.schema == li.schema
+    assert back.count() == li.count()
+    filtered = back.filter(back.l_suppkey == 1).select("l_orderkey")
+    plan = formatted_plan(filtered)
+    assert "PushedFilters" in plan and "l_suppkey" in plan.split("PushedFilters")[1][:200], plan
