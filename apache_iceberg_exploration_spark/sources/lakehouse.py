@@ -147,21 +147,39 @@ class LakehouseTable:
 
     # -- table operations -----------------------------------------------------
 
-    def _snapshot(self, op: str, files: list[str], parent: int, **summary) -> dict:
-        return {
+    def _snapshot(
+        self,
+        op: str,
+        files: list[str],
+        parent: int,
+        schema_json: str | None = None,
+        **summary,
+    ) -> dict:
+        manifest = {
             "version": parent + 1,
             "parent": parent,
             "operation": op,
             "files": files,
             "summary": {"added_files": summary.get("added", 0), **summary},
         }
+        if schema_json is not None:
+            # schema-per-snapshot enables add-column evolution: readers
+            # project every file to the snapshot's declared schema
+            manifest["schema"] = schema_json
+        return manifest
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
         """Full-replace snapshot — the reference's only write mode
         (``mode("overwrite").saveAsTable``, etl.py:51-54)."""
         _, files = self._write_data_files(df, partition_by)
         return self._commit_with_retry(
-            lambda parent: self._snapshot("overwrite", files, parent, added=len(files))
+            lambda parent: self._snapshot(
+                "overwrite",
+                files,
+                parent,
+                schema_json=df.schema.json(),
+                added=len(files),
+            )
         )
 
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
@@ -173,7 +191,13 @@ class LakehouseTable:
 
         def build(parent: int) -> dict:
             prev = self._read_manifest(parent)["files"] if parent else []
-            return self._snapshot("append", prev + files, parent, added=len(files))
+            return self._snapshot(
+                "append",
+                prev + files,
+                parent,
+                schema_json=df.schema.json(),
+                added=len(files),
+            )
 
         return self._commit_with_retry(build)
 
@@ -184,7 +208,68 @@ class LakehouseTable:
         manifest = self._read_manifest(v)
         if not manifest["files"]:
             raise FileNotFoundError(f"no data files at version {v}")
-        return self.spark.read.parquet(*manifest["files"])
+        return self._project_to_schema(manifest)
+
+    def _project_to_schema(self, manifest: dict) -> DataFrame:
+        """Read a manifest's files projected to its declared schema.
+
+        Schema evolution contract (Iceberg-style, add-column only):
+        files written before a column existed surface it as NULL; every
+        file is cast to the snapshot's declared column order and types.
+        Manifests from before schema tracking read raw."""
+        files = manifest["files"]
+        schema_json = manifest.get("schema")
+        if schema_json is None:
+            return self.spark.read.parquet(*files)
+        from pyspark.sql import types as T
+
+        declared = T.StructType.fromJson(json.loads(schema_json))
+        df = self.spark.read.option("mergeSchema", True).parquet(*files)
+        cols = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in declared.fields
+        ]
+        return df.select(*cols)
+
+    def read_incremental(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows ADDED between two snapshots (exclusive/inclusive) — the
+        incremental-consumption path (Iceberg's ``start-snapshot-id`` /
+        ``end-snapshot-id`` scan): a downstream job checkpoints the last
+        version it processed and reads only newer files.
+
+        Only append snapshots are incremental-safe; an intervening
+        overwrite/merge rewrites history and raises ValueError (matching
+        Iceberg, whose incremental scan supports append snapshots only).
+
+        Scale: this is THE pattern that replaces the reference's
+        recompute-everything daily overwrite — each pipeline tick touches
+        new files only, so cost tracks arrival rate, not table size.
+        """
+        to = self.current_version() if to_version is None else to_version
+        if to < since_version:
+            raise ValueError(f"to_version {to} < since_version {since_version}")
+        for v in range(since_version + 1, to + 1):
+            op = self._read_manifest(v)["operation"]
+            if op != "append":
+                raise ValueError(
+                    f"non-append snapshot v{v} ({op}) breaks incremental read"
+                )
+        manifest = self._read_manifest(to)
+        base = (
+            set(self._read_manifest(since_version)["files"])
+            if since_version
+            else set()
+        )
+        new_files = [f for f in manifest["files"] if f not in base]
+        if not new_files:
+            return self._project_to_schema(manifest).limit(0)
+        return self._project_to_schema({**manifest, "files": new_files})
 
     def merge_into(
         self,
@@ -231,7 +316,13 @@ class LakehouseTable:
 
         _, files = self._write_data_files(merged)
         return self._commit_with_retry(
-            lambda parent: self._snapshot("merge", files, parent, added=len(files))
+            lambda parent: self._snapshot(
+                "merge",
+                files,
+                parent,
+                schema_json=merged.schema.json(),
+                added=len(files),
+            )
         )
 
     # -- maintenance (BASELINE.json: 'Spark read/write + compaction') ---------

@@ -11,6 +11,7 @@ import threading
 import pytest
 from pyspark.sql import functions as F
 
+from apache_iceberg_exploration_spark.sources.io import load_table
 from apache_iceberg_exploration_spark.sources.lakehouse import (
     LakehouseTable,
 )
@@ -184,3 +185,56 @@ def test_sorted_compaction_clusters_files(spark, table):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
     assert _hash_df(table.read().select("o_orderkey", "o_totalprice")) == pre
+
+
+def test_incremental_read_appends_only(spark, table):
+    """read_incremental returns exactly the rows added after the
+    checkpointed version — the consumption pattern replacing the
+    reference's recompute-everything daily overwrite."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    table.append(cust.filter(F.col("c_custkey") < 10))
+    v1 = table.current_version()
+    table.append(cust.filter((F.col("c_custkey") >= 10) & (F.col("c_custkey") < 20)))
+    table.append(cust.filter(F.col("c_custkey") == 25))
+    inc = table.read_incremental(v1)
+    got = sorted(r.c_custkey for r in inc.collect())
+    want = sorted(
+        r.c_custkey
+        for r in cust.filter(
+            ((F.col("c_custkey") >= 10) & (F.col("c_custkey") < 20))
+            | (F.col("c_custkey") == 25)
+        ).collect()
+    )
+    assert got == want
+    # nothing new after the tip → empty, schema intact
+    tip = table.current_version()
+    assert table.read_incremental(tip).count() == 0
+    # an overwrite breaks the append chain → explicit error, not bad data
+    table.overwrite(cust.filter(F.col("c_custkey") < 5))
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_incremental(v1)
+
+
+def test_schema_evolution_add_column(spark, table):
+    """Add-column evolution: files written before the column existed
+    surface NULL; time travel still shows the old schema."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.append(cust.filter(F.col("c_custkey") < 10))
+    v1 = table.current_version()
+    widened = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter((F.col("c_custkey") >= 10) & (F.col("c_custkey") < 15))
+    )
+    table.append(widened)
+    now = table.read()
+    assert now.columns == ["c_custkey", "c_name", "c_acctbal"]
+    old_rows = now.filter(F.col("c_custkey") < 10)
+    assert old_rows.count() == cust.filter(F.col("c_custkey") < 10).count()
+    assert old_rows.filter(F.col("c_acctbal").isNull()).count() == old_rows.count()
+    new_rows = now.filter(F.col("c_custkey") >= 10)
+    assert new_rows.filter(F.col("c_acctbal").isNotNull()).count() == new_rows.count()
+    # time travel: the v1 snapshot still reads with its own narrow schema
+    assert table.read(v1).columns == ["c_custkey", "c_name"]
