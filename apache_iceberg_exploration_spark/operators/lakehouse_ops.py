@@ -150,3 +150,40 @@ def lakehouse_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_incremental_read",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE event_id % 3 <> 0
+    """,
+)
+def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot consumption: three appends land events in
+    thirds; a consumer checkpointed at the first append reads ONLY the
+    rows the later two added — never rescanning the base.
+
+    This is the engine-native replacement for the reference's
+    watermark-from-Airflow-metadata incrementality (constant.py:66-85):
+    the table's own snapshot history IS the watermark.
+
+    Scale: cost tracks arrival rate, not table size — each tick reads
+    only the files newer snapshots added.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        tbl.append(ev.filter(F.col("event_id") % 3 == 0))
+        checkpoint = tbl.current_version()
+        tbl.append(ev.filter(F.col("event_id") % 3 == 1))
+        tbl.append(ev.filter(F.col("event_id") % 3 == 2))
+        out = tbl.read_incremental(checkpoint)
+        rows = out.collect()  # materialize before scratch cleanup
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -482,3 +482,107 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.floor(F.avg("n_tokens") * 100 + 0.5).cast("long").alias("avg_tokens_c"),
     )
+
+
+@query(
+    "text_normalized_exact_dedup",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, upper(text) || '  '
+            FROM documents WHERE doc_id % 50 = 0
+        )
+        SELECT norm_text, count(*) AS n_variants, min(doc_id) AS keep_doc_id
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+            FROM corpus
+        )
+        GROUP BY norm_text
+        HAVING count(*) > 1
+    """,
+)
+def text_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact-dedup: case-fold + whitespace-collapse
+    before hashing — catches the trivial near-dups (reformatted copies)
+    that exact dedup misses and fuzzy dedup wastes MinHash budget on.
+    Standard first pass of a web-corpus dedup cascade.
+
+    Scale: normalization is per-row map-side; the group-by shuffles one
+    (hash-sized) key per row. Run BEFORE MinHash so the LSH stage sees
+    one representative per normalized class.
+
+    The synthetic corpus has no reformatted copies, so the query plants
+    its own: every 50th document reappears upper-cased with trailing
+    whitespace (mirrored in the oracle) — the dedup must catch exactly
+    those pairs and nothing else.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.unionByName(perturbed)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        corpus.select("doc_id", norm.alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   array_to_string(words[i + 1 : i + 2], ' ') AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+                 UNNEST(range(greatest(len(words) - 1, 1))) AS t(i)
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   count(DISTINCT gram) AS n_unique
+            FROM grams WHERE gram <> '' GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams,
+               round(1.0 - n_unique * 1.0 / n_grams, 4) AS dup_gram_ratio
+        FROM per_doc
+        WHERE 1.0 - n_unique * 1.0 / n_grams > 0.05
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter (Gopher-style): fraction of duplicate
+    word 2-grams per document; documents above 20% duplication are the
+    boilerplate/spam candidates a pretraining pipeline drops.
+
+    Scale: the n-gram explode shuffles on doc_id only (count + distinct
+    count per doc); no cross-document state — embarrassingly parallel
+    per document, so it composes with any partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = 2
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    per_doc = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.countDistinct("gram").alias("n_unique"),
+        )
+    )
+    ratio = 1.0 - F.col("n_unique") / F.col("n_grams")
+    return per_doc.filter(ratio > 0.05).select(
+        "doc_id", "n_grams", F.round(ratio, 4).alias("dup_gram_ratio")
+    )
