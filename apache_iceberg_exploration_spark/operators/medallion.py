@@ -140,20 +140,30 @@ def gold_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "gold_duplicate_audit",
     oracle="""
+        WITH corpus AS (
+            SELECT text, lang FROM documents
+            UNION ALL
+            SELECT text, lang FROM documents WHERE doc_id % 40 = 0
+        )
         SELECT text, lang, count(*) AS total_count
-        FROM documents
+        FROM corpus
         GROUP BY text, lang
         HAVING count(*) > 1
     """,
 )
 def gold_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 in its original *intent*: surface duplicate records as
-    ``total_count > 1`` (the init.sql:11 'Duplikat email' seed). Applied to
-    `documents`, the table the driver seeds with duplicate texts.
+    ``total_count > 1`` (the init.sql:11 'Duplikat email' seed). The
+    synthetic corpus has no duplicate texts, so the audit plants its own
+    (every 40th document re-appended, mirrored in the oracle) — the
+    count>1 filter must surface exactly those.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("text", "lang").unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select("text", "lang")
+    )
     return (
-        load_table(spark, sf_dir, "documents")
-        .groupBy("text", "lang")
+        corpus.groupBy("text", "lang")
         .agg(F.count("*").alias("total_count"))
         .filter(F.col("total_count") > 1)
     )

@@ -189,13 +189,19 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
         SELECT c_custkey, c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join = NOT EXISTS (orphan detection)."""
+    """LEFT ANTI join = NOT EXISTS (lapsed-customer detection: no order
+    since 2000 — unbounded NOT EXISTS is vacuously empty on this corpus,
+    where every customer has at least one order)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -1156,17 +1162,21 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c, avg_bal
         WHERE c.c_acctbal > avg_bal.a
           AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         GROUP BY c.c_nationkey
     """,
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar aggregate subquery (global average balance,
     broadcast as a 1-row frame) + NOT EXISTS anti join + grouped count.
-    Note at sf≤0.01 every customer has orders so the result is empty —
-    the oracle agrees on emptiness, and at sf0.1 rows appear."""
+    The anti side is date-bounded ("no order since 1999") because this
+    synthetic corpus gives every customer SOME order — unbounded NOT
+    EXISTS would be vacuously empty and prove nothing."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("a")
     )
