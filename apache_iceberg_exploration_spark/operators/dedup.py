@@ -402,9 +402,11 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "dedup_cluster_assignment",
-    oracle=f"""
+# Shared oracle CTE chain: shingles → minhash → LSH bands → candidate
+# pairs → symmetric edges → connected components (recursive CTE reaching
+# the same min-label fixpoint the Spark loop computes). Ends with cc(n,
+# lbl); consumers append their own final CTEs/SELECT.
+_CC_CTES = f"""
         WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
         mh AS (
             SELECT doc_id, seed,
@@ -430,6 +432,13 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             SELECT e.b, cc.lbl FROM cc JOIN edges e
               ON e.a = cc.n AND cc.lbl < e.b
         )
+"""
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle=f"""
+        {_CC_CTES}
         SELECT n AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY n
     """,
 )
@@ -502,3 +511,65 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
     return out
+
+
+@query(
+    "dedup_survivor_selection",
+    oracle=f"""
+        {_CC_CTES},
+        clusters AS (
+            SELECT n AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY n
+        ),
+        ranked AS (
+            SELECT c.cluster_id, c.doc_id, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY c.cluster_id) AS sz
+            FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+        )
+        SELECT cluster_id,
+               doc_id AS survivor_doc_id,
+               sz AS cluster_size,
+               sz - 1 AS n_dropped
+        FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the keep/drop decision that completes the
+    fuzzy-dedup pipeline: within each near-dup cluster keep exactly one
+    representative (longest document, doc_id as the deterministic
+    tie-break) and count what gets dropped. Composes
+    ``dedup_cluster_assignment`` (LSH pairs → connected components) with
+    a per-cluster top-1.
+
+    The reference's whole dedup surface is the no-op full-row
+    ``dropDuplicates()`` (dags/etl.py:68); this is the operator that
+    step actually wanted.
+
+    Scale: one hash-partitioned window over cluster_id (cluster count ≈
+    doc count, near-dup clusters are tiny) after the CC loop; survivor
+    choice never ships document text — only (doc_id, n_chars) metadata
+    moves through the shuffle.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_cluster_assignment(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("sz"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_doc_id"),
+        F.col("sz").alias("cluster_size"),
+        (F.col("sz") - 1).alias("n_dropped"),
+    )

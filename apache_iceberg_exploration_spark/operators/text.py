@@ -79,9 +79,8 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_quality_score",
-    oracle=f"""
+# Shared quality-score oracle (also feeds curriculum_quality_deciles).
+_QUALITY_SQL = f"""
         WITH tok AS (
             SELECT doc_id, n_chars, string_split(text, ' ') AS words
             FROM documents
@@ -96,8 +95,10 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + CASE WHEN CAST(n_chars AS DOUBLE) / len(words) BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
                      * 10000 + 0.5) AS BIGINT) AS quality_score_bp
         FROM tok
-    """,
-)
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_SQL)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (Gopher/C4-style cheap filters): token count,
     average token length, stopword ratio, combined into a bounded [0,1]
@@ -585,4 +586,54 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = 1.0 - F.col("n_unique") / F.col("n_grams")
     return per_doc.filter(ratio > 0.05).select(
         "doc_id", "n_grams", F.round(ratio, 4).alias("dup_gram_ratio")
+    )
+
+
+@query(
+    "curriculum_quality_deciles",
+    oracle=f"""
+        WITH q AS ({_QUALITY_SQL})
+        SELECT decile,
+               count(*) AS n_docs,
+               min(quality_score_bp) AS min_score_bp,
+               max(quality_score_bp) AS max_score_bp,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM (
+            SELECT quality_score_bp, n_tokens,
+                   ntile(10) OVER (
+                       ORDER BY quality_score_bp, doc_id
+                   ) AS decile
+            FROM q
+        )
+        GROUP BY decile
+    """,
+)
+def curriculum_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: rank the corpus by quality score into ten
+    equal-count deciles and report each bucket's document count, score
+    range, and token budget — the summary a curriculum/annealing schedule
+    consumes (train low→high quality, or upsample the top deciles).
+    doc_id is the deterministic tie-break inside equal scores.
+
+    Scale: ntile over a global ORDER BY is a total sort — acceptable here
+    because only (score_bp, n_tokens, doc_id) triples are sorted, never
+    text. At 100 TB replace the exact ntile with approx_percentile
+    boundaries (one pass, mergeable sketch) and a range-assignment join —
+    same output contract, no total sort.
+    """
+    from pyspark.sql import Window
+
+    q = text_quality_score(spark, sf_dir)
+    decile = F.ntile(10).over(
+        Window.orderBy("quality_score_bp", "doc_id")
+    )
+    return (
+        q.select("quality_score_bp", "n_tokens", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality_score_bp").alias("min_score_bp"),
+            F.max("quality_score_bp").alias("max_score_bp"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
     )

@@ -276,3 +276,49 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("contamination_rate") >= 0.3)
     )
+
+
+@query(
+    "domain_token_mix",
+    oracle="""
+        WITH per AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(n_tokens * 10000.0 / sum(n_tokens) OVER () + 0.5)
+                    AS BIGINT) AS token_share_bp
+        FROM per
+    """,
+)
+def domain_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting by source domain: document count, token count,
+    and each source's share of the total token budget (basis points) —
+    the report a mixing schedule (`data_mixing_weighted`) is tuned
+    against. Mixing ratios are meaningful in TOKENS, not documents;
+    this is the operator that measures them.
+
+    Scale: one map-side-combinable aggregation over the corpus; the
+    share window then runs on post-aggregate rows (one per source), so
+    the single-partition window is a few-hundred-row no-op even at
+    100 TB of input.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.col("n_tokens") * 10000.0 / total + 0.5)
+        .cast("long")
+        .alias("token_share_bp"),
+    )

@@ -75,12 +75,17 @@ def main() -> None:
         fn = queries[name]
         # steady-state timing: first execution pays whole-stage-codegen
         # compilation + JIT + shuffle-file creation (2-5x noise on short
-        # queries); the second run measures the plan itself, which is
-        # what round-over-round comparison needs.
+        # queries). Of the two subsequent timed runs the MINIMUM is
+        # recorded: on a shared/virtualized host the run-to-run swing of
+        # an identical physical plan exceeds 2x, and min-of-N is the
+        # standard estimator for the plan's own cost under external noise.
         fn(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
