@@ -261,9 +261,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash_bit_sign_spark(word_col, j: int):
+def _simhash_bit_sign_spark(hash_col, j: int):
+    # hash_col is the PRE-COMPUTED md5 hex of the word: evaluating md5
+    # once per row instead of once per row per bit cuts the hash work
+    # by _SIMHASH_BITS x (the oracle SQL is free to recompute — DuckDB
+    # CSE handles it; Spark's codegen does not CSE across aggregates).
     return F.when(
-        F.substring(F.md5(word_col), j + 1, 1).isin(*list("89abcdef")), 1
+        F.substring(hash_col, j + 1, 1).isin(*list("89abcdef")), 1
     ).otherwise(-1)
 
 
@@ -307,10 +311,11 @@ def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("word") > 0)
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5("word"))
     )
     fingerprint = None
     for j in range(_SIMHASH_BITS):
-        contrib = F.sum(F.col("cnt") * _simhash_bit_sign_spark(F.col("word"), j))
+        contrib = F.sum(F.col("cnt") * _simhash_bit_sign_spark(F.col("h"), j))
         bit = F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return words.groupBy("doc_id").agg(fingerprint.alias("simhash"))
