@@ -445,7 +445,7 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang,
                count(*) AS n_docs,
-               sum(n_tokens) AS total_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                CAST(floor(avg(n_tokens) * 100 + 0.5) AS BIGINT) AS avg_tokens_c
         FROM deduped GROUP BY lang
     """,
@@ -560,7 +560,8 @@ def text_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality filter (Gopher-style): fraction of duplicate
-    word 2-grams per document; documents above 20% duplication are the
+    word 2-grams per document; documents above 5% duplication (the
+    threshold in both the Spark filter and the oracle below) are the
     boilerplate/spam candidates a pretraining pipeline drops.
 
     Scale: the n-gram explode shuffles on doc_id only (count + distinct

@@ -229,8 +229,8 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.doc_id,
                count(*) AS n_shingles,
-               sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
-                   AS n_contaminated,
+               CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_contaminated,
                round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
                      * 1.0 / count(*), 4) AS contamination_rate
         FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle

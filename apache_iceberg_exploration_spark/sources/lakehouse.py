@@ -210,6 +210,40 @@ class LakehouseTable:
             raise FileNotFoundError(f"no data files at version {v}")
         return self._project_to_schema(manifest)
 
+    def _scan_files(self, files: list[str]) -> DataFrame:
+        """Open a set of manifest-listed leaf files, recovering
+        hive-partition columns.
+
+        Files written with ``partition_by`` live under
+        ``<root>/data/<snap>/<col>=<val>/...``; opening leaf paths
+        directly discards the directory-encoded values, so each
+        snapshot's files are read with ``basePath`` = its data dir —
+        partition discovery then restores the columns AND partition
+        pruning stays available to filtered reads. One read per
+        contributing snapshot dir (bounded by compaction), unioned by
+        name so snapshots with differing schemas align."""
+        data_root = os.path.join(self.path, "data")
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            rel = os.path.relpath(f, data_root)
+            parts = rel.split(os.sep)
+            base = (
+                os.path.join(data_root, parts[0])
+                if parts and not parts[0].startswith("..")
+                else os.path.dirname(f)
+            )
+            groups.setdefault(base, []).append(f)
+        scans = [
+            self.spark.read.option("basePath", base)
+            .option("mergeSchema", True)
+            .parquet(*grp)
+            for base, grp in sorted(groups.items())
+        ]
+        out = scans[0]
+        for s in scans[1:]:
+            out = out.unionByName(s, allowMissingColumns=True)
+        return out
+
     def _project_to_schema(self, manifest: dict) -> DataFrame:
         """Read a manifest's files projected to its declared schema.
 
@@ -219,12 +253,12 @@ class LakehouseTable:
         Manifests from before schema tracking read raw."""
         files = manifest["files"]
         schema_json = manifest.get("schema")
+        df = self._scan_files(files)
         if schema_json is None:
-            return self.spark.read.parquet(*files)
+            return df
         from pyspark.sql import types as T
 
         declared = T.StructType.fromJson(json.loads(schema_json))
-        df = self.spark.read.option("mergeSchema", True).parquet(*files)
         cols = [
             (
                 F.col(f.name).cast(f.dataType)
@@ -294,14 +328,20 @@ class LakehouseTable:
         (copy-on-write Iceberg does exactly this).
         """
         target_df = self.read()
-        target = target_df.alias("t")
-        src = source.alias("s")
+        # Explicit presence markers, NOT key-NULL-ness: a target row whose
+        # merge-key column is legitimately NULL must survive as "target
+        # only", not be misread as an unmatched source row and overwritten
+        # with NULLs. (Such rows also never equi-join, by SQL semantics.)
+        target = target_df.withColumn("_t_present", F.lit(True)).alias("t")
+        src = source.withColumn("_s_present", F.lit(True)).alias("s")
         cond = [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on]
         joined = target.join(src, cond, "full_outer")
 
         t_cols = target_df.columns  # same snapshot as the join target
-        matched = F.col(f"t.{on[0]}").isNotNull() & F.col(f"s.{on[0]}").isNotNull()
-        only_src = F.col(f"t.{on[0]}").isNull()
+        matched = F.col("t._t_present").isNotNull() & F.col(
+            "s._s_present"
+        ).isNotNull()
+        only_src = F.col("t._t_present").isNull()
 
         projections = []
         for c in t_cols:

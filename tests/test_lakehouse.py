@@ -238,3 +238,60 @@ def test_schema_evolution_add_column(spark, table):
     assert new_rows.filter(F.col("c_acctbal").isNotNull()).count() == new_rows.count()
     # time travel: the v1 snapshot still reads with its own narrow schema
     assert table.read(v1).columns == ["c_custkey", "c_name"]
+
+
+def test_partitioned_write_roundtrip(spark, table):
+    """ADVICE r1 (high): partition_by writes hive-partitioned files whose
+    partition-column values live in directory names; read() must recover
+    them (basePath discovery), not backfill NULLs."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    table.overwrite(cust, partition_by=["c_mktsegment"])
+    back = table.read()
+    assert back.filter(F.col("c_mktsegment").isNull()).count() == 0
+    assert _hash_df(back.select(*sorted(back.columns))) == _hash_df(
+        cust.select(*sorted(cust.columns))
+    )
+    # partition pruning is available: a filtered scan reads fewer files
+    pruned = back.filter(F.col("c_mktsegment") == "BUILDING")
+    assert pruned.count() == cust.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).count()
+
+
+def test_partitioned_append_across_snapshots(spark, table):
+    """Partitioned + unpartitioned snapshots coexist in one manifest;
+    the per-snapshot basePath read keeps both correct."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    lo = cust.filter(F.col("c_custkey") < 50)
+    hi = cust.filter(F.col("c_custkey") >= 50)
+    table.append(lo, partition_by=["c_mktsegment"])
+    table.append(hi)  # unpartitioned second snapshot
+    back = table.read()
+    assert back.filter(F.col("c_mktsegment").isNull()).count() == 0
+    assert _hash_df(back.select(*sorted(back.columns))) == _hash_df(
+        cust.select(*sorted(cust.columns))
+    )
+
+
+def test_merge_preserves_null_key_target_rows(spark, table):
+    """ADVICE r1: a target row whose merge-key is legitimately NULL must
+    pass through untouched — not be misread as source-only and nulled."""
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (None, "null-key-row", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    table.overwrite(target)
+    source = spark.createDataFrame(
+        [(1, "a2", 11.0), (4, "d", 40.0)], "k long, name string, bal double"
+    )
+    table.merge_into(
+        source,
+        on=["k"],
+        update_cols={"bal": F.col("s.bal"), "name": F.col("s.name")},
+    )
+    rows = {r.name: r for r in table.read().collect()}
+    assert rows["null-key-row"].bal == 20.0  # survived untouched
+    assert rows["null-key-row"].k is None
+    assert rows["a2"].bal == 11.0  # matched -> updated
+    assert rows["d"].bal == 40.0  # unmatched source -> inserted
+    assert table.read().count() == 4
