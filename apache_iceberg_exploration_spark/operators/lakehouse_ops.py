@@ -187,3 +187,114 @@ def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_partitioned_scan",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS n_customers,
+               round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS sum_bal
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def lakehouse_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lakehouse write + filtered read-back: customer is
+    written ``partition_by=['c_mktsegment']`` (Iceberg's identity
+    partitioning — the rebuild of the partitionedBy DDL the reference
+    never adds, SURVEY.md §4 'partition pruning'), then scanned with a
+    partition-column predicate and aggregated INCLUDING the partition
+    column — which only round-trips if the reader recovers the
+    directory-encoded values (r1 ADVICE high: they came back NULL before
+    the basePath fix).
+
+    Scale: the partition predicate prunes whole directories before any
+    file is opened, so the scan cost tracks the selected partitions, not
+    the table.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer")
+        tbl.overwrite(cust, partition_by=["c_mktsegment"])
+        out = (
+            tbl.read()
+            .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .groupBy("c_mktsegment", "c_nationkey")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
+                ).alias("sum_bal"),
+            )
+        )
+        rows = out.collect()  # materialize before scratch cleanup
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_incremental_gold_refresh",
+    oracle="""
+        SELECT o_custkey AS custkey,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spent
+        FROM orders GROUP BY o_custkey
+    """,
+)
+def lakehouse_incremental_gold_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance: orders arrive in three
+    appends; the gold per-customer aggregate is maintained by reading ONLY
+    each new batch (read_incremental) and MERGE-ing partial aggregates
+    into the gold table (count/sum are mergeable). The final gold state
+    must equal a full recompute over all orders — the algebraic
+    correctness condition of incremental view maintenance.
+
+    This composes the two lakehouse primitives into the pattern that
+    replaces the reference's recompute-everything daily gold overwrite
+    (etl.py:86,91): at 100 TB the daily tick aggregates only the new
+    files (arrival-rate cost) and shuffles one partial row per touched
+    key into the merge.
+    """
+    root = _scratch()
+    try:
+        base = LakehouseTable(spark, root + "/orders")
+        gold = LakehouseTable(spark, root + "/gold")
+        orders = load_table(spark, sf_dir, "orders")
+        checkpoint = 0
+        for i in range(3):
+            base.append(orders.filter(F.col("o_orderkey") % 3 == i))
+            batch = base.read_incremental(checkpoint)
+            checkpoint = base.current_version()
+            partial = batch.groupBy(
+                F.col("o_custkey").alias("custkey")
+            ).agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                ).alias("spent"),
+            )
+            if gold.current_version() == 0:
+                gold.overwrite(partial)
+            else:
+                gold.merge_into(
+                    partial,
+                    on=["custkey"],
+                    update_cols={
+                        "n_orders": F.col("t.n_orders") + F.col("s.n_orders"),
+                        "spent": F.col("t.spent") + F.col("s.spent"),
+                    },
+                )
+        out = gold.read().select(
+            "custkey", "n_orders", F.col("spent").cast("double").alias("spent")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1959,3 +1959,74 @@ def range_join_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("e.value")), 2).alias("follow_value"),
         )
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT 'view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT 'view>click', count(*) FROM c
+        UNION ALL SELECT 'view>click>purchase', count(*) FROM p
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that first
+    qualifying click — the stage-conversion query behind every product
+    funnel dashboard (and absent from the reference, whose events are
+    write-only).
+
+    Scale: three keyed min-aggregates chained by equi-joins on user_id —
+    all three shuffles share the same key, so with AQE (or an explicit
+    repartition) the later stages reuse co-location; per-stage state is
+    one timestamp per surviving user, never the event history. This beats
+    the collect_list-per-user formulation, whose per-key state is
+    unbounded at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    def count_stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+    return (
+        count_stage(v, "view")
+        .unionAll(count_stage(c, "view>click"))
+        .unionAll(count_stage(p, "view>click>purchase"))
+    )

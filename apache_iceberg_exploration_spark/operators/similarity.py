@@ -419,3 +419,130 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+N_PLANES = 8  # 2^8 = 256 sign-hash buckets
+_RP_DIMS = 64  # embedding width (TESTDATA.md)
+_RP_TOPK = 3
+_HEX_NEG = "01234567"
+
+
+def _rp_signs() -> list[list[float]]:
+    """±1 hyperplane components, deterministically derived from md5 so
+    the DuckDB oracle reproduces them exactly (functions.hashing
+    convention): component (p, d) is +1 iff the first hex digit of
+    md5('{p}|{d}') has its high bit set."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0] not in _HEX_NEG
+            else -1.0
+            for d in range(_RP_DIMS)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+@query(
+    "ann_rp_lsh_topk",
+    oracle=f"""
+        WITH signs AS (
+            SELECT p,
+                   list(CASE WHEN substring(
+                            md5(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)),
+                            1, 1) NOT IN
+                            ({", ".join(repr(c) for c in _HEX_NEG)})
+                        THEN 1.0 ELSE -1.0 END ORDER BY d) AS s
+            FROM range({N_PLANES}) tp(p), range({_RP_DIMS}) td(d)
+            GROUP BY p
+        ),
+        buckets AS (
+            SELECT e.vec_id, e.label, e.embedding,
+                   sum(CASE WHEN list_dot_product(
+                                s.s, CAST(e.embedding AS DOUBLE[])) >= 0
+                            THEN 1 << p ELSE 0 END) AS bucket
+            FROM embeddings e, signs s
+            GROUP BY e.vec_id, e.label, e.embedding
+        ),
+        ranked AS (
+            SELECT a.vec_id AS probe_id, b.vec_id, b.label,
+                   {cosine_similarity_sql('a.embedding', 'b.embedding')}
+                       AS cos_raw,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_similarity_sql('a.embedding', 'b.embedding')}
+                                DESC, b.vec_id
+                   ) AS rn
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            WHERE a.vec_id % 29 = 0
+        )
+        SELECT probe_id, vec_id, label, round(cos_raw, 4) AS cos_sim
+        FROM ranked WHERE rn <= {_RP_TOPK}
+    """,
+)
+def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH ANN: each vector's 8-bit bucket is the
+    sign pattern of its projections onto 8 deterministic ±1 hyperplanes
+    (SimHash for embeddings, Charikar 2002); probes rank exact cosine only
+    within their own bucket and keep the top 3.
+
+    The third ANN tier next to brute-force (exact, O(n) per query) and
+    IVF (data-dependent cells): sign-LSH needs NO training pass — the
+    bucketing is data-independent, so new vectors route in O(P·d) with
+    zero cluster state, the right trade when the corpus churns faster
+    than a codebook can be rebuilt.
+
+    Scale: bucket assignment is a map-only pass (the 8×64 sign matrix is
+    a plan literal); the candidate join is an equi-join on bucket whose
+    groups hold ~n/256 vectors, so the pair expansion is n²/256 worst
+    case and data-proportional after the probe filter. More planes or
+    multi-probe (flip one bit) tune recall without changing the plan
+    shape — no cross join at any size.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    bucket = None
+    for p, plane in enumerate(_rp_signs()):
+        proj = F.aggregate(
+            F.zip_with(
+                F.array(*[F.lit(x) for x in plane]), v, lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    buckets = emb.select(
+        "vec_id", "label", "embedding", bucket.cast("long").alias("bucket")
+    )
+    a = buckets.filter(F.col("vec_id") % 29 == 0).alias("a")
+    b = buckets.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.label").alias("label"),
+            cos.alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RP_TOPK)
+        .select(
+            "probe_id", "vec_id", "label", F.round("cos_raw", 4).alias("cos_sim")
+        )
+    )

@@ -638,3 +638,87 @@ def curriculum_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+_BOILERPLATE_DF_FRAC = 0.02  # a 2-gram present in >2% of docs is boilerplate
+
+
+@query(
+    "text_boilerplate_ngram_removal",
+    oracle=f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(words[i + 1 : i + 2], ' ') AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+                 UNNEST(range(greatest(len(words) - 1, 1))) AS t(i)
+        ),
+        filtered AS (SELECT * FROM grams WHERE gram <> ''),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM filtered),
+        df AS (
+            SELECT gram, count(*) AS doc_freq
+            FROM filtered GROUP BY gram
+        ),
+        flagged AS (
+            SELECT f.doc_id, f.gram,
+                   CASE WHEN d.doc_freq > {_BOILERPLATE_DF_FRAC} * n.n_docs
+                        THEN 1 ELSE 0 END AS is_boiler
+            FROM filtered f JOIN df d ON f.gram = d.gram, n
+        )
+        SELECT doc_id,
+               count(*) AS n_grams,
+               CAST(sum(is_boiler) AS BIGINT) AS n_boilerplate,
+               round(sum(is_boiler) * 1.0 / count(*), 4) AS boilerplate_ratio
+        FROM flagged GROUP BY doc_id
+    """,
+)
+def text_boilerplate_ngram_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the cross-document complement
+    of text_repetition_ratio's within-document filter): a word 2-gram
+    occurring in more than 2% of all documents is boilerplate (headers,
+    navigation chrome, license blurbs); per document, report how much of
+    its distinct-gram mass that removal would drop — the accounting a
+    CCNet-style cleaning stage emits before stripping.
+
+    Scale: document frequency is a (gram → count) aggregate over the
+    exploded distinct grams — one shuffle keyed by gram; the flag join is
+    an equi-join on the same key, so it reuses the partitioning. The DF
+    table is vocabulary-sized; against a hot gram skew, AQE splits the
+    fat reducers. No all-pairs anything.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = 2
+    words = F.split(F.col("text"), " ")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    from ..functions.caching import scoped_persist
+
+    # three plan branches (doc count, DF table, flag join) read the
+    # exploded grams; persist so the explode+distinct runs once
+    grams = scoped_persist(
+        docs.select("doc_id", F.explode(grams_arr).alias("gram"))
+        .filter(F.col("gram") != "")
+        .distinct()
+    )
+    n = grams.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    boiler = F.when(
+        F.col("doc_freq") > F.lit(_BOILERPLATE_DF_FRAC) * F.col("n_docs"), 1
+    ).otherwise(0)
+    return (
+        grams.join(df_tbl, "gram")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", boiler.alias("is_boiler"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("is_boiler").cast("long").alias("n_boilerplate"),
+            F.round(F.sum("is_boiler") / F.count("*"), 4).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )

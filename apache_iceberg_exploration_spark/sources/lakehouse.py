@@ -367,10 +367,44 @@ class LakehouseTable:
 
     # -- maintenance (BASELINE.json: 'Spark read/write + compaction') ---------
 
+    def _zorder_column(self, df: DataFrame, cols: list[str]) -> F.Column:
+        """Z-value (Morton code) over numeric columns: each column is
+        min-max normalized to 16 bits (one tiny agg pass for the bounds),
+        then the bit planes are interleaved — column j contributes bit i
+        at position ``i*m + j``. Pure shift/and/or expressions, so the
+        whole computation stays in whole-stage codegen. NULL sorts as the
+        column minimum."""
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+        ).first()
+        m = len(cols)
+        bits = min(16, 63 // m)  # keep the interleave clear of the sign bit
+        top = (1 << bits) - 1
+        quantized = []
+        for c in cols:
+            lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+            span = (hi - lo) or 1.0
+            q = F.floor(
+                (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - F.lit(lo))
+                / F.lit(span)
+                * F.lit(float(top))
+            ).cast("long")
+            quantized.append(F.least(q, F.lit(top)))
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, q in enumerate(quantized):
+                z = z.bitwiseOR(
+                    q.bitwiseAND(F.lit(1 << i)).cast("long")
+                    * F.lit(1 << (i * (m - 1) + j))
+                )
+        return z
+
     def rewrite_data_files(
         self,
         target_file_count: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Compaction: rewrite the current snapshot's files into
         ``target_file_count`` larger ones (default: executor parallelism).
@@ -381,9 +415,24 @@ class LakehouseTable:
         (Iceberg's sort-order rewrite): each output file then covers a
         narrow value range, so parquet min/max row-group stats prune
         filtered scans far harder — the cheap substitute for Z-ordering
-        when one or two columns dominate the predicates."""
+        when one or two columns dominate the predicates.
+
+        ``zorder_by`` instead clusters on the Morton interleave of 2+
+        numeric columns (Iceberg ``rewrite_data_files(strategy=>'sort',
+        sort_order=>'zorder(...)')``): every output file covers a bounded
+        hyper-rectangle, so min/max pruning works for predicates on ANY
+        of the z-ordered columns, not just a prefix."""
         n = target_file_count or self.spark.sparkContext.defaultParallelism
-        if sort_by:
+        if zorder_by:
+            src = self.read()
+            z = self._zorder_column(src, zorder_by)
+            df = (
+                src.withColumn("__z", z)
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             df = self.read().repartitionByRange(n, *sort_by).sortWithinPartitions(
                 *sort_by
             )

@@ -295,3 +295,47 @@ def test_merge_preserves_null_key_target_rows(spark, table):
     assert rows["a2"].bal == 11.0  # matched -> updated
     assert rows["d"].bal == 40.0  # unmatched source -> inserted
     assert table.read().count() == 4
+
+
+def test_zorder_compaction_bounds_both_dims(spark, table):
+    """Z-order rewrite: every output file covers a bounded hyper-rectangle,
+    so parquet min/max stats can prune predicates on EITHER z-ordered
+    column (a plain sort only bounds the leading column). Verified from
+    the parquet footers; data unchanged."""
+    import pyarrow.parquet as pq
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    for i in range(3):
+        table.append(orders.filter(F.col("o_orderkey") % 3 == i).repartition(3))
+    pre = _hash_df(table.read().select("o_orderkey", "o_custkey"))
+    table.rewrite_data_files(
+        target_file_count=4, zorder_by=["o_custkey", "o_orderkey"]
+    )
+    files = table._read_manifest(table.current_version())["files"]
+    assert len(files) <= 4
+
+    def col_ranges(col):
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append((lo, hi))
+        return spans
+
+    for col in ("o_custkey", "o_orderkey"):
+        spans = col_ranges(col)
+        domain_lo = min(lo for lo, _ in spans)
+        domain_hi = max(hi for _, hi in spans)
+        domain = domain_hi - domain_lo
+        # with 4 z-ordered files each covers ~half of each dimension;
+        # random placement would cover ~all of it in every file
+        narrow = sum(1 for lo, hi in spans if (hi - lo) <= 0.7 * domain)
+        assert narrow >= len(spans) - 1, (col, spans)
+    assert _hash_df(table.read().select("o_orderkey", "o_custkey")) == pre
