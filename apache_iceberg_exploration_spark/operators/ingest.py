@@ -90,3 +90,85 @@ def rest_json_people_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_people"),
         F.min("name").alias("first_name_alpha"),
     )
+
+
+# --- Spark 4 Python Data Source: the idiomatic "custom source" form -------
+# rest_json_people_fanout above is the reference-shaped driver fetch; this
+# is the same payload surfaced as a REAL pluggable source — scan planning,
+# per-partition reads, and schema all inside Spark's source API, so the
+# read parallelizes and composes with pushdown like any other format.
+
+
+def _register_astros_source(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _AstrosReader(DataSourceReader):
+        def __init__(self):
+            self._payload = json.loads(fetch_astros_json())
+
+        def partitions(self):
+            # one input partition per craft — the scan itself fans out
+            # (the Data Source API's replacement for Airflow dynamic
+            # task mapping, O6)
+            crafts = sorted({p["craft"] for p in self._payload["people"]})
+            return [InputPartition(c) for c in crafts]
+
+        def read(self, partition):
+            for p in self._payload["people"]:
+                if p["craft"] == partition.value:
+                    yield (p["craft"], p["name"])
+
+    class AstrosDataSource(DataSource):
+        """``spark.read.format("astros_rest")`` — REST/JSON payload as a
+        first-class source (pyspark.sql.datasource, Spark 4)."""
+
+        @classmethod
+        def name(cls):
+            return "astros_rest"
+
+        def schema(self):
+            return "craft string, name string"
+
+        def reader(self, schema):
+            return _AstrosReader()
+
+    spark.dataSource.register(AstrosDataSource)
+
+
+@query(
+    "rest_datasource_people",
+    oracle="""
+        SELECT craft, count(*) AS n_people,
+               min(name) AS first_name_alpha
+        FROM (
+            VALUES ('ISS', 'Oleg Kononenko'), ('ISS', 'Nikolai Chub'),
+                   ('ISS', 'Tracy Caldwell Dyson'), ('ISS', 'Matthew Dominick'),
+                   ('ISS', 'Michael Barratt'), ('Tiangong', 'Ye Guangfu'),
+                   ('Tiangong', 'Li Cong')
+        ) AS t(craft, name)
+        GROUP BY craft
+    """,
+)
+def rest_datasource_people(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 rebuilt on the Spark 4 Python Data Source API: the REST payload
+    is a registered pluggable format whose reader plans one input
+    partition per craft and yields rows executor-side — the structural
+    upgrade over the driver-side createDataFrame detour (and the engine-
+    native successor to the reference's Airflow dynamic task mapping).
+
+    Scale: a real REST-backed source would put pagination/shard params in
+    ``partitions()`` (one HTTP range per partition) so ingestion
+    parallelism is planned by the source, not hand-rolled; Arrow-batch
+    yield (``read`` returning pyarrow batches) lifts row-throughput when
+    payloads are bulk. Deterministic offline via the same fallback payload
+    as rest_json_people_fanout."""
+    _register_astros_source(spark)
+    people = spark.read.format("astros_rest").load()
+    return people.groupBy("craft").agg(
+        F.count("*").alias("n_people"),
+        F.min("name").alias("first_name_alpha"),
+    )

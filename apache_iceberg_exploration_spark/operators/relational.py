@@ -2030,3 +2030,45 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(count_stage(c, "view>click"))
         .unionAll(count_stage(p, "view>click>purchase"))
     )
+
+
+@query(
+    "variant_props_analytics",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) >= 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def variant_props_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over ``events.props`` via the VARIANT
+    type (Spark 4): ``parse_json`` once into the binary variant encoding,
+    then typed ``variant_get`` path extraction feeding ordinary
+    aggregates — the open-schema path for payloads whose fields drift,
+    complementing the fixed-StructType ``from_json`` form in
+    scalar_functions_events (F4).
+
+    Scale: variant decode is a row-local JVM expression (no Python, no
+    regex); at 100 TB the parse cost is paid once per row and the
+    extraction is lazy per-path over the binary encoding — strictly
+    cheaper than re-parsing JSON text per field, and shredding-friendly
+    when persisted."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
