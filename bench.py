@@ -58,6 +58,10 @@ HEADLINE = [
     "global_shuffle_shards",
     "embedding_centroid_per_label",
     "streaming_join_click_to_purchase",
+    "ann_rp_lsh_topk",
+    "lakehouse_incremental_gold_refresh",
+    "funnel_view_click_purchase",
+    "variant_props_analytics",
 ]
 
 
