@@ -14,6 +14,7 @@ from apache_iceberg_exploration_spark.operators.relational import (
     q5_local_supplier_volume,
 )
 from apache_iceberg_exploration_spark.plans import (
+    executed_plan,
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
@@ -139,3 +140,39 @@ def test_contamination_broadcasts_benchmark_set(spark):
     )
 
     assert has_broadcast_join(contamination_ngram_overlap(spark, SF_ORACLE))
+
+
+def test_lakehouse_partitioned_read_prunes_partitions(spark, tmp_path):
+    """A partition-column predicate over a partitioned lakehouse table
+    must surface as PartitionFilters on the scan (directories pruned
+    before any file opens) — the behavior the basePath read restores."""
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    from .conftest import SF_SMOKE
+
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    tbl.overwrite(
+        load_table(spark, SF_SMOKE, "customer"),
+        partition_by=["c_mktsegment"],
+    )
+    df = tbl.read().filter(F.col("c_mktsegment") == "BUILDING")
+    plan = executed_plan(df)
+    assert "PartitionFilters: [isnotnull(c_mktsegment" in plan, plan[:2000]
+
+
+def test_variant_extraction_stays_in_codegen(spark):
+    """VARIANT parse+get compiles into the scan-side projection inside a
+    WholeStageCodegen span — no Python boundary in the hot path."""
+    from apache_iceberg_exploration_spark.operators.relational import (
+        variant_props_analytics,
+    )
+
+    df = variant_props_analytics(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "variant_get" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning reaches the scan: only the two referenced columns
+    cols = read_schema_columns(df)
+    assert {"event_type", "props"} in cols, cols
