@@ -148,3 +148,105 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_idx"
         ),
     ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+@query(
+    "multimodal_training_records",
+    oracle="""
+        SELECT d.source,
+               e.label,
+               count(*) AS n_records,
+               CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS sum_bytes,
+               CAST(min(d.doc_id) AS BIGINT) AS first_doc
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY d.source, e.label
+    """,
+)
+def multimodal_training_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble aligned multimodal training records: media payload
+    (binary + metadata) keyed to its embedding row, grouped into the
+    per-(source, label) shard accounting a dataset builder needs — record
+    counts and payload bytes drive shard sizing and mixture weights.
+
+    Scale: one equi-join on the id key (both sides hash-partition on it;
+    the embedding side is the smaller and broadcasts under the session
+    threshold at dimension-table sizes), then a keyed aggregate. Payload
+    bytes ride the join only as a length column — the binary itself is
+    NOT shuffled for accounting, the standard trick when records are MBs.
+    """
+    media = media_table(spark, sf_dir).select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    return (
+        media.join(docs, "doc_id")
+        .join(emb, "doc_id")
+        .groupBy("source", "label")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+_THUMB_BYTES = 16
+_THUMB_SCHEMA = "doc_id long, thumb_md5 string, thumb_len int"
+
+
+def _thumbnail_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel producing BINARY output: the 'thumbnail' is the
+    payload's first bytes (deterministic stand-in for a real downscale —
+    swapping in PIL changes no plan shape). Exercises binary→binary Arrow
+    transfer, the round-trip a real media pipeline lives on."""
+    import hashlib
+
+    for pdf in batches:
+        thumbs = pdf["media"].map(lambda b: bytes(b)[:_THUMB_BYTES])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb_md5": thumbs.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+                "thumb_len": thumbs.map(len).astype("int32"),
+            }
+        )
+
+
+@query(
+    "multimodal_thumbnail_digest",
+    oracle=f"""
+        -- DuckDB cannot substring a BLOB; the synthetic corpus is pure
+        -- ASCII, so the VARCHAR prefix is byte-identical to the first
+        -- {_THUMB_BYTES} bytes of the utf-8 payload the Spark kernel sees
+        SELECT doc_id,
+               md5(substring(text, 1, {_THUMB_BYTES})) AS thumb_md5,
+               CAST(least(octet_length(encode(text)), {_THUMB_BYTES})
+                    AS INTEGER) AS thumb_len
+        FROM documents
+        WHERE doc_id % 2 = 0
+    """,
+)
+def multimodal_thumbnail_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail generation plumbing for 'image' rows: binary payloads in,
+    derived binary out (digested to md5 so the oracle verifies content,
+    not bytes-canonicalization) via the same Arrow-batched kernel a real
+    resampler would use.
+
+    Scale: partition-local mapInPandas; output thumbnails are strictly
+    smaller than inputs, so the stage SHRINKS data — run it before any
+    shuffle that would otherwise carry full payloads.
+    """
+    m = media_table(spark, sf_dir).filter(
+        F.col("meta.mime") == "image/png"
+    )
+    spread = m.select("doc_id", "media").repartition(
+        min(8, spark.sparkContext.defaultParallelism), "doc_id"
+    )
+    return spread.mapInPandas(_thumbnail_batches, schema=_THUMB_SCHEMA)
