@@ -336,3 +336,60 @@ def streaming_dedup_within_watermark(
         ["user_id", "event_type"]
     ).select("user_id", "event_type")
     return _run_available_now(deduped, "append")
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on the REAL streaming path: readStream + watermark
+    + ``session_window`` aggregation — the stateful operator whose windows
+    MERGE as events arrive (two open sessions fuse when a bridging event
+    lands), which tumbling/sliding state never does. AvailableNow makes
+    the result equal the batch form, so the same lag-gap-cumsum oracle
+    applies.
+
+    Scale: state per user is the set of OPEN sessions (usually one);
+    the watermark closes sessions whose gap has definitively passed and
+    evicts them — without it, session state accumulates forever. Spark
+    requires the watermark for session_window in append mode for exactly
+    that reason.
+    """
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_available_now(agg, "complete")
