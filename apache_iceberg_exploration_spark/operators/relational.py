@@ -2072,3 +2072,53 @@ def variant_props_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
         )
     )
+
+
+@query(
+    "sql_api_nation_revenue_report",
+    oracle="""
+        SELECT n.n_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+                   AS revenue
+        FROM customer c
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+        HAVING count(DISTINCT o.o_orderkey) >= 5
+    """,
+)
+def sql_api_nation_revenue_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SQL entry point exercised end-to-end: tables registered as temp
+    views, the query authored as one ``spark.sql`` string (4-way join +
+    DISTINCT-count aggregate + HAVING) — proving a reference user can
+    keep writing plain SQL against this engine, not just DataFrame
+    chains. Catalyst compiles both surfaces to the same plan.
+
+    Scale: identical to the DataFrame form — broadcast dims, fact-fact
+    sort-merge on orderkey, distinct-count via partial aggregation. The
+    view registration is metadata-only (no materialization).
+    """
+    for t in ("customer", "nation", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+                   AS revenue
+        FROM v_customer c
+        JOIN v_nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN v_orders o   ON o.o_custkey = c.c_custkey
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+        HAVING count(DISTINCT o.o_orderkey) >= 5
+        """
+    )
