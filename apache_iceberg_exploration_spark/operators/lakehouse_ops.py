@@ -298,3 +298,54 @@ def lakehouse_incremental_gold_refresh(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_stats_pruned_scan",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 5000
+        GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-file skipping end-to-end: orders land in fragmented appends,
+    a sorted rewrite clusters them by key, then a range scan plans only
+    the files whose manifest min/max overlap [1000, 5000] — asserted here
+    to be a strict subset — and aggregates. The result must equal the
+    plain filtered aggregate (pruning is exactness-preserving by
+    construction: the residual row filter still applies).
+
+    Scale: the prune is O(files) driver-side metadata — no footer reads,
+    no tasks for skipped files; at 10^6 files this turns a range lookup
+    from an IO scan into a planning step, which is precisely Iceberg's
+    manifest+stats design.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        orders = load_table(spark, sf_dir, "orders")
+        for i in range(3):
+            tbl.append(orders.filter(F.col("o_orderkey") % 3 == i).repartition(2))
+        tbl.rewrite_data_files(target_file_count=8, sort_by=["o_orderkey"])
+        manifest = tbl._read_manifest(tbl.current_version())
+        where = {"o_orderkey": (1000, 5000)}
+        kept = tbl._prune_files(manifest, where)
+        assert len(kept) < len(manifest["files"]), "scan pruned nothing"
+        out = (
+            tbl.scan(where)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

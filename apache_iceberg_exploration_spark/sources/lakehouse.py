@@ -130,6 +130,40 @@ class LakehouseTable:
         ]
         return snap_id, sorted(files)
 
+    @staticmethod
+    def _collect_file_stats(files: list[str]) -> dict[str, dict]:
+        """Per-file column min/max from the parquet footers, written into
+        the manifest at commit time (Iceberg's data-file stats). Footers
+        of freshly written files are page-cache-hot, and at scale this
+        parallelizes per file; only scalar-typed columns are recorded."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            per_col: dict[str, list] = {}
+            if md.num_row_groups == 0:  # empty file: nothing to record
+                stats[f] = per_col
+                continue
+            for ci in range(md.num_columns):
+                name = md.row_group(0).column(ci).path_in_schema
+                if "." in name:  # nested — skip
+                    continue
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins and all(
+                    isinstance(v, (int, float, str)) for v in (mins + maxs)
+                ):
+                    per_col[name] = [min(mins), max(maxs)]
+            stats[f] = per_col
+        return stats
+
     def _commit_with_retry(self, build_manifest) -> dict:
         """Run ``build_manifest(parent_version) -> manifest`` under the
         optimistic protocol: on conflict, rebase on the new tip and retry."""
@@ -153,6 +187,7 @@ class LakehouseTable:
         files: list[str],
         parent: int,
         schema_json: str | None = None,
+        stats: dict[str, dict] | None = None,
         **summary,
     ) -> dict:
         manifest = {
@@ -166,18 +201,23 @@ class LakehouseTable:
             # schema-per-snapshot enables add-column evolution: readers
             # project every file to the snapshot's declared schema
             manifest["schema"] = schema_json
+        if stats is not None:
+            # per-file column min/max for scan-time file skipping
+            manifest["stats"] = stats
         return manifest
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
         """Full-replace snapshot — the reference's only write mode
         (``mode("overwrite").saveAsTable``, etl.py:51-54)."""
         _, files = self._write_data_files(df, partition_by)
+        stats = self._collect_file_stats(files)
         return self._commit_with_retry(
             lambda parent: self._snapshot(
                 "overwrite",
                 files,
                 parent,
                 schema_json=df.schema.json(),
+                stats=stats,
                 added=len(files),
             )
         )
@@ -188,14 +228,18 @@ class LakehouseTable:
         a lost race only re-reads the parent manifest, it never rewrites
         data (Iceberg's fast-append behavior)."""
         _, files = self._write_data_files(df, partition_by)
+        new_stats = self._collect_file_stats(files)
 
         def build(parent: int) -> dict:
-            prev = self._read_manifest(parent)["files"] if parent else []
+            prev_manifest = self._read_manifest(parent) if parent else {}
+            prev = prev_manifest.get("files", [])
+            stats = {**prev_manifest.get("stats", {}), **new_stats}
             return self._snapshot(
                 "append",
                 prev + files,
                 parent,
                 schema_json=df.schema.json(),
+                stats=stats,
                 added=len(files),
             )
 
@@ -268,6 +312,64 @@ class LakehouseTable:
             for f in declared.fields
         ]
         return df.select(*cols)
+
+    @staticmethod
+    def _file_overlaps(
+        file_stats: dict | None, where: dict[str, tuple]
+    ) -> bool:
+        """True unless the file's recorded [min,max] provably excludes the
+        queried range (unknown stats → conservatively kept)."""
+        if not file_stats:
+            return True
+        for col, (lo, hi) in where.items():
+            rng = file_stats.get(col)
+            if rng is None:
+                continue
+            fmin, fmax = rng
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        return True
+
+    def _prune_files(
+        self, manifest: dict, where: dict[str, tuple]
+    ) -> list[str]:
+        stats = manifest.get("stats", {})
+        return [
+            f
+            for f in manifest["files"]
+            if self._file_overlaps(stats.get(f), where)
+        ]
+
+    def scan(
+        self, where: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned scan: ``where`` maps column → inclusive
+        ``(lo, hi)`` range (``None`` = open end). Files whose
+        manifest-recorded min/max provably exclude the range are skipped
+        WITHOUT being opened — Iceberg's data-file skipping, one level
+        above parquet row-group pruning. The residual row filter is then
+        applied, so results are exact regardless of pruning.
+
+        Scale: this is what makes point/range lookups on a 10^6-file
+        table planning-bound instead of IO-bound — the manifest scan is
+        O(files) driver-side metadata, no footer reads, no tasks for
+        skipped files. Pairs with `rewrite_data_files(sort_by=...)` /
+        `zorder_by=...`, which cluster values so files become prunable.
+        """
+        v = self.current_version() if version is None else version
+        manifest = self._read_manifest(v)
+        kept = self._prune_files(manifest, where)
+        if not kept:
+            return self._project_to_schema(manifest).limit(0)
+        df = self._project_to_schema({**manifest, "files": kept})
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+        return df
 
     def read_incremental(
         self, since_version: int, to_version: int | None = None
@@ -355,12 +457,14 @@ class LakehouseTable:
         merged = joined.select(*projections)
 
         _, files = self._write_data_files(merged)
+        stats = self._collect_file_stats(files)
         return self._commit_with_retry(
             lambda parent: self._snapshot(
                 "merge",
                 files,
                 parent,
                 schema_json=merged.schema.json(),
+                stats=stats,
                 added=len(files),
             )
         )
@@ -439,9 +543,10 @@ class LakehouseTable:
         else:
             df = self.read().coalesce(n)
         _, files = self._write_data_files(df)
+        stats = self._collect_file_stats(files)
         return self._commit_with_retry(
             lambda parent: self._snapshot(
-                "compact", files, parent, added=len(files)
+                "compact", files, parent, stats=stats, added=len(files)
             )
         )
 

@@ -339,3 +339,38 @@ def test_zorder_compaction_bounds_both_dims(spark, table):
         narrow = sum(1 for lo, hi in spans if (hi - lo) <= 0.7 * domain)
         assert narrow >= len(spans) - 1, (col, spans)
     assert _hash_df(table.read().select("o_orderkey", "o_custkey")) == pre
+
+
+def test_stats_pruned_scan_skips_files(spark, table):
+    """Manifest-level data-file skipping: after a sorted rewrite, a range
+    scan must plan strictly fewer files than the table holds (without
+    opening the skipped ones) and still return exactly the filtered
+    rows. Unsorted appends, by contrast, are unprunable — every file
+    overlaps every range."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    for i in range(3):
+        table.append(orders.filter(F.col("o_orderkey") % 3 == i).repartition(2))
+    manifest = table._read_manifest(table.current_version())
+    where = {"o_orderkey": (100, 200)}
+    # interleaved layout: nothing prunable
+    assert len(table._prune_files(manifest, where)) == len(manifest["files"])
+
+    table.rewrite_data_files(target_file_count=6, sort_by=["o_orderkey"])
+    manifest = table._read_manifest(table.current_version())
+    kept = table._prune_files(manifest, where)
+    assert 0 < len(kept) < len(manifest["files"]), (
+        len(kept),
+        len(manifest["files"]),
+    )
+    got = sorted(r.o_orderkey for r in table.scan(where).collect())
+    want = sorted(
+        r.o_orderkey
+        for r in orders.filter(
+            (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 200)
+        ).collect()
+    )
+    assert got == want
+    # fully out-of-range scan: zero files, empty result, schema intact
+    none = table.scan({"o_orderkey": (10**12, None)})
+    assert none.count() == 0
+    assert none.columns == table.read().columns
