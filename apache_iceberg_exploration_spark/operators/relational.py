@@ -2122,3 +2122,62 @@ def sql_api_nation_revenue_report(
         HAVING count(DISTINCT o.o_orderkey) >= 5
         """
     )
+
+
+@query(
+    "null_semantics_toolkit",
+    oracle="""
+        WITH stats AS (
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               coalesce(s.n_orders, 0) AS n_orders,
+               coalesce(s.spent, 0.0) AS spent,
+               (s.n_orders IS NULL) AS never_ordered,
+               CASE WHEN s.n_orders IS DISTINCT FROM c.c_nationkey
+                    THEN 1 ELSE 0 END AS orders_differ_nation,
+               nullif(coalesce(s.n_orders, 0), 0) AS n_orders_or_null
+        FROM customer c LEFT JOIN stats s ON c.c_custkey = s.o_custkey
+        WHERE c.c_custkey <= 500
+    """,
+)
+def null_semantics_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface (SURVEY §2.2 'notably absent' in the
+    reference): NULLs introduced by an outer join handled with coalesce,
+    IS NULL, null-safe comparison (``eqNullSafe`` ↔ SQL IS [NOT] DISTINCT
+    FROM) and nullif — the exact operators that distinguish 'no orders'
+    from 'zero orders' in a gold layer. The reference's dedup/agg pipeline
+    silently relies on Spark's NULL semantics without ever testing them.
+
+    Scale: all row-local expressions over a pre-aggregated outer join
+    (aggregate-then-join, so the outer side shuffles group rows, not
+    order rows)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 500
+    )
+    stats = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spent"),
+        )
+    )
+    j = cust.join(stats, cust.c_custkey == stats.o_custkey, "left")
+    differ = ~F.col("n_orders").eqNullSafe(F.col("c_nationkey").cast("long"))
+    return j.select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spent", F.lit(0.0)).alias("spent"),
+        F.col("n_orders").isNull().alias("never_ordered"),
+        F.when(differ, 1).otherwise(0).alias("orders_differ_nation"),
+        F.nullif(F.coalesce("n_orders", F.lit(0)), F.lit(0)).alias(
+            "n_orders_or_null"
+        ),
+    )
