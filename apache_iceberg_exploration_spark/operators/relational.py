@@ -2181,3 +2181,57 @@ def null_semantics_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders_or_null"
         ),
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id,
+                   f.cohort_day,
+                   datediff('day', f.cohort_day,
+                            CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                       AS day_offset
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT cohort_day, day_offset,
+               count(*) AS n_active_users
+        FROM activity
+        WHERE day_offset <= 7
+        GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; for each cohort,
+    distinct active users at each day offset (0..7) — the
+    triangle-matrix query behind every retention dashboard.
+
+    Scale: two aggregates and one join, all keyed on user_id, so the
+    shuffles share partitioning; the DISTINCT collapses per-user-per-day
+    activity BEFORE the cohort rollup, so the final aggregate sees at
+    most users×8 rows. No window over the raw event stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = lambda c: F.date_trunc("day", c)  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(day(F.min("ts")).alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day(F.col("ts")), F.col("cohort_day")).cast(
+                "long"
+            ).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )

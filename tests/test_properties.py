@@ -115,3 +115,42 @@ def test_merge_semantics_match_python_model(spark, tmp_path_factory, base, updat
     model.update(dict(updates))
     got = {r.k: r.v for r in tbl.read().collect()}
     assert got == model
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 10**6)),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_zorder_interleave_is_injective(spark, tmp_path_factory, pairs):
+    """The Morton z-value must distinguish every pair of distinct
+    quantization cells: distinct (qx, qy) buckets ⇒ distinct z — the
+    property file-range pruning correctness rests on."""
+    tbl = LakehouseTable(
+        spark, str(tmp_path_factory.mktemp("zprop") / "t")
+    )
+    df = spark.createDataFrame(pairs, "x long, y long")
+    z = tbl._zorder_column(df, ["x", "y"])
+    rows = df.select("x", "y", z.alias("z")).collect()
+    # recompute each row's quantization cell exactly as _zorder_column does
+    xs = [r.x for r in rows]
+    ys = [r.y for r in rows]
+    import math
+
+    def cell(v, lo, hi):
+        span = (hi - lo) or 1.0
+        return min(math.floor((v - lo) / span * 65535.0), 65535)
+
+    cells = {}
+    for r in rows:
+        q = (cell(r.x, min(xs), max(xs)), cell(r.y, min(ys), max(ys)))
+        if q in cells:
+            assert cells[q] == r.z  # same cell -> same z
+        else:
+            cells[q] = r.z
+    zs = list(cells.values())
+    assert len(set(zs)) == len(zs)  # distinct cells -> distinct z
