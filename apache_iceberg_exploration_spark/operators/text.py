@@ -722,3 +722,85 @@ def text_boilerplate_ngram_removal(
             ),
         )
     )
+
+
+@query(
+    "text_unigram_logprob_filter",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, word FROM words WHERE word <> ''),
+        freq AS (
+            SELECT word,
+                   count(*) AS c,
+                   (SELECT count(*) FROM tok) AS total
+            FROM tok GROUP BY word
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(round(-ln(f.c * 1.0 / f.total), 9)
+                        AS DECIMAL(18,9)) AS neg_logp
+            FROM tok t JOIN freq f ON t.word = f.word
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(CAST(sum(neg_logp) AS DOUBLE) / count(*), 4)
+                   AS avg_neg_logp,
+               (CAST(sum(neg_logp) AS DOUBLE) / count(*) > 4.0)
+                   AS is_surprising
+        FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality filter — the oracle-checkable proxy
+    for CCNet/Gopher LM-perplexity filtering: corpus unigram
+    probabilities give each document a mean surprisal (-ln p per token);
+    gibberish and OOV-heavy docs score high, boilerplate scores low, and
+    the 4.0-nat threshold flags the 'surprising' tail a pretraining
+    pipeline routes to stricter review.
+
+    Cross-engine float discipline: each token's -ln p is rounded to 9
+    decimals and cast to DECIMAL before summation, so the per-document
+    sum is exact and ASSOCIATIVE — groupBy float sums are
+    accumulation-order-dependent in both engines and would flip the
+    value hash otherwise (same trick as the DECIMAL price sums).
+
+    Scale: the frequency table is vocabulary-sized (broadcast); scoring
+    is one equi-join on word + one keyed aggregate — shuffles carry
+    tokens once, and a real LM swaps the broadcast table for a scoring
+    UDF without changing the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    from ..functions.caching import scoped_persist
+
+    tok = scoped_persist(tok)
+    total = tok.count()  # scalar: corpus token count
+    freq = tok.groupBy("word").agg(F.count("*").alias("c"))
+    neg_logp = F.round(
+        -F.log(F.col("c") * 1.0 / F.lit(total)), 9
+    ).cast("decimal(18,9)")
+    scored = tok.join(F.broadcast(freq), "word").select(
+        "doc_id", neg_logp.alias("neg_logp")
+    )
+    avg = F.col("sum_nlp").cast("double") / F.col("n_tokens")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("neg_logp").alias("sum_nlp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(avg, 4).alias("avg_neg_logp"),
+            (avg > 4.0).alias("is_surprising"),
+        )
+    )
