@@ -349,3 +349,51 @@ def lakehouse_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_delete_where",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderkey NOT BETWEEN 1000 AND 2000
+        GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE end-to-end: sorted table, range delete with
+    stats-pruned file selection (only overlapping files rewritten —
+    asserted), then aggregate the surviving rows; must equal aggregating
+    the source minus the deleted range. The Iceberg ``DELETE FROM``
+    surface the reference's session extensions enable but never use.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        orders = load_table(spark, sf_dir, "orders")
+        for i in range(3):
+            tbl.append(orders.filter(F.col("o_orderkey") % 3 == i).repartition(2))
+        tbl.rewrite_data_files(target_file_count=8, sort_by=["o_orderkey"])
+        n_before = len(tbl._read_manifest(tbl.current_version())["files"])
+        manifest = tbl.delete_where(
+            F.col("o_orderkey").between(1000, 2000),
+            prune={"o_orderkey": (1000, 2000)},
+        )
+        assert manifest["summary"]["rewritten"] < n_before, "no files pruned"
+        out = (
+            tbl.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -469,6 +469,63 @@ class LakehouseTable:
             )
         )
 
+    def delete_where(
+        self,
+        condition: F.Column,
+        prune: dict[str, tuple] | None = None,
+    ) -> dict:
+        """Copy-on-write DELETE: rows matching ``condition`` are removed
+        by rewriting only the data files that can contain them; every
+        other file carries into the new snapshot verbatim (path AND
+        stats), exactly like Iceberg's copy-on-write ``DELETE FROM``.
+
+        ``prune`` is the optional ``{col: (lo, hi)}`` range form of the
+        predicate for manifest-stats file selection — files whose
+        recorded min/max don't overlap are provably unaffected and are
+        NOT read, NOT rewritten. ``condition`` remains the row-exact
+        truth; a conservative (or absent) ``prune`` only costs extra
+        rewriting, never correctness.
+
+        Scale: delete cost tracks the files that hold matching rows, not
+        table size — on a sorted/z-ordered 10^6-file table a narrow
+        delete rewrites a handful of files. (Merge-on-read delete files
+        are the next step Iceberg offers; copy-on-write is the simpler
+        invariant: data files never need delete-vector merging.)
+        """
+        v = self.current_version()
+        manifest = self._read_manifest(v)
+        touched = (
+            self._prune_files(manifest, prune)
+            if prune
+            else list(manifest["files"])
+        )
+        untouched = [f for f in manifest["files"] if f not in set(touched)]
+        old_stats = manifest.get("stats", {})
+        new_files: list[str] = []
+        new_stats: dict[str, dict] = {}
+        if touched:
+            kept = self._project_to_schema(
+                {**manifest, "files": touched}
+            ).filter(~condition)
+            _, new_files = self._write_data_files(kept)
+            new_stats = self._collect_file_stats(new_files)
+        stats = {
+            **{f: old_stats[f] for f in untouched if f in old_stats},
+            **new_stats,
+        }
+        return self._commit_with_retry(
+            lambda parent: self._snapshot(
+                "delete",
+                untouched + new_files,
+                parent,
+                schema_json=manifest.get("schema"),
+                stats=stats,
+                added=len(new_files),
+                rewritten=len(touched),
+                carried=len(untouched),
+            )
+        )
+
     # -- maintenance (BASELINE.json: 'Spark read/write + compaction') ---------
 
     def _zorder_column(self, df: DataFrame, cols: list[str]) -> F.Column:

@@ -374,3 +374,29 @@ def test_stats_pruned_scan_skips_files(spark, table):
     none = table.scan({"o_orderkey": (10**12, None)})
     assert none.count() == 0
     assert none.columns == table.read().columns
+
+
+def test_delete_where_rewrites_only_touched_files(spark, table):
+    """Copy-on-write delete: with a prune range, files that provably
+    can't hold matching rows carry into the new snapshot by PATH (no
+    rewrite); the result equals the filtered source exactly."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    for i in range(3):
+        table.append(orders.filter(F.col("o_orderkey") % 3 == i).repartition(2))
+    table.rewrite_data_files(target_file_count=6, sort_by=["o_orderkey"])
+    before = table._read_manifest(table.current_version())
+    lo, hi = 1000, 2000
+    cond = F.col("o_orderkey").between(lo, hi)
+    table.delete_where(cond, prune={"o_orderkey": (lo, hi)})
+    after = table._read_manifest(table.current_version())
+    carried = set(before["files"]) & set(after["files"])
+    assert carried, "expected untouched files to carry over by path"
+    assert after["summary"]["rewritten"] < len(before["files"])
+    got = sorted(r.o_orderkey for r in table.read().collect())
+    want = sorted(
+        r.o_orderkey for r in orders.filter(~cond).collect()
+    )
+    assert got == want
+    # carried files keep their stats for future pruning
+    for f in carried:
+        assert after["stats"].get(f) == before["stats"].get(f)
