@@ -526,6 +526,67 @@ class LakehouseTable:
             )
         )
 
+    def update_where(
+        self,
+        condition: F.Column,
+        set_cols: dict[str, F.Column],
+        prune: dict[str, tuple] | None = None,
+    ) -> dict:
+        """Copy-on-write UPDATE: rows matching ``condition`` get each
+        ``set_cols`` expression applied; only files that can contain
+        matches are rewritten (same stats-pruned scope as
+        :meth:`delete_where`), others carry over by path. The Iceberg
+        ``UPDATE ... SET ... WHERE`` surface.
+
+        Scale: identical cost model to delete — proportional to touched
+        files. Note the rewrite keeps NON-matching rows of touched files
+        unchanged, so the invariant 'one row in, one row out' holds and
+        time travel shows the pre-update values at the parent version.
+        """
+        v = self.current_version()
+        manifest = self._read_manifest(v)
+        touched = (
+            self._prune_files(manifest, prune)
+            if prune
+            else list(manifest["files"])
+        )
+        untouched = [f for f in manifest["files"] if f not in set(touched)]
+        old_stats = manifest.get("stats", {})
+        new_files: list[str] = []
+        new_stats: dict[str, dict] = {}
+        if touched:
+            src = self._project_to_schema({**manifest, "files": touched})
+            updated = src.select(
+                *[
+                    (
+                        F.when(condition, set_cols[c])
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in set_cols
+                        else F.col(c)
+                    )
+                    for c in src.columns
+                ]
+            )
+            _, new_files = self._write_data_files(updated)
+            new_stats = self._collect_file_stats(new_files)
+        stats = {
+            **{f: old_stats[f] for f in untouched if f in old_stats},
+            **new_stats,
+        }
+        return self._commit_with_retry(
+            lambda parent: self._snapshot(
+                "update",
+                untouched + new_files,
+                parent,
+                schema_json=manifest.get("schema"),
+                stats=stats,
+                added=len(new_files),
+                rewritten=len(touched),
+                carried=len(untouched),
+            )
+        )
+
     # -- maintenance (BASELINE.json: 'Spark read/write + compaction') ---------
 
     def _zorder_column(self, df: DataFrame, cols: list[str]) -> F.Column:

@@ -400,3 +400,34 @@ def test_delete_where_rewrites_only_touched_files(spark, table):
     # carried files keep their stats for future pruning
     for f in carried:
         assert after["stats"].get(f) == before["stats"].get(f)
+
+
+def test_update_where_pruned_rewrite_and_time_travel(spark, table):
+    """Copy-on-write update: matching rows change, non-matching rows of
+    touched files survive unchanged, untouched files carry by path, and
+    time travel still shows pre-update values."""
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for i in range(2):
+        table.append(orders.filter(F.col("o_orderkey") % 2 == i).repartition(2))
+    table.rewrite_data_files(target_file_count=6, sort_by=["o_orderkey"])
+    v_before = table.current_version()
+    before_files = set(table._read_manifest(v_before)["files"])
+    lo, hi = 500, 1500
+    cond = F.col("o_orderkey").between(lo, hi)
+    table.update_where(
+        cond,
+        set_cols={"o_totalprice": F.col("o_totalprice") * 2},
+        prune={"o_orderkey": (lo, hi)},
+    )
+    after = table._read_manifest(table.current_version())
+    assert set(after["files"]) & before_files  # carried paths
+    got = {r.o_orderkey: r.o_totalprice for r in table.read().collect()}
+    for r in orders.collect():
+        expect = r.o_totalprice * 2 if lo <= r.o_orderkey <= hi else r.o_totalprice
+        assert abs(got[r.o_orderkey] - expect) < 1e-9
+    assert len(got) == orders.count()  # one row in, one row out
+    # time travel: parent version still holds pre-update prices
+    old = {r.o_orderkey: r.o_totalprice for r in table.read(v_before).collect()}
+    assert all(abs(old[r.o_orderkey] - r.o_totalprice) < 1e-9 for r in orders.collect())
