@@ -397,3 +397,47 @@ def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_changelog_scan",
+    oracle="""
+        SELECT 'delete' AS _change_type, c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL
+        SELECT 'insert', c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 50 AS DOUBLE)
+        FROM customer WHERE c_custkey <= 100
+    """,
+)
+def lakehouse_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog end-to-end: v1 = customer, v2 = UPDATE adding 50 to
+    the first 100 keys' balances; ``changelog(v1)`` must emit exactly one
+    delete (old row) + one insert (new row) per updated key and nothing
+    for untouched rows — the feed a downstream index/sync consumer reads
+    instead of re-diffing the table itself.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+        )
+        tbl.overwrite(cust)
+        v1 = tbl.current_version()
+        tbl.update_where(
+            F.col("c_custkey") <= 100,
+            set_cols={
+                "c_acctbal": (
+                    F.col("c_acctbal").cast("decimal(18,2)")
+                    + F.lit(50).cast("decimal(18,2)")
+                ).cast("double")
+            },
+            prune={"c_custkey": (None, 100)},
+        )
+        out = tbl.changelog(v1)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -587,6 +587,36 @@ class LakehouseTable:
             )
         )
 
+    def changelog(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDC change feed between two snapshots: each changed row tagged
+        ``_change_type`` ∈ {'insert', 'delete'} (an update surfaces as a
+        delete of the old row + insert of the new — Iceberg's changelog
+        scan convention). Computed as a two-sided multiset difference
+        (``exceptAll``), so rows untouched between versions never appear.
+
+        Unlike :meth:`read_incremental` (append-only, file-level), this
+        works across ANY operations — overwrite, merge, delete, update —
+        at the cost of reading both snapshots; downstream CDC consumers
+        (sync to a search index, invalidate caches) take this when the
+        table's history isn't append-only.
+
+        Scale: exceptAll is a hash-partitioned anti-semantics aggregate on
+        whole rows — both snapshots shuffle once. When only appends
+        happened, prefer read_incremental (no old-snapshot scan at all).
+        """
+        to = self.current_version() if to_version is None else to_version
+        old = self.read(version=from_version)
+        new = self.read(version=to)
+        inserts = new.exceptAll(old).select(
+            F.lit("insert").alias("_change_type"), "*"
+        )
+        deletes = old.exceptAll(new).select(
+            F.lit("delete").alias("_change_type"), "*"
+        )
+        return inserts.unionByName(deletes)
+
     # -- maintenance (BASELINE.json: 'Spark read/write + compaction') ---------
 
     def _zorder_column(self, df: DataFrame, cols: list[str]) -> F.Column:

@@ -431,3 +431,23 @@ def test_update_where_pruned_rewrite_and_time_travel(spark, table):
     # time travel: parent version still holds pre-update prices
     old = {r.o_orderkey: r.o_totalprice for r in table.read(v_before).collect()}
     assert all(abs(old[r.o_orderkey] - r.o_totalprice) < 1e-9 for r in orders.collect())
+
+
+def test_changelog_tags_inserts_and_deletes(spark, table):
+    """Changelog across mixed operations: append → delete; the feed shows
+    the appended rows as inserts and the deleted rows as deletes, with
+    untouched rows absent."""
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust.filter(F.col("c_custkey") <= 50))
+    v1 = table.current_version()
+    table.append(cust.filter((F.col("c_custkey") > 50) & (F.col("c_custkey") <= 60)))
+    table.delete_where(F.col("c_custkey") <= 10)
+    feed = table.changelog(v1).collect()
+    ins = {r.c_custkey for r in feed if r._change_type == "insert"}
+    dels = {r.c_custkey for r in feed if r._change_type == "delete"}
+    want_ins = {r.c_custkey for r in cust.filter(
+        (F.col("c_custkey") > 50) & (F.col("c_custkey") <= 60)).collect()}
+    want_del = {r.c_custkey for r in cust.filter(F.col("c_custkey") <= 10).collect()}
+    assert ins == want_ins
+    assert dels == want_del
+    assert len(feed) == len(ins) + len(dels)  # untouched rows absent
