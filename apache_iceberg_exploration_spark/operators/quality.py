@@ -1,0 +1,187 @@
+"""Data-quality expectations over the star schema + corpus tables.
+
+The reference has no data-quality layer at all — its Silver stage is a
+bare ``dropDuplicates()`` (etl.py:68, SURVEY.md §2.4 A2) and its seed
+fixture is itself broken (init.sql:10-19, SURVEY.md §5: duplicate emails
+vs a UNIQUE constraint, a trailing-comma syntax error, a missing
+``last_updated`` column).  That history is the argument for making
+expectations first-class here: a 100 TB ingest needs machine-checkable
+contracts (null keys, referential integrity, ranges, enums, duplicate
+PKs) BEFORE data reaches Silver, not an eyeball `.show()`.
+
+Everything is expressed as conditional aggregates so each table is
+scanned ONCE for all its row-local rules (partial aggregates map-side,
+the shuffle carries one row per table), plus one anti-join per foreign
+key for referential checks.  Output is a tidy (entity, rule, value)
+report — the shape a scheduler can diff run-over-run or alert on.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load_table
+
+
+def profile_rules(df: DataFrame, entity: str, rules: dict[str, Column]) -> DataFrame:
+    """One-pass rule evaluation: every rule is a conditional aggregate over
+    a single scan of ``df``; the single agg row is exploded into tidy
+    (entity, rule, value) rows.
+
+    Scale: one partial-aggregate pass per table regardless of rule count —
+    adding a rule adds a column to the agg, not a scan.  The shuffle moves
+    exactly one row.
+    """
+    agg = df.agg(*[v.cast("long").alias(k) for k, v in rules.items()])
+    kv = F.create_map(
+        *chain.from_iterable((F.lit(k), F.col(k)) for k in rules)
+    )
+    return agg.select(
+        F.lit(entity).alias("entity"), F.explode(kv).alias("rule", "value")
+    )
+
+
+def fk_orphans(
+    child: DataFrame, parent: DataFrame, on: list[tuple[str, str]],
+    entity: str, rule: str,
+) -> DataFrame:
+    """Referential-integrity check: count child rows whose key has no
+    parent — a left-anti join reduced to one count.
+
+    Scale: Catalyst broadcasts the parent when it is dimension-sized
+    (customer/orders keys here); at fact-fact scale AQE picks sort-merge
+    anti with both sides hash-partitioned on the key — never a cross
+    product, and only the key columns are scanned on the parent side.
+    """
+    cond = reduce(
+        lambda a, b: a & b,
+        [child[c].eqNullSafe(parent[p]) for c, p in on],
+    )
+    return (
+        child.join(parent, cond, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("value"))
+        .select(F.lit(entity).alias("entity"), F.lit(rule).alias("rule"), "value")
+    )
+
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+        WITH report(entity, rule, value) AS (
+          SELECT 'customer', 'row_count', count(*) FROM customer
+          UNION ALL SELECT 'customer', 'dup_custkey',
+                 count(*) - count(DISTINCT c_custkey) FROM customer
+          UNION ALL SELECT 'customer', 'null_custkey',
+                 count(*) FILTER (WHERE c_custkey IS NULL) FROM customer
+          UNION ALL SELECT 'orders', 'row_count', count(*) FROM orders
+          UNION ALL SELECT 'orders', 'dup_orderkey',
+                 count(*) - count(DISTINCT o_orderkey) FROM orders
+          UNION ALL SELECT 'orders', 'null_custkey',
+                 count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+          UNION ALL SELECT 'orders', 'bad_status',
+                 count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) FROM orders
+          UNION ALL SELECT 'orders', 'nonpositive_totalprice',
+                 count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+          UNION ALL SELECT 'orders', 'orphan_custkey', count(*)
+                 FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          UNION ALL SELECT 'lineitem', 'row_count', count(*) FROM lineitem
+          UNION ALL SELECT 'lineitem', 'nonpositive_quantity',
+                 count(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+          UNION ALL SELECT 'lineitem', 'discount_out_of_range',
+                 count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) FROM lineitem
+          UNION ALL SELECT 'lineitem', 'ship_before_order', count(*)
+                 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 WHERE l.l_shipdate < o.o_orderdate
+          UNION ALL SELECT 'lineitem', 'orphan_orderkey', count(*)
+                 FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          UNION ALL SELECT 'events', 'row_count', count(*) FROM events
+          UNION ALL SELECT 'events', 'null_value',
+                 count(*) FILTER (WHERE value IS NULL) FROM events
+          UNION ALL SELECT 'events', 'orphan_user', count(*)
+                 FROM events e WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+          UNION ALL SELECT 'documents', 'row_count', count(*) FROM documents
+          UNION ALL SELECT 'documents', 'short_text_lt100',
+                 count(*) FILTER (WHERE n_chars < 100) FROM documents
+          UNION ALL SELECT 'documents', 'n_chars_mismatch',
+                 count(*) FILTER (WHERE n_chars <> length(text)) FROM documents
+        )
+        SELECT entity, rule, value FROM report
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality report: (entity, rule, violation/metric).
+
+    Covers the contract classes the reference's broken fixture shows it
+    needed (SURVEY.md §5): duplicate/NULL primary keys, referential
+    integrity (orders→customer, lineitem→orders, events→customer),
+    domain enums (o_orderstatus), value ranges (price/quantity/discount),
+    temporal sanity (shipped before ordered), and declared-vs-derived
+    consistency (documents.n_chars vs length(text)).
+
+    Scale: row-local rules fold into ONE conditional-aggregate scan per
+    table; each FK adds one anti-join whose parent side is key-only and
+    broadcast when dimension-sized.  The report itself is O(rules) rows.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    one = F.lit(1)
+    parts = [
+        profile_rules(customer, "customer", {
+            "row_count": F.count(one),
+            "dup_custkey": F.count(one) - F.count_distinct(F.col("c_custkey")),
+            "null_custkey": F.count_if(F.col("c_custkey").isNull()),
+        }),
+        profile_rules(orders, "orders", {
+            "row_count": F.count(one),
+            "dup_orderkey": F.count(one) - F.count_distinct(F.col("o_orderkey")),
+            "null_custkey": F.count_if(F.col("o_custkey").isNull()),
+            "bad_status": F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")),
+            "nonpositive_totalprice": F.count_if(F.col("o_totalprice") <= 0),
+        }),
+        fk_orphans(orders, customer.select("c_custkey"),
+                   [("o_custkey", "c_custkey")], "orders", "orphan_custkey"),
+        profile_rules(lineitem, "lineitem", {
+            "row_count": F.count(one),
+            "nonpositive_quantity": F.count_if(F.col("l_quantity") <= 0),
+            "discount_out_of_range": F.count_if(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ),
+        }),
+        (  # temporal sanity needs the parent row, not just key existence
+            lineitem.select("l_orderkey", "l_shipdate")
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .agg(F.count_if(F.col("l_shipdate") < F.col("o_orderdate"))
+                 .cast("long").alias("value"))
+            .select(F.lit("lineitem").alias("entity"),
+                    F.lit("ship_before_order").alias("rule"), "value")
+        ),
+        fk_orphans(lineitem, orders.select("o_orderkey"),
+                   [("l_orderkey", "o_orderkey")], "lineitem", "orphan_orderkey"),
+        profile_rules(events, "events", {
+            "row_count": F.count(one),
+            "null_value": F.count_if(F.col("value").isNull()),
+        }),
+        fk_orphans(events, customer.select("c_custkey"),
+                   [("user_id", "c_custkey")], "events", "orphan_user"),
+        profile_rules(documents, "documents", {
+            "row_count": F.count(one),
+            "short_text_lt100": F.count_if(F.col("n_chars") < 100),
+            "n_chars_mismatch": F.count_if(
+                F.col("n_chars") != F.length(F.col("text"))
+            ),
+        }),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

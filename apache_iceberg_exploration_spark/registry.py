@@ -85,6 +85,7 @@ def _load_all() -> None:
         lakehouse_ops,
         medallion,
         multimodal,
+        quality,
         relational,
         similarity,
         text,
