@@ -441,3 +441,136 @@ def lakehouse_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_rollback_restore",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+    """,
+)
+def lakehouse_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback end-to-end: v1 = customer, v2 = a (bad) DELETE of every
+    BUILDING-segment row, ``rollback(v1)`` = v3 restoring v1's exact file
+    set. Returns the post-rollback read — must equal the original table,
+    proving restore is metadata-only and exact (no data copy: v3 lists
+    v1's files by path).
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        tbl.overwrite(cust)
+        v1 = tbl.current_version()
+        tbl.delete_where(F.col("c_mktsegment") == "BUILDING")
+        tbl.rollback(v1)
+        out = tbl.read()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_snapshots_history",
+    oracle="""
+        SELECT 1 AS version, 'overwrite' AS operation,
+               (SELECT count(*) FROM customer) AS row_count
+        UNION ALL
+        SELECT 2, 'append',
+               (SELECT count(*) FROM customer)
+               + (SELECT count(*) FROM customer WHERE c_custkey <= 100)
+        UNION ALL
+        SELECT 3, 'delete',
+               (SELECT count(*) FROM customer WHERE c_custkey > 50)
+               + (SELECT count(*) FROM customer WHERE c_custkey > 50
+                                                  AND c_custkey <= 100)
+        UNION ALL
+        SELECT 4, 'compact',
+               (SELECT count(*) FROM customer WHERE c_custkey > 50)
+               + (SELECT count(*) FROM customer WHERE c_custkey > 50
+                                                  AND c_custkey <= 100)
+    """,
+)
+def lakehouse_snapshots_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-history metadata table (Iceberg ``<table>.snapshots``):
+    overwrite → append → delete → compact, then one row per snapshot with
+    its operation and the row count visible at that version (counted via
+    time travel — every version stays readable). File counts are
+    parallelism-dependent and so excluded from the oracled surface.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer")
+        tbl.overwrite(cust)
+        tbl.append(cust.filter(F.col("c_custkey") <= 100))
+        tbl.delete_where(F.col("c_custkey") <= 50,
+                         prune={"c_custkey": (None, 50)})
+        tbl.rewrite_data_files(target_file_count=4)
+        hist = tbl.history().select("version", "operation")
+        counts = [
+            (v, tbl.read(version=v).count())
+            for v in range(1, tbl.current_version() + 1)
+        ]
+        counts_df = spark.createDataFrame(counts, "version long, row_count long")
+        out = hist.join(counts_df, "version").orderBy("version")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_wap_publish",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey <= 1100
+    """,
+)
+def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: base = keys ≤ 1000; a batch of keys 1001-1100
+    is STAGED (invisible to table readers — asserted), audited via
+    ``read_staged`` (row count + null-key expectation), then atomically
+    published. A second staged batch containing NULL keys FAILS its audit
+    and aborts, leaving no trace. Returns the final table: base + the one
+    published batch.
+
+    Scale: data files are written once at stage time; publish is a pure
+    metadata commit, so the audit gate adds zero data IO to the ingest
+    path — the Iceberg WAP pattern (wap.id staged snapshots).
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        )
+        base = cust.filter(F.col("c_custkey") <= 1000)
+        tbl.overwrite(base)
+        n_base = tbl.read().count()
+
+        batch = cust.filter(
+            (F.col("c_custkey") > 1000) & (F.col("c_custkey") <= 1100)
+        )
+        stage = tbl.stage_append(batch)
+        assert tbl.read().count() == n_base, "staged rows leaked to readers"
+        audited = tbl.read_staged(stage)
+        assert audited.filter(F.col("c_custkey").isNull()).count() == 0
+        tbl.publish(stage)
+
+        bad = batch.withColumn(
+            "c_custkey", F.lit(None).cast("long")
+        )
+        bad_stage = tbl.stage_append(bad)
+        if tbl.read_staged(bad_stage).filter(
+            F.col("c_custkey").isNull()
+        ).count() > 0:
+            tbl.abort_stage(bad_stage)
+        out = tbl.read()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -617,6 +617,141 @@ class LakehouseTable:
         )
         return inserts.unionByName(deletes)
 
+    def history(self) -> DataFrame:
+        """Snapshot-history metadata table — Iceberg's ``<table>.snapshots``
+        / ``.history`` surface: one row per committed snapshot with its
+        lineage and operation. Driver-side: manifests are O(snapshots)
+        metadata, never data IO."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("version", T.LongType(), False),
+            T.StructField("parent", T.LongType(), False),
+            T.StructField("operation", T.StringType(), False),
+            T.StructField("file_count", T.LongType(), False),
+            T.StructField("added_files", T.LongType(), False),
+        ])
+        rows = [
+            (
+                int(m["version"]),
+                int(m["parent"]),
+                m["operation"],
+                len(m["files"]),
+                int(m["summary"].get("added_files", 0)),
+            )
+            for m in self.snapshots()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def rollback(self, to_version: int) -> dict:
+        """Restore the table to a previous snapshot's state by committing a
+        NEW snapshot that points at the old version's exact file set (and
+        schema/stats) — Iceberg ``CALL system.rollback_to_snapshot``.
+
+        History is preserved: the bad snapshots stay readable for
+        forensics until ``expire_snapshots``, and incremental consumers
+        see a normal new version rather than a rewound counter. No data
+        is copied — the commit is pure metadata."""
+        old = self._read_manifest(to_version)
+        return self._commit_with_retry(
+            lambda parent: self._snapshot(
+                "rollback",
+                old["files"],
+                parent,
+                schema_json=old.get("schema"),
+                stats=old.get("stats"),
+                added=0,
+                restored_version=to_version,
+            )
+        )
+
+    # -- write-audit-publish (staged commits) ---------------------------------
+
+    def _stage_path(self, stage_id: str) -> str:
+        return os.path.join(self._snap_dir, f"stage-{stage_id}.json")
+
+    def stage_append(self, df: DataFrame) -> str:
+        """WAP step 1 (write): materialize ``df``'s data files and record
+        them in a STAGE manifest that no reader of the table can see —
+        Iceberg's write-audit-publish pattern (``spark.wap.id`` staged
+        snapshots / audit branches). Returns the stage id.
+
+        Scale: the expensive part (writing data) happens here, outside
+        the commit path; publish is a metadata-only commit. A failed
+        audit aborts without ever perturbing readers."""
+        _, files = self._write_data_files(df)
+        stage_id = uuid.uuid4().hex[:12]
+        os.makedirs(self._snap_dir, exist_ok=True)
+        staged = {
+            "stage_id": stage_id,
+            "base_version": self.current_version(),
+            "operation": "append",
+            "added_files": files,
+            "stats": self._collect_file_stats(files),
+            "schema": df.schema.json(),
+        }
+        with open(self._stage_path(stage_id), "w") as f:
+            json.dump(staged, f, indent=1)
+        return stage_id
+
+    def read_staged(self, stage_id: str) -> DataFrame:
+        """WAP step 2 (audit): the table AS IT WOULD LOOK after publish —
+        current snapshot plus the staged files. Run expectations /
+        dq checks against this; main-branch readers still see nothing."""
+        with open(self._stage_path(stage_id)) as f:
+            staged = json.load(f)
+        v = self.current_version()
+        base = self._read_manifest(v)["files"] if v else []
+        manifest = {
+            "files": base + staged["added_files"],
+            "schema": staged["schema"],
+        }
+        return self._project_to_schema(manifest)
+
+    def publish(self, stage_id: str) -> dict:
+        """WAP step 3 (publish): atomically commit the staged files as the
+        next snapshot (Iceberg ``cherrypick_snapshot`` / fast-forward of
+        the audit branch). Metadata-only — data files were written at
+        stage time. Appends rebase cleanly onto any tip that advanced
+        since staging (their file additions commute)."""
+        with open(self._stage_path(stage_id)) as f:
+            staged = json.load(f)
+
+        def build(parent: int) -> dict:
+            prev_manifest = self._read_manifest(parent) if parent else {}
+            prev = prev_manifest.get("files", [])
+            stats = {**prev_manifest.get("stats", {}), **staged["stats"]}
+            return self._snapshot(
+                "append",
+                prev + staged["added_files"],
+                parent,
+                schema_json=staged["schema"],
+                stats=stats,
+                added=len(staged["added_files"]),
+                published_stage=stage_id,
+            )
+
+        manifest = self._commit_with_retry(build)
+        os.unlink(self._stage_path(stage_id))
+        return manifest
+
+    def abort_stage(self, stage_id: str) -> None:
+        """Drop a staged write that failed its audit: remove the stage
+        manifest and its (never-published) data files."""
+        with open(self._stage_path(stage_id)) as f:
+            staged = json.load(f)
+        os.unlink(self._stage_path(stage_id))
+        # files live under <root>/data/<snap-uuid>/...; remove each staged
+        # snapshot dir wholesale, guarded to stay under this table's root
+        data_root = os.path.join(self.path, "data")
+        snap_dirs = {
+            os.path.join(data_root, os.path.relpath(f, data_root).split(os.sep)[0])
+            for f in staged["added_files"]
+        }
+        for d in snap_dirs:
+            if os.path.commonpath([d, data_root]) == data_root:
+                shutil.rmtree(d, ignore_errors=True)
+
     # -- maintenance (BASELINE.json: 'Spark read/write + compaction') ---------
 
     def _zorder_column(self, df: DataFrame, cols: list[str]) -> F.Column:

@@ -451,3 +451,74 @@ def test_changelog_tags_inserts_and_deletes(spark, table):
     assert ins == want_ins
     assert dels == want_del
     assert len(feed) == len(ins) + len(dels)  # untouched rows absent
+
+
+def test_rollback_restores_old_state_and_keeps_history(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust)
+    v1 = table.current_version()
+    h1 = _hash_df(table.read())
+    table.delete_where(F.col("c_custkey") <= 100)
+    assert _hash_df(table.read()) != h1
+    m = table.rollback(v1)
+    assert m["operation"] == "rollback"
+    assert _hash_df(table.read()) == h1
+    # metadata-only: rollback snapshot lists v1's files by path
+    assert sorted(m["files"]) == sorted(table._read_manifest(v1)["files"])
+    # the bad version stays readable for forensics
+    assert table.read(version=v1 + 1).count() < cust.count()
+
+
+def test_history_metadata_table(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer")
+    table.overwrite(cust)
+    table.append(cust.limit(10))
+    table.rewrite_data_files(target_file_count=2)
+    hist = {r.version: r for r in table.history().collect()}
+    assert [hist[v].operation for v in (1, 2, 3)] == [
+        "overwrite", "append", "compact"]
+    assert hist[2].parent == 1 and hist[2].added_files >= 1
+    assert hist[3].file_count <= 2
+
+
+def test_wap_stage_audit_publish_and_abort(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust.filter(F.col("c_custkey") <= 50))
+    v_before = table.current_version()
+
+    stage = table.stage_append(
+        cust.filter((F.col("c_custkey") > 50) & (F.col("c_custkey") <= 60)))
+    # staged rows are invisible to readers, at any version
+    assert table.current_version() == v_before
+    assert table.read().filter(F.col("c_custkey") > 50).count() == 0
+    # audit view = table ∪ staged batch
+    audited = table.read_staged(stage)
+    assert audited.filter(F.col("c_custkey") > 50).count() > 0
+    table.publish(stage)
+    assert table.current_version() == v_before + 1
+    assert table.read().filter(F.col("c_custkey") > 50).count() > 0
+
+    # failed audit → abort leaves no trace (version, rows, or files)
+    import glob, os
+    files_before = set(glob.glob(os.path.join(table.path, "data", "*")))
+    bad = table.stage_append(cust.limit(5).withColumn(
+        "c_custkey", F.lit(None).cast("long")))
+    table.abort_stage(bad)
+    assert table.current_version() == v_before + 1
+    assert table.read().filter(F.col("c_custkey").isNull()).count() == 0
+    assert set(glob.glob(os.path.join(table.path, "data", "*"))) == files_before
+
+
+def test_publish_rebases_onto_advanced_tip(spark, table):
+    """An append staged against v1 publishes correctly even after another
+    writer advanced the table — file additions commute."""
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust.filter(F.col("c_custkey") <= 50))
+    stage = table.stage_append(
+        cust.filter((F.col("c_custkey") > 50) & (F.col("c_custkey") <= 60)))
+    table.append(  # tip moves between stage and publish
+        cust.filter((F.col("c_custkey") > 60) & (F.col("c_custkey") <= 70)))
+    table.publish(stage)
+    got = {r.c_custkey for r in table.read().select("c_custkey").collect()}
+    want = {r.c_custkey for r in cust.filter(F.col("c_custkey") <= 70).collect()}
+    assert got == want
