@@ -504,6 +504,41 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_distinct_rollup")  # no oracle: sketch bytes are engine-specific
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL user sketches
+    (``hll_sketch_agg``) re-aggregated into a global distinct estimate via
+    ``hll_union_agg`` — WITHOUT rescanning the events. One row per day
+    plus a 'TOTAL' row whose estimate comes only from merging the daily
+    sketches.
+
+    This is the 100 TB incremental-distinct pattern the reference's
+    daily-overwrite gold layer (etl.py:91) cannot express: persist the
+    per-day sketch (a few KB) in the gold table, and any rollup window —
+    week, month, all-time — is a sketch merge over already-computed
+    partials, never a rescan. ``approx_count_distinct`` alone can't do
+    this: its estimate is final, not re-aggregable state.
+
+    Scale: the daily pass is one partial aggregate (sketch registers
+    merge map-side); the TOTAL pass touches |days| sketch rows. Tests
+    bound the estimate's error vs exact and assert the merge is lossless
+    (union-of-partials == direct sketch of the whole column)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = daily.agg(
+        F.hll_union_agg("sk").alias("sk")
+    ).select(
+        F.lit("TOTAL").alias("day"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return per_day.unionByName(total)
+
+
 @query(
     "rollup_lineitem_status",
     oracle="""

@@ -156,3 +156,25 @@ def test_kmeans_cells_determinism_coverage_improvement(spark):
     )
     final_mean = sum(r.cos_to_centroid for r in a) / len(a)
     assert final_mean >= best_init - 1e-6, (final_mean, best_init)
+
+
+def test_sketch_rollup_merge_is_lossless_and_accurate(spark):
+    """hll_union_agg over per-day partial sketches must give the SAME
+    estimate as one direct sketch of the whole column (register-wise max
+    is exact re-aggregation), and land within ~2% of the exact distinct."""
+    from apache_iceberg_exploration_spark.operators.relational import (
+        sketch_distinct_rollup,
+    )
+
+    rows = {r.day: r.est_users
+            for r in sketch_distinct_rollup(spark, SF_ORACLE).collect()}
+    merged = rows.pop("TOTAL")
+    ev = load_table(spark, SF_ORACLE, "events")
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    ).first().est
+    exact = ev.agg(F.countDistinct("user_id").alias("n")).first().n
+    assert merged == direct                       # lossless merge
+    assert abs(merged - exact) <= max(3, 0.05 * exact)
+    assert len(rows) > 1 and all(v > 0 for v in rows.values())
