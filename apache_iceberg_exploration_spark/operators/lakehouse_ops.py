@@ -574,3 +574,52 @@ def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_mor_delete",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_mktsegment <> 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 200
+    """,
+)
+def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE end-to-end: v1 = customer; an equality-delete
+    of every BUILDING-segment row (keys-only write, data files untouched —
+    asserted); then a subset of those keys is re-appended and must
+    SURVIVE (sequence numbers: deletes only apply to files that predate
+    them). Returns the final read — non-BUILDING rows plus the
+    re-inserted batch.
+
+    Scale: the delete wrote O(matching keys) bytes against an
+    arbitrarily large table; the read pays one broadcast anti-join until
+    compaction materializes the delete (`delete_where_mor` docstring has
+    the CoW-vs-MoR trade)."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        tbl.overwrite(cust)
+        files_before = tbl._read_manifest(tbl.current_version())["files"]
+        tbl.delete_where_mor(
+            F.col("c_mktsegment") == "BUILDING", keys=["c_custkey"]
+        )
+        assert (
+            tbl._read_manifest(tbl.current_version())["files"] == files_before
+        ), "MoR delete must not rewrite data files"
+        tbl.append(
+            cust.filter(
+                (F.col("c_mktsegment") == "BUILDING")
+                & (F.col("c_custkey") <= 200)
+            )
+        )
+        out = tbl.read()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -38,6 +38,7 @@ import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
+from functools import reduce as functools_reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,6 +89,16 @@ class LakehouseTable:
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
+
+    @staticmethod
+    def _delete_key_files(manifest: dict) -> set[str]:
+        """Paths of every MoR delete-key file a manifest references —
+        live data for GC purposes until the manifest expires."""
+        return {
+            f
+            for d in manifest.get("delete_files", [])
+            for f in d["files"]
+        }
 
     def _try_commit(self, version: int, manifest: dict) -> None:
         """Atomic commit: the manifest is FULLY written to a private temp
@@ -188,6 +199,8 @@ class LakehouseTable:
         parent: int,
         schema_json: str | None = None,
         stats: dict[str, dict] | None = None,
+        file_seq: dict[str, int] | None = None,
+        delete_files: list[dict] | None = None,
         **summary,
     ) -> dict:
         manifest = {
@@ -204,6 +217,15 @@ class LakehouseTable:
         if stats is not None:
             # per-file column min/max for scan-time file skipping
             manifest["stats"] = stats
+        if file_seq is not None:
+            # data sequence number per file (Iceberg v2): which commit a
+            # file entered the table in — equality deletes apply only to
+            # rows whose file seq <= the delete's seq
+            manifest["file_seq"] = file_seq
+        if delete_files is not None:
+            # pending merge-on-read equality deletes:
+            # [{"files": [...], "seq": N, "keys": [col, ...]}, ...]
+            manifest["delete_files"] = delete_files
         return manifest
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
@@ -218,6 +240,8 @@ class LakehouseTable:
                 parent,
                 schema_json=df.schema.json(),
                 stats=stats,
+                file_seq={f: parent + 1 for f in files},
+                delete_files=[],
                 added=len(files),
             )
         )
@@ -234,12 +258,20 @@ class LakehouseTable:
             prev_manifest = self._read_manifest(parent) if parent else {}
             prev = prev_manifest.get("files", [])
             stats = {**prev_manifest.get("stats", {}), **new_stats}
+            seq = {
+                **prev_manifest.get("file_seq", {}),
+                **{f: parent + 1 for f in files},
+            }
             return self._snapshot(
                 "append",
                 prev + files,
                 parent,
                 schema_json=df.schema.json(),
                 stats=stats,
+                file_seq=seq,
+                # appended rows postdate every pending delete (their file
+                # seq is the new version), so deletes carry over untouched
+                delete_files=prev_manifest.get("delete_files", []),
                 added=len(files),
             )
 
@@ -254,7 +286,12 @@ class LakehouseTable:
             raise FileNotFoundError(f"no data files at version {v}")
         return self._project_to_schema(manifest)
 
-    def _scan_files(self, files: list[str]) -> DataFrame:
+    def _scan_files(
+        self,
+        files: list[str],
+        file_seq: dict[str, int] | None = None,
+        with_seq: bool = False,
+    ) -> DataFrame:
         """Open a set of manifest-listed leaf files, recovering
         hive-partition columns.
 
@@ -265,9 +302,14 @@ class LakehouseTable:
         partition discovery then restores the columns AND partition
         pruning stays available to filtered reads. One read per
         contributing snapshot dir (bounded by compaction), unioned by
-        name so snapshots with differing schemas align."""
+        name so snapshots with differing schemas align.
+
+        ``with_seq`` attaches each file's data sequence number as a
+        ``__seq`` literal column (files of one snapshot dir share a seq,
+        so it's a per-scan constant — zero per-row cost)."""
         data_root = os.path.join(self.path, "data")
-        groups: dict[str, list[str]] = {}
+        seqs = file_seq or {}
+        groups: dict[tuple[str, int], list[str]] = {}
         for f in files:
             rel = os.path.relpath(f, data_root)
             parts = rel.split(os.sep)
@@ -276,17 +318,55 @@ class LakehouseTable:
                 if parts and not parts[0].startswith("..")
                 else os.path.dirname(f)
             )
-            groups.setdefault(base, []).append(f)
-        scans = [
-            self.spark.read.option("basePath", base)
-            .option("mergeSchema", True)
-            .parquet(*grp)
-            for base, grp in sorted(groups.items())
-        ]
+            groups.setdefault((base, seqs.get(f, 0)), []).append(f)
+        scans = []
+        for (base, seq), grp in sorted(groups.items()):
+            s = (
+                self.spark.read.option("basePath", base)
+                .option("mergeSchema", True)
+                .parquet(*grp)
+            )
+            if with_seq:
+                s = s.withColumn("__seq", F.lit(seq))
+            scans.append(s)
         out = scans[0]
         for s in scans[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
         return out
+
+    def _apply_deletes(
+        self, df: DataFrame, delete_files: list[dict]
+    ) -> DataFrame:
+        """Merge-on-read: anti-join pending equality-delete keys against
+        the scan. A row is removed iff some delete entry matches its keys
+        AND the delete's seq >= the row's file seq — rows appended after
+        the delete survive (Iceberg v2 sequence-number semantics).
+        Expects ``__seq`` on ``df``; drops it.
+
+        Scale: one anti-join per distinct key set (usually one); the
+        delete side is keys-only and tiny relative to data, so Catalyst
+        broadcasts it — the read-amplification merge-on-read trades for
+        write-cheap deletes, until compaction materializes them away."""
+        by_keys: dict[tuple[str, ...], list[dict]] = {}
+        for d in delete_files:
+            by_keys.setdefault(tuple(d["keys"]), []).append(d)
+        for keys, entries in by_keys.items():
+            dels = None
+            for d in entries:
+                one = (
+                    self.spark.read.parquet(*d["files"])
+                    .select(*keys)
+                    .withColumn("__del_seq", F.lit(d["seq"]))
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            cond = [df[k].eqNullSafe(dels[k]) for k in keys]
+            cond.append(dels["__del_seq"] >= df["__seq"])
+            df = df.join(
+                F.broadcast(dels),
+                functools_reduce(lambda a, b: a & b, cond),
+                "left_anti",
+            )
+        return df.drop("__seq")
 
     def _project_to_schema(self, manifest: dict) -> DataFrame:
         """Read a manifest's files projected to its declared schema.
@@ -294,24 +374,34 @@ class LakehouseTable:
         Schema evolution contract (Iceberg-style, add-column only):
         files written before a column existed surface it as NULL; every
         file is cast to the snapshot's declared column order and types.
-        Manifests from before schema tracking read raw."""
+        Manifests from before schema tracking read raw.
+
+        When the manifest carries pending merge-on-read delete files,
+        each row travels with its file's sequence number and the delete
+        keys are anti-joined out (see :meth:`_apply_deletes`)."""
         files = manifest["files"]
         schema_json = manifest.get("schema")
-        df = self._scan_files(files)
-        if schema_json is None:
-            return df
-        from pyspark.sql import types as T
+        deletes = manifest.get("delete_files", [])
+        df = self._scan_files(
+            files, manifest.get("file_seq"), with_seq=bool(deletes)
+        )
+        if schema_json is not None:
+            from pyspark.sql import types as T
 
-        declared = T.StructType.fromJson(json.loads(schema_json))
-        cols = [
-            (
-                F.col(f.name).cast(f.dataType)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType)
-            ).alias(f.name)
-            for f in declared.fields
-        ]
-        return df.select(*cols)
+            declared = T.StructType.fromJson(json.loads(schema_json))
+            keep = ["__seq"] if deletes else []
+            cols = [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in declared.fields
+            ] + [F.col(c) for c in keep]
+            df = df.select(*cols)
+        if deletes:
+            df = self._apply_deletes(df, deletes)
+        return df
 
     @staticmethod
     def _file_overlaps(
@@ -465,6 +555,8 @@ class LakehouseTable:
                 parent,
                 schema_json=merged.schema.json(),
                 stats=stats,
+                file_seq={f: parent + 1 for f in files},
+                delete_files=[],  # target read applied pending deletes
                 added=len(files),
             )
         )
@@ -513,6 +605,7 @@ class LakehouseTable:
             **{f: old_stats[f] for f in untouched if f in old_stats},
             **new_stats,
         }
+        old_seq = manifest.get("file_seq", {})
         return self._commit_with_retry(
             lambda parent: self._snapshot(
                 "delete",
@@ -520,11 +613,68 @@ class LakehouseTable:
                 parent,
                 schema_json=manifest.get("schema"),
                 stats=stats,
+                file_seq={
+                    **{f: old_seq.get(f, 0) for f in untouched},
+                    **{f: parent + 1 for f in new_files},
+                },
+                # pending MoR deletes may still hit carried files (their
+                # seq is unchanged); rewritten files were read with
+                # deletes applied and get a newer seq, so they're exempt
+                delete_files=manifest.get("delete_files", []),
                 added=len(new_files),
                 rewritten=len(touched),
                 carried=len(untouched),
             )
         )
+
+    def delete_where_mor(
+        self, condition: F.Column, keys: list[str]
+    ) -> dict:
+        """Merge-on-read DELETE (Iceberg v2 equality deletes): instead of
+        rewriting data files, write a small keys-only delete file listing
+        the matching rows' ``keys``, and commit a snapshot that carries
+        every data file UNTOUCHED. Readers anti-join the delete keys out;
+        rows appended later are exempt via sequence numbers; the next
+        ``rewrite_data_files`` materializes pending deletes away.
+
+        The copy-on-write / merge-on-read trade: CoW (:meth:`delete_where`)
+        pays at write time (rewrite touched files) and reads stay pure
+        scans; MoR pays at read time (one broadcast anti-join) and the
+        delete itself costs only the matching keys — the right choice for
+        frequent small deletes (GDPR erasure, CDC retractions) on a table
+        whose files are large. ``condition`` must be expressible over the
+        current table; ``keys`` must uniquely identify the doomed rows
+        (equality-delete contract).
+
+        Scale: the delete commit writes O(matching keys) bytes regardless
+        of table size — no data file is opened. Read amplification is one
+        tiny broadcast anti-join until compaction clears it."""
+        v = self.current_version()
+        manifest = self._read_manifest(v)
+        doomed = (
+            self._project_to_schema(manifest)
+            .filter(condition)
+            .select(*keys)
+            .distinct()
+        )
+        _, del_files = self._write_data_files(doomed)
+
+        def build(parent: int) -> dict:
+            prev = self._read_manifest(parent)
+            entry = {"files": del_files, "seq": parent + 1, "keys": keys}
+            return self._snapshot(
+                "delete-mor",
+                prev["files"],
+                parent,
+                schema_json=prev.get("schema"),
+                stats=prev.get("stats"),
+                file_seq=prev.get("file_seq"),
+                delete_files=prev.get("delete_files", []) + [entry],
+                added=0,
+                delete_key_files=len(del_files),
+            )
+
+        return self._commit_with_retry(build)
 
     def update_where(
         self,
@@ -574,6 +724,7 @@ class LakehouseTable:
             **{f: old_stats[f] for f in untouched if f in old_stats},
             **new_stats,
         }
+        old_seq = manifest.get("file_seq", {})
         return self._commit_with_retry(
             lambda parent: self._snapshot(
                 "update",
@@ -581,6 +732,11 @@ class LakehouseTable:
                 parent,
                 schema_json=manifest.get("schema"),
                 stats=stats,
+                file_seq={
+                    **{f: old_seq.get(f, 0) for f in untouched},
+                    **{f: parent + 1 for f in new_files},
+                },
+                delete_files=manifest.get("delete_files", []),
                 added=len(new_files),
                 rewritten=len(touched),
                 carried=len(untouched),
@@ -660,6 +816,8 @@ class LakehouseTable:
                 parent,
                 schema_json=old.get("schema"),
                 stats=old.get("stats"),
+                file_seq=old.get("file_seq"),
+                delete_files=old.get("delete_files", []),
                 added=0,
                 restored_version=to_version,
             )
@@ -721,12 +879,18 @@ class LakehouseTable:
             prev_manifest = self._read_manifest(parent) if parent else {}
             prev = prev_manifest.get("files", [])
             stats = {**prev_manifest.get("stats", {}), **staged["stats"]}
+            seq = {
+                **prev_manifest.get("file_seq", {}),
+                **{f: parent + 1 for f in staged["added_files"]},
+            }
             return self._snapshot(
                 "append",
                 prev + staged["added_files"],
                 parent,
                 schema_json=staged["schema"],
                 stats=stats,
+                file_seq=seq,
+                delete_files=prev_manifest.get("delete_files", []),
                 added=len(staged["added_files"]),
                 published_stage=stage_id,
             )
@@ -829,7 +993,13 @@ class LakehouseTable:
         stats = self._collect_file_stats(files)
         return self._commit_with_retry(
             lambda parent: self._snapshot(
-                "compact", files, parent, stats=stats, added=len(files)
+                "compact",
+                files,
+                parent,
+                stats=stats,
+                file_seq={f: parent + 1 for f in files},
+                delete_files=[],  # read() applied them; deletes materialize
+                added=len(files),
             )
         )
 
@@ -850,14 +1020,18 @@ class LakehouseTable:
         retained_files: set[str] = set()
         for v in range(cutoff, current + 1):
             if os.path.exists(self._manifest_path(v)):
-                retained_files.update(self._read_manifest(v)["files"])
+                m = self._read_manifest(v)
+                retained_files.update(m["files"])
+                retained_files.update(self._delete_key_files(m))
 
         expired = []
         expired_files: set[str] = set()
         for v in range(1, cutoff):
             p = self._manifest_path(v)
             if os.path.exists(p):
-                expired_files.update(self._read_manifest(v)["files"])
+                m = self._read_manifest(v)
+                expired_files.update(m["files"])
+                expired_files.update(self._delete_key_files(m))
                 os.remove(p)
                 expired.append(v)
 
@@ -878,6 +1052,7 @@ class LakehouseTable:
         referenced: set[str] = set()
         for snap in self.snapshots():
             referenced.update(snap["files"])
+            referenced.update(self._delete_key_files(snap))
         removed = []
         now = time.time()
         for snap_dir in glob.glob(os.path.join(self.path, "data", "*")):

@@ -522,3 +522,76 @@ def test_publish_rebases_onto_advanced_tip(spark, table):
     got = {r.c_custkey for r in table.read().select("c_custkey").collect()}
     want = {r.c_custkey for r in cust.filter(F.col("c_custkey") <= 70).collect()}
     assert got == want
+
+
+def test_mor_delete_is_metadata_cheap_and_exact(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust)
+    v1 = table.current_version()
+    files_v1 = table._read_manifest(v1)["files"]
+    table.delete_where_mor(F.col("c_custkey") <= 100, keys=["c_custkey"])
+    m = table._read_manifest(table.current_version())
+    # data files untouched — the delete wrote only a keys file
+    assert m["files"] == files_v1
+    assert len(m["delete_files"]) == 1
+    got = {r.c_custkey for r in table.read().collect()}
+    want = {r.c_custkey for r in cust.filter(F.col("c_custkey") > 100).collect()}
+    assert got == want
+    # time travel still sees the pre-delete rows
+    assert table.read(version=v1).count() == cust.count()
+
+
+def test_mor_delete_spares_rows_appended_after(spark, table):
+    """Sequence numbers: a delete only hits rows whose file predates it —
+    re-inserting a deleted key after the delete must survive."""
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust.filter(F.col("c_custkey") <= 50))
+    table.delete_where_mor(F.col("c_custkey") <= 10, keys=["c_custkey"])
+    reinserted = cust.filter(F.col("c_custkey") <= 5)
+    table.append(reinserted)
+    got = {r.c_custkey for r in table.read().collect()}
+    lo = {r.c_custkey for r in reinserted.collect()}
+    mid = {r.c_custkey for r in cust.filter(
+        (F.col("c_custkey") > 10) & (F.col("c_custkey") <= 50)).collect()}
+    assert got == lo | mid
+
+
+def test_compaction_materializes_mor_deletes(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust)
+    table.delete_where_mor(F.col("c_custkey") <= 100, keys=["c_custkey"])
+    before = {r.c_custkey for r in table.read().collect()}
+    table.rewrite_data_files(target_file_count=2)
+    m = table._read_manifest(table.current_version())
+    assert m.get("delete_files", []) == []         # materialized away
+    assert {r.c_custkey for r in table.read().collect()} == before
+
+
+def test_gc_preserves_live_mor_delete_key_files(spark, table):
+    import os
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust)
+    table.delete_where_mor(F.col("c_custkey") <= 100, keys=["c_custkey"])
+    m = table._read_manifest(table.current_version())
+    key_files = [f for d in m["delete_files"] for f in d["files"]]
+    table.remove_orphan_files(older_than_seconds=0.0)
+    table.expire_snapshots(keep_last=1)
+    assert all(os.path.exists(f) for f in key_files)
+    got = {r.c_custkey for r in table.read().collect()}
+    assert got == {r.c_custkey for r in cust.filter(
+        F.col("c_custkey") > 100).collect()}
+
+
+def test_cow_delete_carries_pending_mor_deletes(spark, table):
+    """A CoW delete over a table with pending MoR deletes must keep those
+    deletes effective on the files it does NOT rewrite."""
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust)
+    table.delete_where_mor(F.col("c_custkey") <= 20, keys=["c_custkey"])
+    # CoW-delete a disjoint range; stats pruning keeps most files untouched
+    table.delete_where(F.col("c_custkey") > 140,
+                       prune={"c_custkey": (141, None)})
+    got = {r.c_custkey for r in table.read().collect()}
+    want = {r.c_custkey for r in cust.filter(
+        (F.col("c_custkey") > 20) & (F.col("c_custkey") <= 140)).collect()}
+    assert got == want
