@@ -62,6 +62,9 @@ HEADLINE = [
     "lakehouse_incremental_gold_refresh",
     "funnel_view_click_purchase",
     "variant_props_analytics",
+    "dq_expectations_report",
+    "sketch_distinct_rollup",
+    "lakehouse_mor_delete",
 ]
 
 
