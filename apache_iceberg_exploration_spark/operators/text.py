@@ -804,3 +804,70 @@ def text_unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg > 4.0).alias("is_surprising"),
         )
     )
+
+
+@query(
+    "udtf_sentence_offsets",
+    oracle="""
+        WITH parts AS (
+          SELECT doc_id, string_split(text, '. ') AS ps FROM documents
+        ),
+        exploded AS (
+          SELECT doc_id, ord, ps[ord] AS sentence
+          FROM parts, LATERAL (
+            SELECT unnest(generate_series(1, array_length(ps))) AS ord
+          ) g
+        )
+        SELECT doc_id,
+               CAST(ord AS BIGINT) AS sent_idx,
+               sentence,
+               CAST(coalesce(sum(length(sentence) + 2) OVER (
+                   PARTITION BY doc_id ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS char_offset
+        FROM exploded
+    """,
+)
+def udtf_sentence_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) splitting each
+    document into sentences with 1-based index and running character
+    offset, applied per input row via a SQL LATERAL join — the
+    set-returning-function API surface (one input row → N output rows
+    with cross-row state, here the offset accumulator).
+
+    This is the deliberate exception to the no-row-Python rule
+    (COVERAGE.md §2.10): the point is the UDTF contract itself —
+    class-based ``eval`` generator, declared return schema, LATERAL
+    correlation. The pure-builtin equivalent for hot paths is the
+    ``document_chunking`` / ``explode(split(...))`` family; offsets fall
+    out of the generator's loop variable here, vs a window prefix-sum
+    there.
+
+    Scale: the UDTF runs embarrassingly parallel per partition (Arrow
+    batches in, rows out); no shuffle is introduced. Keep such functions
+    off the hot path at 100 TB unless the logic genuinely needs
+    imperative per-row state.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, sent_idx bigint, sentence string, char_offset bigint"
+    ))
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            pos = 0
+            for i, s in enumerate((text or "").split(". "), start=1):
+                yield doc_id, i, s, pos
+                pos += len(s) + 2
+
+    spark.udtf.register("split_sentences", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sentence, s.char_offset
+        FROM __udtf_docs d,
+             LATERAL split_sentences(d.doc_id, d.text) s
+        """
+    )
