@@ -2270,3 +2270,44 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+_RECURSIVE_WALK_SQL = """
+    WITH RECURSIVE walk(p_partkey, cur, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM {part}
+      UNION ALL
+      SELECT p_partkey, CAST(FLOOR(cur / 2.0) AS BIGINT), depth + 1
+      FROM walk WHERE cur > 1
+    )
+    SELECT p_partkey,
+           CAST(max(depth) AS BIGINT)  AS depth_to_root,
+           CAST(count(*) AS BIGINT)    AS chain_len,
+           CAST(sum(cur) AS BIGINT)    AS ancestor_key_sum
+    FROM walk
+    GROUP BY p_partkey
+"""
+
+
+@query(
+    "recursive_ancestor_walk",
+    oracle=_RECURSIVE_WALK_SQL.format(part="part"),
+)
+def recursive_ancestor_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard recursive CTE (Spark 4 ``WITH RECURSIVE``): every part
+    walks the implicit binary-tree hierarchy ``key → key div 2`` up to the
+    root, producing per-part depth, chain length, and an ancestor-key
+    checksum. IDENTICAL SQL text runs on Spark and the DuckDB oracle —
+    the iterative-query surface (org charts, BOM explosions, graph
+    reachability) the DataFrame API otherwise needs a driver loop for.
+
+    Scale: each recursion step is one self-join of the frontier against
+    nothing but itself (the step is a projection here; with a real edge
+    table it's a keyed equi-join) — depth is O(log key), and the frontier
+    never leaves the executors. Compare the label-propagation loop in
+    dedup.py (`dedup_cluster_assignment`), which is the hand-rolled
+    DataFrame form of the same iterate-to-fixpoint shape.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "__recursive_part"
+    )
+    return spark.sql(_RECURSIVE_WALK_SQL.format(part="__recursive_part"))
