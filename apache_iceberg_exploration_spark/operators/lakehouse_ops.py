@@ -623,3 +623,57 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_transform_partition_scan",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+    """,
+)
+def lakehouse_transform_partition_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hidden partitioning (Iceberg transform partitions): orders laid
+    out by ``months(o_orderdate)`` — the transform never appears in the
+    query; a plain range predicate on the SOURCE timestamp maps through
+    the transform to skip every non-overlapping month's files (asserted:
+    the pruned file list is a strict subset). Readers see the original
+    schema only.
+
+    Scale: this is the layout that turns the reference's daily pipeline
+    into month/day-granular IO — a quarter scan touches 3 partitions of
+    an arbitrarily large table, and because the transform is table
+    metadata (not query text), nobody can forget to filter on the right
+    derived column (THE classic hive-partitioning failure).
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderdate",
+        )
+        # cluster by the partition expression pre-write: one task per
+        # month → one file per partition dir, not tasks×months files
+        tbl.overwrite(
+            orders.repartition(F.date_format("o_orderdate", "yyyy-MM")),
+            partition_by=["months(o_orderdate)"],
+        )
+        m = tbl._read_manifest(tbl.current_version())
+        lo, hi = "1995-01-01 00:00:00", "1995-03-31 23:59:59"
+        kept = tbl._partition_prune(
+            m, {"o_orderdate": (lo, hi)}, list(m["files"])
+        )
+        assert 0 < len(kept) < len(m["files"]), "partition pruning inert"
+        out = tbl.scan({"o_orderdate": (lo, hi)})
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

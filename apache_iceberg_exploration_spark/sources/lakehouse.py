@@ -48,6 +48,89 @@ class CommitConflict(Exception):
     """Another writer committed the same version first."""
 
 
+_TRANSFORM_RE = __import__("re").compile(
+    r"^(?P<fn>days|months|years|hours)\((?P<c1>\w+)\)$"
+    r"|^bucket\((?P<n1>\d+),\s*(?P<c2>\w+)\)$"
+    r"|^truncate\((?P<n2>\d+),\s*(?P<c3>\w+)\)$"
+)
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    """One partition field: an Iceberg-style transform over a source
+    column. ``identity`` partitions on raw values; ``days/months/years/
+    hours`` derive calendar buckets from a timestamp; ``bucket(N, col)``
+    hashes into N buckets; ``truncate(W, col)`` truncates ints to
+    multiples of W / strings to W chars. Hidden partitioning: readers
+    query the SOURCE column — the transform exists only in layout and
+    pruning, never in query text (Iceberg's core partition design)."""
+
+    kind: str
+    col: str
+    n: int | None = None
+
+    @staticmethod
+    def parse(spec: str) -> "PartitionSpec":
+        m = _TRANSFORM_RE.match(spec.strip())
+        if not m:
+            return PartitionSpec("identity", spec.strip())
+        if m.group("fn"):
+            return PartitionSpec(m.group("fn"), m.group("c1"))
+        if m.group("n1"):
+            return PartitionSpec("bucket", m.group("c2"), int(m.group("n1")))
+        return PartitionSpec("truncate", m.group("c3"), int(m.group("n2")))
+
+    @property
+    def field_name(self) -> str:
+        if self.kind == "identity":
+            return self.col
+        n = "" if self.n is None else str(self.n)
+        return f"__p_{self.kind}{n}_{self.col}"
+
+    def column(self) -> F.Column:
+        c = F.col(self.col)
+        if self.kind == "identity":
+            return c
+        if self.kind == "days":
+            return F.date_format(c, "yyyy-MM-dd")
+        if self.kind == "months":
+            return F.date_format(c, "yyyy-MM")
+        if self.kind == "years":
+            return F.date_format(c, "yyyy")
+        if self.kind == "hours":
+            return F.date_format(c, "yyyy-MM-dd-HH")
+        if self.kind == "bucket":
+            return F.pmod(F.xxhash64(c), F.lit(self.n)).cast("int")
+        if self.kind == "truncate":
+            return F.when(
+                c.cast("string") == c.cast("long").cast("string"),
+                (F.floor(c.cast("long") / self.n) * self.n).cast("string"),
+            ).otherwise(F.substring(c.cast("string"), 1, self.n))
+        raise ValueError(self.kind)
+
+    @property
+    def monotonic(self) -> bool:
+        """Order-preserving transforms admit range pruning; bucket admits
+        only point pruning."""
+        return self.kind in (
+            "identity", "days", "months", "years", "hours", "truncate"
+        )
+
+    def transform_value(self, spark: SparkSession, v):
+        """Driver-side transform of a scan bound, delegated to the SAME
+        Spark expressions as the write path (one 1-row local job) so
+        pruning can never disagree with layout — e.g. bucket() must use
+        Spark's xxhash64, not a Python reimplementation."""
+        if self.kind == "identity":
+            return str(v)
+        row = (
+            spark.createDataFrame([(v,)], [self.col])
+            .select(self.column().cast("string").alias("t"))
+            .first()
+        )
+        return row.t
+
+
 @dataclass
 class LakehouseTable:
     """Handle to a snapshot-versioned table rooted at ``path``."""
@@ -129,17 +212,44 @@ class LakehouseTable:
     def _write_data_files(
         self, df: DataFrame, partition_by: list[str] | None = None
     ) -> tuple[str, list[str]]:
+        """``partition_by`` entries are transform specs (PartitionSpec
+        syntax): ``"col"``, ``"days(ts_col)"``, ``"bucket(16, key)"``,
+        ``"truncate(4, col)"``. Non-identity transforms add a derived
+        hidden column for layout; the SOURCE column stays in the data
+        files, so footer stats and queries are transform-agnostic."""
         snap_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", snap_id)
-        writer = df.write.mode("errorifexists")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        specs = [PartitionSpec.parse(s) for s in (partition_by or [])]
+        out = df
+        for sp in specs:
+            if sp.kind != "identity":
+                out = out.withColumn(sp.field_name, sp.column())
+        writer = out.write.mode("errorifexists")
+        if specs:
+            writer = writer.partitionBy(*[sp.field_name for sp in specs])
         writer.parquet(data_dir)
         files = [
             p
             for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
         ]
         return snap_id, sorted(files)
+
+    @staticmethod
+    def _file_partitions(files: list[str]) -> dict[str, dict[str, str]]:
+        """Per-file partition values parsed from hive-style path segments
+        (``name=value``) — the manifest's partition tuple per data file."""
+        from urllib.parse import unquote
+
+        out: dict[str, dict[str, str]] = {}
+        for f in files:
+            vals = {}
+            for seg in f.split(os.sep):
+                if "=" in seg and not seg.endswith(".parquet"):
+                    k, _, v = seg.partition("=")
+                    vals[k] = unquote(v)
+            if vals:
+                out[f] = vals
+        return out
 
     @staticmethod
     def _collect_file_stats(files: list[str]) -> dict[str, dict]:
@@ -207,6 +317,8 @@ class LakehouseTable:
         stats: dict[str, dict] | None = None,
         file_seq: dict[str, int] | None = None,
         delete_files: list[dict] | None = None,
+        partition_specs: list[dict] | None = None,
+        partitions: dict[str, dict] | None = None,
         **summary,
     ) -> dict:
         manifest = {
@@ -232,6 +344,11 @@ class LakehouseTable:
             # pending merge-on-read equality deletes:
             # [{"files": [...], "seq": N, "keys": [col, ...]}, ...]
             manifest["delete_files"] = delete_files
+        if partition_specs is not None:
+            # hidden-partitioning layout: transform specs + per-file
+            # partition tuples (for transform-aware pruning in scan())
+            manifest["partition_specs"] = partition_specs
+            manifest["partitions"] = partitions or {}
         return manifest
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
@@ -239,6 +356,9 @@ class LakehouseTable:
         (``mode("overwrite").saveAsTable``, etl.py:51-54)."""
         _, files = self._write_data_files(df, partition_by)
         stats = self._collect_file_stats(files)
+        specs = [
+            PartitionSpec.parse(s).__dict__ for s in (partition_by or [])
+        ]
         return self._commit_with_retry(
             lambda parent: self._snapshot(
                 "overwrite",
@@ -248,6 +368,8 @@ class LakehouseTable:
                 stats=stats,
                 file_seq={f: parent + 1 for f in files},
                 delete_files=[],
+                partition_specs=specs if partition_by else None,
+                partitions=self._file_partitions(files) if partition_by else None,
                 added=len(files),
             )
         )
@@ -260,6 +382,8 @@ class LakehouseTable:
         _, files = self._write_data_files(df, partition_by)
         new_stats = self._collect_file_stats(files)
 
+        new_parts = self._file_partitions(files)
+
         def build(parent: int) -> dict:
             prev_manifest = self._read_manifest(parent) if parent else {}
             prev = prev_manifest.get("files", [])
@@ -268,6 +392,11 @@ class LakehouseTable:
                 **prev_manifest.get("file_seq", {}),
                 **{f: parent + 1 for f in files},
             }
+            specs = prev_manifest.get("partition_specs")
+            if specs is None and partition_by:
+                specs = [
+                    PartitionSpec.parse(s).__dict__ for s in partition_by
+                ]
             return self._snapshot(
                 "append",
                 prev + files,
@@ -278,15 +407,59 @@ class LakehouseTable:
                 # appended rows postdate every pending delete (their file
                 # seq is the new version), so deletes carry over untouched
                 delete_files=prev_manifest.get("delete_files", []),
+                partition_specs=specs,
+                partitions=(
+                    {**prev_manifest.get("partitions", {}), **new_parts}
+                    if specs is not None
+                    else None
+                ),
                 added=len(files),
             )
 
         return self._commit_with_retry(build)
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Scan the table at a version (default: latest) — time travel ↔
-        Iceberg ``VERSION AS OF``. Empty table → raises FileNotFoundError."""
+    # -- named refs (Iceberg tags) --------------------------------------------
+
+    @property
+    def _refs_dir(self) -> str:
+        return os.path.join(self.path, "refs")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a human-readable name to a snapshot (Iceberg tags:
+        ``ALTER TABLE ... CREATE TAG``): 'audited-2026-08', 'training-v3'.
+        Tagged snapshots are retention anchors — ``expire_snapshots``
+        keeps them — and ``read(version="name")`` time-travels by name,
+        so a training run can cite the exact table state it consumed."""
         v = self.current_version() if version is None else version
+        if not os.path.exists(self._manifest_path(v)):
+            raise ValueError(f"cannot tag missing version {v}")
+        os.makedirs(self._refs_dir, exist_ok=True)
+        with open(os.path.join(self._refs_dir, f"{name}.json"), "w") as f:
+            json.dump({"version": v}, f)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for p in glob.glob(os.path.join(self._refs_dir, "*.json")):
+            with open(p) as f:
+                out[os.path.basename(p)[:-5]] = json.load(f)["version"]
+        return out
+
+    def _resolve_version(self, version: int | str | None) -> int:
+        if version is None:
+            return self.current_version()
+        if isinstance(version, str):
+            refs = self.tags()
+            if version not in refs:
+                raise ValueError(f"unknown tag: {version!r}")
+            return refs[version]
+        return version
+
+    def read(self, version: int | str | None = None) -> DataFrame:
+        """Scan the table at a version (default: latest) — time travel ↔
+        Iceberg ``VERSION AS OF``; a string reads a named tag. Empty
+        table → raises FileNotFoundError."""
+        v = self._resolve_version(version)
         manifest = self._read_manifest(v)
         if not manifest["files"]:
             raise FileNotFoundError(f"no data files at version {v}")
@@ -438,6 +611,71 @@ class LakehouseTable:
             if self._file_overlaps(stats.get(f), where)
         ]
 
+    @staticmethod
+    def _cmp_part_vals(a: str, b: str) -> int:
+        """Order two hive-encoded partition values: numerically when both
+        parse, else lexicographically (date-format transforms are
+        fixed-width, so string order == chronological order)."""
+        try:
+            fa, fb = float(a), float(b)
+            return (fa > fb) - (fa < fb)
+        except ValueError:
+            return (a > b) - (a < b)
+
+    def _partition_prune(
+        self, manifest: dict, where: dict[str, tuple], files: list[str]
+    ) -> list[str]:
+        """Hidden-partition pruning: a predicate on a SOURCE column is
+        mapped through each transform that partitions on it, and files
+        whose partition tuple provably excludes the range are dropped.
+        Monotonic transforms (identity/days/…/truncate) admit range
+        pruning; bucket admits point (lo == hi) pruning. Unknown or NULL
+        partition values are conservatively kept; the residual row filter
+        keeps results exact regardless."""
+        specs = [
+            PartitionSpec(**d) for d in manifest.get("partition_specs", [])
+        ]
+        parts = manifest.get("partitions", {})
+        if not specs or not parts:
+            return files
+        null_marker = "__HIVE_DEFAULT_PARTITION__"
+        for col, (lo, hi) in where.items():
+            for sp in (s for s in specs if s.col == col):
+                if sp.kind == "bucket":
+                    if lo is None or lo != hi:
+                        continue
+                    b = sp.transform_value(self.spark, lo)
+                    files = [
+                        f
+                        for f in files
+                        if parts.get(f, {}).get(sp.field_name)
+                        in (None, null_marker, b)
+                    ]
+                elif sp.monotonic:
+                    tlo = (
+                        sp.transform_value(self.spark, lo)
+                        if lo is not None
+                        else None
+                    )
+                    thi = (
+                        sp.transform_value(self.spark, hi)
+                        if hi is not None
+                        else None
+                    )
+
+                    def keep(f: str) -> bool:
+                        v = parts.get(f, {}).get(sp.field_name)
+                        if v is None or v == null_marker:
+                            return True
+                        if tlo is not None and self._cmp_part_vals(v, tlo) < 0:
+                            return False
+                        if thi is not None and self._cmp_part_vals(v, thi) > 0:
+                            return False
+                        return True
+
+                    files = [f for f in files if keep(f)]
+        return files
+
     def scan(
         self, where: dict[str, tuple], version: int | None = None
     ) -> DataFrame:
@@ -457,6 +695,7 @@ class LakehouseTable:
         v = self.current_version() if version is None else version
         manifest = self._read_manifest(v)
         kept = self._prune_files(manifest, where)
+        kept = self._partition_prune(manifest, where, kept)
         if not kept:
             return self._project_to_schema(manifest).limit(0)
         df = self._project_to_schema({**manifest, "files": kept})
@@ -1023,9 +1262,12 @@ class LakehouseTable:
         Iceberg. Returns expired version numbers."""
         current = self.current_version()
         cutoff = max(current - keep_last + 1, 1)
+        tagged = set(self.tags().values())  # retention anchors
         retained_files: set[str] = set()
-        for v in range(cutoff, current + 1):
-            if os.path.exists(self._manifest_path(v)):
+        for v in range(1, current + 1):
+            if (v >= cutoff or v in tagged) and os.path.exists(
+                self._manifest_path(v)
+            ):
                 m = self._read_manifest(v)
                 retained_files.update(m["files"])
                 retained_files.update(self._delete_key_files(m))
@@ -1034,12 +1276,13 @@ class LakehouseTable:
         expired_files: set[str] = set()
         for v in range(1, cutoff):
             p = self._manifest_path(v)
-            if os.path.exists(p):
-                m = self._read_manifest(v)
-                expired_files.update(m["files"])
-                expired_files.update(self._delete_key_files(m))
-                os.remove(p)
-                expired.append(v)
+            if v in tagged or not os.path.exists(p):
+                continue
+            m = self._read_manifest(v)
+            expired_files.update(m["files"])
+            expired_files.update(self._delete_key_files(m))
+            os.remove(p)
+            expired.append(v)
 
         doomed = expired_files - retained_files
         for snap_dir in glob.glob(os.path.join(self.path, "data", "*")):

@@ -595,3 +595,77 @@ def test_cow_delete_carries_pending_mor_deletes(spark, table):
     want = {r.c_custkey for r in cust.filter(
         (F.col("c_custkey") > 20) & (F.col("c_custkey") <= 140)).collect()}
     assert got == want
+
+
+def test_hidden_partitioning_months_prunes_and_roundtrips(spark, table):
+    """days/months() transform: layout is derived from the timestamp, the
+    source column stays queryable, and a range scan provably skips files
+    of non-overlapping months while returning exact results."""
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    table.overwrite(orders, partition_by=["months(o_orderdate)"])
+    m = table._read_manifest(table.current_version())
+    assert m["partition_specs"] == [
+        {"kind": "months", "col": "o_orderdate", "n": None}]
+    lo, hi = "1995-01-01 00:00:00", "1995-03-31 23:59:59"
+    kept = table._partition_prune(
+        m, {"o_orderdate": (lo, hi)}, list(m["files"]))
+    assert 0 < len(kept) < len(m["files"])
+    got = sorted(r.o_orderkey for r in
+                 table.scan({"o_orderdate": (lo, hi)}).collect())
+    want = sorted(r.o_orderkey for r in orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi)
+    ).collect())
+    assert got == want
+    # hidden: no __p_* column surfaces to readers
+    assert all(not c.startswith("__p_") for c in table.read().columns)
+
+
+def test_bucket_partition_point_lookup_prunes(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name")
+    table.overwrite(cust, partition_by=["bucket(8, c_custkey)"])
+    m = table._read_manifest(table.current_version())
+    key = 42
+    kept = table._partition_prune(m, {"c_custkey": (key, key)},
+                                  list(m["files"]))
+    assert 0 < len(kept) < len(m["files"])
+    got = [r.c_name for r in table.scan({"c_custkey": (key, key)}).collect()]
+    want = [r.c_name for r in cust.filter(F.col("c_custkey") == key).collect()]
+    assert got == want
+    # a range predicate must NOT bucket-prune (hash is not monotonic)
+    assert table._partition_prune(
+        m, {"c_custkey": (1, 100)}, list(m["files"])) == list(m["files"])
+
+
+def test_truncate_partition_range_prune(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name")
+    table.overwrite(cust, partition_by=["truncate(100, c_custkey)"])
+    m = table._read_manifest(table.current_version())
+    kept = table._partition_prune(
+        m, {"c_custkey": (120, 130)}, list(m["files"]))
+    assert 0 < len(kept) < len(m["files"])
+    got = sorted(r.c_custkey for r in
+                 table.scan({"c_custkey": (120, 130)}).collect())
+    want = sorted(r.c_custkey for r in cust.filter(
+        F.col("c_custkey").between(120, 130)).collect())
+    assert got == want and len(got) > 0
+
+
+def test_tags_time_travel_and_retention_anchor(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name")
+    table.overwrite(cust)
+    v1 = table.current_version()
+    table.tag("training-v1")
+    table.delete_where(F.col("c_custkey") <= 100)
+    table.append(cust.filter(F.col("c_custkey") <= 10))
+    assert table.tags() == {"training-v1": v1}
+    assert table.read(version="training-v1").count() == cust.count()
+    # tags anchor retention: expire keeps the tagged manifest readable
+    expired = table.expire_snapshots(keep_last=1)
+    assert v1 not in expired
+    assert table.read(version="training-v1").count() == cust.count()
+    with pytest.raises(ValueError):
+        table.read(version="nope")

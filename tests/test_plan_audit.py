@@ -28,6 +28,9 @@ _EFFECTFUL_PREFIXES = ("lakehouse_", "streaming_")
 _PYTHON_ALLOWED = {
     "multimodal_decode_features",
     "multimodal_thumbnail_digest",
+    # the UDTF API-surface demo is Python BY DESIGN (COVERAGE §2.10);
+    # its docstring points hot paths at the explode-based equivalent
+    "udtf_sentence_offsets",
 }
 
 
@@ -44,11 +47,10 @@ def test_no_cartesian_products_or_python_rows_anywhere(spark):
         plan = executed_plan(fn(spark, SF_SMOKE))
         if "CartesianProduct" in plan:
             bad_cartesian.append(name)
-        if "BatchEvalPython" in plan:
-            bad_python.append(name)
-        if (
-            name not in _PYTHON_ALLOWED
-            and ("ArrowEvalPython" in plan or "MapInPandas" in plan)
+        if name not in _PYTHON_ALLOWED and (
+            "BatchEvalPython" in plan  # row-at-a-time UDF/UDTF
+            or "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
         ):
             bad_python.append(name)
     assert not bad_cartesian, f"unbounded cross joins: {bad_cartesian}"
