@@ -667,3 +667,79 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+_SEMDEDUP_TAU = 0.3  # tuned to this synthetic corpus (see neardup note)
+
+
+def _semdedup_oracle() -> str:
+    from .similarity import RP_BUCKETS_SQL
+
+    cos = cosine_similarity_sql("a.embedding", "b.embedding")
+    return f"""
+        WITH {RP_BUCKETS_SQL},
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {cos} >= {_SEMDEDUP_TAU}
+        )
+        SELECT k.vec_id, k.label, k.bucket
+        FROM buckets k LEFT JOIN dropped d ON k.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    """
+
+
+@query("dedup_semantic_semdedup", oracle=_semdedup_oracle())
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    the embedding space into cells, compare pairs only WITHIN a cell, and
+    keep one representative (the lowest vec_id) from every group of
+    semantic near-duplicates (cosine >= tau). Returns the KEPT rows —
+    the deduplicated corpus, not just the duplicate pairs
+    (cf. dedup_embedding_neardup_pairs, which reports pairs blocked on
+    the ground-truth label).
+
+    The cells here are the deterministic sign-LSH buckets shared with
+    ann_rp_lsh_topk (similarity.rp_bucket_column) rather than SemDeDup's
+    k-means clusters: data-independent cells keep the whole query
+    oracle-reproducible bit-for-bit, and the paper's observation — only
+    intra-cluster pairs matter — holds for any partitioning that groups
+    semantically close vectors.
+
+    Scale: identical shape to the ANN bucket join — one map-only bucket
+    assignment, one equi-join on bucket with ~n/256-sized groups, one
+    broadcast-able anti-join to subtract the dropped set. No all-pairs
+    stage; survives 10^9 vectors where SemDeDup's per-cluster pairwise
+    scan stays bounded by the max cell size.
+    """
+    from ..functions.vectors import _dot, _norm2, as_double_array
+    from .similarity import rp_bucket_column
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id",
+        "label",
+        as_double_array("embedding").alias("v"),
+        rp_bucket_column(as_double_array("embedding")).alias("bucket"),
+    )
+    # norms computed once per vector, not per pair (see neardup note)
+    normed = scoped_persist(
+        buckets.withColumn("nrm", _norm2(F.col("v")))
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        normed.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "label", "bucket")
+    )

@@ -96,6 +96,78 @@ def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_merge_delete",
+    oracle="""
+        WITH spent AS (
+            SELECT o_custkey AS c_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2))
+                    + coalesce(s.spent, 0) AS DOUBLE) AS c_acctbal,
+               c.c_mktsegment
+        FROM customer c LEFT JOIN spent s ON c.c_custkey = s.c_custkey
+        WHERE coalesce(s.spent, 0) <= 3000000
+        UNION ALL
+        SELECT 900000001, 'NEW CUSTOMER', 0, 123.45, 'BUILDING'
+    """,
+)
+def lakehouse_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-clause MERGE: WHEN MATCHED AND spent > 3M THEN DELETE
+    (the high-spend keys are retired), WHEN MATCHED THEN UPDATE
+    (``c_acctbal += spent``), WHEN NOT MATCHED THEN INSERT (one new key).
+    The delete arm is what CDC retraction feeds through MERGE look like —
+    the reference's Iceberg extensions enable exactly this statement
+    shape (constant.py:48) without ever issuing one.
+
+    Scale: identical cost to the two-clause merge — the delete arm is a
+    filter on the already-materialized full-outer join, no extra shuffle.
+    DECIMAL spend accumulation keeps the oracle hash exact (see
+    lakehouse_merge_upsert)."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer")
+        tbl.overwrite(cust)
+
+        spent = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spent"))
+        )
+        new_row = spark.createDataFrame(
+            [(900000001, "NEW CUSTOMER", 0, 123.45, "BUILDING", None)],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string, spent decimal(28,2)",
+        )
+        source = spent.join(
+            cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+            "c_custkey",
+        ).unionByName(new_row)
+
+        tbl.merge_into(
+            source,
+            on=["c_custkey"],
+            update_cols={
+                "c_acctbal": (
+                    F.col("t.c_acctbal").cast("decimal(18,2)")
+                    + F.coalesce(F.col("s.spent"), F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+            },
+            delete_condition=F.col("s.spent")
+            > F.lit(3000000).cast("decimal(18,2)"),
+        )
+        out = tbl.read().select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        rows = out.collect()  # materialize before scratch cleanup
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_time_travel",
     oracle="SELECT * FROM customer",
 )

@@ -539,6 +539,79 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total)
 
 
+_HIST_BIN_W = 25_000.0  # o_totalprice spans ~[1e3, 5e5] → 20 bins
+
+
+@query(
+    "histogram_merge_rollup",
+    oracle=f"""
+        WITH monthly AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(floor(o_totalprice / {_HIST_BIN_W}) AS BIGINT) AS bin,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT bin,
+                   CAST(sum(cnt) AS BIGINT) AS n_orders,
+                   count(*) AS n_month_partials
+            FROM monthly GROUP BY bin
+        )
+        SELECT bin,
+               bin * CAST({_HIST_BIN_W} AS DOUBLE) AS bin_lo,
+               n_orders, n_month_partials,
+               CAST(sum(n_orders) OVER w AS BIGINT) AS cum_orders,
+               CAST(floor(CAST(sum(n_orders) OVER w AS DOUBLE)
+                    / CAST(sum(n_orders) OVER () AS DOUBLE) * 10000 + 0.5)
+                    AS BIGINT) AS cdf_bp
+        FROM merged
+        WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    """,
+)
+def histogram_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histograms: per-month partial histograms of
+    order value (fixed global bin edges) re-aggregated into the corpus
+    histogram + CDF by summing bin counts — the exact-count sibling of
+    sketch_distinct_rollup, and the pattern behind every incremental
+    percentile/distribution dashboard: persist per-partition bin counts,
+    and any rollup window is an O(bins) merge, never a rescan. Fixed
+    edges are what make the partials mergeable (quantile-based bins are
+    not — their edges shift with data).
+
+    Scale: the monthly pass is one partial-aggregated shuffle on (month,
+    bin) — map-side combine crushes it to |months|×|bins| rows; the merge
+    and the CDF window run over O(bins) rows. The CDF is emitted in
+    integer basis points (floor arithmetic, see text_quality_score) so
+    cross-engine float division can't flip the hash.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.floor(F.col("o_totalprice") / _HIST_BIN_W).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    merged = monthly.groupBy("bin").agg(
+        F.sum("cnt").alias("n_orders"),
+        F.count("*").alias("n_month_partials"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = F.sum("n_orders").over(w)
+    total = F.sum("n_orders").over(w_all)
+    return merged.select(
+        "bin",
+        (F.col("bin") * _HIST_BIN_W).alias("bin_lo"),
+        "n_orders",
+        "n_month_partials",
+        cum.alias("cum_orders"),
+        F.floor(cum.cast("double") / total.cast("double") * 10000 + 0.5)
+        .cast("long")
+        .alias("cdf_bp"),
+    )
+
+
 @query(
     "rollup_lineitem_status",
     oracle="""

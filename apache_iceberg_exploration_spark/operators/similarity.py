@@ -445,10 +445,31 @@ def _rp_signs() -> list[list[float]]:
     ]
 
 
-@query(
-    "ann_rp_lsh_topk",
-    oracle=f"""
-        WITH signs AS (
+def rp_bucket_column(vec: F.Column) -> F.Column:
+    """Spark expression for a vector's sign-LSH bucket: bit p of the
+    result is the sign of the projection onto hyperplane p. Pure
+    zip_with/aggregate arithmetic over plan literals — whole-stage
+    codegen, shared by the ANN probe and the SemDeDup-style semantic
+    dedup (operators.dedup)."""
+    bucket = None
+    for p, plane in enumerate(_rp_signs()):
+        proj = F.aggregate(
+            F.zip_with(
+                F.array(*[F.lit(x) for x in plane]), vec, lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+# DuckDB twin of rp_bucket_column: `signs`+`buckets` CTE bodies (insert
+# after WITH). `buckets` exposes (vec_id, label, embedding, bucket) with
+# bucket CAST to BIGINT so both engines agree on the output type.
+RP_BUCKETS_SQL = f"""
+        signs AS (
             SELECT p,
                    list(CASE WHEN substring(
                             md5(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)),
@@ -460,12 +481,18 @@ def _rp_signs() -> list[list[float]]:
         ),
         buckets AS (
             SELECT e.vec_id, e.label, e.embedding,
-                   sum(CASE WHEN list_dot_product(
+                   CAST(sum(CASE WHEN list_dot_product(
                                 s.s, CAST(e.embedding AS DOUBLE[])) >= 0
-                            THEN 1 << p ELSE 0 END) AS bucket
+                            THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
             FROM embeddings e, signs s
             GROUP BY e.vec_id, e.label, e.embedding
-        ),
+        )"""
+
+
+@query(
+    "ann_rp_lsh_topk",
+    oracle=f"""
+        WITH {RP_BUCKETS_SQL},
         ranked AS (
             SELECT a.vec_id AS probe_id, b.vec_id, b.label,
                    {cosine_similarity_sql('a.embedding', 'b.embedding')}
@@ -507,20 +534,11 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import as_double_array
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = as_double_array("embedding")
-    bucket = None
-    for p, plane in enumerate(_rp_signs()):
-        proj = F.aggregate(
-            F.zip_with(
-                F.array(*[F.lit(x) for x in plane]), v, lambda x, y: x * y
-            ),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        )
-        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
     buckets = emb.select(
-        "vec_id", "label", "embedding", bucket.cast("long").alias("bucket")
+        "vec_id",
+        "label",
+        "embedding",
+        rp_bucket_column(as_double_array("embedding")).alias("bucket"),
     )
     a = buckets.filter(F.col("vec_id") % 29 == 0).alias("a")
     b = buckets.alias("b")

@@ -871,3 +871,78 @@ def udtf_sentence_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL split_sentences(d.doc_id, d.text) s
         """
     )
+
+
+_CLS_STOP_IN = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(len(words) AS DOUBLE) AS n,
+                   CAST(len(list_distinct(words)) AS DOUBLE) AS n_uniq,
+                   CAST(len(list_filter(words, w -> w IN ({_CLS_STOP_IN})))
+                        AS DOUBLE) AS n_stop,
+                   CAST(list_sum(list_transform(words, w -> len(w)))
+                        AS DOUBLE) AS sum_len
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents)
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   -1.6 + 0.8 * (n / 100.0) + 2.0 * (n_uniq / n)
+                        + -1.5 * (n_stop / n) + 0.12 * (sum_len / n) AS logit
+            FROM feats
+        )
+        SELECT doc_id, n_words,
+               CAST(floor(logit * 10000 + 0.5) AS BIGINT) AS logit_bp,
+               logit > 0.0 AS keep
+        FROM scored
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE (fastText/logistic-regression
+    style, the production replacement for text_quality_score's hand
+    heuristic): a fixed weight vector — stand-in for offline-trained
+    coefficients — over four engineered features (scaled length,
+    type-token ratio, stopword ratio, mean word length), producing a
+    logit and a binary keep decision. The deploy-time shape of every
+    model-based corpus filter: featurize → dot product → threshold.
+
+    The logit is emitted as integer basis points (floor(x*10000+0.5),
+    same rationale as text_quality_score) and the features/weights are
+    combined in identical left-to-right IEEE order in both engines, so
+    the hash-compare is bit-exact without transcendentals (the sigmoid is
+    monotone, so thresholding the logit IS thresholding the probability).
+
+    Scale: map-only — array arithmetic per row inside whole-stage
+    codegen, no shuffle, no Python. A real trained model with thousands
+    of n-gram features would swap the four expressions for a sparse
+    dot product against a broadcast weight map; the plan shape (scan →
+    project → filter) is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("double")
+    n_uniq = F.size(F.array_distinct(words)).cast("double")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*_STOPWORDS))
+    ).cast("double")
+    sum_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda acc, v: acc + v
+    ).cast("double")
+    logit = (
+        F.lit(-1.6)
+        + F.lit(0.8) * (n / F.lit(100.0))
+        + F.lit(2.0) * (n_uniq / n)
+        + F.lit(-1.5) * (n_stop / n)
+        + F.lit(0.12) * (sum_len / n)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.floor(logit * 10000 + F.lit(0.5)).cast("long").alias("logit_bp"),
+        (logit > 0.0).alias("keep"),
+    )

@@ -374,11 +374,18 @@ class LakehouseTable:
             )
         )
 
-    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        summary_extra: dict | None = None,
+    ) -> dict:
         """Additive snapshot: new files + every file of the parent version.
         Data files are written ONCE before the commit loop — a rebase after
         a lost race only re-reads the parent manifest, it never rewrites
-        data (Iceberg's fast-append behavior)."""
+        data (Iceberg's fast-append behavior). ``summary_extra`` entries
+        land in the commit summary (Iceberg snapshot summary properties
+        — e.g. a streaming sink's batch id, see streaming.sinks)."""
         _, files = self._write_data_files(df, partition_by)
         new_stats = self._collect_file_stats(files)
 
@@ -414,6 +421,7 @@ class LakehouseTable:
                     else None
                 ),
                 added=len(files),
+                **(summary_extra or {}),
             )
 
         return self._commit_with_retry(build)
@@ -748,11 +756,17 @@ class LakehouseTable:
         on: list[str],
         update_cols: dict[str, F.Column] | None = None,
         insert_unmatched: bool = True,
+        summary_extra: dict | None = None,
+        delete_condition: F.Column | None = None,
     ) -> dict:
         """MERGE INTO (upsert): rows matched on ``on`` are updated with
         ``update_cols`` expressions (evaluated over target columns and
         ``source.<col>`` references), unmatched source rows are inserted,
-        unmatched target rows pass through.
+        unmatched target rows pass through. ``delete_condition`` is the
+        ``WHEN MATCHED AND <cond> THEN DELETE`` clause: matched rows
+        satisfying it (an expression over ``t.<col>``/``s.<col>``) are
+        dropped instead of updated — the CDC-retraction / GDPR-erasure
+        arm of a full three-clause MERGE.
 
         The reference configures IcebergSparkSessionExtensions precisely to
         enable MERGE (constant.py:48) but never issues one; with the jar
@@ -779,6 +793,14 @@ class LakehouseTable:
             "s._s_present"
         ).isNotNull()
         only_src = F.col("t._t_present").isNull()
+        if delete_condition is not None:
+            joined = joined.filter(
+                ~(matched & F.coalesce(delete_condition, F.lit(False)))
+            )
+        if not insert_unmatched:
+            # drop source-only rows outright; without this they'd survive
+            # the projection below as all-NULL target rows
+            joined = joined.filter(~only_src)
 
         projections = []
         for c in t_cols:
@@ -803,6 +825,7 @@ class LakehouseTable:
                 file_seq={f: parent + 1 for f in files},
                 delete_files=[],  # target read applied pending deletes
                 added=len(files),
+                **(summary_extra or {}),
             )
         )
 

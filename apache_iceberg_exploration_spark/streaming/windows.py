@@ -393,3 +393,50 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_available_now(agg, "complete")
+
+
+@query(
+    "streaming_enrich_purchases_dim",
+    oracle="""
+        SELECT c.c_mktsegment, count(*) AS n_purchases,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_enrich_purchases_dim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-STATIC join: the purchase stream enriched against the
+    static customer dimension, then aggregated per market segment — the
+    canonical streaming-ETL enrichment shape (fact stream × slowly-
+    changing dim). The static side needs no watermark and holds no
+    stream state: Spark re-plans it per micro-batch, and the explicit
+    ``F.broadcast`` keeps the join a map-side hash probe — no shuffle of
+    the stream, no state store for the join itself (only the downstream
+    aggregation keeps state, |segments| rows).
+
+    AvailableNow over the static file set makes the result identical to
+    the batch join, so the batch SQL oracle applies verbatim.
+
+    Scale: this is THE pattern for dimension enrichment at 100 TB/day —
+    the dim table (even millions of rows) broadcasts once per batch,
+    while the unbounded fact side streams through map tasks. If the dim
+    outgrows broadcast, pre-bucket both sides on the key instead.
+    """
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = purchases.join(
+        F.broadcast(customer),
+        purchases["user_id"] == customer["c_custkey"],
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return _run_available_now(agg, "complete")

@@ -297,6 +297,34 @@ def test_merge_preserves_null_key_target_rows(spark, table):
     assert table.read().count() == 4
 
 
+def test_merge_delete_clause(spark, table):
+    """WHEN MATCHED AND cond THEN DELETE: matched rows meeting the
+    condition drop; a NULL condition on a matched row means keep (SQL
+    3VL — MERGE's WHEN MATCHED AND <cond> fires only on TRUE)."""
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, bal double"
+    )
+    table.overwrite(target)
+    source = spark.createDataFrame(
+        [(1, "drop"), (2, "keep"), (3, None), (5, "new")],
+        "k long, action string",
+    )
+    table.merge_into(
+        source,
+        on=["k"],
+        update_cols={"bal": F.col("t.bal") + 1},
+        insert_unmatched=False,
+        delete_condition=F.col("s.action") == "drop",
+    )
+    rows = {r.k: r.bal for r in table.read().collect()}
+    assert 1 not in rows  # matched + TRUE condition -> deleted
+    assert rows[2] == 21.0  # matched + FALSE -> updated
+    assert rows[3] == 31.0  # matched + NULL condition -> updated, kept
+    assert rows[4] == 40.0  # unmatched target -> untouched
+    assert 5 not in rows  # insert_unmatched=False
+    assert table.read().count() == 3
+
+
 def test_zorder_compaction_bounds_both_dims(spark, table):
     """Z-order rewrite: every output file covers a bounded hyper-rectangle,
     so parquet min/max stats can prune predicates on EITHER z-ordered

@@ -302,3 +302,47 @@ def test_transform_with_state_carries_across_batches(spark, tmp_path):
     assert {u: v[2] for u, v in last.items()} == {
         u: v[2] for u, v in expected.items()
     }
+
+
+def test_foreachbatch_idempotent_replay(spark, tmp_path):
+    """Exactly-once sink (streaming.sinks): batch ids are recorded in the
+    commit summary atomically with the data; replaying a micro-batch —
+    Structured Streaming's at-least-once failure mode — is a no-op."""
+    from apache_iceberg_exploration_spark.streaming.sinks import (
+        applied_batch_ids,
+        idempotent_foreach_batch,
+    )
+
+    d, ev = _two_batch_stream_dir(spark, tmp_path)
+    tbl = LakehouseTable(spark, str(tmp_path / "events_append"))
+    tbl.overwrite(ev.limit(0))
+
+    def apply(table, batch_df, summary_extra):
+        return table.append(batch_df, summary_extra=summary_extra)
+
+    sink = idempotent_foreach_batch(tbl, apply)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    q.stop()
+
+    total = ev.count()
+    assert tbl.read().count() == total
+    assert applied_batch_ids(tbl) == {0, 1}
+
+    # simulate the crash-between-commit-and-checkpoint replay: the SAME
+    # batch (id + rows) is delivered again -> no new snapshot, no new rows
+    v_before = tbl.current_version()
+    sink(ev.filter(F.col("event_id") % 2 == 0), 0)
+    assert tbl.current_version() == v_before
+    assert tbl.read().count() == total
+
+    # a genuinely new batch id still commits
+    sink(ev.filter(F.col("event_id") % 2 == 1).limit(5), 2)
+    assert tbl.current_version() == v_before + 1
+    assert tbl.read().count() == total + 5
