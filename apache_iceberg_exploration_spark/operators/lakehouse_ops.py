@@ -749,3 +749,78 @@ def lakehouse_transform_partition_scan(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_branch_publish",
+    oracle="SELECT * FROM customer",
+)
+def lakehouse_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch workflow round-trip: fork an audit branch, land TWO commits
+    on it (invisible to main), let main advance past the fork point, then
+    ``fast_forward`` publishes the branch — after which main holds every
+    row exactly once. The multi-commit generalization of write-audit-
+    publish (Iceberg branch refs + ``CALL system.fast_forward``).
+
+    The four slices partition the customer table, so the post-publish
+    read must equal ``SELECT * FROM customer`` — commutativity of the
+    append publish is what the oracle hash certifies.
+
+    Scale: branch commits are ordinary appends in a private namespace;
+    the publish is one metadata-only commit (no data copied), identical
+    cost to any append regardless of branch size."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer")
+        k = F.col("c_custkey")
+        n = cust.count()
+        q1, q2, q3 = int(n * 0.4), int(n * 0.6), int(n * 0.8)
+        tbl.overwrite(cust.filter(k <= q1))
+        tbl.create_branch("audit")
+        tbl.append_branch("audit", cust.filter((k > q1) & (k <= q2)))
+        tbl.append_branch("audit", cust.filter((k > q2) & (k <= q3)))
+        tbl.append(cust.filter(k > q3))  # main advances past the fork
+        tbl.fast_forward("audit")
+        out = tbl.read()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_partitions_metadata",
+    oracle="""
+        SELECT '{"c_mktsegment":"' || c_mktsegment || '"}' AS partition,
+               1 AS file_count,
+               count(*) AS row_count
+        FROM customer GROUP BY c_mktsegment
+    """,
+)
+def lakehouse_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``<table>.partitions`` metadata table over a partitioned write:
+    per-partition file and row counts read purely from manifests +
+    footers — the introspection a compaction planner or skew monitor
+    uses, with zero data IO. The input is repartitioned by the partition
+    column first so each value lands in exactly one task → exactly one
+    file, making file_count deterministic for the oracle.
+
+    Scale: O(files) driver-side metadata; the Spark job in partitions()
+    only aggregates the already-materialized file list."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").repartition(
+            "c_mktsegment"
+        )
+        tbl.overwrite(cust, partition_by=["c_mktsegment"])
+        out = tbl.partitions().select(
+            "partition",
+            F.col("file_count").cast("int").alias("file_count"),
+            "row_count",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

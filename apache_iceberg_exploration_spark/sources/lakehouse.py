@@ -183,7 +183,9 @@ class LakehouseTable:
             for f in d["files"]
         }
 
-    def _try_commit(self, version: int, manifest: dict) -> None:
+    def _try_commit(
+        self, version: int, manifest: dict, path: str | None = None
+    ) -> None:
         """Atomic commit: the manifest is FULLY written to a private temp
         file first, then published with ``os.link`` — a POSIX atomic
         create-if-absent of the final name. Exactly one concurrent
@@ -191,17 +193,19 @@ class LakehouseTable:
         rebases, retries), and no reader can ever observe a partial
         manifest: the final path either doesn't exist or holds complete
         JSON. (Create-then-write had a window where a rebasing committer
-        json.load'ed a truncated file.)"""
-        os.makedirs(self._snap_dir, exist_ok=True)
+        json.load'ed a truncated file.) ``path`` overrides the target for
+        branch-chain commits (same protocol, different namespace)."""
+        target = path or self._manifest_path(version)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
         tmp = os.path.join(
-            self._snap_dir, f".tmp-{uuid.uuid4().hex}-v{version}.json"
+            os.path.dirname(target), f".tmp-{uuid.uuid4().hex}-v{version}.json"
         )
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
         try:
-            os.link(tmp, self._manifest_path(version))
+            os.link(tmp, target)
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
         finally:
@@ -399,11 +403,21 @@ class LakehouseTable:
                 **prev_manifest.get("file_seq", {}),
                 **{f: parent + 1 for f in files},
             }
+            # partition-spec evolution (Iceberg's spec-per-file design):
+            # an append may use a DIFFERENT layout than earlier snapshots.
+            # The manifest accumulates every spec ever used; each file's
+            # partition tuple names only its own spec's fields, and
+            # _partition_prune conservatively keeps files that lack a
+            # spec's field — so old-layout files are pruned by the old
+            # spec, new-layout files by the new, never incorrectly.
             specs = prev_manifest.get("partition_specs")
-            if specs is None and partition_by:
-                specs = [
-                    PartitionSpec.parse(s).__dict__ for s in partition_by
-                ]
+            new_specs = [
+                PartitionSpec.parse(s).__dict__ for s in (partition_by or [])
+            ]
+            if specs is None:
+                specs = new_specs or None
+            else:
+                specs = specs + [d for d in new_specs if d not in specs]
             return self._snapshot(
                 "append",
                 prev + files,
@@ -449,6 +463,8 @@ class LakehouseTable:
     def tags(self) -> dict[str, int]:
         out = {}
         for p in glob.glob(os.path.join(self._refs_dir, "*.json")):
+            if os.path.basename(p).startswith("branch-"):
+                continue  # branch refs live in the same dir (branches())
             with open(p) as f:
                 out[os.path.basename(p)[:-5]] = json.load(f)["version"]
         return out
@@ -462,6 +478,195 @@ class LakehouseTable:
                 raise ValueError(f"unknown tag: {version!r}")
             return refs[version]
         return version
+
+    # -- branches (Iceberg branch refs) ---------------------------------------
+
+    def _branch_dir(self, name: str) -> str:
+        return os.path.join(self._snap_dir, f"branch-{name}")
+
+    def _branch_ref_path(self, name: str) -> str:
+        return os.path.join(self._refs_dir, f"branch-{name}.json")
+
+    def _branch_head(self, name: str) -> int:
+        versions = [
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self._branch_dir(name), "v*.json"))
+        ]
+        return max(versions, default=0)
+
+    def _branch_base(self, name: str) -> int:
+        with open(self._branch_ref_path(name)) as f:
+            return json.load(f)["base_version"]
+
+    def branches(self) -> dict[str, dict]:
+        """name → {'base_version', 'head'} for every live branch."""
+        out = {}
+        for p in glob.glob(os.path.join(self._refs_dir, "branch-*.json")):
+            name = os.path.basename(p)[len("branch-"):-5]
+            out[name] = {
+                "base_version": self._branch_base(name),
+                "head": self._branch_head(name),
+            }
+        return out
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Fork a named branch from a snapshot (default: current tip) —
+        Iceberg ``ALTER TABLE ... CREATE BRANCH``. Branch commits are
+        invisible to main readers until :meth:`fast_forward` publishes
+        them: the write-audit-publish pattern generalized to MULTIPLE
+        staged commits (cf. stage_append, the single-commit form)."""
+        v = self.current_version() if version is None else version
+        if not os.path.exists(self._manifest_path(v)):
+            raise ValueError(f"cannot branch from missing version {v}")
+        if os.path.exists(self._branch_ref_path(name)):
+            raise ValueError(f"branch exists: {name!r}")
+        os.makedirs(self._refs_dir, exist_ok=True)
+        with open(self._branch_ref_path(name), "w") as f:
+            json.dump({"base_version": v}, f)
+        return v
+
+    def append_branch(self, name: str, df: DataFrame) -> dict:
+        """Branch-local append commit: same optimistic create-exclusive
+        protocol as main, in the branch's own version namespace. Main's
+        tip is untouched; concurrent branch committers race on the
+        branch-chain file exactly as main committers race on v{N}."""
+        base = self._branch_base(name)  # raises if branch missing
+        _, files = self._write_data_files(df)
+        new_stats = self._collect_file_stats(files)
+        for _ in range(self.max_commit_retries):
+            head = self._branch_head(name)
+            prev = (
+                self._read_branch_manifest(name, head)
+                if head
+                else self._read_manifest(base)
+            )
+            manifest = self._snapshot(
+                "append",
+                prev.get("files", []) + files,
+                head,
+                schema_json=df.schema.json(),
+                stats={**prev.get("stats", {}), **new_stats},
+                added=len(files),
+                branch=name,
+                base_version=base,
+            )
+            try:
+                self._try_commit(
+                    head + 1,
+                    manifest,
+                    path=os.path.join(
+                        self._branch_dir(name), f"v{head + 1}.json"
+                    ),
+                )
+                return manifest
+            except CommitConflict:
+                time.sleep(0.01)
+        raise CommitConflict(f"branch {name}: gave up after retries")
+
+    def _read_branch_manifest(self, name: str, version: int) -> dict:
+        with open(
+            os.path.join(self._branch_dir(name), f"v{version}.json")
+        ) as f:
+            return json.load(f)
+
+    def read_branch(self, name: str) -> DataFrame:
+        """The table as the branch sees it: its base snapshot plus every
+        branch commit. Frozen against main — commits to main after the
+        fork do NOT appear (branch isolation)."""
+        head = self._branch_head(name)
+        if head == 0:
+            return self.read(version=self._branch_base(name))
+        return self._project_to_schema(self._read_branch_manifest(name, head))
+
+    def _branch_added_files(self, name: str) -> tuple[list[str], dict]:
+        head = self._branch_head(name)
+        if head == 0:
+            return [], {}
+        m = self._read_branch_manifest(name, head)
+        base_files = set(
+            self._read_manifest(m["summary"]["base_version"])["files"]
+        )
+        added = [f for f in m["files"] if f not in base_files]
+        stats = {f: s for f, s in m.get("stats", {}).items() if f in added}
+        return added, stats
+
+    def fast_forward(self, name: str, drop: bool = True) -> dict:
+        """Publish a branch's commits onto main as ONE append snapshot —
+        Iceberg ``CALL system.fast_forward`` / merging the audit branch.
+        Appends commute, so the publish rebases cleanly even when main
+        advanced past the fork point (same argument as WAP publish).
+        Metadata-only: no data file is rewritten or copied."""
+        added, added_stats = self._branch_added_files(name)
+        head = self._branch_head(name)
+        schema_json = (
+            self._read_branch_manifest(name, head).get("schema")
+            if head
+            else None
+        )
+
+        def build(parent: int) -> dict:
+            prev_manifest = self._read_manifest(parent) if parent else {}
+            prev = prev_manifest.get("files", [])
+            return self._snapshot(
+                "append",
+                prev + added,
+                parent,
+                schema_json=schema_json or prev_manifest.get("schema"),
+                stats={**prev_manifest.get("stats", {}), **added_stats},
+                file_seq={
+                    **prev_manifest.get("file_seq", {}),
+                    **{f: parent + 1 for f in added},
+                },
+                delete_files=prev_manifest.get("delete_files", []),
+                partition_specs=prev_manifest.get("partition_specs"),
+                partitions=prev_manifest.get("partitions"),
+                added=len(added),
+                fast_forwarded_branch=name,
+                branch_commits=head,
+            )
+
+        manifest = self._commit_with_retry(build)
+        if drop:
+            self.drop_branch(name, keep_files=True)
+        return manifest
+
+    def drop_branch(self, name: str, keep_files: bool = False) -> None:
+        """Delete a branch ref and its commit chain. Unless ``keep_files``
+        (set by fast_forward, whose publish now references them), the
+        branch's own data directories are removed — an abandoned audit
+        branch leaves no trace."""
+        added, _ = self._branch_added_files(name)
+        os.unlink(self._branch_ref_path(name))
+        shutil.rmtree(self._branch_dir(name), ignore_errors=True)
+        if keep_files or not added:
+            return
+        data_root = os.path.join(self.path, "data")
+        live: set[str] = set()
+        for snap in self.snapshots():
+            live.update(snap["files"])
+        for snap_dir in {
+            os.path.join(
+                data_root, os.path.relpath(f, data_root).split(os.sep)[0]
+            )
+            for f in added
+        }:
+            files = set(
+                glob.glob(
+                    os.path.join(snap_dir, "**", "*.parquet"), recursive=True
+                )
+            )
+            if files and not (files & live):
+                shutil.rmtree(snap_dir, ignore_errors=True)
+
+    def _branch_referenced_files(self) -> set[str]:
+        """Every data file any live branch can still reach — protected
+        from expire_snapshots / remove_orphan_files GC."""
+        out: set[str] = set()
+        for name in self.branches():
+            head = self._branch_head(name)
+            if head:
+                out.update(self._read_branch_manifest(name, head)["files"])
+        return out
 
     def read(self, version: int | str | None = None) -> DataFrame:
         """Scan the table at a version (default: latest) — time travel ↔
@@ -1067,6 +1272,77 @@ class LakehouseTable:
         ]
         return self.spark.createDataFrame(rows, schema)
 
+    def files(self, version: int | str | None = None) -> DataFrame:
+        """``<table>.files`` metadata table (Iceberg): one row per live
+        data file with size, row count, sequence number, partition tuple
+        and per-column min/max stats (as a JSON string — schema-stable
+        across tables). Row counts/sizes come from the parquet footers,
+        fanned out on a thread pool like commit-time stats collection;
+        everything else is manifest metadata. Driver-side by design:
+        O(files) metadata, zero data IO, the introspection surface
+        compaction policies and debuggers read."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        v = self._resolve_version(version)
+        manifest = self._read_manifest(v)
+        flist = manifest["files"]
+        seqs = manifest.get("file_seq", {})
+        stats = manifest.get("stats", {})
+        parts = manifest.get("partitions", {})
+
+        def footer(f: str) -> tuple[int, int]:
+            return pq.ParquetFile(f).metadata.num_rows, os.path.getsize(f)
+
+        if flist:
+            with ThreadPoolExecutor(max_workers=min(16, len(flist))) as ex:
+                footers = dict(zip(flist, ex.map(footer, flist)))
+        else:
+            footers = {}
+        schema = T.StructType([
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("size_bytes", T.LongType(), False),
+            T.StructField("num_rows", T.LongType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField(
+                "partition", T.MapType(T.StringType(), T.StringType()), True
+            ),
+            T.StructField("stats_json", T.StringType(), True),
+        ])
+        rows = [
+            (
+                f,
+                footers[f][1],
+                footers[f][0],
+                int(seqs.get(f, 0)),
+                parts.get(f),
+                json.dumps(stats[f], default=str) if f in stats else None,
+            )
+            for f in flist
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def partitions(self, version: int | str | None = None) -> DataFrame:
+        """``<table>.partitions`` metadata table: per-partition-tuple file
+        and row counts + bytes — what a compaction planner or skew monitor
+        reads to find hot/fragmented partitions without scanning data.
+        Unpartitioned files roll up under the empty tuple."""
+        f = self.files(version)
+        key = F.coalesce(
+            F.to_json(F.expr("map_from_entries(array_sort(map_entries(partition)))")),
+            F.lit("{}"),
+        )
+        return (
+            f.groupBy(key.alias("partition"))
+            .agg(
+                F.count("*").alias("file_count"),
+                F.sum("num_rows").alias("row_count"),
+                F.sum("size_bytes").alias("total_bytes"),
+            )
+        )
+
     def rollback(self, to_version: int) -> dict:
         """Restore the table to a previous snapshot's state by committing a
         NEW snapshot that points at the old version's exact file set (and
@@ -1285,8 +1561,11 @@ class LakehouseTable:
         Iceberg. Returns expired version numbers."""
         current = self.current_version()
         cutoff = max(current - keep_last + 1, 1)
-        tagged = set(self.tags().values())  # retention anchors
-        retained_files: set[str] = set()
+        # retention anchors: tags + every live branch's fork point
+        tagged = set(self.tags().values()) | {
+            b["base_version"] for b in self.branches().values()
+        }
+        retained_files: set[str] = set(self._branch_referenced_files())
         for v in range(1, current + 1):
             if (v >= cutoff or v in tagged) and os.path.exists(
                 self._manifest_path(v)
@@ -1321,7 +1600,7 @@ class LakehouseTable:
         NO manifest (committed or expired) that are older than the grace
         period — old enough that no in-flight commit can still claim them.
         Mirrors Iceberg ``CALL system.remove_orphan_files``."""
-        referenced: set[str] = set()
+        referenced: set[str] = set(self._branch_referenced_files())
         for snap in self.snapshots():
             referenced.update(snap["files"])
             referenced.update(self._delete_key_files(snap))

@@ -697,3 +697,118 @@ def test_tags_time_travel_and_retention_anchor(spark, table):
     assert table.read(version="training-v1").count() == cust.count()
     with pytest.raises(ValueError):
         table.read(version="nope")
+
+
+def test_branch_isolation_and_fast_forward(spark, table):
+    """Branch refs: commits on a branch are invisible to main; main
+    commits after the fork are invisible to the branch; fast_forward
+    publishes the branch's files onto the CURRENT main tip as one
+    metadata-only append."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust.filter(F.col("c_custkey") <= 100))
+    base_count = table.read().count()
+
+    table.create_branch("audit")
+    table.append_branch("audit", cust.filter(F.col("c_custkey").between(101, 120)))
+    table.append_branch("audit", cust.filter(F.col("c_custkey").between(121, 130)))
+
+    # isolation both ways
+    assert table.read().count() == base_count
+    branch_count = table.read_branch("audit").count()
+    assert branch_count == base_count + 30
+    main_extra = cust.filter(F.col("c_custkey").between(131, 140))
+    table.append(main_extra)  # main advances past the fork point
+    assert table.read_branch("audit").count() == branch_count
+
+    v_before = table.current_version()
+    table.fast_forward("audit")
+    # one new main snapshot containing main's post-fork rows AND the branch rows
+    assert table.current_version() == v_before + 1
+    assert table.read().count() == base_count + 30 + 10
+    assert table.branches() == {}  # dropped after publish
+    m = table._read_manifest(table.current_version())
+    assert m["summary"]["fast_forwarded_branch"] == "audit"
+
+
+def test_branch_drop_cleans_unpublished_files(spark, table):
+    """An abandoned branch removes its own data directories; main's data
+    and an expire/orphan pass never see them."""
+    import glob as _glob
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust)
+    table.create_branch("wip")
+    table.append_branch("wip", cust.limit(10))
+    pre = table.read().count()
+    table.drop_branch("wip")
+    assert table.read().count() == pre
+    assert table.branches() == {}
+    # branch data dirs gone; main's remain
+    assert table.read().count() == cust.count()
+    orphans = table.remove_orphan_files(older_than_seconds=0.0)
+    assert orphans == []  # nothing left behind to collect
+    assert _glob.glob(f"{table.path}/snapshots/branch-*") == []
+
+
+def test_branch_files_survive_gc(spark, table):
+    """expire_snapshots / remove_orphan_files must not collect data files
+    or base snapshots a live branch still references."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust.limit(50))          # v1 (future branch base)
+    table.create_branch("keepme")
+    table.append_branch("keepme", cust.limit(5))
+    table.overwrite(cust.limit(80))          # v2: main moves on
+    table.overwrite(cust.limit(90))          # v3
+    table.expire_snapshots(keep_last=1)
+    table.remove_orphan_files(older_than_seconds=0.0)
+    # branch still fully readable: base manifest + branch files survived
+    assert table.read_branch("keepme").count() == 55
+
+
+def test_partition_spec_evolution(spark, table):
+    """Spec evolution: snapshots may use different partition layouts; the
+    manifest accumulates all specs and pruning stays exact for both old-
+    and new-layout files."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    old = ev.filter(F.col("event_type") == "click")
+    new = ev.filter(F.col("event_type") == "purchase")
+    table.overwrite(old, partition_by=["days(ts)"])
+    table.append(new, partition_by=["bucket(4, user_id)"])  # evolved spec
+
+    m = table._read_manifest(table.current_version())
+    kinds = {d["kind"] for d in m["partition_specs"]}
+    assert kinds == {"days", "bucket"}
+
+    # correctness: full read returns everything with partition cols intact
+    got = table.read()
+    assert got.count() == old.count() + new.count()
+    assert got.filter(F.col("ts").isNull()).count() == 0
+
+    # pruning on ts: old-layout files prune by days(ts); new-layout files
+    # (no days field) are conservatively kept -> result stays exact
+    lo = ev.agg(F.min("ts")).first()[0]
+    scanned = table.scan({"ts": (None, lo)})
+    expect = old.filter(F.col("ts") <= lo).count() + new.filter(
+        F.col("ts") <= lo
+    ).count()
+    assert scanned.count() == expect
+
+
+def test_files_and_partitions_metadata_tables(spark, table):
+    """files()/partitions() metadata tables are consistent with the data:
+    row counts sum to the table count, partition rollup matches layout."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust, partition_by=["c_mktsegment"])
+    f = table.files()
+    assert f.agg(F.sum("num_rows")).first()[0] == cust.count()
+    assert f.filter(F.col("seq") != 1).count() == 0
+    assert f.filter(F.col("size_bytes") <= 0).count() == 0
+    segs = {
+        r.partition["c_mktsegment"] for r in f.select("partition").collect()
+    }
+    assert segs == {
+        r.c_mktsegment for r in cust.select("c_mktsegment").distinct().collect()
+    }
+    p = table.partitions()
+    assert p.count() == len(segs)
+    assert p.agg(F.sum("row_count")).first()[0] == cust.count()
