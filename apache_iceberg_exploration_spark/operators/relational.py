@@ -2384,3 +2384,83 @@ def recursive_ancestor_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__recursive_part"
     )
     return spark.sql(_RECURSIVE_WALK_SQL.format(part="__recursive_part"))
+
+
+@query(
+    "timeseries_gap_fill_forward",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   sum(value) AS day_value, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id
+        ),
+        cal AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM span
+        ),
+        j AS (
+            SELECT c.user_id, c.day, d.day_value,
+                   coalesce(d.n_events, 0) AS n_events
+            FROM cal c LEFT JOIN daily d
+              ON c.user_id = d.user_id AND c.day = d.day
+        )
+        SELECT user_id, day, n_events,
+               round(last_value(day_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS filled_value
+        FROM j
+    """,
+)
+def timeseries_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill (LOCF): densify each
+    user's daily activity to a complete calendar (``sequence`` + explode
+    over their [first, last] day) and carry the last observed daily total
+    forward across gap days — the standard regularization step before
+    feeding irregular event streams to window features or training
+    pipelines. Gap days surface with n_events = 0 and the carried value.
+
+    Scale: the calendar explode is bounded by span-days per user (output
+    ~ users × days, never a cross join against a global calendar); the
+    fill is one partitioned running ``last(ignorenulls)`` window — a
+    single shuffle on user_id shared with the daily aggregate. No
+    driver-side date loops.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum("value").alias("day_value"), F.count("*").alias("n_events")
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(
+            F.last("day_value", ignorenulls=True).over(w), 2
+        ).alias("filled_value"),
+    )

@@ -65,6 +65,13 @@ HEADLINE = [
     "dq_expectations_report",
     "sketch_distinct_rollup",
     "lakehouse_mor_delete",
+    "dedup_semantic_semdedup",
+    "text_quality_classifier",
+    "histogram_merge_rollup",
+    "streaming_enrich_purchases_dim",
+    "lakehouse_merge_delete",
+    "lakehouse_branch_publish",
+    "timeseries_gap_fill_forward",
 ]
 
 

@@ -178,3 +178,47 @@ def test_sketch_rollup_merge_is_lossless_and_accurate(spark):
     assert merged == direct                       # lossless merge
     assert abs(merged - exact) <= max(3, 0.05 * exact)
     assert len(rows) > 1 and all(v > 0 for v in rows.values())
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime (adaptive) bloom-filter join reduction: when a selective
+    filter sits on the build side of a shuffle join, Spark injects a
+    bloom_filter_agg over the build keys and rewrites the probe side
+    with might_contain(key) — fact rows that cannot join are dropped AT
+    THE SCAN, before the shuffle. At 100 TB this is the semi-join
+    reduction that turns a full-fact shuffle into a filtered one; the
+    size thresholds are lowered here only because the test data is far
+    below the defaults (10 GB probe / 10 MB build) that would trigger it
+    on a real cluster. Results must be identical with and without."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        orders = load_table(spark, SF_ORACLE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = executed_plan(j)
+        assert "might_contain" in plan  # probe-side semi-filter injected
+        with_filter = j.collect()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    without = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, with_filter)) == sorted(map(tuple, without))
