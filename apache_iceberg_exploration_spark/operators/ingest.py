@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..sources.io import load_table
 
 # the reference's hardcoded fallback (exampledag orig 40 ships a static
 # crew list for offline runs); content mirrors its shape, not its values
@@ -172,3 +173,38 @@ def rest_datasource_people(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_people"),
         F.min("name").alias("first_name_alpha"),
     )
+
+
+@query(
+    "bronze_schema_drift_union",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal,
+               CAST(NULL AS VARCHAR) AS c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def bronze_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant bronze union: two ingest batches whose
+    schemas differ (a column was added between extract runs — exactly the
+    drift the reference's inferred-schema pipeline hid, SURVEY.md §1.2's
+    missing last_updated bug) are aligned by NAME with
+    ``unionByName(allowMissingColumns=True)``; pre-migration rows surface
+    the new column as NULL instead of failing or silently misaligning by
+    position (what plain positional UNION does).
+
+    Scale: union is a zero-shuffle plan concatenation; the NULL backfill
+    is a literal projection. The same by-name contract powers the
+    lakehouse layer's per-snapshot schema evolution
+    (sources/lakehouse._project_to_schema).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    old_batch = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_acctbal"  # pre-migration schema
+    )
+    new_batch = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True)

@@ -963,6 +963,7 @@ class LakehouseTable:
         insert_unmatched: bool = True,
         summary_extra: dict | None = None,
         delete_condition: F.Column | None = None,
+        evolve_schema: bool = False,
     ) -> dict:
         """MERGE INTO (upsert): rows matched on ``on`` are updated with
         ``update_cols`` expressions (evaluated over target columns and
@@ -971,7 +972,11 @@ class LakehouseTable:
         ``WHEN MATCHED AND <cond> THEN DELETE`` clause: matched rows
         satisfying it (an expression over ``t.<col>``/``s.<col>``) are
         dropped instead of updated — the CDC-retraction / GDPR-erasure
-        arm of a full three-clause MERGE.
+        arm of a full three-clause MERGE. ``evolve_schema`` appends
+        source-only columns to the table schema during the merge
+        (pre-existing target rows surface them as NULL) — Iceberg's
+        ``spark.sql.iceberg.merge-schema`` behavior; combined with
+        per-snapshot schemas, time travel still shows the old shape.
 
         The reference configures IcebergSparkSessionExtensions precisely to
         enable MERGE (constant.py:48) but never issues one; with the jar
@@ -1016,6 +1021,14 @@ class LakehouseTable:
                 src_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
                 expr = F.when(only_src, src_val).otherwise(expr)
             projections.append(expr.alias(c))
+        if evolve_schema:
+            # source-only columns join the schema; rows with no source
+            # match (target-only) carry NULL via the outer join itself
+            projections += [
+                F.col(f"s.{c}").alias(c)
+                for c in source.columns
+                if c not in t_cols and c != "_s_present"
+            ]
         merged = joined.select(*projections)
 
         _, files = self._write_data_files(merged)

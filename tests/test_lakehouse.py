@@ -812,3 +812,29 @@ def test_files_and_partitions_metadata_tables(spark, table):
     p = table.partitions()
     assert p.count() == len(segs)
     assert p.agg(F.sum("row_count")).first()[0] == cust.count()
+
+
+def test_merge_schema_evolution(spark, table):
+    """evolve_schema=True: a source column unknown to the target joins
+    the schema mid-merge; unmatched target rows surface it as NULL, and
+    time travel still shows the pre-merge shape."""
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, bal double"
+    )
+    table.overwrite(target)
+    source = spark.createDataFrame(
+        [(2, 21.0, "gold"), (3, 30.0, "new")],
+        "k long, bal double, tier string",
+    )
+    table.merge_into(
+        source,
+        on=["k"],
+        update_cols={"bal": F.col("s.bal")},
+        evolve_schema=True,
+    )
+    rows = {r.k: r for r in table.read().collect()}
+    assert set(table.read().columns) == {"k", "bal", "tier"}
+    assert rows[1].tier is None and rows[1].bal == 10.0  # target-only
+    assert rows[2].tier == "gold" and rows[2].bal == 21.0  # matched
+    assert rows[3].tier == "new"  # inserted
+    assert "tier" not in table.read(version=1).columns  # time travel

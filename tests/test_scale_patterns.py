@@ -222,3 +222,63 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         .collect()
     )
     assert sorted(map(tuple, with_filter)) == sorted(map(tuple, without))
+
+
+def test_parquet_aggregate_pushdown_footer_only(spark):
+    """MIN/MAX/COUNT over a bare parquet scan push into the source
+    (DSv2 + spark.sql.parquet.aggregatePushdown): the 'PushedAggregation'
+    plan answers from row-group footer statistics without materializing
+    rows — a full-table count/min/max on 10^6 files becomes a
+    footer-metadata job. Values must equal the unpushed plan's."""
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = (
+            spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("o_orderkey").alias("mn"),
+                F.max("o_orderkey").alias("mx"),
+            )
+        )
+        assert "PushedAggregation" in executed_plan(agg)
+        pushed = agg.collect()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    plain = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+        )
+        .collect()
+    )
+    assert [tuple(r) for r in pushed] == [tuple(r) for r in plain]
+
+
+def test_observe_metrics_piggyback_on_action(spark):
+    """``df.observe``: pipeline health metrics (row counts, null counts,
+    sums) accumulate DURING the normal action — no second scan. This is
+    how a 100 TB ingest reports DQ counters for free instead of running
+    dq_expectations_report as an extra pass."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    ev = load_table(spark, SF_ORACLE, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("value")).alias("value_total"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_users"),
+    )
+    out = ev.filter(F.col("event_type") == "purchase").count()
+    m = obs.get
+    assert m["rows_seen"] == 10_000  # metrics cover the FULL scan
+    assert m["null_users"] == 0
+    assert out < m["rows_seen"]
