@@ -322,3 +322,79 @@ def domain_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("token_share_bp"),
     )
+
+
+_U_DENOM = float(1 << 60)  # hash64 range → unit interval
+
+
+def _quality_weighted_oracle() -> str:
+    from .text import _STOPWORDS
+
+    stop_in = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    u = hash64_sql("'sample|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH feats AS (
+            SELECT doc_id, n_chars, string_split(text, ' ') AS words
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   least(1.0, len(words) / 100.0) * 0.5
+                   + least(1.0, CAST(len(list_filter(words,
+                         w -> w IN ({stop_in}))) AS DOUBLE)
+                       / len(words) * 5) * 0.3
+                   + CASE WHEN CAST(n_chars AS DOUBLE) / len(words)
+                          BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END AS score,
+                   CAST({u} AS DOUBLE) / {_U_DENOM} AS u
+            FROM feats
+        )
+        SELECT doc_id,
+               CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp,
+               CAST(floor(u * 10000) AS BIGINT) AS draw_bp
+        FROM scored WHERE u < score
+    """
+
+
+@query("quality_weighted_sample", oracle=_quality_weighted_oracle())
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED sampling (soft filtering): each document is kept
+    with probability equal to its quality score — high-quality documents
+    almost always survive, low-quality ones survive occasionally instead
+    of being hard-cut at a threshold. This is the FineWeb/DataComp-style
+    alternative to binary filters: it preserves tail diversity while
+    still shifting the corpus quality distribution.
+
+    Determinism is the point: the "random" draw is the portable 60-bit
+    key hash mapped to [0,1), so the sample is reproducible across runs,
+    retries, partitionings, AND engines (the DuckDB oracle reproduces
+    the exact kept set — rand() could never be oracle-checked). The
+    score is text_quality_score's bounded [0,1] heuristic.
+
+    Scale: map-only scan→project→filter, zero shuffles; the keep
+    decision needs only the row itself. Changing the sampling epoch =
+    changing the hash salt ('sample|'), not re-ranking anything.
+    """
+    from .text import _STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tok = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("double")
+    avg_len = F.col("n_chars").cast("double") / n_tok
+    score = (
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), sw / n_tok * 5) * 0.3
+        + F.when(avg_len.between(3, 10), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    u = hash64(
+        F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))
+    ).cast("double") / F.lit(_U_DENOM)
+    return (
+        docs.select("doc_id", score.alias("score"), u.alias("u"))
+        .filter(F.col("u") < F.col("score"))
+        .select(
+            "doc_id",
+            F.floor(F.col("score") * 10000 + 0.5).cast("long").alias("score_bp"),
+            F.floor(F.col("u") * 10000).cast("long").alias("draw_bp"),
+        )
+    )

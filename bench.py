@@ -72,6 +72,8 @@ HEADLINE = [
     "lakehouse_merge_delete",
     "lakehouse_branch_publish",
     "timeseries_gap_fill_forward",
+    "quality_weighted_sample",
+    "bronze_schema_drift_union",
 ]
 
 

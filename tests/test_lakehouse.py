@@ -838,3 +838,34 @@ def test_merge_schema_evolution(spark, table):
     assert rows[2].tier == "gold" and rows[2].bal == 21.0  # matched
     assert rows[3].tier == "new"  # inserted
     assert "tier" not in table.read(version=1).columns  # time travel
+
+
+def test_concurrent_branch_appends_isolated(spark, table):
+    """Branch commits use the same optimistic protocol as main: N threads
+    appending to one branch linearize without loss, and main's version
+    counter never moves."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    cust.count()
+    table.overwrite(cust.filter(F.col("c_custkey") < 0))  # empty base
+    table.create_branch("load")
+    n_writers = 4
+    errs = []
+
+    def writer(i):
+        try:
+            table.append_branch(
+                "load", cust.filter(F.col("c_custkey") % n_writers == i)
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+    assert not errs
+    assert table._branch_head("load") == n_writers  # gapless branch chain
+    assert table.current_version() == 1  # main untouched
+    assert table.read_branch("load").count() == cust.count()

@@ -184,3 +184,39 @@ def test_metadata_file_provenance(spark, tmp_path):
         for f in g.glob(f"{out}/*.parquet")
     }
     assert got == want and sum(want.values()) == src.count()
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE JSON ingest: malformed lines land in a quarantine
+    column instead of failing the job — at 100 TB a handful of bad
+    records must never kill a multi-hour ingest, and the quarantine
+    column is what the DQ pass groups on to report them."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10.0}\n'
+        "{broken json!!\n"
+        '{"id": 2, "v": 20.0}\n'
+        '{"id": "not-a-number", "v": 30.0}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(p))
+    ).cache()
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert good.count() == 2
+    assert {r.id for r in good.collect()} == {1, 2}
+    assert bad.count() == 2  # the broken line AND the type-mismatch line
+    assert all(r._corrupt is not None for r in bad.collect())
+    df.unpersist()
