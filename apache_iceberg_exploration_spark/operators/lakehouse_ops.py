@@ -266,7 +266,8 @@ def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_mktsegment, c_nationkey,
                count(*) AS n_customers,
-               round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS sum_bal
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_bal_cents
         FROM customer
         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
         GROUP BY c_mktsegment, c_nationkey
@@ -280,7 +281,10 @@ def lakehouse_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-column predicate and aggregated INCLUDING the partition
     column — which only round-trips if the reader recovers the
     directory-encoded values (r1 ADVICE high: they came back NULL before
-    the basePath fix).
+    the basePath fix). The balance sum is integer cents
+    (floor(x*100+0.5) per row, then exact long sum): both engines floor
+    the SAME binary double, where CAST(double AS DECIMAL) diverges on
+    rendering-vs-binary rounding (r2 ADVICE low: hash mismatch).
 
     Scale: the partition predicate prunes whole directories before any
     file is opened, so the scan cost tracks the selected partitions, not
@@ -297,9 +301,9 @@ def lakehouse_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment", "c_nationkey")
             .agg(
                 F.count("*").alias("n_customers"),
-                F.round(
-                    F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
-                ).alias("sum_bal"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+                ).alias("sum_bal_cents"),
             )
         )
         rows = out.collect()  # materialize before scratch cleanup

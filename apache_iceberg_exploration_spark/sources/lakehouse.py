@@ -355,6 +355,25 @@ class LakehouseTable:
             manifest["partitions"] = partitions or {}
         return manifest
 
+    @staticmethod
+    def _merge_schema_json(base_json: str | None, extra_json: str | None) -> str | None:
+        """Add-column schema union (the same contract ``_project_to_schema``
+        reads by): ``base``'s fields keep their order and types; fields
+        that exist only in ``extra`` are appended. Used wherever two
+        snapshot lineages meet (branch publish, branch append) so neither
+        side's schema evolution is silently reverted."""
+        if base_json is None:
+            return extra_json
+        if extra_json is None:
+            return base_json
+        base = json.loads(base_json)
+        extra = json.loads(extra_json)
+        have = {f["name"] for f in base["fields"]}
+        base["fields"] = base["fields"] + [
+            f for f in extra["fields"] if f["name"] not in have
+        ]
+        return json.dumps(base)
+
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
         """Full-replace snapshot — the reference's only write mode
         (``mode("overwrite").saveAsTable``, etl.py:51-54)."""
@@ -544,8 +563,23 @@ class LakehouseTable:
                 "append",
                 prev.get("files", []) + files,
                 head,
-                schema_json=df.schema.json(),
+                schema_json=self._merge_schema_json(
+                    prev.get("schema"), df.schema.json()
+                ),
                 stats={**prev.get("stats", {}), **new_stats},
+                # Same carry-through contract as main's append(): the fork
+                # point may hold pending MoR equality deletes — a branch
+                # read must still apply them, and branch-appended rows
+                # must postdate them. Branch file seqs start past the
+                # base version so no delete forked from main (seq <= base)
+                # can ever claim a branch-appended row.
+                file_seq={
+                    **prev.get("file_seq", {}),
+                    **{f: base + head + 1 for f in files},
+                },
+                delete_files=prev.get("delete_files", []),
+                partition_specs=prev.get("partition_specs"),
+                partitions=prev.get("partitions"),
                 added=len(files),
                 branch=name,
                 base_version=base,
@@ -611,7 +645,14 @@ class LakehouseTable:
                 "append",
                 prev + added,
                 parent,
-                schema_json=schema_json or prev_manifest.get("schema"),
+                # main's CURRENT schema wins field-for-field; branch-only
+                # columns are appended. The branch head's schema was frozen
+                # at fork time — preferring it wholesale would revert any
+                # add-column evolution main did after the fork (Iceberg
+                # avoids this by refusing non-ancestor fast-forwards).
+                schema_json=self._merge_schema_json(
+                    prev_manifest.get("schema"), schema_json
+                ),
                 stats={**prev_manifest.get("stats", {}), **added_stats},
                 file_seq={
                     **prev_manifest.get("file_seq", {}),
@@ -640,10 +681,21 @@ class LakehouseTable:
         shutil.rmtree(self._branch_dir(name), ignore_errors=True)
         if keep_files or not added:
             return
+        # Safety invariant this deletion relies on: every _write_data_files
+        # call puts its files under a fresh data/<uuid> dir, so a branch
+        # commit's dir is never shared with another lineage. The live set
+        # below (main snapshots + their MoR delete-key files + staged WAP
+        # commits + other branches) is still checked per-dir, mirroring
+        # remove_orphan_files, so a future shared-dir refactor fails safe
+        # instead of deleting live data.
         data_root = os.path.join(self.path, "data")
-        live: set[str] = set()
+        live: set[str] = set(self._branch_referenced_files())
         for snap in self.snapshots():
             live.update(snap["files"])
+            live.update(self._delete_key_files(snap))
+        for sp in glob.glob(os.path.join(self._snap_dir, "stage-*.json")):
+            with open(sp) as f:
+                live.update(json.load(f).get("added_files", []))
         for snap_dir in {
             os.path.join(
                 data_root, os.path.relpath(f, data_root).split(os.sep)[0]
@@ -1617,6 +1669,11 @@ class LakehouseTable:
         for snap in self.snapshots():
             referenced.update(snap["files"])
             referenced.update(self._delete_key_files(snap))
+        # staged WAP commits are live until published or aborted, however
+        # long the audit takes — age alone must not reclaim them
+        for sp in glob.glob(os.path.join(self._snap_dir, "stage-*.json")):
+            with open(sp) as f:
+                referenced.update(json.load(f).get("added_files", []))
         removed = []
         now = time.time()
         for snap_dir in glob.glob(os.path.join(self.path, "data", "*")):

@@ -24,18 +24,35 @@ from pyspark.sql import DataFrame
 from ..sources.lakehouse import LakehouseTable
 
 BATCH_KEY = "streaming_batch_id"
+BATCH_HWM_KEY = "streaming_batch_hwm"
 
 
 def applied_batch_ids(table: LakehouseTable) -> set[int]:
     """Batch ids recorded in ANY live snapshot's commit summary. O(snapshots)
-    driver-side metadata — no data IO. Snapshot expiration keeps the
-    manifest count (and this scan) bounded; expire with a retention
-    window longer than the maximum conceivable replay gap (one restart)."""
+    driver-side metadata — no data IO."""
     return {
         m["summary"][BATCH_KEY]
         for m in table.snapshots()
         if BATCH_KEY in m.get("summary", {})
     }
+
+
+def last_applied_batch(table: LakehouseTable) -> int | None:
+    """High-water mark of applied batch ids, surviving snapshot expiration:
+    every sink commit carries ``BATCH_HWM_KEY`` (the max batch id applied
+    SO FAR) forward in its summary, so as long as ANY sink-written
+    snapshot is live — and the newest one always is — the mark is
+    recoverable. Snapshot retention therefore no longer bounds the dedup
+    guarantee (the earlier design scanned per-batch ids only, silently
+    degrading to at-least-once once expire_snapshots removed the manifest
+    that recorded a replayed id)."""
+    marks = [
+        m["summary"][k]
+        for m in table.snapshots()
+        for k in (BATCH_HWM_KEY, BATCH_KEY)
+        if k in m.get("summary", {})
+    ]
+    return max(marks) if marks else None
 
 
 def idempotent_foreach_batch(
@@ -57,8 +74,19 @@ def idempotent_foreach_batch(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in applied_batch_ids(table):
+        # One streaming query's batch ids are monotonic, so the carried
+        # high-water mark alone decides replay — a batch at or below it
+        # already committed (possibly in a since-expired snapshot).
+        hwm = last_applied_batch(table)
+        if hwm is not None and batch_id <= hwm:
             return  # replayed micro-batch: already committed, skip
-        apply(table, batch_df, {BATCH_KEY: batch_id})
+        apply(
+            table,
+            batch_df,
+            {
+                BATCH_KEY: batch_id,
+                BATCH_HWM_KEY: max(batch_id, hwm if hwm is not None else batch_id),
+            },
+        )
 
     return sink
