@@ -51,14 +51,24 @@ def incremental_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the parquet scan (tests assert PushedFilters), instead of an
     f-string interpolated into source SQL.
 
-    The filter compares the raw epoch-nano INT64 (pushable) rather than the
-    converted timestamp column (not pushable through ``timestamp_micros``).
+    The comparison happens in the on-disk encoding so it stays pushable:
+    for epoch-nano INT64 files an epoch-nano literal (a filter above
+    ``timestamp_micros`` would not push), for timestamp(µs) files a plain
+    timestamp literal (Spark pushes those natively — PushedFilters shows
+    ``GreaterThan(ts, ...)`` either way).
     """
-    from ..sources.io import events_ts_to_timestamp, load_events_raw
+    from ..sources.io import (
+        events_ts_is_int64,
+        events_ts_to_timestamp,
+        load_events_raw,
+    )
 
-    watermark_ns = 1705276800 * 1_000_000_000  # 2024-01-15T00:00:00Z
-    raw = load_events_raw(spark, sf_dir).filter(F.col("ts") > F.lit(watermark_ns))
-    return events_ts_to_timestamp(raw)
+    raw = load_events_raw(spark, sf_dir)
+    if events_ts_is_int64(sf_dir):
+        watermark = F.lit(1705276800 * 1_000_000_000)  # 2024-01-15T00:00:00Z
+    else:
+        watermark = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    return events_ts_to_timestamp(raw.filter(F.col("ts") > watermark))
 
 
 @query(

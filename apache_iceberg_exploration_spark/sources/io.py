@@ -23,33 +23,67 @@ from pyspark.sql import types as T
 from ..schemas import TABLES
 
 
-def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet with ``ts`` as raw INT64 epoch-nanos.
+_EVENTS_TS_IS_INT64: dict[str, bool] = {}
 
-    The driver writes events.ts as parquet TIMESTAMP(NANOS), which Spark
-    rejects outright (PARQUET_TYPE_ILLEGAL) unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is on. Reading raw also keeps
-    watermark predicates pushable: compare against an epoch-nano literal on
-    the INT64 column (pushed to the parquet reader), then convert — a filter
-    above ``timestamp_micros(...)`` would not push down.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
+
+def events_ts_is_int64(sf_dir: str) -> bool:
+    """Whether events.parquet stores ``ts`` as a raw INT64 (epoch-nanos —
+    parquet TIMESTAMP(NANOS), which Spark rejects without the nanosAsLong
+    legacy conf) or as a proper parquet timestamp (µs). The driver has
+    shipped BOTH encodings across rounds, so sniff the footer once per
+    directory (one driver-side metadata read, no data IO) instead of
+    hard-coding either."""
+    if sf_dir not in _EVENTS_TS_IS_INT64:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(
+            os.path.join(sf_dir, "events.parquet")
+        ).field("ts").type
+        _EVENTS_TS_IS_INT64[sf_dir] = pa.types.is_integer(t)
+    return _EVENTS_TS_IS_INT64[sf_dir]
+
+
+def events_raw_schema(sf_dir: str) -> T.StructType:
+    """Declared read schema for events.parquet honouring the on-disk ``ts``
+    encoding (LongType for epoch-nanos files, TimestampType otherwise).
+    Shared by batch and readStream scans."""
+    if not events_ts_is_int64(sf_dir):
+        return TABLES["events"]
+    return T.StructType(
         [
             f if f.name != "ts" else T.StructField("ts", T.LongType())
             for f in TABLES["events"].fields
         ]
     )
-    return spark.read.schema(schema).parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with ``ts`` in its on-disk encoding.
+
+    For epoch-nano INT64 files, reading raw keeps watermark predicates
+    pushable: compare against an epoch-nano literal on the INT64 column
+    (pushed to the parquet reader), then convert — a filter above
+    ``timestamp_micros(...)`` would not push down. For timestamp(µs)
+    files Spark pushes timestamp comparisons natively, so raw == typed.
+    """
+    if events_ts_is_int64(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.schema(events_raw_schema(sf_dir)).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
 
 
 def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
-    """epoch-nanos INT64 → TimestampType.
+    """epoch-nanos INT64 → TimestampType; no-op when ``ts`` is already a
+    timestamp (µs-encoded files).
 
     Integer division, NOT ``/1000`` — epoch-nanos (~1.7e18) exceed a
     double's 53-bit mantissa, so float division silently rounds the odd
     microseconds."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

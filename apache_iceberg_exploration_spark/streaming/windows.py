@@ -166,22 +166,7 @@ def streaming_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFr
     rows (files arrive as one AvailableNow batch).
     """
 
-    from ..schemas import TABLES
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in TABLES["events"].fields
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = events_ts_to_timestamp(stream).withWatermark("ts", "10 minutes")
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
         ev.groupBy(F.window("ts", "1 day"), "event_type")
         .agg(
@@ -200,22 +185,16 @@ def streaming_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    """readStream over events.parquet with the ns-timestamp workaround
-    (shared by every real-streaming query here)."""
+    """readStream over events.parquet honouring the on-disk ``ts``
+    encoding (shared by every real-streaming query here): declared schema
+    from events_raw_schema, ns→timestamp conversion only when needed."""
 
-    from pyspark.sql import types as T
+    from ..sources.io import events_raw_schema, events_ts_is_int64
 
-    from ..schemas import TABLES
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in TABLES["events"].fields
-        ]
-    )
+    if events_ts_is_int64(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(events_raw_schema(sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
