@@ -206,8 +206,10 @@ def similarity_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize_int8",
     oracle="""
         SELECT vec_id, label,
-               list_transform(CAST(embedding AS DOUBLE[]),
-                              v -> CAST(floor(v * 127.0 / 0.5) AS INTEGER)) AS q8,
+               array_to_string(
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  v -> CAST(floor(v * 127.0 / 0.5) AS INTEGER)),
+                   ',') AS q8_csv,
                CAST(floor(list_aggregate(
                      list_transform(CAST(embedding AS DOUBLE[]), v -> v * v),
                      'sum') * 10000 + 0.5) AS BIGINT) AS sq_norm_bp
@@ -219,7 +221,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus max-abs): the 4× storage/bandwidth cut applied before ANN
     serving; plus the squared norm (basis points) kept alongside for
     asymmetric distance correction. All higher-order array functions —
-    JVM-side, shuffle-free."""
+    JVM-side, shuffle-free.
+
+    The quantized vector is emitted CSV-rendered (exact integer elements,
+    so the rendering is lossless): the driver's canonicalizer sorts rows
+    with pandas, and raw array cells crash it (unhashable 'list' — r2
+    ADVICE). The array-native form is the same expression minus concat_ws."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     v = F.col("embedding").cast("array<double>")
     q8 = F.transform(v, lambda x: F.floor(x * 127.0 / 0.5).cast("int"))
@@ -227,7 +234,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        q8.alias("q8"),
+        F.concat_ws(",", q8.cast("array<string>")).alias("q8_csv"),
         F.floor(sq * 10000 + 0.5).cast("long").alias("sq_norm_bp"),
     )
 
@@ -290,7 +297,56 @@ K_CELLS = 8
 KMEANS_ITERS = 4
 
 
-@query("ann_kmeans_cells")  # no oracle: iterative algorithm (driver records rows-only)
+def _kmeans_oracle() -> str:
+    """Lloyd's with a FIXED iteration budget is SQL-expressible after all:
+    unroll the loop into one CTE pair (assign, recenter) per iteration,
+    generated here by the same Python loop that drives the Spark plan.
+    Both engines do double-precision cosine; assignments only diverge if
+    two centroid similarities tie within one ulp."""
+    cos = cosine_similarity_sql("e.v", "c.c")
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {K_CELLS})
+        )""",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""a{i} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos} DESC, c.cell) AS rn
+                FROM emb e, c{i - 1} c
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""c{i} AS (
+            SELECT cell, list(dim_avg ORDER BY pos) AS c
+            FROM (
+                SELECT cell, pos, avg(x) AS dim_avg
+                FROM (
+                    SELECT cell, generate_subscripts(v, 1) AS pos,
+                           unnest(v) AS x
+                    FROM a{i}
+                )
+                GROUP BY cell, pos
+            )
+            GROUP BY cell
+        )""")
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT vec_id, cell, round(sim, 4) AS cos_to_centroid
+        FROM (
+            SELECT e.vec_id, c.cell, {cos} AS sim,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos} DESC, c.cell) AS rn
+            FROM emb e, c{KMEANS_ITERS} c
+        ) WHERE rn = 1
+    """
+
+
+@query("ann_kmeans_cells", oracle=_kmeans_oracle())
 def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell CONSTRUCTION: k-means (Lloyd's) over the embeddings with
     deterministic init (the K lowest vec_ids) and a fixed iteration
@@ -301,10 +357,11 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each iteration is: broadcast K centroids → per-vector argmax cosine
     (JVM higher-order functions, no Python) → new centroids via
-    posexplode + (cell, dim) average. No oracle: iterative fixpoints are
-    exactly the non-SQL-expressible class the contract exempts; tests
-    assert determinism, total coverage, and assignment improvement
-    instead.
+    posexplode + (cell, dim) average. The oracle unrolls the fixed
+    iteration budget into generated CTEs (_kmeans_oracle) — the
+    genuinely-unbounded fixpoint variant would stay oracle-exempt; tests
+    additionally assert determinism, total coverage, and assignment
+    improvement.
 
     Scale: per iteration one broadcast (K·d doubles) + one narrow
     argmax pass + one k·d-row shuffle — Lloyd's at any corpus size;
@@ -372,13 +429,16 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_centroid_per_label",
     oracle="""
-        SELECT label, list(av ORDER BY pos) AS centroid
+        SELECT label,
+               string_agg(CAST(mb AS VARCHAR), ',' ORDER BY pos)
+                   AS centroid_mb_csv
         FROM (
-            SELECT label, pos, round(avg(v), 3) + 0.0 AS av
+            SELECT label, pos,
+                   CAST(floor(avg(v) * 1000 + 0.5) AS BIGINT) AS mb
             FROM (
                 SELECT label,
                        generate_subscripts(embedding, 1) AS pos,
-                       unnest(embedding) AS v
+                       CAST(unnest(embedding) AS DOUBLE) AS v
                 FROM embeddings
             )
             GROUP BY label, pos
@@ -399,24 +459,29 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide vectors prefer F.aggregate over zip_with on array sums (one row
     per group, no explode); the exploded form wins when d is modest and
     skew matters.
+
+    Output is the centroid in integer milli-units, CSV-rendered (the
+    driver's pandas canonicalizer can't sort raw array cells — r2
+    ADVICE); integer elements make the string rendering engine-exact.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0 in
-        # one engine and +0.0 in the other; -0.0 + 0.0 == +0.0 always)
-        .agg((F.round(F.avg("v"), 3) + F.lit(0.0)).alias("av"))
+        .agg(F.floor(F.avg("v") * 1000 + 0.5).cast("long").alias("mb"))
     )
     return (
         per_dim.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("av")))
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mb")))
+                    ),
+                    lambda s: s["mb"].cast("string"),
                 ),
-                lambda s: s["av"],
-            ).alias("centroid")
+            ).alias("centroid_mb_csv")
         )
     )
 
