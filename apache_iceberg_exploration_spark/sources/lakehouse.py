@@ -441,7 +441,12 @@ class LakehouseTable:
                 "append",
                 prev + files,
                 parent,
-                schema_json=df.schema.json(),
+                # add-column union, not wholesale replacement: appending a
+                # frame NARROWER than the table must not drop the table's
+                # extra columns (Iceberg appends never un-evolve a schema)
+                schema_json=self._merge_schema_json(
+                    prev_manifest.get("schema"), df.schema.json()
+                ),
                 stats=stats,
                 file_seq=seq,
                 # appended rows postdate every pending delete (their file

@@ -869,3 +869,162 @@ def test_concurrent_branch_appends_isolated(spark, table):
     assert table._branch_head("load") == n_writers  # gapless branch chain
     assert table.current_version() == 1  # main untouched
     assert table.read_branch("load").count() == cust.count()
+
+
+def test_branch_fork_carries_pending_mor_deletes(spark, table):
+    """r2 ADVICE (medium): forking a branch from a snapshot with pending
+    merge-on-read equality deletes must not resurrect the deleted rows —
+    in the branch read, after branch appends, or in the fast_forward
+    publish. Branch-appended rows postdate the fork, so re-adding a
+    previously-deleted key must survive (sequence-number semantics)."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    base = cust.filter(F.col("c_custkey") <= 100)
+    n_base = base.count()
+    n_del = base.filter(F.col("c_custkey") <= 10).count()
+    table.overwrite(base)
+    table.delete_where_mor(F.col("c_custkey") <= 10, keys=["c_custkey"])
+    assert table.read().count() == n_base - n_del
+
+    table.create_branch("fork")
+    # empty branch: read delegates to the base snapshot (deletes applied)
+    assert table.read_branch("fork").count() == n_base - n_del
+
+    later = cust.filter(F.col("c_custkey").between(101, 110))
+    n_later = later.count()
+    table.append_branch("fork", later)
+    br = table.read_branch("fork")
+    assert br.count() == n_base - n_del + n_later
+    assert br.filter(F.col("c_custkey") <= 10).count() == 0
+
+    # re-add keys <=5 ON THE BRANCH: newer than the delete -> they live
+    readd = cust.filter(F.col("c_custkey") <= 5)
+    n_readd = readd.count()
+    table.append_branch("fork", readd)
+    br = table.read_branch("fork")
+    assert br.filter(F.col("c_custkey") <= 5).count() == n_readd
+    assert br.filter(F.col("c_custkey").between(6, 10)).count() == 0
+
+    table.fast_forward("fork")
+    main = table.read()
+    assert main.filter(F.col("c_custkey").between(6, 10)).count() == 0
+    assert main.filter(F.col("c_custkey") <= 5).count() == n_readd
+    assert main.count() == n_base - n_del + n_later + n_readd
+
+
+def test_fast_forward_preserves_main_schema_evolution(spark, table):
+    """r2 ADVICE (medium): if main adds a column AFTER the fork, publishing
+    the branch must not revert the schema to the branch's frozen one —
+    main's current schema wins field-for-field, branch-only columns
+    append."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    narrow = cust.select("c_custkey", "c_name")
+    table.append(narrow.filter(F.col("c_custkey") < 10))
+    table.create_branch("slow-audit")
+    table.append_branch(
+        "slow-audit",
+        narrow.filter(F.col("c_custkey").between(10, 14)),
+    )
+    # main evolves: add-column append after the fork
+    table.append(
+        cust.select("c_custkey", "c_name", "c_acctbal").filter(
+            F.col("c_custkey").between(15, 19)
+        )
+    )
+    assert table.read().columns == ["c_custkey", "c_name", "c_acctbal"]
+
+    table.fast_forward("slow-audit")
+    out = table.read()
+    assert out.columns == ["c_custkey", "c_name", "c_acctbal"]
+    # branch rows surface NULL for the post-fork column; main rows keep it
+    assert (
+        out.filter(F.col("c_custkey").between(10, 14))
+        .filter(F.col("c_acctbal").isNull())
+        .count()
+        == 5
+    )
+    assert (
+        out.filter(F.col("c_custkey").between(15, 19))
+        .filter(F.col("c_acctbal").isNotNull())
+        .count()
+        == 5
+    )
+
+
+def test_append_narrower_frame_keeps_evolved_schema(spark, table):
+    """Appending a frame NARROWER than the table schema must not drop the
+    table's extra columns (append schema = add-column union, same contract
+    as branch publish)."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    table.append(
+        cust.select("c_custkey", "c_name", "c_acctbal").filter(
+            F.col("c_custkey") < 10
+        )
+    )
+    table.append(
+        cust.select("c_custkey", "c_name").filter(
+            F.col("c_custkey").between(10, 14)
+        )
+    )
+    out = table.read()
+    assert out.columns == ["c_custkey", "c_name", "c_acctbal"]
+    assert (
+        out.filter(F.col("c_custkey") >= 10)
+        .filter(F.col("c_acctbal").isNull())
+        .count()
+        == 5
+    )
+
+
+def test_exactly_once_sink_survives_snapshot_expiration(spark, table):
+    """r2 ADVICE (low): the sink's dedup guarantee must not depend on the
+    snapshot that recorded a batch id staying live. Every sink commit
+    carries the high-water mark forward, so replaying a batch whose
+    manifest was expired is STILL a no-op."""
+    from apache_iceberg_exploration_spark.streaming.sinks import (
+        idempotent_foreach_batch,
+        last_applied_batch,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    table.overwrite(ev.limit(0))
+
+    def apply(tbl, batch_df, summary_extra):
+        return tbl.append(batch_df, summary_extra=summary_extra)
+
+    sink = idempotent_foreach_batch(table, apply)
+    for b in range(3):
+        sink(ev.filter(F.col("event_id") % 3 == b), b)
+    total = table.read().count()
+    assert total == ev.count()
+
+    # expire everything but the tip: manifests recording batches 0,1 die
+    table.expire_snapshots(keep_last=1)
+    assert last_applied_batch(table) == 2
+
+    v_before = table.current_version()
+    sink(ev.filter(F.col("event_id") % 3 == 0), 0)  # replay expired batch
+    assert table.current_version() == v_before  # no-op, not a duplicate
+    assert table.read().count() == total
+
+    sink(ev.limit(7), 3)  # genuinely new batch still commits
+    assert table.read().count() == total + 7
+    assert last_applied_batch(table) == 3
+
+
+def test_orphan_gc_preserves_staged_wap_files(spark, table):
+    """r3 follow-through on r2 ADVICE (low): a staged write-audit-publish
+    commit is live however long the audit takes — an aggressive
+    remove_orphan_files pass (age 0) must not reclaim its data files."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    base = cust.filter(F.col("c_custkey") <= 100)
+    staged = cust.filter(F.col("c_custkey").between(101, 120))
+    table.overwrite(base)
+    sid = table.stage_append(staged)
+
+    removed = table.remove_orphan_files(older_than_seconds=0.0)
+    assert removed == []  # staged files are referenced, not orphans
+
+    table.publish(sid)
+    assert table.read().count() == base.count() + staged.count()
