@@ -27,6 +27,17 @@ def _scratch() -> str:
     return tempfile.mkdtemp(prefix="lakehouse_q_", dir="/tmp")
 
 
+def _materialize(out):
+    """Pin the result JVM-side (localCheckpoint truncates the lineage and
+    stores the partitions in the local block manager) so the scratch
+    table's files can be deleted before returning. The previous
+    collect()+createDataFrame round-trip serialized every result row
+    through the Python driver — O(|result|) driver memory and the
+    dominant cost of the lakehouse pipeline benchmarks (~100k-row golds
+    at sf0.1)."""
+    return out.localCheckpoint(eager=True)
+
+
 @query(
     "lakehouse_merge_upsert",
     oracle="""
@@ -89,8 +100,7 @@ def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = tbl.read().select(
             "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
         )
-        rows = out.collect()  # materialize before scratch cleanup
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -161,8 +171,7 @@ def lakehouse_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = tbl.read().select(
             "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
         )
-        rows = out.collect()  # materialize before scratch cleanup
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -183,8 +192,7 @@ def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.overwrite(cust.filter(F.col("c_acctbal") > 5000))
         assert tbl.current_version() == 2
         out = tbl.read(version=1)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -218,8 +226,7 @@ def lakehouse_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -255,8 +262,7 @@ def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.append(ev.filter(F.col("event_id") % 3 == 1))
         tbl.append(ev.filter(F.col("event_id") % 3 == 2))
         out = tbl.read_incremental(checkpoint)
-        rows = out.collect()  # materialize before scratch cleanup
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -306,8 +312,7 @@ def lakehouse_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("sum_bal_cents"),
             )
         )
-        rows = out.collect()  # materialize before scratch cleanup
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -370,8 +375,7 @@ def lakehouse_incremental_gold_refresh(
         out = gold.read().select(
             "custkey", "n_orders", F.col("spent").cast("double").alias("spent")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -421,8 +425,7 @@ def lakehouse_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("o_orderkey").alias("max_key"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -469,8 +472,7 @@ def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_price"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -513,8 +515,7 @@ def lakehouse_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             prune={"c_custkey": (None, 100)},
         )
         out = tbl.changelog(v1)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -543,8 +544,7 @@ def lakehouse_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.delete_where(F.col("c_mktsegment") == "BUILDING")
         tbl.rollback(v1)
         out = tbl.read()
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -593,8 +593,7 @@ def lakehouse_snapshots_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         counts_df = spark.createDataFrame(counts, "version long, row_count long")
         out = hist.join(counts_df, "version").orderBy("version")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -646,8 +645,7 @@ def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).count() > 0:
             tbl.abort_stage(bad_stage)
         out = tbl.read()
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -695,8 +693,7 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = tbl.read()
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -749,8 +746,7 @@ def lakehouse_transform_partition_scan(
         )
         assert 0 < len(kept) < len(m["files"]), "partition pruning inert"
         out = tbl.scan({"o_orderdate": (lo, hi)})
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -787,8 +783,7 @@ def lakehouse_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.append(cust.filter(k > q3))  # main advances past the fork
         tbl.fast_forward("audit")
         out = tbl.read()
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -824,7 +819,6 @@ def lakehouse_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("file_count").cast("int").alias("file_count"),
             "row_count",
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
