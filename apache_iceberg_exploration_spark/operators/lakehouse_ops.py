@@ -699,6 +699,46 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_pos_delete",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0)
+    """,
+)
+def lakehouse_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete end-to-end (Iceberg v2's second MoR flavor): v1 =
+    customer; a predicate's rows are deleted by their PHYSICAL
+    coordinates (file path + row index from Spark's ``_metadata``
+    struct) — keys-free, works on tables with no unique key and can
+    even drop one of two identical rows. Data files untouched
+    (asserted); the read anti-joins the coordinate list out.
+
+    Scale: the delete writes O(matching rows) coordinate pairs; the
+    read pays one broadcast anti-join shared by all pending position
+    deletes until compaction materializes them. Coordinates pin exact
+    rows, so no sequence-number bookkeeping is needed on the read."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        tbl.overwrite(cust)
+        files_before = tbl._read_manifest(tbl.current_version())["files"]
+        tbl.delete_where_pos(
+            (F.col("c_mktsegment") == "MACHINERY")
+            & (F.col("c_custkey") % 3 == 0)
+        )
+        assert (
+            tbl._read_manifest(tbl.current_version())["files"] == files_before
+        ), "position delete must not rewrite data files"
+        out = tbl.read()
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_transform_partition_scan",
     oracle="""
         SELECT o_orderkey, o_custkey,

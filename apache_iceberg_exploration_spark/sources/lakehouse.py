@@ -740,6 +740,7 @@ class LakehouseTable:
         files: list[str],
         file_seq: dict[str, int] | None = None,
         with_seq: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Open a set of manifest-listed leaf files, recovering
         hive-partition columns.
@@ -755,7 +756,10 @@ class LakehouseTable:
 
         ``with_seq`` attaches each file's data sequence number as a
         ``__seq`` literal column (files of one snapshot dir share a seq,
-        so it's a per-scan constant — zero per-row cost)."""
+        so it's a per-scan constant — zero per-row cost). ``with_pos``
+        attaches the row's physical identity (``__file``, ``__pos``) from
+        Spark's hidden ``_metadata`` struct — the coordinates positional
+        deletes target; generated by the parquet reader, not stored."""
         data_root = os.path.join(self.path, "data")
         seqs = file_seq or {}
         groups: dict[tuple[str, int], list[str]] = {}
@@ -777,6 +781,10 @@ class LakehouseTable:
             )
             if with_seq:
                 s = s.withColumn("__seq", F.lit(seq))
+            if with_pos:
+                s = s.withColumn(
+                    "__file", F.col("_metadata.file_path")
+                ).withColumn("__pos", F.col("_metadata.row_index"))
             scans.append(s)
         out = scans[0]
         for s in scans[1:]:
@@ -792,13 +800,26 @@ class LakehouseTable:
         the delete survive (Iceberg v2 sequence-number semantics).
         Expects ``__seq`` on ``df``; drops it.
 
-        Scale: one anti-join per distinct key set (usually one); the
-        delete side is keys-only and tiny relative to data, so Catalyst
-        broadcasts it — the read-amplification merge-on-read trades for
-        write-cheap deletes, until compaction materializes them away."""
+        Positional entries (``pos: True`` — Iceberg v2 position deletes)
+        instead anti-join on the row's physical coordinates
+        (``__file``, ``__pos``): they target specific rows of specific
+        files, so no sequence check is needed (a later append can never
+        reuse a deleted file's path — data dirs are per-commit unique),
+        and unlike equality deletes they can remove ONE of two identical
+        rows.
+
+        Scale: one anti-join per distinct key set (usually one) plus at
+        most one for all positional entries; the delete side is
+        keys-only and tiny relative to data, so Catalyst broadcasts it —
+        the read-amplification merge-on-read trades for write-cheap
+        deletes, until compaction materializes them away."""
         by_keys: dict[tuple[str, ...], list[dict]] = {}
+        pos_entries: list[dict] = []
         for d in delete_files:
-            by_keys.setdefault(tuple(d["keys"]), []).append(d)
+            if d.get("pos"):
+                pos_entries.append(d)
+            else:
+                by_keys.setdefault(tuple(d["keys"]), []).append(d)
         for keys, entries in by_keys.items():
             dels = None
             for d in entries:
@@ -815,7 +836,20 @@ class LakehouseTable:
                 functools_reduce(lambda a, b: a & b, cond),
                 "left_anti",
             )
-        return df.drop("__seq")
+        if pos_entries:
+            dels = self.spark.read.parquet(
+                *[f for d in pos_entries for f in d["files"]]
+            ).select(
+                F.col("__file").alias("__dfile"),
+                F.col("__pos").alias("__dpos"),
+            )
+            df = df.join(
+                F.broadcast(dels),
+                (df["__file"] == dels["__dfile"])
+                & (df["__pos"] == dels["__dpos"]),
+                "left_anti",
+            )
+        return df.drop("__seq", "__file", "__pos")
 
     def _project_to_schema(self, manifest: dict) -> DataFrame:
         """Read a manifest's files projected to its declared schema.
@@ -831,14 +865,20 @@ class LakehouseTable:
         files = manifest["files"]
         schema_json = manifest.get("schema")
         deletes = manifest.get("delete_files", [])
+        has_pos = any(d.get("pos") for d in deletes)
         df = self._scan_files(
-            files, manifest.get("file_seq"), with_seq=bool(deletes)
+            files,
+            manifest.get("file_seq"),
+            with_seq=bool(deletes),
+            with_pos=has_pos,
         )
         if schema_json is not None:
             from pyspark.sql import types as T
 
             declared = T.StructType.fromJson(json.loads(schema_json))
             keep = ["__seq"] if deletes else []
+            if has_pos:
+                keep += ["__file", "__pos"]
             cols = [
                 (
                     F.col(f.name).cast(f.dataType)
@@ -1215,6 +1255,68 @@ class LakehouseTable:
                 delete_files=prev.get("delete_files", []) + [entry],
                 added=0,
                 delete_key_files=len(del_files),
+            )
+
+        return self._commit_with_retry(build)
+
+    def delete_where_pos(self, condition: F.Column) -> dict:
+        """Merge-on-read POSITION delete (Iceberg v2's second delete-file
+        flavor): record the physical coordinates (file path, row index)
+        of the matching rows instead of key values. Readers anti-join on
+        the coordinates, so — unlike equality deletes — no unique key is
+        required and ONE of two bit-identical rows can be removed
+        (row-level dedup without rewriting data files).
+
+        Coordinates come from Spark's parquet-reader-generated
+        ``_metadata.file_path`` / ``_metadata.row_index`` hidden columns —
+        stable for committed files, which are immutable by construction.
+        Existing pending deletes are applied BEFORE matching, so already-
+        dead rows are not re-targeted.
+
+        Scale: the delete commit writes O(matching rows) coordinate
+        pairs; no data file is rewritten. Read amplification is one
+        broadcast anti-join shared by ALL pending position deletes,
+        until ``rewrite_data_files`` materializes them away."""
+        v = self.current_version()
+        manifest = self._read_manifest(v)
+        pending = manifest.get("delete_files", [])
+        df = self._scan_files(
+            manifest["files"],
+            manifest.get("file_seq"),
+            with_seq=bool(pending),
+            with_pos=True,
+        )
+        if pending:
+            # keep coordinates through the anti-joins: _apply_deletes
+            # drops them, so stash copies under temp names
+            df = df.withColumn("__kf", F.col("__file")).withColumn(
+                "__kp", F.col("__pos")
+            )
+            df = self._apply_deletes(df, pending)
+            df = df.withColumn("__file", F.col("__kf")).withColumn(
+                "__pos", F.col("__kp")
+            )
+        doomed = df.filter(condition).select("__file", "__pos")
+        _, del_files = self._write_data_files(doomed)
+
+        def build(parent: int) -> dict:
+            prev = self._read_manifest(parent)
+            entry = {
+                "files": del_files,
+                "seq": parent + 1,
+                "keys": [],
+                "pos": True,
+            }
+            return self._snapshot(
+                "delete-pos",
+                prev["files"],
+                parent,
+                schema_json=prev.get("schema"),
+                stats=prev.get("stats"),
+                file_seq=prev.get("file_seq"),
+                delete_files=prev.get("delete_files", []) + [entry],
+                added=0,
+                delete_pos_files=len(del_files),
             )
 
         return self._commit_with_retry(build)

@@ -1028,3 +1028,117 @@ def test_orphan_gc_preserves_staged_wap_files(spark, table):
 
     table.publish(sid)
     assert table.read().count() == base.count() + staged.count()
+
+
+def test_position_delete_exact_rows_and_time_travel(spark, table):
+    """MoR position deletes: rows are removed by physical coordinate
+    (file, row index), no data file rewritten; time travel still shows
+    them; a later append is untouched; compaction materializes the
+    deletes away."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    base = cust.filter(F.col("c_custkey") <= 100)
+    table.overwrite(base)
+    v1 = table.current_version()
+    n_base = base.count()
+    n_del = base.filter(F.col("c_mktsegment") == "BUILDING").count()
+
+    table.delete_where_pos(F.col("c_mktsegment") == "BUILDING")
+    assert table.current_version() == v1 + 1
+    out = table.read()
+    assert out.count() == n_base - n_del
+    assert out.filter(F.col("c_mktsegment") == "BUILDING").count() == 0
+    # no data file was rewritten: the snapshot carries the same files
+    m = table._read_manifest(table.current_version())
+    assert m["files"] == table._read_manifest(v1)["files"]
+    # time travel shows the pre-delete rows
+    assert table.read(v1).count() == n_base
+
+    # rows appended later (same predicate!) are NOT claimed by the delete
+    readd = cust.filter(
+        (F.col("c_custkey").between(101, 120))
+        & (F.col("c_mktsegment") == "BUILDING")
+    )
+    table.append(readd)
+    out = table.read()
+    assert (
+        out.filter(F.col("c_mktsegment") == "BUILDING").count()
+        == readd.count()
+    )
+
+    # compaction materializes: delete entries cleared, counts unchanged
+    before = out.count()
+    table.rewrite_data_files(target_file_count=2)
+    m = table._read_manifest(table.current_version())
+    assert m.get("delete_files", []) == []
+    assert table.read().count() == before
+
+
+def test_position_delete_removes_one_of_identical_rows(spark, table):
+    """The capability equality deletes lack: with two bit-identical rows,
+    a position delete can remove exactly one (row-level dedup without
+    rewrite). Delete coordinates are chosen per (file, pos), so keep the
+    first occurrence of each duplicated row."""
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c"), (3, "c"), (3, "c")],
+        "k int, s string",
+    ).coalesce(1)
+    table.overwrite(dup)
+
+    # target: every occurrence after the first per identical row
+    scan = table._scan_files(
+        table._read_manifest(table.current_version())["files"],
+        with_pos=True,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k", "s").orderBy("__file", "__pos")
+    extra = (
+        scan.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .count()
+    )
+    assert extra == 3
+
+    # delete_where_pos with a condition true for duplicates only can't
+    # distinguish occurrences — drive the low-level path via a rank
+    # condition is not expressible; instead delete rows whose coordinate
+    # ranks >1 by writing the same shape the public API writes
+    doomed = (
+        scan.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("__file", "__pos")
+    )
+    _, del_files = table._write_data_files(doomed)
+    parent = table.current_version()
+    manifest = table._snapshot(
+        "delete-pos",
+        table._read_manifest(parent)["files"],
+        parent,
+        schema_json=table._read_manifest(parent).get("schema"),
+        file_seq=table._read_manifest(parent).get("file_seq"),
+        delete_files=[
+            {"files": del_files, "seq": parent + 1, "keys": [], "pos": True}
+        ],
+        added=0,
+    )
+    table._try_commit(parent + 1, manifest)
+
+    rows = sorted(tuple(r) for r in table.read().collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_position_delete_respects_prior_pending_deletes(spark, table):
+    """delete_where_pos applies pending deletes before matching, and both
+    flavors coexist on the read path."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    base = cust.filter(F.col("c_custkey") <= 100)
+    table.overwrite(base)
+    table.delete_where_mor(F.col("c_custkey") <= 10, keys=["c_custkey"])
+    n_after_eq = table.read().count()
+    n_pos = table.read().filter(F.col("c_nationkey") == 5).count()
+
+    table.delete_where_pos(F.col("c_nationkey") == 5)
+    out = table.read()
+    assert out.count() == n_after_eq - n_pos
+    assert out.filter(F.col("c_custkey") <= 10).count() == 0
+    assert out.filter(F.col("c_nationkey") == 5).count() == 0
