@@ -374,6 +374,99 @@ class LakehouseTable:
         ]
         return json.dumps(base)
 
+    # -- schema DDL (Iceberg ALTER TABLE, metadata-only commits) -------------
+
+    def _commit_schema(self, schema_json: str, **summary) -> dict:
+        """Commit a new declared schema over the SAME files/stats/deletes —
+        the metadata-only shape of every ALTER TABLE ... COLUMN op."""
+
+        def build(parent: int) -> dict:
+            prev = self._read_manifest(parent)
+            return self._snapshot(
+                "evolve-schema",
+                prev["files"],
+                parent,
+                schema_json=schema_json,
+                stats=prev.get("stats"),
+                file_seq=prev.get("file_seq"),
+                delete_files=prev.get("delete_files", []),
+                partition_specs=prev.get("partition_specs"),
+                partitions=prev.get("partitions"),
+                added=0,
+                **summary,
+            )
+
+        return self._commit_with_retry(build)
+
+    def _current_schema_fields(self) -> list[dict]:
+        m = self._read_manifest(self.current_version())
+        if not m.get("schema"):
+            raise ValueError("table has no declared schema to evolve")
+        return json.loads(m["schema"])["fields"]
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only column rename (Iceberg ``ALTER TABLE ... RENAME
+        COLUMN``): no data file changes. The field keeps a ``prior_names``
+        chain in its StructField metadata — the name-based stand-in for
+        Iceberg's field ids — so readers coalesce historical names out of
+        pre-rename files, and pending equality-delete keys written under
+        the old name keep applying."""
+        fields = self._current_schema_fields()
+        names = [f["name"] for f in fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column exists: {new!r}")
+        for f in fields:
+            if f["name"] == old:
+                md = f.get("metadata") or {}
+                md["prior_names"] = md.get("prior_names", []) + [old]
+                f["metadata"] = md
+                f["name"] = new
+        return self._commit_schema(
+            json.dumps({"type": "struct", "fields": fields}),
+            renamed_from=old,
+            renamed_to=new,
+        )
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only column drop: the field leaves the declared schema;
+        data files keep the bytes (time travel still reads them) but no
+        current-version reader sees the column. Limitation of name-based
+        mapping (vs Iceberg field ids): re-adding the SAME name later
+        resurrects pre-drop values — see :meth:`add_column`."""
+        fields = self._current_schema_fields()
+        if name not in [f["name"] for f in fields]:
+            raise ValueError(f"no such column: {name!r}")
+        return self._commit_schema(
+            json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [f for f in fields if f["name"] != name],
+                }
+            ),
+            dropped_column=name,
+        )
+
+    def add_column(self, name: str, spark_type: str) -> dict:
+        """Metadata-only column add: existing files surface NULL (the
+        add-column contract _project_to_schema already enforces).
+        ``spark_type`` is a DDL type string ('double', 'string', ...).
+        Name-based caveat: if ``name`` was dropped earlier, old files'
+        values resurrect (Iceberg's field ids would keep them NULL)."""
+        from pyspark.sql import types as T
+
+        fields = self._current_schema_fields()
+        if name in [f["name"] for f in fields]:
+            raise ValueError(f"column exists: {name!r}")
+        new_field = T.StructField(
+            name, T._parse_datatype_string(spark_type)
+        ).jsonValue()
+        return self._commit_schema(
+            json.dumps({"type": "struct", "fields": fields + [new_field]}),
+            added_column=name,
+        )
+
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
         """Full-replace snapshot — the reference's only write mode
         (``mode("overwrite").saveAsTable``, etl.py:51-54)."""
@@ -792,7 +885,10 @@ class LakehouseTable:
         return out
 
     def _apply_deletes(
-        self, df: DataFrame, delete_files: list[dict]
+        self,
+        df: DataFrame,
+        delete_files: list[dict],
+        renames: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Merge-on-read: anti-join pending equality-delete keys against
         the scan. A row is removed iff some delete entry matches its keys
@@ -820,16 +916,25 @@ class LakehouseTable:
                 pos_entries.append(d)
             else:
                 by_keys.setdefault(tuple(d["keys"]), []).append(d)
+        # a rename after a pending delete: the entry (and its keys-only
+        # parquet) use the old name, the projected scan the new one —
+        # map historical key names forward before joining
+        rev = {
+            p: cur
+            for cur, priors in (renames or {}).items()
+            for p in priors
+        }
         for keys, entries in by_keys.items():
+            cur_keys = tuple(rev.get(k, k) for k in keys)
             dels = None
             for d in entries:
-                one = (
-                    self.spark.read.parquet(*d["files"])
-                    .select(*keys)
-                    .withColumn("__del_seq", F.lit(d["seq"]))
-                )
+                one = self.spark.read.parquet(*d["files"]).select(*keys)
+                for k, ck in zip(keys, cur_keys):
+                    if k != ck:
+                        one = one.withColumnRenamed(k, ck)
+                one = one.withColumn("__del_seq", F.lit(d["seq"]))
                 dels = one if dels is None else dels.unionByName(one)
-            cond = [df[k].eqNullSafe(dels[k]) for k in keys]
+            cond = [df[k].eqNullSafe(dels[k]) for k in cur_keys]
             cond.append(dels["__del_seq"] >= df["__seq"])
             df = df.join(
                 F.broadcast(dels),
@@ -879,18 +984,46 @@ class LakehouseTable:
             keep = ["__seq"] if deletes else []
             if has_pos:
                 keep += ["__file", "__pos"]
-            cols = [
-                (
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in df.columns
-                    else F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in declared.fields
-            ] + [F.col(c) for c in keep]
+            cols = []
+            for f in declared.fields:
+                # renamed columns: pre-rename files populate a prior name,
+                # post-rename files the current one — never both, so
+                # coalescing the historical chain is exact (the name-based
+                # stand-in for Iceberg's field-id resolution)
+                prior = (f.metadata or {}).get("prior_names", [])
+                cands = [
+                    n
+                    for n in [f.name, *reversed(prior)]
+                    if n in df.columns
+                ]
+                if not cands:
+                    expr = F.lit(None).cast(f.dataType)
+                elif len(cands) == 1:
+                    expr = F.col(cands[0]).cast(f.dataType)
+                else:
+                    expr = F.coalesce(*[F.col(n) for n in cands]).cast(
+                        f.dataType
+                    )
+                cols.append(expr.alias(f.name))
+            cols += [F.col(c) for c in keep]
             df = df.select(*cols)
         if deletes:
-            df = self._apply_deletes(df, deletes)
+            df = self._apply_deletes(
+                df, deletes, renames=self._schema_renames(schema_json)
+            )
         return df
+
+    @staticmethod
+    def _schema_renames(schema_json: str | None) -> dict[str, list[str]]:
+        """current name → historical names, from the schema's per-field
+        ``prior_names`` metadata."""
+        if not schema_json:
+            return {}
+        return {
+            f["name"]: md["prior_names"]
+            for f in json.loads(schema_json)["fields"]
+            if (md := f.get("metadata") or {}).get("prior_names")
+        }
 
     @staticmethod
     def _file_overlaps(

@@ -1142,3 +1142,108 @@ def test_position_delete_respects_prior_pending_deletes(spark, table):
     assert out.count() == n_after_eq - n_pos
     assert out.filter(F.col("c_custkey") <= 10).count() == 0
     assert out.filter(F.col("c_nationkey") == 5).count() == 0
+
+
+def test_rename_column_metadata_only(spark, table):
+    """ALTER TABLE RENAME COLUMN: metadata-only commit; pre-rename files
+    read through the historical-name chain; post-rename appends use the
+    new name; time travel shows the old schema."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    table.append(cust.filter(F.col("c_custkey") < 10))
+    v1 = table.current_version()
+
+    table.rename_column("c_acctbal", "balance")
+    m = table._read_manifest(table.current_version())
+    assert m["files"] == table._read_manifest(v1)["files"]  # no data change
+    out = table.read()
+    assert out.columns == ["c_custkey", "balance"]
+    assert out.filter(F.col("balance").isNotNull()).count() == out.count()
+    assert table.read(v1).columns == ["c_custkey", "c_acctbal"]
+
+    # post-rename append writes the new name; both generations coalesce
+    table.append(
+        cust.filter(F.col("c_custkey").between(10, 14)).select(
+            "c_custkey", F.col("c_acctbal").alias("balance")
+        )
+    )
+    out = table.read()
+    assert out.columns == ["c_custkey", "balance"]
+    assert out.filter(F.col("balance").isNull()).count() == 0
+    assert out.count() == cust.filter(F.col("c_custkey") < 15).count()
+
+    # double rename: chain of prior names still resolves
+    table.rename_column("balance", "acct_balance")
+    out = table.read()
+    assert out.columns == ["c_custkey", "acct_balance"]
+    assert out.filter(F.col("acct_balance").isNull()).count() == 0
+
+
+def test_rename_keeps_pending_equality_delete_applying(spark, table):
+    """Rename AFTER a pending MoR equality delete keyed on the renamed
+    column: the delete (written under the old name) must keep applying."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.overwrite(cust.filter(F.col("c_custkey") <= 50))
+    table.delete_where_mor(F.col("c_custkey") <= 10, keys=["c_custkey"])
+    n = table.read().count()
+    table.rename_column("c_custkey", "customer_id")
+    out = table.read()
+    assert out.columns == ["customer_id", "c_name"]
+    assert out.count() == n
+    assert out.filter(F.col("customer_id") <= 10).count() == 0
+
+
+def test_drop_column_metadata_only(spark, table):
+    """ALTER TABLE DROP COLUMN: current readers lose the column without
+    any file rewrite; time travel still shows it."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    table.append(cust.filter(F.col("c_custkey") < 20))
+    v1 = table.current_version()
+    table.drop_column("c_name")
+    assert table.read().columns == ["c_custkey", "c_acctbal"]
+    assert (
+        table._read_manifest(table.current_version())["files"]
+        == table._read_manifest(v1)["files"]
+    )
+    assert table.read(v1).columns == ["c_custkey", "c_name", "c_acctbal"]
+    # appends after the drop don't bring it back
+    table.append(
+        cust.filter(F.col("c_custkey").between(20, 24)).select(
+            "c_custkey", "c_acctbal"
+        )
+    )
+    assert table.read().columns == ["c_custkey", "c_acctbal"]
+
+
+def test_add_column_ddl(spark, table):
+    """ALTER TABLE ADD COLUMN: existing files surface NULL; later appends
+    populate it."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.append(cust.filter(F.col("c_custkey") < 10))
+    table.add_column("loyalty_tier", "string")
+    out = table.read()
+    assert out.columns == ["c_custkey", "c_name", "loyalty_tier"]
+    assert out.filter(F.col("loyalty_tier").isNull()).count() == out.count()
+    table.append(
+        cust.filter(F.col("c_custkey").between(10, 12)).select(
+            "c_custkey", "c_name", F.lit("gold").alias("loyalty_tier")
+        )
+    )
+    out = table.read()
+    assert (
+        out.filter(F.col("loyalty_tier") == "gold").count()
+        == cust.filter(F.col("c_custkey").between(10, 12)).count()
+    )
+    with pytest.raises(ValueError):
+        table.add_column("loyalty_tier", "string")
+    with pytest.raises(ValueError):
+        table.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        table.drop_column("nope")
