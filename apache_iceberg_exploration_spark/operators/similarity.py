@@ -486,6 +486,134 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_SUBS = 4  # subspaces: 64 dims -> 4 x 16-dim subvectors
+PQ_SUBDIM = 16
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+        WITH sub AS (
+            SELECT vec_id, label,
+                   CAST((d - 1) // {PQ_SUBDIM} AS INTEGER) AS s,
+                   CAST((d - 1) % {PQ_SUBDIM} AS INTEGER) AS sd,
+                   x
+            FROM (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS d,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings
+            )
+        ),
+        codes AS (
+            SELECT label AS code, s, sd, avg(x) AS cx
+            FROM sub GROUP BY label, s, sd
+        ),
+        enc AS (
+            SELECT vec_id, s, code FROM (
+                SELECT t.vec_id, t.s, c.code,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id, t.s
+                           ORDER BY sum((t.x - c.cx) * (t.x - c.cx)), c.code
+                       ) AS rn
+                FROM sub t JOIN codes c ON c.s = t.s AND c.sd = t.sd
+                GROUP BY t.vec_id, t.s, c.code
+            ) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT c.s, c.code, sum((q.x - c.cx) * (q.x - c.cx)) AS qd2
+            FROM codes c
+            JOIN (SELECT s, sd, x FROM sub WHERE vec_id = {QUERY_VEC_ID}) q
+              ON q.s = c.s AND q.sd = c.sd
+            GROUP BY c.s, c.code
+        ),
+        scored AS (
+            SELECT e.vec_id,
+                   CAST(floor(sum(a.qd2) * 10000 + 0.5) AS BIGINT)
+                       AS adc_dist_bp
+            FROM enc e JOIN adc a ON a.s = e.s AND a.code = e.code
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            GROUP BY e.vec_id
+        )
+        SELECT vec_id, adc_dist_bp
+        FROM scored ORDER BY adc_dist_bp, vec_id LIMIT {TOP_K}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance computation (ADC) —
+    the memory-bound ANN tier below IVF: each vector is stored as
+    PQ_SUBS (4) one-byte codes (here: nearest per-label subvector mean per
+    subspace — a deterministic, oracle-able codebook standing in for the
+    per-subspace k-means a production build would train), and a query is
+    answered by summing PQ_SUBS precomputed subspace distances per
+    candidate — table lookups, never a full-vector scan.
+
+    Plan shape (the PQ serving geometry): codebook ≤ |labels|×d doubles →
+    broadcast; encoding is one shuffle keyed (vec_id, subspace); the ADC
+    lookup table is |labels|×PQ_SUBS rows → broadcast; scoring touches
+    only each vector's PQ_SUBS codes. At 100 TB the codes table is
+    ~16 bytes/vector — RAM-resident where raw vectors (256 B) are not;
+    recall is recovered by exact re-ranking the PQ top-N (compose with
+    ann_cosine_topk_bruteforce over the shortlist).
+
+    Ranking is by basis-point-floored distance with vec_id tie-break, so
+    cross-engine float ulps can't reorder the cut."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("v").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d") / PQ_SUBDIM).cast("int").alias("s"),
+        (F.col("d") % PQ_SUBDIM).alias("sd"),
+        "x",
+    )
+    codes = (
+        sub.groupBy(F.col("label").alias("code"), "s", "sd")
+        .agg(F.avg("x").alias("cx"))
+    )
+    enc_d = (
+        sub.join(F.broadcast(codes), ["s", "sd"])
+        .groupBy("vec_id", "s", "code")
+        .agg(
+            F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d2")
+        )
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("d2", "code")
+    enc = (
+        enc_d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    qd = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select("s", "sd", "x")
+    adc = (
+        codes.join(F.broadcast(qd.withColumnRenamed("x", "qx")), ["s", "sd"])
+        .groupBy("s", "code")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("cx")) * (F.col("qx") - F.col("cx"))
+            ).alias("qd2")
+        )
+    )
+    scored = (
+        enc.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(adc), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.floor(F.sum("qd2") * 10000 + 0.5)
+            .cast("long")
+            .alias("adc_dist_bp")
+        )
+    )
+    return scored.orderBy("adc_dist_bp", "vec_id").limit(TOP_K)
+
+
 N_PLANES = 8  # 2^8 = 256 sign-hash buckets
 _RP_DIMS = 64  # embedding width (TESTDATA.md)
 _RP_TOPK = 3

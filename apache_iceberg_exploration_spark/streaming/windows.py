@@ -295,6 +295,77 @@ def streaming_join_click_to_purchase(
 
 
 @query(
+    "streaming_left_join_unattributed",
+    oracle="""
+        WITH wm AS (
+            SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+                    - INTERVAL 10 MINUTE,
+                (SELECT max(ts) FROM events WHERE event_type = 'click')
+                    - INTERVAL 40 MINUTE
+            ) AS w
+        )
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         AND c.ts <  p.ts
+        WHERE p.event_type = 'purchase'
+          AND (c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm))
+    """,
+)
+def streaming_left_join_unattributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases WITH their
+    attributing clicks, plus NULL-padded rows for purchases that never
+    got one — emitted only once the watermark proves no qualifying click
+    can still arrive (state eviction is what makes outer results
+    possible on unbounded streams at all).
+
+    The oracle encodes the eviction contract precisely: matched pairs
+    emit unconditionally; an unmatched purchase emits iff its join
+    window is fully closed at end-of-stream, i.e. ``p.ts`` is below the
+    final global watermark ``min(max_purchase_ts - 10m, max_click_ts -
+    40m)`` — purchases newer than that are still in state when an
+    unbounded run would continue, so AvailableNow never NULL-emits them.
+
+    Scale: identical bounded state to the inner form; the outer variant
+    additionally holds each left row until eviction, so the watermark
+    delay directly bounds both state size and result latency."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "40 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id")
+    return _run_available_now(joined, "append")
+
+
+@query(
     "streaming_dedup_within_watermark",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
