@@ -74,6 +74,10 @@ HEADLINE = [
     "timeseries_gap_fill_forward",
     "quality_weighted_sample",
     "bronze_schema_drift_union",
+    "lakehouse_pos_delete",
+    "ann_pq_adc_topk",
+    "ann_kmeans_cells",
+    "streaming_left_join_unattributed",
 ]
 
 
