@@ -743,3 +743,70 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed.join(dropped, "vec_id", "left_anti")
         .select("vec_id", "label", "bucket")
     )
+
+
+@query(
+    "incremental_dedup_lakehouse",
+    oracle="""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+            ) AS rn
+            FROM documents
+        )
+        WHERE rn = 1
+    """,
+)
+def incremental_dedup_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the PRODUCTION shape of
+    dedup_exact_documents: documents arrive in three batches; each tick
+    dedups within the batch (min doc_id per content hash), anti-joins
+    the batch against the ACCUMULATED fingerprint table (novel hashes
+    only survive), appends survivors to the corpus and their
+    fingerprints to the fingerprint table. The final corpus must equal
+    the one-shot global dedup — the incremental-vs-recompute equivalence
+    (same contract as lakehouse_incremental_gold_refresh).
+
+    Scale: each tick shuffles O(batch) rows; the fingerprint side of the
+    anti-join is hash-only (16 bytes/doc ever seen) and joins keyed on
+    the hash — at corpus sizes where even that exceeds executor memory
+    it stays a plain shuffle join, never a broadcast. History is never
+    rescanned; cost tracks arrival rate, not corpus size."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..sources.lakehouse import LakehouseTable
+
+    root = _tempfile.mkdtemp(prefix="lakehouse_q_", dir="/tmp")
+    try:
+        corpus = LakehouseTable(spark, root + "/corpus")
+        fps = LakehouseTable(spark, root + "/fingerprints")
+        docs = load_table(spark, sf_dir, "documents")
+        lo, hi = 150, 300  # fixed doc_id tercile bounds (any split works)
+        batches = [
+            docs.filter(F.col("doc_id") < lo),
+            docs.filter(F.col("doc_id").between(lo, hi - 1)),
+            docs.filter(F.col("doc_id") >= hi),
+        ]
+        w = W.partitionBy("fp").orderBy("doc_id")
+        for i, b in enumerate(batches):
+            bd = (
+                b.withColumn("fp", F.md5("text"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            if i > 0:
+                bd = bd.join(fps.read(), "fp", "left_anti")
+            corpus.append(bd.drop("fp"))
+            if i == 0:
+                fps.overwrite(bd.select("fp"))
+            else:
+                fps.append(bd.select("fp"))
+        out = corpus.read()
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

@@ -699,6 +699,113 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_scd2_merge",
+    oracle="""
+        WITH chg AS (
+            SELECT c_custkey, eff_ts, bal, batch FROM (
+                SELECT o_custkey AS c_custkey, o_orderdate AS eff_ts,
+                       round(o_totalprice, 2) AS bal,
+                       CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                            THEN 0
+                            WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                            THEN 1 ELSE 2 END AS batch,
+                       row_number() OVER (
+                           PARTITION BY o_custkey,
+                               CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                                    THEN 0
+                                    WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                                    THEN 1 ELSE 2 END
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders WHERE o_custkey < 100
+            ) WHERE rn = 1
+        )
+        SELECT c_custkey, bal, eff_ts AS valid_from,
+               lead(eff_ts) OVER (
+                   PARTITION BY c_custkey ORDER BY eff_ts
+               ) AS valid_to,
+               CASE WHEN lead(eff_ts) OVER (
+                        PARTITION BY c_custkey ORDER BY eff_ts
+                    ) IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM chg
+    """,
+)
+def lakehouse_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD Type-2 dimension maintenance — the warehouse
+    pattern the batch window form (scd2_customer_order_history) only
+    SIMULATES: three change batches (latest order state per customer per
+    date tercile) arrive in order; each tick (a) MERGEs onto the current
+    versions to close them (valid_to = incoming effective ts,
+    is_current 0; insert_unmatched=False — close only), then (b) appends
+    the new open versions. The final history must equal the one-shot
+    window construction over all batches — the incremental-vs-recompute
+    equivalence that makes the pattern trustworthy.
+
+    Scale: each tick's merge joins |changed keys| source rows against
+    the dimension on (key, is_current) — one shuffle sized by the
+    arrival rate; closed history rows are never touched again (and with
+    partitioning on is_current the rewrite scope is the current slice
+    only)."""
+    from pyspark.sql import Window as W
+
+    root = _scratch()
+    try:
+        dim = LakehouseTable(spark, root + "/dim")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_custkey") < 100
+        )
+        bounds = ["1997-01-01", "1999-01-01"]
+        batch_col = (
+            F.when(F.col("o_orderdate") < bounds[0], 0)
+            .when(F.col("o_orderdate") < bounds[1], 1)
+            .otherwise(2)
+        )
+        w = W.partitionBy("c_custkey", "batch").orderBy(
+            F.col("eff_ts").desc(), F.col("o_orderkey").desc()
+        )
+        chg = (
+            orders.select(
+                F.col("o_custkey").alias("c_custkey"),
+                F.col("o_orderdate").alias("eff_ts"),
+                F.round("o_totalprice", 2).alias("bal"),
+                batch_col.alias("batch"),
+                "o_orderkey",
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "o_orderkey")
+        )
+        for b in range(3):
+            batch = chg.filter(F.col("batch") == b).drop("batch")
+            versions = batch.select(
+                "c_custkey",
+                "bal",
+                F.col("eff_ts").alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(1).alias("is_current"),
+            )
+            if dim.current_version() == 0:
+                dim.overwrite(versions)
+                continue
+            dim.merge_into(
+                batch.withColumn("is_current", F.lit(1)),
+                on=["c_custkey", "is_current"],
+                update_cols={
+                    "valid_to": F.col("s.eff_ts"),
+                    "is_current": F.lit(0),
+                },
+                insert_unmatched=False,
+            )
+            dim.append(versions)
+        out = dim.read().select(
+            "c_custkey", "bal", "valid_from", "valid_to", "is_current"
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_pos_delete",
     oracle="""
         SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -812,6 +812,70 @@ def skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_join",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type, count(*) AS type_total,
+                   avg(value) AS type_avg
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               CAST(max(d.type_total) AS BIGINT) AS type_total,
+               round(sum(e.value - d.type_avg), 2) + 0.0 AS total_dev
+        FROM events e JOIN dim d ON d.event_type = e.event_type
+        GROUP BY e.event_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN for a skewed key: the fact side's join key is
+    power-law (one event_type dominates), so a plain shuffle join lands
+    the hot key on ONE reducer. Replicate the dimension 16× (one copy
+    per salt), salt the fact side deterministically, and join on
+    (key, salt) — the hot key's rows spread over 16 reducers. The
+    ``merge`` hint forces the shuffle plan: with a broadcastable dim
+    Spark would broadcast and salting would be moot; this query is the
+    shape for when the dim side is too big to broadcast (or AQE skew
+    handling is unavailable, e.g. a stream-stream or bucketed join).
+
+    The result is identical to the unsalted join — the oracle IS the
+    plain form. Salt is hash-of-unique-id mod 16, not rand():
+    deterministic under task retries/speculation.
+
+    Scale: replication factor S multiplies the dim (S×|dim| rows —
+    choose S ≈ hot-key share × reducers); the fact side is read once.
+    AQE's skew-join split is the automatic alternative when both sides
+    are plain shuffle scans — this is the explicit form that composes
+    everywhere."""
+    from ..sources.io import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").alias("type_total"),
+        F.avg("value").alias("type_avg"),
+    )
+    n_salt = 16
+    salted_dim = dim.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt")
+    )
+    salted_ev = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
+    )
+    joined = salted_ev.hint("merge").join(
+        salted_dim, ["event_type", "_salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("type_total").cast("long").alias("type_total"),
+        # + 0.0 canonicalizes IEEE -0.0 (a sum of deviations lands at
+        # negative zero in one engine and positive zero in the other)
+        (F.round(F.sum(F.col("value") - F.col("type_avg")), 2) + F.lit(0.0)).alias(
+            "total_dev"
+        ),
+    )
+
+
+@query(
     "timezone_functions_orders",
     oracle="""
         SELECT o_orderkey,
