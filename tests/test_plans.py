@@ -176,3 +176,36 @@ def test_variant_extraction_stays_in_codegen(spark):
     # column pruning reaches the scan: only the two referenced columns
     cols = read_schema_columns(df)
     assert {"event_type", "props"} in cols, cols
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """skew_salted_join's merge hint must defeat the broadcast (salting a
+    broadcast join would be pointless) and the shuffle key must include
+    the salt — the whole point is spreading one hot key over 16
+    reducers."""
+    from apache_iceberg_exploration_spark.operators.relational import (
+        skew_salted_join,
+    )
+
+    df = skew_salted_join(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "SortMergeJoin" in plan, plan[:1500]
+    import re
+
+    assert re.search(r"hashpartitioning\(event_type[^)]*_salt", plan), (
+        "join shuffle not keyed by (event_type, _salt)"
+    )
+
+
+def test_pq_adc_broadcasts_lookup_tables(spark):
+    """ann_pq_adc_topk: codebook and ADC table are broadcast (tiny), the
+    corpus side never cartesian-joins, and no Python boundary exists."""
+    from apache_iceberg_exploration_spark.operators.similarity import (
+        ann_pq_adc_topk,
+    )
+
+    df = ann_pq_adc_topk(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
