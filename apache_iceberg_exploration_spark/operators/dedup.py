@@ -248,12 +248,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
-        WITH shingles AS ({_SHINGLES_SQL}),
+        WITH shingles AS (
+            SELECT DISTINCT doc_id, {hash64_sql('shingle')} AS sh
+            FROM ({_SHINGLES_SQL})
+        ),
         sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
             FROM shingles a JOIN shingles b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT i.doc_a, i.doc_b,
@@ -271,6 +274,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     most min(|A|,|B|) times and only if it shares ≥1 shingle), then
     J = |∩| / (|A|+|B|−|∩|) with a 0.5 threshold.
 
+    The shingle is reduced to its portable 60-bit hash BEFORE the
+    distinct (r3): the dedup shuffle and the self-join then carry 8-byte
+    keys instead of multi-word strings — the distinct alone was ~half
+    this query's wall time on string keys. The oracle hashes then
+    distincts identically, so even a (2^-60-improbable) collision would
+    affect both engines the same way.
+
     Scale: the shingle join's fan-out is Σ_s c_s² over shingle doc-counts;
     with a stopword/high-DF shingle cap (drop shingles above a document
     frequency ceiling — standard at scale) the blocks stay bounded. AQE
@@ -278,14 +288,19 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     # the shingle relation feeds three plan branches (sizes + both join
-    # sides); persist so split/explode/distinct runs once, not three times
-    sh = scoped_persist(word_shingles(docs))
+    # sides); persist so split/explode/hash/distinct runs once, not three
+    # times
+    sh = scoped_persist(
+        word_shingles(docs, distinct=False)
+        .select("doc_id", hash64("shingle").alias("sh"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
