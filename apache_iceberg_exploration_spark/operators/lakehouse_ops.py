@@ -846,6 +846,58 @@ def lakehouse_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_column_ddl",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal AS balance,
+               CAST(NULL AS VARCHAR) AS tier
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal AS balance, 'gold' AS tier
+        FROM customer WHERE c_custkey BETWEEN 101 AND 120
+    """,
+)
+def lakehouse_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema DDL end-to-end: overwrite → RENAME COLUMN
+    (c_acctbal→balance; pre-rename files resolve through the
+    prior-names chain) → DROP COLUMN (c_nationkey leaves the declared
+    schema, files untouched) → ADD COLUMN (tier; old files surface
+    NULL) → append a batch that populates the new shape. Zero data
+    files are rewritten by any of the three DDL commits (asserted).
+
+    Scale: each DDL is one manifest write regardless of table size —
+    the whole point of schema-on-read evolution."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer")
+        tbl.overwrite(
+            cust.filter(F.col("c_custkey") <= 100).select(
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+            )
+        )
+        files_before = tbl._read_manifest(tbl.current_version())["files"]
+        tbl.rename_column("c_acctbal", "balance")
+        tbl.drop_column("c_nationkey")
+        tbl.add_column("tier", "string")
+        assert (
+            tbl._read_manifest(tbl.current_version())["files"]
+            == files_before
+        ), "schema DDL must not touch data files"
+        tbl.append(
+            cust.filter(F.col("c_custkey").between(101, 120)).select(
+                "c_custkey",
+                "c_name",
+                F.col("c_acctbal").alias("balance"),
+                F.lit("gold").alias("tier"),
+            )
+        )
+        out = tbl.read()
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_transform_partition_scan",
     oracle="""
         SELECT o_orderkey, o_custkey,

@@ -1247,3 +1247,54 @@ def test_add_column_ddl(spark, table):
         table.rename_column("nope", "x")
     with pytest.raises(ValueError):
         table.drop_column("nope")
+
+
+def test_scd2_merge_invariants(spark):
+    """Structural SCD2 invariants on the maintained dimension: exactly one
+    open (is_current) row per key; versions form contiguous
+    non-overlapping [valid_from, valid_to) chains."""
+    from apache_iceberg_exploration_spark.operators.lakehouse_ops import (
+        lakehouse_scd2_merge,
+    )
+
+    from .conftest import SF_ORACLE
+
+    rows = lakehouse_scd2_merge(spark, SF_ORACLE).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    assert by_key
+    for key, versions in by_key.items():
+        opens = [r for r in versions if r.is_current == 1]
+        assert len(opens) == 1, f"key {key}: {len(opens)} open rows"
+        assert opens[0].valid_to is None
+        chain = sorted(versions, key=lambda r: r.valid_from)
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to == b.valid_from, f"key {key}: gap/overlap"
+
+
+def test_branch_fork_carries_position_deletes(spark, table):
+    """Position deletes pending at the fork point must keep applying on
+    the branch (same carry-through contract as equality deletes)."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    base = cust.filter(F.col("c_custkey") <= 100)
+    table.overwrite(base)
+    n_pos = base.filter(F.col("c_nationkey") == 5).count()
+    table.delete_where_pos(F.col("c_nationkey") == 5)
+    live = table.read().count()
+    assert live == base.count() - n_pos
+
+    table.create_branch("wip")
+    assert table.read_branch("wip").count() == live
+    extra = cust.filter(F.col("c_custkey").between(101, 110))
+    table.append_branch("wip", extra)
+    br = table.read_branch("wip")
+    assert br.count() == live + extra.count()
+    # branch-appended rows with the deleted attribute are NOT claimed
+    # (coordinates pin exact files, not values)
+    assert (
+        br.filter(F.col("c_nationkey") == 5).count()
+        == extra.filter(F.col("c_nationkey") == 5).count()
+    )
+    table.fast_forward("wip")
+    assert table.read().count() == live + extra.count()
