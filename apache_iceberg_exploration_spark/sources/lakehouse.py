@@ -330,6 +330,7 @@ class LakehouseTable:
             "parent": parent,
             "operation": op,
             "files": files,
+            "committed_at": time.time(),
             "summary": {"added_files": summary.get("added", 0), **summary},
         }
         if schema_json is not None:
@@ -827,6 +828,24 @@ class LakehouseTable:
         if not manifest["files"]:
             raise FileNotFoundError(f"no data files at version {v}")
         return self._project_to_schema(manifest)
+
+    def version_as_of(self, ts: float) -> int:
+        """Latest version committed at or before a unix timestamp —
+        Iceberg ``TIMESTAMP AS OF`` resolution. Driver-side metadata
+        scan; raises if the table didn't exist yet."""
+        best = 0
+        for m in self.snapshots():
+            if m.get("committed_at", 0.0) <= ts:
+                best = max(best, m["version"])
+        if not best:
+            raise ValueError(f"no snapshot committed at or before {ts}")
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Time travel by wall-clock instant: ``SELECT ... TIMESTAMP AS
+        OF`` — resolves to the newest snapshot whose commit predates
+        ``ts`` and reads it."""
+        return self.read(version=self.version_as_of(ts))
 
     def _scan_files(
         self,
@@ -1851,6 +1870,79 @@ class LakehouseTable:
                 added=len(files),
             )
         )
+
+    def rewrite_position_delete_files(self) -> dict | None:
+        """Targeted compaction of pending POSITION deletes — Iceberg's
+        ``rewrite_position_delete_files`` intent: rewrite ONLY the files
+        the coordinates actually name (applying every pending delete to
+        their rows), carry all other files by path, and drop the
+        position-delete entries. Equality-delete entries stay pending —
+        they may still claim rows in untouched files; they no longer
+        apply to the rewritten files, whose rows were already filtered
+        and whose new sequence number postdates them.
+
+        Scale: this is the operation that makes MoR deletes sustainable
+        at 100 TB — a full ``rewrite_data_files`` pays O(table) to clear
+        O(deleted rows) of state, this pays O(targeted files). Returns
+        None if no position deletes are pending."""
+        v = self.current_version()
+        manifest = self._read_manifest(v)
+        pos_entries = [
+            d for d in manifest.get("delete_files", []) if d.get("pos")
+        ]
+        if not pos_entries:
+            return None
+        from urllib.parse import urlparse
+
+        coord_files = [f for d in pos_entries for f in d["files"]]
+        # coordinates store the reader's file URI (file:///...); the
+        # manifest stores plain paths — normalize before intersecting
+        targeted = {
+            urlparse(r["__file"]).path
+            for r in self.spark.read.parquet(*coord_files)
+            .select("__file")
+            .distinct()
+            .collect()
+        } & set(manifest["files"])
+        untouched = [f for f in manifest["files"] if f not in targeted]
+        new_files: list[str] = []
+        new_stats: dict[str, dict] = {}
+        if targeted:
+            src = self._project_to_schema(
+                {**manifest, "files": sorted(targeted)}
+            )
+            _, new_files = self._write_data_files(src)
+            new_stats = self._collect_file_stats(new_files)
+        old_stats = manifest.get("stats", {})
+        old_seq = manifest.get("file_seq", {})
+
+        def build(parent: int) -> dict:
+            return self._snapshot(
+                "rewrite-pos-deletes",
+                untouched + new_files,
+                parent,
+                schema_json=manifest.get("schema"),
+                stats={
+                    **{f: old_stats[f] for f in untouched if f in old_stats},
+                    **new_stats,
+                },
+                file_seq={
+                    **{f: old_seq.get(f, 0) for f in untouched},
+                    **{f: parent + 1 for f in new_files},
+                },
+                delete_files=[
+                    d
+                    for d in manifest.get("delete_files", [])
+                    if not d.get("pos")
+                ],
+                partition_specs=manifest.get("partition_specs"),
+                partitions=manifest.get("partitions"),
+                added=len(new_files),
+                rewritten=len(targeted),
+                carried=len(untouched),
+            )
+
+        return self._commit_with_retry(build)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last ``keep_last`` snapshot manifests and

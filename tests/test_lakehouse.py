@@ -1298,3 +1298,61 @@ def test_branch_fork_carries_position_deletes(spark, table):
     )
     table.fast_forward("wip")
     assert table.read().count() == live + extra.count()
+
+
+def test_rewrite_position_delete_files_targets_only_named_files(spark, table):
+    """Targeted MoR compaction: only coordinate-named files rewrite; the
+    rest carry by path; position entries clear; equality entries stay
+    pending; data unchanged."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    # two appends -> two file groups; deletes will target only the first
+    a = cust.filter(F.col("c_custkey") <= 50)
+    b = cust.filter(F.col("c_custkey").between(51, 100))
+    table.append(a.coalesce(1))
+    table.append(b.coalesce(1))
+    table.delete_where_pos(
+        (F.col("c_custkey") <= 50) & (F.col("c_nationkey") == 5)
+    )
+    table.delete_where_mor(F.col("c_custkey") == 60, keys=["c_custkey"])
+    pre_rows = sorted(r.c_custkey for r in table.read().collect())
+    files_pre = set(table._read_manifest(table.current_version())["files"])
+
+    m = table.rewrite_position_delete_files()
+    assert m is not None
+    assert m["operation"] == "rewrite-pos-deletes"
+    files_post = set(m["files"])
+    # b's file survived untouched (it had no targeted coordinates)
+    carried = files_pre & files_post
+    assert carried, "untargeted files must carry by path"
+    # position entries gone, equality entry still pending
+    kinds = [d.get("pos", False) for d in m.get("delete_files", [])]
+    assert kinds == [False]
+    assert sorted(r.c_custkey for r in table.read().collect()) == pre_rows
+
+    # a second pass is a no-op
+    assert table.rewrite_position_delete_files() is None
+
+
+def test_read_as_of_timestamp(spark, table):
+    """TIMESTAMP AS OF time travel: resolves to the newest snapshot
+    committed at or before the instant."""
+    import time as _time
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust.filter(F.col("c_custkey") <= 10))
+    t1 = _time.time()
+    _time.sleep(0.05)
+    table.append(cust.filter(F.col("c_custkey").between(11, 20)))
+    t2 = _time.time()
+    _time.sleep(0.05)
+    table.append(cust.filter(F.col("c_custkey").between(21, 30)))
+
+    n1 = cust.filter(F.col("c_custkey") <= 10).count()
+    n2 = cust.filter(F.col("c_custkey") <= 20).count()
+    n3 = cust.filter(F.col("c_custkey") <= 30).count()
+    assert table.read_as_of(t1).count() == n1
+    assert table.read_as_of(t2).count() == n2
+    assert table.read_as_of(_time.time()).count() == n3
+    assert table.version_as_of(t1) == 1
+    with pytest.raises(ValueError):
+        table.version_as_of(t1 - 3600)
