@@ -490,3 +490,68 @@ def streaming_enrich_purchases_dim(
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return _run_available_now(agg, "complete")
+
+
+@query(
+    "streaming_exactly_once_ingest",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               round(sum(value), 2) + 0.0 AS value
+        FROM events GROUP BY event_id, user_id, event_type
+    """,
+)
+def streaming_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming-ingest contract as one checked query: readStream
+    over the events files → ``foreachBatch`` into a lakehouse table with
+    the batch id recorded ATOMICALLY in the commit summary → after the
+    run, a micro-batch is REPLAYED through the same sink (Structured
+    Streaming's at-least-once failure mode) and must be a no-op — the
+    table equals the batch ingest exactly once, which is what the oracle
+    checks. (test_streaming covers the mechanism; this makes the
+    guarantee itself driver-verified.)
+
+    Scale: the sink's dedup check is O(1) driver-side metadata against
+    the carried high-water mark (streaming.sinks.last_applied_batch) —
+    no data read; the commit is the same append any batch writer pays.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.lakehouse import LakehouseTable
+    from .sinks import idempotent_foreach_batch
+
+    root = _tempfile.mkdtemp(prefix="lakehouse_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/ingest")
+        ev_cols = ["event_id", "user_id", "event_type", "value"]
+        tbl.overwrite(
+            load_table(spark, sf_dir, "events").select(*ev_cols).limit(0)
+        )
+
+        def apply(table, batch_df, summary_extra):
+            return table.append(batch_df, summary_extra=summary_extra)
+
+        sink = idempotent_foreach_batch(tbl, apply)
+        stream = _events_stream(spark, sf_dir).select(*ev_cols)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: sink(df.select(*ev_cols), bid)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+        # crash-replay: batch 0's rows delivered again under its old id
+        v_before = tbl.current_version()
+        replay = load_table(spark, sf_dir, "events").select(*ev_cols)
+        sink(replay, 0)
+        assert tbl.current_version() == v_before, "replay must be a no-op"
+
+        out = tbl.read().groupBy(
+            "event_id", "user_id", "event_type"
+        ).agg((F.round(F.sum("value"), 2) + F.lit(0.0)).alias("value"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
