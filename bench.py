@@ -78,6 +78,11 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "ann_kmeans_cells",
     "streaming_left_join_unattributed",
+    "lakehouse_scd2_merge",
+    "skew_salted_join",
+    "incremental_dedup_lakehouse",
+    "lakehouse_column_ddl",
+    "streaming_exactly_once_ingest",
 ]
 
 
