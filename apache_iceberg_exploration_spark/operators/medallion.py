@@ -219,3 +219,46 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("latest_ts"),
         )
     )
+
+
+@query(
+    "medallion_pipeline_e2e",
+    oracle="""
+        WITH silver AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY text ORDER BY doc_id
+                ) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        )
+        SELECT lang, source, count(*) AS total_count,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM silver GROUP BY lang, source
+    """,
+)
+def medallion_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference artifact, end-to-end and driver-verified: the full
+    bronze → silver → gold pipeline (pipeline.lakehouse_medallion) run
+    over committed lakehouse snapshots — raw append, keyed dedup, group
+    aggregate (etl.py:36-96 reimagined without the /tmp hand-off and its
+    delete-before-read bug) — returning the gold table, hash-checked
+    against a one-shot SQL derivation of all three layers.
+
+    Scale: bronze appends are fast-appends (O(batch) commits); silver
+    dedup shuffles on the content key once; gold is a tiny derived
+    overwrite — each layer hand-off is a snapshot, so any stage can
+    restart from committed state (the property the reference's /tmp
+    pipeline lacked)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..pipeline import lakehouse_medallion
+
+    root = _tempfile.mkdtemp(prefix="lakehouse_q_", dir="/tmp")
+    try:
+        tables = lakehouse_medallion(spark, sf_dir, root)
+        out = tables["gold"].read()
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
