@@ -1825,23 +1825,46 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min unit price per part-supplier pair), keeping the query shape
     (per-group min membership over a snowflake join) intact.
 
-    Scale: the derived partsupp aggregates lineitem down to |part×supp|
-    before any join — map-side combine carries only 3 columns. part and
+    Scale: the dimension filters are pushed BELOW the derived-partsupp
+    aggregate as broadcast semi-joins (r3): only ~17% of parts are
+    'LARGE' and ~21% of suppliers sit in region 0, so the lineitem rows
+    entering the groupBy shrink ~28× before the shuffle — Catalyst
+    cannot move a join below an aggregate itself, so the plan states it.
+    The aggregate then carries 3 columns with map-side combine; part and
     supplier/nation broadcast; the window min re-partitions by p_partkey
     only over the already-tiny eligible set. Top-100 via
     TakeOrderedAndProject, never a global sort.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-    )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    s_elig = s.join(
+        F.broadcast(n.select("n_nationkey")),
+        s.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
+    li_pruned = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(s_elig.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = li_pruned.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    # fresh loads for the enrichment legs: reusing the semi-join sides
+    # above would make their columns ambiguous to the analyzer
+    p2 = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s2 = load_table(spark, sf_dir, "supplier")
+    n2 = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
     eligible = (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        ps.join(F.broadcast(p2), ps.l_partkey == p2.p_partkey)
+        .join(F.broadcast(s2), ps.l_suppkey == s2.s_suppkey)
+        .join(F.broadcast(n2), s2.s_nationkey == n2.n_nationkey)
     )
     w = Window.partitionBy("p_partkey")
     return (
