@@ -898,6 +898,65 @@ def lakehouse_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_maintenance_cycle",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey <= 300
+          AND NOT (c_mktsegment = 'BUILDING' AND c_custkey % 5 = 0)
+          AND NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 7 = 0)
+    """,
+)
+def lakehouse_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full table-maintenance story in one checked pipeline — the
+    BASELINE 'Spark read/write + compaction over Iceberg tables'
+    approach end-to-end: three appends (small-file pressure) → an
+    equality MoR delete and a position MoR delete → bin-pack
+    ``rewrite_data_files`` (materializes pending deletes) → targeted
+    ``rewrite_position_delete_files`` (no-op here, state already clear —
+    asserted) → ``expire_snapshots`` (history collapses to the tip) →
+    ``remove_orphan_files`` (age-0 sweep finds nothing: every expired
+    file was GC'd by expiry, every live file is referenced). The
+    surviving rows must equal the declarative oracle.
+
+    Scale: each maintenance op is bounded — compaction O(live data),
+    pos-delete rewrite O(targeted files), expiry O(snapshots) driver
+    metadata + O(dead files) deletes, orphan sweep O(data dirs)."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        for i in range(3):
+            tbl.append(
+                cust.filter(
+                    (F.col("c_custkey") % 3 == i)
+                    & (F.col("c_custkey") <= 300)
+                ).repartition(4)
+            )
+        tbl.delete_where_mor(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_custkey") % 5 == 0),
+            keys=["c_custkey"],
+        )
+        tbl.delete_where_pos(
+            (F.col("c_mktsegment") == "MACHINERY")
+            & (F.col("c_custkey") % 7 == 0)
+        )
+        tbl.rewrite_data_files(target_file_count=2)
+        assert tbl.rewrite_position_delete_files() is None  # already clear
+        n_files = len(tbl._read_manifest(tbl.current_version())["files"])
+        assert n_files <= 2, f"compaction left {n_files} files"
+        expired = tbl.expire_snapshots(keep_last=1)
+        assert expired, "expiry must drop pre-compaction history"
+        assert tbl.remove_orphan_files(older_than_seconds=0.0) == []
+        out = tbl.read()
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_transform_partition_scan",
     oracle="""
         SELECT o_orderkey, o_custkey,

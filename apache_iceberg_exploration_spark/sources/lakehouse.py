@@ -297,7 +297,13 @@ class LakehouseTable:
 
     def _commit_with_retry(self, build_manifest) -> dict:
         """Run ``build_manifest(parent_version) -> manifest`` under the
-        optimistic protocol: on conflict, rebase on the new tip and retry."""
+        optimistic protocol: on conflict, rebase on the new tip and retry.
+
+        ONLY for commutative commits (appends, metadata-only deletes/DDL)
+        whose manifest builder derives everything from the parent it is
+        given. Read-modify-write operations must use :meth:`_commit_rmw`
+        — rebasing a manifest whose DATA was computed against an older
+        snapshot silently drops the concurrent commit's changes."""
         for _ in range(self.max_commit_retries):
             parent = self.current_version()
             manifest = build_manifest(parent)
@@ -308,6 +314,34 @@ class LakehouseTable:
                 time.sleep(0.01)
         raise CommitConflict(
             f"gave up after {self.max_commit_retries} rebases: {self.path}"
+        )
+
+    def _commit_rmw(self, compute) -> dict:
+        """Serializable read-modify-write commit (merge / CoW delete /
+        update / compaction — Iceberg's validate-and-reattempt):
+        ``compute(base_version) -> (manifest, scratch_snap_ids)`` reads
+        the snapshot at ``base_version`` and builds the FULL result
+        manifest for ``base_version + 1``. The commit is attempted at
+        exactly that version; if another writer got there first, the
+        freshly-written data files are discarded and the WHOLE operation
+        recomputes against the new tip — a lost update is impossible
+        because the committed data always derives from its direct
+        parent."""
+        for _ in range(self.max_commit_retries):
+            base = self.current_version()
+            manifest, scratch = compute(base)
+            try:
+                self._try_commit(base + 1, manifest)
+                return manifest
+            except CommitConflict:
+                for snap_id in scratch:
+                    shutil.rmtree(
+                        os.path.join(self.path, "data", snap_id),
+                        ignore_errors=True,
+                    )
+                time.sleep(0.01)
+        raise CommitConflict(
+            f"gave up after {self.max_commit_retries} recomputes: {self.path}"
         )
 
     # -- table operations -----------------------------------------------------
@@ -1236,65 +1270,74 @@ class LakehouseTable:
         Scale: a single shuffle on the merge key for the join; at 100 TB
         add partition filtering so only affected partitions rewrite
         (copy-on-write Iceberg does exactly this).
-        """
-        target_df = self.read()
-        # Explicit presence markers, NOT key-NULL-ness: a target row whose
-        # merge-key column is legitimately NULL must survive as "target
-        # only", not be misread as an unmatched source row and overwritten
-        # with NULLs. (Such rows also never equi-join, by SQL semantics.)
-        target = target_df.withColumn("_t_present", F.lit(True)).alias("t")
-        src = source.withColumn("_s_present", F.lit(True)).alias("s")
-        cond = [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on]
-        joined = target.join(src, cond, "full_outer")
 
-        t_cols = target_df.columns  # same snapshot as the join target
-        matched = F.col("t._t_present").isNotNull() & F.col(
-            "s._s_present"
-        ).isNotNull()
-        only_src = F.col("t._t_present").isNull()
-        if delete_condition is not None:
-            joined = joined.filter(
-                ~(matched & F.coalesce(delete_condition, F.lit(False)))
-            )
-        if not insert_unmatched:
-            # drop source-only rows outright; without this they'd survive
-            # the projection below as all-NULL target rows
-            joined = joined.filter(~only_src)
+        Isolation: committed under :meth:`_commit_rmw` — the merged data
+        is always derived from the commit's direct parent; a concurrent
+        writer triggers a full recompute, never a lost update (caught by
+        test_concurrent_merges_linearize)."""
 
-        projections = []
-        for c in t_cols:
-            expr = F.col(f"t.{c}")
-            if update_cols and c in update_cols:
-                expr = F.when(matched, update_cols[c]).otherwise(expr)
-            if insert_unmatched:
-                src_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
-                expr = F.when(only_src, src_val).otherwise(expr)
-            projections.append(expr.alias(c))
-        if evolve_schema:
-            # source-only columns join the schema; rows with no source
-            # match (target-only) carry NULL via the outer join itself
-            projections += [
-                F.col(f"s.{c}").alias(c)
-                for c in source.columns
-                if c not in t_cols and c != "_s_present"
-            ]
-        merged = joined.select(*projections)
+        def compute(base: int) -> tuple[dict, list[str]]:
+            target_df = self.read(version=base)
+            # Explicit presence markers, NOT key-NULL-ness: a target row
+            # whose merge-key column is legitimately NULL must survive as
+            # "target only", not be misread as an unmatched source row and
+            # overwritten with NULLs. (Such rows also never equi-join.)
+            target = target_df.withColumn("_t_present", F.lit(True)).alias("t")
+            src = source.withColumn("_s_present", F.lit(True)).alias("s")
+            cond = [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on]
+            joined = target.join(src, cond, "full_outer")
 
-        _, files = self._write_data_files(merged)
-        stats = self._collect_file_stats(files)
-        return self._commit_with_retry(
-            lambda parent: self._snapshot(
+            t_cols = target_df.columns  # same snapshot as the join target
+            matched = F.col("t._t_present").isNotNull() & F.col(
+                "s._s_present"
+            ).isNotNull()
+            only_src = F.col("t._t_present").isNull()
+            if delete_condition is not None:
+                joined = joined.filter(
+                    ~(matched & F.coalesce(delete_condition, F.lit(False)))
+                )
+            if not insert_unmatched:
+                # drop source-only rows outright; without this they'd
+                # survive the projection below as all-NULL target rows
+                joined = joined.filter(~only_src)
+
+            projections = []
+            for c in t_cols:
+                expr = F.col(f"t.{c}")
+                if update_cols and c in update_cols:
+                    expr = F.when(matched, update_cols[c]).otherwise(expr)
+                if insert_unmatched:
+                    src_val = (
+                        F.col(f"s.{c}") if c in source.columns else F.lit(None)
+                    )
+                    expr = F.when(only_src, src_val).otherwise(expr)
+                projections.append(expr.alias(c))
+            if evolve_schema:
+                # source-only columns join the schema; rows with no source
+                # match (target-only) carry NULL via the outer join itself
+                projections += [
+                    F.col(f"s.{c}").alias(c)
+                    for c in source.columns
+                    if c not in t_cols and c != "_s_present"
+                ]
+            merged = joined.select(*projections)
+
+            snap_id, files = self._write_data_files(merged)
+            stats = self._collect_file_stats(files)
+            manifest = self._snapshot(
                 "merge",
                 files,
-                parent,
+                base,
                 schema_json=merged.schema.json(),
                 stats=stats,
-                file_seq={f: parent + 1 for f in files},
+                file_seq={f: base + 1 for f in files},
                 delete_files=[],  # target read applied pending deletes
                 added=len(files),
                 **(summary_extra or {}),
             )
-        )
+            return manifest, [snap_id]
+
+        return self._commit_rmw(compute)
 
     def delete_where(
         self,
@@ -1319,38 +1362,39 @@ class LakehouseTable:
         are the next step Iceberg offers; copy-on-write is the simpler
         invariant: data files never need delete-vector merging.)
         """
-        v = self.current_version()
-        manifest = self._read_manifest(v)
-        touched = (
-            self._prune_files(manifest, prune)
-            if prune
-            else list(manifest["files"])
-        )
-        untouched = [f for f in manifest["files"] if f not in set(touched)]
-        old_stats = manifest.get("stats", {})
-        new_files: list[str] = []
-        new_stats: dict[str, dict] = {}
-        if touched:
-            kept = self._project_to_schema(
-                {**manifest, "files": touched}
-            ).filter(~condition)
-            _, new_files = self._write_data_files(kept)
-            new_stats = self._collect_file_stats(new_files)
-        stats = {
-            **{f: old_stats[f] for f in untouched if f in old_stats},
-            **new_stats,
-        }
-        old_seq = manifest.get("file_seq", {})
-        return self._commit_with_retry(
-            lambda parent: self._snapshot(
+        def compute(base: int) -> tuple[dict, list[str]]:
+            manifest = self._read_manifest(base)
+            touched = (
+                self._prune_files(manifest, prune)
+                if prune
+                else list(manifest["files"])
+            )
+            untouched = [f for f in manifest["files"] if f not in set(touched)]
+            old_stats = manifest.get("stats", {})
+            scratch: list[str] = []
+            new_files: list[str] = []
+            new_stats: dict[str, dict] = {}
+            if touched:
+                kept = self._project_to_schema(
+                    {**manifest, "files": touched}
+                ).filter(~condition)
+                snap_id, new_files = self._write_data_files(kept)
+                scratch.append(snap_id)
+                new_stats = self._collect_file_stats(new_files)
+            stats = {
+                **{f: old_stats[f] for f in untouched if f in old_stats},
+                **new_stats,
+            }
+            old_seq = manifest.get("file_seq", {})
+            return self._snapshot(
                 "delete",
                 untouched + new_files,
-                parent,
+                base,
                 schema_json=manifest.get("schema"),
                 stats=stats,
                 file_seq={
                     **{f: old_seq.get(f, 0) for f in untouched},
-                    **{f: parent + 1 for f in new_files},
+                    **{f: base + 1 for f in new_files},
                 },
                 # pending MoR deletes may still hit carried files (their
                 # seq is unchanged); rewritten files were read with
@@ -1359,8 +1403,9 @@ class LakehouseTable:
                 added=len(new_files),
                 rewritten=len(touched),
                 carried=len(untouched),
-            )
-        )
+            ), scratch
+
+        return self._commit_rmw(compute)
 
     def delete_where_mor(
         self, condition: F.Column, keys: list[str]
@@ -1396,7 +1441,11 @@ class LakehouseTable:
 
         def build(parent: int) -> dict:
             prev = self._read_manifest(parent)
-            entry = {"files": del_files, "seq": parent + 1, "keys": keys}
+            # seq = the snapshot the predicate was EVALUATED against (v),
+            # not parent+1: under a concurrent append (parent > v) the
+            # delete must not claim rows it never saw — their file seq is
+            # > v, so they stay exempt (Iceberg's sequence semantics)
+            entry = {"files": del_files, "seq": v, "keys": keys}
             return self._snapshot(
                 "delete-mor",
                 prev["files"],
@@ -1490,55 +1539,57 @@ class LakehouseTable:
         unchanged, so the invariant 'one row in, one row out' holds and
         time travel shows the pre-update values at the parent version.
         """
-        v = self.current_version()
-        manifest = self._read_manifest(v)
-        touched = (
-            self._prune_files(manifest, prune)
-            if prune
-            else list(manifest["files"])
-        )
-        untouched = [f for f in manifest["files"] if f not in set(touched)]
-        old_stats = manifest.get("stats", {})
-        new_files: list[str] = []
-        new_stats: dict[str, dict] = {}
-        if touched:
-            src = self._project_to_schema({**manifest, "files": touched})
-            updated = src.select(
-                *[
-                    (
-                        F.when(condition, set_cols[c])
-                        .otherwise(F.col(c))
-                        .alias(c)
-                        if c in set_cols
-                        else F.col(c)
-                    )
-                    for c in src.columns
-                ]
+        def compute(base: int) -> tuple[dict, list[str]]:
+            manifest = self._read_manifest(base)
+            touched = (
+                self._prune_files(manifest, prune)
+                if prune
+                else list(manifest["files"])
             )
-            _, new_files = self._write_data_files(updated)
-            new_stats = self._collect_file_stats(new_files)
-        stats = {
-            **{f: old_stats[f] for f in untouched if f in old_stats},
-            **new_stats,
-        }
-        old_seq = manifest.get("file_seq", {})
-        return self._commit_with_retry(
-            lambda parent: self._snapshot(
+            untouched = [f for f in manifest["files"] if f not in set(touched)]
+            old_stats = manifest.get("stats", {})
+            scratch: list[str] = []
+            new_files: list[str] = []
+            new_stats: dict[str, dict] = {}
+            if touched:
+                src = self._project_to_schema({**manifest, "files": touched})
+                updated = src.select(
+                    *[
+                        (
+                            F.when(condition, set_cols[c])
+                            .otherwise(F.col(c))
+                            .alias(c)
+                            if c in set_cols
+                            else F.col(c)
+                        )
+                        for c in src.columns
+                    ]
+                )
+                snap_id, new_files = self._write_data_files(updated)
+                scratch.append(snap_id)
+                new_stats = self._collect_file_stats(new_files)
+            stats = {
+                **{f: old_stats[f] for f in untouched if f in old_stats},
+                **new_stats,
+            }
+            old_seq = manifest.get("file_seq", {})
+            return self._snapshot(
                 "update",
                 untouched + new_files,
-                parent,
+                base,
                 schema_json=manifest.get("schema"),
                 stats=stats,
                 file_seq={
                     **{f: old_seq.get(f, 0) for f in untouched},
-                    **{f: parent + 1 for f in new_files},
+                    **{f: base + 1 for f in new_files},
                 },
                 delete_files=manifest.get("delete_files", []),
                 added=len(new_files),
                 rewritten=len(touched),
                 carried=len(untouched),
-            )
-        )
+            ), scratch
+
+        return self._commit_rmw(compute)
 
     def changelog(
         self, from_version: int, to_version: int | None = None
@@ -1842,34 +1893,37 @@ class LakehouseTable:
         hyper-rectangle, so min/max pruning works for predicates on ANY
         of the z-ordered columns, not just a prefix."""
         n = target_file_count or self.spark.sparkContext.defaultParallelism
-        if zorder_by:
-            src = self.read()
-            z = self._zorder_column(src, zorder_by)
-            df = (
-                src.withColumn("__z", z)
-                .repartitionByRange(n, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
-        elif sort_by:
-            df = self.read().repartitionByRange(n, *sort_by).sortWithinPartitions(
-                *sort_by
-            )
-        else:
-            df = self.read().coalesce(n)
-        _, files = self._write_data_files(df)
-        stats = self._collect_file_stats(files)
-        return self._commit_with_retry(
-            lambda parent: self._snapshot(
+
+        def compute(base: int) -> tuple[dict, list[str]]:
+            src = self.read(version=base)
+            if zorder_by:
+                z = self._zorder_column(src, zorder_by)
+                df = (
+                    src.withColumn("__z", z)
+                    .repartitionByRange(n, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            elif sort_by:
+                df = src.repartitionByRange(n, *sort_by).sortWithinPartitions(
+                    *sort_by
+                )
+            else:
+                df = src.coalesce(n)
+            snap_id, files = self._write_data_files(df)
+            stats = self._collect_file_stats(files)
+            return self._snapshot(
                 "compact",
                 files,
-                parent,
+                base,
+                schema_json=self._read_manifest(base).get("schema"),
                 stats=stats,
-                file_seq={f: parent + 1 for f in files},
-                delete_files=[],  # read() applied them; deletes materialize
+                file_seq={f: base + 1 for f in files},
+                delete_files=[],  # read applied them; deletes materialize
                 added=len(files),
-            )
-        )
+            ), [snap_id]
+
+        return self._commit_rmw(compute)
 
     def rewrite_position_delete_files(self) -> dict | None:
         """Targeted compaction of pending POSITION deletes — Iceberg's
@@ -1885,42 +1939,52 @@ class LakehouseTable:
         at 100 TB — a full ``rewrite_data_files`` pays O(table) to clear
         O(deleted rows) of state, this pays O(targeted files). Returns
         None if no position deletes are pending."""
-        v = self.current_version()
-        manifest = self._read_manifest(v)
-        pos_entries = [
-            d for d in manifest.get("delete_files", []) if d.get("pos")
-        ]
-        if not pos_entries:
+        if not any(
+            d.get("pos")
+            for d in self._read_manifest(self.current_version()).get(
+                "delete_files", []
+            )
+        ):
             return None
         from urllib.parse import urlparse
 
-        coord_files = [f for d in pos_entries for f in d["files"]]
-        # coordinates store the reader's file URI (file:///...); the
-        # manifest stores plain paths — normalize before intersecting
-        targeted = {
-            urlparse(r["__file"]).path
-            for r in self.spark.read.parquet(*coord_files)
-            .select("__file")
-            .distinct()
-            .collect()
-        } & set(manifest["files"])
-        untouched = [f for f in manifest["files"] if f not in targeted]
-        new_files: list[str] = []
-        new_stats: dict[str, dict] = {}
-        if targeted:
-            src = self._project_to_schema(
-                {**manifest, "files": sorted(targeted)}
+        def compute(base: int) -> tuple[dict, list[str]]:
+            manifest = self._read_manifest(base)
+            pos_entries = [
+                d for d in manifest.get("delete_files", []) if d.get("pos")
+            ]
+            coord_files = [f for d in pos_entries for f in d["files"]]
+            # coordinates store the reader's file URI (file:///...); the
+            # manifest stores plain paths — normalize before intersecting
+            targeted = (
+                {
+                    urlparse(r["__file"]).path
+                    for r in self.spark.read.parquet(*coord_files)
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                }
+                & set(manifest["files"])
+                if pos_entries
+                else set()
             )
-            _, new_files = self._write_data_files(src)
-            new_stats = self._collect_file_stats(new_files)
-        old_stats = manifest.get("stats", {})
-        old_seq = manifest.get("file_seq", {})
-
-        def build(parent: int) -> dict:
+            untouched = [f for f in manifest["files"] if f not in targeted]
+            scratch: list[str] = []
+            new_files: list[str] = []
+            new_stats: dict[str, dict] = {}
+            if targeted:
+                src = self._project_to_schema(
+                    {**manifest, "files": sorted(targeted)}
+                )
+                snap_id, new_files = self._write_data_files(src)
+                scratch.append(snap_id)
+                new_stats = self._collect_file_stats(new_files)
+            old_stats = manifest.get("stats", {})
+            old_seq = manifest.get("file_seq", {})
             return self._snapshot(
                 "rewrite-pos-deletes",
                 untouched + new_files,
-                parent,
+                base,
                 schema_json=manifest.get("schema"),
                 stats={
                     **{f: old_stats[f] for f in untouched if f in old_stats},
@@ -1928,7 +1992,7 @@ class LakehouseTable:
                 },
                 file_seq={
                     **{f: old_seq.get(f, 0) for f in untouched},
-                    **{f: parent + 1 for f in new_files},
+                    **{f: base + 1 for f in new_files},
                 },
                 delete_files=[
                     d
@@ -1940,9 +2004,9 @@ class LakehouseTable:
                 added=len(new_files),
                 rewritten=len(targeted),
                 carried=len(untouched),
-            )
+            ), scratch
 
-        return self._commit_with_retry(build)
+        return self._commit_rmw(compute)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last ``keep_last`` snapshot manifests and

@@ -1356,3 +1356,88 @@ def test_read_as_of_timestamp(spark, table):
     assert table.version_as_of(t1) == 1
     with pytest.raises(ValueError):
         table.version_as_of(t1 - 3600)
+
+
+def test_concurrent_merges_linearize(spark, table):
+    """Two writers MERGE disjoint key sets concurrently: optimistic retry
+    must linearize them — both updates land, no lost update, gapless
+    version chain (the multi-writer upsert variant of the O9
+    isolation experiment)."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    cust.count()
+    table.overwrite(cust.select("c_custkey", "c_name", "c_acctbal"))
+    v0 = table.current_version()
+    errs = []
+
+    def merger(lo, hi, delta):
+        try:
+            src = (
+                cust.filter(F.col("c_custkey").between(lo, hi))
+                .select(
+                    "c_custkey",
+                    "c_name",
+                    (F.col("c_acctbal") + delta).alias("c_acctbal"),
+                )
+            )
+            table.merge_into(
+                src,
+                on=["c_custkey"],
+                update_cols={"c_acctbal": F.col("s.c_acctbal")},
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=merger, args=(0, 30, 1000.0))
+    t2 = threading.Thread(target=merger, args=(31, 60, -1000.0))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert not errs
+    assert table.current_version() == v0 + 2  # both committed, gapless
+    out = {r.c_custkey: r.c_acctbal for r in table.read().collect()}
+    base = {r.c_custkey: r.c_acctbal for r in cust.collect()}
+    for k in range(0, 31):
+        if k in base:
+            assert abs(out[k] - (base[k] + 1000.0)) < 1e-6
+    for k in range(31, 61):
+        if k in base:
+            assert abs(out[k] - (base[k] - 1000.0)) < 1e-6
+    untouched = [k for k in base if k > 60][:5]
+    for k in untouched:
+        assert out[k] == base[k]
+
+
+def test_concurrent_compact_and_append_no_lost_rows(spark, table):
+    """The classic lost-append: compaction computed against an old
+    snapshot must not commit over a concurrent append. _commit_rmw
+    recomputes the rewrite against the new tip, so every row survives
+    whichever order the two commits land in."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    cust.count()
+    base = cust.filter(F.col("c_custkey") <= 100)
+    extra = cust.filter(F.col("c_custkey").between(101, 120))
+    for i in range(3):
+        table.append(base.filter(F.col("c_custkey") % 3 == i).repartition(3))
+    errs = []
+
+    def compactor():
+        try:
+            table.rewrite_data_files(target_file_count=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender():
+        try:
+            table.append(extra)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=compactor)
+    t2 = threading.Thread(target=appender)
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert not errs
+    assert table.read().count() == base.count() + extra.count()
+    assert (
+        table.read().filter(F.col("c_custkey") > 100).count()
+        == extra.count()
+    )
