@@ -1441,3 +1441,65 @@ def test_concurrent_compact_and_append_no_lost_rows(spark, table):
         table.read().filter(F.col("c_custkey") > 100).count()
         == extra.count()
     )
+
+
+def test_mor_delete_does_not_claim_concurrently_appended_rows(spark, table):
+    """White-box pin of the delete-seq semantics: an equality delete's
+    entry carries the version its predicate was EVALUATED against, so
+    rows appended between evaluation and commit (which the delete never
+    saw) stay exempt even when their keys match."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(
+        cust.filter(
+            (F.col("c_custkey") <= 50) & (F.col("c_mktsegment") != "BUILDING")
+        )
+    )
+    v = table.current_version()
+    # evaluate the predicate at v, exactly as delete_where_mor does
+    doomed = (
+        table.read(version=v)
+        .filter(F.col("c_custkey") <= 10)
+        .select("c_custkey")
+        .distinct()
+    )
+    n_doomed = doomed.count()
+    _, del_files = table._write_data_files(doomed)
+
+    # concurrent append lands BEFORE the delete commits — with keys that
+    # match the doomed set
+    readd = cust.filter(
+        (F.col("c_custkey") <= 10) & (F.col("c_mktsegment") == "BUILDING")
+    )
+    table.append(readd)
+    n_readd = readd.count()
+    assert n_readd > 0
+
+    # commit the delete the way delete_where_mor's build() does: entry
+    # seq = v (evaluation snapshot), rebased onto the append's tip
+    parent = table.current_version()
+    prev = table._read_manifest(parent)
+    manifest = table._snapshot(
+        "delete-mor",
+        prev["files"],
+        parent,
+        schema_json=prev.get("schema"),
+        stats=prev.get("stats"),
+        file_seq=prev.get("file_seq"),
+        delete_files=prev.get("delete_files", [])
+        + [{"files": del_files, "seq": v, "keys": ["c_custkey"]}],
+        added=0,
+    )
+    table._try_commit(parent + 1, manifest)
+
+    out = table.read()
+    # pre-existing doomed keys are gone; the concurrent append survives
+    assert (
+        out.filter(
+            (F.col("c_custkey") <= 10) & (F.col("c_mktsegment") != "BUILDING")
+        ).count()
+        == 0
+    ), "rows visible at evaluation time must be deleted"
+    assert (
+        out.filter(F.col("c_mktsegment") == "BUILDING").count() == n_readd
+    ), "concurrently appended rows must stay exempt"
+    assert n_doomed > 0
