@@ -185,3 +185,67 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         }),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
+    "dq_volume_anomaly_scan",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        scored AS (
+            SELECT day, n,
+                   avg(n) OVER w AS mu,
+                   stddev_samp(n) OVER w AS sigma,
+                   count(*) OVER w AS n_window
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day, CAST(n AS BIGINT) AS n,
+               CAST(floor((n - mu) / sigma * 100 + 0.5) AS BIGINT)
+                   AS zscore_bp
+        FROM scored
+        WHERE n_window = 7 AND sigma > 0
+          AND abs(n - mu) / sigma > 1
+    """,
+)
+def dq_volume_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational data-quality monitoring: daily ingest volume scored
+    against its OWN trailing 7-day window (mean/stddev, current day
+    excluded) — days whose z-score exceeds 1 are flagged (threshold chosen so the synthetic corpus actually trips it; production would use 2-3). The freshness/
+    volume alarm every production pipeline runs next to the row-level
+    expectations (dq_expectations_report).
+
+    Scale: one keyed daily aggregate (map-side combined), then a window
+    over the tiny daily series — the scoring cost is O(days), not
+    O(events). The z-score is emitted in basis points via the shared
+    floor convention so both engines hash identically."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_window"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_window") == 7)
+            & (F.col("sigma") > 0)
+            & (F.abs(z) > 1)
+        )
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.floor(z * 100 + 0.5).cast("long").alias("zscore_bp"),
+        )
+    )
