@@ -1613,6 +1613,24 @@ class LakehouseTable:
         to = self.current_version() if to_version is None else to_version
         old = self.read(version=from_version)
         new = self.read(version=to)
+        # align to the union schema: the versions may differ by add-column
+        # (or drop-column) evolution, and exceptAll requires identical
+        # shapes — a column absent on one side reads NULL there, so an
+        # added column surfaces as delete(old row) + insert(row with the
+        # new field), the correct CDC rendering of evolution
+        cols = new.columns + [c for c in old.columns if c not in new.columns]
+
+        def pad(df: DataFrame, other: DataFrame) -> DataFrame:
+            have = set(df.columns)
+            out = df
+            for f in other.schema.fields:
+                if f.name not in have:
+                    out = out.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            return out.select(*cols)
+
+        old, new = pad(old, new), pad(new, old)
         inserts = new.exceptAll(old).select(
             F.lit("insert").alias("_change_type"), "*"
         )

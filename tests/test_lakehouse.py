@@ -1503,3 +1503,30 @@ def test_mor_delete_does_not_claim_concurrently_appended_rows(spark, table):
         out.filter(F.col("c_mktsegment") == "BUILDING").count() == n_readd
     ), "concurrently appended rows must stay exempt"
     assert n_doomed > 0
+
+
+def test_changelog_across_schema_evolution(spark, table):
+    """CDC between snapshots that differ by add-column evolution: old
+    rows diff as delete+insert pairs rendered in the union schema (the
+    pre-evolution side reads NULL for the new column)."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    table.append(
+        cust.select("c_custkey", "c_name").filter(F.col("c_custkey") < 5)
+    )
+    v1 = table.current_version()
+    table.append(
+        cust.select("c_custkey", "c_name", "c_acctbal").filter(
+            F.col("c_custkey").between(5, 7)
+        )
+    )
+    feed = table.changelog(v1)
+    assert set(feed.columns) == {
+        "_change_type", "c_custkey", "c_name", "c_acctbal",
+    }
+    ins = feed.filter(F.col("_change_type") == "insert")
+    dels = feed.filter(F.col("_change_type") == "delete")
+    # pure append: only inserts (old rows read identically in both
+    # versions - NULL acctbal on both sides)
+    assert dels.count() == 0
+    assert ins.count() == cust.filter(F.col("c_custkey").between(5, 7)).count()
+    assert ins.filter(F.col("c_acctbal").isNotNull()).count() == ins.count()
