@@ -1824,7 +1824,13 @@ class LakehouseTable:
                 "append",
                 prev + staged["added_files"],
                 parent,
-                schema_json=staged["schema"],
+                # same contract as fast_forward: main's CURRENT schema
+                # wins field-for-field, stage-only columns append — the
+                # staged schema was frozen when the audit began and must
+                # not revert evolution main did since
+                schema_json=self._merge_schema_json(
+                    prev_manifest.get("schema"), staged["schema"]
+                ),
                 stats=stats,
                 file_seq=seq,
                 delete_files=prev_manifest.get("delete_files", []),

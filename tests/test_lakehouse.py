@@ -1530,3 +1530,36 @@ def test_changelog_across_schema_evolution(spark, table):
     assert dels.count() == 0
     assert ins.count() == cust.filter(F.col("c_custkey").between(5, 7)).count()
     assert ins.filter(F.col("c_acctbal").isNotNull()).count() == ins.count()
+
+
+def test_publish_preserves_main_schema_evolution(spark, table):
+    """WAP publish after main evolved its schema mid-audit: the staged
+    snapshot's frozen schema must not revert the evolution (same
+    contract as fast_forward)."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    narrow = cust.select("c_custkey", "c_name")
+    table.append(narrow.filter(F.col("c_custkey") < 10))
+    sid = table.stage_append(
+        narrow.filter(F.col("c_custkey").between(10, 14))
+    )
+    # main evolves while the audit runs
+    table.append(
+        cust.select("c_custkey", "c_name", "c_acctbal").filter(
+            F.col("c_custkey").between(15, 19)
+        )
+    )
+    table.publish(sid)
+    out = table.read()
+    assert out.columns == ["c_custkey", "c_name", "c_acctbal"]
+    assert (
+        out.filter(F.col("c_custkey").between(10, 14))
+        .filter(F.col("c_acctbal").isNull())
+        .count()
+        == 5
+    )
+    assert (
+        out.filter(F.col("c_custkey").between(15, 19))
+        .filter(F.col("c_acctbal").isNotNull())
+        .count()
+        == 5
+    )
