@@ -1,0 +1,101 @@
+"""Catalog/namespace layer over :class:`LakehouseTable` paths.
+
+The reference addresses every table through a 3-part identifier —
+``my_catalog.bronze.iceberg`` / ``...silver...`` / ``...gold...``
+(dags/etl.py:49,72,90) — with the catalog bound to a warehouse root
+(constant.py:43,49-55, ``s3a://mybucket``). This module provides that
+surface for the path-based lakehouse: namespaces are directories under
+one warehouse root, tables resolve by identifier, and the medallion
+layers become ``bronze``/``silver``/``gold`` namespaces exactly as in
+SURVEY.md §1.1. When the Iceberg runtime jar is present, session.py wires
+the REAL ``my_catalog`` SparkCatalog instead; call sites are identical in
+shape (identifier in, table handle out).
+
+Scale: the catalog is pure driver-side path arithmetic — no data IO;
+listing is one directory walk per namespace.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from .lakehouse import LakehouseTable
+
+
+class LakehouseCatalog:
+    """``warehouse/<namespace>/<table>`` path-addressed catalog."""
+
+    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- namespaces ----------------------------------------------------------
+
+    def create_namespace(self, ns: str) -> None:
+        """CREATE NAMESPACE IF NOT EXISTS — idempotent, like the SQL."""
+        os.makedirs(os.path.join(self.warehouse, ns), exist_ok=True)
+
+    def namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def drop_namespace(self, ns: str) -> None:
+        """Refuses unless empty (SQL DROP NAMESPACE semantics)."""
+        if self.tables(ns):
+            raise ValueError(f"namespace not empty: {ns!r}")
+        shutil.rmtree(os.path.join(self.warehouse, ns), ignore_errors=True)
+
+    # -- tables --------------------------------------------------------------
+
+    def _split(self, identifier: str) -> tuple[str, str]:
+        parts = identifier.split(".")
+        if len(parts) == 3:  # catalog.ns.table — catalog name is implicit
+            parts = parts[1:]
+        if len(parts) != 2:
+            raise ValueError(
+                f"expected [catalog.]namespace.table, got {identifier!r}"
+            )
+        return parts[0], parts[1]
+
+    def _path(self, identifier: str) -> str:
+        ns, name = self._split(identifier)
+        return os.path.join(self.warehouse, ns, name)
+
+    def table(self, identifier: str) -> LakehouseTable:
+        """Resolve ``[catalog.]namespace.table`` to a table handle (the
+        ``spark.table('my_catalog.silver.iceberg')`` shape, sparkmini
+        orig 129). The handle is lazy — a handle to a not-yet-written
+        table is valid and its first overwrite/append creates it."""
+        ns, _ = self._split(identifier)
+        self.create_namespace(ns)
+        return LakehouseTable(self.spark, self._path(identifier))
+
+    def table_exists(self, identifier: str) -> bool:
+        return LakehouseTable(
+            self.spark, self._path(identifier)
+        ).current_version() > 0
+
+    def tables(self, ns: str) -> list[str]:
+        root = os.path.join(self.warehouse, ns)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d, "snapshots"))
+        )
+
+    def drop_table(self, identifier: str, purge: bool = True) -> None:
+        """DROP TABLE; ``purge`` removes data too (path catalog has no
+        separate metadata-only drop)."""
+        if purge:
+            shutil.rmtree(self._path(identifier), ignore_errors=True)
+        else:
+            raise ValueError("path catalog only supports purge drops")

@@ -1563,3 +1563,35 @@ def test_publish_preserves_main_schema_evolution(spark, table):
         .count()
         == 5
     )
+
+
+def test_catalog_namespace_table_resolution(spark, tmp_path):
+    """The reference's 3-part identifier surface
+    (my_catalog.bronze.iceberg, etl.py:49) over the path catalog:
+    namespaces, identifier resolution (2- and 3-part), existence,
+    listing, drops."""
+    from apache_iceberg_exploration_spark.sources.catalog import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").limit(20)
+
+    t = cat.table("my_catalog.bronze.iceberg")  # 3-part, catalog implicit
+    assert not cat.table_exists("bronze.iceberg")
+    t.overwrite(cust)
+    assert cat.table_exists("bronze.iceberg")  # 2-part resolves same table
+    assert cat.table("bronze.iceberg").read().count() == 20
+
+    cat.table("silver.iceberg").overwrite(cust.limit(5))
+    assert cat.namespaces() == ["bronze", "silver"]
+    assert cat.tables("bronze") == ["iceberg"]
+
+    with pytest.raises(ValueError):
+        cat.drop_namespace("bronze")  # not empty
+    cat.drop_table("bronze.iceberg")
+    assert not cat.table_exists("bronze.iceberg")
+    cat.drop_namespace("bronze")
+    assert cat.namespaces() == ["silver"]
+    with pytest.raises(ValueError):
+        cat.table("just_one_part")
