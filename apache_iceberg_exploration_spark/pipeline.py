@@ -15,11 +15,10 @@ silver merges rewrite only on key collisions; gold is tiny.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from .sources.catalog import LakehouseCatalog
 from .sources.io import load_table
 from .sources.lakehouse import LakehouseTable
 
@@ -27,10 +26,13 @@ from .sources.lakehouse import LakehouseTable
 def lakehouse_medallion(
     spark: SparkSession, sf_dir: str, warehouse: str
 ) -> dict[str, LakehouseTable]:
-    """Run the full pipeline; returns the three layer tables."""
-    bronze = LakehouseTable(spark, os.path.join(warehouse, "bronze", "documents"))
-    silver = LakehouseTable(spark, os.path.join(warehouse, "silver", "documents"))
-    gold = LakehouseTable(spark, os.path.join(warehouse, "gold", "doc_stats"))
+    """Run the full pipeline; returns the three layer tables, addressed
+    through the catalog exactly as the reference addresses its layers
+    (``my_catalog.bronze.iceberg`` etc., etl.py:49,72,90)."""
+    cat = LakehouseCatalog(spark, warehouse)
+    bronze = cat.table("my_catalog.bronze.documents")
+    silver = cat.table("my_catalog.silver.documents")
+    gold = cat.table("my_catalog.gold.doc_stats")
 
     # bronze: raw append (the incremental extract lands here)
     docs = load_table(spark, sf_dir, "documents")
