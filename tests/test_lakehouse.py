@@ -1595,3 +1595,57 @@ def test_catalog_namespace_table_resolution(spark, tmp_path):
     assert cat.namespaces() == ["silver"]
     with pytest.raises(ValueError):
         cat.table("just_one_part")
+
+
+def test_concurrent_stage_publishes_both_land(spark, table):
+    """Two staged WAP commits published concurrently: appends commute, so
+    both rebase cleanly — every staged row lands exactly once."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    cust.count()
+    table.overwrite(cust.filter(F.col("c_custkey") <= 50))
+    sid1 = table.stage_append(cust.filter(F.col("c_custkey").between(51, 70)))
+    sid2 = table.stage_append(cust.filter(F.col("c_custkey").between(71, 90)))
+    errs = []
+
+    def pub(sid):
+        try:
+            table.publish(sid)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=pub, args=(sid1,))
+    t2 = threading.Thread(target=pub, args=(sid2,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert table.read().count() == cust.filter(F.col("c_custkey") <= 90).count()
+
+
+def test_fast_forward_races_main_append(spark, table):
+    """Branch publish concurrent with a main append: both are additive,
+    both must land regardless of commit order."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    cust.count()
+    table.overwrite(cust.filter(F.col("c_custkey") <= 50))
+    table.create_branch("audit")
+    table.append_branch(
+        "audit", cust.filter(F.col("c_custkey").between(51, 60))
+    )
+    errs = []
+
+    def publisher():
+        try:
+            table.fast_forward("audit")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender():
+        try:
+            table.append(cust.filter(F.col("c_custkey").between(61, 70)))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=publisher)
+    t2 = threading.Thread(target=appender)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert table.read().count() == cust.filter(F.col("c_custkey") <= 70).count()
