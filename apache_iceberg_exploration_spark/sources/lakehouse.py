@@ -1101,11 +1101,131 @@ class LakehouseTable:
         self, manifest: dict, where: dict[str, tuple]
     ) -> list[str]:
         stats = manifest.get("stats", {})
-        return [
+        kept = [
             f
             for f in manifest["files"]
             if self._file_overlaps(stats.get(f), where)
         ]
+        # point predicates additionally consult per-file bloom sidecars
+        # (built by add_bloom_filters; absent -> conservatively kept)
+        points = {
+            col: lo for col, (lo, hi) in where.items()
+            if lo is not None and lo == hi
+        }
+        if points:
+            kept = [
+                f
+                for f in kept
+                if all(
+                    self._bloom_may_contain(f, col, val)
+                    for col, val in points.items()
+                )
+            ]
+        return kept
+
+    # -- bloom-filter sidecars (point-lookup file skipping) -------------------
+    #
+    # min/max stats cannot prune equality predicates on high-cardinality
+    # UNSORTED keys (every file's range spans everything). A tiny bloom
+    # per (file, column) — the Iceberg Puffin / parquet-bloom idea — lets
+    # a point lookup skip files that provably lack the value. Sidecars
+    # live OUTSIDE the manifest, keyed by the data file's path hash:
+    # data files are immutable and per-commit unique, so a sidecar can
+    # never go stale and no commit-path threading is needed (an
+    # ANALYZE-style auxiliary index, not table state).
+
+    BLOOM_BITS = 8192  # 1 KiB per (file, column)
+    BLOOM_HASHES = 4
+
+    @property
+    def _bloom_dir(self) -> str:
+        return os.path.join(self.path, "blooms")
+
+    def _bloom_sidecar_path(self, data_file: str) -> str:
+        import hashlib
+
+        h = hashlib.md5(data_file.encode()).hexdigest()[:16]
+        return os.path.join(self._bloom_dir, f"{h}.json")
+
+    @classmethod
+    def _bloom_positions(cls, value) -> list[int]:
+        import hashlib
+
+        return [
+            int(
+                hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:15], 16
+            )
+            % cls.BLOOM_BITS
+            for i in range(cls.BLOOM_HASHES)
+        ]
+
+    def add_bloom_filters(self, cols: list[str]) -> int:
+        """Build bloom sidecars for the CURRENT snapshot's data files on
+        the given columns (skipping files already indexed). Returns the
+        number of files indexed in this pass.
+
+        Scale: one column-pruned read per un-indexed file; on a cluster
+        this fans out as a distributed job (here: driver thread pool,
+        same shape as _collect_file_stats). 1 KiB per (file, column) —
+        a 10^6-file table indexes one column in ~1 GiB of sidecars."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        manifest = self._read_manifest(self.current_version())
+        os.makedirs(self._bloom_dir, exist_ok=True)
+        todo = [
+            f
+            for f in manifest["files"]
+            if not os.path.exists(self._bloom_sidecar_path(f))
+        ]
+
+        def index_one(f: str) -> None:
+            schema_names = pq.read_schema(f).names
+            want = [c for c in cols if c in schema_names]
+            per_col: dict[str, str] = {}
+            if want:
+                tbl = pq.read_table(f, columns=want)
+                for c in want:
+                    bits = bytearray(self.BLOOM_BITS // 8)
+                    for val in tbl.column(c).to_pylist():
+                        if val is None:
+                            continue
+                        for pos in self._bloom_positions(val):
+                            bits[pos // 8] |= 1 << (pos % 8)
+                    per_col[c] = bytes(bits).hex()
+            with open(self._bloom_sidecar_path(f), "w") as fh:
+                json.dump(per_col, fh)
+
+        if todo:
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(todo))
+            ) as ex:
+                list(ex.map(index_one, todo))
+        self._bloom_cache = {}
+        return len(todo)
+
+    def _bloom_may_contain(self, data_file: str, col: str, value) -> bool:
+        """False only when the sidecar PROVES the value absent."""
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        if data_file not in cache:
+            p = self._bloom_sidecar_path(data_file)
+            if not os.path.exists(p):
+                cache[data_file] = {}
+            else:
+                with open(p) as fh:
+                    cache[data_file] = {
+                        c: bytes.fromhex(h) for c, h in json.load(fh).items()
+                    }
+        bits = cache[data_file].get(col)
+        if bits is None:
+            return True
+        return all(
+            bits[pos // 8] & (1 << (pos % 8))
+            for pos in self._bloom_positions(value)
+        )
 
     @staticmethod
     def _cmp_part_vals(a: str, b: str) -> int:

@@ -1649,3 +1649,37 @@ def test_fast_forward_races_main_append(spark, table):
     t1.start(); t2.start(); t1.join(); t2.join()
     assert not errs
     assert table.read().count() == cust.filter(F.col("c_custkey") <= 70).count()
+
+
+def test_bloom_sidecar_point_lookup_skips_files(spark, table):
+    """Point lookups on a high-cardinality UNSORTED key: min/max ranges
+    overlap across files (no range pruning possible), but the bloom
+    sidecars prove which files lack the key — scan opens only the file
+    that can contain it, and results stay exact."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    # interleaved keys: every file's [min,max] spans nearly everything
+    table.append(cust.filter(F.col("c_custkey") % 2 == 0).coalesce(1))
+    table.append(cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1))
+    manifest = table._read_manifest(table.current_version())
+    assert len(manifest["files"]) == 2
+
+    # before indexing: range pruning keeps both files
+    assert len(table._prune_files(manifest, {"c_custkey": (7, 7)})) == 2
+
+    indexed = table.add_bloom_filters(["c_custkey"])
+    assert indexed == 2
+    assert table.add_bloom_filters(["c_custkey"]) == 0  # idempotent
+
+    kept = table._prune_files(manifest, {"c_custkey": (7, 7)})
+    assert len(kept) == 1, "bloom must skip the even-keys file"
+    out = table.scan({"c_custkey": (7, 7)})
+    assert [r.c_custkey for r in out.collect()] == [7]
+
+    # range predicates are untouched by blooms
+    assert table.scan({"c_custkey": (10, 20)}).count() == cust.filter(
+        F.col("c_custkey").between(10, 20)
+    ).count()
+
+    # files appended AFTER indexing have no sidecar -> conservatively kept
+    table.append(cust.limit(0))  # no-op append keeps manifest shape
+    assert table.scan({"c_custkey": (8, 8)}).count() == 1
