@@ -957,6 +957,48 @@ def lakehouse_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_bloom_point_lookup",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey IN (7, 123, 456)
+    """,
+)
+def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups via bloom-sidecar file skipping: customer lands in
+    three INTERLEAVED files (every file's min/max spans the whole key
+    range — range pruning provably keeps all three, asserted), then
+    ``add_bloom_filters`` indexes the key and each point scan opens only
+    the file(s) the blooms cannot rule out (asserted < all files). The
+    returned rows are exact regardless of pruning.
+
+    Scale: this is what makes needle-in-haystack lookups on a 10^6-file
+    unsorted table planning-bound — 1 KiB sidecar per (file, column),
+    membership tests driver-side, zero data IO for skipped files."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        for i in range(3):
+            tbl.append(cust.filter(F.col("c_custkey") % 3 == i).coalesce(1))
+        tbl.add_bloom_filters(["c_custkey"])
+        manifest = tbl._read_manifest(tbl.current_version())
+        keys = [7, 123, 456]
+        out = None
+        for k in keys:
+            assert (
+                len(tbl._prune_files(manifest, {"c_custkey": (k, k)}))
+                < len(manifest["files"])
+            ), "bloom must skip at least one file per point key"
+            part = tbl.scan({"c_custkey": (k, k)})
+            out = part if out is None else out.unionByName(part)
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_transform_partition_scan",
     oracle="""
         SELECT o_orderkey, o_custkey,
