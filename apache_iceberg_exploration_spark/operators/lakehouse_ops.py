@@ -999,6 +999,50 @@ def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_refs_metadata",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('audited-q1',  'tag',    1),
+            ('etl-rewrite', 'branch', 1),
+            ('main',        'branch', 3)
+        ) AS t(name, type, version)
+    """,
+)
+def lakehouse_refs_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``<table>.refs`` metadata table (Iceberg's named-references
+    listing): one row per tag and branch plus main, with the version
+    each currently points at. Driver-side metadata only — no data IO at
+    any table size."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name"
+        )
+        tbl.overwrite(cust.filter(F.col("c_custkey") <= 100))  # v1
+        tbl.tag("audited-q1")  # pins v1
+        tbl.create_branch("etl-rewrite")
+        tbl.append(cust.filter(F.col("c_custkey").between(101, 110)))  # v2
+        tbl.create_branch("wip")  # forked at v2
+        tbl.drop_branch("wip")
+        tbl.append(cust.filter(F.col("c_custkey").between(111, 120)))  # v3
+
+        rows = (
+            [(name, "tag", v) for name, v in tbl.tags().items()]
+            + [
+                (name, "branch", b["base_version"])
+                for name, b in tbl.branches().items()
+            ]
+            + [("main", "branch", tbl.current_version())]
+        )
+        return spark.createDataFrame(
+            sorted(rows), "name string, type string, version int"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_transform_partition_scan",
     oracle="""
         SELECT o_orderkey, o_custkey,

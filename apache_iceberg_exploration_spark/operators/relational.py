@@ -2551,3 +2551,34 @@ def timeseries_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w), 2
         ).alias("filled_value"),
     )
+
+
+_MODERN_SQL = """
+        SELECT c_mktsegment,
+               c_nationkey,
+               count(*) AS n_customers,
+               CAST(floor(avg(c_acctbal) * 100 + 0.5) AS BIGINT)
+                   AS avg_bal_cents
+        FROM {customer}
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 20
+"""
+
+
+@query(
+    "modern_sql_group_by_all",
+    oracle=_MODERN_SQL.format(customer="customer"),
+)
+def modern_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-SQL sugar surface (Spark 4 / DuckDB convergence): GROUP BY
+    ALL + ORDER BY ALL — the IDENTICAL query text runs on both engines
+    (same pattern as the recursive-CTE query). ORDER BY ALL makes the
+    LIMIT deterministic without naming columns.
+
+    Scale: desugars to a plain keyed aggregate + TakeOrderedAndProject —
+    the sugar is parser-level, the plan is the classic one."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__modern_customer"
+    )
+    return spark.sql(_MODERN_SQL.format(customer="__modern_customer"))

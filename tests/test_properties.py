@@ -154,3 +154,30 @@ def test_zorder_interleave_is_injective(spark, tmp_path_factory, pairs):
             cells[q] = r.z
     zs = list(cells.values())
     assert len(set(zs)) == len(zs)  # distinct cells -> distinct z
+
+
+def test_bloom_no_false_negatives(spark, tmp_path):
+    """Property: every value actually present in an indexed file must
+    pass its bloom test (false positives allowed, false negatives
+    never)."""
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    vals = [(i * 37 + 11, f"s{i}") for i in range(200)]
+    tbl.overwrite(
+        spark.createDataFrame(vals, "k long, s string").coalesce(1)
+    )
+    tbl.add_bloom_filters(["k", "s"])
+    f = tbl._read_manifest(tbl.current_version())["files"][0]
+    for k, s in vals:
+        assert tbl._bloom_may_contain(f, "k", k)
+        assert tbl._bloom_may_contain(f, "s", s)
+    # sanity: absent values are mostly excluded (not a correctness
+    # requirement, but an all-True bloom would be useless)
+    misses = sum(
+         not tbl._bloom_may_contain(f, "k", 10_000_000 + i)
+        for i in range(100)
+    )
+    assert misses > 90
