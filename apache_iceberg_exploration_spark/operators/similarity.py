@@ -757,3 +757,57 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "vec_id", "label", F.round("cos_raw", 4).alias("cos_sim")
         )
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+        SELECT anchor_id, negative_id, cos_sim FROM (
+            SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+                   round({cosine_similarity_sql('a.embedding', 'b.embedding')}, 4)
+                       AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_similarity_sql('a.embedding', 'b.embedding')} DESC,
+                                b.vec_id
+                   ) AS rn
+            FROM embeddings a JOIN embeddings b
+              ON a.label <> b.label
+            WHERE a.vec_id < 50
+        ) WHERE rn <= 2
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (first 50 ids), the 2 most-similar vectors of a DIFFERENT class —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially separable). Anchors broadcast; the corpus
+    streams through the scoring join once.
+
+    Scale: cost is |anchors|·|corpus| per mining pass — run it on a
+    sampled anchor set per epoch, or route through the IVF cells first
+    and only score the anchor's top probed cells (compose with
+    ann_ivf_probe_topk); the ranking window shards on anchor_id."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    cos = cosine_similarity(F.col("a_emb"), F.col("embedding"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(a), F.col("label") != F.col("a_label"))
+        .select("anchor_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )
