@@ -250,3 +250,68 @@ def multimodal_thumbnail_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         min(8, spark.sparkContext.defaultParallelism), "doc_id"
     )
     return spread.mapInPandas(_thumbnail_batches, schema=_THUMB_SCHEMA)
+
+
+_AUDIO_SR = 16_000  # fake decode: 4 samples per payload byte, 16 kHz
+_AUDIO_CHUNK_SCHEMA = "doc_id long, chunk_idx int, chunk_samples int"
+
+
+def _audio_chunk_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel with ROW EXPANSION: each payload decodes (fake:
+    4 samples/byte) and splits into 1-second windows — one output row
+    per chunk, so batches grow on the way out (the generator contract
+    makes that free; no collect, no explode column needed)."""
+    for pdf in batches:
+        doc_ids, idxs, sizes = [], [], []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            n_samples = len(media) * 4
+            full, rem = divmod(n_samples, _AUDIO_SR)
+            for i in range(full):
+                doc_ids.append(doc_id); idxs.append(i); sizes.append(_AUDIO_SR)
+            if rem:
+                doc_ids.append(doc_id); idxs.append(full); sizes.append(rem)
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "chunk_idx": idxs, "chunk_samples": sizes}
+        )
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle=f"""
+        WITH audio AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) * 4 AS n_samples
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               CAST(CASE WHEN (i + 1) * {_AUDIO_SR} <= n_samples
+                         THEN {_AUDIO_SR}
+                         ELSE n_samples - i * {_AUDIO_SR} END AS INTEGER)
+                   AS chunk_samples
+        FROM audio,
+             UNNEST(range(CAST(ceil(n_samples / {_AUDIO_SR}.0) AS BIGINT)))
+                 AS t(i)
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingestion plumbing: binary payloads fake-decode to PCM
+    sample counts (4 samples/byte @16 kHz — the stub stands where
+    soundfile/ffmpeg would run) and split into 1-second training
+    windows INSIDE the Arrow kernel — a mapInPandas with row expansion,
+    the shape audio/video chunking needs (one input row → many output
+    rows, no driver, no shuffle).
+
+    Scale: expansion happens streaming per Arrow batch; output row
+    count ∝ total audio duration, partition-local until a later keyed
+    op. The oracle verifies the full chunk arithmetic from payload
+    lengths."""
+    m = media_table(spark, sf_dir)
+    spread = m.select("doc_id", "media").repartition(
+        min(8, spark.sparkContext.defaultParallelism), "doc_id"
+    )
+    return spread.mapInPandas(
+        _audio_chunk_batches, schema=_AUDIO_CHUNK_SCHEMA
+    )
