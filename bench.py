@@ -83,6 +83,10 @@ HEADLINE = [
     "incremental_dedup_lakehouse",
     "lakehouse_column_ddl",
     "streaming_exactly_once_ingest",
+    "lakehouse_maintenance_cycle",
+    "lakehouse_bloom_point_lookup",
+    "medallion_pipeline_e2e",
+    "hard_negative_mining",
 ]
 
 

@@ -28,6 +28,7 @@ _EFFECTFUL_PREFIXES = ("lakehouse_", "streaming_")
 _PYTHON_ALLOWED = {
     "multimodal_decode_features",
     "multimodal_thumbnail_digest",
+    "multimodal_audio_chunks",  # row-expanding Arrow kernel (r3)
     # the UDTF API-surface demo is Python BY DESIGN (COVERAGE §2.10);
     # its docstring points hot paths at the explode-based equivalent
     "udtf_sentence_offsets",
