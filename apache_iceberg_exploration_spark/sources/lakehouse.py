@@ -330,6 +330,8 @@ class LakehouseTable:
         for _ in range(self.max_commit_retries):
             base = self.current_version()
             manifest, scratch = compute(base)
+            if manifest is None:  # recompute found nothing to do
+                return None
             try:
                 self._try_commit(base + 1, manifest)
                 return manifest
@@ -2013,6 +2015,74 @@ class LakehouseTable:
                     * F.lit(1 << (i * (m - 1) + j))
                 )
         return z
+
+    def rewrite_small_files(
+        self, min_file_bytes: int = 8 * 1024 * 1024
+    ) -> dict | None:
+        """Bin-pack compaction that touches ONLY small files (Iceberg's
+        BinPackStrategy ``min-input-files``/size-threshold behavior):
+        files at or above ``min_file_bytes`` carry into the new snapshot
+        verbatim — path, stats, sequence number — and only the
+        small-file tail is read, coalesced, and rewritten. Pending MoR
+        deletes are applied to the REWRITTEN rows only; carried files
+        keep their seqs so the same deletes still apply to them on read.
+
+        This is the steady-state maintenance tick for an append-heavy
+        table: cost tracks the small-file tail (the recent appends), not
+        table size — a full :meth:`rewrite_data_files` is the occasional
+        re-clustering, not the hourly job. Returns None when fewer than
+        two small files exist (nothing to pack)."""
+
+        def compute(base: int) -> tuple[dict, list[str]]:
+            manifest = self._read_manifest(base)
+            sizes = {f: os.path.getsize(f) for f in manifest["files"]}
+            small = [f for f, sz in sizes.items() if sz < min_file_bytes]
+            if len(small) < 2:
+                return None, []
+            carried = [f for f in manifest["files"] if f not in set(small)]
+            src = self._project_to_schema({**manifest, "files": small})
+            packed = src.coalesce(
+                max(1, sum(sizes[f] for f in small) // min_file_bytes)
+            )
+            snap_id, new_files = self._write_data_files(packed)
+            new_stats = self._collect_file_stats(new_files)
+            old_stats = manifest.get("stats", {})
+            old_seq = manifest.get("file_seq", {})
+            return self._snapshot(
+                "compact-small",
+                carried + new_files,
+                base,
+                schema_json=manifest.get("schema"),
+                stats={
+                    **{f: old_stats[f] for f in carried if f in old_stats},
+                    **new_stats,
+                },
+                file_seq={
+                    **{f: old_seq.get(f, 0) for f in carried},
+                    **{f: base + 1 for f in new_files},
+                },
+                # deletes stay pending: carried files keep their seqs
+                # (still claimable); rewritten rows were filtered and
+                # their new seq postdates every pending delete
+                delete_files=manifest.get("delete_files", []),
+                partition_specs=manifest.get("partition_specs"),
+                partitions=manifest.get("partitions"),
+                added=len(new_files),
+                rewritten=len(small),
+                carried=len(carried),
+            ), [snap_id]
+
+        # probe before entering the commit loop so a no-op returns None
+        # without a snapshot
+        manifest = self._read_manifest(self.current_version())
+        small = [
+            f
+            for f in manifest["files"]
+            if os.path.getsize(f) < min_file_bytes
+        ]
+        if len(small) < 2:
+            return None
+        return self._commit_rmw(compute)
 
     def rewrite_data_files(
         self,

@@ -1683,3 +1683,37 @@ def test_bloom_sidecar_point_lookup_skips_files(spark, table):
     # files appended AFTER indexing have no sidecar -> conservatively kept
     table.append(cust.limit(0))  # no-op append keeps manifest shape
     assert table.scan({"c_custkey": (8, 8)}).count() == 1
+
+
+def test_rewrite_small_files_carries_large_ones(spark, table):
+    """Bin-pack small-file compaction: only the small-file tail rewrites;
+    files above the threshold carry by path (stats + seq intact); data
+    unchanged; pending MoR deletes still apply everywhere."""
+    import os as _os
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.append(cust.coalesce(1))  # one "large" file
+    for i in range(4):  # four tiny appends
+        table.append(
+            cust.filter(F.col("c_custkey") % 4 == i).limit(10).coalesce(1)
+        )
+    manifest = table._read_manifest(table.current_version())
+    sizes = {f: _os.path.getsize(f) for f in manifest["files"]}
+    big = max(sizes, key=sizes.get)
+    pre_count = table.read().count()
+
+    table.delete_where_mor(F.col("c_custkey") == 3, keys=["c_custkey"])
+    n_del = table.read().count()
+
+    m = table.rewrite_small_files(min_file_bytes=sizes[big])
+    assert m is not None
+    assert m["operation"] == "compact-small"
+    assert big in m["files"], "the large file must carry by path"
+    assert len(m["files"]) < len(manifest["files"])
+    # the carried file keeps its seq, so the pending delete still hits it
+    assert table.read().count() == n_del
+    assert n_del < pre_count  # the delete really removed rows
+    assert table.read().filter(F.col("c_custkey") == 3).count() == 0
+
+    # second pass: nothing left to pack
+    assert table.rewrite_small_files(min_file_bytes=sizes[big]) is None
