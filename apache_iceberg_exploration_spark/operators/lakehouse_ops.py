@@ -943,6 +943,9 @@ def lakehouse_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_mktsegment") == "MACHINERY")
             & (F.col("c_custkey") % 7 == 0)
         )
+        # steady-state tick first: pack ONLY the small-file tail (large
+        # files carry by path), then the occasional full re-clustering
+        tbl.rewrite_small_files(min_file_bytes=64 * 1024 * 1024)
         tbl.rewrite_data_files(target_file_count=2)
         assert tbl.rewrite_position_delete_files() is None  # already clear
         n_files = len(tbl._read_manifest(tbl.current_version())["files"])
