@@ -1002,6 +1002,58 @@ def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_add_files_migrate",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 100000, s_name, s_nationkey,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier WHERE s_suppkey < 10
+    """,
+)
+def lakehouse_add_files_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy migration: the raw supplier.parquet testdata file is
+    adopted into a lakehouse table BY REFERENCE (add_files — metadata
+    only, source bytes untouched and read-only), then normal table life
+    continues on top: a regular append lands next to the imported file
+    and the combined table reads as one.
+
+    Scale: this is the onboarding path for an existing 100 TB parquet
+    lake — governance (snapshots, stats pruning, deletes) starts
+    immediately; compaction later rewrites imported files into
+    table-owned ones at leisure."""
+    import os as _os
+
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        src_file = _os.path.join(sf_dir, "supplier.parquet")
+        tbl.add_files([src_file])
+        extra = (
+            load_table(spark, sf_dir, "supplier")
+            .filter(F.col("s_suppkey") < 10)
+            .select(
+                (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+                "s_name",
+                "s_nationkey",
+                "s_acctbal",
+            )
+        )
+        tbl.append(extra)
+        out = tbl.read().select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_refs_metadata",
     oracle="""
         SELECT * FROM (VALUES

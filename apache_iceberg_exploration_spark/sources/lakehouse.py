@@ -594,6 +594,51 @@ class LakehouseTable:
 
         return self._commit_with_retry(build)
 
+    def add_files(self, files: list[str]) -> dict:
+        """Adopt EXISTING parquet files into the table by reference —
+        Iceberg ``CALL system.add_files`` / the migrate path: a
+        metadata-only append that records paths, footer stats, and
+        sequence numbers WITHOUT copying a byte. This is how a 100 TB
+        directory becomes a governed table in seconds.
+
+        The adopted files live outside the table's ``data/`` root: every
+        GC pass (expire_snapshots, remove_orphan_files, drop_branch)
+        only ever deletes under ``data/``, so external files are never
+        reclaimed — dropping the reference is the only outcome of
+        expiry, exactly as Iceberg treats imported files. Readers,
+        stats pruning, MoR deletes, and compaction treat them like any
+        other data file (compaction REWRITES them into table-owned
+        files, completing a zero-downtime migration)."""
+        for f in files:
+            if not os.path.exists(f):
+                raise FileNotFoundError(f)
+        stats = self._collect_file_stats(files)
+        schema_json = self.spark.read.parquet(*files).schema.json()
+
+        def build(parent: int) -> dict:
+            prev_manifest = self._read_manifest(parent) if parent else {}
+            prev = prev_manifest.get("files", [])
+            return self._snapshot(
+                "add-files",
+                prev + files,
+                parent,
+                schema_json=self._merge_schema_json(
+                    prev_manifest.get("schema"), schema_json
+                ),
+                stats={**prev_manifest.get("stats", {}), **stats},
+                file_seq={
+                    **prev_manifest.get("file_seq", {}),
+                    **{f: parent + 1 for f in files},
+                },
+                delete_files=prev_manifest.get("delete_files", []),
+                partition_specs=prev_manifest.get("partition_specs"),
+                partitions=prev_manifest.get("partitions"),
+                added=len(files),
+                imported=True,
+            )
+
+        return self._commit_with_retry(build)
+
     # -- named refs (Iceberg tags) --------------------------------------------
 
     @property
@@ -1345,7 +1390,7 @@ class LakehouseTable:
             raise ValueError(f"to_version {to} < since_version {since_version}")
         for v in range(since_version + 1, to + 1):
             op = self._read_manifest(v)["operation"]
-            if op != "append":
+            if op not in ("append", "add-files"):
                 raise ValueError(
                     f"non-append snapshot v{v} ({op}) breaks incremental read"
                 )

@@ -1717,3 +1717,44 @@ def test_rewrite_small_files_carries_large_ones(spark, table):
 
     # second pass: nothing left to pack
     assert table.rewrite_small_files(min_file_bytes=sizes[big]) is None
+
+
+def test_add_files_adopts_external_parquet_without_copy(spark, table, tmp_path):
+    """add_files (Iceberg migrate path): external parquet joins the table
+    by reference — no byte copied; reads/stats/deletes work; GC never
+    reclaims external files; compaction rewrites them into table-owned
+    files, completing the migration."""
+    import glob as _glob
+    import os as _os
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    ext_dir = str(tmp_path / "external")
+    cust.filter(F.col("c_custkey") <= 60).coalesce(1).write.parquet(ext_dir)
+    ext_files = sorted(_glob.glob(ext_dir + "/*.parquet"))
+    mtimes = {f: _os.path.getmtime(f) for f in ext_files}
+
+    table.overwrite(cust.filter(F.col("c_custkey").between(61, 100)))
+    m = table.add_files(ext_files)
+    assert m["summary"]["imported"] is True
+    n_all = cust.filter(F.col("c_custkey") <= 100).count()
+    assert table.read().count() == n_all
+    # source bytes untouched
+    assert {f: _os.path.getmtime(f) for f in ext_files} == mtimes
+
+    # MoR delete over adopted rows works like any other file's
+    table.delete_where_mor(F.col("c_custkey") <= 10, keys=["c_custkey"])
+    n_del = cust.filter(F.col("c_custkey") <= 10).count()
+    assert table.read().count() == n_all - n_del
+
+    # stats pruning sees the imported footer stats
+    kept = table._prune_files(
+        table._read_manifest(table.current_version()), {"c_custkey": (200, 300)}
+    )
+    assert kept == []  # both file groups provably excluded
+
+    # GC passes never touch external files
+    table.rewrite_data_files(target_file_count=1)  # migration completes
+    table.expire_snapshots(keep_last=1)
+    table.remove_orphan_files(older_than_seconds=0.0)
+    assert all(_os.path.exists(f) for f in ext_files)
+    assert table.read().count() == n_all - n_del
