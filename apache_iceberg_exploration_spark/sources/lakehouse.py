@@ -1414,6 +1414,7 @@ class LakehouseTable:
         summary_extra: dict | None = None,
         delete_condition: F.Column | None = None,
         evolve_schema: bool = False,
+        prune_on: str | None = None,
     ) -> dict:
         """MERGE INTO (upsert): rows matched on ``on`` are updated with
         ``update_cols`` expressions (evaluated over target columns and
@@ -1434,17 +1435,49 @@ class LakehouseTable:
         equivalent DataFrame plan: one outer join + projection, then an
         overwrite snapshot (op='merge').
 
-        Scale: a single shuffle on the merge key for the join; at 100 TB
-        add partition filtering so only affected partitions rewrite
-        (copy-on-write Iceberg does exactly this).
+        Scale: a single shuffle on the merge key for the join — and with
+        ``prune_on`` (a merge-key column), only files whose manifest
+        min/max overlap the SOURCE's key range are rewritten; everything
+        else carries by path (copy-on-write Iceberg's touched-file
+        scope). A row in an excluded file has a key outside the source's
+        range, so it provably matches nothing — it can only be a
+        pass-through, and carrying the file verbatim IS the pass-through.
+        Unmatched-source inserts land in the new files either way.
 
         Isolation: committed under :meth:`_commit_rmw` — the merged data
         is always derived from the commit's direct parent; a concurrent
         writer triggers a full recompute, never a lost update (caught by
         test_concurrent_merges_linearize)."""
+        key_range = None
+        if prune_on is not None:
+            if prune_on not in on:
+                raise ValueError(
+                    f"prune_on {prune_on!r} must be one of the merge keys"
+                )
+            row = source.agg(
+                F.min(prune_on).alias("lo"), F.max(prune_on).alias("hi")
+            ).first()
+            key_range = (row["lo"], row["hi"])
 
         def compute(base: int) -> tuple[dict, list[str]]:
-            target_df = self.read(version=base)
+            manifest = self._read_manifest(base)
+            carried: list[str] = []
+            if key_range is not None and key_range[0] is not None:
+                touched = self._prune_files(
+                    manifest, {prune_on: key_range}
+                )
+                carried = [
+                    f for f in manifest["files"] if f not in set(touched)
+                ]
+                target_df = (
+                    self._project_to_schema(
+                        {**manifest, "files": touched}
+                    )
+                    if touched
+                    else self.read(version=base).limit(0)
+                )
+            else:
+                target_df = self.read(version=base)
             # Explicit presence markers, NOT key-NULL-ness: a target row
             # whose merge-key column is legitimately NULL must survive as
             # "target only", not be misread as an unmatched source row and
@@ -1491,18 +1524,39 @@ class LakehouseTable:
 
             snap_id, files = self._write_data_files(merged)
             stats = self._collect_file_stats(files)
-            manifest = self._snapshot(
+            old_stats = manifest.get("stats", {})
+            old_seq = manifest.get("file_seq", {})
+            out = self._snapshot(
                 "merge",
-                files,
+                carried + files,
                 base,
-                schema_json=merged.schema.json(),
-                stats=stats,
-                file_seq={f: base + 1 for f in files},
-                delete_files=[],  # target read applied pending deletes
+                schema_json=self._merge_schema_json(
+                    manifest.get("schema"), merged.schema.json()
+                )
+                if carried
+                else merged.schema.json(),
+                stats={
+                    **{f: old_stats[f] for f in carried if f in old_stats},
+                    **stats,
+                },
+                file_seq={
+                    **{f: old_seq.get(f, 0) for f in carried},
+                    **{f: base + 1 for f in files},
+                },
+                # pruned merge: pending MoR deletes may still claim rows
+                # in CARRIED files (their seqs are unchanged); rewritten
+                # rows had deletes applied and their new seq is exempt.
+                # Full merge rewrote everything, so nothing stays pending.
+                delete_files=(
+                    manifest.get("delete_files", []) if carried else []
+                ),
+                partition_specs=manifest.get("partition_specs"),
+                partitions=manifest.get("partitions"),
                 added=len(files),
+                carried=len(carried),
                 **(summary_extra or {}),
             )
-            return manifest, [snap_id]
+            return out, [snap_id]
 
         return self._commit_rmw(compute)
 
