@@ -1814,3 +1814,52 @@ def test_merge_prune_on_rewrites_only_touched_files(spark, table):
     out = {r.c_custkey: r for r in table.read().collect()}
     assert out[1].c_acctbal == 1.0 and out[99].c_acctbal == 2.0
     assert out[3].c_acctbal == 9.0  # earlier update intact
+
+
+def test_concurrent_cow_delete_and_merge_linearize(spark, table):
+    """Two different read-modify-write ops race (CoW DELETE vs MERGE):
+    _commit_rmw must linearize them with both effects present, whichever
+    commits first."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    cust.count()
+    table.overwrite(cust.select("c_custkey", "c_name", "c_acctbal"))
+    errs = []
+
+    def deleter():
+        try:
+            table.delete_where(F.col("c_custkey").between(0, 9))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def merger():
+        try:
+            src = (
+                cust.filter(F.col("c_custkey").between(50, 59))
+                .select(
+                    "c_custkey",
+                    "c_name",
+                    (F.col("c_acctbal") + 5000.0).alias("c_acctbal"),
+                )
+            )
+            table.merge_into(
+                src,
+                on=["c_custkey"],
+                update_cols={"c_acctbal": F.col("s.c_acctbal")},
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=deleter)
+    t2 = threading.Thread(target=merger)
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert not errs
+    out = {r.c_custkey: r.c_acctbal for r in table.read().collect()}
+    base = {r.c_custkey: r.c_acctbal for r in cust.collect()}
+    n_del = cust.filter(F.col("c_custkey").between(0, 9)).count()
+    assert len(out) == len(base) - n_del
+    for k in range(0, 10):
+        assert k not in out  # delete landed
+    for k in range(50, 60):
+        if k in base:
+            assert abs(out[k] - (base[k] + 5000.0)) < 1e-6  # merge landed

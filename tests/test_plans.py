@@ -209,3 +209,32 @@ def test_pq_adc_broadcasts_lookup_tables(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shuffle_budgets_flagship_queries(spark):
+    """Pin the shuffle count of flagship plans — a regression that adds
+    an exchange (lost broadcast, accidental repartition) fails here
+    before it shows up as a 100 TB incident."""
+    from apache_iceberg_exploration_spark.operators.medallion import (
+        gold_customer_agg,
+        latest_event_per_user,
+    )
+    from apache_iceberg_exploration_spark.operators.relational import (
+        asof_join_purchase_to_click,
+        q1_pricing_summary,
+        q3_shipping_priority,
+    )
+    from apache_iceberg_exploration_spark.plans.explain import (
+        shuffle_count,
+    )
+
+    budgets = {
+        q1_pricing_summary: 1,        # partial+final agg
+        gold_customer_agg: 1,
+        q3_shipping_priority: 1,      # dims broadcast; one agg exchange
+        asof_join_purchase_to_click: 1,  # one window shuffle on user_id
+        latest_event_per_user: 1,
+    }
+    for fn, budget in budgets.items():
+        n = shuffle_count(fn(spark, SF_ORACLE))
+        assert n <= budget, f"{fn.__name__}: {n} shuffles > budget {budget}"
