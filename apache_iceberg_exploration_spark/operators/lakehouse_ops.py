@@ -1054,6 +1054,71 @@ def lakehouse_add_files_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_cdc_replication",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey BETWEEN 50 AND 60
+                    THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        WHERE c_custkey <= 120 AND c_custkey > 10
+    """,
+)
+def lakehouse_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip — changelog() closed into replication: a source
+    table takes an append, an equality MoR delete, and a CoW update;
+    the change feed between the sync point and the tip (insert/delete
+    tagged rows) is applied to a replica that last synced at v1 —
+    deletes via three-clause MERGE (WHEN MATCHED DELETE, no inserts),
+    inserts via plain append. The replica must equal the source exactly
+    (updates ride the feed as delete+insert pairs). Returned: the
+    replica's final state, hash-checked against the declarative oracle.
+
+    Scale: the feed is O(changed rows); applying it costs one keyed
+    merge + one append on the replica — the table-mirroring shape for
+    search-index sync / cross-region replicas, all distributed (no
+    driver-side key lists)."""
+    root = _scratch()
+    try:
+        src = LakehouseTable(spark, root + "/src")
+        rep = LakehouseTable(spark, root + "/rep")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        )
+        base = cust.filter(F.col("c_custkey") <= 100)
+        src.overwrite(base)  # v1 = the replica's last sync point
+        rep.overwrite(base)
+
+        src.append(cust.filter(F.col("c_custkey").between(101, 120)))
+        src.delete_where_mor(F.col("c_custkey") <= 10, keys=["c_custkey"])
+        src.update_where(
+            F.col("c_custkey").between(50, 60),
+            {"c_acctbal": F.col("c_acctbal") + 100.0},
+        )
+
+        feed = src.changelog(1).localCheckpoint(eager=True)
+        dels = (
+            feed.filter(F.col("_change_type") == "delete")
+            .select("c_custkey")
+            .distinct()
+        )
+        ins = feed.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        rep.merge_into(
+            dels,
+            on=["c_custkey"],
+            delete_condition=F.lit(True),
+            insert_unmatched=False,
+        )
+        rep.append(ins)
+
+        out = rep.read()
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_refs_metadata",
     oracle="""
         SELECT * FROM (VALUES
