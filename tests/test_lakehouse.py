@@ -1863,3 +1863,90 @@ def test_concurrent_cow_delete_and_merge_linearize(spark, table):
     for k in range(50, 60):
         if k in base:
             assert abs(out[k] - (base[k] + 5000.0)) < 1e-6  # merge landed
+
+
+def test_add_files_merges_schema(spark, table, tmp_path):
+    """Adopting files whose schema differs by an added column: the table
+    schema unions (existing rows read NULL for the new column), same
+    add-column contract as appends."""
+    import glob as _glob
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    table.overwrite(
+        cust.select("c_custkey", "c_name").filter(F.col("c_custkey") < 10)
+    )
+    ext = str(tmp_path / "wide")
+    cust.select("c_custkey", "c_name", "c_acctbal").filter(
+        F.col("c_custkey").between(10, 14)
+    ).coalesce(1).write.parquet(ext)
+    table.add_files(sorted(_glob.glob(ext + "/*.parquet")))
+
+    out = table.read()
+    assert out.columns == ["c_custkey", "c_name", "c_acctbal"]
+    assert (
+        out.filter(F.col("c_custkey") < 10)
+        .filter(F.col("c_acctbal").isNull())
+        .count()
+        == cust.filter(F.col("c_custkey") < 10).count()
+    )
+    assert (
+        out.filter(F.col("c_custkey") >= 10)
+        .filter(F.col("c_acctbal").isNotNull())
+        .count()
+        == 5
+    )
+    with pytest.raises(FileNotFoundError):
+        table.add_files(["/nonexistent/file.parquet"])
+
+
+def test_pruned_merge_concurrent_with_append(spark, table):
+    """prune_on merge racing a concurrent append: _commit_rmw recomputes
+    the pruning against the new tip, so the appended rows survive and
+    the merge effect lands."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    cust.count()
+    table.append(
+        cust.select("c_custkey", "c_name", "c_acctbal")
+        .filter(F.col("c_custkey") <= 50)
+        .coalesce(1)
+    )
+    table.append(
+        cust.select("c_custkey", "c_name", "c_acctbal")
+        .filter(F.col("c_custkey").between(51, 100))
+        .coalesce(1)
+    )
+    errs = []
+
+    def merger():
+        try:
+            src = spark.createDataFrame(
+                [(5, "U", 1.5)], "c_custkey long, c_name string, c_acctbal double"
+            )
+            table.merge_into(
+                src,
+                on=["c_custkey"],
+                update_cols={"c_acctbal": F.col("s.c_acctbal")},
+                prune_on="c_custkey",
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender():
+        try:
+            table.append(
+                cust.select("c_custkey", "c_name", "c_acctbal").filter(
+                    F.col("c_custkey").between(101, 110)
+                )
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=merger)
+    t2 = threading.Thread(target=appender)
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert not errs
+    out = {r.c_custkey: r.c_acctbal for r in table.read().collect()}
+    assert abs(out[5] - 1.5) < 1e-9
+    n_all = cust.filter(F.col("c_custkey") <= 110).count()
+    assert len(out) == n_all
