@@ -431,6 +431,121 @@ def lakehouse_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_zorder_pruned_scan",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 100 AND 400
+          AND l_partkey BETWEEN 20 AND 70
+        GROUP BY l_returnflag
+    """,
+)
+def lakehouse_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end: lineitem lands in hash-fragmented
+    appends (every file spans the FULL range of both keys — min/max
+    stats prune nothing), then ``rewrite_data_files(zorder_by=
+    ['l_orderkey', 'l_partkey'])`` reclusters on the Morton interleave,
+    and a 2-D range box plans only the files whose hyper-rectangle
+    overlaps it. Asserted: after the rewrite a predicate on EITHER
+    dimension alone prunes files — the property a single-column sort
+    cannot give its non-prefix columns, and the reason Iceberg ships
+    zorder as a rewrite strategy for multi-predicate tables.
+
+    Scale: clustering cost is one range-shuffle of the table (a
+    maintenance tick, amortized over every subsequent scan); the scan
+    itself is O(files) driver-side metadata + tasks only for surviving
+    files."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
+        )
+        for i in range(3):
+            tbl.append(
+                li.filter(F.crc32(F.col("l_orderkey").cast("string")) % 3 == i)
+                .repartition(2)
+            )
+        tbl.rewrite_data_files(
+            target_file_count=16, zorder_by=["l_orderkey", "l_partkey"]
+        )
+        manifest = tbl._read_manifest(tbl.current_version())
+        n_files = len(manifest["files"])
+        for one_dim in (
+            {"l_orderkey": (100, 400)},
+            {"l_partkey": (20, 70)},
+        ):
+            assert (
+                len(tbl._prune_files(manifest, one_dim)) < n_files
+            ), f"zorder failed to prune on {list(one_dim)}"
+        out = (
+            tbl.scan({"l_orderkey": (100, 400), "l_partkey": (20, 70)})
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                ).alias("revenue_cents"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_mor_update",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               + CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey <= 300
+                      THEN 100000 ELSE 0 END AS bal_cents
+        FROM customer
+    """,
+)
+def lakehouse_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE end-to-end: v1 = customer (balances as exact
+    integer cents); one ``update_where_mor`` commit credits every
+    BUILDING customer with key <= 300 — writing ONLY the matched keys
+    (equality-delete) and their updated images (append), with every v1
+    data file carried untouched (asserted). The read reassembles the
+    update via sequence numbers: the delete hides the old images, the
+    appended ones are exempt.
+
+    Scale: write cost is O(matched rows) against an arbitrarily large
+    table — the CDC-upsert / dimension-touch-up shape where CoW UPDATE
+    would rewrite whole files for a handful of rows."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        tbl.overwrite(cust)
+        files_before = set(tbl._read_manifest(tbl.current_version())["files"])
+        tbl.update_where_mor(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") <= 300),
+            keys=["c_custkey"],
+            set_cols={"bal_cents": F.col("bal_cents") + 100000},
+        )
+        m = tbl._read_manifest(tbl.current_version())
+        assert files_before <= set(m["files"]), (
+            "MoR update must carry every existing data file"
+        )
+        assert m["operation"] == "update-mor"
+        return _materialize(tbl.read())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_delete_where",
     oracle="""
         SELECT o_orderstatus,

@@ -1812,6 +1812,77 @@ class LakehouseTable:
 
         return self._commit_rmw(compute)
 
+    def update_where_mor(
+        self,
+        condition: F.Column,
+        keys: list[str],
+        set_cols: dict[str, F.Column],
+    ) -> dict | None:
+        """Merge-on-read UPDATE (Iceberg v2 MoR ``UPDATE ... SET``): ONE
+        commit that equality-deletes the matched rows' keys AND appends
+        their updated images — no existing data file is opened for
+        rewrite. The read path reassembles the update: the delete entry
+        (seq = base) hides the old images (file seq <= base), the
+        appended files (seq = base+1) are exempt, so exactly the new
+        images surface. ``keys`` must uniquely identify the matched rows
+        (the equality-delete contract, same as :meth:`delete_where_mor`);
+        updating a key column is fine — the delete lists the OLD key
+        values, captured before ``set_cols`` applies.
+
+        Runs under the serializable read-modify-write loop: losing a race
+        discards the scratch files and re-evaluates ``condition`` against
+        the new tip, so two racing updates of one key linearize instead
+        of double-appending. Returns None when nothing matches (no
+        snapshot committed — Iceberg's no-op UPDATE).
+
+        The CoW/MoR trade mirrors delete: :meth:`update_where` pays a
+        rewrite of every touched file; this pays O(matched rows) at write
+        time plus one broadcast anti-join per read until
+        ``rewrite_data_files`` / ``rewrite_small_files`` materializes the
+        pending entries away — the right shape for frequent narrow
+        updates (CDC upserts, slowly-mutating dimensions) on tables with
+        large files."""
+
+        def compute(base: int) -> tuple[dict | None, list[str]]:
+            manifest = self._read_manifest(base)
+            src = self._project_to_schema(manifest).filter(condition)
+            if not src.limit(1).count():
+                return None, []
+            doomed = src.select(*keys).distinct()
+            del_snap, del_files = self._write_data_files(doomed)
+            updated = src.select(
+                *[
+                    (
+                        set_cols[c].alias(c)
+                        if c in set_cols
+                        else F.col(c)
+                    )
+                    for c in src.columns
+                ]
+            )
+            up_snap, new_files = self._write_data_files(updated)
+            new_stats = self._collect_file_stats(new_files)
+            entry = {"files": del_files, "seq": base, "keys": keys}
+            old_seq = manifest.get("file_seq", {})
+            return self._snapshot(
+                "update-mor",
+                manifest["files"] + new_files,
+                base,
+                schema_json=manifest.get("schema"),
+                stats={**manifest.get("stats", {}), **new_stats},
+                file_seq={
+                    **old_seq,
+                    **{f: base + 1 for f in new_files},
+                },
+                delete_files=manifest.get("delete_files", []) + [entry],
+                partition_specs=manifest.get("partition_specs"),
+                partitions=manifest.get("partitions"),
+                added=len(new_files),
+                delete_key_files=len(del_files),
+            ), [del_snap, up_snap]
+
+        return self._commit_rmw(compute)
+
     def changelog(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

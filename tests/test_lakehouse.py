@@ -1950,3 +1950,190 @@ def test_pruned_merge_concurrent_with_append(spark, table):
     assert abs(out[5] - 1.5) < 1e-9
     n_all = cust.filter(F.col("c_custkey") <= 110).count()
     assert len(out) == n_all
+
+
+# -- merge-on-read UPDATE ----------------------------------------------------
+
+
+def test_mor_update_is_metadata_cheap_and_exact(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    table.overwrite(cust)
+    v1 = table.current_version()
+    files_v1 = set(table._read_manifest(v1)["files"])
+    table.update_where_mor(
+        F.col("c_custkey") <= 20,
+        keys=["c_custkey"],
+        set_cols={"c_acctbal": F.lit(0.0)},
+    )
+    m = table._read_manifest(table.current_version())
+    # every original data file carried untouched; one equality-delete entry
+    assert files_v1 <= set(m["files"])
+    assert len(m["delete_files"]) == 1
+    out = {r.c_custkey: r.c_acctbal for r in table.read().collect()}
+    assert len(out) == cust.count()  # one row in, one row out
+    want = {
+        r.c_custkey: (0.0 if r.c_custkey <= 20 else r.c_acctbal)
+        for r in cust.collect()
+    }
+    assert out == want
+    # time travel still sees pre-update values
+    old = {r.c_custkey: r.c_acctbal for r in table.read(version=v1).collect()}
+    assert old == {r.c_custkey: r.c_acctbal for r in cust.collect()}
+
+
+def test_mor_update_of_key_column(spark, table):
+    """Updating the key itself: the delete entry lists the OLD key values
+    (captured pre-update), so the old images vanish and only the re-keyed
+    images surface."""
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust.filter(F.col("c_custkey") <= 50))
+    table.update_where_mor(
+        F.col("c_custkey") <= 5,
+        keys=["c_custkey"],
+        set_cols={"c_custkey": F.col("c_custkey") + 1000},
+    )
+    got = {r.c_custkey for r in table.read().collect()}
+    assert got == {k + 1000 for k in range(6)} | set(range(6, 51))
+
+
+def test_mor_update_spares_rows_appended_after(spark, table):
+    """Sequence numbers: the update's delete entry must not claim rows
+    appended after it — even for the same keys."""
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust.filter(F.col("c_custkey") <= 50))
+    table.update_where_mor(
+        F.col("c_custkey") <= 10,
+        keys=["c_custkey"],
+        set_cols={"c_name": F.lit("UPDATED")},
+    )
+    table.append(
+        cust.filter(F.col("c_custkey") <= 3).withColumn(
+            "c_name", F.lit("REINSERTED")
+        )
+    )
+    rows = table.read().collect()
+    by_name: dict[str, set] = {}
+    for r in rows:
+        by_name.setdefault(r.c_name, set()).add(r.c_custkey)
+    assert by_name.get("REINSERTED") == {0, 1, 2, 3}
+    # updated images all present exactly once alongside the reinserts
+    updated = {r.c_custkey for r in rows if r.c_name == "UPDATED"}
+    assert updated == set(range(11))
+    assert len(rows) == 51 + 4
+
+
+def test_mor_update_noop_commits_nothing(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    table.overwrite(cust)
+    v = table.current_version()
+    assert (
+        table.update_where_mor(
+            F.col("c_custkey") < 0,
+            keys=["c_custkey"],
+            set_cols={"c_name": F.lit("X")},
+        )
+        is None
+    )
+    assert table.current_version() == v
+
+
+def test_compaction_materializes_mor_update(spark, table):
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    table.overwrite(cust)
+    table.update_where_mor(
+        F.col("c_custkey") <= 100,
+        keys=["c_custkey"],
+        set_cols={"c_acctbal": F.col("c_acctbal") + 1.0},
+    )
+    before = {r.c_custkey: r.c_acctbal for r in table.read().collect()}
+    table.rewrite_data_files(target_file_count=2)
+    m = table._read_manifest(table.current_version())
+    assert m.get("delete_files", []) == []
+    assert {
+        r.c_custkey: r.c_acctbal for r in table.read().collect()
+    } == before
+
+
+def test_concurrent_mor_updates_linearize(spark, table):
+    """Two racing MoR updates of overlapping keys: the rmw loop recomputes
+    the loser against the winner's tip, so the effects compose instead of
+    double-appending images."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    table.overwrite(
+        cust.filter(F.col("c_custkey") <= 30).withColumn(
+            "c_acctbal", F.lit(0.0)
+        )
+    )
+    errs: list[Exception] = []
+
+    def bump(delta):
+        def run():
+            try:
+                table.update_where_mor(
+                    F.col("c_custkey") <= 10,
+                    keys=["c_custkey"],
+                    set_cols={"c_acctbal": F.col("c_acctbal") + delta},
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+        return run
+
+    t1 = threading.Thread(target=bump(1.0))
+    t2 = threading.Thread(target=bump(10.0))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    out = {r.c_custkey: r.c_acctbal for r in table.read().collect()}
+    assert len(out) == 31  # no duplicated images
+    for k in range(11):
+        assert abs(out[k] - 11.0) < 1e-9, out[k]
+    for k in range(11, 31):
+        assert out[k] == 0.0
+
+
+def test_zorder_rewrite_prunes_on_every_dimension(spark, table):
+    """The z-order claim: after a Morton-interleave rewrite, a range
+    predicate on EACH clustered column alone skips files (a prefix sort
+    only serves its first column)."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    for i in range(3):
+        table.append(
+            li.filter(
+                F.crc32(F.col("l_orderkey").cast("string")) % 3 == i
+            ).repartition(2)
+        )
+    m0 = table._read_manifest(table.current_version())
+    # fragmented appends: full-range files, nothing prunable on partkey
+    assert len(
+        table._prune_files(m0, {"l_partkey": (20, 70)})
+    ) == len(m0["files"])
+    table.rewrite_data_files(
+        target_file_count=16, zorder_by=["l_orderkey", "l_partkey"]
+    )
+    m = table._read_manifest(table.current_version())
+    n = len(m["files"])
+    keep_ok = len(table._prune_files(m, {"l_orderkey": (100, 400)}))
+    keep_pk = len(table._prune_files(m, {"l_partkey": (20, 70)}))
+    assert keep_ok < n and keep_pk < n, (keep_ok, keep_pk, n)
+    # exactness: the pruned scan equals the plain filtered source
+    got = (
+        table.scan({"l_orderkey": (100, 400), "l_partkey": (20, 70)})
+        .agg(F.count("*"), F.sum("l_quantity"))
+        .first()
+    )
+    want = (
+        li.filter(
+            F.col("l_orderkey").between(100, 400)
+            & F.col("l_partkey").between(20, 70)
+        )
+        .agg(F.count("*"), F.sum("l_quantity"))
+        .first()
+    )
+    assert tuple(got) == tuple(want)
