@@ -555,3 +555,112 @@ def streaming_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_cdc_upsert_latest",
+    oracle="""
+        SELECT user_id,
+               CAST(event_id AS BIGINT) AS last_event_id,
+               event_type AS last_event_type,
+               round(value, 2) + 0.0 AS last_value
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def streaming_cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: a keyed 'latest state per user' table
+    maintained by MERGE INTO from ``foreachBatch`` — the Delta/Iceberg
+    streaming-upsert idiom (reduce each micro-batch to one winner per
+    key, then a conditional-update merge), wrapped in the exactly-once
+    sink so a replayed batch cannot double-apply.
+
+    The update arm is ordering-gated (``s`` newer than ``t`` by
+    (ts, event_id)), so the final table is the per-user argmax over ALL
+    events regardless of how the stream was sliced into batches or which
+    state the table started in — here it starts seeded with each user's
+    OLDEST event, so the merge must genuinely update (not just insert)
+    every multi-event user.
+
+    Scale: per batch, one shuffle to reduce the batch to per-key winners
+    (batch-sized, not table-sized) + one merge join on the key; with
+    ``prune_on`` on a clustered key the rewrite scope is the touched
+    files only. State lives in the table, not the stream — restart cost
+    is a checkpoint read, not a state-store rebuild.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.lakehouse import LakehouseTable
+    from .sinks import idempotent_foreach_batch
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    root = _tempfile.mkdtemp(prefix="lakehouse_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/state")
+        ev = load_table(spark, sf_dir, "events").select(*cols)
+        oldest = Window.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        tbl.overwrite(
+            ev.withColumn("rn", F.row_number().over(oldest))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+        newer = (F.col("s.ts") > F.col("t.ts")) | (
+            (F.col("s.ts") == F.col("t.ts"))
+            & (F.col("s.event_id") > F.col("t.event_id"))
+        )
+
+        def apply(table, batch_df, summary_extra):
+            latest = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            winners = (
+                batch_df.withColumn("rn", F.row_number().over(latest))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            return table.merge_into(
+                winners,
+                on=["user_id"],
+                update_cols={
+                    c: F.when(newer, F.col(f"s.{c}")).otherwise(
+                        F.col(f"t.{c}")
+                    )
+                    for c in cols
+                    if c != "user_id"
+                },
+                summary_extra=summary_extra,
+            )
+
+        sink = idempotent_foreach_batch(tbl, apply)
+        q = (
+            _events_stream(spark, sf_dir)
+            .select(*cols)
+            .writeStream.foreachBatch(
+                lambda df, bid: sink(df.select(*cols), bid)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+        out = tbl.read().select(
+            "user_id",
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            (F.round(F.col("value"), 2) + F.lit(0.0)).alias("last_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
