@@ -593,6 +593,57 @@ def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_cow_update",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderstatus = 'O' AND o_orderkey <= 500
+                      THEN 500 ELSE 0 END AS price_cents
+        FROM orders
+    """,
+)
+def lakehouse_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE end-to-end: orders written range-clustered on
+    the key, then ``UPDATE ... SET price_cents += 500 WHERE status='O'
+    AND key <= 500`` with the rewrite scope stats-pruned to the files
+    whose min/max overlap the predicate's key range — files above the
+    range carry by path (asserted). Non-matching rows of touched files
+    rewrite unchanged, so 'one row in, one row out' holds and time
+    travel shows pre-update values.
+
+    Scale: write cost tracks touched files, not table size — the
+    CoW/MoR counterpart of `lakehouse_mor_update` (same statement, the
+    read-optimized trade: scans stay pure, the update pays the
+    rewrite)."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        tbl.overwrite(
+            orders.repartitionByRange(4, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            )
+        )
+        n_files = len(tbl._read_manifest(tbl.current_version())["files"])
+        manifest = tbl.update_where(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") <= 500),
+            set_cols={"price_cents": F.col("price_cents") + 500},
+            prune={"o_orderkey": (None, 500)},
+        )
+        assert manifest["summary"]["carried"] > 0, "no files pruned"
+        assert manifest["summary"]["rewritten"] < n_files
+        return _materialize(tbl.read())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_changelog_scan",
     oracle="""
         SELECT 'delete' AS _change_type, c_custkey,

@@ -269,7 +269,11 @@ class LakehouseTable:
 
         def one_file(f: str) -> tuple[str, dict]:
             md = pq.ParquetFile(f).metadata
-            per_col: dict[str, list] = {}
+            # "__rows" is a reserved stats key (file row count, for the
+            # files metadata table and cost-based planning); real columns
+            # can never collide with it, and range pruning only ever
+            # looks up queried column names.
+            per_col: dict[str, list] = {"__rows": md.num_rows}
             if md.num_row_groups == 0:  # empty file: nothing to record
                 return f, per_col
             for ci in range(md.num_columns):
@@ -1961,11 +1965,12 @@ class LakehouseTable:
         """``<table>.files`` metadata table (Iceberg): one row per live
         data file with size, row count, sequence number, partition tuple
         and per-column min/max stats (as a JSON string — schema-stable
-        across tables). Row counts/sizes come from the parquet footers,
-        fanned out on a thread pool like commit-time stats collection;
-        everything else is manifest metadata. Driver-side by design:
-        O(files) metadata, zero data IO, the introspection surface
-        compaction policies and debuggers read."""
+        across tables). Row counts come from the manifest's commit-time
+        stats (the reserved ``__rows`` entry) when present — zero file
+        IO — with a parquet-footer fallback for manifests written before
+        row counts were recorded; sizes are one ``stat`` syscall each.
+        Driver-side by design: O(files) metadata, zero data IO, the
+        introspection surface compaction policies and debuggers read."""
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
@@ -1979,7 +1984,10 @@ class LakehouseTable:
         parts = manifest.get("partitions", {})
 
         def footer(f: str) -> tuple[int, int]:
-            return pq.ParquetFile(f).metadata.num_rows, os.path.getsize(f)
+            rows = stats.get(f, {}).get("__rows")
+            if rows is None:  # pre-__rows manifest: read the footer
+                rows = pq.ParquetFile(f).metadata.num_rows
+            return rows, os.path.getsize(f)
 
         if flist:
             with ThreadPoolExecutor(max_workers=min(16, len(flist))) as ex:
@@ -2003,7 +2011,12 @@ class LakehouseTable:
                 footers[f][0],
                 int(seqs.get(f, 0)),
                 parts.get(f),
-                json.dumps(stats[f], default=str) if f in stats else None,
+                json.dumps(
+                    {k: v for k, v in stats[f].items() if k != "__rows"},
+                    default=str,
+                )
+                if f in stats
+                else None,
             )
             for f in flist
         ]

@@ -87,6 +87,10 @@ HEADLINE = [
     "lakehouse_bloom_point_lookup",
     "medallion_pipeline_e2e",
     "hard_negative_mining",
+    "lakehouse_mor_update",
+    "lakehouse_zorder_pruned_scan",
+    "ann_sq_rerank_topk",
+    "streaming_cdc_upsert_latest",
 ]
 
 

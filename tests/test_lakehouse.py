@@ -2137,3 +2137,27 @@ def test_zorder_rewrite_prunes_on_every_dimension(spark, table):
         .first()
     )
     assert tuple(got) == tuple(want)
+
+
+def test_files_metadata_rows_from_manifest(spark, table):
+    """The files metadata table takes row counts from the manifest's
+    commit-time ``__rows`` stats — no footer parse — and keeps the
+    reserved key out of the per-column stats_json."""
+    import json as _json
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.overwrite(cust.repartition(4))
+    m = table._read_manifest(table.current_version())
+    assert all(
+        s.get("__rows") is not None for s in m["stats"].values()
+    )
+    fm = table.files().collect()
+    assert sum(r.num_rows for r in fm) == cust.count()
+    for r in fm:
+        assert r.num_rows == m["stats"][r.file_path]["__rows"]
+        assert "__rows" not in _json.loads(r.stats_json)
+    # range pruning is unaffected by the reserved key
+    kept = table._prune_files(m, {"c_custkey": (0, 10)})
+    assert set(kept) <= set(m["files"])

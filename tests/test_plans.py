@@ -238,3 +238,24 @@ def test_shuffle_budgets_flagship_queries(spark):
     for fn, budget in budgets.items():
         n = shuffle_count(fn(spark, SF_ORACLE))
         assert n <= budget, f"{fn.__name__}: {n} shuffles > budget {budget}"
+
+
+def test_sq_rerank_stays_broadcast_and_take_ordered(spark):
+    """Two-stage SQ rerank: the query vector is broadcast (no shuffle of
+    the corpus), both top-k stages plan as TakeOrderedAndProject (k rows
+    per partition to the driver — no global sort exchange), and the
+    whole scoring pipeline stays out of Python."""
+    from apache_iceberg_exploration_spark.operators.similarity import (
+        ann_sq_rerank_topk,
+    )
+    from apache_iceberg_exploration_spark.plans.explain import (
+        shuffle_count,
+    )
+
+    df = ann_sq_rerank_topk(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Sort " not in plan.replace("TakeOrdered", "")  # no global sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) == 0, "corpus must not shuffle for top-k"

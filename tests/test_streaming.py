@@ -346,3 +346,78 @@ def test_foreachbatch_idempotent_replay(spark, tmp_path):
     sink(ev.filter(F.col("event_id") % 2 == 1).limit(5), 2)
     assert tbl.current_version() == v_before + 1
     assert tbl.read().count() == total + 5
+
+
+def test_cdc_upsert_latest_is_batch_slicing_invariant(spark, tmp_path):
+    """The conditional-update CDC upsert (streaming_cdc_upsert_latest's
+    sink) must converge to the per-key argmax no matter how the stream is
+    sliced: here the two micro-batches INTERLEAVE in event time (split by
+    event_id parity), so batch 2 delivers events both older and newer
+    than batch 1's winners — the ordering gate has to reject the former
+    and apply the latter."""
+    from pyspark.sql import Window
+
+    from apache_iceberg_exploration_spark.streaming.sinks import (
+        idempotent_foreach_batch,
+    )
+
+    d, ev = _two_batch_stream_dir(spark, tmp_path)
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    ev = ev.select(*cols)
+    tbl = LakehouseTable(spark, str(tmp_path / "latest_state"))
+    tbl.overwrite(ev.limit(0))
+
+    newer = (F.col("s.ts") > F.col("t.ts")) | (
+        (F.col("s.ts") == F.col("t.ts"))
+        & (F.col("s.event_id") > F.col("t.event_id"))
+    )
+
+    def apply(table, batch_df, summary_extra):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        winners = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        return table.merge_into(
+            winners,
+            on=["user_id"],
+            update_cols={
+                c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                for c in cols
+                if c != "user_id"
+            },
+            summary_extra=summary_extra,
+        )
+
+    sink = idempotent_foreach_batch(tbl, apply)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = (
+        stream.select(*cols)
+        .writeStream.foreachBatch(lambda df, bid: sink(df.select(*cols), bid))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        (r.user_id, r.event_id)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    got = {(r.user_id, r.event_id) for r in tbl.read().collect()}
+    assert got == want
+    ops = [s["operation"] for s in tbl.snapshots()]
+    assert ops.count("merge") >= 2  # one conditional merge per micro-batch
