@@ -181,3 +181,35 @@ def test_bloom_no_false_negatives(spark, tmp_path):
         for i in range(100)
     )
     assert misses > 90
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 25),
+)
+def test_cow_and_mor_update_agree(spark, tmp_path_factory, rows, cutoff):
+    """The same UPDATE statement through copy-on-write (update_where) and
+    merge-on-read (update_where_mor) must produce identical tables for
+    arbitrary key/value multisets and an arbitrary predicate cutoff —
+    the two write strategies are storage trades, never semantic ones."""
+    base = list({k: v for k, v in rows}.items())  # unique keys
+    root = tmp_path_factory.mktemp("prop_upd")
+    cond = F.col("k") <= cutoff
+    results = []
+    for mode in ("cow", "mor"):
+        tbl = LakehouseTable(spark, str(root / mode))
+        tbl.overwrite(spark.createDataFrame(base, "k long, v long"))
+        if mode == "cow":
+            tbl.update_where(cond, set_cols={"v": F.col("v") + 7})
+        else:
+            tbl.update_where_mor(
+                cond, keys=["k"], set_cols={"v": F.col("v") + 7}
+            )
+        results.append({r.k: r.v for r in tbl.read().collect()})
+    model = {k: (v + 7 if k <= cutoff else v) for k, v in base}
+    assert results[0] == model and results[1] == model
