@@ -1763,10 +1763,11 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions_toolkit",
     oracle="""
         SELECT o_custkey,
-               list_sort(list(DISTINCT o_orderpriority))              AS priorities,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                                                                      AS priorities,
                len(list_distinct(list(o_orderstatus)))                AS n_statuses,
                list_contains(list(o_orderstatus), 'F')                AS has_final,
-               list_sort(list(o_orderkey))[1:3]                       AS first_orders
+               array_to_string(list_sort(list(o_orderkey))[1:3], ',') AS first_orders
         FROM orders
         WHERE o_custkey < 30
         GROUP BY o_custkey
@@ -1776,19 +1777,27 @@ def array_functions_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface: collect_set/sort_array/array_distinct/
     array_contains/slice over grouped data — the §1.2 ArrayType toolkit
     beyond embeddings (build arrays with aggregation, manipulate them
-    with higher-order builtins)."""
+    with higher-order builtins). Array outputs are emitted CSV-rendered
+    (string and integer elements — lossless), per the repo convention:
+    the driver's canonicalizer cannot sort rows holding raw array
+    cells."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("o_orderpriority"))
+        ).alias("priorities"),
         F.size(F.array_distinct(F.collect_list("o_orderstatus"))).alias(
             "n_statuses"
         ),
         F.array_contains(F.collect_list("o_orderstatus"), "F").alias(
             "has_final"
         ),
-        F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 3).alias(
-            "first_orders"
-        ),
+        F.concat_ws(
+            ",",
+            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 3).cast(
+                "array<string>"
+            ),
+        ).alias("first_orders"),
     )
 
 
