@@ -209,13 +209,15 @@ def _run_available_now(df, output_mode: str):
     # first start and each partition owns a state store whose per-batch
     # maintenance is pure overhead when near-empty — so size it to the
     # STATE (key cardinality × retention), not to the batch CPU count.
-    # Measured here: 32 → 8 state partitions cuts the stream-stream join
-    # 7.1 s → 2.6 s at sf0.1. On a real cluster with high-cardinality
-    # keys, size it UP instead; it cannot be changed without a new
-    # checkpoint.
+    # Measured here (stream-stream join, sf0.1, min-of-3 same session):
+    # 32 → 8 partitions cut 7.1 s → 2.6 s; 8 → 4 cut another ~33%
+    # (3.29 s → 2.22 s); 4 → 2 was within noise (2.15 s) and halves
+    # batch-side parallelism, so 4 is the floor. On a real cluster with
+    # high-cardinality keys, size it UP instead; it cannot be changed
+    # without a new checkpoint.
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(old), 8))
+        "spark.sql.shuffle.partitions", str(min(int(old), 4))
     )
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     try:
