@@ -1431,8 +1431,8 @@ def lakehouse_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
     """``<table>.partitions`` metadata table over a partitioned write:
     per-partition file and row counts read purely from manifests +
     footers — the introspection a compaction planner or skew monitor
-    uses, with zero data IO. The input is repartitioned by the partition
-    column first so each value lands in exactly one task → exactly one
+    uses, with zero data IO. The write uses ``distribution="hash"``
+    (Iceberg write.distribution-mode) so each value lands in exactly one
     file, making file_count deterministic for the oracle.
 
     Scale: O(files) driver-side metadata; the Spark job in partitions()
@@ -1440,10 +1440,10 @@ def lakehouse_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
     root = _scratch()
     try:
         tbl = LakehouseTable(spark, root + "/t")
-        cust = load_table(spark, sf_dir, "customer").repartition(
-            "c_mktsegment"
+        cust = load_table(spark, sf_dir, "customer")
+        tbl.overwrite(
+            cust, partition_by=["c_mktsegment"], distribution="hash"
         )
-        tbl.overwrite(cust, partition_by=["c_mktsegment"])
         out = tbl.partitions().select(
             "partition",
             F.col("file_count").cast("int").alias("file_count"),

@@ -214,13 +214,26 @@ class LakehouseTable:
     # -- data-file production -------------------------------------------------
 
     def _write_data_files(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        distribution: str | None = None,
     ) -> tuple[str, list[str]]:
         """``partition_by`` entries are transform specs (PartitionSpec
         syntax): ``"col"``, ``"days(ts_col)"``, ``"bucket(16, key)"``,
         ``"truncate(4, col)"``. Non-identity transforms add a derived
         hidden column for layout; the SOURCE column stays in the data
-        files, so footer stats and queries are transform-agnostic."""
+        files, so footer stats and queries are transform-agnostic.
+
+        ``distribution="hash"`` (Iceberg ``write.distribution-mode=hash``)
+        shuffles rows to their partition value before the write, so each
+        partition tuple is written by ONE task → one file. Without it, a
+        partitioned write fans out to tasks × partition-values files —
+        the small-file explosion that at 1000 executors × 1000 daily
+        partitions means a million files per commit. The trade: one extra
+        shuffle per write, and a heavily skewed partition value serializes
+        into a single task (mitigate upstream with AQE rebalance or a
+        finer-grained spec)."""
         snap_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", snap_id)
         specs = [PartitionSpec.parse(s) for s in (partition_by or [])]
@@ -228,6 +241,8 @@ class LakehouseTable:
         for sp in specs:
             if sp.kind != "identity":
                 out = out.withColumn(sp.field_name, sp.column())
+        if specs and distribution == "hash":
+            out = out.repartition(*[sp.field_name for sp in specs])
         writer = out.write.mode("errorifexists")
         if specs:
             writer = writer.partitionBy(*[sp.field_name for sp in specs])
@@ -508,10 +523,17 @@ class LakehouseTable:
             added_column=name,
         )
 
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> dict:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        distribution: str | None = None,
+    ) -> dict:
         """Full-replace snapshot — the reference's only write mode
-        (``mode("overwrite").saveAsTable``, etl.py:51-54)."""
-        _, files = self._write_data_files(df, partition_by)
+        (``mode("overwrite").saveAsTable``, etl.py:51-54).
+        ``distribution="hash"`` clusters rows to one file per partition
+        tuple (see :meth:`_write_data_files`)."""
+        _, files = self._write_data_files(df, partition_by, distribution)
         stats = self._collect_file_stats(files)
         specs = [
             PartitionSpec.parse(s).__dict__ for s in (partition_by or [])
@@ -536,14 +558,17 @@ class LakehouseTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         summary_extra: dict | None = None,
+        distribution: str | None = None,
     ) -> dict:
         """Additive snapshot: new files + every file of the parent version.
         Data files are written ONCE before the commit loop — a rebase after
         a lost race only re-reads the parent manifest, it never rewrites
         data (Iceberg's fast-append behavior). ``summary_extra`` entries
         land in the commit summary (Iceberg snapshot summary properties
-        — e.g. a streaming sink's batch id, see streaming.sinks)."""
-        _, files = self._write_data_files(df, partition_by)
+        — e.g. a streaming sink's batch id, see streaming.sinks).
+        ``distribution="hash"`` clusters rows to one file per partition
+        tuple (see :meth:`_write_data_files`)."""
+        _, files = self._write_data_files(df, partition_by, distribution)
         new_stats = self._collect_file_stats(files)
 
         new_parts = self._file_partitions(files)

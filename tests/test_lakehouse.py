@@ -2161,3 +2161,28 @@ def test_files_metadata_rows_from_manifest(spark, table):
     # range pruning is unaffected by the reserved key
     kept = table._prune_files(m, {"c_custkey": (0, 10)})
     assert set(kept) <= set(m["files"])
+
+
+def test_hash_distribution_one_file_per_partition(spark, table):
+    """write.distribution-mode=hash: a partitioned write clusters rows so
+    each partition tuple gets exactly one file; the default (no
+    distribution) fans out to tasks x values. Results identical."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).repartition(8)
+    table.overwrite(cust, partition_by=["c_mktsegment"], distribution="hash")
+    m = table._read_manifest(table.current_version())
+    per_tuple: dict[str, int] = {}
+    for f in m["files"]:
+        seg = m["partitions"][f]["c_mktsegment"]
+        per_tuple[seg] = per_tuple.get(seg, 0) + 1
+    assert per_tuple and all(n == 1 for n in per_tuple.values()), per_tuple
+    assert _hash_df(table.read()) == _hash_df(cust)
+    # appends honour it too
+    table.append(
+        cust.limit(500), partition_by=["c_mktsegment"], distribution="hash"
+    )
+    m2 = table._read_manifest(table.current_version())
+    new_files = [f for f in m2["files"] if f not in set(m["files"])]
+    segs = [m2["partitions"][f]["c_mktsegment"] for f in new_files]
+    assert len(segs) == len(set(segs))  # one new file per touched tuple
