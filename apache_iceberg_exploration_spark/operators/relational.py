@@ -1778,9 +1778,11 @@ def array_functions_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_contains/slice over grouped data — the §1.2 ArrayType toolkit
     beyond embeddings (build arrays with aggregation, manipulate them
     with higher-order builtins). Array outputs are emitted CSV-rendered
-    (string and integer elements — lossless), per the repo convention:
-    the driver's canonicalizer cannot sort rows holding raw array
-    cells."""
+    per the repo convention (the driver's canonicalizer cannot sort rows
+    holding raw array cells): integers for first_orders; for priorities
+    the elements are the fixed TPC-H o_orderpriority enums, which
+    contain no commas, so the rendering is unambiguous — do NOT copy
+    this pattern for free-form string arrays."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
     return o.groupBy("o_custkey").agg(
         F.concat_ws(

@@ -25,6 +25,10 @@ from ..sources.io import load_table
 TOP_K = 10
 N_PROBE = 2
 QUERY_VEC_ID = 0  # the fixed query vector for the oracle-checked queries
+# fixed max-abs scale for INT8 scalar quantization (~ the corpus max-abs);
+# shared by embedding_quantize_int8 and ann_sq_rerank_topk so the two
+# INT8 surfaces can never drift apart
+SQ_SCALE = 0.5
 
 
 def _query_vector(emb: DataFrame) -> DataFrame:
@@ -204,11 +208,11 @@ def similarity_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=f"""
         SELECT vec_id, label,
                array_to_string(
                    list_transform(CAST(embedding AS DOUBLE[]),
-                                  v -> CAST(floor(v * 127.0 / 0.5) AS INTEGER)),
+                                  v -> CAST(floor(v * 127.0 / {SQ_SCALE}) AS INTEGER)),
                    ',') AS q8_csv,
                CAST(floor(list_aggregate(
                      list_transform(CAST(embedding AS DOUBLE[]), v -> v * v),
@@ -229,7 +233,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE). The array-native form is the same expression minus concat_ws."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     v = F.col("embedding").cast("array<double>")
-    q8 = F.transform(v, lambda x: F.floor(x * 127.0 / 0.5).cast("int"))
+    q8 = F.transform(v, lambda x: F.floor(x * 127.0 / SQ_SCALE).cast("int"))
     sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     return emb.select(
         "vec_id",
@@ -813,7 +817,6 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQ_SCALE = 0.5       # fixed max-abs scale, as embedding_quantize_int8
 SQ_SHORTLIST = 40    # coarse candidates reranked exactly
 
 

@@ -241,7 +241,16 @@ class LakehouseTable:
         for sp in specs:
             if sp.kind != "identity":
                 out = out.withColumn(sp.field_name, sp.column())
-        if specs and distribution == "hash":
+        if distribution is not None:
+            if distribution != "hash":
+                raise ValueError(
+                    f"unknown write distribution {distribution!r} "
+                    "(supported: 'hash')"
+                )
+            if not specs:
+                raise ValueError(
+                    "distribution='hash' requires partition_by"
+                )
             out = out.repartition(*[sp.field_name for sp in specs])
         writer = out.write.mode("errorifexists")
         if specs:
@@ -1846,6 +1855,7 @@ class LakehouseTable:
         condition: F.Column,
         keys: list[str],
         set_cols: dict[str, F.Column],
+        partition_by: list[str] | None = None,
     ) -> dict | None:
         """Merge-on-read UPDATE (Iceberg v2 MoR ``UPDATE ... SET``): ONE
         commit that equality-deletes the matched rows' keys AND appends
@@ -1870,11 +1880,26 @@ class LakehouseTable:
         ``rewrite_data_files`` / ``rewrite_small_files`` materializes the
         pending entries away — the right shape for frequent narrow
         updates (CDC upserts, slowly-mutating dimensions) on tables with
-        large files."""
+        large files.
+
+        ``partition_by`` lays the updated images out under that spec
+        (pass the table's spec to keep per-partition metadata exact).
+        Without it the images land as unpartitioned files — still
+        CORRECT on a partitioned table (spec-per-file semantics:
+        ``_partition_prune`` conservatively keeps files lacking a spec's
+        field, and ``partitions()`` rolls them under the empty tuple),
+        just invisible to partition pruning until compaction."""
 
         def compute(base: int) -> tuple[dict | None, list[str]]:
             manifest = self._read_manifest(base)
-            src = self._project_to_schema(manifest).filter(condition)
+            # one scan: materialize the matched rows JVM-side so the
+            # existence probe, keys write, and images write don't each
+            # re-run the table scan + pending-delete anti-joins
+            src = (
+                self._project_to_schema(manifest)
+                .filter(condition)
+                .localCheckpoint(eager=True)
+            )
             if not src.limit(1).count():
                 return None, []
             doomed = src.select(*keys).distinct()
@@ -1889,10 +1914,27 @@ class LakehouseTable:
                     for c in src.columns
                 ]
             )
-            up_snap, new_files = self._write_data_files(updated)
+            up_snap, new_files = self._write_data_files(
+                updated, partition_by
+            )
             new_stats = self._collect_file_stats(new_files)
             entry = {"files": del_files, "seq": base, "keys": keys}
             old_seq = manifest.get("file_seq", {})
+            new_specs = [
+                PartitionSpec.parse(s).__dict__
+                for s in (partition_by or [])
+            ]
+            specs = manifest.get("partition_specs")
+            if new_specs:
+                specs = (specs or []) + [
+                    d for d in new_specs if d not in (specs or [])
+                ]
+            partitions = manifest.get("partitions")
+            if specs is not None:
+                partitions = {
+                    **(partitions or {}),
+                    **self._file_partitions(new_files),
+                }
             return self._snapshot(
                 "update-mor",
                 manifest["files"] + new_files,
@@ -1904,8 +1946,8 @@ class LakehouseTable:
                     **{f: base + 1 for f in new_files},
                 },
                 delete_files=manifest.get("delete_files", []) + [entry],
-                partition_specs=manifest.get("partition_specs"),
-                partitions=manifest.get("partitions"),
+                partition_specs=specs,
+                partitions=partitions,
                 added=len(new_files),
                 delete_key_files=len(del_files),
             ), [del_snap, up_snap]

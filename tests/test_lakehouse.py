@@ -1971,8 +1971,9 @@ def test_mor_update_is_metadata_cheap_and_exact(spark, table):
     # every original data file carried untouched; one equality-delete entry
     assert files_v1 <= set(m["files"])
     assert len(m["delete_files"]) == 1
-    out = {r.c_custkey: r.c_acctbal for r in table.read().collect()}
-    assert len(out) == cust.count()  # one row in, one row out
+    rows = table.read().collect()
+    assert len(rows) == cust.count()  # one row in, one row out (no dup images)
+    out = {r.c_custkey: r.c_acctbal for r in rows}
     want = {
         r.c_custkey: (0.0 if r.c_custkey <= 20 else r.c_acctbal)
         for r in cust.collect()
@@ -2088,8 +2089,9 @@ def test_concurrent_mor_updates_linearize(spark, table):
     t2 = threading.Thread(target=bump(10.0))
     t1.start(); t2.start(); t1.join(); t2.join()
     assert not errs
-    out = {r.c_custkey: r.c_acctbal for r in table.read().collect()}
-    assert len(out) == 31  # no duplicated images
+    rows = table.read().collect()
+    assert len(rows) == 31  # no duplicated images (row count, pre-dict)
+    out = {r.c_custkey: r.c_acctbal for r in rows}
     for k in range(11):
         assert abs(out[k] - 11.0) < 1e-9, out[k]
     for k in range(11, 31):
@@ -2186,3 +2188,49 @@ def test_hash_distribution_one_file_per_partition(spark, table):
     new_files = [f for f in m2["files"] if f not in set(m["files"])]
     segs = [m2["partitions"][f]["c_mktsegment"] for f in new_files]
     assert len(segs) == len(set(segs))  # one new file per touched tuple
+
+
+def test_mor_update_with_partition_spec_keeps_metadata_exact(spark, table):
+    """Passing the table's spec to update_where_mor lays the updated
+    images out under it: every data file (old and new) carries a
+    partition tuple, partitions() counts stay per-segment-exact, and
+    partition pruning can skip the image files too."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    table.overwrite(
+        cust, partition_by=["c_mktsegment"], distribution="hash"
+    )
+    table.update_where_mor(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") <= 50),
+        keys=["c_custkey"],
+        set_cols={"c_name": F.lit("TOUCHED")},
+        partition_by=["c_mktsegment"],
+    )
+    m = table._read_manifest(table.current_version())
+    assert all(f in m["partitions"] for f in m["files"])
+    per_seg = {
+        r["partition"]: r["row_count"]
+        for r in table.partitions().collect()
+    }
+    assert '{}' not in per_seg  # no phantom unpartitioned rollup
+    want = {
+        f'{{"c_mktsegment":"{r.c_mktsegment}"}}': r.n
+        for r in cust.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # old images still in files (MoR), so per-partition rows = base + images
+    touched = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") <= 50)
+    ).count()
+    want['{"c_mktsegment":"BUILDING"}'] += touched
+    assert per_seg == want
+    rows = table.read().collect()
+    assert len(rows) == cust.count()
+    assert {r.c_custkey for r in rows if r.c_name == "TOUCHED"} == {
+        r.c_custkey
+        for r in cust.filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") <= 50)
+        ).collect()
+    }
