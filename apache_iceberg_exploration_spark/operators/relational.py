@@ -539,6 +539,121 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(total)
 
 
+# Portable HLL (p=9): integer-scaled registers so BOTH engines compute the
+# identical estimate — see portable_hll_distinct_rollup.
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 buckets
+_HLL_MASK40 = (1 << 40) - 1
+# floor(alpha_512 * 512^2 * 2^40); alpha_512 = 0.7213/(1 + 1.079/512).
+# 58 bits — exact in int64, NOT in double, hence integer division below.
+_HLL_C = 207463357500372480
+
+
+@query(
+    "portable_hll_distinct_rollup",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   try_cast('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) AS h
+            FROM events
+        ),
+        regs AS (
+            SELECT day, h % {_HLL_M} AS bucket,
+                   max(CASE WHEN ((h >> {_HLL_P}) & {_HLL_MASK40}) = 0 THEN 40
+                            ELSE bit_count((((h >> {_HLL_P}) & {_HLL_MASK40})
+                                  & (-((h >> {_HLL_P}) & {_HLL_MASK40}))) - 1) + 1
+                       END) AS r
+            FROM hashed GROUP BY 1, 2
+        ),
+        groups AS (
+            SELECT day, bucket, r FROM regs
+            UNION ALL
+            SELECT 'TOTAL', bucket, max(r) FROM regs GROUP BY bucket
+        ),
+        est AS (
+            SELECT day,
+                   sum(1::BIGINT << (40 - r))
+                   + ({_HLL_M} - count(*)) * (1::BIGINT << 40) AS s_scaled,
+                   {_HLL_M} - count(*) AS v
+            FROM groups GROUP BY day
+        )
+        SELECT day,
+               CASE WHEN v > 0
+                    THEN CAST(floor({_HLL_M} * ln({_HLL_M}.0 / v) + 0.5) AS BIGINT)
+                    ELSE {_HLL_C} // s_scaled
+               END AS est_users
+        FROM est
+    """,
+)
+def portable_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch with FULL cross-engine hash parity —
+    the oracle-checked counterpart of `sketch_distinct_rollup` (whose
+    DataSketches HLL bytes are engine-specific by design). Classic HLL
+    over the portable 60-bit md5 hash: bucket = low p bits, rho =
+    trailing-zero rank of the next 40 bits, register = max(rho) per
+    (day, bucket); the TOTAL row re-aggregates the DAILY registers
+    (max per bucket) — the sketch-merge property, verified by value hash.
+
+    Determinism engineering: registers contribute 2^(40-rho) to an
+    integer-scaled sum (exact in int64 — float summation would be
+    order-dependent), the raw estimate is one int64 division by the
+    precomputed alpha*m^2*2^40 constant, and the small-range linear-
+    counting branch feeds ln() only one of 512 discrete arguments —
+    exhaustively asserted bit-equal across engines in
+    test_properties.test_hll_linear_counting_ln_parity.
+
+    Scale: the daily pass is one partial aggregate (register max merges
+    map-side); any rollup window — week, month, all-time — is a merge
+    over |days| x m tiny register rows, never a rescan. Accuracy is the
+    textbook ~1.04/sqrt(512) ≈ 4.6% (tests bound it vs exact)."""
+    from ..functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        hash64(F.col("user_id").cast("string")).alias("h"),
+    )
+    w = F.shiftright(F.col("h"), _HLL_P).bitwiseAND(F.lit(_HLL_MASK40))
+    rho = F.when(w == 0, F.lit(40)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - 1) + 1
+    )
+    regs = (
+        ev.select(
+            "day", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    total = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("TOTAL").alias("day"), "bucket", "r")
+    )
+    groups = regs.unionByName(total)
+    est = groups.groupBy("day").agg(
+        F.sum(F.expr("shiftleft(1L, 40 - r)")).alias("sum_seen"),
+        F.count("*").alias("nb"),
+    ).select(
+        "day",
+        (
+            F.col("sum_seen")
+            + (F.lit(_HLL_M) - F.col("nb")) * F.lit(1 << 40)
+        ).alias("s_scaled"),
+        (F.lit(_HLL_M) - F.col("nb")).alias("v"),
+    )
+    return est.select(
+        "day",
+        F.when(
+            F.col("v") > 0,
+            F.floor(
+                _HLL_M * F.log(F.lit(float(_HLL_M)) / F.col("v")) + 0.5
+            ).cast("long"),
+        )
+        .otherwise(F.expr(f"{_HLL_C}L div s_scaled"))
+        .alias("est_users"),
+    )
+
+
 _HIST_BIN_W = 25_000.0  # o_totalprice spans ~[1e3, 5e5] → 20 bins
 
 

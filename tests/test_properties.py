@@ -213,3 +213,56 @@ def test_cow_and_mor_update_agree(spark, tmp_path_factory, rows, cutoff):
         results.append({r.k: r.v for r in tbl.read().collect()})
     model = {k: (v + 7 if k <= cutoff else v) for k, v in base}
     assert results[0] == model and results[1] == model
+
+
+def test_hll_linear_counting_ln_parity(spark):
+    """The portable HLL's linear-counting branch feeds ln() exactly one of
+    512 discrete arguments (m/V, V in 1..512). Exhaustively assert the
+    rounded estimate is bit-identical in Spark and DuckDB — this is the
+    only floating-point step in the sketch, so parity here makes the
+    whole query's hash-match data-independent."""
+    sdf = (
+        spark.range(1, 513)
+        .select(
+            F.col("id").alias("v"),
+            F.floor(512 * F.log(F.lit(512.0) / F.col("id")) + 0.5)
+            .cast("long")
+            .alias("e"),
+        )
+        .collect()
+    )
+    svals = {r.v: r.e for r in sdf}
+    dvals = dict(
+        duckdb.sql(
+            "SELECT v, CAST(floor(512 * ln(512.0 / v) + 0.5) AS BIGINT) "
+            "FROM (SELECT unnest(range(1, 513)) AS v)"
+        ).fetchall()
+    )
+    assert svals == dvals
+
+
+def test_portable_hll_accuracy_bound(spark):
+    """The estimate is deterministic, but it should also be a decent
+    estimate: TOTAL within 10% of the exact distinct count (LC regime at
+    smoke scale is ~1-2%; raw-HLL regime ~4.6% at 1.04/sqrt(512))."""
+    from apache_iceberg_exploration_spark.operators.relational import (
+        portable_hll_distinct_rollup,
+    )
+    from apache_iceberg_exploration_spark.sources.io import load_table
+
+    from .conftest import SF_SMOKE
+
+    est = {
+        r.day: r.est_users
+        for r in portable_hll_distinct_rollup(spark, SF_SMOKE).collect()
+    }
+    exact = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(est["TOTAL"] - exact) <= max(2, 0.10 * exact), (
+        est["TOTAL"],
+        exact,
+    )
