@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64_sql
 from ..registry import query
 from ..sources.io import load_table
 
@@ -651,6 +652,112 @@ def portable_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.expr(f"{_HLL_C}L div s_scaled"))
         .alias("est_users"),
+    )
+
+
+# Portable Count-Min sketch: d affine hash rows over the shared base
+# hash (same universal family as MinHash), integer counts throughout.
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_P = (1 << 31) - 1
+_CMS_A = (1103515245, 742938285, 1226874159, 62089911)
+_CMS_B = (12345, 67890, 13579, 24680)
+_CMS_PROBE = 10  # probe user_ids 0..9 (keys start at 0 in every table)
+
+
+def _cms_col_sql(h_expr: str, seed_expr: str) -> str:
+    a = f"([{','.join(map(str, _CMS_A))}])[{seed_expr} + 1]"
+    b = f"([{','.join(map(str, _CMS_B))}])[{seed_expr} + 1]"
+    return f"((({a}) * {h_expr} + ({b})) % {_CMS_P}) % {_CMS_W}"
+
+
+@query(
+    "portable_cms_user_counts",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   {hash64_sql("CAST(user_id AS VARCHAR)")} % {_CMS_P} AS h
+            FROM events
+        ),
+        daily AS (
+            SELECT day, seed AS row_i, {_cms_col_sql('h', 'seed')} AS col_i,
+                   count(*) AS cnt
+            FROM hashed, UNNEST(range({_CMS_D})) AS s(seed)
+            GROUP BY 1, 2, 3
+        ),
+        sketch AS (
+            SELECT row_i, col_i, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM daily GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT u AS user_id,
+                   {hash64_sql("CAST(u AS VARCHAR)")} % {_CMS_P} AS h
+            FROM (SELECT unnest(range({_CMS_PROBE})) AS u)
+        ),
+        probe_cells AS (
+            SELECT user_id, seed AS row_i, {_cms_col_sql('h', 'seed')} AS col_i
+            FROM probes, UNNEST(range({_CMS_D})) AS s(seed)
+        )
+        SELECT p.user_id, min(coalesce(s.cnt, 0)) AS est_events
+        FROM probe_cells p LEFT JOIN sketch s
+          ON p.row_i = s.row_i AND p.col_i = s.col_i
+        GROUP BY p.user_id
+    """,
+)
+def portable_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter sketch with full cross-engine hash parity:
+    d=4 affine hash rows (the same universal family as the MinHash
+    signatures) over the portable base hash, w=1024 integer counters.
+    Daily partial sketches merge by per-cell SUM — all int64 arithmetic,
+    so unlike floating sketches the merged state is bit-identical in
+    both engines and the estimate (min over rows at the probe's cells)
+    value-hash-matches. Estimates never undercount (tested); overcount
+    is bounded by eN/w per row.
+
+    Scale: the sketch is d*w cells regardless of stream size — the
+    fixed-memory frequency summary for skew detection / hot-key salting
+    decisions upstream (pair with skew_salted_join). Partials merge
+    map-side like any sum; the probe join touches d rows per key."""
+    from ..functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (hash64(F.col("user_id").cast("string")) % _CMS_P).alias("h"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (
+                    (F.lit(_CMS_A[i]) * F.col("h") + F.lit(_CMS_B[i]))
+                    % _CMS_P
+                    % _CMS_W
+                ).alias("col_i"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    daily = (
+        ev.select("day", F.explode(rows).alias("c"))
+        .groupBy("day", "c.row_i", "c.col_i")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sketch = daily.groupBy("row_i", "col_i").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    probes = spark.range(_CMS_PROBE).select(
+        F.col("id").alias("user_id"),
+        (hash64(F.col("id").cast("string")) % _CMS_P).alias("h"),
+    )
+    probe_cells = probes.select(
+        "user_id", F.explode(rows).alias("c")
+    ).select("user_id", "c.row_i", "c.col_i")
+    return (
+        probe_cells.join(
+            F.broadcast(sketch), ["row_i", "col_i"], "left"
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_events"))
     )
 
 

@@ -266,3 +266,33 @@ def test_portable_hll_accuracy_bound(spark):
         est["TOTAL"],
         exact,
     )
+
+
+def test_cms_never_undercounts(spark):
+    """Count-Min's one-sided error: every probe estimate >= the exact
+    count (counters only ever add), with overcount loosely bounded by
+    the eN/w regime at smoke scale."""
+    from apache_iceberg_exploration_spark.operators.relational import (
+        portable_cms_user_counts,
+    )
+    from apache_iceberg_exploration_spark.sources.io import load_table
+
+    from .conftest import SF_SMOKE
+
+    est = {
+        r.user_id: r.est_events
+        for r in portable_cms_user_counts(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_total = ev.count()
+    exact = {
+        r.user_id: r.n
+        for r in ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for u, e in est.items():
+        x = exact.get(u, 0)
+        assert e >= x, (u, e, x)
+        assert e - x <= max(5, 0.02 * n_total), (u, e, x)
