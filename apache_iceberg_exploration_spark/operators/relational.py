@@ -655,6 +655,128 @@ def portable_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_W_SQL = f"((h >> {_HLL_P}) & {_HLL_MASK40})"
+_HLL_RHO_SQL = (
+    f"CASE WHEN {_HLL_W_SQL} = 0 THEN 40 "
+    f"ELSE bit_count(({_HLL_W_SQL} & (-{_HLL_W_SQL})) - 1) + 1 END"
+)
+_HLL_EST_SQL = (
+    f"CASE WHEN v > 0 "
+    f"THEN CAST(floor({_HLL_M} * ln({_HLL_M}.0 / v) + 0.5) AS BIGINT) "
+    f"ELSE {_HLL_C} // s_scaled END"
+)
+
+
+@query(
+    "portable_hll_set_overlap",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT event_type AS s,
+                   {hash64_sql("CAST(user_id AS VARCHAR)")} AS h
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        regs AS (
+            SELECT s, h % {_HLL_M} AS bucket, max({_HLL_RHO_SQL}) AS r
+            FROM hashed GROUP BY 1, 2
+        ),
+        groups AS (
+            SELECT s, bucket, r FROM regs
+            UNION ALL
+            SELECT 'union', bucket, max(r) FROM regs GROUP BY bucket
+        ),
+        est AS (
+            SELECT s,
+                   sum(1::BIGINT << (40 - r))
+                   + ({_HLL_M} - count(*)) * (1::BIGINT << 40) AS s_scaled,
+                   {_HLL_M} - count(*) AS v
+            FROM groups GROUP BY s
+        ),
+        vals AS (SELECT s, {_HLL_EST_SQL} AS e FROM est)
+        SELECT sum(CASE WHEN s = 'click' THEN e ELSE 0 END) AS est_click,
+               sum(CASE WHEN s = 'purchase' THEN e ELSE 0 END) AS est_purchase,
+               sum(CASE WHEN s = 'union' THEN e ELSE 0 END) AS est_union,
+               sum(CASE WHEN s = 'click' THEN e ELSE 0 END)
+               + sum(CASE WHEN s = 'purchase' THEN e ELSE 0 END)
+               - sum(CASE WHEN s = 'union' THEN e ELSE 0 END) AS est_overlap
+        FROM vals
+    """,
+)
+def portable_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra on the portable HLL: who both clicked AND
+    purchased, WITHOUT a distinct-pair join — build per-set registers
+    (clickers, purchasers), merge them by register max for the union,
+    and estimate the intersection by inclusion-exclusion. The audience-
+    overlap primitive: at 10^9 users each audience is 512 register rows,
+    and ANY pair's overlap is computable from stored sketches alone.
+
+    Same determinism engineering as `portable_hll_distinct_rollup`
+    (integer register sums, int64 estimate division, enumerable ln
+    branch), so the whole derivation value-hash-matches the oracle.
+    Inclusion-exclusion inherits both sets' errors — fine for audience
+    sizing, not for billing (tested against exact overlap with a loose
+    bound)."""
+    from ..functions.hashing import hash64
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("event_type").alias("s"),
+            hash64(F.col("user_id").cast("string")).alias("h"),
+        )
+    )
+    w = F.shiftright(F.col("h"), _HLL_P).bitwiseAND(F.lit(_HLL_MASK40))
+    rho = F.when(w == 0, F.lit(40)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - 1) + 1
+    )
+    regs = (
+        ev.select("s", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("s", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("union").alias("s"), "bucket", "r")
+    )
+    est = (
+        regs.unionByName(union_regs)
+        .groupBy("s")
+        .agg(
+            F.sum(F.expr("shiftleft(1L, 40 - r)")).alias("sum_seen"),
+            F.count("*").alias("nb"),
+        )
+        .select(
+            "s",
+            (
+                F.col("sum_seen")
+                + (F.lit(_HLL_M) - F.col("nb")) * F.lit(1 << 40)
+            ).alias("s_scaled"),
+            (F.lit(_HLL_M) - F.col("nb")).alias("v"),
+        )
+        .select(
+            "s",
+            F.when(
+                F.col("v") > 0,
+                F.floor(
+                    _HLL_M * F.log(F.lit(float(_HLL_M)) / F.col("v")) + 0.5
+                ).cast("long"),
+            )
+            .otherwise(F.expr(f"{_HLL_C}L div s_scaled"))
+            .alias("e"),
+        )
+    )
+    one = lambda name: F.sum(  # noqa: E731
+        F.when(F.col("s") == name, F.col("e")).otherwise(F.lit(0))
+    )
+    return est.agg(
+        one("click").alias("est_click"),
+        one("purchase").alias("est_purchase"),
+        one("union").alias("est_union"),
+        (one("click") + one("purchase") - one("union")).alias("est_overlap"),
+    )
+
+
 # Portable Count-Min sketch: d affine hash rows over the shared base
 # hash (same universal family as MinHash), integer counts throughout.
 _CMS_D = 4

@@ -296,3 +296,33 @@ def test_cms_never_undercounts(spark):
         x = exact.get(u, 0)
         assert e >= x, (u, e, x)
         assert e - x <= max(5, 0.02 * n_total), (u, e, x)
+
+
+def test_hll_overlap_tracks_exact(spark):
+    """Inclusion-exclusion overlap from the portable HLL should track the
+    exact click∩purchase user overlap within the compounded sketch error
+    (loose bound: 15% of the union, min 5)."""
+    from apache_iceberg_exploration_spark.operators.relational import (
+        portable_hll_set_overlap,
+    )
+    from apache_iceberg_exploration_spark.sources.io import load_table
+
+    from .conftest import SF_SMOKE
+
+    row = portable_hll_set_overlap(spark, SF_SMOKE).first()
+    ev = load_table(spark, SF_SMOKE, "events")
+    users = lambda t: {  # noqa: E731
+        r.user_id
+        for r in ev.filter(F.col("event_type") == t)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    clicks, purchases = users("click"), users("purchase")
+    exact = len(clicks & purchases)
+    union = len(clicks | purchases)
+    assert abs(row.est_overlap - exact) <= max(5, 0.15 * union), (
+        row,
+        exact,
+        union,
+    )
