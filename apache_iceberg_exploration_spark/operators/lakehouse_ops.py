@@ -1126,6 +1126,58 @@ def lakehouse_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_gdpr_purge",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey % 97 <> 3
+    """,
+)
+def lakehouse_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, end to end: an equality MoR delete records
+    the erasure cheaply (O(keys) write), then compaction materializes it
+    into new data files, snapshot expiry drops every manifest that could
+    still reach the old files, and the orphan sweep reclaims them. The
+    compliance claim is stronger than 'the rows are filtered' — after
+    the cycle, the purged keys are asserted absent from EVERY byte the
+    table still owns: each live data file is re-read RAW (no delete
+    application) and scanned for the keys.
+
+    Scale: each step is the bounded op it always is (keys write,
+    O(live-data) rewrite, O(snapshots) expiry, O(dirs) sweep); the raw
+    audit scan here is the verification, not part of the erasure cost.
+    This is the composition Iceberg documents for GDPR: delete →
+    rewrite_data_files → expire_snapshots → remove_orphan_files."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        tbl.overwrite(cust)
+        purge = F.col("c_custkey") % 97 == 3
+        tbl.delete_where_mor(purge, keys=["c_custkey"])
+        tbl.rewrite_data_files(target_file_count=4)
+        tbl.expire_snapshots(keep_last=1)
+        tbl.remove_orphan_files(older_than_seconds=0.0)
+        # audit: the purged keys exist in NO file the table still owns —
+        # read every live file raw, bypassing merge-on-read filtering
+        live = tbl._read_manifest(tbl.current_version())["files"]
+        raw = spark.read.parquet(*live)
+        assert raw.filter(purge).count() == 0, "purged keys still on disk"
+        # ...including the delete-key sidecar parquet (which listed the
+        # purged key values): nothing outside the live set survives
+        import glob as _glob
+
+        on_disk = set(
+            _glob.glob(root + "/t/data/**/*.parquet", recursive=True)
+        )
+        assert on_disk == set(live), "non-live parquet survived the purge"
+        return _materialize(tbl.read())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "lakehouse_bloom_point_lookup",
     oracle="""
         SELECT c_custkey, c_name, c_mktsegment FROM customer

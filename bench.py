@@ -91,6 +91,10 @@ HEADLINE = [
     "lakehouse_zorder_pruned_scan",
     "ann_sq_rerank_topk",
     "streaming_cdc_upsert_latest",
+    "lakehouse_cow_update",
+    "portable_hll_distinct_rollup",
+    "portable_cms_user_counts",
+    "portable_hll_set_overlap",
 ]
 
 
