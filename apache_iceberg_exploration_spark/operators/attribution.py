@@ -1,0 +1,150 @@
+"""Multi-touch marketing attribution over the events stream.
+
+Completes the attribution family: range_join_event_attribution (single-
+touch, interval-join shape) and funnel_view_click_purchase (ordered
+stages) already exist; this module adds POSITION-BASED (U-shaped)
+multi-touch credit — the model that splits a conversion's value 40/20/40
+across the first, middle, and last touches of the journey.
+
+Everything is windows over (user, time): journeys are recovered with a
+forward-looking "next purchase" window (no join), credits are integer
+basis points and values integer cents, so the DuckDB oracle matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load_table
+
+TOUCH_TYPES = ("view", "click")
+
+
+@query(
+    "attribution_ushaped_credit",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   first_value(CASE WHEN event_type = 'purchase'
+                                    THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS journey,
+                   first_value(CASE WHEN event_type = 'purchase'
+                                    THEN CAST(floor(value * 100 + 0.5)
+                                              AS BIGINT) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS conv_cents
+            FROM events
+        ),
+        touches AS (
+            SELECT user_id, journey, event_type, conv_cents,
+                   row_number() OVER (PARTITION BY user_id, journey
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id, journey) AS n
+            FROM tagged
+            WHERE event_type IN ('view', 'click') AND journey IS NOT NULL
+        ),
+        credited AS (
+            SELECT event_type,
+                   CASE WHEN n = 1 THEN 'only'
+                        WHEN rn = 1 THEN 'first'
+                        WHEN rn = n THEN 'last'
+                        ELSE 'middle' END AS position,
+                   CASE WHEN n = 1 THEN 10000
+                        WHEN n = 2 THEN 5000
+                        WHEN rn = 1 OR rn = n THEN 4000
+                        ELSE 2000 // (n - 2) END AS credit_bp,
+                   conv_cents
+            FROM touches
+        )
+        SELECT event_type, position,
+               count(*) AS n_touches,
+               CAST(sum((conv_cents * credit_bp) // 10000) AS BIGINT)
+                   AS attributed_cents
+        FROM credited
+        GROUP BY 1, 2
+    """,
+)
+def attribution_ushaped_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every view/click
+    is assigned to the user's NEXT purchase (its journey); within a
+    journey the first and last touches earn 40% of the conversion value
+    each and the middles split the remaining 20% — the standard
+    position-based model, with 100%/50-50 degenerate cases for 1- and
+    2-touch journeys.
+
+    Journey recovery is a forward-looking window (first purchase id and
+    value at-or-after each row), NOT a join — one sort per user partition
+    serves both the journey tag and the within-journey ranking, and
+    touches after a user's final purchase fall out naturally
+    (journey IS NULL). Credits are integer basis points (middle share
+    floor-divided) and conversion values integer cents, so attributed
+    amounts are exact integers in both engines.
+
+    Scale: two window passes over the SAME (user_id, ts) partitioning —
+    Catalyst reuses one Exchange+Sort for both — then a 10-row keyed
+    aggregate. State per user is one journey's touches, never the whole
+    history; the same shape runs incrementally as a session-window
+    streaming query with the purchase as the session close.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    is_p = F.col("event_type") == "purchase"
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.first(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(w_fwd)
+        .alias("journey"),
+        F.first(
+            F.when(is_p, F.floor(F.col("value") * 100 + 0.5).cast("long")),
+            ignorenulls=True,
+        )
+        .over(w_fwd)
+        .alias("conv_cents"),
+    )
+    w_j = W.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    touches = (
+        tagged.filter(
+            F.col("event_type").isin(*TOUCH_TYPES)
+            & F.col("journey").isNotNull()
+        )
+        .withColumn("rn", F.row_number().over(w_j))
+        .withColumn(
+            "n",
+            F.count("*").over(W.partitionBy("user_id", "journey")),
+        )
+    )
+    credited = touches.select(
+        "event_type",
+        F.when(F.col("n") == 1, F.lit("only"))
+        .when(F.col("rn") == 1, F.lit("first"))
+        .when(F.col("rn") == F.col("n"), F.lit("last"))
+        .otherwise(F.lit("middle"))
+        .alias("position"),
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(4000))
+        .otherwise(F.expr("2000 div (n - 2)"))
+        .alias("credit_bp"),
+        "conv_cents",
+    )
+    return credited.groupBy("event_type", "position").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(F.expr("(conv_cents * credit_bp) div 10000"))
+        .cast("long")
+        .alias("attributed_cents"),
+    )

@@ -1,0 +1,276 @@
+"""Distributed graph analytics over relational-derived graphs.
+
+The reference has no graph surface at all; a training-data platform
+needs one the moment dedup clusters, citation/link graphs, or entity
+graphs appear (SURVEY.md north-star: dedup_cluster_assignment already
+does connected components — this module adds the other two staples,
+PageRank and triangle counting).
+
+Graph source: the supplier CO-SUPPLY graph derived from
+``lineitem`` — suppliers are connected when they supply the same order
+(weight = number of shared orders). The derivation is itself the
+standard relational→graph projection (a self-join on the shared
+container key), so everything here is plain DataFrame ops Catalyst can
+optimize; no graph runtime needed.
+
+Oracle strategy: both algorithms run a FIXED budget (3 PageRank
+iterations; one triangle pass over a top-K-sparsified graph), all
+arithmetic integer, so the DuckDB oracle reproduces every value
+bit-exactly — the same unrolled-CTE pattern proven on ann_kmeans_cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.caching import scoped_persist
+from ..registry import query
+from ..sources.io import load_table
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000  # ranks in parts-per-billion (integer-exact)
+TRI_TOPK = 8  # degree bound for the sparsified triangle graph
+
+
+_EDGES_SQL = """
+    os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    edges AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+               count(*) AS w
+        FROM os a
+        JOIN os b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank in generated CTEs. All integer:
+    ranks live in parts-per-billion; per-edge contribution is
+    ``rank * w // wtot`` (floor), the damping update is
+    ``(15*base + 85*incoming) // 100`` — both engines do exact BIGINT
+    arithmetic, so the hash matches to the last unit."""
+    ctes = [
+        _EDGES_SQL.strip(),
+        "wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot"
+        " FROM edges GROUP BY 1)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS r"
+        " FROM nodes)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""i{i} AS (
+            SELECT e.dst AS node,
+                   CAST(sum((r.r * e.w) // s.wtot) AS BIGINT) AS inc
+            FROM edges e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN wsum s ON e.src = s.src
+            GROUP BY 1
+        )""")
+        ctes.append(f"""r{i} AS (
+            SELECT n.node,
+                   (15 * ({PR_SCALE} // (SELECT n FROM nn))
+                    + 85 * coalesce(i.inc, 0)) // 100 AS r
+            FROM nodes n LEFT JOIN i{i} i ON n.node = i.node
+        )""")
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT node AS suppkey, CAST(r AS BIGINT) AS rank_ppb
+        FROM r{PR_ITERS}
+    """
+
+
+@query("graph_pagerank_cosupply", oracle=_pagerank_oracle())
+def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, {PR_ITERS} iterations) over the
+    supplier co-supply graph — "which suppliers sit at the center of the
+    fulfilment network". Pregel-as-iterated-join: each iteration is one
+    equi-join of the edge list with the current rank vector plus one
+    keyed aggregation; no graph runtime, no driver-side adjacency.
+
+    Integer arithmetic end-to-end (ranks in parts-per-billion,
+    floor-division contributions) so the unrolled-CTE DuckDB oracle is
+    bit-exact — the ann_kmeans_cells pattern applied to a graph
+    fixpoint.
+
+    Scale: the edge list (E rows) stays partitioned; the rank vector is
+    O(V) and broadcast per iteration while it fits (here: thousands of
+    suppliers → KBs), degrading to a keyed shuffle join when V is large
+    — exactly GraphX/Pregel's cost model. Edge derivation is a
+    self-join on the order key whose pair expansion is Σ|order|², the
+    same bounded-block argument as the dedup blocking joins (cap heavy
+    containers upstream like dedup_jaccard_df_capped when container
+    sizes are unbounded). The co-supply graph is symmetric, so every
+    node has out-degree ≥ 1 and no dangling-mass redistribution term is
+    needed; a directed-graph variant adds the standard dangling sum per
+    iteration.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wsum = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wtot"))
+    # (src, dst, w, wtot): the loop-invariant edge relation — persisted so
+    # the expensive pair-expansion join runs once, not once per iteration.
+    edges_n = scoped_persist(edges.join(wsum, "src"))
+    nodes = scoped_persist(edges.select(F.col("src").alias("node")).distinct())
+
+    n = nodes.count()  # one scalar to the driver: |V|, needed as a literal
+    base = PR_SCALE // n
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        inc = (
+            edges_n.join(F.broadcast(ranks), edges_n.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div wtot").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("inc"))
+        )
+        ranks = nodes.join(inc, "node", "left").select(
+            "node",
+            F.expr(
+                f"({15 * base} + 85 * coalesce(inc, 0)) div 100"
+            ).cast("long").alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("suppkey"), F.col("r").alias("rank_ppb")
+    )
+
+
+def _triangle_oracle() -> str:
+    return f"""
+        WITH {_EDGES_SQL.strip()},
+        ranked AS (
+            SELECT src AS u, dst AS v,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges
+        ),
+        topk AS (SELECT u, v FROM ranked WHERE rn <= {TRI_TOPK}),
+        mutual AS (
+            SELECT a.u, a.v
+            FROM topk a JOIN topk b ON a.u = b.v AND a.v = b.u
+            WHERE a.u < a.v
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM mutual e1
+            JOIN mutual e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN mutual e3 ON e3.u = e1.v AND e3.v = e2.v
+        ),
+        corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT n.node AS suppkey,
+               CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_triangles
+        FROM (SELECT u AS node FROM mutual
+              UNION SELECT v FROM mutual) n
+        LEFT JOIN (SELECT node, count(*) AS cnt FROM corners GROUP BY 1) t
+          ON n.node = t.node
+    """
+
+
+@query("graph_triangle_count_topk", oracle=_triangle_oracle())
+def graph_triangle_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the MUTUAL-TOP-K sparsified
+    co-supply graph: each supplier keeps its {TRI_TOPK} strongest
+    co-supply edges (weight desc, id tiebreak), an edge survives only if
+    BOTH endpoints kept it, and triangles are enumerated on that
+    bounded-degree graph. Triangle membership is the classic cohesion
+    signal (community strength, clustering coefficient numerator).
+
+    The sparsification IS the scale story: the raw co-supply graph is
+    near-complete at small corpus sizes (Σ wedges ≈ V·deg² explodes),
+    while mutual-top-K caps every degree at K, so the wedge join is at
+    most V·K² rows no matter how dense co-occurrence gets — the standard
+    kNN-graph trick. Enumeration uses the ordered-triple form
+    (u < v < w via edge orientation) so each triangle is generated
+    exactly once, no /6 correction and no symmetric blowup. Deterministic
+    top-K (weight desc, neighbor asc) keeps the DuckDB oracle bit-exact.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    topk = (
+        edges.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
+            ),
+        )
+        .filter(F.col("rn") <= TRI_TOPK)
+        .select("u", "v")
+    )
+    ta, tb = topk.alias("ta"), topk.alias("tb")
+    mutual = scoped_persist(
+        ta.join(
+            tb,
+            (F.col("ta.u") == F.col("tb.v")) & (F.col("ta.v") == F.col("tb.u")),
+        )
+        .filter(F.col("ta.u") < F.col("ta.v"))
+        .select(F.col("ta.u").alias("u"), F.col("ta.v").alias("v"))
+    )
+    e1, e2, e3 = mutual.alias("e1"), mutual.alias("e2"), mutual.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("cnt"))
+    )
+    nodes = (
+        mutual.select(F.col("u").alias("node"))
+        .union(mutual.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return nodes.join(corners, "node", "left").select(
+        F.col("node").alias("suppkey"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_triangles"),
+    )

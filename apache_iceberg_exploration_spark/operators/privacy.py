@@ -1,0 +1,129 @@
+"""Privacy / governance analytics.
+
+Companion surface to the storage-layer right-to-be-forgotten path
+(lakehouse_ops.lakehouse_gdpr_purge) and the text-side PII scrub
+(text.pii_scrub_documents): the ANALYTICAL side of data governance —
+re-identification risk audits and privacy-preserving analytics over
+pseudonymized keys. The reference ships customer PII straight through
+its pipeline (docker/init.sql seeds names/addresses; dags/etl.py moves
+them verbatim) with no governance layer at all; at 100 TB of user data
+these are table-stakes operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..registry import query
+from ..sources.io import load_table
+
+K_ANON = 5  # minimum equivalence-class size
+PSEUDO_KEY = "tenant-7f3a"  # deterministic keyed-pseudonym salt
+
+
+@query(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_kbucket,
+               count(*) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+        HAVING count(*) < {K_ANON}
+    """,
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (nation, market segment, account-balance bucket): every equivalence
+    class smaller than k={K_ANON} is a re-identification risk — an
+    attacker who knows those three attributes pins the individual to
+    fewer than k candidates. The released rows are exactly the classes a
+    generalization pass (coarser buckets, suppressed columns) must fix
+    before publication.
+
+    Scale: one keyed aggregation — the QI tuple is the grouping key, so
+    the shuffle carries one partial row per class per task (map-side
+    combine), and the audit cost is the cost of a groupBy at any table
+    size. The bucket transform (floor/1000) is the generalization
+    hierarchy's bottom level; re-running with coarser transforms walks
+    the hierarchy.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_kbucket"),
+        )
+        .agg(F.count("*").alias("class_size"))
+        .filter(F.col("class_size") < K_ANON)
+    )
+
+
+@query(
+    "privacy_pseudonymized_spend_topk",
+    oracle=f"""
+        WITH pc AS (
+            SELECT {hash64_sql(f"'{PSEUDO_KEY}|c|' || CAST(c_custkey AS VARCHAR)")}
+                       AS pseudo_id,
+                   c_mktsegment
+            FROM customer
+        ),
+        po AS (
+            SELECT {hash64_sql(f"'{PSEUDO_KEY}|c|' || CAST(o_custkey AS VARCHAR)")}
+                       AS pseudo_id,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT pc.pseudo_id, pc.c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(po.cents) AS BIGINT) AS spend_cents
+        FROM pc JOIN po ON pc.pseudo_id = po.pseudo_id
+        GROUP BY 1, 2
+        ORDER BY spend_cents DESC, pc.pseudo_id
+        LIMIT 10
+    """,
+)
+def privacy_pseudonymized_spend_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Privacy-preserving analytics over KEYED PSEUDONYMS: the natural
+    key is replaced on BOTH tables by a deterministic keyed hash
+    (salt ‖ key), and the join + top-spender aggregation runs entirely in
+    pseudonym space — referential integrity survives pseudonymization
+    because the same (salt, key) maps to the same token everywhere,
+    while reversing a token requires the salt (kept out of the published
+    dataset). This is GDPR Art. 4(5) pseudonymisation as a query
+    rewrite: downstream analytics are unchanged, re-identification needs
+    the key vault.
+
+    Scale: the hash is a per-row JVM expression (md5 — no Python, no
+    shuffle); the join keys change name but not cardinality, so the plan
+    (shuffle-or-broadcast hash join + keyed agg + TakeOrdered top-k) is
+    byte-for-byte the plan of the raw-key query. Rotating the salt
+    re-keys the entire corpus in one scan.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        hash64(
+            F.concat(F.lit(f"{PSEUDO_KEY}|c|"), F.col("c_custkey").cast("string"))
+        ).alias("pseudo_id"),
+        "c_mktsegment",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        hash64(
+            F.concat(F.lit(f"{PSEUDO_KEY}|c|"), F.col("o_custkey").cast("string"))
+        ).alias("pseudo_id"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return (
+        cust.join(orders, "pseudo_id")
+        .groupBy("pseudo_id", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("spend_cents"),
+        )
+        .orderBy(F.col("spend_cents").desc(), "pseudo_id")
+        .limit(10)
+    )
