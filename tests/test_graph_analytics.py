@@ -1,0 +1,80 @@
+"""Structural invariants + plan shape for the graph / privacy /
+attribution families (oracle parity is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.functions.hashing import hash64
+from apache_iceberg_exploration_spark.operators.attribution import (
+    attribution_ushaped_credit,
+)
+from apache_iceberg_exploration_spark.operators.graph import (
+    PR_SCALE,
+    graph_pagerank_cosupply,
+    graph_triangle_count_topk,
+)
+from apache_iceberg_exploration_spark.operators.privacy import (
+    privacy_k_anonymity_audit,
+)
+from apache_iceberg_exploration_spark.plans.explain import executed_plan
+from apache_iceberg_exploration_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+
+
+def test_pagerank_mass_conserved_and_broadcast(spark):
+    df = graph_pagerank_cosupply(spark, SF_ORACLE)
+    rows = df.collect()
+    total = sum(r.rank_ppb for r in rows)
+    # floor-division loses < 1 unit per edge contribution and < 1 per
+    # node update; mass stays within a fraction of a percent of SCALE
+    assert 0.97 * PR_SCALE < total <= PR_SCALE
+    assert all(r.rank_ppb > 0 for r in rows)
+    # the rank vector must be broadcast into the contribution join —
+    # the O(V) side never shuffles the O(E) edge list
+    assert "BroadcastHashJoin" in executed_plan(df)
+
+
+def test_triangle_corner_counts_sum_to_multiple_of_three(spark):
+    df = graph_triangle_count_topk(spark, SF_ORACLE)
+    rows = df.collect()
+    assert rows, "sparsified graph lost every node"
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+    assert all(r.n_triangles >= 0 for r in rows)
+    supp = {
+        r.l_suppkey
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert {r.suppkey for r in rows} <= supp
+
+
+def test_k_anonymity_classes_are_below_k(spark):
+    rows = privacy_k_anonymity_audit(spark, SF_ORACLE).collect()
+    assert rows and all(0 < r.class_size < 5 for r in rows)
+
+
+def test_pseudonymization_collision_free(spark):
+    cust = load_table(spark, SF_ORACLE, "customer")
+    n = cust.select("c_custkey").distinct().count()
+    np = cust.select(
+        hash64(
+            F.concat(F.lit("tenant-7f3a|c|"), F.col("c_custkey").cast("string"))
+        ).alias("p")
+    ).distinct().count()
+    assert n == np
+
+
+def test_attribution_positions_and_totals(spark):
+    rows = attribution_ushaped_credit(spark, SF_ORACLE).collect()
+    assert {r.event_type for r in rows} <= {"view", "click"}
+    assert {r.position for r in rows} == {"only", "first", "middle", "last"}
+    assert all(r.attributed_cents >= 0 and r.n_touches > 0 for r in rows)
+    # middles earn strictly less than the 40% endpoints in aggregate
+    by_pos = {}
+    for r in rows:
+        by_pos[r.position] = by_pos.get(r.position, 0) + r.attributed_cents
+    assert by_pos["middle"] < by_pos["first"] + by_pos["last"]
