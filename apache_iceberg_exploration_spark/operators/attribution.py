@@ -148,3 +148,93 @@ def attribution_ushaped_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("attributed_cents"),
     )
+
+
+EXPERIMENT_SALT = "exp42"
+
+
+@query(
+    "ab_experiment_assignment",
+    oracle=f"""
+        WITH exposed AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        ),
+        assigned AS (
+            SELECT user_id,
+                   CASE WHEN (try_cast('0x' || substring(
+                                md5('{EXPERIMENT_SALT}|'
+                                    || CAST(user_id AS VARCHAR)),
+                                1, 15) AS BIGINT)) % 2 = 0
+                        THEN 'control' ELSE 'treatment' END AS variant
+            FROM exposed
+        ),
+        converted AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT a.variant,
+               count(*) AS n_users,
+               CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted,
+               CAST((sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 10000) // count(*) AS BIGINT) AS conv_rate_bp
+        FROM assigned a LEFT JOIN converted c ON a.user_id = c.user_id
+        GROUP BY 1
+    """,
+)
+def ab_experiment_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment bucketing + conversion readout: exposed
+    users (anyone with a view) are assigned to control/treatment by a
+    SALTED HASH of their id — the industry-standard assignment function
+    (stable across sessions, no assignment table, new experiments get a
+    new salt so buckets are independent) — then per-variant conversion
+    is read out in integer basis points.
+
+    Scale: assignment is a per-row hash expression (no state, no join
+    against an assignment store); the readout is one distinct per side
+    and one key join — at any corpus size the expensive part is the
+    distinct-users shuffles, both keyed on user_id so Catalyst lines
+    them up on one Exchange. Statistical testing (z/χ²) happens on the
+    4-number output, not in the engine.
+    """
+    from ..functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    exposed = (
+        ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    )
+    assigned = exposed.select(
+        "user_id",
+        F.when(
+            hash64(
+                F.concat(
+                    F.lit(f"{EXPERIMENT_SALT}|"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % 2
+            == 0,
+            F.lit("control"),
+        )
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+    )
+    converted = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("cuid"))
+        .distinct()
+    )
+    joined = assigned.join(
+        converted, assigned.user_id == converted.cuid, "left"
+    )
+    return joined.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("cuid").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.expr(
+            "(sum(CASE WHEN cuid IS NOT NULL THEN 1 ELSE 0 END) * 10000)"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("conv_rate_bp"),
+    )

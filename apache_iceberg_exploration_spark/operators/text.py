@@ -946,3 +946,72 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(logit * 10000 + F.lit(0.5)).cast("long").alias("logit_bp"),
         (logit > 0.0).alias("keep"),
     )
+
+
+VOCAB_TOPV = 100
+
+
+@query(
+    "vocab_coverage_topv",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM freq),
+        topv AS (
+            SELECT token, freq,
+                   row_number() OVER (ORDER BY freq DESC, token) AS rank
+            FROM freq ORDER BY freq DESC, token LIMIT {VOCAB_TOPV}
+        )
+        SELECT rank, token, CAST(freq AS BIGINT) AS freq,
+               CAST((sum(freq) OVER (ORDER BY rank) * 1000000)
+                    // (SELECT t FROM tot) AS BIGINT) AS coverage_ppm
+        FROM topv
+    """,
+)
+def vocab_coverage_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction head: the corpus's top-{VOCAB_TOPV} tokens
+    by frequency with CUMULATIVE coverage (parts-per-million of all token
+    occurrences) — the curve a tokenizer-training run reads to size its
+    vocab ("how many types cover 95% of tokens"). Coverage is integer
+    ppm via floor division, bit-exact across engines.
+
+    Scale: token counting is the canonical skewed aggregation — partial
+    (map-side) aggregation collapses each task's head-token counts before
+    the shuffle, so the hot tokens ship one partial per task rather than
+    one row per occurrence. The top-V cut plans as TakeOrdered (no global
+    sort), and the cumulative window then runs over V rows — a single
+    tiny partition AFTER the data has been reduced to the vocabulary
+    head, not over the corpus. The full-vocab variant (no LIMIT) would
+    swap the single-partition cumsum for the two-phase distributed
+    prefix sum used by pack_concat_chunks.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").cast("long").alias("t")).collect()[0].t
+    topv = (
+        freq.orderBy(F.col("freq").desc(), "token")
+        .limit(VOCAB_TOPV)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("freq").desc(), "token")),
+        )
+    )
+    cum = F.sum("freq").over(
+        W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return topv.withColumn("cum", cum).select(
+        "rank",
+        "token",
+        F.col("freq").cast("long").alias("freq"),
+        F.expr(f"(cum * 1000000) div {total}")
+        .cast("long")
+        .alias("coverage_ppm"),
+    )

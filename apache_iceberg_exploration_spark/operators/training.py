@@ -398,3 +398,55 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("u") * 10000).cast("long").alias("draw_bp"),
         )
     )
+
+
+@query(
+    "dataset_card_stats",
+    oracle="""
+        WITH base AS (
+            SELECT source, lang, n_chars,
+                   len(string_split(text, ' ')) AS ws_tokens
+            FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM base)
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+               CAST((sum(n_chars) * 1000) // count(*) AS BIGINT)
+                   AS mean_chars_milli,
+               CAST((count(*) * 1000000) // (SELECT n FROM tot) AS BIGINT)
+                   AS share_ppm
+        FROM base
+        GROUP BY 1, 2
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-(source, language) composition
+    table every published training corpus ships — document counts, token
+    totals, mean document length, and corpus share. Shares and means are
+    integer milli/ppm units (floor division), bit-exact across engines.
+
+    Scale: one keyed aggregation over (source, lang) — low-cardinality
+    keys, partial aggregation collapses everything map-side; the corpus
+    total joins back as a literal (one scalar to the driver). At 100 TB
+    this is the same single-shuffle plan; the per-doc token count stays
+    inside codegen (split+len, no Python).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+    )
+    total = base.count()
+    return base.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_tokens"),
+        F.expr("(sum(n_chars) * 1000) div count(*)")
+        .cast("long")
+        .alias("mean_chars_milli"),
+        F.expr(f"(count(*) * 1000000) div {total}")
+        .cast("long")
+        .alias("share_ppm"),
+    )
