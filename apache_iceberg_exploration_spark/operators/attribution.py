@@ -238,3 +238,110 @@ def ab_experiment_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("conv_rate_bp"),
     )
+
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
+PATH_TOPN = 20
+
+
+@query(
+    "sessionize_event_paths",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        t AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+            FROM s
+        ),
+        p AS (
+            SELECT user_id, sess,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM t GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT path, count(*) AS n_sessions,
+                   row_number() OVER (ORDER BY count(*) DESC, path) AS rank
+            FROM p GROUP BY 1
+        )
+        SELECT rank, path, n_sessions FROM ranked
+        WHERE rank <= {PATH_TOPN}
+    """,
+)
+def sessionize_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: sessionize the event stream (6-hour
+    inactivity gap), render each session as its ordered event-type path
+    ("view>click>purchase"), and rank the top-{PATH_TOPN} paths by
+    frequency — the exploratory sibling of the fixed-funnel query
+    (funnel_view_click_purchase checks ONE path; this surfaces which
+    paths exist).
+
+    Sessionization is the standard gap-and-cumsum pair of windows over
+    (user, time); gaps compare integer epoch-MICROSECONDS on both
+    engines so a boundary-straddling event can't flip sides. The path
+    render is an ordered string aggregation per session.
+
+    Scale: both windows and the path aggregation share one
+    (user_id)-keyed Exchange; the path-frequency count then shuffles one
+    row per session (not per event), and the top-N is a TakeOrdered.
+    Path cardinality is the watch-item at 100 TB — cap session length
+    (slice the collect_list) or hash long paths before counting, the
+    same high-cardinality discipline as dedup_jaccard_df_capped.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(us).over(w)
+    new_s = (
+        F.when(
+            lag_us.isNull() | ((us - lag_us) > SESSION_GAP_US), 1
+        ).otherwise(0)
+    )
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_s).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("sess"),
+    )
+    paths = (
+        t.groupBy("user_id", "sess")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    ranked = (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("n_sessions").desc(), "path")
+            ),
+        )
+        .filter(F.col("rank") <= PATH_TOPN)
+    )
+    return ranked.select("rank", "path", "n_sessions")

@@ -3052,3 +3052,80 @@ def bloom_semi_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "parts_abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS rev_cents
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM rev),
+        ranked AS (
+            SELECT l_partkey, rev_cents,
+                   CAST((sum(rev_cents) OVER (ORDER BY rev_cents DESC,
+                                              l_partkey) * 1000000)
+                        // (SELECT t FROM tot) AS BIGINT) AS cum_ppm
+            FROM rev
+        )
+        SELECT CASE WHEN cum_ppm <= 800000 THEN 'A'
+                    WHEN cum_ppm <= 950000 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               count(*) AS n_parts,
+               CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents
+        FROM ranked
+        GROUP BY 1
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank parts by
+    revenue, take the cumulative share, and cut at 80% (A), 95% (B),
+    rest (C) — the inventory-management staple, and the same
+    global-cumulative-share shape as curriculum deciles. Revenue is
+    integer cents per row before summing and shares integer ppm, so both
+    engines agree exactly; ties (equal revenue) break on part key.
+
+    Scale: the per-part aggregate shuffles once on l_partkey; the
+    cumulative sum here is a single global window ordered by revenue —
+    fine while |parts| ≪ |lineitem| (the aggregate already collapsed the
+    data), and the two-phase distributed prefix sum (pack_concat_chunks)
+    swaps in when even the key space outgrows one partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev_cents")
+    )
+    total = rev.agg(F.sum("rev_cents").cast("long").alias("t")).collect()[0].t
+    cum = F.sum("rev_cents").over(
+        Window.orderBy(F.col("rev_cents").desc(), "l_partkey").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    ranked = rev.withColumn("cum", cum).withColumn(
+        "cum_ppm", F.expr(f"(cum * 1000000) div {total}").cast("long")
+    )
+    return (
+        ranked.select(
+            F.when(F.col("cum_ppm") <= 800000, "A")
+            .when(F.col("cum_ppm") <= 950000, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "rev_cents",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("class_rev_cents"),
+        )
+    )

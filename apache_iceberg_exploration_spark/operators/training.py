@@ -450,3 +450,70 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+SKEW_TOPN = 20
+
+
+@query(
+    "data_skew_diagnostics",
+    oracle=f"""
+        WITH per_key AS (
+            SELECT o_custkey AS key, count(*) AS n_rows
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+                   count(*) AS n_keys
+            FROM per_key
+        )
+        SELECT rank, key, n_rows,
+               CAST((n_rows * 1000000) // (SELECT t FROM tot) AS BIGINT)
+                   AS share_ppm,
+               CAST((n_rows * (SELECT n_keys FROM tot) * 1000)
+                    // (SELECT t FROM tot) AS BIGINT) AS x_mean_milli
+        FROM (
+            SELECT key, n_rows,
+                   row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+            FROM per_key
+        )
+        WHERE rank <= {SKEW_TOPN}
+    """,
+)
+def data_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report: the top-{SKEW_TOPN} heaviest join/agg
+    keys with their share of all rows (ppm) and their multiple of the
+    mean key weight (milli) — the diagnostic you run BEFORE choosing
+    between a plain shuffle join, salting (skew_salted_join), or AQE
+    skew splitting. A key at 50× the mean is the one that serializes a
+    1000-executor shuffle into one straggler task.
+
+    Scale: one keyed count (partial-aggregated), a TakeOrdered top-N,
+    and two scalar totals — diagnosis costs one aggregation regardless
+    of table size, which is why it belongs in the pipeline's preflight
+    rather than in post-mortems.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").cast("long").alias("t"), F.count("*").alias("n_keys")
+    ).collect()[0]
+    ranked = per_key.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("n_rows").desc(), "key")),
+    ).filter(F.col("rank") <= SKEW_TOPN)
+    return ranked.select(
+        "rank",
+        "key",
+        "n_rows",
+        F.expr(f"(n_rows * 1000000) div {tot.t}")
+        .cast("long")
+        .alias("share_ppm"),
+        F.expr(f"(n_rows * {tot.n_keys} * 1000) div {tot.t}")
+        .cast("long")
+        .alias("x_mean_milli"),
+    )

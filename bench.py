@@ -95,6 +95,12 @@ HEADLINE = [
     "portable_hll_distinct_rollup",
     "portable_cms_user_counts",
     "portable_hll_set_overlap",
+    "graph_pagerank_cosupply",
+    "graph_triangle_count_topk",
+    "attribution_ushaped_credit",
+    "sessionize_event_paths",
+    "bloom_semi_join_reduction",
+    "vocab_coverage_topv",
 ]
 
 
