@@ -166,12 +166,105 @@ class LakehouseTable:
             p = self._manifest_path(v)
             if os.path.exists(p):
                 with open(p) as f:
-                    out.append(json.load(f))
+                    out.append(self._materialize_manifest(json.load(f)))
         return out
 
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
+            return self._materialize_manifest(json.load(f))
+
+    # -- manifest parts (Iceberg manifest-list design) -----------------------
+    #
+    # A committed manifest does NOT inline its O(files) payload. The file
+    # list and the per-file maps (stats / file_seq / partitions) live in
+    # immutable PART files under snapshots/parts/; the manifest stores the
+    # part paths. A commit carries the parent's parts whose contents are
+    # unchanged and writes ONE new part for the delta — so commit IO is
+    # O(added + touched parts), not O(table), which is the property that
+    # keeps a 1000-commit/day table with 10^6 files committable. Readers
+    # materialize parts back into the flat keys (cached: parts are
+    # immutable), so every consumer above this layer is unchanged.
+    # Manifests from older table versions (inline "files") still read.
+
+    PART_KEYS = ("stats", "file_seq", "partitions")
+
+    @property
+    def _parts_dir(self) -> str:
+        return os.path.join(self._snap_dir, "parts")
+
+    def _load_part(self, path: str) -> dict:
+        cache = self.__dict__.setdefault("_part_cache", {})
+        if path not in cache:
+            with open(path) as f:
+                cache[path] = json.load(f)
+        return cache[path]
+
+    def _raw_manifest(self, path: str) -> dict:
+        with open(path) as f:
             return json.load(f)
+
+    def _materialize_manifest(self, m: dict) -> dict:
+        """Expand a parts-format manifest into the flat in-memory form
+        (files + per-file maps). No-op for inline-format manifests."""
+        if "parts" not in m or "files" in m:
+            return m
+        files: list[str] = []
+        maps: dict[str, dict] = {k: {} for k in m.get("part_keys", [])}
+        for ppath in m["parts"]:
+            part = self._load_part(ppath)
+            files.extend(part["files"])
+            for k in maps:
+                maps[k].update(part.get(k, {}))
+        m["files"] = files
+        for k, v in maps.items():
+            m[k] = v
+        return m
+
+    def _factor_parts(self, manifest: dict, prev: dict | None) -> None:
+        """Inverse of _materialize_manifest, applied at commit time: move
+        the per-file payload into part files, carrying every parent part
+        whose files are all still present WITH identical per-file
+        entries (parts are immutable, so 'same path, same contents').
+        Only the delta — new files plus survivors of partially-retained
+        parts — is written, as one new part."""
+        files = manifest.pop("files")
+        present = [k for k in self.PART_KEYS if k in manifest]
+        maps = {k: (manifest.pop(k) or {}) for k in present}
+        fset = set(files)
+        carried: list[str] = []
+        covered: set[str] = set()
+        for ppath in (prev or {}).get("parts", []):
+            try:
+                part = self._load_part(ppath)
+            except OSError:
+                continue
+            pfiles = part["files"]
+            if (
+                not (covered & set(pfiles))
+                and all(f in fset for f in pfiles)
+                and all(
+                    maps.get(k, {}).get(f) == part.get(k, {}).get(f)
+                    for k in self.PART_KEYS
+                    for f in pfiles
+                )
+            ):
+                carried.append(ppath)
+                covered.update(pfiles)
+        rest = [f for f in files if f not in covered]
+        if rest or not carried:
+            os.makedirs(self._parts_dir, exist_ok=True)
+            newp = os.path.join(
+                self._parts_dir, f"part-{uuid.uuid4().hex}.json"
+            )
+            body: dict = {"files": rest}
+            for k in present:
+                body[k] = {f: maps[k][f] for f in rest if f in maps[k]}
+            with open(newp, "w") as f:
+                json.dump(body, f)
+            self.__dict__.setdefault("_part_cache", {})[newp] = body
+            carried.append(newp)
+        manifest["parts"] = carried
+        manifest["part_keys"] = present
 
     @staticmethod
     def _delete_key_files(manifest: dict) -> set[str]:
@@ -197,11 +290,31 @@ class LakehouseTable:
         branch-chain commits (same protocol, different namespace)."""
         target = path or self._manifest_path(version)
         os.makedirs(os.path.dirname(target), exist_ok=True)
+        to_write = manifest
+        if "files" in manifest:
+            # factor the O(files) payload into part files (a COPY is
+            # factored: the caller's dict keeps the flat form, matching
+            # what a subsequent _read_manifest would materialize).
+            # Parent lookup: same namespace first (main chain or branch
+            # chain via `path`), then the branch's fork-point snapshot on
+            # main. A failed attempt may strand its freshly written part
+            # — unreferenced parts are swept by remove_orphan_files.
+            prev = None
+            parent = manifest.get("parent") or 0
+            cand = os.path.join(os.path.dirname(target), f"v{parent}.json")
+            if parent and os.path.exists(cand):
+                prev = self._raw_manifest(cand)
+            else:
+                base = manifest.get("summary", {}).get("base_version")
+                if base and os.path.exists(self._manifest_path(base)):
+                    prev = self._raw_manifest(self._manifest_path(base))
+            to_write = dict(manifest)
+            self._factor_parts(to_write, prev)
         tmp = os.path.join(
             os.path.dirname(target), f".tmp-{uuid.uuid4().hex}-v{version}.json"
         )
         with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
+            json.dump(to_write, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -819,7 +932,7 @@ class LakehouseTable:
         with open(
             os.path.join(self._branch_dir(name), f"v{version}.json")
         ) as f:
-            return json.load(f)
+            return self._materialize_manifest(json.load(f))
 
     def read_branch(self, name: str) -> DataFrame:
         """The table as the branch sees it: its base snapshot plus every
@@ -895,8 +1008,26 @@ class LakehouseTable:
         branch's own data directories are removed — an abandoned audit
         branch leaves no trace."""
         added, _ = self._branch_added_files(name)
+        branch_parts: set[str] = set()
+        for bp in glob.glob(os.path.join(self._branch_dir(name), "v*.json")):
+            branch_parts.update(self._raw_manifest(bp).get("parts", []))
         os.unlink(self._branch_ref_path(name))
         shutil.rmtree(self._branch_dir(name), ignore_errors=True)
+        # manifest parts only this branch's chain referenced go with it.
+        # (Main never carries a branch part — _try_commit only carries
+        # from the main parent — and a publish writes its own new part,
+        # so this holds even after fast_forward/keep_files.)
+        if branch_parts:
+            live_parts = self._branch_referenced_parts()
+            for v in range(1, self.current_version() + 1):
+                p = self._manifest_path(v)
+                if os.path.exists(p):
+                    live_parts.update(self._raw_manifest(p).get("parts", []))
+            for pp in branch_parts - live_parts:
+                try:
+                    os.remove(pp)
+                except OSError:
+                    pass
         if keep_files or not added:
             return
         # Safety invariant this deletion relies on: every _write_data_files
@@ -936,6 +1067,18 @@ class LakehouseTable:
             head = self._branch_head(name)
             if head:
                 out.update(self._read_branch_manifest(name, head)["files"])
+        return out
+
+    def _branch_referenced_parts(self) -> set[str]:
+        """Manifest parts referenced by ANY live branch commit (not just
+        the head: older branch manifests stay readable until the branch
+        is dropped, so their parts are live metadata too)."""
+        out: set[str] = set()
+        for name in self.branches():
+            for bp in glob.glob(
+                os.path.join(self._branch_dir(name), "v*.json")
+            ):
+                out.update(self._raw_manifest(bp).get("parts", []))
         return out
 
     def read(self, version: int | str | None = None) -> DataFrame:
@@ -2491,25 +2634,39 @@ class LakehouseTable:
             b["base_version"] for b in self.branches().values()
         }
         retained_files: set[str] = set(self._branch_referenced_files())
+        retained_parts: set[str] = self._branch_referenced_parts()
         for v in range(1, current + 1):
             if (v >= cutoff or v in tagged) and os.path.exists(
                 self._manifest_path(v)
             ):
+                retained_parts.update(
+                    self._raw_manifest(self._manifest_path(v)).get("parts", [])
+                )
                 m = self._read_manifest(v)
                 retained_files.update(m["files"])
                 retained_files.update(self._delete_key_files(m))
 
         expired = []
         expired_files: set[str] = set()
+        expired_parts: set[str] = set()
         for v in range(1, cutoff):
             p = self._manifest_path(v)
             if v in tagged or not os.path.exists(p):
                 continue
+            expired_parts.update(self._raw_manifest(p).get("parts", []))
             m = self._read_manifest(v)
             expired_files.update(m["files"])
             expired_files.update(self._delete_key_files(m))
             os.remove(p)
             expired.append(v)
+
+        # manifest parts referenced ONLY by expired snapshots go with them
+        # (metadata GC — the manifest-list half of Iceberg's expire)
+        for pp in expired_parts - retained_parts:
+            try:
+                os.remove(pp)
+            except OSError:
+                pass
 
         doomed = expired_files - retained_files
         for snap_dir in glob.glob(os.path.join(self.path, "data", "*")):
@@ -2544,4 +2701,17 @@ class LakehouseTable:
             if files and not (files & referenced) and age > older_than_seconds:
                 shutil.rmtree(snap_dir)
                 removed.append(snap_dir)
+        # manifest parts no live manifest references (strandings from
+        # failed commit attempts, dropped branches): same age guard — a
+        # part younger than the grace period may belong to an in-flight
+        # commit whose manifest isn't linked yet
+        live_parts: set[str] = self._branch_referenced_parts()
+        for v in range(1, self.current_version() + 1):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                live_parts.update(self._raw_manifest(p).get("parts", []))
+        for pp in glob.glob(os.path.join(self._parts_dir, "part-*.json")):
+            if pp not in live_parts and now - os.path.getmtime(pp) > older_than_seconds:
+                os.remove(pp)
+                removed.append(pp)
         return removed

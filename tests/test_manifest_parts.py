@@ -1,0 +1,143 @@
+"""Manifest-parts layer (Iceberg manifest-list design): commits write
+O(added) metadata, parts are immutable and carried across snapshots,
+GC reclaims them with their manifests, and inline-format manifests from
+older table versions still read."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from apache_iceberg_exploration_spark.sources.lakehouse import LakehouseTable
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return LakehouseTable(spark, str(tmp_path / "tbl"))
+
+
+def _raw(table, version):
+    with open(table._manifest_path(version)) as f:
+        return json.load(f)
+
+
+def test_append_writes_o_added_metadata(spark, table):
+    """Each append carries every prior part untouched and adds exactly
+    one new part listing only the new files — the committed JSON no
+    longer scales with table size."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust.repartition(4))
+    m1 = _raw(table, 1)
+    assert len(m1["parts"]) == 1
+    table.append(cust.limit(10).repartition(1))
+    m2 = _raw(table, 2)
+    assert m2["parts"][: len(m1["parts"])] == m1["parts"]  # carried
+    assert len(m2["parts"]) == len(m1["parts"]) + 1
+    new_part = json.load(open(m2["parts"][-1]))
+    assert len(new_part["files"]) == 1  # only the appended file
+    # no O(files) payload inline in the committed manifest
+    assert "files" not in m2 and "stats" not in m2
+    # the materialized view is complete: all files, all stats
+    full = table._read_manifest(2)
+    assert len(full["files"]) == 5
+    assert set(full["stats"]) >= set(full["files"])
+
+
+def test_delete_rewrites_only_touched_parts(spark, table):
+    """CoW delete keeps the parts whose files survive intact and writes
+    one new part for the rewrite — O(touched), not O(table)."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    sorted_c = cust.orderBy("c_custkey")
+    for lo, hi in ((0, 50), (50, 100), (100, 150)):
+        table.append(
+            sorted_c.filter(
+                (F_col("c_custkey") >= lo) & (F_col("c_custkey") < hi)
+            ).coalesce(1)
+        )
+    parts_before = _raw(table, 3)["parts"]
+    # delete touches only the first range's file
+    table.delete_where(
+        F_col("c_custkey") < 10, prune={"c_custkey": (0, 9)}
+    )
+    parts_after = _raw(table, table.current_version())["parts"]
+    survivors = set(parts_before) & set(parts_after)
+    assert survivors, "untouched parts were rewritten"
+    assert table.read().filter("c_custkey < 10").count() == 0
+
+
+def test_inline_format_manifest_still_reads(spark, table):
+    """Back-compat: a manifest with the flat inline payload (pre-parts
+    format) materializes as-is."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust)
+    raw = _raw(table, 1)
+    inline = table._read_manifest(1)  # materialized flat form
+    inline.pop("parts", None)
+    inline.pop("part_keys", None)
+    os.remove(table._manifest_path(1))
+    with open(table._manifest_path(1), "w") as f:
+        json.dump(inline, f)
+    assert table.read().count() == cust.count()
+    assert set(table._read_manifest(1)["files"]) == set(
+        f for p in raw["parts"] for f in json.load(open(p))["files"]
+    )
+
+
+def test_expire_reclaims_expired_parts(spark, table):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust.limit(50))
+    table.overwrite(cust.limit(80))  # v2 replaces v1's files AND part
+    v1_parts = set(_raw(table, 1)["parts"])
+    v2_parts = set(_raw(table, 2)["parts"])
+    table.expire_snapshots(keep_last=1)
+    for p in v1_parts - v2_parts:
+        assert not os.path.exists(p)
+    for p in v2_parts:
+        assert os.path.exists(p)
+    assert table.read().count() == 80
+
+
+def test_drop_branch_reclaims_branch_parts(spark, table):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust.limit(50))
+    table.create_branch("wip")
+    table.append_branch("wip", cust.limit(5))
+    branch_manifests = glob.glob(
+        os.path.join(table._branch_dir("wip"), "v*.json")
+    )
+    bparts = {
+        p
+        for bm in branch_manifests
+        for p in json.load(open(bm)).get("parts", [])
+    }
+    main_parts = set(_raw(table, 1)["parts"])
+    table.drop_branch("wip")
+    for p in bparts - main_parts:
+        assert not os.path.exists(p)
+    for p in main_parts:
+        assert os.path.exists(p)
+    assert table.read().count() == 50
+
+
+def test_orphan_sweep_collects_stranded_parts(spark, table):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    table.overwrite(cust.limit(50))
+    stray = os.path.join(table._parts_dir, "part-deadbeef.json")
+    with open(stray, "w") as f:
+        json.dump({"files": []}, f)
+    os.utime(stray, (1, 1))  # old enough to pass the age guard
+    removed = table.remove_orphan_files(older_than_seconds=10.0)
+    assert stray in removed and not os.path.exists(stray)
+    for p in _raw(table, 1)["parts"]:
+        assert os.path.exists(p)
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
