@@ -1109,7 +1109,11 @@ def lakehouse_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_mktsegment") == "MACHINERY")
             & (F.col("c_custkey") % 7 == 0)
         )
-        # steady-state tick first: pack ONLY the small-file tail (large
+        # metadata tick first: the append/delete commits above each left
+        # a manifest part — consolidate the part list (r5, Iceberg
+        # rewrite_manifests) before touching any data
+        assert tbl.rewrite_manifest_parts() is not None
+        # steady-state tick next: pack ONLY the small-file tail (large
         # files carry by path), then the occasional full re-clustering
         tbl.rewrite_small_files(min_file_bytes=64 * 1024 * 1024)
         tbl.rewrite_data_files(target_file_count=2)

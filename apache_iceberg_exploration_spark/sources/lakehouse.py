@@ -309,6 +309,8 @@ class LakehouseTable:
                 if base and os.path.exists(self._manifest_path(base)):
                     prev = self._raw_manifest(self._manifest_path(base))
             to_write = dict(manifest)
+            if to_write.pop("_no_carry", False):  # manifest-part rewrite
+                prev = None
             self._factor_parts(to_write, prev)
         tmp = os.path.join(
             os.path.dirname(target), f".tmp-{uuid.uuid4().hex}-v{version}.json"
@@ -2531,6 +2533,46 @@ class LakehouseTable:
             ), [snap_id]
 
         return self._commit_rmw(compute)
+
+    def rewrite_manifest_parts(self) -> dict | None:
+        """Iceberg ``CALL system.rewrite_manifests``: consolidate the
+        snapshot's manifest-part list into ONE part. Pure metadata — no
+        data file is read or written; the file inventory is re-factored
+        with carrying disabled so the commit emits a single fresh part.
+
+        Scale: every data commit adds one part, so after N commits a
+        planner opens N small JSONs; this collapses that to one
+        O(files) read, the same planning-latency argument as Iceberg's
+        manifest rewrite. Run it on the maintenance tick alongside
+        rewrite_small_files. The superseded parts are reclaimed when
+        the pre-rewrite snapshots expire (two-level GC)."""
+        v = self.current_version()
+        if not v:
+            return None
+        if len(self._raw_manifest(self._manifest_path(v)).get("parts", [])) <= 1:
+            return None
+
+        def build(parent: int) -> dict:
+            prev = self._read_manifest(parent)
+            m = self._snapshot(
+                "rewrite-manifests",
+                prev["files"],
+                parent,
+                schema_json=prev.get("schema"),
+                stats=prev.get("stats"),
+                file_seq=prev.get("file_seq"),
+                delete_files=prev.get("delete_files", []),
+                partition_specs=prev.get("partition_specs"),
+                partitions=prev.get("partitions"),
+                added=0,
+                rewrote_manifest_parts=True,
+            )
+            m["_no_carry"] = True
+            return m
+
+        manifest = self._commit_with_retry(build)
+        manifest.pop("_no_carry", None)
+        return manifest
 
     def rewrite_position_delete_files(self) -> dict | None:
         """Targeted compaction of pending POSITION deletes — Iceberg's

@@ -141,3 +141,38 @@ def F_col(name):
     from pyspark.sql import functions as F
 
     return F.col(name)
+
+
+def test_rewrite_manifest_parts_consolidates(spark, table):
+    """CALL rewrite_manifests: N commits → N parts → one metadata-only
+    commit collapses the part list to 1 with identical contents; the
+    next append carries the consolidated part."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    for i in range(4):
+        table.append(
+            cust.filter(F_col("c_custkey") % 4 == i).coalesce(1)
+        )
+    v = table.current_version()
+    before = table._read_manifest(v)
+    assert len(_raw(table, v)["parts"]) == 4
+    data_dirs = set(glob.glob(os.path.join(table.path, "data", "*")))
+
+    m = table.rewrite_manifest_parts()
+    assert m is not None and "_no_carry" not in m
+    v2 = table.current_version()
+    assert v2 == v + 1
+    raw2 = _raw(table, v2)
+    assert len(raw2["parts"]) == 1
+    after = table._read_manifest(v2)
+    assert sorted(after["files"]) == sorted(before["files"])
+    assert after.get("stats") == before.get("stats")
+    assert after.get("file_seq") == before.get("file_seq")
+    # metadata-only: no new data directories
+    assert set(glob.glob(os.path.join(table.path, "data", "*"))) == data_dirs
+    # idempotent: a second rewrite is a no-op
+    assert table.rewrite_manifest_parts() is None
+    # the next append carries the consolidated part
+    table.append(cust.limit(3).coalesce(1))
+    raw3 = _raw(table, table.current_version())
+    assert raw3["parts"][0] == raw2["parts"][0]
+    assert len(raw3["parts"]) == 2
