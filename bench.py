@@ -101,6 +101,7 @@ HEADLINE = [
     "sessionize_event_paths",
     "bloom_semi_join_reduction",
     "vocab_coverage_topv",
+    "streaming_lakehouse_source_ingest",
 ]
 
 

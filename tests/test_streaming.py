@@ -421,3 +421,52 @@ def test_cdc_upsert_latest_is_batch_slicing_invariant(spark, tmp_path):
     assert got == want
     ops = [s["operation"] for s in tbl.snapshots()]
     assert ops.count("merge") >= 2  # one conditional merge per micro-batch
+
+
+def test_lakehouse_stream_source_offset_continuity(spark, tmp_path):
+    """The lakehouse streaming source resumes from its checkpointed
+    snapshot-version offset: a restarted query emits ONLY rows committed
+    since the previous run."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_source,
+    )
+
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    tbl.append(cust.filter(F.col("c_custkey") < 10))
+    spark.dataSource.register(make_lakehouse_stream_source())
+    cp = str(tmp_path / "cp")
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # file sink: the checkpoint-recoverable sink kind (memory isn't)
+        q = (
+            spark.readStream.format("lakehouse_stream")
+            .option("path", str(tmp_path / "t"))
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(out)
+
+    assert drain().count() == 10
+
+    tbl.append(cust.filter((F.col("c_custkey") >= 10) & (F.col("c_custkey") < 15)))
+    second = drain()
+    got = {r.c_custkey for r in second.collect()}
+    # run 2 appended ONLY the new snapshot's rows to the sink
+    assert second.count() == 15 and set(range(10, 15)) <= got, got
