@@ -127,3 +127,46 @@ def privacy_pseudonymized_spend_topk(
         .orderBy(F.col("spend_cents").desc(), "pseudo_id")
         .limit(10)
     )
+
+
+L_DIVERSITY = 3  # minimum distinct sensitive values per QI class
+
+
+@query(
+    "privacy_l_diversity_audit",
+    oracle=f"""
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 2000) AS INTEGER) AS bal_bucket,
+               count(*) AS class_size,
+               count(DISTINCT c_mktsegment) AS n_sensitive
+        FROM customer
+        GROUP BY 1, 2
+        HAVING count(DISTINCT c_mktsegment) < {L_DIVERSITY}
+    """,
+)
+def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to
+    k-anonymity: a quasi-identifier class can be large (k-anonymous) yet
+    still leak if (almost) every member shares the same SENSITIVE value
+    (here: market segment). Released rows are the classes with fewer
+    than l={L_DIVERSITY} distinct sensitive values — the ones where
+    knowing the QI tuple reveals the sensitive attribute regardless of
+    class size.
+
+    Scale: groupBy + count(DISTINCT sensitive) — Catalyst expands the
+    distinct into a two-phase aggregate (partial distinct per task,
+    exact merge), one shuffle keyed on the QI tuple. Same preflight
+    cost argument as the k-anonymity audit; run both before release.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_bucket"),
+        )
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct("c_mktsegment").alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < L_DIVERSITY)
+    )

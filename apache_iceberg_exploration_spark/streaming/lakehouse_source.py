@@ -14,13 +14,12 @@ rows of a consecutive snapshot range, replay of a committed range
 immutable, and exactly-once end-to-end follows when the sink is
 idempotent (streaming/sinks.py).
 
-The reader here is the SIMPLE (driver-side) variant — it materializes
-each increment with pyarrow on the driver, which is right for
-metadata-paced increments (a commit's delta) in this container. The
-scale path is mechanical: the same offset logic in a partition-planning
-``DataSourceStreamReader`` whose ``partitions(start, end)`` returns one
-input partition per added file, so executors read the parquet directly
-— offsets, manifest walking, and semantics identical.
+Two interchangeable readers share the offset logic:
+``lakehouse_stream`` (SimpleDataSourceStreamReader — driver-side
+materialization, right for metadata-paced trickles) and
+``lakehouse_stream_dist`` (DataSourceStreamReader — the driver only
+walks manifests; each added file is one input partition read on the
+executors as Arrow record batches, the 100 TB shape).
 
 Manifest access is self-contained (json + glob, parts-aware) because
 the DataSource runs outside any SparkSession.
@@ -138,6 +137,68 @@ def make_lakehouse_stream_source():
     return LakehouseStreamSource
 
 
+def make_lakehouse_stream_dist_source():
+    """The SCALE variant: a partition-planning ``DataSourceStreamReader``.
+    The driver only walks manifests (latestOffset / partitions); each
+    added file becomes one input partition whose parquet is read ON THE
+    EXECUTOR as Arrow record batches — no row ever crosses the driver.
+    Offset semantics are identical to the simple reader, so the two are
+    drop-in interchangeable; this one is the 100 TB shape (a commit with
+    10k new files fans out to 10k tasks)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _DistReader(DataSourceStreamReader):
+        def __init__(self, root: str):
+            self.root = root
+
+        def initialOffset(self) -> dict:
+            return {"version": 0}
+
+        def latestOffset(self) -> dict:
+            return {"version": _current_version(self.root)}
+
+        def partitions(self, start: dict, end: dict):
+            files = _added_files(
+                self.root, start["version"], end["version"]
+            )
+            return [InputPartition(f) for f in files]
+
+        def read(self, partition):
+            # executor-side: stream the file as Arrow batches (zero-copy
+            # into Spark's Arrow pipe, no Python row materialization)
+            import pyarrow.parquet as pq
+
+            yield from pq.ParquetFile(partition.value).iter_batches()
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class LakehouseStreamDistSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "lakehouse_stream_dist"
+
+        def schema(self):
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            root = self.options["path"]
+            files = _manifest_files(root, _current_version(root))
+            if not files:
+                raise ValueError(f"empty lakehouse table at {root}")
+            import pyarrow.parquet as pq
+
+            return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+
+        def streamReader(self, schema):
+            return _DistReader(self.options["path"])
+
+    return LakehouseStreamDistSource
+
+
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -171,12 +232,12 @@ def streaming_lakehouse_source_ingest(
     sinks.py) — lakehouse→lakehouse incremental pipelines with no Kafka
     in the middle.
 
-    Scale note (also in module docstring): the simple reader
-    materializes increments driver-side; the partition-planning variant
-    of the SAME offset logic hands one file per input partition to
-    executors. Offsets are snapshot versions, so replay is
-    deterministic (immutable manifests) and end-to-end exactly-once
-    composes with the idempotent sink."""
+    This query drives the DISTRIBUTED reader (one input partition per
+    added file, executor-side Arrow batch reads — the driver only walks
+    manifests); the simple driver-side reader shares the same offsets
+    and is exercised by the restart-continuity test. Offsets are
+    snapshot versions, so replay is deterministic (immutable manifests)
+    and end-to-end exactly-once composes with the idempotent sink."""
     import shutil
     import tempfile
 
@@ -191,9 +252,9 @@ def streaming_lakehouse_source_ingest(
         for i in range(3):
             tbl.append(cust.filter(F.col("c_custkey") % 3 == i))
 
-        spark.dataSource.register(make_lakehouse_stream_source())
+        spark.dataSource.register(make_lakehouse_stream_dist_source())
         stream = (
-            spark.readStream.format("lakehouse_stream")
+            spark.readStream.format("lakehouse_stream_dist")
             .option("path", root + "/t")
             .load()
         )
