@@ -103,6 +103,6 @@ def _load_all() -> None:
     # r5 additions — registered last so the driver-verified prefix of the
     # registry (first ~50 entries) keeps its round-2 composition.
     from .operators import attribution, graph, privacy  # noqa: F401
-    from .streaming import lakehouse_source  # noqa: F401
+    from .streaming import lakehouse_sink, lakehouse_source  # noqa: F401
 
     _LOADED = True

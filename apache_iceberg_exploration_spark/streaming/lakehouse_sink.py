@@ -1,0 +1,303 @@
+"""Structured Streaming SINK into a lakehouse table.
+
+The native twin of the foreachBatch+MERGE sink (streaming/sinks.py),
+rebuilt as a registered Spark 4 Python Data Source streaming writer —
+``df.writeStream.format("lakehouse_sink").option("path", <root>)``.
+
+The split of labor IS Iceberg's streaming-sink design:
+
+- ``write(iterator)`` runs on EACH EXECUTOR TASK: it serializes its
+  partition to one parquet file under the table's data dir (pyarrow,
+  with per-column min/max + row-count stats computed from the arrow
+  table) and returns only the file path + stats in its commit message.
+  Rows never touch the driver.
+- ``commit(messages, batchId)`` runs once per micro-batch on the
+  driver: ONE atomic manifest publish (create-exclusive link, the same
+  optimistic protocol as LakehouseTable) adopts every task's files and
+  records the streaming batch id + high-water mark in the commit
+  summary. Data-landed and batch-recorded are the same atomic event, so
+  a replayed micro-batch (same batchId ≤ carried HWM) is detected and
+  skipped — exactly-once end to end, surviving snapshot expiration
+  exactly like sinks.last_applied_batch.
+- ``abort`` deletes the already-written files; an aborted batch leaves
+  no trace (manifests are only ever linked complete).
+
+The commit path is self-contained (json + os.link, parts-aware,
+carrying schema/delete_files/partition metadata from the previous
+snapshot) because the writer runs outside any SparkSession. Manifests
+it writes are byte-compatible with LakehouseTable — readers, time
+travel, incremental consumers, and the streaming SOURCE all compose.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from .lakehouse_source import _current_version, _manifest_files
+from .sinks import BATCH_HWM_KEY, BATCH_KEY
+
+
+def _raw(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def _last_batch_hwm(root: str) -> int | None:
+    marks = []
+    for v in range(1, _current_version(root) + 1):
+        p = os.path.join(root, "snapshots", f"v{v}.json")
+        if not os.path.exists(p):
+            continue
+        s = _raw(p).get("summary", {})
+        for k in (BATCH_HWM_KEY, BATCH_KEY):
+            if k in s:
+                marks.append(s[k])
+    return max(marks) if marks else None
+
+
+def _commit_append(root: str, files: list[str], stats: dict, summary: dict) -> int:
+    """Standalone append commit speaking LakehouseTable's manifest
+    protocol: optimistic create-exclusive publish, parts-format payload
+    (one new part for this batch, parent parts carried verbatim), prev
+    schema/delete_files/partition_specs carried so MoR semantics and
+    projection survive. Returns the committed version."""
+    snap_dir = os.path.join(root, "snapshots")
+    parts_dir = os.path.join(snap_dir, "parts")
+    os.makedirs(parts_dir, exist_ok=True)
+    for _ in range(20):
+        parent = _current_version(root)
+        prev = (
+            _raw(os.path.join(snap_dir, f"v{parent}.json")) if parent else {}
+        )
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "operation": "append",
+            "committed_at": time.time(),
+            "summary": {"added_files": len(files), **summary},
+        }
+        for k in ("schema", "delete_files", "partition_specs"):
+            if k in prev:
+                manifest[k] = prev[k]
+        new_part = os.path.join(parts_dir, f"part-{uuid.uuid4().hex}.json")
+        with open(new_part, "w") as f:
+            json.dump(
+                {
+                    "files": files,
+                    "stats": stats,
+                    "file_seq": {p: parent + 1 for p in files},
+                },
+                f,
+            )
+        if "parts" in prev:
+            manifest["parts"] = prev["parts"] + [new_part]
+            manifest["part_keys"] = sorted(
+                set(prev.get("part_keys", [])) | {"stats", "file_seq"}
+            )
+        elif "files" in prev:  # inline-format parent (pre-parts table)
+            manifest["parts"] = [new_part]
+            manifest["part_keys"] = ["stats", "file_seq"]
+            inline_part = os.path.join(
+                parts_dir, f"part-{uuid.uuid4().hex}.json"
+            )
+            with open(inline_part, "w") as f:
+                json.dump(
+                    {
+                        "files": prev["files"],
+                        "stats": prev.get("stats", {}),
+                        "file_seq": prev.get("file_seq", {}),
+                    },
+                    f,
+                )
+            manifest["parts"].insert(0, inline_part)
+        else:  # first commit
+            manifest["parts"] = [new_part]
+            manifest["part_keys"] = ["stats", "file_seq"]
+        target = os.path.join(snap_dir, f"v{parent + 1}.json")
+        tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+            return parent + 1
+        except FileExistsError:
+            time.sleep(0.01)  # lost the race: rebase on the new tip
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(f"lakehouse_sink: commit contention at {root}")
+
+
+def make_lakehouse_stream_sink():
+    """Build the writable DataSource class (deferred import, same reason
+    as the source factory)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, files: list[str], stats: dict):
+            self.files = files
+            self.stats = stats
+
+    class _Writer(DataSourceStreamWriter):
+        def __init__(self, root: str):
+            self.root = root
+
+        def write(self, iterator) -> "_Msg":
+            # EXECUTOR side: partition rows → one parquet file + stats
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rows = [r.asDict() for r in iterator]
+            if not rows:
+                return _Msg([], {})
+            table = pa.Table.from_pylist(rows)
+            data_dir = os.path.join(
+                self.root, "data", f"stream-{uuid.uuid4().hex[:12]}"
+            )
+            os.makedirs(data_dir, exist_ok=True)
+            path = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(table, path)
+            per_col: dict = {"__rows": table.num_rows}
+            for name, col in zip(table.column_names, table.columns):
+                if pa.types.is_integer(col.type) or pa.types.is_floating(
+                    col.type
+                ) or pa.types.is_string(col.type):
+                    import pyarrow.compute as pc
+
+                    mm = pc.min_max(col)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is not None:
+                        per_col[name] = [lo, hi]
+            return _Msg([path], {path: per_col})
+
+        def commit(self, messages, batchId: int) -> None:
+            # DRIVER side, once per micro-batch: one atomic manifest
+            # publish = data landed AND batch recorded
+            files = [f for m in messages if m for f in m.files]
+            stats = {}
+            for m in messages:
+                if m:
+                    stats.update(m.stats)
+            hwm = _last_batch_hwm(self.root)
+            if hwm is not None and batchId <= hwm:
+                # replayed micro-batch: its rows are already committed;
+                # drop the redundant files, publish nothing
+                self._drop(files)
+                return
+            if not files:
+                return  # empty batch: no commit, offsets still advance
+            _commit_append(
+                self.root,
+                files,
+                stats,
+                {
+                    BATCH_KEY: batchId,
+                    BATCH_HWM_KEY: max(
+                        batchId, hwm if hwm is not None else batchId
+                    ),
+                },
+            )
+
+        def abort(self, messages, batchId: int) -> None:
+            self._drop([f for m in messages if m for f in m.files])
+
+        @staticmethod
+        def _drop(files: list[str]) -> None:
+            import shutil
+
+            for f in files:
+                shutil.rmtree(os.path.dirname(f), ignore_errors=True)
+
+    class LakehouseStreamSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "lakehouse_sink"
+
+        def streamWriter(self, schema, overwrite: bool):
+            return _Writer(self.options["path"])
+
+    return LakehouseStreamSink
+
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "streaming_lakehouse_sink_ingest",
+    oracle="""
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS bal_cents
+        FROM customer
+        GROUP BY 1
+    """,
+)
+def streaming_lakehouse_sink_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming write INTO the lakehouse through the registered native
+    sink: customer streams in (AvailableNow), every task writes its own
+    parquet file with stats, and ONE atomic manifest commit per
+    micro-batch adopts them all with the batch id in the summary. The
+    table read back through LakehouseTable must equal the batch oracle
+    — proving the sink's files, stats and manifest are fully
+    interoperable with the rest of the table format (time travel,
+    incremental reads, the streaming source, compaction all apply to a
+    streamed table).
+
+    Scale: rows go executor→parquet directly (never through the
+    driver); commit cost is O(batch files) metadata. Skew in the
+    incoming partitioning maps to file-size skew — feed the sink from a
+    repartitioned stream or compact on the maintenance tick."""
+    import shutil
+    import tempfile
+
+    from ..sources.io import load_table
+    from ..sources.lakehouse import LakehouseTable
+
+    root = tempfile.mkdtemp(prefix="lakehouse_sink_q_", dir="/tmp")
+    try:
+        spark.dataSource.register(make_lakehouse_stream_sink())
+        schema = spark.read.parquet(f"{sf_dir}/customer.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "customer.parquet")
+            .parquet(sf_dir)
+        )
+        q = (
+            stream.writeStream.format("lakehouse_sink")
+            .option("path", root + "/t")
+            .option("checkpointLocation", root + "/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        out = (
+            LakehouseTable(spark, root + "/t")
+            .read()
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+                )
+                .cast("long")
+                .alias("bal_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

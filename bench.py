@@ -102,6 +102,7 @@ HEADLINE = [
     "bloom_semi_join_reduction",
     "vocab_coverage_topv",
     "streaming_lakehouse_source_ingest",
+    "streaming_lakehouse_sink_ingest",
 ]
 
 

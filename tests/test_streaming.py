@@ -470,3 +470,72 @@ def test_lakehouse_stream_source_offset_continuity(spark, tmp_path):
     got = {r.c_custkey for r in second.collect()}
     # run 2 appended ONLY the new snapshot's rows to the sink
     assert second.count() == 15 and set(range(10, 15)) <= got, got
+
+
+def test_lakehouse_sink_exactly_once_and_interop(spark, tmp_path):
+    """The native streaming sink commits atomically with the batch id:
+    a replayed batch id publishes nothing and drops its files; the
+    sink-written table is a first-class lakehouse table (readable,
+    appendable, stats-pruned, consumable by the streaming source)."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        make_lakehouse_stream_sink,
+    )
+
+    root = str(tmp_path / "t")
+    spark.dataSource.register(make_lakehouse_stream_sink())
+    schema = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "customer.parquet")
+        .parquet(SF_SMOKE)
+    )
+    q = (
+        stream.writeStream.format("lakehouse_sink")
+        .option("path", root)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    tbl = LakehouseTable(spark, root)
+    n = tbl.read().count()
+    assert n == spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    v1 = tbl.current_version()
+    m = tbl._read_manifest(v1)
+    assert m["summary"]["streaming_batch_id"] == 0
+    assert m["summary"]["streaming_batch_hwm"] == 0
+
+    # replayed micro-batch: same batch id → no new version, files dropped
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        _commit_append,  # noqa: F401  (protocol smoke below uses writer)
+    )
+
+    sink_cls = make_lakehouse_stream_sink()
+    writer = sink_cls(options={"path": root}).streamWriter(schema, False)
+
+    class FakeMsg:
+        files = [root + "/data/stream-fake/part-x.parquet"]
+        stats = {}
+
+    import os
+
+    os.makedirs(root + "/data/stream-fake", exist_ok=True)
+    open(FakeMsg.files[0], "w").close()
+    writer.commit([FakeMsg()], batchId=0)  # replay of batch 0
+    assert tbl.current_version() == v1  # nothing published
+    assert not os.path.exists(FakeMsg.files[0])  # redundant files dropped
+
+    # interop: plain appends on top, stats pruning, time travel
+    tbl.append(spark.read.parquet(f"{SF_SMOKE}/customer.parquet").limit(5))
+    assert tbl.read().count() == n + 5
+    assert tbl.read(version=v1).count() == n
+    manifest = tbl._read_manifest(tbl.current_version())
+    kept = tbl._prune_files(manifest, {"c_custkey": (0, 3)})
+    assert len(kept) <= len(manifest["files"])
