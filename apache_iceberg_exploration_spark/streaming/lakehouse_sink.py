@@ -301,3 +301,86 @@ def streaming_lakehouse_sink_ingest(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_lakehouse_roundtrip_pipeline",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_purchases,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS spend_cents
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def streaming_lakehouse_roundtrip_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The capstone composition: lakehouse → stream → lakehouse with NO
+    external log. Events land in table A as three snapshot commits; a
+    streaming query reads A through the DISTRIBUTED source (offsets =
+    snapshot versions), filters/projects the purchases (stateless, so
+    append mode), and writes table B through the native sink (atomic
+    batch-id commits). B read back must equal the batch oracle — the
+    end-to-end exactly-once incremental pipeline that replaces the
+    reference's delete-and-recompute daily tick (etl.py:59-95) AND its
+    Airflow-level watermark bookkeeping (constant.py:66-85): offsets,
+    replay protection, and atomicity all live in the two table formats.
+
+    Scale: source partitions = files added per commit (executor Arrow
+    reads), transform is a narrow map, sink files = stream partitions,
+    one metadata commit per micro-batch on each side. Nothing in the
+    row path touches the driver."""
+    import shutil
+    import tempfile
+
+    from ..sources.io import load_table
+    from ..sources.lakehouse import LakehouseTable
+    from .lakehouse_source import make_lakehouse_stream_dist_source
+
+    root = tempfile.mkdtemp(prefix="lakehouse_rt_q_", dir="/tmp")
+    try:
+        a = LakehouseTable(spark, root + "/a")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for i in range(3):
+            a.append(ev.filter(F.col("event_id") % 3 == i))
+
+        spark.dataSource.register(make_lakehouse_stream_dist_source())
+        spark.dataSource.register(make_lakehouse_stream_sink())
+        stream = (
+            spark.readStream.format("lakehouse_stream_dist")
+            .option("path", root + "/a")
+            .load()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.floor(F.col("value") * 100 + 0.5)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        q = (
+            stream.writeStream.format("lakehouse_sink")
+            .option("path", root + "/b")
+            .option("checkpointLocation", root + "/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        out = (
+            LakehouseTable(spark, root + "/b")
+            .read()
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_purchases"),
+                F.sum("cents").cast("long").alias("spend_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

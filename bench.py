@@ -103,6 +103,7 @@ HEADLINE = [
     "vocab_coverage_topv",
     "streaming_lakehouse_source_ingest",
     "streaming_lakehouse_sink_ingest",
+    "streaming_lakehouse_roundtrip_pipeline",
 ]
 
 
