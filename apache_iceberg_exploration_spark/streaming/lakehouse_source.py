@@ -76,12 +76,21 @@ def make_lakehouse_stream_source():
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
     class _Reader(SimpleDataSourceStreamReader):
-        def __init__(self, root: str):
+        def __init__(
+            self,
+            root: str,
+            starting_version: int = 0,
+            max_versions_per_trigger: int | None = None,
+        ):
             self.root = root
+            self.starting_version = starting_version
+            self.max_versions = max_versions_per_trigger
 
         def initialOffset(self) -> dict:
-            # start-from-scratch: the first batch replays the whole table
-            return {"version": 0}
+            # 0 = replay the whole table in the first batch; a
+            # startingVersion consumes only commits AFTER that snapshot
+            # (Iceberg's stream-from-snapshot)
+            return {"version": self.starting_version}
 
         def _rows_for(self, files: list[str]):
             # a LIST, not a generator: the runtime pickles the batch into
@@ -95,8 +104,17 @@ def make_lakehouse_stream_source():
             return rows
 
         def read(self, start: dict):
+            # rate limit (Iceberg streaming-read limits): admit at most
+            # maxVersionsPerTrigger commits per micro-batch so a
+            # backlogged table drains in bounded batches. Implemented
+            # HERE because read(start) sees the checkpointed offset —
+            # restart-safe by construction (the dist reader's no-args
+            # latestOffset() cannot express this; its JVM ReadLimit
+            # counterpart isn't surfaced to Python yet).
             until = _current_version(self.root)
             since = start["version"]
+            if self.max_versions is not None:
+                until = min(until, since + self.max_versions)
             if until <= since:
                 return [], start
             files = _added_files(self.root, since, until)
@@ -132,7 +150,13 @@ def make_lakehouse_stream_source():
             return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
 
         def simpleStreamReader(self, schema):
-            return _Reader(self.options["path"])
+            opts = {k.lower(): v for k, v in self.options.items()}
+            mv = opts.get("maxversionspertrigger")
+            return _Reader(
+                opts["path"],
+                int(opts.get("startingversion", 0)),
+                int(mv) if mv is not None else None,
+            )
 
     return LakehouseStreamSource
 
@@ -152,13 +176,19 @@ def make_lakehouse_stream_dist_source():
     )
 
     class _DistReader(DataSourceStreamReader):
-        def __init__(self, root: str):
+        def __init__(self, root: str, starting_version: int = 0):
             self.root = root
+            self.starting_version = starting_version
 
         def initialOffset(self) -> dict:
-            return {"version": 0}
+            return {"version": self.starting_version}
 
         def latestOffset(self) -> dict:
+            # no rate limit here: this API variant's no-args
+            # latestOffset() cannot see the checkpointed position, so a
+            # reader-local throttle would regress offsets after restart.
+            # Use the simple reader's maxVersionsPerTrigger for bounded
+            # catch-up, or the JVM ReadLimit API once surfaced to Python.
             return {"version": _current_version(self.root)}
 
         def partitions(self, start: dict, end: dict):
@@ -194,7 +224,10 @@ def make_lakehouse_stream_dist_source():
             return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
 
         def streamReader(self, schema):
-            return _DistReader(self.options["path"])
+            opts = {k.lower(): v for k, v in self.options.items()}
+            return _DistReader(
+                opts["path"], int(opts.get("startingversion", 0))
+            )
 
     return LakehouseStreamDistSource
 

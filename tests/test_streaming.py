@@ -539,3 +539,106 @@ def test_lakehouse_sink_exactly_once_and_interop(spark, tmp_path):
     manifest = tbl._read_manifest(tbl.current_version())
     kept = tbl._prune_files(manifest, {"c_custkey": (0, 3)})
     assert len(kept) <= len(manifest["files"])
+
+
+def test_lakehouse_stream_starting_version_and_rate_limit(spark, tmp_path):
+    """startingVersion skips history (stream-from-snapshot); with
+    maxVersionsPerTrigger=1 a 3-commit backlog drains as three bounded
+    micro-batches instead of one catch-up batch."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_source,
+    )
+
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    for i in range(3):  # v1: 0-9, v2: 10-19, v3: 20-29
+        tbl.append(
+            cust.filter(
+                (F.col("c_custkey") >= 10 * i) & (F.col("c_custkey") < 10 * (i + 1))
+            )
+        )
+    spark.dataSource.register(make_lakehouse_stream_source())
+
+    batches = []
+
+    def sink(bdf, bid):
+        batches.append({r.c_custkey for r in bdf.collect()})
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse_stream")
+            .option("path", str(tmp_path / "t"))
+            .option("startingVersion", 1)  # skip v1's rows
+            .option("maxVersionsPerTrigger", 1)  # 1 commit per micro-batch
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # each drain admits bounded micro-batches until caught up; the
+    # checkpointed offset carries across restarts (read(start) throttles
+    # from the TRUE position, so restart cannot rewind or skip)
+    for _ in range(3):
+        drain()
+        if sum(1 for b in batches if b) >= 2:
+            break
+    non_empty = [b for b in batches if b]
+    assert non_empty == [set(range(10, 20)), set(range(20, 30))], batches
+
+
+def test_lakehouse_sink_commits_interleave_with_batch_writers(spark, tmp_path):
+    """The sink's optimistic commit rebases past a batch append that
+    wins the version race mid-stream: both commits land, no rows lost."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        make_lakehouse_stream_sink,
+    )
+
+    root = str(tmp_path / "t")
+    tbl = LakehouseTable(spark, root)
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    tbl.append(cust.filter(F.col("c_custkey") < 5))  # v1, batch writer
+
+    # streaming micro-batch commit built against v1...
+    sink_cls = make_lakehouse_stream_sink()
+    writer = sink_cls(options={"path": root}).streamWriter(cust.schema, False)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    d = os.path.join(root, "data", "stream-race")
+    os.makedirs(d, exist_ok=True)
+    f = os.path.join(d, "part-race.parquet")
+    pq.write_table(
+        pa.table({"c_custkey": [100, 101], "c_mktsegment": ["X", "X"]}), f
+    )
+
+    class Msg:
+        files = [f]
+        stats = {f: {"__rows": 2, "c_custkey": [100, 101]}}
+
+    # ...while a concurrent batch append takes the next version first
+    tbl.append(cust.filter((F.col("c_custkey") >= 5) & (F.col("c_custkey") < 8)))
+    writer.commit([Msg()], batchId=0)  # must rebase and land on top
+
+    assert tbl.current_version() == 3
+    rows = {r.c_custkey for r in tbl.read().collect()}
+    assert set(range(0, 8)) <= rows and {100, 101} <= rows
+    assert tbl._read_manifest(3)["summary"]["streaming_batch_id"] == 0
