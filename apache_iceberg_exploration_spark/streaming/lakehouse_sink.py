@@ -58,7 +58,14 @@ def _last_batch_hwm(root: str) -> int | None:
     return max(marks) if marks else None
 
 
-def _commit_append(root: str, files: list[str], stats: dict, summary: dict) -> int:
+def _commit_append(
+    root: str,
+    files: list[str],
+    stats: dict,
+    summary: dict,
+    partitions: dict | None = None,
+    partition_specs: list[dict] | None = None,
+) -> int:
     """Standalone append commit speaking LakehouseTable's manifest
     protocol: optimistic create-exclusive publish, parts-format payload
     (one new part for this batch, parent parts carried verbatim), prev
@@ -82,24 +89,42 @@ def _commit_append(root: str, files: list[str], stats: dict, summary: dict) -> i
         for k in ("schema", "delete_files", "partition_specs"):
             if k in prev:
                 manifest[k] = prev[k]
+        if partition_specs:
+            # identity hidden-partitioning for streamed files: merge with
+            # any specs the table already declares (spec evolution rules
+            # live in LakehouseTable; the sink only adds identity specs)
+            have = {
+                (d.get("kind"), d.get("col"), d.get("n"))
+                for d in manifest.get("partition_specs", [])
+            }
+            manifest["partition_specs"] = manifest.get(
+                "partition_specs", []
+            ) + [
+                d
+                for d in partition_specs
+                if (d.get("kind"), d.get("col"), d.get("n")) not in have
+            ]
         new_part = os.path.join(parts_dir, f"part-{uuid.uuid4().hex}.json")
+        part_body = {
+            "files": files,
+            "stats": stats,
+            "file_seq": {p: parent + 1 for p in files},
+        }
+        if partitions:
+            part_body["partitions"] = partitions
         with open(new_part, "w") as f:
-            json.dump(
-                {
-                    "files": files,
-                    "stats": stats,
-                    "file_seq": {p: parent + 1 for p in files},
-                },
-                f,
-            )
+            json.dump(part_body, f)
+        own_keys = {"stats", "file_seq"} | (
+            {"partitions"} if partitions else set()
+        )
         if "parts" in prev:
             manifest["parts"] = prev["parts"] + [new_part]
             manifest["part_keys"] = sorted(
-                set(prev.get("part_keys", [])) | {"stats", "file_seq"}
+                set(prev.get("part_keys", [])) | own_keys
             )
         elif "files" in prev:  # inline-format parent (pre-parts table)
             manifest["parts"] = [new_part]
-            manifest["part_keys"] = ["stats", "file_seq"]
+            manifest["part_keys"] = sorted(own_keys)
             inline_part = os.path.join(
                 parts_dir, f"part-{uuid.uuid4().hex}.json"
             )
@@ -115,7 +140,7 @@ def _commit_append(root: str, files: list[str], stats: dict, summary: dict) -> i
             manifest["parts"].insert(0, inline_part)
         else:  # first commit
             manifest["parts"] = [new_part]
-            manifest["part_keys"] = ["stats", "file_seq"]
+            manifest["part_keys"] = sorted(own_keys)
         target = os.path.join(snap_dir, f"v{parent + 1}.json")
         tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -142,26 +167,71 @@ def make_lakehouse_stream_sink():
     )
 
     class _Msg(WriterCommitMessage):
-        def __init__(self, files: list[str], stats: dict):
+        def __init__(
+            self, files: list[str], stats: dict, partitions: dict | None = None
+        ):
             self.files = files
             self.stats = stats
+            self.partitions = partitions or {}
 
     class _Writer(DataSourceStreamWriter):
-        def __init__(self, root: str):
+        def __init__(self, root: str, partition_cols: list[str] | None = None):
             self.root = root
+            self.partition_cols = partition_cols or []
 
         def write(self, iterator) -> "_Msg":
-            # EXECUTOR side: partition rows → one parquet file + stats
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
+            # EXECUTOR side: partition rows → parquet file(s) + stats.
+            # With partitionBy, rows split into one file per partition
+            # tuple in hive-style dirs (identity hidden partitioning) so
+            # readers partition-prune streamed data like batch data.
             rows = [r.asDict() for r in iterator]
             if not rows:
                 return _Msg([], {})
-            table = pa.Table.from_pylist(rows)
             data_dir = os.path.join(
                 self.root, "data", f"stream-{uuid.uuid4().hex[:12]}"
             )
+            if not self.partition_cols:
+                path, per_col = self._write_file(rows, data_dir)
+                return _Msg([path], {path: per_col})
+            from urllib.parse import quote
+
+            groups: dict[tuple, list[dict]] = {}
+            for r in rows:
+                groups.setdefault(
+                    tuple(r[c] for c in self.partition_cols), []
+                ).append(r)
+            files, stats, partitions = [], {}, {}
+            for tup, grp in groups.items():
+                segs = [
+                    f"{c}="
+                    + (
+                        quote(str(v), safe="")
+                        if v is not None
+                        else "__HIVE_DEFAULT_PARTITION__"
+                    )
+                    for c, v in zip(self.partition_cols, tup)
+                ]
+                path, per_col = self._write_file(
+                    grp, os.path.join(data_dir, *segs)
+                )
+                files.append(path)
+                stats[path] = per_col
+                partitions[path] = {
+                    c: (
+                        str(v)
+                        if v is not None
+                        else "__HIVE_DEFAULT_PARTITION__"
+                    )
+                    for c, v in zip(self.partition_cols, tup)
+                }
+            return _Msg(files, stats, partitions)
+
+        @staticmethod
+        def _write_file(rows: list[dict], data_dir: str):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            table = pa.Table.from_pylist(rows)
             os.makedirs(data_dir, exist_ok=True)
             path = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
             pq.write_table(table, path)
@@ -176,16 +246,18 @@ def make_lakehouse_stream_sink():
                     lo, hi = mm["min"].as_py(), mm["max"].as_py()
                     if lo is not None:
                         per_col[name] = [lo, hi]
-            return _Msg([path], {path: per_col})
+            return path, per_col
 
         def commit(self, messages, batchId: int) -> None:
             # DRIVER side, once per micro-batch: one atomic manifest
             # publish = data landed AND batch recorded
             files = [f for m in messages if m for f in m.files]
-            stats = {}
+            stats: dict = {}
+            partitions: dict = {}
             for m in messages:
                 if m:
                     stats.update(m.stats)
+                    partitions.update(getattr(m, "partitions", {}) or {})
             hwm = _last_batch_hwm(self.root)
             if hwm is not None and batchId <= hwm:
                 # replayed micro-batch: its rows are already committed;
@@ -204,6 +276,13 @@ def make_lakehouse_stream_sink():
                         batchId, hwm if hwm is not None else batchId
                     ),
                 },
+                partitions=partitions or None,
+                partition_specs=[
+                    {"kind": "identity", "col": c, "n": None}
+                    for c in self.partition_cols
+                ]
+                if self.partition_cols
+                else None,
             )
 
         def abort(self, messages, batchId: int) -> None:
@@ -214,7 +293,15 @@ def make_lakehouse_stream_sink():
             import shutil
 
             for f in files:
-                shutil.rmtree(os.path.dirname(f), ignore_errors=True)
+                # remove the whole stream-<uuid> dir (files may sit in
+                # hive-style partition subdirs below it)
+                d = os.path.dirname(f)
+                while d and not os.path.basename(d).startswith("stream-"):
+                    parent = os.path.dirname(d)
+                    if parent == d:
+                        break
+                    d = parent
+                shutil.rmtree(d, ignore_errors=True)
 
     class LakehouseStreamSink(DataSource):
         @classmethod
@@ -222,7 +309,12 @@ def make_lakehouse_stream_sink():
             return "lakehouse_sink"
 
         def streamWriter(self, schema, overwrite: bool):
-            return _Writer(self.options["path"])
+            opts = {k.lower(): v for k, v in self.options.items()}
+            pb = opts.get("partitionby")
+            return _Writer(
+                opts["path"],
+                [c.strip() for c in pb.split(",")] if pb else None,
+            )
 
     return LakehouseStreamSink
 

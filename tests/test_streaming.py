@@ -642,3 +642,56 @@ def test_lakehouse_sink_commits_interleave_with_batch_writers(spark, tmp_path):
     rows = {r.c_custkey for r in tbl.read().collect()}
     assert set(range(0, 8)) <= rows and {100, 101} <= rows
     assert tbl._read_manifest(3)["summary"]["streaming_batch_id"] == 0
+
+
+def test_lakehouse_sink_partitioned_write_prunes(spark, tmp_path):
+    """partitionBy on the streaming sink: files land in hive-style dirs
+    with partition tuples in the manifest, so a partition predicate on
+    the streamed table prunes files exactly like a batch-partitioned
+    write."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        make_lakehouse_stream_sink,
+    )
+
+    root = str(tmp_path / "t")
+    spark.dataSource.register(make_lakehouse_stream_sink())
+    schema = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "customer.parquet")
+        .parquet(SF_SMOKE)
+        .writeStream.format("lakehouse_sink")
+        .option("path", root)
+        .option("partitionBy", "c_mktsegment")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    tbl = LakehouseTable(spark, root)
+    manifest = tbl._read_manifest(tbl.current_version())
+    assert manifest.get("partition_specs") == [
+        {"kind": "identity", "col": "c_mktsegment", "n": None}
+    ]
+    assert len(manifest["partitions"]) == len(manifest["files"])
+    # partition pruning: a one-segment scan plans a strict file subset
+    kept = tbl._partition_prune(
+        manifest,
+        {"c_mktsegment": ("BUILDING", "BUILDING")},
+        manifest["files"],
+    )
+    assert 0 < len(kept) < len(manifest["files"])
+    got = tbl.scan({"c_mktsegment": ("BUILDING", "BUILDING")}).count()
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .count()
+    )
+    assert got == want
