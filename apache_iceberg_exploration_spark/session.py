@@ -64,7 +64,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source predicate pushdown (the batch lakehouse
+        # format folds pushed filters into manifest-stats file pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # µs-typed parquet timestamps (not legacy INT96, which pyarrow
+        # surfaces as ns and Spark's Arrow ingest then rejects)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

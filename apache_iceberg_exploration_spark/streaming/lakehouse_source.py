@@ -69,6 +69,42 @@ def _added_files(root: str, since: int, until: int) -> list[str]:
     return [f for f in _manifest_files(root, until) if f not in base]
 
 
+def _us_schema(schema):
+    """Arrow schema with nanosecond timestamps demoted to microseconds:
+    Spark's INT96 parquet timestamps surface as timestamp[ns] in pyarrow,
+    which Spark's Arrow ingest path rejects (UNSUPPORTED_ARROWTYPE)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field(
+                f.name,
+                pa.timestamp("us", f.type.tz)
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                else f.type,
+                f.nullable,
+            )
+            for f in schema
+        ]
+    )
+
+
+def _us_batches(pf):
+    """Iterate a ParquetFile's record batches with ns→µs timestamp cast
+    applied when needed (no-op otherwise)."""
+    import pyarrow as pa
+
+    target = _us_schema(pf.schema_arrow)
+    plain = target == pf.schema_arrow
+    for batch in pf.iter_batches():
+        if plain:
+            yield batch
+        else:
+            yield from (
+                pa.Table.from_batches([batch]).cast(target).to_batches()
+            )
+
+
 def make_lakehouse_stream_source():
     """Build (and return) the DataSource class. Deferred import keeps the
     module importable on Spark versions without the Python Data Source
@@ -147,7 +183,9 @@ def make_lakehouse_stream_source():
                 raise ValueError(f"empty lakehouse table at {root}")
             import pyarrow.parquet as pq
 
-            return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+            return from_arrow_schema(
+                _us_schema(pq.ParquetFile(files[0]).schema_arrow)
+            )
 
         def simpleStreamReader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
@@ -199,10 +237,11 @@ def make_lakehouse_stream_dist_source():
 
         def read(self, partition):
             # executor-side: stream the file as Arrow batches (zero-copy
-            # into Spark's Arrow pipe, no Python row materialization)
+            # into Spark's Arrow pipe, no Python row materialization;
+            # ns timestamps demoted to µs for Spark's Arrow ingest)
             import pyarrow.parquet as pq
 
-            yield from pq.ParquetFile(partition.value).iter_batches()
+            yield from _us_batches(pq.ParquetFile(partition.value))
 
         def commit(self, end: dict) -> None:
             pass
@@ -221,7 +260,9 @@ def make_lakehouse_stream_dist_source():
                 raise ValueError(f"empty lakehouse table at {root}")
             import pyarrow.parquet as pq
 
-            return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+            return from_arrow_schema(
+                _us_schema(pq.ParquetFile(files[0]).schema_arrow)
+            )
 
         def streamReader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
@@ -302,6 +343,213 @@ def streaming_lakehouse_source_ingest(
         from .windows import _run_available_now
 
         out = _run_available_now(agg, "complete")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _manifest_payload(root: str, version: int) -> tuple[list[str], dict]:
+    """(files, per-file stats) of a snapshot, parts-aware (the batch
+    reader's planning inputs — no Spark needed)."""
+    if version <= 0:
+        return [], {}
+    path = os.path.join(root, "snapshots", f"v{version}.json")
+    with open(path) as f:
+        m = json.load(f)
+    if "files" in m:
+        return m["files"], m.get("stats", {})
+    files: list[str] = []
+    stats: dict = {}
+    for ppath in m.get("parts", []):
+        with open(ppath) as f:
+            part = json.load(f)
+        files.extend(part["files"])
+        stats.update(part.get("stats", {}))
+    return files, stats
+
+
+def make_lakehouse_batch_source():
+    """Batch ``spark.read.format("lakehouse")`` with FILTER PUSHDOWN into
+    manifest pruning: Spark hands the reader its typed predicates
+    (DSv2 ``pushFilters``, Spark 4.1 Python Data Source API); the reader
+    folds the range/equality ones into a per-column interval, drops every
+    data file whose manifest min/max stats provably exclude it, and plans
+    one input partition per SURVIVING file. All filters are returned to
+    Spark, which still applies them row-level — file pruning is
+    exactness-preserving, exactly like LakehouseTable.scan()'s
+    stats-based skipping, but driven by the engine's own pushdown
+    machinery instead of an explicit ``where`` argument.
+
+    Scale: planning is O(files) driver metadata; tasks are created only
+    for files that can match, so a selective predicate on a clustered
+    column reads a file subset — the DSv2-native form of Iceberg's
+    scan planning."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    class _BatchReader(DataSourceReader):
+        def __init__(self, root: str):
+            self.root = root
+            self.bounds: dict[str, list] = {}  # col -> [lo, hi] (closed)
+
+        def pushFilters(self, filters):
+            # materialized eagerly (not a generator): bounds must be set
+            # before Spark plans partitions, regardless of when the
+            # returned iterable is consumed
+            return list(self._fold(filters))
+
+        def _fold(self, filters):
+            for f in filters:
+                col = f.attribute[0] if len(f.attribute) == 1 else None
+                if col is None:
+                    pass
+                elif isinstance(f, EqualTo):
+                    self._clamp(col, f.value, f.value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self._clamp(col, f.value, None)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self._clamp(col, None, f.value)
+                elif isinstance(f, In) and f.value:
+                    self._clamp(col, min(f.value), max(f.value))
+                # every filter is returned: Spark re-applies them
+                # row-level, so open/strict bounds folded to closed
+                # intervals here stay exactness-preserving
+                yield f
+
+        def _clamp(self, col: str, lo, hi) -> None:
+            b = self.bounds.setdefault(col, [None, None])
+            if lo is not None and (b[0] is None or lo > b[0]):
+                b[0] = lo
+            if hi is not None and (b[1] is None or hi < b[1]):
+                b[1] = hi
+
+        def partitions(self):
+            files, stats = _manifest_payload(
+                self.root, _current_version(self.root)
+            )
+            kept = []
+            for f in files:
+                st = stats.get(f, {})
+                skip = False
+                for col, (lo, hi) in self.bounds.items():
+                    rng = st.get(col)
+                    if not isinstance(rng, list) or len(rng) != 2:
+                        continue  # no stats for this column: keep
+                    fmin, fmax = rng
+                    try:
+                        if (hi is not None and fmin > hi) or (
+                            lo is not None and fmax < lo
+                        ):
+                            skip = True
+                            break
+                    except TypeError:
+                        continue  # incomparable types: keep, stay exact
+                if not skip:
+                    kept.append(f)
+            self.planned_files = kept  # introspection for tests
+            return [InputPartition(f) for f in kept]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            yield from _us_batches(pq.ParquetFile(partition.value))
+
+    class LakehouseBatchSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "lakehouse"
+
+        def schema(self):
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            root = self.options["path"]
+            files = _manifest_files(root, _current_version(root))
+            if not files:
+                raise ValueError(f"empty lakehouse table at {root}")
+            import pyarrow.parquet as pq
+
+            return from_arrow_schema(
+                _us_schema(pq.ParquetFile(files[0]).schema_arrow)
+            )
+
+        def reader(self, schema):
+            return _BatchReader(self.options["path"])
+
+    return LakehouseBatchSource
+
+
+@query(
+    "lakehouse_batch_source_pushdown_scan",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 5000
+        GROUP BY 1
+    """,
+)
+def lakehouse_batch_source_pushdown_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENGINE-DRIVEN file skipping: the same pruned range scan as
+    lakehouse_stats_pruned_scan, but the pruning decision now flows
+    through Spark's own pushdown machinery — ``spark.read.format(
+    "lakehouse")`` + a plain ``.filter(...)``; DSv2 hands the typed
+    predicates to the reader's ``pushFilters``, which folds them into
+    per-column intervals and plans input partitions ONLY for files whose
+    manifest min/max stats can match. No explicit ``where`` argument,
+    no scan() API — the user writes vanilla DataFrame code and the
+    table format skips files underneath, which is precisely how
+    Iceberg's Spark integration behaves. The filter is also re-applied
+    row-level by Spark, so folding strict bounds to closed intervals
+    stays exact. Asserted here: the planned task count is a strict
+    subset of the table's files.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import LakehouseTable
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    root = tempfile.mkdtemp(prefix="lakehouse_pushdown_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        orders = load_table(spark, sf_dir, "orders")
+        for i in range(3):
+            tbl.append(
+                orders.filter(F.col("o_orderkey") % 3 == i).repartition(2)
+            )
+        tbl.rewrite_data_files(target_file_count=8, sort_by=["o_orderkey"])
+        spark.dataSource.register(make_lakehouse_batch_source())
+        scan = (
+            spark.read.format("lakehouse")
+            .option("path", root + "/t")
+            .load()
+            .filter(
+                (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 5000)
+            )
+        )
+        n_files = len(tbl._read_manifest(tbl.current_version())["files"])
+        n_tasks = scan.rdd.getNumPartitions()
+        assert n_tasks < n_files, (
+            f"pushdown pruned nothing: {n_tasks} tasks for {n_files} files"
+        )
+        out = scan.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

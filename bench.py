@@ -104,6 +104,7 @@ HEADLINE = [
     "streaming_lakehouse_source_ingest",
     "streaming_lakehouse_sink_ingest",
     "streaming_lakehouse_roundtrip_pipeline",
+    "lakehouse_batch_source_pushdown_scan",
 ]
 
 

@@ -176,3 +176,39 @@ def test_rewrite_manifest_parts_consolidates(spark, table):
     raw3 = _raw(table, table.current_version())
     assert raw3["parts"][0] == raw2["parts"][0]
     assert len(raw3["parts"]) == 2
+
+
+def test_batch_reader_prunes_files_from_pushed_filters(spark, table):
+    """Unit-level check of the DSv2 batch reader: pushed range filters
+    fold into bounds and partitions() plans only stats-surviving files."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").orderBy(
+        "c_custkey"
+    )
+    for lo, hi in ((0, 50), (50, 100), (100, 150)):
+        table.append(
+            cust.filter(
+                (F.col("c_custkey") >= lo) & (F.col("c_custkey") < hi)
+            ).coalesce(1)
+        )
+    src = make_lakehouse_batch_source()(options={"path": table.path})
+    reader = src.reader(src.schema())
+    kept_filters = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("c_custkey",), 60),
+                LessThanOrEqual(("c_custkey",), 80),
+            ]
+        )
+    )
+    assert len(kept_filters) == 2  # all filters returned for row-level
+    parts = reader.partitions()
+    assert len(parts) == 1  # only the 50-100 file survives
+    total = len(table._read_manifest(table.current_version())["files"])
+    assert total == 3
