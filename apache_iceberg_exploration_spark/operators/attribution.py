@@ -345,3 +345,63 @@ def sessionize_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PATH_TOPN)
     )
     return ranked.select("rank", "path", "n_sessions")
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+            FROM trans GROUP BY 1
+        )
+        SELECT t.from_type, t.to_type, t.n,
+               CAST((t.n * 1000000) // o.row_total AS BIGINT) AS prob_ppm
+        FROM trans t JOIN tot o ON t.from_type = o.from_type
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    consecutive event pair within a user's timeline, the transition
+    count and row-normalized probability (integer ppm) — the input to
+    next-action prediction, anomaly scoring (improbable transitions),
+    and the generative model behind funnel simulations.
+
+    Scale: ONE lead() window per user partition (the same user-keyed
+    Exchange every behavioral query here shares), then a 25-cell
+    aggregate — the transition matrix is |event_types|², independent of
+    corpus size, so normalization joins against a broadcast-size total.
+    Higher-order chains swap the single lead for a k-gram window over
+    the same sort.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) div row_total").cast("long").alias("prob_ppm"),
+    )

@@ -274,3 +274,129 @@ def graph_triangle_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("suppkey"),
         F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+LP_TOPN = 20
+
+
+def _link_prediction_oracle() -> str:
+    return f"""
+        WITH {_EDGES_SQL.strip()},
+        ranked AS (
+            SELECT src AS u, dst AS v,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges
+        ),
+        topk AS (SELECT u, v FROM ranked WHERE rn <= {TRI_TOPK}),
+        mutual AS (
+            SELECT a.u, a.v
+            FROM topk a JOIN topk b ON a.u = b.v AND a.v = b.u
+            WHERE a.u < a.v
+        ),
+        adj AS (
+            SELECT u, v FROM mutual UNION ALL SELECT v, u FROM mutual
+        ),
+        cand AS (
+            SELECT a.u AS u, b.v AS v, count(*) AS common_neighbors
+            FROM adj a JOIN adj b ON a.v = b.u AND a.u < b.v
+            GROUP BY 1, 2
+        ),
+        novel AS (
+            SELECT c.u, c.v, c.common_neighbors
+            FROM cand c LEFT JOIN mutual m ON c.u = m.u AND c.v = m.v
+            WHERE m.u IS NULL
+        )
+        SELECT u AS supp_a, v AS supp_b, common_neighbors, rank
+        FROM (
+            SELECT u, v, common_neighbors,
+                   row_number() OVER (ORDER BY common_neighbors DESC, u, v)
+                       AS rank
+            FROM novel
+        )
+        WHERE rank <= {LP_TOPN}
+    """
+
+
+@query("graph_link_prediction_common_neighbors", oracle=_link_prediction_oracle())
+def graph_link_prediction_common_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction by common-neighbor counting on the mutual-top-K
+    co-supply graph: for every NON-adjacent supplier pair reachable
+    through a shared neighbor, count the shared neighbors and rank the
+    top-{LP_TOPN} predicted links — "suppliers likely to co-fulfil
+    next", the classic structural recommendation primitive (the
+    Jaccard/Adamic-Adar family's counting core).
+
+    Scale: the candidate generator is the SAME bounded wedge join as
+    triangle counting (≤ V·K² rows thanks to the degree cap), the
+    adjacency anti-join removes known edges, and the top-N plans as
+    TakeOrdered. Common-neighbor counting and triangle counting are one
+    join apart — the wedge closes into a triangle vs stays open as a
+    prediction — so both inherit the sparsification's cost bound.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    topk = (
+        edges.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
+            ),
+        )
+        .filter(F.col("rn") <= TRI_TOPK)
+        .select("u", "v")
+    )
+    ta, tb = topk.alias("ta"), topk.alias("tb")
+    mutual = scoped_persist(
+        ta.join(
+            tb,
+            (F.col("ta.u") == F.col("tb.v")) & (F.col("ta.v") == F.col("tb.u")),
+        )
+        .filter(F.col("ta.u") < F.col("ta.v"))
+        .select(F.col("ta.u").alias("u"), F.col("ta.v").alias("v"))
+    )
+    adj = mutual.unionAll(
+        mutual.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    aa, ab = adj.alias("aa"), adj.alias("ab")
+    cand = (
+        aa.join(
+            ab,
+            (F.col("aa.v") == F.col("ab.u")) & (F.col("aa.u") < F.col("ab.v")),
+        )
+        .groupBy(
+            F.col("aa.u").alias("u"),
+            F.col("ab.v").alias("v"),
+        )
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    novel = cand.join(mutual, ["u", "v"], "left_anti")
+    ranked = novel.withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("common_neighbors").desc(), "u", "v")
+        ),
+    ).filter(F.col("rank") <= LP_TOPN)
+    return ranked.select(
+        F.col("u").alias("supp_a"),
+        F.col("v").alias("supp_b"),
+        "common_neighbors",
+        "rank",
+    )

@@ -3129,3 +3129,150 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").cast("long").alias("class_rev_cents"),
         )
     )
+
+
+BASKET_MIN_PAIR = 3
+
+
+@query(
+    "market_basket_lift_pairs",
+    oracle=f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+        item AS (SELECT l_partkey, count(*) AS cnt FROM op GROUP BY 1),
+        pair AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS pair_cnt
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {BASKET_MIN_PAIR}
+        )
+        SELECT p.part_a, p.part_b, p.pair_cnt,
+               CAST((p.pair_cnt * 1000000) // (SELECT n_orders FROM n)
+                    AS BIGINT) AS support_ppm,
+               CAST((p.pair_cnt * 1000000) // ia.cnt AS BIGINT)
+                   AS confidence_ppm,
+               CAST((p.pair_cnt * (SELECT n_orders FROM n) * 1000)
+                    // (ia.cnt * ib.cnt) AS BIGINT) AS lift_milli
+        FROM pair p
+        JOIN item ia ON p.part_a = ia.l_partkey
+        JOIN item ib ON p.part_b = ib.l_partkey
+    """,
+)
+def market_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining head: part pairs co-ordered at least
+    {BASKET_MIN_PAIR} times with support, confidence (A→B), and lift —
+    the classic market-basket trio, in integer ppm/milli units so both
+    engines agree exactly.
+
+    Scale: the candidate join is the same bounded container self-join as
+    the co-supply graph (pair expansion Σ|basket|², never |items|²);
+    the min-support HAVING collapses the pair space before the two
+    broadcast-able item-frequency joins; lift's division happens on the
+    aggregated pair rows, not the raw incidence.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= BASKET_MIN_PAIR)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.expr(f"(pair_cnt * 1000000) div {n_orders}")
+            .cast("long")
+            .alias("support_ppm"),
+            F.expr("(pair_cnt * 1000000) div cnt_a")
+            .cast("long")
+            .alias("confidence_ppm"),
+            F.expr(f"(pair_cnt * {n_orders} * 1000) div (cnt_a * cnt_b)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+    )
+
+
+@query(
+    "rfm_customer_segmentation",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY 1
+        ),
+        scored AS (
+            SELECT o_custkey,
+                   ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+                   ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+                   ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+                       AS m_score
+            FROM rfm
+        )
+        SELECT r_score, f_score, m_score,
+               count(*) AS n_customers
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+)
+def rfm_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    quintiles (ntile over deterministically tie-broken global orders)
+    and the population of each of the ≤125 cells — the marketing-
+    analytics workhorse for lifecycle campaigns.
+
+    Scale: one keyed aggregate collapses orders to |customers| rows;
+    the three ntile windows share ONE unpartitioned sort each — fine at
+    |customers| ≪ |orders| after the collapse, and each becomes a
+    distributed percentile cut (curriculum_quality_deciles pattern)
+    when even the customer dimension outgrows a partition. Tiebreak on
+    the key makes every quintile boundary engine-exact.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy("monetary_cents", "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )

@@ -105,6 +105,9 @@ HEADLINE = [
     "streaming_lakehouse_sink_ingest",
     "streaming_lakehouse_roundtrip_pipeline",
     "lakehouse_batch_source_pushdown_scan",
+    "market_basket_lift_pairs",
+    "rfm_customer_segmentation",
+    "markov_event_transitions",
 ]
 
 
