@@ -64,9 +64,51 @@ def _manifest_files(root: str, version: int) -> list[str]:
     return files
 
 
+_APPEND_OPS = {"append"}
+
+
 def _added_files(root: str, since: int, until: int) -> list[str]:
-    base = set(_manifest_files(root, since))
-    return [f for f in _manifest_files(root, until) if f not in base]
+    """Data files contributed by APPEND commits in (since, until] — the
+    streaming increment. Walked version-by-version, NOT as one file-set
+    diff: a compaction/rewrite commit changes the file set without
+    changing the data, and a naive diff would replay every rewritten
+    file as new rows (duplicates). Non-append operations (rewrites,
+    merges, deletes, DDL) are skipped, matching Iceberg's streaming-read
+    contract (appends stream; row-level changes come from the changelog
+    feed; retention must cover consumer lag so appended files still
+    exist when a lagging consumer reads them)."""
+    out: list[str] = []
+    prev: set[str] | None = None
+    for v in range(max(since, 0), until + 1):
+        path = os.path.join(root, "snapshots", f"v{v}.json")
+        if not os.path.exists(path):
+            prev = None  # v0 never exists; later gaps mean expiry
+            continue
+        with open(path) as f:
+            m = json.load(f)
+        files = (
+            m["files"]
+            if "files" in m
+            else [
+                fp
+                for ppath in m.get("parts", [])
+                for fp in json.load(open(ppath))["files"]
+            ]
+        )
+        if v > since:
+            op = m.get("operation")
+            # v1 may legitimately be an overwrite (table creation); its
+            # contents are the stream's initial load
+            if op in _APPEND_OPS or (v == 1 and op == "overwrite"):
+                if prev is None and v > 1:
+                    raise RuntimeError(
+                        f"lakehouse_stream: snapshot v{v - 1} expired — "
+                        "consumer lagged past snapshot retention"
+                    )
+                base = prev or set()
+                out.extend(f for f in files if f not in base)
+        prev = set(files)
+    return out
 
 
 def _us_schema(schema):

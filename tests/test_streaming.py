@@ -695,3 +695,45 @@ def test_lakehouse_sink_partitioned_write_prunes(spark, tmp_path):
         .count()
     )
     assert got == want
+
+
+def test_lakehouse_stream_skips_compaction_rewrites(spark, tmp_path):
+    """A compaction between appends must NOT replay rewritten files as
+    new stream rows (the Iceberg streaming-read skip-rewrite contract):
+    the stream sees exactly the appended rows, once."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+    )
+
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    tbl.append(cust.filter(F.col("c_custkey") < 10).repartition(3))
+    tbl.rewrite_data_files(target_file_count=1)  # rewrite, no new data
+    tbl.append(
+        cust.filter(
+            (F.col("c_custkey") >= 10) & (F.col("c_custkey") < 15)
+        )
+    )
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    q = (
+        spark.readStream.format("lakehouse_stream_dist")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("skip_rewrite_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.table("skip_rewrite_out").collect()
+    keys = sorted(r.c_custkey for r in rows)
+    assert keys == list(range(15)), keys  # each appended row EXACTLY once
