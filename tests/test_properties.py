@@ -326,3 +326,87 @@ def test_hll_overlap_tracks_exact(spark):
         exact,
         union,
     )
+
+
+_lifecycle_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(
+                st.tuples(st.integers(0, 40), st.integers(0, 999)),
+                min_size=1,
+                max_size=15,
+            ),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.integers(0, 40),
+            st.integers(0, 15),
+            st.booleans(),  # MoR vs CoW
+        ),
+        st.tuples(st.just("update"), st.integers(0, 40), st.integers(0, 15)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("rewrite_manifests"), st.just(0)),
+        st.tuples(st.just("expire"), st.just(0)),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_lifecycle_ops)
+def test_table_lifecycle_matches_python_model(spark, tmp_path_factory, ops):
+    """Model-based lifecycle property: an arbitrary interleaving of
+    appends, CoW/MoR deletes, CoW updates, compaction, manifest
+    rewrites, and snapshot expiry must leave the table equal to a plain
+    Python multiset model applying the same logical operations — the
+    whole-table-format invariant all the targeted tests sample."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    tbl = LakehouseTable(
+        spark, str(tmp_path_factory.mktemp("lifecycle") / "t")
+    )
+    model: list[tuple[int, int]] = []
+    wrote = False
+    for op in ops:
+        if op[0] == "append":
+            rows = list(op[1])
+            tbl.append(spark.createDataFrame(rows, "k long, v long"))
+            model.extend(rows)
+            wrote = True
+        elif not wrote:
+            continue  # mutations before any data are vacuous
+        elif op[0] == "delete":
+            lo, width = op[1], op[2]
+            hi = lo + width
+            cond = F.col("k").between(lo, hi)
+            if op[3]:
+                tbl.delete_where_mor(cond, keys=["k"])
+            else:
+                tbl.delete_where(cond)
+            model = [r for r in model if not (lo <= r[0] <= hi)]
+        elif op[0] == "update":
+            lo, width = op[1], op[2]
+            hi = lo + width
+            tbl.update_where(
+                F.col("k").between(lo, hi),
+                {"v": F.col("v") + 1000},
+            )
+            model = [
+                (k, v + 1000) if lo <= k <= hi else (k, v)
+                for (k, v) in model
+            ]
+        elif op[0] == "compact":
+            tbl.rewrite_data_files(target_file_count=2)
+        elif op[0] == "rewrite_manifests":
+            tbl.rewrite_manifest_parts()
+        elif op[0] == "expire":
+            tbl.expire_snapshots(keep_last=1)
+    if wrote:
+        got = sorted((r.k, r.v) for r in tbl.read().collect())
+        assert got == sorted(model)
