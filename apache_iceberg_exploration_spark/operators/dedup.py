@@ -116,9 +116,7 @@ def _mh_b(seed_expr: str) -> str:
     return f"(7919 * ({seed_expr} + 1) + 13) % {MINHASH_P}"
 
 
-@query(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
+_MINHASH_PAIRS_ORACLE = f"""
         WITH shingles AS ({_SHINGLES_SQL}),
         sh31 AS (
             SELECT doc_id, {hash64_sql('shingle')} % {MINHASH_P} AS h31
@@ -139,52 +137,17 @@ def _mh_b(seed_expr: str) -> str:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    """,
-)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH candidate pairs: shingle → 8 universal-hash min-
-    hashes → 4 bands of 2 → docs sharing any band signature.
-
-    Hash family (r3): ONE portable md5-derived base hash per distinct
-    shingle, then 8 affine maps ``(a_i·h + b_i) mod (2^31-1)`` — the
-    textbook universal-hash MinHash (MMDS ch.3.3.6). The r1-r2 design
-    computed 8 INDEPENDENT seeded md5s per shingle; md5 over the
-    vocabulary was the query's dominant CPU, and the affine family cuts
-    it 8× (measured at sf0.1: 2.67 s → 1.65 s) with the same collision
-    guarantees. Constants are fixed (not rand()) so the DuckDB oracle
-    reproduces every signature bit-exactly.
-
-    Scale: hashes are computed once per DISTINCT shingle (vocabulary ≪
-    incidence) and broadcast back; the signature step is then a single
-    aggregation producing all 8 min-hashes as columns, so the shuffle
-    carries one row per document. The candidate join is an equi-join on
-    (band, sig) whose match groups are tiny by construction (only
-    near-dups collide) — no pairwise comparison outside buckets. This is
-    the canonical web-scale fuzzy-dedup shape. At corpora where the
-    vocabulary itself is huge, drop the distinct-hash pre-pass and hash
-    inline (same plan minus the broadcast).
-
-    Measured alternative (r2): a fully row-local formulation —
-    ``array_min(transform(grams, md5(seed|g)))`` per document, zero
-    shuffles before the band join — is 1.6× SLOWER at sf0.1 (4.2 s vs
-    2.5 s) because it evaluates |incidence|×8 md5s instead of
-    |vocabulary|×8; the dedup shuffle it avoids costs less than the
-    ~30× extra hashing. Kept the vocabulary design deliberately.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # persisted: feeds both the distinct-hash branch and the join input.
-    # distinct=False — min() is multiset-invariant, so the dedup shuffle
-    # would be pure cost here.
-    sh = scoped_persist(word_shingles(docs, distinct=False))
 
-    # Hash each DISTINCT shingle once (corpus vocabulary is far smaller
-    # than the doc×shingle incidence), derive the 8 family members with
-    # integer arithmetic, broadcast the tiny hash table back, then ONE
-    # aggregation computes all 8 mins as columns — no seed-explosion:
-    # the shuffle carries n_docs rows, not n_docs × n_shingles × n_seeds.
-    hash_cols = [
-        F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_MINHASH)
-    ]
+
+def minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH index rows for a document set — the
+    signature pipeline shared by the one-shot pair miner and the
+    incremental index maintenance (a document's signature depends only
+    on its own shingles, so batch-local computation equals corpus-wide
+    computation row for row)."""
+    sh = scoped_persist(word_shingles(docs, distinct=False))
+    hash_cols = [F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_MINHASH)]
     h31 = (hash64("shingle") % MINHASH_P).alias("h31")
     shingle_hashes = (
         sh.select("shingle")
@@ -219,7 +182,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"sig{b}")
         for b in range(NUM_MINHASH // BAND_SIZE)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -229,7 +192,49 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_MINHASH_PAIRS_ORACLE)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: shingle → 8 universal-hash min-
+    hashes → 4 bands of 2 → docs sharing any band signature.
+
+    Hash family (r3): ONE portable md5-derived base hash per distinct
+    shingle, then 8 affine maps ``(a_i·h + b_i) mod (2^31-1)`` — the
+    textbook universal-hash MinHash (MMDS ch.3.3.6). The r1-r2 design
+    computed 8 INDEPENDENT seeded md5s per shingle; md5 over the
+    vocabulary was the query's dominant CPU, and the affine family cuts
+    it 8× (measured at sf0.1: 2.67 s → 1.65 s) with the same collision
+    guarantees. Constants are fixed (not rand()) so the DuckDB oracle
+    reproduces every signature bit-exactly.
+
+    Scale: hashes are computed once per DISTINCT shingle (vocabulary ≪
+    incidence) and broadcast back; the signature step is then a single
+    aggregation producing all 8 min-hashes as columns, so the shuffle
+    carries one row per document. The candidate join is an equi-join on
+    (band, sig) whose match groups are tiny by construction (only
+    near-dups collide) — no pairwise comparison outside buckets. This is
+    the canonical web-scale fuzzy-dedup shape. At corpora where the
+    vocabulary itself is huge, drop the distinct-hash pre-pass and hash
+    inline (same plan minus the broadcast).
+
+    Measured alternative (r2): a fully row-local formulation —
+    ``array_min(transform(grams, md5(seed|g)))`` per document, zero
+    shuffles before the band join — is 1.6× SLOWER at sf0.1 (4.2 s vs
+    2.5 s) because it evaluates |incidence|×8 md5s instead of
+    |vocabulary|×8; the dedup shuffle it avoids costs less than the
+    ~30× extra hashing. Kept the vocabulary design deliberately.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # minhash_band_rows: hash each DISTINCT shingle once (vocabulary ≪
+    # incidence), derive the 8 family members with integer arithmetic,
+    # broadcast the tiny hash table back, ONE aggregation computes all
+    # 8 mins as columns — no seed-explosion: the shuffle carries n_docs
+    # rows, not n_docs × n_shingles × n_seeds.
+    bands = minhash_band_rows(docs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -871,3 +876,74 @@ def incremental_dedup_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+@query("dedup_incremental_minhash_lsh", oracle=_MINHASH_PAIRS_ORACLE)
+def dedup_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH: documents arrive in three batches; each
+    batch hashes ONLY its own documents (a signature depends on nothing
+    outside the document), probes the accumulated band index for
+    old↔new candidate pairs, mines new↔new pairs within the batch, and
+    appends its signatures to the index — after the last batch the pair
+    set must equal the one-shot corpus-wide LSH (same oracle as
+    dedup_minhash_lsh_pairs, the algebraic condition that makes the
+    incremental form trustworthy).
+
+    This is the fuzzy sibling of incremental_dedup_lakehouse and THE
+    shape fuzzy dedup must take at 100 TB: a daily tick costs
+    O(new-docs hashing) + one (band, sig)-keyed join against the index
+    — arrival-rate cost — where the one-shot recompute rehashes the
+    entire corpus every run. The index and pair set live in lakehouse
+    tables, so retention/compaction/GC machinery applies to the dedup
+    state itself.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import LakehouseTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="inc_lsh_q_", dir="/tmp")
+    try:
+        index = LakehouseTable(spark, root + "/index")
+        pairs = LakehouseTable(spark, root + "/pairs")
+        for i in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == i)
+            new_bands = scoped_persist(minhash_band_rows(batch))
+            a, b = new_bands.alias("a"), new_bands.alias("b")
+            batch_pairs = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+            )
+            if index.current_version() > 0:
+                old = index.read().alias("o")
+                n = new_bands.alias("n")
+                cross = (
+                    n.join(
+                        old,
+                        (F.col("n.band") == F.col("o.band"))
+                        & (F.col("n.sig") == F.col("o.sig")),
+                    )
+                    .select(
+                        F.least(
+                            F.col("n.doc_id"), F.col("o.doc_id")
+                        ).alias("doc_a"),
+                        F.greatest(
+                            F.col("n.doc_id"), F.col("o.doc_id")
+                        ).alias("doc_b"),
+                    )
+                )
+                batch_pairs = batch_pairs.unionAll(cross)
+            pairs.append(batch_pairs.distinct())
+            index.append(new_bands)
+        return pairs.read().distinct().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

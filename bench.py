@@ -108,6 +108,7 @@ HEADLINE = [
     "market_basket_lift_pairs",
     "rfm_customer_segmentation",
     "markov_event_transitions",
+    "dedup_incremental_minhash_lsh",
 ]
 
 
