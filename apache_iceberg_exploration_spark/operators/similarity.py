@@ -890,3 +890,101 @@ def ann_sq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+JL_OUT_DIMS = 8
+
+
+@query(
+    "embedding_random_projection_jl",
+    oracle=f"""
+        WITH comp AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                        AS BIGINT) AS mv
+            FROM embeddings
+        ),
+        proj AS (
+            SELECT c.vec_id, j.j,
+                   CAST(sum(CASE WHEN ({{h}}) % 2 = 0
+                                 THEN c.mv ELSE -c.mv END) AS BIGINT) AS p
+            FROM comp c, range({JL_OUT_DIMS}) j(j)
+            GROUP BY 1, 2
+        )
+        SELECT vec_id,
+               string_agg(CAST(p AS VARCHAR), ',' ORDER BY j)
+                   AS proj_milli_csv
+        FROM proj
+        GROUP BY 1
+    """.replace(
+        "{h}",
+        "try_cast('0x' || substring(md5('jl|' || CAST(j.j AS VARCHAR)"
+        " || '|' || CAST(c.i AS VARCHAR)), 1, 15) AS BIGINT)",
+    ),
+)
+def embedding_random_projection_jl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project the
+    64-dim embeddings onto {JL_OUT_DIMS} data-independent ±1 random
+    directions (md5-derived signs, the same portable family as the sign-
+    LSH tier) — the cheap distance-preserving compression used before
+    clustering/ANN when vectors outgrow memory budgets. Components are
+    quantized to integer milli-units BEFORE summation, so both engines
+    add exact integers in any order and the CSV-rendered projection is
+    bit-identical (float Σ±v would be summation-order-dependent).
+
+    Scale: posexplode puts (vector, dim) pairs on the wire once; the
+    projection is a keyed (vec_id, out-dim) partial-aggregated sum — no
+    D×K matrix is materialized anywhere, signs are computed inline in
+    codegen, and output width is K regardless of input width. The
+    rotation-free ±1 family is exactly Achlioptas' database-friendly
+    JL construction."""
+    from ..functions.hashing import hash64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("v") * 1000 + 0.5).cast("long").alias("mv"),
+    )
+    expanded = comp.select(
+        "vec_id",
+        "i",
+        "mv",
+        F.explode(F.sequence(F.lit(0), F.lit(JL_OUT_DIMS - 1))).alias("j"),
+    )
+    sign = (
+        hash64(
+            F.concat(
+                F.lit("jl|"),
+                F.col("j").cast("string"),
+                F.lit("|"),
+                F.col("i").cast("string"),
+            )
+        )
+        % 2
+        == 0
+    )
+    proj = (
+        expanded.select(
+            "vec_id",
+            "j",
+            F.when(sign, F.col("mv")).otherwise(-F.col("mv")).alias("term"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.sum("term").cast("long").alias("p"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "p"))),
+                lambda s: s["p"].cast("string"),
+            ),
+        ).alias("proj_milli_csv")
+    )
