@@ -315,3 +315,150 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread.mapInPandas(
         _audio_chunk_batches, schema=_AUDIO_CHUNK_SCHEMA
     )
+
+
+PHASH_CELLS = 65  # 64 dHash bits from 65 sampled bytes
+PHASH_HAMMING_MAX = 12
+
+
+@query(
+    "multimodal_phash_neardup_pairs",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, k,
+                   ord(substring(text,
+                                 (length(text) * k) // {PHASH_CELLS} + 1,
+                                 1)) AS v
+            FROM documents, UNNEST(range({PHASH_CELLS})) t(k)
+        ),
+        bits AS (
+            SELECT a.doc_id, a.k AS bit,
+                   CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit_on
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id AND b.k = a.k + 1
+            WHERE a.k < 64
+        ),
+        bands AS (
+            SELECT doc_id, CAST(bit // 16 AS INTEGER) AS band,
+                   CAST(sum(bit_on * (1 << (bit % 16))) AS BIGINT) AS bval
+            FROM bits GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT doc_id,
+                   max(CASE WHEN band = 0 THEN bval END) AS b0,
+                   max(CASE WHEN band = 1 THEN bval END) AS b1,
+                   max(CASE WHEN band = 2 THEN bval END) AS b2,
+                   max(CASE WHEN band = 3 THEN bval END) AS b3
+            FROM bands GROUP BY 1
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bval = b.bval
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+                  + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+                    AS INTEGER) AS hamming
+        FROM cand c
+        JOIN wide wa ON c.doc_a = wa.doc_id
+        JOIN wide wb ON c.doc_b = wb.doc_id
+        WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+            + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+              <= {PHASH_HAMMING_MAX}
+    """,
+)
+def multimodal_phash_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the BINARY media
+    column: an Arrow-batched kernel samples {PHASH_CELLS} bytes per blob
+    (the stand-in for an 8×8 luma downsample of a real decode), derives
+    the 64-bit dHash (each bit = cell brighter than its neighbor) as
+    four 16-bit bands, and docs sharing ANY band collide into candidate
+    pairs verified by full Hamming distance ≤ {PHASH_HAMMING_MAX} — the
+    image-dedup shape (pHash/dHash + multi-index blocking) used by
+    every large media corpus, structured exactly like the MinHash band
+    pipeline so the same scale argument applies (no all-pairs; bounded
+    band buckets; integer-exact bands let the DuckDB oracle verify the
+    FULL pipeline, kernel arithmetic included).
+
+    Scale: the kernel is partition-local mapInPandas (binary in, 4
+    ints out — bytes never shuffle); the band join and Hamming verify
+    move only doc_id + 32 bytes per doc. A real decoder swaps the byte
+    sampler for PIL/ffmpeg + resize; plan shape unchanged.
+    """
+    media = media_table(spark, sf_dir)
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                v = np.frombuffer(blob, dtype=np.uint8)
+                n = len(v)
+                idx = (n * np.arange(PHASH_CELLS)) // PHASH_CELLS
+                grid = v[idx].astype(np.int64)
+                bits = (grid[:-1] > grid[1:]).astype(np.int64)
+                bands = [
+                    int((bits[b * 16 : (b + 1) * 16] << np.arange(16)).sum())
+                    for b in range(4)
+                ]
+                out.append((doc_id, *bands))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    wide = media.select("doc_id", "media").mapInPandas(
+        phash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    from ..functions.caching import scoped_persist
+
+    wide = scoped_persist(wide)
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"b{b}").alias("bval")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

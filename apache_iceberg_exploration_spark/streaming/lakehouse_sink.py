@@ -89,6 +89,24 @@ def _commit_append(
         for k in ("schema", "delete_files", "partition_specs"):
             if k in prev:
                 manifest[k] = prev[k]
+        if prev.get("schema") and files:
+            # guard: a streamed batch whose columns drifted from the
+            # table's declared schema must fail the commit, not corrupt
+            # the table (the batch's files are already on disk; abort
+            # cleanup removes them)
+            declared = {
+                f["name"] for f in json.loads(prev["schema"])["fields"]
+            }
+            import pyarrow.parquet as _pq
+
+            got = set(_pq.ParquetFile(files[0]).schema_arrow.names)
+            extra = got - declared
+            if extra:
+                raise ValueError(
+                    f"lakehouse_sink: batch columns {sorted(extra)} are not"
+                    " in the table schema — evolve the table first"
+                    " (add_column / merge evolve_schema)"
+                )
         if partition_specs:
             # identity hidden-partitioning for streamed files: merge with
             # any specs the table already declares (spec evolution rules

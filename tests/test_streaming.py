@@ -737,3 +737,46 @@ def test_lakehouse_stream_skips_compaction_rewrites(spark, tmp_path):
     rows = spark.table("skip_rewrite_out").collect()
     keys = sorted(r.c_custkey for r in rows)
     assert keys == list(range(15)), keys  # each appended row EXACTLY once
+
+
+def test_lakehouse_sink_rejects_schema_drift(spark, tmp_path):
+    """A streamed batch whose columns drifted from the table's declared
+    schema fails the commit instead of corrupting the table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        make_lakehouse_stream_sink,
+    )
+
+    root = str(tmp_path / "t")
+    tbl = LakehouseTable(spark, root)
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    tbl.append(cust.limit(5))
+    v1 = tbl.current_version()
+
+    sink_cls = make_lakehouse_stream_sink()
+    writer = sink_cls(options={"path": root}).streamWriter(cust.schema, False)
+    d = os.path.join(root, "data", "stream-drift")
+    os.makedirs(d, exist_ok=True)
+    f = os.path.join(d, "part-drift.parquet")
+    pq.write_table(
+        pa.table({"c_custkey": [1], "surprise_col": ["x"]}), f
+    )
+
+    class Msg:
+        files = [f]
+        stats = {f: {"__rows": 1}}
+        partitions = {}
+
+    with _pytest.raises(ValueError, match="surprise_col"):
+        writer.commit([Msg()], batchId=99)
+    assert tbl.current_version() == v1  # nothing published
