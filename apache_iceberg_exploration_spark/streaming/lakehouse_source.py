@@ -390,16 +390,19 @@ def streaming_lakehouse_source_ingest(
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _manifest_payload(root: str, version: int) -> tuple[list[str], dict]:
-    """(files, per-file stats) of a snapshot, parts-aware (the batch
-    reader's planning inputs — no Spark needed)."""
+def _manifest_payload(
+    root: str, version: int
+) -> tuple[list[str], dict, list]:
+    """(files, per-file stats, pending delete entries) of a snapshot,
+    parts-aware (the batch reader's planning inputs — no Spark needed)."""
     if version <= 0:
-        return [], {}
+        return [], {}, []
     path = os.path.join(root, "snapshots", f"v{version}.json")
     with open(path) as f:
         m = json.load(f)
+    deletes = m.get("delete_files", [])
     if "files" in m:
-        return m["files"], m.get("stats", {})
+        return m["files"], m.get("stats", {}), deletes
     files: list[str] = []
     stats: dict = {}
     for ppath in m.get("parts", []):
@@ -407,7 +410,28 @@ def _manifest_payload(root: str, version: int) -> tuple[list[str], dict]:
             part = json.load(f)
         files.extend(part["files"])
         stats.update(part.get("stats", {}))
-    return files, stats
+    return files, stats, deletes
+
+
+def _resolve_version(root: str, opts: dict) -> int:
+    """Batch-read version resolution: versionAsOf / timestampAsOf
+    options (Iceberg/Delta time-travel ergonomics), else current tip."""
+    if "versionasof" in opts:
+        return int(opts["versionasof"])
+    if "timestampasof" in opts:
+        ts = float(opts["timestampasof"])
+        best = 0
+        for v in range(1, _current_version(root) + 1):
+            path = os.path.join(root, "snapshots", f"v{v}.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                if json.load(f).get("committed_at", 0.0) <= ts:
+                    best = v
+        if not best:
+            raise ValueError(f"no snapshot at or before timestamp {ts}")
+        return best
+    return _current_version(root)
 
 
 def make_lakehouse_batch_source():
@@ -439,8 +463,9 @@ def make_lakehouse_batch_source():
     )
 
     class _BatchReader(DataSourceReader):
-        def __init__(self, root: str):
+        def __init__(self, root: str, version: int):
             self.root = root
+            self.version = version
             self.bounds: dict[str, list] = {}  # col -> [lo, hi] (closed)
 
         def pushFilters(self, filters):
@@ -475,9 +500,19 @@ def make_lakehouse_batch_source():
                 b[1] = hi
 
         def partitions(self):
-            files, stats = _manifest_payload(
-                self.root, _current_version(self.root)
+            files, stats, deletes = _manifest_payload(
+                self.root, self.version
             )
+            if deletes:
+                # pending MoR deletes are applied by LakehouseTable.read
+                # (broadcast anti-join) but not by this file-level
+                # reader — fail loudly rather than resurrect deleted
+                # rows; compaction materializes deletes away
+                raise ValueError(
+                    "lakehouse batch format: snapshot has pending"
+                    " merge-on-read deletes; compact first"
+                    " (rewrite_data_files) or read via LakehouseTable"
+                )
             kept = []
             for f in files:
                 st = stats.get(f, {})
@@ -513,8 +548,9 @@ def make_lakehouse_batch_source():
         def schema(self):
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            root = self.options["path"]
-            files = _manifest_files(root, _current_version(root))
+            opts = {k.lower(): v for k, v in self.options.items()}
+            root = opts["path"]
+            files = _manifest_files(root, _resolve_version(root, opts))
             if not files:
                 raise ValueError(f"empty lakehouse table at {root}")
             import pyarrow.parquet as pq
@@ -524,7 +560,10 @@ def make_lakehouse_batch_source():
             )
 
         def reader(self, schema):
-            return _BatchReader(self.options["path"])
+            opts = {k.lower(): v for k, v in self.options.items()}
+            return _BatchReader(
+                opts["path"], _resolve_version(opts["path"], opts)
+            )
 
     return LakehouseBatchSource
 

@@ -212,3 +212,46 @@ def test_batch_reader_prunes_files_from_pushed_filters(spark, table):
     assert len(parts) == 1  # only the 50-100 file survives
     total = len(table._read_manifest(table.current_version())["files"])
     assert total == 3
+
+
+def test_batch_format_time_travel_and_mor_guard(spark, table):
+    """versionAsOf reads a historical snapshot through the DSv2 format;
+    a snapshot with pending MoR deletes is refused loudly instead of
+    resurrecting deleted rows."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    table.append(cust.filter(F.col("c_custkey") < 20))   # v1
+    table.append(                                        # v2
+        cust.filter((F.col("c_custkey") >= 20) & (F.col("c_custkey") < 30))
+    )
+    spark.dataSource.register(make_lakehouse_batch_source())
+    v1 = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("versionAsOf", 1)
+        .load()
+    )
+    assert v1.count() == 20
+    cur = spark.read.format("lakehouse").option("path", table.path).load()
+    assert cur.count() == 30
+
+    table.delete_where_mor(F.col("c_custkey") < 5, keys=["c_custkey"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="merge-on-read"):
+        spark.read.format("lakehouse").option(
+            "path", table.path
+        ).load().count()
+    # compaction materializes the deletes; format read works again
+    table.rewrite_data_files(target_file_count=2)
+    assert (
+        spark.read.format("lakehouse").option("path", table.path).load().count()
+        == 25
+    )
