@@ -29,6 +29,9 @@ _PYTHON_ALLOWED = {
     "multimodal_decode_features",
     "multimodal_thumbnail_digest",
     "multimodal_audio_chunks",  # row-expanding Arrow kernel (r3)
+    # pHash dedup's decode+hash kernel is the justified binary boundary
+    # (r5); the band join / Hamming verify around it stay JVM-side
+    "multimodal_phash_neardup_pairs",
     # the UDTF API-surface demo is Python BY DESIGN (COVERAGE §2.10);
     # its docstring points hot paths at the explode-based equivalent
     "udtf_sentence_offsets",
