@@ -517,3 +517,93 @@ def data_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x_mean_milli"),
     )
+
+
+N_SHARDS = 8
+
+
+@query(
+    "token_balanced_shards",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS toks
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, toks,
+                   row_number() OVER (ORDER BY toks DESC, doc_id) AS rnk
+            FROM t
+        ),
+        assigned AS (
+            SELECT doc_id, toks,
+                   CAST(CASE WHEN ((rnk - 1) // {N_SHARDS}) % 2 = 0
+                             THEN (rnk - 1) % {N_SHARDS}
+                             ELSE {N_SHARDS} - 1 - ((rnk - 1) % {N_SHARDS})
+                        END AS INTEGER) AS shard
+            FROM ranked
+        ),
+        per AS (
+            SELECT shard, count(*) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS shard_tokens
+            FROM assigned GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS t FROM per)
+        SELECT shard, n_docs, shard_tokens,
+               CAST((shard_tokens * {N_SHARDS} * 1000)
+                    // (SELECT t FROM tot) AS BIGINT) AS x_even_milli
+        FROM per
+    """,
+)
+def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BALANCED shard assignment: documents are ranked by token
+    count and dealt to {N_SHARDS} shards in boustrophedon (snake) order
+    — rank 1..N left-to-right, N+1..2N right-to-left — the classic
+    distributed answer to greedy longest-first bin packing (which is
+    inherently sequential): every shard receives one document from each
+    size band, so shard token totals stay within a band-width of even.
+    Output is the per-shard audit (docs, tokens, ×-even in milli — 1000
+    = perfectly even), the check a training job runs before declaring
+    its data-parallel batches balanced.
+
+    Scale: one token-count projection, one global rank (a sort that at
+    real corpus size becomes the two-phase percentile cut used by
+    curriculum_quality_deciles — band boundaries from quantiles, snake
+    within bands), and a keyed aggregate. Contrast with
+    global_shuffle_shards (hash sharding: balanced in EXPECTATION,
+    unbalanced per-epoch for skewed document lengths); this one is
+    deterministic and balanced by construction.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("toks")
+    )
+    ranked = t.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("toks").desc(), "doc_id")),
+    )
+    row = (F.col("rnk") - 1).cast("long")
+    fwd = row % N_SHARDS
+    shard = (
+        F.when((F.expr(f"(rnk - 1) div {N_SHARDS}") % 2) == 0, fwd)
+        .otherwise(F.lit(N_SHARDS - 1) - fwd)
+        .cast("int")
+    )
+    per = (
+        ranked.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("shard_tokens"),
+        )
+    )
+    total = per.agg(F.sum("shard_tokens").cast("long").alias("t")).collect()[0].t
+    return per.select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.expr(f"(shard_tokens * {N_SHARDS} * 1000) div {total}")
+        .cast("long")
+        .alias("x_even_milli"),
+    )
