@@ -3276,3 +3276,68 @@ def rfm_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
     )
+
+
+AGING_ASOF_US = 1_000_000_000 * 1_000_000  # 2001-09-09 UTC in epoch-µs
+
+
+@query(
+    "orders_aging_buckets",
+    oracle=f"""
+        WITH aged AS (
+            SELECT o_orderstatus,
+                   ({AGING_ASOF_US} - epoch_us(o_orderdate))
+                       // 86400000000 AS age_days,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               CASE WHEN age_days <= 365 THEN '0-1y'
+                    WHEN age_days <= 1095 THEN '1-3y'
+                    WHEN age_days <= 1825 THEN '3-5y'
+                    ELSE '5y+' END AS age_bucket,
+               count(*) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM aged
+        GROUP BY 1, 2
+    """,
+)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging-bucket report (the receivables/backlog staple): each order's
+    age at a fixed as-of instant, bucketed into standard bands, with
+    count and value per (status, band). Ages are integer DAYS computed
+    from epoch-MICROSECOND differences (floor division) so a
+    boundary-straddling timestamp lands in the same band in both
+    engines — the same cross-engine discipline as the sessionization
+    gap compare.
+
+    Scale: pure map + one low-cardinality keyed aggregate (≤ 12 output
+    rows) — partial aggregation collapses everything map-side; the
+    as-of instant arrives as a literal (in production: the run date),
+    never a driver-side now() that would make the query
+    non-deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    age_days = F.expr(
+        f"({AGING_ASOF_US} - unix_micros(o_orderdate)) div 86400000000"
+    )
+    aged = orders.select(
+        "o_orderstatus",
+        age_days.alias("age_days"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return (
+        aged.select(
+            "o_orderstatus",
+            F.when(F.col("age_days") <= 365, "0-1y")
+            .when(F.col("age_days") <= 1095, "1-3y")
+            .when(F.col("age_days") <= 1825, "3-5y")
+            .otherwise("5y+")
+            .alias("age_bucket"),
+            "cents",
+        )
+        .groupBy("o_orderstatus", "age_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )
