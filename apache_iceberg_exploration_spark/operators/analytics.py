@@ -1,0 +1,288 @@
+"""Statistical / time-series analytics operators.
+
+The reference's analytical ceiling is a grouped count (dags/etl.py:86
+``groupBy().count()``); this module adds the next tier a warehouse team
+reaches for once counts exist — trend regression, rolling anomaly
+detection, OHLC resampling, and leakage-free ML fold assignment. All
+builtin JVM aggregates/windows (regr_*, stddev over frames, row_number)
+— no Python in any hot path — and every value is reproduced exactly by
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..registry import query
+from ..sources.io import load_table
+
+EPOCH = "1992-01-01"  # day-index origin for regression x values
+N_FOLDS = 5
+
+
+@query(
+    "trend_regression_per_segment",
+    oracle=f"""
+        WITH daily AS (
+            SELECT c.c_mktsegment,
+                   date_diff('day', TIMESTAMP '{EPOCH} 00:00:00',
+                             o.o_orderdate) AS day_idx,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS rev_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_days,
+               round(regr_slope(rev_cents, day_idx), 2)
+                   AS slope_cents_per_day,
+               round(regr_intercept(rev_cents, day_idx), 2)
+                   AS intercept_cents,
+               round(regr_r2(rev_cents, day_idx), 4) AS r2
+        FROM daily
+        GROUP BY c_mktsegment
+    """,
+)
+def trend_regression_per_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Least-squares revenue trend per market segment: daily revenue is
+    regressed on a day index (origin 1992-01-01), yielding slope (growth
+    rate), intercept, and R² — the one-pass regression aggregates every
+    OLAP engine ships (Spark and DuckDB share the regr_* definitions).
+
+    Scale: two keyed shuffles total. The join is broadcast (customer's
+    projected key+segment is small relative to orders); the daily
+    pre-aggregation collapses orders to |segments|×|days| rows BEFORE
+    the regression, and regr_* themselves are single-pass streaming
+    moments (constant-size partial state, associative merge) — the
+    regression costs the same as a sum. Revenue is integer cents
+    (floor(x*100+0.5) per row) so both engines regress the SAME exact
+    series; only the regression outputs are floats, rounded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.datediff(F.col("o_orderdate"), F.lit(EPOCH).cast("date")).alias(
+                "day_idx"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    return daily.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.regr_slope("rev_cents", "day_idx"), 2).alias(
+            "slope_cents_per_day"
+        ),
+        F.round(F.regr_intercept("rev_cents", "day_idx"), 2).alias(
+            "intercept_cents"
+        ),
+        F.round(F.regr_r2("rev_cents", "day_idx"), 4).alias("r2"),
+    )
+
+
+@query(
+    "anomaly_rolling_zscore_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        z AS (
+            SELECT event_type, day, n,
+                   avg(n)         OVER w AS mean7,
+                   stddev_samp(n) OVER w AS sd7,
+                   count(*)       OVER w AS w_n
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day, n,
+               round(mean7, 4) AS mean7,
+               CASE WHEN w_n >= 7 AND sd7 > 0
+                    THEN round((n - mean7) / sd7, 4) END AS zscore,
+               CASE WHEN w_n >= 7 AND sd7 > 0
+                         AND abs((n - mean7) / sd7) > 2
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM z
+    """,
+)
+def anomaly_rolling_zscore_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling z-score anomaly detection over daily event volumes: each
+    (event_type, day) count is scored against the trailing 7-day mean and
+    sample stddev; |z| > 2 with a full window flags an anomaly. The
+    volume-monitoring pass an ingestion SLA dashboard runs — the
+    reference's pipeline has no volume monitoring at all (its dedup
+    silently absorbs replays, SURVEY.md §5).
+
+    Scale: the keyed pre-aggregation collapses events to |types|×|days|
+    rows (partial map-side combine, one shuffle), and the trailing frame
+    is computed INSIDE each tiny type partition — the window exchange
+    moves the aggregated series, never raw events. At 100 TB the daily
+    series for years of data is still only thousands of rows per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mean7 = F.avg("n").over(w)
+    sd7 = F.stddev_samp("n").over(w)
+    w_n = F.count("*").over(w)
+    z = (F.col("n") - F.col("mean7")) / F.col("sd7")
+    full = (F.col("w_n") >= 7) & (F.col("sd7") > 0)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            mean7.alias("mean7"),
+            sd7.alias("sd7"),
+            w_n.alias("w_n"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("mean7", 4).alias("mean7"),
+            F.when(full, F.round(z, 4)).alias("zscore"),
+            F.when(full & (F.abs(z) > 2), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "timeseries_resample_ohlc_daily",
+    oracle="""
+        WITH v AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_units,
+                   row_number() OVER (
+                       PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, day,
+               max(CASE WHEN rn_a = 1 THEN v_units END) AS open_units,
+               max(v_units) AS high_units,
+               min(v_units) AS low_units,
+               max(CASE WHEN rn_d = 1 THEN v_units END) AS close_units,
+               count(*) AS n_ticks,
+               CAST(sum(v_units) AS BIGINT) AS volume_units
+        FROM v GROUP BY 1, 2
+    """,
+)
+def timeseries_resample_ohlc_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Downsample an event-value series to daily OHLC bars (open/high/
+    low/close + tick count and summed volume) per event type — the
+    canonical time-series resample. Open/close are first/last by
+    (ts, event_id) — the explicit tie-break makes the result
+    deterministic under concurrent same-timestamp events.
+
+    Scale: one exchange keyed (event_type, day); both window passes AND
+    the final aggregation reuse that single partitioning (Catalyst
+    collapses the two row_numbers into one Sort since the prefixes
+    share ordering columns). Values are integerized (floor(x*1e4+0.5))
+    per row before min/max/sum so the bars are engine-exact. At 100 TB
+    the day key bounds partition width; years × types stays modest, and
+    skewed hot days still aggregate via partial combine.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    day = F.col("ts").cast("date")
+    base = ev.select(
+        "event_type",
+        day.alias("day"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("v_units"),
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base.select(
+            "event_type",
+            "day",
+            "v_units",
+            F.row_number().over(wa).alias("rn_a"),
+            F.row_number().over(wd).alias("rn_d"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("v_units"))).alias(
+                "open_units"
+            ),
+            F.max("v_units").alias("high_units"),
+            F.min("v_units").alias("low_units"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("v_units"))).alias(
+                "close_units"
+            ),
+            F.count("*").alias("n_ticks"),
+            F.sum("v_units").alias("volume_units"),
+        )
+    )
+
+
+@query(
+    "ml_group_kfold_split",
+    oracle=f"""
+        SELECT CAST({hash64_sql("'fold|' || source")} % {N_FOLDS}
+                    AS INTEGER) AS fold,
+               count(DISTINCT source) AS n_sources,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def ml_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment over documents: the fold is a
+    deterministic hash of ``source`` (not doc_id), so every document
+    from one source lands in the SAME fold — the GroupKFold discipline
+    that prevents near-duplicate leakage between train and validation
+    splits (documents from one crawl/source are correlated). The audit
+    reports per-fold source/document/char balance.
+
+    Scale: fold assignment is a stateless row-local expression — no
+    lookup table, no shuffle to assign, reproducible across engines and
+    reruns (md5-based portable hash). The audit itself is one
+    keyed aggregation with partial combine; a skewed mega-source shows
+    up HERE as fold imbalance, which is exactly what the audit is for
+    (remedy: split that source's docs explicitly, or weight folds).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        hash64(F.concat(F.lit("fold|"), F.col("source"))) % N_FOLDS
+    ).cast("int")
+    return docs.groupBy(fold.alias("fold")).agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

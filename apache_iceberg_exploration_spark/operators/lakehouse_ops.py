@@ -1508,3 +1508,246 @@ def lakehouse_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_files_metadata",
+    oracle="""
+        SELECT c_mktsegment, 1 AS n_files, count(*) AS n_rows,
+               min(c_custkey) AS key_min, max(c_custkey) AS key_max
+        FROM customer GROUP BY c_mktsegment
+    """,
+)
+def lakehouse_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``<table>.files`` metadata table (Iceberg's per-data-file
+    listing) aggregated per partition: file count, manifest row counts,
+    and the commit-time column min/max stats — verified against the
+    source relation, which proves the manifest's stats machinery (the
+    input to pruning and cost-based planning) records TRUE bounds.
+    ``distribution='hash'`` clusters each partition tuple into exactly
+    one file, making the file count itself assertable (1 per segment).
+
+    Scale: files() is O(files) driver-side metadata with zero data IO —
+    row counts and stats come from the manifest (written once at commit),
+    not from re-opening footers. This surface is what compaction
+    planners, skew monitors, and debuggers read; at 10^6 files it is a
+    metadata scan, and the per-partition rollup here is the same
+    aggregation ``partitions()`` serves.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer")
+        tbl.overwrite(
+            cust, partition_by=["c_mktsegment"], distribution="hash"
+        )
+        f = tbl.files()
+        out = (
+            f.select(
+                F.col("partition")["c_mktsegment"].alias("c_mktsegment"),
+                "num_rows",
+                F.get_json_object("stats_json", "$.c_custkey[0]")
+                .cast("long")
+                .alias("f_min"),
+                F.get_json_object("stats_json", "$.c_custkey[1]")
+                .cast("long")
+                .alias("f_max"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("int").alias("n_files"),
+                F.sum("num_rows").alias("n_rows"),
+                F.min("f_min").alias("key_min"),
+                F.max("f_max").alias("key_max"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_shallow_clone",
+    oracle="""
+        WITH cents AS (
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+            FROM customer
+        ),
+        extra AS (SELECT * FROM cents WHERE c_custkey < 10)
+        SELECT 'source' AS side, count(*) AS n_rows,
+               CAST(sum(bal) AS BIGINT) AS bal_cents
+        FROM cents
+        UNION ALL
+        SELECT 'clone',
+               (SELECT count(*) FROM cents) + (SELECT count(*) FROM extra),
+               (SELECT CAST(sum(bal) AS BIGINT) FROM cents)
+                   + (SELECT CAST(sum(bal) AS BIGINT) FROM extra)
+    """,
+)
+def lakehouse_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table clone: the clone's first manifest references the
+    source's data files (no data copied — Delta SHALLOW CLONE / Iceberg
+    snapshot-table semantics), then DIVERGES independently: an append to
+    the clone is invisible to the source. The source is auto-tagged at
+    the cloned version, so source-side expire_snapshots retains the
+    shared files for as long as the clone lives (drop_tag releases).
+
+    Scale: clone cost is O(manifest metadata) regardless of table size —
+    the primitive behind instant dev/test environments and what-if
+    experiments over 100 TB tables; data is only ever duplicated
+    copy-on-write, as the clone actually rewrites rows.
+    """
+    root = _scratch()
+    try:
+        src = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer")
+        src.overwrite(cust)
+        clone = src.clone(root + "/t_clone")
+        clone.append(cust.filter(F.col("c_custkey") < 10))
+        bal = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+        out = (
+            src.read()
+            .agg(
+                F.lit("source").alias("side"),
+                F.count("*").alias("n_rows"),
+                F.sum(bal).alias("bal_cents"),
+            )
+            .unionByName(
+                clone.read().agg(
+                    F.lit("clone").alias("side"),
+                    F.count("*").alias("n_rows"),
+                    F.sum(bal).alias("bal_cents"),
+                )
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_write_constraints",
+    oracle="""
+        WITH marked AS (
+            SELECT *,
+                   (CASE WHEN NOT coalesce(c_acctbal >= 0, FALSE)
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN NOT coalesce(c_nationkey BETWEEN 0 AND 24,
+                                           FALSE)
+                         THEN 1 ELSE 0 END) AS n_viol
+            FROM customer
+        )
+        SELECT 'committed' AS side, count(*) AS n_rows
+        FROM marked WHERE n_viol = 0
+        UNION ALL
+        SELECT 'quarantined', count(*) FROM marked WHERE n_viol > 0
+        UNION ALL
+        SELECT 'violation:acctbal_nonneg', count(*)
+        FROM customer WHERE NOT coalesce(c_acctbal >= 0, FALSE)
+        UNION ALL
+        SELECT 'violation:nation_known', count(*)
+        FROM customer WHERE NOT coalesce(c_nationkey BETWEEN 0 AND 24,
+                                         FALSE)
+    """,
+)
+def lakehouse_write_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-gated write (Delta CHECK constraints / DLT
+    expectations): appending customer rows under two named constraints
+    diverts every violating row to a dead-letter quarantine table (with
+    the violated constraint names attached) and commits only clean rows;
+    per-constraint violation counts ride in the commit summary. The
+    report reconciles all three surfaces — committed rows, quarantined
+    rows, and the summary's counts — against the source relation.
+
+    Scale: enforcement is one row-local evaluation pass pinned with
+    localCheckpoint (no recompute per split), violation counting is a
+    partial-combined aggregation over the constraint-name key space,
+    and both commits are the normal O(added) append protocol.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        dlq = LakehouseTable(spark, root + "/t_dlq")
+        cust = load_table(spark, sf_dir, "customer")
+        manifest = tbl.append_with_constraints(
+            cust,
+            constraints={
+                "acctbal_nonneg": F.col("c_acctbal") >= 0,
+                "nation_known": F.col("c_nationkey").between(0, 24),
+            },
+            quarantine=dlq,
+        )
+        viol = manifest["summary"]["constraint_violations"]
+        committed = tbl.read().agg(
+            F.lit("committed").alias("side"), F.count("*").alias("n_rows")
+        )
+        quarantined = (
+            dlq.read().agg(
+                F.lit("quarantined").alias("side"),
+                F.count("*").alias("n_rows"),
+            )
+            if dlq.current_version() > 0
+            else spark.createDataFrame(
+                [("quarantined", 0)], "side string, n_rows long"
+            )
+        )
+        summary_rows = spark.createDataFrame(
+            [
+                (f"violation:{name}", int(viol.get(name, 0)))
+                for name in ("acctbal_nonneg", "nation_known")
+            ],
+            "side string, n_rows long",
+        )
+        return _materialize(
+            committed.unionByName(quarantined).unionByName(summary_rows)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_merge_full_sync",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(CAST(floor((c_acctbal + 1.0) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_custkey % 3 = 0
+    """,
+)
+def lakehouse_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-clause MERGE as a full sync (``WHEN NOT MATCHED BY SOURCE
+    THEN DELETE``): the target mirrors the source of record exactly —
+    matched rows update, new rows insert, and target rows absent from
+    the source are deleted. This is dimension-snapshot replication
+    (Delta/modern-SQL ``NOT MATCHED BY SOURCE``); without it a mirror
+    needs a separate anti-join delete pass over the same shuffle.
+
+    Scale: same single merge-key shuffle as the plain upsert — the
+    fourth clause is one more filter over the already-materialized full
+    outer join, not an extra pass; necessarily a full-table rewrite
+    (file pruning is semantically incompatible and raises).
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer")
+        tbl.overwrite(cust)
+        source = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1.0
+        )
+        tbl.merge_into(
+            source,
+            on=["c_custkey"],
+            update_cols={"c_acctbal": F.col("s.c_acctbal")},
+            delete_unmatched_target=True,
+        )
+        out = tbl.read().agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+            ).alias("bal_cents"),
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -170,3 +170,68 @@ def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sensitive") < L_DIVERSITY)
     )
+
+
+DP_SCALE = 2.0  # Laplace scale b (epsilon = sensitivity/b = 0.5 for counts)
+DP_SEED = "dp-release-1"  # release identifier: new release => fresh noise
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+        WITH g AS (
+            SELECT c_mktsegment, c_nationkey, count(*) AS true_n
+            FROM customer GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT *,
+                   (({hash64_sql(
+                       "'" + DP_SEED + "|' || c_mktsegment || '|' "
+                       "|| CAST(c_nationkey AS VARCHAR)"
+                   )} % 999999) + 0.5) / 1000000.0 - 0.5 AS unif
+            FROM g
+        )
+        SELECT c_mktsegment, c_nationkey,
+               round(true_n + (-{DP_SCALE}) * sign(unif)
+                     * ln(1 - 2 * abs(unif)), 4) AS noisy_count
+        FROM u
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: each (segment, nation) count
+    gets Laplace(b=2) noise — counts have sensitivity 1, so this is an
+    epsilon=0.5 release. The noise is DETERMINISTIC given the release
+    seed: a portable md5 hash of (seed, group key) is mapped to a
+    uniform in (-1/2, 1/2) and passed through the Laplace inverse CDF
+    -b*sign(u)*ln(1-2|u|). Seeded noise is what makes a DP release
+    reproducible/auditable (and re-queryable without privacy-budget
+    burn: same seed, same answer); a NEW release must rotate the seed.
+
+    Scale: one keyed aggregation (partial combine) followed by a
+    stateless row-local noise expression — the noise adds zero shuffle
+    and zero driver coordination at any group count. The uniform is
+    quantized to 1e-6 (999999 buckets, offset half a bucket) so it is
+    strictly inside (-1/2, 1/2): the inverse CDF is finite, and both
+    engines evaluate the identical double before the one ln() call.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("true_n")
+    )
+    key = F.concat_ws(
+        "|",
+        F.lit(DP_SEED),
+        F.col("c_mktsegment"),
+        F.col("c_nationkey").cast("string"),
+    )
+    unif = ((hash64(key) % 999999) + 0.5) / 1000000.0 - 0.5
+    noise = (
+        F.lit(-DP_SCALE)
+        * F.signum(unif)
+        * F.log(F.lit(1.0) - 2 * F.abs(unif))
+    )
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.round(F.col("true_n") + noise, 4).alias("noisy_count"),
+    )

@@ -10,7 +10,8 @@ absent'); these are the BASELINE.json north-star extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -1014,4 +1015,174 @@ def vocab_coverage_topv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cum * 1000000) div {total}")
         .cast("long")
         .alias("coverage_ppm"),
+    )
+
+
+JW_THRESHOLD = 0.85  # Jaro-Winkler match cutoff (after first-word blocking)
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler (prefix scale 0.1, boost threshold 0.7, max
+    prefix 4) — the exact definition DuckDB's ``jaro_winkler_similarity``
+    implements, verified bit-equal on the full part-name dictionary."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if not len1 or not len2:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(len2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / len1 + matches / len2 + (matches - t) / matches) / 3
+    if j > 0.7:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        j += prefix * 0.1 * (1 - j)
+    return j
+
+
+@query(
+    "fuzzy_match_jaro_winkler",
+    oracle=f"""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        b AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk
+              FROM names)
+        SELECT a.blk, a.p_name AS name_a, c.p_name AS name_b,
+               round(jaro_winkler_similarity(a.p_name, c.p_name), 4) AS jw
+        FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        WHERE jaro_winkler_similarity(a.p_name, c.p_name)
+                  >= {JW_THRESHOLD}
+    """,
+)
+def fuzzy_match_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler fuzzy matching over the DISTINCT part-name
+    dictionary, blocked on the first name token — the second
+    entity-resolution primitive alongside the edit-distance pass
+    (fuzzy_name_match_levenshtein): JW favors shared prefixes and
+    transpositions, catching near-matches Levenshtein's uniform edit
+    cost ranks poorly. Spark has no builtin JW, so the scorer is an
+    Arrow-batched pandas UDF over the blocked pair table; DuckDB's
+    native ``jaro_winkler_similarity`` is the oracle (the pure-Python
+    kernel reproduces it bit-for-bit — same matching-window/transposition
+    /prefix-boost definition).
+
+    Scale: the leverage ordering is identical to the Levenshtein query —
+    (1) dedupe to the name dictionary first (pair count is dictionary²,
+    not rows²); (2) block BEFORE scoring (first-token equality cuts
+    pairs by ~the block count); (3) the UDF is the slow path but runs
+    AFTER blocking, over Arrow batches, embarrassingly parallel across
+    pair partitions. Row-level matches come from equi-joining the pair
+    table back on name.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.split("p_name", " ").getItem(0).alias("blk")
+    )
+    a, c = blocked.alias("a"), blocked.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.blk") == F.col("c.blk"))
+        & (F.col("a.p_name") < F.col("c.p_name")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("c.p_name").alias("name_b"),
+    )
+    return (
+        pairs.withColumn("jw_raw", jw_udf("name_a", "name_b"))
+        .filter(F.col("jw_raw") >= JW_THRESHOLD)
+        .select(
+            "blk", "name_a", "name_b", F.round("jw_raw", 4).alias("jw")
+        )
+    )
+
+
+@query(
+    "bpe_merge_pair_counts",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(
+                       range(1, length(tok)),
+                       i -> substring(tok, CAST(i AS INTEGER), 2)))
+                   AS pair
+            FROM toks WHERE length(tok) >= 2
+        ),
+        counted AS (
+            SELECT pair, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+            FROM pairs GROUP BY pair
+        )
+        SELECT rk, pair, n FROM counted WHERE rk <= 20
+    """,
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of byte-pair-encoding vocabulary induction: count
+    every adjacent character pair inside whitespace tokens across the
+    corpus and rank the top merge candidates — the inner loop of BPE/
+    WordPiece tokenizer training, expressed as explode + aggregate.
+    Companion to the token-side surface (text_token_count,
+    vocab_coverage_topv): those CONSUME a tokenizer, this trains one.
+
+    Scale: the pair explosion is row-local (transform over a character
+    index sequence — JVM higher-order functions, no Python), and the
+    dominant aggregation is partial: each task pre-counts its pairs
+    before the exchange, so the shuffle carries |alphabet|² rows per
+    task regardless of corpus size. The global top-20 rank runs over
+    that tiny counted relation in one partition. Iterated BPE training
+    (merge, re-tokenize, recount) is this plan in a driver loop with
+    the merge table broadcast back — each round costs one scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counted.select(F.row_number().over(w).alias("rk"), "pair", "n")
+        .filter(F.col("rk") <= 20)
     )

@@ -104,5 +104,8 @@ def _load_all() -> None:
     # registry (first ~50 entries) keeps its round-2 composition.
     from .operators import attribution, graph, privacy  # noqa: F401
     from .streaming import lakehouse_sink, lakehouse_source  # noqa: F401
+    # r6 additions — again appended last to keep the driver-verified
+    # registry prefix stable.
+    from .operators import analytics  # noqa: F401
 
     _LOADED = True

@@ -747,6 +747,81 @@ class LakehouseTable:
 
         return self._commit_with_retry(build)
 
+    def append_with_constraints(
+        self,
+        df: DataFrame,
+        constraints: dict[str, F.Column],
+        quarantine: "LakehouseTable | None" = None,
+        summary_extra: dict | None = None,
+    ) -> dict:
+        """Constraint-gated append (Delta CHECK constraints / DLT
+        expectations): every row is evaluated against each named
+        predicate; rows failing ANY constraint are diverted to the
+        ``quarantine`` table (dead-letter, with a ``violated_constraints``
+        column naming the failures) instead of committing, and the main
+        commit's summary records per-constraint violation counts — the
+        write-side enforcement the reference's pipeline lacks entirely
+        (its silver layer accepts whatever bronze emitted).
+
+        A NULL predicate result counts as a violation (CHECK semantics
+        would pass NULL; expectation semantics — enforced here — treat
+        "can't prove valid" as invalid, which is what a dead-letter
+        queue needs).
+
+        Scale: one evaluation pass row-local to the writer tasks (the
+        input is pinned with localCheckpoint so valid/quarantine splits
+        and counts read ONE materialization, not three recomputes);
+        violation counting is a partial-combined aggregation over the
+        tiny exploded (constraint) key space. Two table commits (main +
+        quarantine), each the normal O(added) append protocol."""
+        if not constraints:
+            raise ValueError("constraints must be a non-empty dict")
+        marked = df.withColumn(
+            "_violations",
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            ~F.coalesce(cond, F.lit(False)), F.lit(name)
+                        )
+                        for name, cond in sorted(constraints.items())
+                    ]
+                )
+            ),
+        ).localCheckpoint()
+        try:
+            valid = marked.filter(F.size("_violations") == 0).drop(
+                "_violations"
+            )
+            invalid = marked.filter(F.size("_violations") > 0)
+            counts = {
+                r["c"]: r["n"]
+                for r in invalid.select(
+                    F.explode("_violations").alias("c")
+                )
+                .groupBy("c")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_invalid = int(invalid.count())
+            if quarantine is not None and n_invalid:
+                quarantine.append(
+                    invalid.withColumn(
+                        "violated_constraints",
+                        F.concat_ws(",", "_violations"),
+                    ).drop("_violations")
+                )
+            return self.append(
+                valid,
+                summary_extra={
+                    "constraint_violations": counts,
+                    "quarantined_rows": n_invalid,
+                    **(summary_extra or {}),
+                },
+            )
+        finally:
+            marked.unpersist()
+
     def add_files(self, files: list[str]) -> dict:
         """Adopt EXISTING parquet files into the table by reference —
         Iceberg ``CALL system.add_files`` / the migrate path: a
@@ -820,6 +895,71 @@ class LakehouseTable:
             with open(p) as f:
                 out[os.path.basename(p)[:-5]] = json.load(f)["version"]
         return out
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag ref (Iceberg ``ALTER TABLE ... DROP TAG``). The
+        snapshot it pinned becomes eligible for normal retention on the
+        next ``expire_snapshots`` — dropping the auto-tag left by
+        :meth:`clone` is how a deleted clone releases its hold on the
+        source's files."""
+        p = os.path.join(self._refs_dir, f"{name}.json")
+        if name not in self.tags():
+            raise ValueError(f"unknown tag: {name!r}")
+        os.unlink(p)
+
+    def clone(self, dest_path: str) -> "LakehouseTable":
+        """Shallow (zero-copy) clone — Delta ``CREATE TABLE ... SHALLOW
+        CLONE`` / an Iceberg snapshot-table: the destination's first
+        manifest references the SOURCE's current data files verbatim; no
+        byte of data is copied, the commit is O(metadata). Writes to
+        either table never affect the other (the clone's commits make
+        new files under its own path; copy-on-write rewrites in the
+        clone re-home rows as they're touched).
+
+        GC safety is two-sided: the clone's own ``expire_snapshots`` /
+        ``remove_orphan_files`` only ever delete under the CLONE's data
+        dir (source-owned files are outside it), and the source is
+        auto-tagged (``clone-<id>``) at the cloned version so the
+        source's expire retains the shared files — drop that tag
+        (:meth:`drop_tag`) when the clone is deleted. The clone's
+        history starts at the cloned version number (time travel below
+        it raises — same visible contract as Iceberg's snapshot tables).
+
+        Scale: cloning a 10^6-file table writes kilobytes of manifest
+        parts — the zero-copy dev/test-environment and experimentation
+        primitive; pair with branches when the fork should later publish
+        back instead of diverging."""
+        v = self.current_version()
+        if v == 0:
+            raise ValueError("cannot clone an empty table")
+        if os.path.abspath(dest_path) == os.path.abspath(self.path):
+            raise ValueError("clone destination is the source table")
+        dest = LakehouseTable(self.spark, dest_path)
+        if dest.current_version() != 0:
+            raise ValueError(f"clone destination exists: {dest_path!r}")
+        m = self._read_manifest(v)
+        tag_name = f"clone-{uuid.uuid4().hex[:8]}"
+        self.tag(tag_name, v)
+        manifest = dest._snapshot(
+            "clone",
+            m["files"],
+            v - 1,  # commit lands at the SOURCE's version number
+            schema_json=m.get("schema"),
+            stats=m.get("stats"),
+            # keep source sequence numbers verbatim: pending MoR deletes
+            # (also carried) pair with them, and future clone-side deletes
+            # get seq > v, strictly above every inherited file
+            file_seq=m.get("file_seq"),
+            delete_files=m.get("delete_files", []),
+            partition_specs=m.get("partition_specs"),
+            partitions=m.get("partitions"),
+            added=0,
+            cloned_from=self.path,
+            cloned_version=v,
+            source_retention_tag=tag_name,
+        )
+        dest._try_commit(v, manifest)
+        return dest
 
     def _resolve_version(self, version: int | str | None) -> int:
         if version is None:
@@ -1598,6 +1738,7 @@ class LakehouseTable:
         delete_condition: F.Column | None = None,
         evolve_schema: bool = False,
         prune_on: str | None = None,
+        delete_unmatched_target: bool = False,
     ) -> dict:
         """MERGE INTO (upsert): rows matched on ``on`` are updated with
         ``update_cols`` expressions (evaluated over target columns and
@@ -1606,7 +1747,15 @@ class LakehouseTable:
         ``WHEN MATCHED AND <cond> THEN DELETE`` clause: matched rows
         satisfying it (an expression over ``t.<col>``/``s.<col>``) are
         dropped instead of updated — the CDC-retraction / GDPR-erasure
-        arm of a full three-clause MERGE. ``evolve_schema`` appends
+        arm of a full three-clause MERGE. ``delete_unmatched_target``
+        adds the fourth clause (``WHEN NOT MATCHED BY SOURCE THEN
+        DELETE``): target rows absent from the source are dropped,
+        turning the merge into a FULL SYNC (mirror the source of record,
+        e.g. replicating a dimension snapshot). Incompatible with
+        ``prune_on``: file pruning carries not-touched files verbatim,
+        but under full sync those very rows (keys outside the source's
+        range) are exactly the ones to delete — the combination raises.
+        ``evolve_schema`` appends
         source-only columns to the table schema during the merge
         (pre-existing target rows surface them as NULL) — Iceberg's
         ``spark.sql.iceberg.merge-schema`` behavior; combined with
@@ -1631,6 +1780,11 @@ class LakehouseTable:
         is always derived from the commit's direct parent; a concurrent
         writer triggers a full recompute, never a lost update (caught by
         test_concurrent_merges_linearize)."""
+        if delete_unmatched_target and prune_on is not None:
+            raise ValueError(
+                "delete_unmatched_target requires a full-table merge "
+                "(prune_on would carry rows that must be deleted)"
+            )
         key_range = None
         if prune_on is not None:
             if prune_on not in on:
@@ -1683,6 +1837,10 @@ class LakehouseTable:
                 # drop source-only rows outright; without this they'd
                 # survive the projection below as all-NULL target rows
                 joined = joined.filter(~only_src)
+            if delete_unmatched_target:
+                # WHEN NOT MATCHED BY SOURCE THEN DELETE (full sync):
+                # keep only rows with a source side present
+                joined = joined.filter(F.col("s._s_present").isNotNull())
 
             projections = []
             for c in t_cols:

@@ -2234,3 +2234,119 @@ def test_mor_update_with_partition_spec_keeps_metadata_exact(spark, table):
             (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") <= 50)
         ).collect()
     }
+
+
+# -- r6: shallow clone, constraint-gated writes, full-sync merge ----------
+
+
+def test_shallow_clone_diverges_independently(spark, tmp_path):
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    src.overwrite(cust)
+    clone = src.clone(str(tmp_path / "clone"))
+    # zero-copy: clone's manifest references the source's files
+    assert set(clone._read_manifest(clone.current_version())["files"]) == set(
+        src._read_manifest(src.current_version())["files"]
+    )
+    assert _hash_df(clone.read()) == _hash_df(cust)
+    # divergence is two-way invisible
+    clone.append(cust.filter(F.col("c_custkey") < 5))
+    src.append(cust.filter(F.col("c_custkey") < 3))
+    assert clone.read().count() == cust.count() + 5
+    assert src.read().count() == cust.count() + 3
+
+
+def test_shallow_clone_survives_source_expire(spark, tmp_path):
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    src.overwrite(cust.filter(F.col("c_custkey") < 50))
+    clone = src.clone(str(tmp_path / "clone"))
+    # source moves on and expires history: the auto-tag anchors the
+    # cloned version, so shared files survive the GC
+    src.overwrite(cust.filter(F.col("c_custkey") >= 50))
+    src.expire_snapshots(keep_last=1)
+    src.remove_orphan_files(older_than_seconds=0)
+    assert clone.read().count() == 50
+    # dropping the tag releases the anchor: next expire may collect
+    tag = clone._read_manifest(clone.current_version())["summary"][
+        "source_retention_tag"
+    ]
+    src.drop_tag(tag)
+    assert tag not in src.tags()
+
+
+def test_clone_rejects_existing_destination(spark, tmp_path):
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    src.overwrite(cust)
+    src.clone(str(tmp_path / "clone"))
+    with pytest.raises(ValueError, match="destination exists"):
+        src.clone(str(tmp_path / "clone"))
+    with pytest.raises(ValueError, match="empty table"):
+        LakehouseTable(spark, str(tmp_path / "void")).clone(
+            str(tmp_path / "clone2")
+        )
+
+
+def test_append_with_constraints_quarantines(spark, tmp_path):
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    dlq = LakehouseTable(spark, str(tmp_path / "dlq"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    n_bad = cust.filter(F.col("c_acctbal") < 0).count()
+    assert n_bad > 0, "fixture must contain negative balances"
+    m = tbl.append_with_constraints(
+        cust,
+        constraints={"acctbal_nonneg": F.col("c_acctbal") >= 0},
+        quarantine=dlq,
+    )
+    assert tbl.read().count() == cust.count() - n_bad
+    assert dlq.read().count() == n_bad
+    assert m["summary"]["constraint_violations"] == {
+        "acctbal_nonneg": n_bad
+    }
+    assert m["summary"]["quarantined_rows"] == n_bad
+    # quarantined rows carry the violated constraint names
+    marks = {
+        r["violated_constraints"]
+        for r in dlq.read().select("violated_constraints").collect()
+    }
+    assert marks == {"acctbal_nonneg"}
+
+
+def test_append_with_constraints_null_is_violation(spark, tmp_path):
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0)], "id long, v double"
+    )
+    m = tbl.append_with_constraints(
+        df, constraints={"v_nonneg": F.col("v") >= 0}
+    )
+    assert sorted(
+        r["id"] for r in tbl.read().select("id").collect()
+    ) == [1]  # NULL predicate result quarantines, CHECK-style pass is not enough
+    assert m["summary"]["constraint_violations"] == {"v_nonneg": 2}
+
+
+def test_merge_full_sync_mirrors_source(spark, tmp_path):
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    tbl.overwrite(cust)
+    source = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.lit(0.0)
+    )
+    tbl.merge_into(
+        source,
+        on=["c_custkey"],
+        update_cols={"c_acctbal": F.col("s.c_acctbal")},
+        delete_unmatched_target=True,
+    )
+    got = tbl.read()
+    assert got.count() == source.count()
+    assert got.agg(F.sum("c_acctbal")).first()[0] == 0.0
+    with pytest.raises(ValueError, match="full-table merge"):
+        tbl.merge_into(
+            source,
+            on=["c_custkey"],
+            delete_unmatched_target=True,
+            prune_on="c_custkey",
+        )
