@@ -203,13 +203,18 @@ def timeseries_resample_ohlc_daily(
     (ts, event_id) — the explicit tie-break makes the result
     deterministic under concurrent same-timestamp events.
 
-    Scale: one exchange keyed (event_type, day); both window passes AND
-    the final aggregation reuse that single partitioning (Catalyst
-    collapses the two row_numbers into one Sort since the prefixes
-    share ordering columns). Values are integerized (floor(x*1e4+0.5))
-    per row before min/max/sum so the bars are engine-exact. At 100 TB
-    the day key bounds partition width; years × types stays modest, and
-    skewed hot days still aggregate via partial combine.
+    Scale: deliberately NOT a window query. Open/close are min/max over
+    a (ts, event_id, value) struct — lexicographic struct ordering
+    makes "value of the earliest row" an ordinary associative
+    aggregate, so the whole resample is ONE partial-combined
+    aggregation with a single keyed exchange: each task ships six
+    constant-size partial states per (type, day) regardless of tick
+    count — the skew-proof shape for hot days. (Struct-ordered
+    aggregates combine via SortAggregate — a task-local sort by group
+    key — but unlike the row_number formulation the oracle uses, no
+    RAW row ever crosses the wire and no per-day ordering is
+    materialized after the exchange.) Values are integerized
+    (floor(x*1e4+0.5)) per row so the bars are engine-exact.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
@@ -222,31 +227,14 @@ def timeseries_resample_ohlc_daily(
         "ts",
         "event_id",
     )
-    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", "day").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        base.select(
-            "event_type",
-            "day",
-            "v_units",
-            F.row_number().over(wa).alias("rn_a"),
-            F.row_number().over(wd).alias("rn_d"),
-        )
-        .groupBy("event_type", "day")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("v_units"))).alias(
-                "open_units"
-            ),
-            F.max("v_units").alias("high_units"),
-            F.min("v_units").alias("low_units"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("v_units"))).alias(
-                "close_units"
-            ),
-            F.count("*").alias("n_ticks"),
-            F.sum("v_units").alias("volume_units"),
-        )
+    ordkey = F.struct("ts", "event_id", "v_units")
+    return base.groupBy("event_type", "day").agg(
+        F.min(ordkey)["v_units"].alias("open_units"),
+        F.max("v_units").alias("high_units"),
+        F.min("v_units").alias("low_units"),
+        F.max(ordkey)["v_units"].alias("close_units"),
+        F.count("*").alias("n_ticks"),
+        F.sum("v_units").alias("volume_units"),
     )
 
 

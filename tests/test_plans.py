@@ -259,3 +259,79 @@ def test_sq_rerank_stays_broadcast_and_take_ordered(spark):
     assert "Sort " not in plan.replace("TakeOrdered", "")  # no global sort
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shuffle_count(df) == 0, "corpus must not shuffle for top-k"
+
+
+def test_ohlc_is_pure_aggregate_no_sort(spark):
+    """The OHLC resample must compile to one partial+final aggregate pair
+    — struct-min/max open/close, NOT a window formulation: no Window
+    node, map-side combine below a single exchange (the skew-proof
+    shape: only constant-size per-group partials cross the wire)."""
+    from apache_iceberg_exploration_spark.operators.analytics import (
+        timeseries_resample_ohlc_daily,
+    )
+    from apache_iceberg_exploration_spark.plans.explain import shuffle_count
+
+    df = timeseries_resample_ohlc_daily(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan  # map-side combine before exchange
+    assert shuffle_count(df) == 1, plan
+
+
+def test_trend_regression_broadcasts_and_budgets(spark):
+    """Customer (projected to key+segment) broadcasts into orders; the
+    daily pre-aggregation and the regression reuse partial aggregation —
+    two exchanges total, none carrying raw orders rows twice."""
+    from apache_iceberg_exploration_spark.operators.analytics import (
+        trend_regression_per_segment,
+    )
+    from apache_iceberg_exploration_spark.plans.explain import shuffle_count
+
+    df = trend_regression_per_segment(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 2
+
+
+def test_zscore_window_runs_over_aggregated_series(spark):
+    """The anomaly window must consume the |types|x|days| aggregate, not
+    raw events: partial aggregation appears BELOW the window's exchange."""
+    from apache_iceberg_exploration_spark.operators.analytics import (
+        anomaly_rolling_zscore_daily,
+    )
+    from apache_iceberg_exploration_spark.plans.explain import shuffle_count
+
+    df = anomaly_rolling_zscore_daily(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "partial_count" in plan, plan
+    assert shuffle_count(df) <= 2
+
+
+def test_bpe_pairs_stay_jvm_side(spark):
+    """The char-pair explosion is higher-order JVM (transform+explode) —
+    no Python evaluation anywhere in the plan; pair counting partials
+    before the exchange."""
+    from apache_iceberg_exploration_spark.operators.analytics import (  # noqa: F401
+        trend_regression_per_segment,
+    )
+    from apache_iceberg_exploration_spark.operators.text import (
+        bpe_merge_pair_counts,
+    )
+
+    df = bpe_merge_pair_counts(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan, plan
+
+
+def test_jaro_winkler_blocks_before_udf(spark):
+    """The pandas-UDF scorer must run AFTER dictionary dedup + the
+    blocked equi-join — the Arrow eval node sits above the join, and the
+    join itself is an equi-join on the block key (no cartesian)."""
+    from apache_iceberg_exploration_spark.operators.text import (
+        fuzzy_match_jaro_winkler,
+    )
+
+    df = fuzzy_match_jaro_winkler(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "CartesianProduct" not in plan, plan
