@@ -274,3 +274,121 @@ def ml_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "forecast_seasonal_naive_eval",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT event_type, day, n,
+                   lag(n, 7) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS yhat
+            FROM daily
+        )
+        SELECT event_type,
+               count(*) AS n_days_eval,
+               CAST(sum(abs(n - yhat)) AS BIGINT) AS abs_err_total,
+               round(avg(abs(n - yhat)), 4) AS mae,
+               round(avg(abs(n - yhat) / n), 4) AS mape
+        FROM pred WHERE yhat IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def forecast_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event volume
+    with the value 7 days (one weekly season) earlier, and score MAE /
+    MAPE per event type — the baseline every real forecasting model must
+    beat, and the standing data-quality check for "did volume deviate
+    from last week's pattern". Complements anomaly_rolling_zscore_daily
+    (level shifts) with a seasonality-aware error measure.
+
+    Scale: same two-exchange shape as the z-score query — the lag runs
+    over the pre-aggregated |types|×|days| series inside tiny per-type
+    partitions, and the error aggregation is partial-combined. Absolute
+    errors stay integers until the final division, so both engines
+    aggregate the identical exact series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pred = daily.withColumn("yhat", F.lag("n", 7).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    abs_err = F.abs(F.col("n") - F.col("yhat"))
+    return pred.groupBy("event_type").agg(
+        F.count("*").alias("n_days_eval"),
+        F.sum(abs_err).cast("long").alias("abs_err_total"),
+        F.round(F.avg(abs_err), 4).alias("mae"),
+        F.round(F.avg(abs_err / F.col("n")), 4).alias("mape"),
+    )
+
+
+@query(
+    "winsorize_clip_outliers",
+    oracle="""
+        WITH bounds AS (
+            SELECT l_linestatus,
+                   quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem GROUP BY l_linestatus
+        )
+        SELECT l.l_linestatus,
+               count(*) AS n_rows,
+               count(*) FILTER (l.l_extendedprice < b.lo
+                                OR l.l_extendedprice > b.hi) AS n_clipped,
+               CAST(sum(CAST(floor(
+                   least(greatest(l.l_extendedprice, b.lo), b.hi) * 100
+                   + 0.5) AS BIGINT)) AS BIGINT) AS winsorized_cents
+        FROM lineitem l JOIN bounds b ON l.l_linestatus = b.l_linestatus
+        GROUP BY l.l_linestatus
+    """,
+)
+def winsorize_clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clip a value column to its per-group [p05, p95]
+    band and report the clipped aggregate plus how many rows were
+    clamped: the robust-statistics preprocessing step (outlier-tolerant
+    means, stable feature scaling) that a training pipeline runs before
+    normalization, made exact.
+
+    Scale: two passes by construction (percentiles are holistic): pass 1
+    computes two order statistics per group — the per-group state is the
+    sorted value buffer, so at 100 TB swap in percentile_approx's
+    mergeable t-digest partial state, same plan; pass 2 re-joins the
+    TINY bounds relation by broadcast (|groups| rows) and clips row-
+    locally, so no shuffle ever carries lineitem twice. Spark's
+    percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition, so clip decisions and the clipped integer-
+    cents sum agree exactly; the raw interpolated bounds are NOT emitted
+    — the two engines' interpolation arithmetic differs in the last ulp,
+    which a display rounding can land on (observed: p05 6258.935).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_linestatus").agg(
+        F.percentile("l_extendedprice", 0.05).alias("lo"),
+        F.percentile("l_extendedprice", 0.95).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    is_out = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(is_out).alias("n_clipped"),
+            F.sum(F.floor(clipped * 100 + 0.5).cast("long")).alias(
+                "winsorized_cents"
+            ),
+        )
+    )

@@ -1025,11 +1025,11 @@ def _jaro_winkler(s1: str, s2: str) -> float:
     """Standard Jaro-Winkler (prefix scale 0.1, boost threshold 0.7, max
     prefix 4) — the exact definition DuckDB's ``jaro_winkler_similarity``
     implements, verified bit-equal on the full part-name dictionary."""
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
     if not len1 or not len2:
-        return 0.0
+        return 0.0  # DuckDB scores ANY empty side 0, even '' vs ''
+    if s1 == s2:
+        return 1.0
     match_dist = max(len1, len2) // 2 - 1
     m1 = [False] * len1
     m2 = [False] * len2

@@ -109,6 +109,18 @@ HEADLINE = [
     "rfm_customer_segmentation",
     "markov_event_transitions",
     "dedup_incremental_minhash_lsh",
+    # r6 additions
+    "trend_regression_per_segment",
+    "anomaly_rolling_zscore_daily",
+    "timeseries_resample_ohlc_daily",
+    "forecast_seasonal_naive_eval",
+    "winsorize_clip_outliers",
+    "fuzzy_match_jaro_winkler",
+    "bpe_merge_pair_counts",
+    "privacy_dp_noisy_counts",
+    "lakehouse_shallow_clone",
+    "lakehouse_write_constraints",
+    "lakehouse_merge_full_sync",
 ]
 
 

@@ -410,3 +410,31 @@ def test_table_lifecycle_matches_python_model(spark, tmp_path_factory, ops):
     if wrote:
         got = sorted((r.k, r.v) for r in tbl.read().collect())
         assert got == sorted(model)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=24,
+    ),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=24,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_kernel_matches_duckdb(a, b):
+    """The pure-Python Jaro-Winkler kernel (the pandas-UDF scorer) must
+    reproduce DuckDB's native jaro_winkler_similarity bit-for-bit on
+    arbitrary ASCII inputs — the oracle-parity contract, generalized
+    beyond the part-name dictionary."""
+    import duckdb
+
+    from apache_iceberg_exploration_spark.operators.text import (
+        _jaro_winkler,
+    )
+
+    expected = duckdb.execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+    ).fetchone()[0]
+    assert abs(_jaro_winkler(a, b) - expected) < 1e-12, (a, b)
