@@ -36,7 +36,7 @@ N_FOLDS = 5
         )
         SELECT c_mktsegment,
                count(*) AS n_days,
-               round(regr_slope(rev_cents, day_idx), 2)
+               round(regr_slope(rev_cents, day_idx), 2) + 0.0
                    AS slope_cents_per_day,
                round(regr_intercept(rev_cents, day_idx), 2)
                    AS intercept_cents,
@@ -82,7 +82,7 @@ def trend_regression_per_segment(
     )
     return daily.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_days"),
-        F.round(F.regr_slope("rev_cents", "day_idx"), 2).alias(
+        (F.round(F.regr_slope("rev_cents", "day_idx"), 2) + 0.0).alias(
             "slope_cents_per_day"
         ),
         F.round(F.regr_intercept("rev_cents", "day_idx"), 2).alias(
@@ -111,7 +111,7 @@ def trend_regression_per_segment(
         SELECT event_type, day, n,
                round(mean7, 4) AS mean7,
                CASE WHEN w_n >= 7 AND sd7 > 0
-                    THEN round((n - mean7) / sd7, 4) END AS zscore,
+                    THEN round((n - mean7) / sd7, 4) + 0.0 END AS zscore,
                CASE WHEN w_n >= 7 AND sd7 > 0
                          AND abs((n - mean7) / sd7) > 2
                     THEN 1 ELSE 0 END AS is_anomaly
@@ -162,7 +162,7 @@ def anomaly_rolling_zscore_daily(
             "day",
             "n",
             F.round("mean7", 4).alias("mean7"),
-            F.when(full, F.round(z, 4)).alias("zscore"),
+            F.when(full, F.round(z, 4) + 0.0).alias("zscore"),
             F.when(full & (F.abs(z) > 2), F.lit(1))
             .otherwise(F.lit(0))
             .alias("is_anomaly"),

@@ -193,7 +193,7 @@ DP_SEED = "dp-release-1"  # release identifier: new release => fresh noise
         )
         SELECT c_mktsegment, c_nationkey,
                round(true_n + (-{DP_SCALE}) * sign(unif)
-                     * ln(1 - 2 * abs(unif)), 4) AS noisy_count
+                     * ln(1 - 2 * abs(unif)), 4) + 0.0 AS noisy_count
         FROM u
     """,
 )
@@ -233,5 +233,5 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "c_mktsegment",
         "c_nationkey",
-        F.round(F.col("true_n") + noise, 4).alias("noisy_count"),
+        (F.round(F.col("true_n") + noise, 4) + 0.0).alias("noisy_count"),
     )
