@@ -235,3 +235,67 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         (F.round(F.col("true_n") + noise, 4) + 0.0).alias("noisy_count"),
     )
+
+
+MASK_LAST_VISIBLE = 3  # trailing characters left in the clear
+
+
+@query(
+    "privacy_column_masking",
+    oracle=f"""
+        SELECT c_custkey,
+               repeat('*', greatest(length(c_name) - {MASK_LAST_VISIBLE}, 0))
+                   || right(c_name,
+                            least(length(c_name), {MASK_LAST_VISIBLE}))
+                   AS name_masked,
+               'nation_' || CAST(CAST(floor(c_nationkey / 5.0) AS BIGINT)
+                                 * 5 AS VARCHAR) AS nation_bucket,
+               CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT)
+                   AS acctbal_band
+        FROM customer
+        WHERE c_custkey < 200
+    """,
+)
+def privacy_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking policies (Snowflake/Unity-style) applied at
+    read: names keep only a trailing stub, nation keys generalize to
+    5-wide buckets, balances band to the nearest 1000 — the de-identified
+    projection an analyst role sees, while the storage layer keeps the
+    clear values (contrast lakehouse_gdpr_purge, which REMOVES data,
+    and privacy_pseudonymized_spend_topk, which keeps joinability via
+    keyed hashes: masking is the third governance mode — readable
+    shape, no recoverable value).
+
+    Scale: masking is stateless row-local string/arithmetic expressions
+    inside whole-stage codegen — zero shuffle, zero UDF; a real
+    deployment binds these expressions into a view/row-filter policy so
+    every reader inherits them, which is exactly how this composes with
+    the SQL surface (sql_api_nation_revenue_report's temp-view pattern).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 200
+    )
+    name_len = F.length("c_name")
+    masked_name = F.concat(
+        F.repeat(
+            F.lit("*"), F.greatest(name_len - MASK_LAST_VISIBLE, F.lit(0))
+        ),
+        F.substring(
+            "c_name",
+            -MASK_LAST_VISIBLE,
+            MASK_LAST_VISIBLE,
+        ),
+    )
+    return cust.select(
+        "c_custkey",
+        masked_name.alias("name_masked"),
+        F.concat(
+            F.lit("nation_"),
+            (F.floor(F.col("c_nationkey") / 5.0).cast("long") * 5).cast(
+                "string"
+            ),
+        ).alias("nation_bucket"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("acctbal_band"),
+    )
