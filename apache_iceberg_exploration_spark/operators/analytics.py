@@ -392,3 +392,211 @@ def winsorize_clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PSI_BIN_W = 25.0  # fixed value-bin width (units of events.value)
+PSI_BINS = 12  # bins 0..11, last bin open-ended
+PSI_SPLIT = "2024-01-15"  # baseline = days before, current = days from
+
+
+@query(
+    "drift_psi_value_distribution",
+    oracle=f"""
+        WITH binned AS (
+            SELECT event_type,
+                   CASE WHEN ts < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+                        THEN 'base' ELSE 'cur' END AS period,
+                   least(CAST(floor(value / {PSI_BIN_W}) AS INTEGER),
+                         {PSI_BINS - 1}) AS bin
+            FROM events WHERE value IS NOT NULL
+        ),
+        counts AS (
+            SELECT event_type, period, bin, count(*) AS n
+            FROM binned GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT DISTINCT c.event_type, b.bin, p.period
+            FROM counts c,
+                 (SELECT unnest(range({PSI_BINS})) AS bin) b,
+                 (VALUES ('base'), ('cur')) p(period)
+        ),
+        filled AS (
+            SELECT g.event_type, g.period, g.bin,
+                   coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.event_type = c.event_type AND g.period = c.period
+                 AND g.bin = c.bin
+        ),
+        props AS (
+            SELECT event_type, bin,
+                   (sum(CASE WHEN period = 'base' THEN n END) + 0.5)
+                   / (sum(sum(CASE WHEN period = 'base' THEN n END))
+                          OVER (PARTITION BY event_type)
+                      + 0.5 * {PSI_BINS}) AS p,
+                   (sum(CASE WHEN period = 'cur' THEN n END) + 0.5)
+                   / (sum(sum(CASE WHEN period = 'cur' THEN n END))
+                          OVER (PARTITION BY event_type)
+                      + 0.5 * {PSI_BINS}) AS q
+            FROM filled GROUP BY event_type, bin
+        )
+        SELECT event_type,
+               round(sum((p - q) * ln(p / q)), 4) AS psi,
+               CASE WHEN sum((p - q) * ln(p / q)) > 0.2 THEN 1 ELSE 0 END
+                   AS drifted
+        FROM props GROUP BY event_type
+    """,
+)
+def drift_psi_value_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    period of the event-value distribution, per event type — THE
+    standard model/feature drift monitor (PSI > 0.2 = action
+    threshold). Values are binned into fixed-width buckets; proportions
+    are Laplace-smoothed (+0.5 per bin) so empty bins never produce
+    infinities, and every (type, bin, period) cell is densified before
+    the ratio so both engines sum the identical grid.
+
+    Scale: one keyed aggregation collapses events to
+    |types|×|bins|×2 cells (partial combine; the shuffle carries
+    constant-size cells, never events); the PSI fold itself runs over
+    ≤ |types|×|bins| rows. Fixed-width bins — unlike quantile bins —
+    need no global sort and keep period-over-period bins comparable,
+    which is why monitoring systems prefer them at scale.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    binned = ev.select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp"), "base"
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_W).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "period", "bin").agg(
+        F.count("*").alias("n")
+    )
+    # densify: every (type, bin, period) cell exists with n>=0
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin")))
+        .crossJoin(
+            spark.createDataFrame([("base",), ("cur",)], "period string")
+        )
+    )
+    filled = grid.join(
+        counts, ["event_type", "period", "bin"], "left"
+    ).select(
+        "event_type",
+        "period",
+        "bin",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    per_bin = filled.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "base", F.col("n"))).alias("nb"),
+        F.sum(F.when(F.col("period") == "cur", F.col("n"))).alias("nc"),
+    )
+    wtot = Window.partitionBy("event_type")
+    p = (F.col("nb") + 0.5) / (
+        F.sum("nb").over(wtot) + 0.5 * PSI_BINS
+    )
+    q = (F.col("nc") + 0.5) / (
+        F.sum("nc").over(wtot) + 0.5 * PSI_BINS
+    )
+    term = (p - q) * F.log(p / q)
+    psi = F.sum(term)
+    return (
+        per_bin.select("event_type", "bin", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("term"), 4).alias("psi"),
+            F.when(F.sum("term") > 0.2, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("drifted"),
+        )
+    )
+
+
+AB_SALT = "exp1"  # experiment id: assignment hash family
+
+
+@query(
+    "ab_test_lift_zstat",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT CASE WHEN {hash64_sql(
+                       "'" + AB_SALT + "|' || CAST(user_id AS VARCHAR)"
+                   )} % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+                   value
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+        ),
+        stats AS (
+            SELECT arm, count(*) AS n, avg(value) AS mean_v,
+                   var_samp(value) AS var_v
+            FROM assigned GROUP BY arm
+        )
+        SELECT t.n AS n_treatment, c.n AS n_control,
+               round(t.mean_v - c.mean_v, 4) AS lift,
+               round((t.mean_v - c.mean_v)
+                     / sqrt(t.var_v / t.n + c.var_v / c.n), 4) AS zstat
+        FROM (SELECT * FROM stats WHERE arm = 'treatment') t,
+             (SELECT * FROM stats WHERE arm = 'control') c
+    """,
+)
+def ab_test_lift_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B analysis over purchase values: deterministic
+    hash-bucket arm assignment (same md5 family as
+    ab_experiment_assignment — the ANALYSIS half that query's
+    assignment feeds), absolute lift, and the Welch z-statistic
+    (mean difference over pooled standard error). |z| > 1.96 is the
+    5% significance decision; the z value is emitted rather than a
+    p-value because the normal CDF is not portably available in both
+    engines — the decision threshold is equivalent.
+
+    Scale: assignment is a stateless row-local hash; mean/variance are
+    single-pass streaming moments, so the whole analysis is ONE
+    partial-combined aggregation over two groups, then a driver-size
+    join of two rows. Per-variant metrics at 100 TB cost the same as
+    a grouped count.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    arm = F.when(
+        hash64(
+            F.concat(F.lit(AB_SALT + "|"), F.col("user_id").cast("string"))
+        )
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    stats = (
+        ev.select(arm.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean_v"),
+            F.var_samp("value").alias("var_v"),
+        )
+    )
+    t = stats.filter(F.col("arm") == "treatment").alias("t")
+    c = stats.filter(F.col("arm") == "control").alias("c")
+    se = F.sqrt(
+        F.col("t.var_v") / F.col("t.n") + F.col("c.var_v") / F.col("c.n")
+    )
+    return t.crossJoin(c).select(
+        F.col("t.n").alias("n_treatment"),
+        F.col("c.n").alias("n_control"),
+        F.round(F.col("t.mean_v") - F.col("c.mean_v"), 4).alias("lift"),
+        F.round((F.col("t.mean_v") - F.col("c.mean_v")) / se, 4).alias(
+            "zstat"
+        ),
+    )
