@@ -35,6 +35,10 @@ _PYTHON_ALLOWED = {
     # the UDTF API-surface demo is Python BY DESIGN (COVERAGE §2.10);
     # its docstring points hot paths at the explode-based equivalent
     "udtf_sentence_offsets",
+    # Jaro-Winkler has no JVM builtin: the Arrow-batched scorer runs
+    # AFTER dictionary dedup + blocking (test_plans asserts the
+    # ordering), so Python only ever sees the surviving pair table
+    "fuzzy_match_jaro_winkler",
 }
 
 
