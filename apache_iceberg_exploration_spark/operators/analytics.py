@@ -600,3 +600,187 @@ def ab_test_lift_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zstat"
         ),
     )
+
+
+@query(
+    "dau_new_vs_returning",
+    oracle="""
+        WITH user_day AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        flagged AS (
+            SELECT user_id, day,
+                   min(day) OVER (PARTITION BY user_id) AS first_day
+            FROM user_day
+        )
+        SELECT day,
+               count(*) AS n_active,
+               count(*) FILTER (day = first_day) AS n_new,
+               count(*) FILTER (day > first_day) AS n_returning
+        FROM flagged GROUP BY day
+    """,
+)
+def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-ever-seen vs returning — the
+    growth-accounting counterpart of the retention triangle
+    (retention_cohorts): DAU = new + returning, and a DAU rise with
+    flat returning is acquisition, not engagement.
+
+    Scale: events dedupe to the |users|×|days| activity relation first
+    (one partial-combined exchange does both the dedup and the
+    user-keyed partitioning); the first-seen flag is a min() window
+    INSIDE each user partition (no second shuffle — Catalyst reuses the
+    user_id partitioning), and the daily rollup ships one row per
+    (user, day). No user-level state table is maintained anywhere —
+    first_day is derived, so the query is a pure function of the log.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_day = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    flagged = user_day.withColumn("first_day", F.min("day").over(w))
+    return flagged.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.count_if(F.col("day") == F.col("first_day")).alias("n_new"),
+        F.count_if(F.col("day") > F.col("first_day")).alias("n_returning"),
+    )
+
+
+WAU_WINDOW = 7  # trailing days per rolling-active window
+
+
+@query(
+    "rolling_wau_exact",
+    oracle=f"""
+        WITH user_day AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM user_day),
+        contrib AS (
+            SELECT user_id,
+                   day + CAST(o.off || ' days' AS INTERVAL) AS target_day
+            FROM user_day,
+                 (SELECT unnest(range({WAU_WINDOW})) AS off) o
+        )
+        SELECT CAST(target_day AS DATE) AS day,
+               count(DISTINCT user_id) AS wau
+        FROM contrib, bounds
+        WHERE target_day
+                  BETWEEN bounds.lo + CAST('{WAU_WINDOW - 1} days'
+                                           AS INTERVAL)
+                  AND bounds.hi
+        GROUP BY 1
+    """,
+)
+def rolling_wau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day active users per day (WAU), computed without
+    any windowed COUNT DISTINCT: each (user, active-day) row is exploded
+    to the 7 window-end days it contributes to, and the rollup is a
+    plain count(distinct) per target day — the standard rewrite that
+    turns an unimplementable 'distinct over a moving frame' into an
+    equi-keyed aggregation. Only full windows are reported.
+
+    Scale: the explosion is ×7 on the DEDUPED |users|×|days| relation
+    (not on raw events), so the shuffle is bounded by activity, not
+    volume; count(distinct) partial-aggregates per (day, user) before
+    the final exchange. For monthly windows at extreme user counts the
+    same query swaps exact distinct for the portable HLL sketches
+    (portable_hll_distinct_rollup) — explode-merge over register
+    vectors, identical plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_day = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    bounds = user_day.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    contrib = user_day.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), WAU_WINDOW - 1)
+            )
+        ).alias("target_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("target_day") >= F.date_add(F.col("lo"), WAU_WINDOW - 1))
+            & (F.col("target_day") <= F.col("hi"))
+        )
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@query(
+    "yoy_revenue_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT c.c_mktsegment,
+                   CAST(date_trunc('month', o.o_orderdate) AS DATE)
+                       AS month,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS rev_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, month, rev_cents,
+               round(CAST(rev_cents AS DOUBLE)
+                     / lag(rev_cents, 12) OVER (
+                           PARTITION BY c_mktsegment ORDER BY month)
+                     - 1.0, 4) + 0.0 AS yoy_growth
+        FROM monthly
+        QUALIFY lag(rev_cents, 12) OVER (
+                    PARTITION BY c_mktsegment ORDER BY month) IS NOT NULL
+    """,
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth per market segment (lag-12
+    over the monthly series) — the BI staple that, with the trend
+    regression and seasonal backtest, completes the growth-analytics
+    trio. Only months with a year-ago comparable are emitted.
+
+    Scale: identical shape to every analytics query here — broadcast
+    dimension join, partial-aggregated collapse to |segments|×|months|,
+    then the lag runs inside tiny per-segment partitions. Revenue stays
+    integer cents into the final division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", "o_orderdate").cast("date").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    prev = F.lag("rev_cents", 12).over(w)
+    return (
+        monthly.withColumn("prev", prev)
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "c_mktsegment",
+            "month",
+            "rev_cents",
+            (
+                F.round(
+                    F.col("rev_cents").cast("double") / F.col("prev") - 1.0,
+                    4,
+                )
+                + 0.0
+            ).alias("yoy_growth"),
+        )
+    )
