@@ -348,6 +348,25 @@ _lifecycle_ops = st.lists(
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("rewrite_manifests"), st.just(0)),
         st.tuples(st.just("expire"), st.just(0)),
+        # r6 ops: full-sync merge, constraint-gated append, clone checkpoint
+        st.tuples(
+            st.just("merge_sync"),
+            st.lists(
+                st.tuples(st.integers(0, 40), st.integers(0, 999)),
+                min_size=1,
+                max_size=10,
+                unique_by=lambda t: t[0],
+            ),
+        ),
+        st.tuples(
+            st.just("constrained_append"),
+            st.lists(
+                st.tuples(st.integers(0, 40), st.integers(0, 999)),
+                min_size=1,
+                max_size=10,
+            ),
+        ),
+        st.tuples(st.just("clone_check"), st.just(0)),
     ),
     min_size=3,
     max_size=8,
@@ -407,6 +426,35 @@ def test_table_lifecycle_matches_python_model(spark, tmp_path_factory, ops):
             tbl.rewrite_manifest_parts()
         elif op[0] == "expire":
             tbl.expire_snapshots(keep_last=1)
+        elif op[0] == "merge_sync":
+            src = list(op[1])  # unique k by construction
+            tbl.merge_into(
+                spark.createDataFrame(src, "k long, v long"),
+                on=["k"],
+                update_cols={"v": F.col("s.v")},
+                delete_unmatched_target=True,
+            )
+            sv = dict(src)
+            tgt_keys = {k for k, _ in model}
+            model = [(k, sv[k]) for (k, _) in model if k in sv] + [
+                (k, v) for k, v in src if k not in tgt_keys
+            ]
+        elif op[0] == "constrained_append":
+            rows = list(op[1])
+            tbl.append_with_constraints(
+                spark.createDataFrame(rows, "k long, v long"),
+                constraints={"v_small": F.col("v") < 500},
+            )
+            model.extend((k, v) for k, v in rows if v < 500)
+        elif op[0] == "clone_check":
+            # a shallow clone taken NOW must read back exactly the model
+            # (and leave the source untouched)
+            dest = str(
+                tmp_path_factory.mktemp("lifecycle-clone") / "c"
+            )
+            c = tbl.clone(dest)
+            got = sorted((r.k, r.v) for r in c.read().collect())
+            assert got == sorted(model)
     if wrote:
         got = sorted((r.k, r.v) for r in tbl.read().collect())
         assert got == sorted(model)
