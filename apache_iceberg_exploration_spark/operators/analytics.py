@@ -626,21 +626,26 @@ def dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (retention_cohorts): DAU = new + returning, and a DAU rise with
     flat returning is acquisition, not engagement.
 
-    Scale: events dedupe to the |users|×|days| activity relation first
-    (one partial-combined exchange does both the dedup and the
-    user-keyed partitioning); the first-seen flag is a min() window
-    INSIDE each user partition (no second shuffle — Catalyst reuses the
-    user_id partitioning), and the daily rollup ships one row per
-    (user, day). No user-level state table is maintained anywhere —
-    first_day is derived, so the query is a pure function of the log.
+    Scale: ONE user-keyed exchange builds each user's distinct sorted
+    day array (collect_set partial-aggregates map-side); first_day is
+    then just element 0 — no window pass, no second user shuffle, no
+    user-level state table anywhere (first-seen is derived, the query
+    is a pure function of the log). The only other exchange is the
+    daily rollup over |users|×|days| exploded rows. Per-user day
+    arrays are bounded by the calendar, so the grouped state can't
+    blow up on a hot user.
     """
     ev = load_table(spark, sf_dir, "events")
-    user_day = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
-    w = Window.partitionBy("user_id")
-    flagged = user_day.withColumn("first_day", F.min("day").over(w))
-    return flagged.groupBy("day").agg(
+    per_user = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("day")).alias("days"))
+    )
+    exploded = per_user.select(
+        F.col("days")[0].alias("first_day"),
+        F.explode("days").alias("day"),
+    )
+    return exploded.groupBy("day").agg(
         F.count("*").alias("n_active"),
         F.count_if(F.col("day") == F.col("first_day")).alias("n_new"),
         F.count_if(F.col("day") > F.col("first_day")).alias("n_returning"),
@@ -681,28 +686,40 @@ def rolling_wau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns an unimplementable 'distinct over a moving frame' into an
     equi-keyed aggregation. Only full windows are reported.
 
-    Scale: the explosion is ×7 on the DEDUPED |users|×|days| relation
-    (not on raw events), so the shuffle is bounded by activity, not
-    volume; count(distinct) partial-aggregates per (day, user) before
-    the final exchange. For monthly windows at extreme user counts the
-    same query swaps exact distinct for the portable HLL sketches
-    (portable_hll_distinct_rollup) — explode-merge over register
-    vectors, identical plan shape.
+    Scale: each user's distinct sorted day array is built by ONE
+    user-keyed exchange (collect_set partial-aggregates map-side); the
+    7-day fan-out AND the per-user target-day dedup then happen
+    row-locally with higher-order array functions (flatten + transform
+    + array_distinct), so the final rollup is a plain count — no
+    count(distinct) machinery, no second user-keyed pass, and the
+    explosion is ×7 on the deduped activity relation, never on raw
+    events. For monthly windows at extreme user counts swap exact
+    counting for the portable HLL sketches
+    (portable_hll_distinct_rollup) — identical plan shape.
     """
     ev = load_table(spark, sf_dir, "events")
-    user_day = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
-    bounds = user_day.agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
+    per_user = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("day")).alias("days"))
     )
-    contrib = user_day.select(
-        "user_id",
+    bounds = per_user.agg(
+        F.min(F.col("days")[0]).alias("lo"),
+        F.max(F.element_at("days", -1)).alias("hi"),
+    )
+    contrib = per_user.select(
         F.explode(
-            F.sequence(
-                F.col("day"), F.date_add(F.col("day"), WAU_WINDOW - 1)
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "days",
+                        lambda d: F.sequence(
+                            d, F.date_add(d, WAU_WINDOW - 1)
+                        ),
+                    )
+                )
             )
-        ).alias("target_day"),
+        ).alias("target_day")
     )
     return (
         contrib.crossJoin(F.broadcast(bounds))
@@ -711,7 +728,7 @@ def rolling_wau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("target_day") <= F.col("hi"))
         )
         .groupBy(F.col("target_day").alias("day"))
-        .agg(F.countDistinct("user_id").alias("wau"))
+        .agg(F.count("*").alias("wau"))
     )
 
 
@@ -783,4 +800,85 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.0
             ).alias("yoy_growth"),
         )
+    )
+
+
+@query(
+    "streaks_gaps_islands",
+    oracle="""
+        WITH user_day AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        grouped AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                             PARTITION BY user_id ORDER BY day
+                         ) || ' days' AS INTERVAL) AS island
+            FROM user_day
+        ),
+        streaks AS (
+            SELECT user_id, island,
+                   count(*) AS streak_len,
+                   min(day) AS streak_start
+            FROM grouped GROUP BY user_id, island
+        )
+        SELECT user_id,
+               max(streak_len) AS longest_streak,
+               count(*) AS n_streaks,
+               min(streak_start) AS first_active_day
+        FROM streaks GROUP BY user_id
+    """,
+)
+def streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-activity streaks per user via the gaps-and-islands
+    rewrite: ``day - row_number()`` is constant within each unbroken
+    run of days, so runs become plain GROUP BY keys — no recursion, no
+    self-join, no iterative loop. Reports longest streak, streak count,
+    and first active day per user (the engagement-streak metric next
+    to the DAU/WAU pair).
+
+    Scale: exactly ONE exchange — each user's distinct sorted day array
+    is built by a single user-keyed aggregation (collect_set partials
+    map-side), and the entire streak analysis is then a row-local
+    higher-order fold (F.aggregate) over that array: the accumulator
+    carries (previous day, current run, longest run, streak count) and
+    every step is JVM codegen. No window, no island re-keying, no
+    second shuffle — the SQL gaps-and-islands rewrite the oracle uses
+    needs three aggregation keys; the array fold needs one. Per-user
+    arrays are calendar-bounded, so grouped state stays small on any
+    skew.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("day")).alias("days"))
+    )
+    init = F.struct(
+        F.lit(None).cast("date").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(acc, d):
+        cont = F.coalesce(
+            F.datediff(d, acc["prev"]) == 1, F.lit(False)
+        )
+        cur2 = F.when(cont, acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            d.alias("prev"),
+            cur2.alias("cur"),
+            F.greatest(acc["mx"], cur2).alias("mx"),
+            F.when(cont, acc["n"])
+            .otherwise(acc["n"] + 1)
+            .alias("n"),
+        )
+
+    folded = F.aggregate(F.col("days"), init, step)
+    return per_user.select(
+        "user_id",
+        folded["mx"].alias("longest_streak"),
+        folded["n"].alias("n_streaks"),
+        F.col("days")[0].alias("first_active_day"),
     )

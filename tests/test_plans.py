@@ -335,3 +335,27 @@ def test_jaro_winkler_blocks_before_udf(spark):
     plan = executed_plan(df)
     assert "ArrowEvalPython" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_growth_trio_single_user_exchange(spark):
+    """DAU split and streaks must reuse ONE user_id exchange for dedup +
+    window + aggregation; WAU's explosion must happen on the deduped
+    activity relation (partial distinct aggregation below its exchange)."""
+    from apache_iceberg_exploration_spark.operators.analytics import (
+        dau_new_vs_returning,
+        rolling_wau_exact,
+        streaks_gaps_islands,
+    )
+    from apache_iceberg_exploration_spark.plans.explain import shuffle_count
+
+    # streaks: ONE user exchange, the whole analysis is an array fold
+    df = streaks_gaps_islands(spark, SF_ORACLE)
+    assert shuffle_count(df) == 1
+    assert "Window" not in executed_plan(df)
+    assert shuffle_count(dau_new_vs_returning(spark, SF_ORACLE)) <= 2
+    # wau: user exchange + day rollup + the tiny bounds branch
+    df = rolling_wau_exact(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert shuffle_count(df) <= 3
+    assert "Generate" in plan, plan  # array explode, not a range join
+    assert "CartesianProduct" not in plan, plan
