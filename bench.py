@@ -121,6 +121,13 @@ HEADLINE = [
     "lakehouse_shallow_clone",
     "lakehouse_write_constraints",
     "lakehouse_merge_full_sync",
+    "drift_psi_value_distribution",
+    "ab_test_lift_zstat",
+    "privacy_column_masking",
+    "dau_new_vs_returning",
+    "rolling_wau_exact",
+    "yoy_revenue_growth",
+    "streaks_gaps_islands",
 ]
 
 
