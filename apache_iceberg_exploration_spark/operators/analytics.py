@@ -803,6 +803,31 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streak_fold(days: F.Column) -> F.Column:
+    """Row-local streak analysis over a SORTED date array: a higher-order
+    fold whose accumulator carries (previous day, current run length,
+    longest run, streak count). Shared by streaks_gaps_islands and its
+    hypothesis model test."""
+    init = F.struct(
+        F.lit(None).cast("date").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(acc, d):
+        cont = F.coalesce(F.datediff(d, acc["prev"]) == 1, F.lit(False))
+        cur2 = F.when(cont, acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            d.alias("prev"),
+            cur2.alias("cur"),
+            F.greatest(acc["mx"], cur2).alias("mx"),
+            F.when(cont, acc["n"]).otherwise(acc["n"] + 1).alias("n"),
+        )
+
+    return F.aggregate(days, init, step)
+
+
 @query(
     "streaks_gaps_islands",
     oracle="""
@@ -854,28 +879,7 @@ def streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sort_array(F.collect_set("day")).alias("days"))
     )
-    init = F.struct(
-        F.lit(None).cast("date").alias("prev"),
-        F.lit(0).cast("long").alias("cur"),
-        F.lit(0).cast("long").alias("mx"),
-        F.lit(0).cast("long").alias("n"),
-    )
-
-    def step(acc, d):
-        cont = F.coalesce(
-            F.datediff(d, acc["prev"]) == 1, F.lit(False)
-        )
-        cur2 = F.when(cont, acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            d.alias("prev"),
-            cur2.alias("cur"),
-            F.greatest(acc["mx"], cur2).alias("mx"),
-            F.when(cont, acc["n"])
-            .otherwise(acc["n"] + 1)
-            .alias("n"),
-        )
-
-    folded = F.aggregate(F.col("days"), init, step)
+    folded = streak_fold(F.col("days"))
     return per_user.select(
         "user_id",
         folded["mx"].alias("longest_streak"),

@@ -486,3 +486,50 @@ def test_jaro_winkler_kernel_matches_duckdb(a, b):
         "SELECT jaro_winkler_similarity(?, ?)", [a, b]
     ).fetchone()[0]
     assert abs(_jaro_winkler(a, b) - expected) < 1e-12, (a, b)
+
+
+@given(
+    st.lists(
+        st.integers(0, 60),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_streak_fold_matches_python_model(spark, day_offsets):
+    """The higher-order streak fold (streaks_gaps_islands) must agree
+    with a direct Python computation of longest-run / run-count over an
+    arbitrary set of active days."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.date(2024, 1, 1)
+    days = sorted(base + datetime.timedelta(days=o) for o in day_offsets)
+    # python model
+    longest = cur = 1
+    n_streaks = 1
+    for a, b in zip(days, days[1:]):
+        if (b - a).days == 1:
+            cur += 1
+        else:
+            n_streaks += 1
+            cur = 1
+        longest = max(longest, cur)
+
+    from apache_iceberg_exploration_spark.operators.analytics import (
+        streak_fold,
+    )
+
+    df = spark.createDataFrame(
+        [(1, d) for d in days], "user_id long, day date"
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("day")).alias("days")
+    )
+    folded = streak_fold(F.col("days"))
+    row = per_user.select(
+        folded["mx"].alias("mx"), folded["n"].alias("n")
+    ).first()
+    assert (row.mx, row.n) == (longest, n_streaks), (days, row)
