@@ -1926,11 +1926,14 @@ class LakehouseTable:
         """
         def compute(base: int) -> tuple[dict, list[str]]:
             manifest = self._read_manifest(base)
-            touched = (
-                self._prune_files(manifest, prune)
-                if prune
-                else list(manifest["files"])
-            )
+            touched = list(manifest["files"])
+            if prune:
+                # file stats AND partition tuples: hive-layout files do
+                # not store the partition column, so stats alone cannot
+                # scope a partition-predicate rewrite (the scan path
+                # composes the same two prunes)
+                touched = self._prune_files(manifest, prune)
+                touched = self._partition_prune(manifest, prune, touched)
             untouched = [f for f in manifest["files"] if f not in set(touched)]
             old_stats = manifest.get("stats", {})
             scratch: list[str] = []
@@ -1962,6 +1965,16 @@ class LakehouseTable:
                 # seq is unchanged); rewritten files were read with
                 # deletes applied and get a newer seq, so they're exempt
                 delete_files=manifest.get("delete_files", []),
+                # partition layout survives the delete: carried files
+                # keep their tuples; rewritten files have none and are
+                # conservatively kept by _partition_prune (dropping the
+                # specs here would silently disable pruning table-wide)
+                partition_specs=manifest.get("partition_specs"),
+                partitions={
+                    f: t
+                    for f, t in manifest.get("partitions", {}).items()
+                    if f in set(untouched)
+                },
                 added=len(new_files),
                 rewritten=len(touched),
                 carried=len(untouched),
@@ -2016,6 +2029,8 @@ class LakehouseTable:
                 stats=prev.get("stats"),
                 file_seq=prev.get("file_seq"),
                 delete_files=prev.get("delete_files", []) + [entry],
+                partition_specs=prev.get("partition_specs"),
+                partitions=prev.get("partitions"),
                 added=0,
                 delete_key_files=len(del_files),
             )
@@ -2078,6 +2093,8 @@ class LakehouseTable:
                 stats=prev.get("stats"),
                 file_seq=prev.get("file_seq"),
                 delete_files=prev.get("delete_files", []) + [entry],
+                partition_specs=prev.get("partition_specs"),
+                partitions=prev.get("partitions"),
                 added=0,
                 delete_pos_files=len(del_files),
             )
@@ -2103,11 +2120,14 @@ class LakehouseTable:
         """
         def compute(base: int) -> tuple[dict, list[str]]:
             manifest = self._read_manifest(base)
-            touched = (
-                self._prune_files(manifest, prune)
-                if prune
-                else list(manifest["files"])
-            )
+            touched = list(manifest["files"])
+            if prune:
+                # file stats AND partition tuples: hive-layout files do
+                # not store the partition column, so stats alone cannot
+                # scope a partition-predicate rewrite (the scan path
+                # composes the same two prunes)
+                touched = self._prune_files(manifest, prune)
+                touched = self._partition_prune(manifest, prune, touched)
             untouched = [f for f in manifest["files"] if f not in set(touched)]
             old_stats = manifest.get("stats", {})
             scratch: list[str] = []
@@ -2146,6 +2166,14 @@ class LakehouseTable:
                     **{f: base + 1 for f in new_files},
                 },
                 delete_files=manifest.get("delete_files", []),
+                # same carry as delete_where: losing the specs would
+                # silently disable partition pruning after any update
+                partition_specs=manifest.get("partition_specs"),
+                partitions={
+                    f: t
+                    for f, t in manifest.get("partitions", {}).items()
+                    if f in set(untouched)
+                },
                 added=len(new_files),
                 rewritten=len(touched),
                 carried=len(untouched),

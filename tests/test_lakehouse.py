@@ -2350,3 +2350,60 @@ def test_merge_full_sync_mirrors_source(spark, tmp_path):
             delete_unmatched_target=True,
             prune_on="c_custkey",
         )
+
+
+def test_partition_layout_survives_row_level_mutations(spark, tmp_path):
+    """Partition specs + per-file tuples must be carried through CoW
+    delete/update and MoR/positional deletes — dropping them silently
+    disables partition pruning for every subsequent read (r6 fix)."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+
+    def fresh(name):
+        t = LakehouseTable(spark, str(tmp_path / name))
+        t.overwrite(
+            cust, partition_by=["c_mktsegment"], distribution="hash"
+        )
+        return t
+
+    def assert_prunes(t, expect_rows):
+        m = t._read_manifest(t.current_version())
+        assert m.get("partition_specs"), "specs dropped"
+        kept = t._partition_prune(
+            m, {"c_mktsegment": ("BUILDING", "BUILDING")}, m["files"]
+        )
+        assert len(kept) < len(m["files"]), "no files pruned"
+        got = t.scan({"c_mktsegment": ("BUILDING", "BUILDING")}).count()
+        assert got == expect_rows
+
+    n_building_all = cust.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).count()
+    n_building = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") >= 10)
+    ).count()
+
+    # CoW delete/update scoped (via prune) to ONE partition: the other
+    # partitions' files carry with their tuples and stay prunable
+    t = fresh("cow_del")
+    t.delete_where(
+        F.col("c_mktsegment") == "MACHINERY",
+        prune={"c_mktsegment": ("MACHINERY", "MACHINERY")},
+    )
+    assert_prunes(t, n_building_all)
+
+    t = fresh("cow_upd")
+    t.update_where(
+        F.col("c_mktsegment") == "MACHINERY",
+        set_cols={"c_acctbal": F.lit(0.0)},
+        prune={"c_mktsegment": ("MACHINERY", "MACHINERY")},
+    )
+    assert_prunes(t, n_building_all)
+
+    # MoR/positional deletes rewrite nothing: every file keeps its tuple
+    t = fresh("mor_del")
+    t.delete_where_mor(F.col("c_custkey") < 10, keys=["c_custkey"])
+    assert_prunes(t, n_building)
+
+    t = fresh("pos_del")
+    t.delete_where_pos(F.col("c_custkey") < 10)
+    assert_prunes(t, n_building)
