@@ -1982,6 +1982,96 @@ class LakehouseTable:
 
         return self._commit_rmw(compute)
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        condition: F.Column,
+        prune: dict[str, tuple] | None = None,
+        validate: bool = True,
+    ) -> dict:
+        """Selective overwrite — Delta ``replaceWhere`` / Iceberg
+        ``INSERT OVERWRITE`` with a filter: atomically delete every row
+        matching ``condition`` and insert ``df``, in ONE snapshot. THE
+        idempotent backfill primitive: re-running a partition's
+        transform replaces exactly that partition's rows, never
+        duplicating and never touching neighbors, regardless of how
+        many times it retries.
+
+        ``validate`` enforces Delta's contract that every inserted row
+        satisfies ``condition`` (one boolean aggregation over the
+        input); without it a buggy backfill could write rows OUTSIDE
+        the slice it replaces, breaking idempotence. ``prune`` scopes
+        the rewrite exactly as in delete_where — stats AND partition
+        tuples — so a partition-scoped backfill rewrites only that
+        partition's files and carries everything else by path.
+
+        Scale: cost is O(files holding matching rows) + O(new data);
+        the replaced slice's old files are dropped from the manifest
+        (no tombstones, no read-side merge), and the whole operation is
+        serialized by the same read-modify-write commit as merge —
+        concurrent appends rebase, lost updates are impossible."""
+        if validate:
+            bad = df.filter(
+                ~F.coalesce(condition, F.lit(False))
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"{bad} input rows violate the replace condition "
+                    "(would write outside the replaced slice)"
+                )
+        # written ONCE; commit retries rebase metadata, never re-write
+        _, add_files = self._write_data_files(df)
+        add_stats = self._collect_file_stats(add_files)
+
+        def compute(base: int) -> tuple[dict, list[str]]:
+            manifest = self._read_manifest(base)
+            touched = list(manifest["files"])
+            if prune:
+                touched = self._prune_files(manifest, prune)
+                touched = self._partition_prune(manifest, prune, touched)
+            untouched = [f for f in manifest["files"] if f not in set(touched)]
+            old_stats = manifest.get("stats", {})
+            scratch: list[str] = []
+            new_files: list[str] = []
+            new_stats: dict[str, dict] = {}
+            if touched:
+                kept = self._project_to_schema(
+                    {**manifest, "files": touched}
+                ).filter(~F.coalesce(condition, F.lit(False)))
+                snap_id, new_files = self._write_data_files(kept)
+                scratch.append(snap_id)
+                new_stats = self._collect_file_stats(new_files)
+            old_seq = manifest.get("file_seq", {})
+            return self._snapshot(
+                "replace-where",
+                untouched + new_files + add_files,
+                base,
+                schema_json=self._merge_schema_json(
+                    manifest.get("schema"), df.schema.json()
+                ),
+                stats={
+                    **{f: old_stats[f] for f in untouched if f in old_stats},
+                    **new_stats,
+                    **add_stats,
+                },
+                file_seq={
+                    **{f: old_seq.get(f, 0) for f in untouched},
+                    **{f: base + 1 for f in new_files + add_files},
+                },
+                delete_files=manifest.get("delete_files", []),
+                partition_specs=manifest.get("partition_specs"),
+                partitions={
+                    f: t
+                    for f, t in manifest.get("partitions", {}).items()
+                    if f in set(untouched)
+                },
+                added=len(add_files),
+                rewritten=len(touched),
+                carried=len(untouched),
+            ), scratch
+
+        return self._commit_rmw(compute)
+
     def delete_where_mor(
         self, condition: F.Column, keys: list[str]
     ) -> dict:

@@ -2407,3 +2407,41 @@ def test_partition_layout_survives_row_level_mutations(spark, tmp_path):
     t = fresh("pos_del")
     t.delete_where_pos(F.col("c_custkey") < 10)
     assert_prunes(t, n_building)
+
+
+def test_overwrite_where_replaces_slice_idempotently(spark, tmp_path):
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    tbl.overwrite(cust, partition_by=["c_mktsegment"], distribution="hash")
+    n_total = cust.count()
+    n_bld = cust.filter(F.col("c_mktsegment") == "BUILDING").count()
+    repl = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.lit(1.0)
+    )
+    h = None
+    for _ in range(2):
+        m = tbl.overwrite_where(
+            repl,
+            F.col("c_mktsegment") == "BUILDING",
+            prune={"c_mktsegment": ("BUILDING", "BUILDING")},
+        )
+        # slice-scoped: the 4 other partitions always carry by path
+        assert m["summary"]["carried"] == 4, m["summary"]
+        got = _hash_df(tbl.read())
+        assert h is None or got == h  # idempotent
+        h = got
+    assert tbl.read().count() == n_total
+    assert (
+        tbl.read()
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .agg(F.sum("c_acctbal"))
+        .first()[0]
+        == n_bld * 1.0
+    )
+    # validation: rows outside the slice are rejected before any commit
+    v = tbl.current_version()
+    with pytest.raises(ValueError, match="violate the replace"):
+        tbl.overwrite_where(
+            cust.limit(50), F.col("c_mktsegment") == "BUILDING"
+        )
+    assert tbl.current_version() == v
