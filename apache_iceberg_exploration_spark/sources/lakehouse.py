@@ -87,6 +87,16 @@ class PartitionSpec:
         n = "" if self.n is None else str(self.n)
         return f"__p_{self.kind}{n}_{self.col}"
 
+    @property
+    def spec_str(self) -> str:
+        """Round-trip to the ``parse`` syntax (so a manifest's stored
+        spec dicts can drive a re-layouting write)."""
+        if self.kind == "identity":
+            return self.col
+        if self.n is not None:
+            return f"{self.kind}({self.n}, {self.col})"
+        return f"{self.kind}({self.col})"
+
     def column(self) -> F.Column:
         c = F.col(self.col)
         if self.kind == "identity":
@@ -2712,10 +2722,24 @@ class LakehouseTable:
                 return None, []
             carried = [f for f in manifest["files"] if f not in set(small)]
             src = self._project_to_schema({**manifest, "files": small})
-            packed = src.coalesce(
-                max(1, sum(sizes[f] for f in small) // min_file_bytes)
-            )
-            snap_id, new_files = self._write_data_files(packed)
+            specs = manifest.get("partition_specs")
+            if specs:
+                # partition-aware packing: coalescing across partitions
+                # would strip the packed files' tuples and degrade
+                # pruning — re-layout by the table's own specs instead
+                # (hash distribution: one packed file per partition
+                # value among the smalls)
+                spec_strs = [
+                    PartitionSpec(**d).spec_str for d in specs
+                ]
+                snap_id, new_files = self._write_data_files(
+                    src, partition_by=spec_strs, distribution="hash"
+                )
+            else:
+                packed = src.coalesce(
+                    max(1, sum(sizes[f] for f in small) // min_file_bytes)
+                )
+                snap_id, new_files = self._write_data_files(packed)
             new_stats = self._collect_file_stats(new_files)
             old_stats = manifest.get("stats", {})
             old_seq = manifest.get("file_seq", {})
@@ -2736,8 +2760,15 @@ class LakehouseTable:
                 # (still claimable); rewritten rows were filtered and
                 # their new seq postdates every pending delete
                 delete_files=manifest.get("delete_files", []),
-                partition_specs=manifest.get("partition_specs"),
-                partitions=manifest.get("partitions"),
+                partition_specs=specs,
+                partitions={
+                    **{
+                        f: t
+                        for f, t in manifest.get("partitions", {}).items()
+                        if f in set(carried)
+                    },
+                    **self._file_partitions(new_files),
+                },
                 added=len(new_files),
                 rewritten=len(small),
                 carried=len(carried),

@@ -2445,3 +2445,41 @@ def test_overwrite_where_replaces_slice_idempotently(spark, tmp_path):
             cust.limit(50), F.col("c_mktsegment") == "BUILDING"
         )
     assert tbl.current_version() == v
+
+
+def test_small_file_compaction_preserves_partition_layout(spark, tmp_path):
+    """Packing the small-file tail of a PARTITIONED table must re-layout
+    packed rows by the table's own specs (new files carry partition
+    tuples) — cross-partition coalescing would silently degrade pruning
+    with every maintenance tick (r6 fix)."""
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    tbl.overwrite(cust, partition_by=["c_mktsegment"], distribution="hash")
+    # two tiny partitioned appends create the small-file tail
+    tbl.append(
+        cust.filter(F.col("c_custkey") < 5),
+        partition_by=["c_mktsegment"],
+        distribution="hash",
+    )
+    tbl.append(
+        cust.filter(F.col("c_custkey").between(5, 9)),
+        partition_by=["c_mktsegment"],
+        distribution="hash",
+    )
+    m = tbl.rewrite_small_files(min_file_bytes=1024 * 1024)
+    assert m is not None and m["summary"]["added_files"] >= 1
+    mf = tbl._read_manifest(tbl.current_version())
+    # EVERY live file carries a partition tuple after compaction
+    missing = [f for f in mf["files"] if f not in mf.get("partitions", {})]
+    assert not missing, missing
+    # and a partition-predicate scan still prunes + returns exact rows
+    kept = tbl._partition_prune(
+        mf, {"c_mktsegment": ("BUILDING", "BUILDING")}, mf["files"]
+    )
+    assert len(kept) < len(mf["files"])
+    got = tbl.scan({"c_mktsegment": ("BUILDING", "BUILDING")}).count()
+    exact = cust.filter(F.col("c_mktsegment") == "BUILDING").count()
+    extra = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") < 10)
+    ).count()
+    assert got == exact + extra
