@@ -2558,6 +2558,10 @@ class LakehouseTable:
                 stats=old.get("stats"),
                 file_seq=old.get("file_seq"),
                 delete_files=old.get("delete_files", []),
+                # a restore is total: the old snapshot's partition
+                # layout comes back with its files
+                partition_specs=old.get("partition_specs"),
+                partitions=old.get("partitions"),
                 added=0,
                 restored_version=to_version,
             )
@@ -2637,6 +2641,10 @@ class LakehouseTable:
                 stats=stats,
                 file_seq=seq,
                 delete_files=prev_manifest.get("delete_files", []),
+                # parent layout survives the publish; staged files carry
+                # no tuples and are conservatively kept by pruning
+                partition_specs=prev_manifest.get("partition_specs"),
+                partitions=prev_manifest.get("partitions"),
                 added=len(staged["added_files"]),
                 published_stage=stage_id,
             )
@@ -2835,6 +2843,12 @@ class LakehouseTable:
                 schema_json=self._read_manifest(base).get("schema"),
                 stats=stats,
                 file_seq={f: base + 1 for f in files},
+                # partition specs deliberately NOT carried: a full
+                # re-clustering (sort/z-order) REPLACES the table's
+                # physical layout — stats-range pruning over the new
+                # clustering takes over; a later partitioned append
+                # re-establishes specs if wanted. (Contrast
+                # rewrite_small_files, which preserves layout.)
                 delete_files=[],  # read applied them; deletes materialize
                 added=len(files),
             ), [snap_id]

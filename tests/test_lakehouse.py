@@ -2483,3 +2483,26 @@ def test_small_file_compaction_preserves_partition_layout(spark, tmp_path):
         (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") < 10)
     ).count()
     assert got == exact + extra
+
+
+def test_rollback_and_publish_preserve_partition_layout(spark, tmp_path):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    # rollback restores the old snapshot's layout wholesale
+    t = LakehouseTable(spark, str(tmp_path / "rb"))
+    t.overwrite(cust, partition_by=["c_mktsegment"], distribution="hash")
+    t.overwrite(cust.limit(10))  # unpartitioned "bad" overwrite
+    t.rollback(1)
+    m = t._read_manifest(t.current_version())
+    assert m.get("partition_specs"), "rollback dropped specs"
+    assert set(m.get("partitions", {})) == set(m["files"])
+    # WAP publish keeps the parent's layout
+    t2 = LakehouseTable(spark, str(tmp_path / "wap"))
+    t2.overwrite(cust, partition_by=["c_mktsegment"], distribution="hash")
+    sid = t2.stage_append(cust.limit(5))
+    t2.publish(sid)
+    m2 = t2._read_manifest(t2.current_version())
+    assert m2.get("partition_specs"), "publish dropped specs"
+    kept = t2._partition_prune(
+        m2, {"c_mktsegment": ("BUILDING", "BUILDING")}, m2["files"]
+    )
+    assert len(kept) < len(m2["files"])
