@@ -65,6 +65,7 @@ def _commit_append(
     summary: dict,
     partitions: dict | None = None,
     partition_specs: list[dict] | None = None,
+    overwrite: bool = False,
 ) -> int:
     """Standalone append commit speaking LakehouseTable's manifest
     protocol: optimistic create-exclusive publish, parts-format payload
@@ -82,10 +83,16 @@ def _commit_append(
         manifest = {
             "version": parent + 1,
             "parent": parent,
-            "operation": "append",
+            "operation": "overwrite" if overwrite else "append",
             "committed_at": time.time(),
             "summary": {"added_files": len(files), **summary},
         }
+        if overwrite:
+            # full replace: nothing from the parent survives — not its
+            # files (the parts chain below starts fresh), schema (the
+            # batch defines it), pending MoR deletes (their targets are
+            # gone), or partition layout
+            prev = {}
         for k in ("schema", "delete_files", "partition_specs"):
             if k in prev:
                 manifest[k] = prev[k]
@@ -175,6 +182,86 @@ def _commit_append(
     raise RuntimeError(f"lakehouse_sink: commit contention at {root}")
 
 
+
+def write_task_files(
+    rows: list[dict], root: str, partition_cols: list[str] | None = None
+) -> tuple[list[str], dict, dict]:
+    """EXECUTOR-side task write shared by the streaming sink and the
+    batch writer: serialize one task's rows to parquet file(s) under a
+    fresh data dir (hive-style subdirs per partition tuple when
+    ``partition_cols``), computing per-column min/max + row-count stats
+    from the arrow table. Returns (files, stats, partitions)."""
+    if not rows:
+        return [], {}, {}
+    data_dir = os.path.join(root, "data", f"stream-{uuid.uuid4().hex[:12]}")
+    if not partition_cols:
+        path, per_col = _write_one_file(rows, data_dir)
+        return [path], {path: per_col}, {}
+    from urllib.parse import quote
+
+    groups: dict[tuple, list[dict]] = {}
+    for r in rows:
+        groups.setdefault(
+            tuple(r[c] for c in partition_cols), []
+        ).append(r)
+    files, stats, partitions = [], {}, {}
+    for tup, grp in groups.items():
+        segs = [
+            f"{c}="
+            + (
+                quote(str(v), safe="")
+                if v is not None
+                else "__HIVE_DEFAULT_PARTITION__"
+            )
+            for c, v in zip(partition_cols, tup)
+        ]
+        path, per_col = _write_one_file(grp, os.path.join(data_dir, *segs))
+        files.append(path)
+        stats[path] = per_col
+        partitions[path] = {
+            c: (str(v) if v is not None else "__HIVE_DEFAULT_PARTITION__")
+            for c, v in zip(partition_cols, tup)
+        }
+    return files, stats, partitions
+
+
+def _write_one_file(rows: list[dict], data_dir: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pylist(rows)
+    os.makedirs(data_dir, exist_ok=True)
+    path = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, path)
+    per_col: dict = {"__rows": table.num_rows}
+    for name, col in zip(table.column_names, table.columns):
+        if pa.types.is_integer(col.type) or pa.types.is_floating(
+            col.type
+        ) or pa.types.is_string(col.type):
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is not None:
+                per_col[name] = [lo, hi]
+    return path, per_col
+
+
+def drop_task_dirs(files: list[str]) -> None:
+    """Remove every written task file's whole stream-<uuid> dir (files
+    may sit in hive-style partition subdirs below it)."""
+    import shutil
+
+    for f in files:
+        d = os.path.dirname(f)
+        while d and not os.path.basename(d).startswith("stream-"):
+            parent = os.path.dirname(d)
+            if parent == d:
+                break
+            d = parent
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def make_lakehouse_stream_sink():
     """Build the writable DataSource class (deferred import, same reason
     as the source factory)."""
@@ -198,73 +285,15 @@ def make_lakehouse_stream_sink():
             self.partition_cols = partition_cols or []
 
         def write(self, iterator) -> "_Msg":
-            # EXECUTOR side: partition rows → parquet file(s) + stats.
-            # With partitionBy, rows split into one file per partition
-            # tuple in hive-style dirs (identity hidden partitioning) so
-            # readers partition-prune streamed data like batch data.
+            # EXECUTOR side: partition rows -> parquet file(s) + stats
+            # (shared kernel write_task_files; with partitionBy, one
+            # file per partition tuple in hive-style dirs so readers
+            # partition-prune streamed data like batch data)
             rows = [r.asDict() for r in iterator]
-            if not rows:
-                return _Msg([], {})
-            data_dir = os.path.join(
-                self.root, "data", f"stream-{uuid.uuid4().hex[:12]}"
+            files, stats, partitions = write_task_files(
+                rows, self.root, self.partition_cols
             )
-            if not self.partition_cols:
-                path, per_col = self._write_file(rows, data_dir)
-                return _Msg([path], {path: per_col})
-            from urllib.parse import quote
-
-            groups: dict[tuple, list[dict]] = {}
-            for r in rows:
-                groups.setdefault(
-                    tuple(r[c] for c in self.partition_cols), []
-                ).append(r)
-            files, stats, partitions = [], {}, {}
-            for tup, grp in groups.items():
-                segs = [
-                    f"{c}="
-                    + (
-                        quote(str(v), safe="")
-                        if v is not None
-                        else "__HIVE_DEFAULT_PARTITION__"
-                    )
-                    for c, v in zip(self.partition_cols, tup)
-                ]
-                path, per_col = self._write_file(
-                    grp, os.path.join(data_dir, *segs)
-                )
-                files.append(path)
-                stats[path] = per_col
-                partitions[path] = {
-                    c: (
-                        str(v)
-                        if v is not None
-                        else "__HIVE_DEFAULT_PARTITION__"
-                    )
-                    for c, v in zip(self.partition_cols, tup)
-                }
-            return _Msg(files, stats, partitions)
-
-        @staticmethod
-        def _write_file(rows: list[dict], data_dir: str):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            table = pa.Table.from_pylist(rows)
-            os.makedirs(data_dir, exist_ok=True)
-            path = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
-            pq.write_table(table, path)
-            per_col: dict = {"__rows": table.num_rows}
-            for name, col in zip(table.column_names, table.columns):
-                if pa.types.is_integer(col.type) or pa.types.is_floating(
-                    col.type
-                ) or pa.types.is_string(col.type):
-                    import pyarrow.compute as pc
-
-                    mm = pc.min_max(col)
-                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                    if lo is not None:
-                        per_col[name] = [lo, hi]
-            return path, per_col
+            return _Msg(files, stats, partitions or None)
 
         def commit(self, messages, batchId: int) -> None:
             # DRIVER side, once per micro-batch: one atomic manifest
@@ -308,18 +337,7 @@ def make_lakehouse_stream_sink():
 
         @staticmethod
         def _drop(files: list[str]) -> None:
-            import shutil
-
-            for f in files:
-                # remove the whole stream-<uuid> dir (files may sit in
-                # hive-style partition subdirs below it)
-                d = os.path.dirname(f)
-                while d and not os.path.basename(d).startswith("stream-"):
-                    parent = os.path.dirname(d)
-                    if parent == d:
-                        break
-                    d = parent
-                shutil.rmtree(d, ignore_errors=True)
+            drop_task_dirs(files)
 
     class LakehouseStreamSink(DataSource):
         @classmethod

@@ -453,6 +453,7 @@ def make_lakehouse_batch_source():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
@@ -460,6 +461,7 @@ def make_lakehouse_batch_source():
         InputPartition,
         LessThan,
         LessThanOrEqual,
+        WriterCommitMessage,
     )
 
     class _BatchReader(DataSourceReader):
@@ -565,6 +567,95 @@ def make_lakehouse_batch_source():
                 opts["path"], _resolve_version(opts["path"], opts)
             )
 
+        def writer(self, schema, overwrite: bool):
+            opts = {k.lower(): v for k, v in self.options.items()}
+            parts = [
+                c.strip()
+                for c in opts.get("partitionby", "").split(",")
+                if c.strip()
+            ]
+            return _BatchWriter(opts["path"], overwrite, parts)
+
+    class _Msg(WriterCommitMessage):
+        def __init__(
+            self,
+            files: list[str],
+            stats: dict,
+            partitions: dict | None = None,
+        ):
+            self.files = files
+            self.stats = stats
+            self.partitions = partitions or {}
+
+    class _BatchWriter(DataSourceWriter):
+        """Batch ``df.write.format("lakehouse")`` — the write half of the
+        DSv2 round trip. Same division of labor as the streaming sink:
+        executor tasks serialize their partitions to parquet (+footer
+        stats) and return paths; the driver publishes ONE atomic
+        manifest adopting every task's files (mode("append") carries
+        the parent, mode("overwrite") replaces it — both the normal
+        optimistic commit protocol, byte-compatible with
+        LakehouseTable readers, time travel, and the streaming source).
+        ``option("partitionBy", "col1,col2")`` lays files out in
+        hive-style identity partitions with tuples recorded for
+        partition pruning.
+
+        Scale: rows never transit the driver; commit cost is O(batch
+        files) metadata. On task retry Spark re-runs write() — the
+        replacement file set is what commit() adopts; files from failed
+        attempts are unreferenced and swept by remove_orphan_files,
+        exactly like every other writer here."""
+
+        def __init__(
+            self, root: str, overwrite: bool, partition_cols: list[str]
+        ):
+            self.root = root
+            self.overwrite = overwrite
+            self.partition_cols = partition_cols
+
+        def write(self, iterator):
+            from ..streaming.lakehouse_sink import write_task_files
+
+            rows = [r.asDict() for r in iterator]
+            files, stats, partitions = write_task_files(
+                rows, self.root, self.partition_cols
+            )
+            return _Msg(files, stats, partitions or None)
+
+        def commit(self, messages):
+            from ..streaming.lakehouse_sink import _commit_append
+
+            files = [f for m in messages if m for f in m.files]
+            stats: dict = {}
+            partitions: dict = {}
+            for m in messages:
+                if m:
+                    stats.update(m.stats)
+                    partitions.update(m.partitions or {})
+            if not files and not self.overwrite:
+                return  # empty append: no snapshot
+            _commit_append(
+                self.root,
+                files,
+                stats,
+                {"writer": "batch"},
+                partitions=partitions or None,
+                partition_specs=[
+                    {"kind": "identity", "col": c, "n": None}
+                    for c in self.partition_cols
+                ]
+                if self.partition_cols
+                else None,
+                overwrite=self.overwrite,
+            )
+
+        def abort(self, messages):
+            from ..streaming.lakehouse_sink import drop_task_dirs
+
+            drop_task_dirs(
+                [f for m in messages if m for f in m.files]
+            )
+
     return LakehouseBatchSource
 
 
@@ -630,6 +721,82 @@ def lakehouse_batch_source_pushdown_scan(
             F.count("*").alias("n_orders"),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_batch_writer_roundtrip",
+    oracle="""
+        WITH all_rows AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+            WHERE c_custkey < 10
+        )
+        SELECT c_mktsegment, count(*) AS n_rows,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS bal_cents
+        FROM all_rows GROUP BY c_mktsegment
+    """,
+)
+def lakehouse_batch_writer_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WRITE half of the DSv2 round trip: ``df.write.format(
+    "lakehouse")`` — executor tasks serialize their partitions to
+    parquet with footer stats (rows never transit the driver), the
+    driver publishes one atomic manifest per save; ``partitionBy``
+    records identity partition tuples so the committed layout
+    partition-prunes like LakehouseTable's own writes. Two appends here
+    (full table, then a small delta) produce two time-travelable
+    snapshots readable by every existing consumer — table API, DSv2
+    reader, streaming source.
+
+    Scale: sink throughput scales with executor count while the commit
+    stays O(batch files) metadata — the Iceberg writer contract, now
+    symmetric with the pushdown reader.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import LakehouseTable
+
+    root = tempfile.mkdtemp(prefix="lakehouse_writer_q_", dir="/tmp")
+    try:
+        spark.dataSource.register(make_lakehouse_batch_source())
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        path = root + "/t"
+        (
+            cust.write.format("lakehouse")
+            .option("path", path)
+            .option("partitionBy", "c_mktsegment")
+            .mode("append")
+            .save()
+        )
+        (
+            cust.filter(F.col("c_custkey") < 10)
+            .write.format("lakehouse")
+            .option("path", path)
+            .option("partitionBy", "c_mktsegment")
+            .mode("append")
+            .save()
+        )
+        tbl = LakehouseTable(spark, path)
+        assert tbl.current_version() == 2
+        out = (
+            tbl.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+                ).alias("bal_cents"),
+            )
         )
         return out.localCheckpoint(eager=True)
     finally:

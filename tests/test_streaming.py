@@ -780,3 +780,57 @@ def test_lakehouse_sink_rejects_schema_drift(spark, tmp_path):
     with _pytest.raises(ValueError, match="surprise_col"):
         writer.commit([Msg()], batchId=99)
     assert tbl.current_version() == v1  # nothing published
+
+
+def test_batch_writer_roundtrip_and_modes(spark, tmp_path):
+    """df.write.format('lakehouse'): append accumulates snapshots,
+    overwrite replaces, partitionBy records prunable tuples, and the
+    schema-drift guard still protects tables with a declared schema."""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    spark.dataSource.register(make_lakehouse_batch_source())
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    path = str(tmp_path / "t")
+    w = lambda df, mode="append", **opts: (  # noqa: E731
+        df.write.format("lakehouse")
+        .option("path", path)
+        .options(**opts)
+        .mode(mode)
+        .save()
+    )
+    w(cust, partitionBy="c_mktsegment")
+    w(cust.filter(F.col("c_custkey") < 10), partitionBy="c_mktsegment")
+    tbl = LakehouseTable(spark, path)
+    assert tbl.current_version() == 2
+    assert tbl.read().count() == cust.count() + 10
+    assert tbl.read(version=1).count() == cust.count()  # time travel
+    m = tbl._read_manifest(2)
+    assert m.get("partition_specs") and m.get("partitions")
+    kept = tbl._partition_prune(
+        m, {"c_mktsegment": ("BUILDING", "BUILDING")}, m["files"]
+    )
+    assert len(kept) < len(m["files"])
+    # overwrite replaces everything, including the partition layout
+    w(cust.limit(7), mode="overwrite")
+    assert tbl.read().count() == 7
+    assert tbl.current_version() == 3
+    # drift guard: a declared-schema table rejects unknown columns
+    declared = str(tmp_path / "t2")
+    t2 = LakehouseTable(spark, declared)
+    t2.overwrite(cust)
+    bad = cust.withColumn("extra", F.lit(1))
+    try:
+        bad.write.format("lakehouse").option("path", declared).mode(
+            "append"
+        ).save()
+        raise AssertionError("drift guard did not fire")
+    except Exception as e:
+        assert "not in the table schema" in str(e)
+    assert t2.current_version() == 1  # nothing committed
