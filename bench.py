@@ -128,6 +128,8 @@ HEADLINE = [
     "rolling_wau_exact",
     "yoy_revenue_growth",
     "streaks_gaps_islands",
+    "lakehouse_replace_where_backfill",
+    "lakehouse_batch_writer_roundtrip",
 ]
 
 
