@@ -465,9 +465,14 @@ def make_lakehouse_batch_source():
     )
 
     class _BatchReader(DataSourceReader):
-        def __init__(self, root: str, version: int):
+        def __init__(
+            self, root: str, version: int, since: int | None = None
+        ):
             self.root = root
             self.version = version
+            # incremental batch read (Iceberg's incremental scan):
+            # plan only files ADDED by append commits in (since, version]
+            self.since = since
             self.bounds: dict[str, list] = {}  # col -> [lo, hi] (closed)
 
         def pushFilters(self, filters):
@@ -505,6 +510,20 @@ def make_lakehouse_batch_source():
             files, stats, deletes = _manifest_payload(
                 self.root, self.version
             )
+            if self.since is not None:
+                # same append-walk + contract as the streaming source
+                # and read_incremental: the increment is rows AS
+                # APPENDED — rewrites never replay as new rows, and
+                # row-level deletes/updates are the changelog feed's
+                # job, so pending MoR deletes are not applied here
+                # the added list itself, NOT intersected with the tip
+                # manifest: a file appended mid-range and compacted away
+                # by a later in-range rewrite must still contribute its
+                # rows (it exists on disk until snapshot expiry; lagging
+                # past retention raises in _added_files). Files absent
+                # from the tip's stats simply aren't pruned.
+                files = _added_files(self.root, self.since, self.version)
+                deletes = []
             if deletes:
                 # pending MoR deletes are applied by LakehouseTable.read
                 # (broadcast anti-join) but not by this file-level
@@ -563,9 +582,17 @@ def make_lakehouse_batch_source():
 
         def reader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
-            return _BatchReader(
-                opts["path"], _resolve_version(opts["path"], opts)
-            )
+            root = opts["path"]
+            if "startingversion" in opts:
+                # incremental batch read: rows appended AFTER snapshot
+                # startingVersion, up to endingVersion (default: tip) —
+                # Iceberg's incremental scan through plain DSv2 options
+                since = int(opts["startingversion"])
+                until = int(
+                    opts.get("endingversion", _current_version(root))
+                )
+                return _BatchReader(root, until, since=since)
+            return _BatchReader(root, _resolve_version(root, opts))
 
         def writer(self, schema, overwrite: bool):
             opts = {k.lower(): v for k, v in self.options.items()}
@@ -797,6 +824,67 @@ def lakehouse_batch_writer_roundtrip(
                     F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
                 ).alias("bal_cents"),
             )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_batch_incremental_options_read",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def lakehouse_batch_incremental_options_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental BATCH read through plain DSv2 options —
+    ``spark.read.format("lakehouse").option("startingVersion", N)
+    .option("endingVersion", M)`` returns exactly the rows appended in
+    snapshot range (N, M]: Iceberg's incremental scan, with the same
+    append-walk contract as the streaming source (compaction rewrites
+    in the range never replay as new rows — asserted here by compacting
+    between the bounds). This is the nightly-batch twin of the
+    streaming source: a scheduler passes the last processed version
+    instead of running a continuous query.
+
+    Scale: planning walks only the manifests in the version range
+    (O(range) driver metadata) and creates tasks only for the appended
+    files; filter pushdown composes on top.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import LakehouseTable
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    root = tempfile.mkdtemp(prefix="lakehouse_incr_opts_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        tbl.append(orders.filter(F.col("o_orderkey") % 3 == 0))  # v1
+        start = tbl.current_version()
+        tbl.append(orders.filter(F.col("o_orderkey") % 3 == 1))  # v2
+        # an in-range rewrite must NOT replay as new rows
+        tbl.rewrite_small_files(min_file_bytes=64 * 1024 * 1024)  # v3
+        end = tbl.current_version()
+        tbl.append(orders.filter(F.col("o_orderkey") % 3 == 2))  # after
+        spark.dataSource.register(make_lakehouse_batch_source())
+        inc = (
+            spark.read.format("lakehouse")
+            .option("path", root + "/t")
+            .option("startingVersion", str(start))
+            .option("endingVersion", str(end))
+            .load()
+        )
+        out = inc.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
         )
         return out.localCheckpoint(eager=True)
     finally:
