@@ -1826,3 +1826,60 @@ def lakehouse_replace_where_backfill(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_bucket_transform_point_lookup",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders WHERE o_custkey = 371
+    """,
+)
+def lakehouse_bucket_transform_point_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hidden BUCKET partitioning (Iceberg ``bucket(8, o_custkey)``):
+    orders are hash-clustered into 8 buckets on the customer key; a
+    point lookup on the SOURCE column maps through the same hash
+    (pruning delegates the bucket computation to Spark's xxhash64, so
+    layout and lookup can never disagree) and touches exactly ONE
+    bucket's files — asserted. Bucketing is the layout for
+    point-lookup-heavy keys where value ranges are meaningless; the
+    months() sibling (lakehouse_transform_partition_scan) covers range
+    predicates.
+
+    Scale: a point read on a 10^6-file bucketed table plans 1/N of the
+    files by metadata alone — and because the transform is table
+    metadata, every writer clusters identically and every reader prunes
+    identically, with query text mentioning only o_custkey.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tbl.overwrite(
+            orders,
+            partition_by=["bucket(8, o_custkey)"],
+            distribution="hash",
+        )
+        m = tbl._read_manifest(tbl.current_version())
+        kept = tbl._partition_prune(
+            m, {"o_custkey": (371, 371)}, m["files"]
+        )
+        assert len(kept) < len(m["files"]), "bucket pruning inert"
+        out = (
+            tbl.scan({"o_custkey": (371, 371)})
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long")
+                .alias("price_cents"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
