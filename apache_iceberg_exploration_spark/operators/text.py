@@ -1186,3 +1186,64 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.select(F.row_number().over(w).alias("rk"), "pair", "n")
         .filter(F.col("rk") <= 20)
     )
+
+
+ZIPF_TOP = 2000  # fit over the head of the rank-frequency curve
+
+
+@query(
+    "zipf_law_fit_vocab",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        freq AS (
+            SELECT w, count(*) AS n FROM words
+            WHERE length(w) > 0 GROUP BY w
+        ),
+        ranked AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rank
+            FROM freq
+        )
+        SELECT count(*) AS n_types,
+               round(-regr_slope(ln(CAST(n AS DOUBLE)),
+                                 ln(CAST(rank AS DOUBLE))), 4) AS zipf_alpha,
+               round(regr_r2(ln(CAST(n AS DOUBLE)),
+                             ln(CAST(rank AS DOUBLE))), 4) AS fit_r2
+        FROM ranked WHERE rank <= {ZIPF_TOP}
+    """,
+)
+def zipf_law_fit_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: regress log-frequency
+    on log-rank over the distribution's head; the negated slope is the
+    Zipf exponent (natural corpora ≈ 1) and R² measures power-law fit —
+    the corpus-statistics diagnostic that flags synthetic, templated, or
+    degenerate text before it poisons a training mix (complements the
+    per-document quality scores with a corpus-level check).
+
+    Scale: token counting partial-aggregates map-side (|vocab| rows per
+    task cross the wire, not tokens); the global rank window then runs
+    over the vocabulary relation, and the regression consumes only its
+    head — one of the few justified single-partition windows, bounded
+    by |vocab|, with the two-phase prefix-sum rewrite
+    (pack_concat_chunks) as the named escape hatch if vocabulary ever
+    outgrows one partition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "w")
+    ranked = freq.select(
+        "n", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= ZIPF_TOP)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.round(-F.regr_slope(ln_n, ln_r), 4).alias("zipf_alpha"),
+        F.round(F.regr_r2(ln_n, ln_r), 4).alias("fit_r2"),
+    )

@@ -2506,3 +2506,52 @@ def test_rollback_and_publish_preserve_partition_layout(spark, tmp_path):
         m2, {"c_mktsegment": ("BUILDING", "BUILDING")}, m2["files"]
     )
     assert len(kept) < len(m2["files"])
+
+
+def test_concurrent_replace_where_and_append_linearize(spark, table):
+    """overwrite_where racing a concurrent append must linearize: the
+    replace recomputes against the new tip (or the append rebases onto
+    the replace), so the final table holds the replaced slice exactly
+    once PLUS the concurrently appended rows — no lost update either
+    way the commits land."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    cust.count()
+    table.overwrite(cust)
+    repl = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.lit(5.0)
+    )
+    extra = (
+        cust.filter(F.col("c_mktsegment") != "BUILDING")
+        .limit(15)
+        .withColumn("c_custkey", F.col("c_custkey") + 10_000_000)
+    )
+    errs = []
+
+    def replacer():
+        try:
+            table.overwrite_where(
+                repl, F.col("c_mktsegment") == "BUILDING"
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender():
+        try:
+            table.append(extra)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=replacer)
+    t2 = threading.Thread(target=appender)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    got = table.read()
+    n_bld = cust.filter(F.col("c_mktsegment") == "BUILDING").count()
+    # every original row survives exactly once, plus the 15 appended
+    assert got.count() == cust.count() + 15
+    bld = got.filter(
+        (F.col("c_mktsegment") == "BUILDING")
+        & (F.col("c_custkey") < 10_000_000)
+    )
+    assert bld.count() == n_bld
+    assert bld.agg(F.sum("c_acctbal")).first()[0] == n_bld * 5.0
