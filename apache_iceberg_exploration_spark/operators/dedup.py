@@ -947,3 +947,156 @@ def dedup_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         return pairs.read().distinct().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "dedup_minhash_estimator_calibration",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sh31 AS (
+            SELECT doc_id, {hash64_sql('shingle')} % {MINHASH_P} AS h31,
+                   shingle
+            FROM shingles
+        ),
+        mh AS (
+            SELECT doc_id, seed,
+                   min((({_mh_a('seed')}) * h31 + ({_mh_b('seed')}))
+                       % {MINHASH_P}) AS h
+            FROM sh31, UNNEST(range({NUM_MINHASH})) AS s(seed)
+            GROUP BY doc_id, seed
+        ),
+        bands AS (
+            SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
+                   string_agg(CAST(h AS VARCHAR), '|' ORDER BY seed) AS sig
+            FROM mh GROUP BY doc_id, seed // {BAND_SIZE}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS eq
+            FROM cand c
+            JOIN mh ma ON ma.doc_id = c.doc_a
+            JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS common
+            FROM cand c
+            JOIN shingles sa ON sa.doc_id = c.doc_a
+            JOIN shingles sb ON sb.doc_id = c.doc_b
+                            AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT e.doc_a, e.doc_b,
+               CAST(floor(e.eq / {NUM_MINHASH}.0 * 10000 + 0.5) AS BIGINT)
+                   AS est_jaccard_bp,
+               CAST(floor(i.common * 1.0
+                          / (za.n + zb.n - i.common) * 10000 + 0.5)
+                    AS BIGINT) AS exact_jaccard_bp,
+               CAST(abs(floor(e.eq / {NUM_MINHASH}.0 * 10000 + 0.5)
+                        - floor(i.common * 1.0
+                                / (za.n + zb.n - i.common) * 10000 + 0.5))
+                    AS BIGINT) AS abs_err_bp
+        FROM est e
+        JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN sizes za ON za.doc_id = e.doc_a
+        JOIN sizes zb ON zb.doc_id = e.doc_b
+    """,
+)
+def dedup_minhash_estimator_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimator calibration for the MinHash pipeline: for every LSH
+    candidate pair, the signature-based Jaccard estimate (fraction of
+    equal minhash components) is compared against the EXACT shingle-set
+    Jaccard — the validation pass that justifies trusting signatures at
+    corpus scale, and the dashboard that catches a broken hash family
+    or a bad band configuration as estimator bias instead of silently
+    wrong dedup decisions.
+
+    Scale: exact Jaccard is computed ONLY for the candidate pairs the
+    bands surfaced (a tiny relation by construction), never all-pairs —
+    calibration cost tracks the candidate count. The signature compare
+    is a component-wise equality over fixed-width signature vectors;
+    everything joins on doc_id (semi-join reduce to candidate docs
+    first at larger scale).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = scoped_persist(minhash_band_rows(docs))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # full signature vector per doc: split the band sigs back apart
+    comp = bands.select(
+        "doc_id",
+        F.posexplode(F.split("sig", r"\|")).alias("j", "h"),
+        F.col("band"),
+    ).select(
+        "doc_id",
+        (F.col("band") * BAND_SIZE + F.col("j")).alias("seed"),
+        "h",
+    )
+    est = (
+        cand.join(comp.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(
+            comp.alias("cb"),
+            (F.col("cb.doc_id") == F.col("doc_b"))
+            & (F.col("cb.seed") == F.col("ca.seed")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("ca.h") == F.col("cb.h"), 1).otherwise(0)
+            ).alias("eq")
+        )
+    )
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    est_bp = F.floor(
+        F.col("eq") / float(NUM_MINHASH) * 10000 + 0.5
+    ).cast("long")
+    exact_bp = F.floor(
+        F.col("common")
+        * 1.0
+        / (F.col("za.n") + F.col("zb.n") - F.col("common"))
+        * 10000
+        + 0.5
+    ).cast("long")
+    return (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(sizes.alias("za"), F.col("za.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est_bp.alias("est_jaccard_bp"),
+            exact_bp.alias("exact_jaccard_bp"),
+            F.abs(est_bp - exact_bp).alias("abs_err_bp"),
+        )
+    )
