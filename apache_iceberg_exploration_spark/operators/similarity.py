@@ -15,7 +15,7 @@ north-star ('similarity search over embeddings') built Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, cosine_similarity_sql
@@ -987,4 +987,136 @@ def embedding_random_projection_jl(
                 lambda s: s["p"].cast("string"),
             ),
         ).alias("proj_milli_csv")
+    )
+
+
+N_RECALL_QUERIES = 20
+
+
+@query(
+    "ann_ivf_recall_eval",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < {N_RECALL_QUERIES}),
+        {_CENTROIDS_SQL},
+        exact AS (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {cosine_similarity_sql('e.embedding', 'q.q_emb')} DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.q_id
+        ),
+        probed AS (
+            SELECT q_id, label FROM (
+                SELECT q.q_id, c.label,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {cosine_similarity_sql('c.centroid', 'q.q_emb')} DESC,
+                                    c.label) AS crn
+                FROM centroids c, q
+            ) WHERE crn <= {N_PROBE}
+        ),
+        ivf AS (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {cosine_similarity_sql('e.embedding', 'q.q_emb')} DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e
+            JOIN probed p ON e.label = p.label
+            JOIN q ON q.q_id = p.q_id
+            WHERE e.vec_id <> q.q_id
+        )
+        SELECT ex.q_id,
+               count(iv.vec_id) AS n_hits,
+               CAST(floor(count(iv.vec_id) / {TOP_K}.0 * 10000 + 0.5)
+                    AS BIGINT) AS recall_bp
+        FROM (SELECT * FROM exact WHERE rn <= {TOP_K}) ex
+        LEFT JOIN (SELECT * FROM ivf WHERE rn <= {TOP_K}) iv
+               ON iv.q_id = ex.q_id AND iv.vec_id = ex.vec_id
+        GROUP BY ex.q_id
+    """,
+)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe path against the exact brute-force
+    ranking, per query vector — the similarity family's estimator
+    calibration (sibling of dedup_minhash_estimator_calibration): the
+    number that tells you whether N_PROBE cells are enough BEFORE the
+    approximate index quietly drops neighbors from training pairs. Low
+    recall on specific queries localizes bad cells (centroid drift,
+    skewed partitions).
+
+    Scale: the exact arm is the O(n·Q) baseline — affordable for an
+    evaluation SAMPLE of queries (that's the point: audit on a sample,
+    serve approximate on the full load); the IVF arm touches the probed
+    cells only. Both arms share one window shape, and the recall join
+    is over Q×k rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    centroids = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("dim_avg"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dim_avg"))),
+                lambda s: s["dim_avg"],
+            ).alias("centroid")
+        )
+    )
+    probe_cos = cosine_similarity(F.col("centroid"), F.col("q_emb"))
+    wp = Window.partitionBy("q_id").orderBy(
+        F.col("c_raw").desc(), F.col("label")
+    )
+    probed = (
+        centroids.crossJoin(F.broadcast(qs))
+        .select("q_id", "label", probe_cos.alias("c_raw"))
+        .withColumn("crn", F.row_number().over(wp))
+        .filter(F.col("crn") <= N_PROBE)
+        .select("q_id", "label")
+    )
+    ivf = (
+        emb.join(F.broadcast(probed), "label")
+        .join(F.broadcast(qs), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("ivf_vec_id"))
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.q_id == ivf.q_id)
+            & (exact.vec_id == ivf.ivf_vec_id),
+            "left",
+        )
+        .groupBy(exact.q_id.alias("q_id"))
+        .agg(
+            F.count("ivf_vec_id").alias("n_hits"),
+            F.floor(
+                F.count("ivf_vec_id") / float(TOP_K) * 10000 + 0.5
+            )
+            .cast("long")
+            .alias("recall_bp"),
+        )
     )
