@@ -1883,3 +1883,63 @@ def lakehouse_bucket_transform_point_lookup(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "tpch_refresh_functions_rf1_rf2",
+    oracle="""
+        WITH after AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents
+            FROM orders
+            WHERE o_orderkey % 10 <> 7          -- RF2 deleted these
+            UNION ALL
+            SELECT o_orderkey + 10000000,       -- RF1 re-keyed inserts
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+            FROM orders WHERE o_orderkey % 1000 = 0
+        )
+        SELECT count(*) AS n_orders,
+               CAST(sum(price_cents) AS BIGINT) AS total_cents,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM after
+    """,
+)
+def tpch_refresh_functions_rf1_rf2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H refresh streams on the table format: RF1 (new-sales INSERT
+    — a batch of re-keyed orders appended) and RF2 (old-sales DELETE —
+    a keyed copy-on-write delete), the benchmark's own write workload,
+    which the query suite's read side (q1..q22) normally assumes was
+    applied by magic. On this engine RF1 is an O(added) append commit
+    and RF2 rewrites only files holding doomed keys; both snapshots
+    stay time-travelable, so a refresh pair is also an audit trail.
+
+    Scale: the RF pair is THE steady-state shape of a warehouse fact
+    table (daily inserts + retention deletes); cost tracks the delta,
+    not the table, and the same two commits at 10^6 files are metadata
+    plus the touched-file rewrites.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        tbl.overwrite(orders)
+        rf1 = orders.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        )
+        tbl.append(rf1)
+        tbl.delete_where(F.col("o_orderkey") % 10 == 7)
+        out = tbl.read().agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("total_cents"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -130,6 +130,10 @@ HEADLINE = [
     "streaks_gaps_islands",
     "lakehouse_replace_where_backfill",
     "lakehouse_batch_writer_roundtrip",
+    "dedup_minhash_estimator_calibration",
+    "ann_ivf_recall_eval",
+    "tpch_refresh_functions_rf1_rf2",
+    "zipf_law_fit_vocab",
 ]
 
 

@@ -359,3 +359,21 @@ def test_growth_trio_single_user_exchange(spark):
     assert shuffle_count(df) <= 3
     assert "Generate" in plan, plan  # array explode, not a range join
     assert "CartesianProduct" not in plan, plan
+
+
+def test_eval_queries_broadcast_small_sides(spark):
+    """The two estimator-audit queries must keep their small relations
+    broadcast (query block / candidate pairs / probed cells) — the
+    exact arms may scan, but nothing re-shuffles the corpus twice."""
+    from apache_iceberg_exploration_spark.operators.dedup import (
+        dedup_minhash_estimator_calibration,
+    )
+    from apache_iceberg_exploration_spark.operators.similarity import (
+        ann_ivf_recall_eval,
+    )
+
+    assert has_broadcast_join(ann_ivf_recall_eval(spark, SF_ORACLE))
+    plan = executed_plan(
+        dedup_minhash_estimator_calibration(spark, SF_ORACLE)
+    )
+    assert "CartesianProduct" not in plan
