@@ -886,3 +886,130 @@ def streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded["n"].alias("n_streaks"),
         F.col("days")[0].alias("first_active_day"),
     )
+
+
+KM_CENSOR_GAP = 7  # days of trailing inactivity that count as churn
+
+
+@query(
+    "survival_kaplan_meier_retention",
+    oracle=f"""
+        WITH span AS (
+            SELECT user_id,
+                   min(CAST(ts AS DATE)) AS first_day,
+                   max(CAST(ts AS DATE)) AS last_day
+            FROM events GROUP BY user_id
+        ),
+        horizon AS (SELECT max(last_day) AS h FROM span),
+        durations AS (
+            SELECT CASE WHEN {hash64_sql(
+                       "'exp1|' || CAST(user_id AS VARCHAR)"
+                   )} % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+                   date_diff('day', first_day, last_day) AS t,
+                   CASE WHEN last_day <= h - {KM_CENSOR_GAP} THEN 1
+                        ELSE 0 END AS churned
+            FROM span, horizon
+        ),
+        per_t AS (
+            SELECT arm, t, sum(churned) AS d,
+                   count(*) AS removed
+            FROM durations GROUP BY arm, t
+        ),
+        risk AS (
+            SELECT arm, t, d,
+                   sum(removed) OVER (PARTITION BY arm) 
+                   - coalesce(sum(removed) OVER (
+                         PARTITION BY arm ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_risk
+            FROM per_t
+        )
+        SELECT arm, t, n_risk, CAST(d AS BIGINT) AS d_churned,
+               CAST(floor(exp(sum(
+                       CASE WHEN d > 0 THEN ln(1.0 - d * 1.0 / n_risk)
+                            ELSE 0.0 END) OVER (
+                       PARTITION BY arm ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   * 10000 + 0.5) AS BIGINT) AS survival_bp
+        FROM risk
+    """,
+)
+def survival_kaplan_meier_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival curves over user retention, one curve per
+    experiment arm (same md5 assignment family as ab_test_lift_zstat):
+    a user's observed time is first-to-last activity; trailing
+    inactivity beyond the censor gap counts as churn, users still
+    active near the horizon are right-CENSORED — the estimator that
+    makes retention comparable when observation windows differ, which
+    naive retention curves get wrong. S(t) = Π(1 − d_i/n_i) over event
+    times, computed as exp of a windowed sum of logs.
+
+    Scale: one user-keyed aggregation collapses events to a
+    per-user (duration, churned) pair; everything after runs on the
+    |arms|×|distinct durations| relation (window per tiny arm
+    partition). The product-limit never materializes per-user rows
+    after the first collapse — a billion users cost one partial-
+    combined exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    horizon = span.agg(F.max("last_day").alias("h"))
+    arm = F.when(
+        hash64(
+            F.concat(F.lit("exp1|"), F.col("user_id").cast("string"))
+        )
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    durations = span.crossJoin(F.broadcast(horizon)).select(
+        arm.alias("arm"),
+        F.datediff("last_day", "first_day").alias("t"),
+        F.when(
+            F.col("last_day") <= F.date_sub(F.col("h"), KM_CENSOR_GAP), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    per_t = durations.groupBy("arm", "t").agg(
+        F.sum("churned").alias("d"), F.count("*").alias("removed")
+    )
+    w_tot = Window.partitionBy("arm")
+    w_before = (
+        Window.partitionBy("arm")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("arm")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.select(
+        "arm",
+        "t",
+        "d",
+        (
+            F.sum("removed").over(w_tot)
+            - F.coalesce(F.sum("removed").over(w_before), F.lit(0))
+        ).alias("n_risk"),
+    )
+    log_term = F.when(
+        F.col("d") > 0, F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))
+    ).otherwise(F.lit(0.0))
+    return risk.select(
+        "arm",
+        "t",
+        "n_risk",
+        F.col("d").cast("long").alias("d_churned"),
+        F.floor(
+            F.exp(F.sum(log_term).over(w_cum)) * 10000 + 0.5
+        )
+        .cast("long")
+        .alias("survival_bp"),
+    )
