@@ -1013,3 +1013,91 @@ def survival_kaplan_meier_retention(
         .cast("long")
         .alias("survival_bp"),
     )
+
+
+WILSON_Z = 1.96  # 95% interval
+
+
+@query(
+    "ab_conversion_wilson_ci",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT user_id,
+                   CASE WHEN {hash64_sql(
+                       "'exp1|' || CAST(user_id AS VARCHAR)"
+                   )} % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id
+        ),
+        rates AS (
+            SELECT arm, count(*) AS n, sum(converted) AS k,
+                   sum(converted) * 1.0 / count(*) AS p
+            FROM assigned GROUP BY arm
+        )
+        SELECT arm, n, CAST(k AS BIGINT) AS k,
+               CAST(floor(p * 10000 + 0.5) AS BIGINT) AS rate_bp,
+               CAST(floor(
+                   (p + {WILSON_Z}*{WILSON_Z}/(2*n)
+                    - {WILSON_Z} * sqrt(p*(1-p)/n
+                        + {WILSON_Z}*{WILSON_Z}/(4.0*n*n)))
+                   / (1 + {WILSON_Z}*{WILSON_Z}/n) * 10000 + 0.5)
+                   AS BIGINT) AS ci_lo_bp,
+               CAST(floor(
+                   (p + {WILSON_Z}*{WILSON_Z}/(2*n)
+                    + {WILSON_Z} * sqrt(p*(1-p)/n
+                        + {WILSON_Z}*{WILSON_Z}/(4.0*n*n)))
+                   / (1 + {WILSON_Z}*{WILSON_Z}/n) * 10000 + 0.5)
+                   AS BIGINT) AS ci_hi_bp
+        FROM rates
+    """,
+)
+def ab_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm conversion rate with the 95% WILSON score interval — the
+    interval that stays valid at small n and extreme rates where the
+    naive normal interval fails (and the number a launch review
+    actually wants next to the z-test: not just "significant", but how
+    wide the plausible range still is). Conversion = user made ≥1
+    purchase; assignment shares the experiment hash family.
+
+    Scale: one user-keyed aggregation (partial max per user) collapses
+    events to a per-user conversion bit, then two rows of closed-form
+    arithmetic — interval estimation at any scale costs the same
+    exchange as a count. Both engines evaluate the identical IEEE
+    expression on identical (k, n) integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        hash64(
+            F.concat(F.lit("exp1|"), F.col("user_id").cast("string"))
+        )
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    rates = assigned.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+    z = WILSON_Z
+    p = F.col("k") * 1.0 / F.col("n")
+    n = F.col("n")
+    half = F.lit(z) * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    center = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+    return rates.select(
+        "arm",
+        "n",
+        F.col("k").cast("long").alias("k"),
+        F.floor(p * 10000 + 0.5).cast("long").alias("rate_bp"),
+        F.floor((center - half) / denom * 10000 + 0.5)
+        .cast("long")
+        .alias("ci_lo_bp"),
+        F.floor((center + half) / denom * 10000 + 0.5)
+        .cast("long")
+        .alias("ci_hi_bp"),
+    )
