@@ -1101,3 +1101,100 @@ def ab_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ci_hi_bp"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS v_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, v.v_ts, min(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            GROUP BY e.user_id, v.v_ts
+        ),
+        p AS (
+            SELECT e.user_id, c.v_ts, c.c_ts, min(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY e.user_id, c.v_ts, c.c_ts
+        ),
+        lags AS (
+            SELECT 'view>click' AS hop,
+                   date_diff('second', v_ts, c_ts) AS lag_s
+            FROM c
+            UNION ALL
+            SELECT 'click>purchase', date_diff('second', c_ts, p_ts)
+            FROM p
+        )
+        SELECT hop, count(*) AS n_converters,
+               CAST(floor(median(lag_s) + 0.5) AS BIGINT) AS median_s,
+               CAST(floor(quantile_cont(lag_s, 0.9) + 0.5) AS BIGINT)
+                   AS p90_s
+        FROM lags GROUP BY hop
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel hop: for the same strictly-ordered
+    view→click→purchase funnel (funnel_view_click_purchase counts the
+    WHO; this measures the HOW LONG), the median and p90 seconds
+    between a user's first qualifying events — the latency surface that
+    turns a funnel dashboard into a friction diagnosis.
+
+    Scale: same chained keyed-min shape as the funnel (per-user state
+    is a timestamp, never event history); the percentile runs over one
+    lag value per converter per hop. Lags are exact integer seconds, so
+    the interpolated percentile is computed from identical inputs in
+    both engines and emitted floor-rounded (never the raw interpolated
+    double — see winsorize_clip_outliers for why).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(v, "user_id")
+        .filter(F.col("e.ts") > F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("e.ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(c, "user_id")
+        .filter(F.col("e.ts") > F.col("c_ts"))
+        .groupBy("user_id", "v_ts", "c_ts")
+        .agg(F.min("e.ts").alias("p_ts"))
+    )
+    lag_vc = c.select(
+        F.lit("view>click").alias("hop"),
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias(
+            "lag_s"
+        ),
+    )
+    lag_cp = p.select(
+        F.lit("click>purchase").alias("hop"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias(
+            "lag_s"
+        ),
+    )
+    return (
+        lag_vc.unionByName(lag_cp)
+        .groupBy("hop")
+        .agg(
+            F.count("*").alias("n_converters"),
+            F.floor(F.percentile("lag_s", 0.5) + 0.5)
+            .cast("long")
+            .alias("median_s"),
+            F.floor(F.percentile("lag_s", 0.9) + 0.5)
+            .cast("long")
+            .alias("p90_s"),
+        )
+    )
