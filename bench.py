@@ -134,6 +134,9 @@ HEADLINE = [
     "ann_ivf_recall_eval",
     "tpch_refresh_functions_rf1_rf2",
     "zipf_law_fit_vocab",
+    "survival_kaplan_meier_retention",
+    "ab_conversion_wilson_ci",
+    "funnel_time_to_convert",
 ]
 
 
