@@ -1198,3 +1198,88 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p90_s"),
         )
     )
+
+
+EWMA_ALPHA = 0.3  # smoothing factor
+EWMA_WINDOW = 14  # truncation width: (1-α)^14 < 0.7% residual weight
+
+
+@query(
+    "ewma_smoothed_volume",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, day, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily
+        )
+        SELECT a.event_type, a.day, a.n,
+               CAST(floor(
+                   sum(b.n * {EWMA_ALPHA}
+                       * power(1 - {EWMA_ALPHA}, a.rn - b.rn))
+                   / sum({EWMA_ALPHA}
+                         * power(1 - {EWMA_ALPHA}, a.rn - b.rn))
+                   * 10000 + 0.5) AS BIGINT) AS ewma_bp
+        FROM idx a JOIN idx b
+          ON a.event_type = b.event_type
+         AND b.rn BETWEEN a.rn - {EWMA_WINDOW - 1} AND a.rn
+        GROUP BY a.event_type, a.day, a.n
+    """,
+)
+def ewma_smoothed_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume —
+    the smoothing baseline between the raw series and the z-score
+    monitor (EWMA reacts faster than a flat trailing mean and damps
+    spikes the seasonal-naive model amplifies). The recursive EWMA
+    definition is order-dependent and unimplementable as a window
+    aggregate; this is the standard TRUNCATED closed form: weights
+    α(1-α)^i over a trailing window wide enough that the dropped tail
+    carries <0.7% of the mass, renormalized so early partial windows
+    are unbiased.
+
+    Scale: runs on the pre-aggregated |types|×|days| series, as a
+    BOUNDED band self-join (each row joins its trailing 14 neighbors)
+    — a ×W expansion of an already-tiny relation, keyed on event_type
+    so both sides share one exchange. (The tempting window-aggregate
+    rewrite — trailing sums of n/(1-α)^rn rescaled by (1-α)^rn —
+    overflows to inf once rn exceeds ~log(DBL_MAX)/log(1/(1-α)) ≈ 2000
+    days; the band join has no such cliff.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("rn", F.row_number().over(w_rn))
+    a, b = idx.alias("a"), idx.alias("b")
+    weight = F.lit(EWMA_ALPHA) * F.pow(
+        F.lit(1 - EWMA_ALPHA), F.col("a.rn") - F.col("b.rn")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & F.col("b.rn").between(
+                F.col("a.rn") - (EWMA_WINDOW - 1), F.col("a.rn")
+            ),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.n").alias("n"),
+        )
+        .agg(
+            F.floor(
+                F.sum(F.col("b.n") * weight)
+                / F.sum(weight)
+                * 10000
+                + 0.5
+            )
+            .cast("long")
+            .alias("ewma_bp")
+        )
+    )
