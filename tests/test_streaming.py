@@ -834,3 +834,42 @@ def test_batch_writer_roundtrip_and_modes(spark, tmp_path):
     except Exception as e:
         assert "not in the table schema" in str(e)
     assert t2.current_version() == 1  # nothing committed
+
+
+def test_batch_writer_table_feeds_streaming_source(spark, tmp_path):
+    """Cross-consumer compatibility: a table created ONLY through the
+    DSv2 batch writer must stream through the lakehouse streaming
+    source (snapshot-version offsets over the parts-format manifests
+    the writer commits)."""
+    import pyspark.sql.functions as F
+
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+        make_lakehouse_stream_source,
+    )
+
+    spark.dataSource.register(make_lakehouse_batch_source())
+    spark.dataSource.register(make_lakehouse_stream_source())
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    path = str(tmp_path / "t")
+    for i in range(2):
+        (
+            cust.filter(F.col("c_custkey") % 2 == i)
+            .write.format("lakehouse")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("lakehouse_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == cust.count()
