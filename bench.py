@@ -137,6 +137,7 @@ HEADLINE = [
     "survival_kaplan_meier_retention",
     "ab_conversion_wilson_ci",
     "funnel_time_to_convert",
+    "ewma_smoothed_volume",
 ]
 
 
