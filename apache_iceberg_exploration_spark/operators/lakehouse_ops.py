@@ -1943,3 +1943,63 @@ def tpch_refresh_functions_rf1_rf2(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_schema_evolution_report",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, 'overwrite',     3, 'c_acctbal,c_custkey,c_name'),
+            (2, 'evolve-schema', 4, 'c_acctbal,c_custkey,c_name,c_tier'),
+            (3, 'evolve-schema', 4, 'c_acctbal,c_custkey,c_full_name,c_tier'),
+            (4, 'evolve-schema', 3, 'c_custkey,c_full_name,c_tier')
+        ) AS t(version, operation, n_fields, field_names)
+    """,
+)
+def lakehouse_schema_evolution_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema lineage across snapshots: every commit records its declared
+    schema, so the evolution history (add → rename → drop, all
+    metadata-only commits that rewrite ZERO data files) is a readable
+    audit trail — the introspection surface behind "when did this
+    column appear and what was it called before", which engines without
+    per-snapshot schemas answer with tribal knowledge. Time travel to
+    any version still projects that version's shape.
+
+    Scale: pure manifest metadata, O(snapshots) driver-side; at any
+    table size the report costs what `snapshots()` costs.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        )
+        tbl.overwrite(cust)  # v1
+        tbl.add_column("c_tier", "string")  # v2
+        tbl.rename_column("c_name", "c_full_name")  # v3
+        tbl.drop_column("c_acctbal")  # v4
+        import json as _json
+
+        rows = []
+        for snap in tbl.snapshots():
+            fields = sorted(
+                f["name"]
+                for f in _json.loads(snap["schema"])["fields"]
+            )
+            rows.append(
+                (
+                    snap["version"],
+                    snap["operation"],
+                    len(fields),
+                    ",".join(fields),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, operation string, n_fields int,"
+            " field_names string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
