@@ -1120,3 +1120,75 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bp"),
         )
     )
+
+
+@query(
+    "embedding_norm_qa_outliers",
+    oracle="""
+        WITH norms AS (
+            SELECT vec_id, label,
+                   sqrt(list_aggregate(
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      v -> v * v), 'sum')) AS nrm,
+                   len(embedding) AS dim,
+                   len(list_filter(CAST(embedding AS DOUBLE[]),
+                                   v -> v = 0.0)) AS n_zero
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT avg(nrm) AS mu, stddev_samp(nrm) AS sd FROM norms
+        )
+        SELECT n.vec_id, n.label,
+               CAST(floor(n.nrm * 10000 + 0.5) AS BIGINT) AS norm_bp,
+               CAST(n.dim AS INTEGER) AS dim,
+               CAST(n.n_zero AS INTEGER) AS n_zero_components,
+               CASE WHEN abs(n.nrm - s.mu) > 3 * s.sd THEN 1 ELSE 0 END
+                   AS is_norm_outlier
+        FROM norms n, stats s
+        WHERE abs(n.nrm - s.mu) > 3 * s.sd
+           OR n.n_zero * 4 >= n.dim
+    """,
+)
+def embedding_norm_qa_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality audit: vectors whose L2 norm sits >3σ from the
+    corpus mean, or with ≥25% exactly-zero components — the two
+    signatures of broken embeddings (truncated writes, failed encoder
+    batches, padding leaks) that silently poison cosine similarity and
+    centroid training. Run BEFORE the ANN index build, the same place
+    the text side runs its quality filters.
+
+    Scale: norms are row-local higher-order aggregates (no Python, no
+    shuffle); the corpus mean/σ is one global streaming-moment
+    aggregation whose single-row result broadcasts back — flagging is
+    then row-local again, so the audit costs one scan plus a scalar
+    join at any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norms = emb.select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+        F.size("embedding").alias("dim"),
+        F.size(F.filter(v, lambda x: x == 0.0)).alias("n_zero"),
+    )
+    stats = norms.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sd")
+    )
+    flagged = norms.crossJoin(F.broadcast(stats))
+    outlier = F.abs(F.col("nrm") - F.col("mu")) > 3 * F.col("sd")
+    return (
+        flagged.filter(
+            outlier | (F.col("n_zero") * 4 >= F.col("dim"))
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.floor(F.col("nrm") * 10000 + 0.5).cast("long").alias("norm_bp"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("n_zero").cast("int").alias("n_zero_components"),
+            F.when(outlier, 1).otherwise(0).alias("is_norm_outlier"),
+        )
+    )
