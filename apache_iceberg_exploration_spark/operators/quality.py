@@ -249,3 +249,193 @@ def dq_volume_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(z * 100 + 0.5).cast("long").alias("zscore_bp"),
         )
     )
+
+
+@query(
+    "dq_referential_integrity_audit",
+    oracle="""
+        SELECT 'orders.o_custkey->customer' AS fk_edge,
+               (SELECT count(*) FROM orders) AS n_child_rows,
+               (SELECT count(*) FROM orders o
+                LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderkey IS NULL)
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                LEFT JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_partkey IS NULL)
+    """,
+)
+def dq_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for each
+    foreign-key edge of the star schema (child rows whose key has no
+    parent) — the CROSS-table half of data quality that row-level
+    expectations (dq_expectations_report) can't see, and the first
+    thing to check when a join suddenly loses rows. Lakehouse formats
+    don't enforce FKs (neither does the reference's warehouse — its
+    silver layer would happily join orphans to nothing), so the audit
+    IS the enforcement.
+
+    Scale: each edge is one broadcast/shuffle anti-join counted with
+    partial combine; parents project to their key column only, so the
+    parent side of every edge is key-width regardless of table width.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+
+    def edge(name, child, key, parent, pkey):
+        orphans = child.join(
+            F.broadcast(parent), child[key] == parent[pkey], "left_anti"
+        ).count()
+        return (name, child.count(), orphans)
+
+    rows = [
+        edge(
+            "orders.o_custkey->customer", orders, "o_custkey", cust,
+            "c_custkey",
+        ),
+        edge(
+            "lineitem.l_orderkey->orders",
+            li,
+            "l_orderkey",
+            orders.select("o_orderkey"),
+            "o_orderkey",
+        ),
+        edge(
+            "lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "fk_edge string, n_child_rows long, n_orphans long"
+    )
+
+
+@query(
+    "dq_uniqueness_audit",
+    oracle="""
+        SELECT 'customer.c_custkey' AS key_column,
+               (SELECT count(*) FROM customer) AS n_rows,
+               (SELECT count(*) FROM (
+                    SELECT c_custkey FROM customer
+                    GROUP BY c_custkey HAVING count(*) > 1)) AS n_dup_keys
+        UNION ALL
+        SELECT 'events.event_id', (SELECT count(*) FROM events),
+               (SELECT count(*) FROM (
+                    SELECT event_id FROM events
+                    GROUP BY event_id HAVING count(*) > 1))
+        UNION ALL
+        SELECT 'documents.doc_id', (SELECT count(*) FROM documents),
+               (SELECT count(*) FROM (
+                    SELECT doc_id FROM documents
+                    GROUP BY doc_id HAVING count(*) > 1))
+    """,
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: duplicate-key counts for every
+    declared key column. The reference's schema DECLARES email UNIQUE
+    but nothing downstream ever verifies it (SURVEY.md §1.2/§5 trap —
+    inference hid the constraint entirely); since lakehouse formats
+    can't enforce PKs either, the periodic audit is the real
+    constraint, and its output feeds the keyed-dedup remediation
+    (silver_dedup_keyed).
+
+    Scale: one partial-combined aggregation per key column — grouped on
+    the key alone, so state is key-width; the HAVING filter ships only
+    violating keys.
+    """
+    tables = [
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("events.event_id", "events", "event_id"),
+        ("documents.doc_id", "documents", "doc_id"),
+    ]
+    rows = []
+    for name, tbl, key in tables:
+        df = load_table(spark, sf_dir, tbl)
+        dups = (
+            df.groupBy(key)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        rows.append((name, df.count(), dups))
+    return spark.createDataFrame(
+        rows, "key_column string, n_rows long, n_dup_keys long"
+    )
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+                                            AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INTEGER)
+                       AS d
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        obs AS (
+            SELECT d, count(*) AS n,
+                   sum(count(*)) OVER () AS total
+            FROM digits GROUP BY d
+        )
+        SELECT d, CAST(n AS BIGINT) AS n,
+               CAST(floor(n * 10000.0 / total + 0.5) AS BIGINT)
+                   AS observed_bp,
+               CAST(floor(log10(1.0 + 1.0 / d) * 10000 + 0.5) AS BIGINT)
+                   AS benford_bp,
+               CAST(abs(floor(n * 10000.0 / total + 0.5)
+                        - floor(log10(1.0 + 1.0 / d) * 10000 + 0.5))
+                    AS BIGINT) AS abs_dev_bp
+        FROM obs
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed
+    leading-digit frequencies vs the log10(1+1/d) expectation, with
+    per-digit deviation — the classic forensic screen for fabricated or
+    systematically constrained numeric data (TPC-H totals are uniform-
+    ish sums, so they deviate measurably: the audit DETECTS synthetic
+    data here, which is the point of running it on a generated corpus).
+
+    Scale: first digit is a row-local string op; the aggregation has
+    nine groups. The global-total window runs over nine rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.select(d.alias("d")).groupBy("d").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n").over(W.partitionBy())
+    observed_bp = F.floor(F.col("n") * 10000.0 / F.col("total") + 0.5)
+    benford_bp = F.floor(
+        F.log10(1.0 + 1.0 / F.col("d")) * 10000 + 0.5
+    )
+    return (
+        obs.withColumn("total", total)
+        .select(
+            "d",
+            F.col("n").cast("long").alias("n"),
+            observed_bp.cast("long").alias("observed_bp"),
+            benford_bp.cast("long").alias("benford_bp"),
+            F.abs(observed_bp - benford_bp)
+            .cast("long")
+            .alias("abs_dev_bp"),
+        )
+    )
