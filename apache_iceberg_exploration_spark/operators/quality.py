@@ -439,3 +439,87 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_dev_bp"),
         )
     )
+
+
+@query(
+    "dq_order_total_reconciliation",
+    oracle="""
+        WITH derived AS (
+            SELECT l_orderkey,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                       AS calc
+            FROM lineitem GROUP BY 1
+        ),
+        joined AS (
+            SELECT o.o_orderkey, o.o_totalprice, d.calc,
+                   CAST(floor(abs(o.o_totalprice - d.calc) * 100 + 0.5)
+                        AS BIGINT) AS diff_cents
+            FROM orders o JOIN derived d ON o.o_orderkey = d.l_orderkey
+        )
+        SELECT (SELECT count(*) FROM orders) AS n_orders,
+               count(*) AS n_with_lines,
+               (SELECT count(*) FROM orders o
+                LEFT JOIN derived d ON o.o_orderkey = d.l_orderkey
+                WHERE d.l_orderkey IS NULL) AS n_childless,
+               count(*) FILTER (diff_cents > 1) AS n_mismatched,
+               CAST(max(diff_cents) AS BIGINT) AS max_diff_cents
+        FROM joined
+    """,
+)
+def dq_order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Financial reconciliation audit: re-derive each order's total from
+    its line items (TPC-H's own pricing identity: extended price net of
+    discount, plus tax) and count orders whose header disagrees, plus
+    headers with no lines at all. On THIS corpus the audit fires on
+    every order — the driver's generator doesn't maintain the identity
+    — which is exactly the audit's value: it detects that the "totals"
+    are synthetic, the same way the Benford screen does, and on a real
+    warehouse it would catch partial loads and double-applied discounts.
+
+    Scale: one keyed partial-combined aggregation over lineitem (the
+    big side touched once), then a key-width join against order
+    headers; the childless check reuses the derived relation as an
+    anti-join probe.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    derived = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("calc")
+    )
+    joined = orders.join(
+        derived, orders.o_orderkey == derived.okey
+    ).select(
+        F.floor(
+            F.abs(F.col("o_totalprice") - F.col("calc")) * 100 + 0.5
+        )
+        .cast("long")
+        .alias("diff_cents")
+    )
+    n_orders = orders.count()
+    n_childless = orders.join(
+        derived, orders.o_orderkey == derived.okey, "left_anti"
+    ).count()
+    agg = joined.agg(
+        F.count("*").alias("n_with_lines"),
+        F.count_if(F.col("diff_cents") > 1).alias("n_mismatched"),
+        F.max("diff_cents").alias("max_diff_cents"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                n_orders,
+                agg["n_with_lines"],
+                n_childless,
+                agg["n_mismatched"],
+                agg["max_diff_cents"],
+            )
+        ],
+        "n_orders long, n_with_lines long, n_childless long,"
+        " n_mismatched long, max_diff_cents long",
+    )
