@@ -1283,3 +1283,47 @@ def ewma_smoothed_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ewma_bp")
         )
     )
+
+
+@query(
+    "activity_heatmap_dow_hour",
+    oracle="""
+        SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hour,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_purchases
+        FROM events GROUP BY 1, 2
+    """,
+)
+def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (ISO weekday 1-7, hour 0-23)
+    with the purchase overlay — the load-profile surface behind traffic
+    dashboards, staffing, and batch-window planning (and the sanity
+    check that a timezone bug hasn't rotated the corpus: a synthetic
+    uniform grid here is itself a finding).
+
+    Scale: calendar extraction is row-local; the aggregation key space
+    is fixed at 168 cells, so the exchange carries at most 168 partial
+    states per task no matter the event volume — the most
+    skew-immune aggregation shape there is.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow_raw"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+    ).select(
+        # Spark dayofweek is 1=Sunday; ISO wants 1=Monday
+        F.when(F.col("dow_raw") == 1, 7)
+        .otherwise(F.col("dow_raw") - 1)
+        .cast("int")
+        .alias("dow"),
+        "hour",
+        "n_events",
+        "n_purchases",
+    )

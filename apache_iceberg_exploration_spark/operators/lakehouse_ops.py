@@ -2003,3 +2003,38 @@ def lakehouse_schema_evolution_report(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_tag_pinned_read",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM customer WHERE c_custkey < 500
+    """,
+)
+def lakehouse_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-by-tag: pin a human-named tag ('training-v1') to a snapshot,
+    keep writing, then read ``version="training-v1"`` — the
+    reproducibility primitive that lets a training run cite the exact
+    table state it consumed by NAME (ints rot, names document intent),
+    with the tag doubling as a GC retention anchor. Sibling of
+    lakehouse_time_travel (numeric) and refs_metadata (the listing).
+
+    Scale: name resolution is one ref-file read; everything after is a
+    normal versioned scan.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+        tbl.overwrite(cust.filter(F.col("c_custkey") < 500))
+        tbl.tag("training-v1")
+        tbl.append(cust.filter(F.col("c_custkey") >= 500))  # post-tag
+        out = tbl.read(version="training-v1").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
