@@ -1327,3 +1327,74 @@ def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_purchases",
     )
+
+
+@query(
+    "chi_square_independence_test",
+    oracle="""
+        WITH obs AS (
+            SELECT o_orderstatus AS r, o_orderpriority AS c,
+                   count(*) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT r, c, n,
+                   sum(n) OVER (PARTITION BY r) AS row_n,
+                   sum(n) OVER (PARTITION BY c) AS col_n,
+                   sum(n) OVER () AS grand_n
+            FROM obs
+        )
+        SELECT CAST(max(grand_n) AS BIGINT) AS n,
+               CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
+                    AS INTEGER) AS dof,
+               round(sum(
+                   power(n - row_n * col_n * 1.0 / grand_n, 2)
+                   / (row_n * col_n * 1.0 / grand_n)), 4) AS chi2
+        FROM tot
+    """,
+)
+def chi_square_independence_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between order status and
+    priority: observed cell counts vs the independence expectation
+    (row×col/N), summed into the X² statistic with its degrees of
+    freedom — the categorical-association screen behind segmentation
+    sanity checks and feature-selection passes. The statistic is
+    emitted rather than a p-value (no portable chi-square CDF in both
+    engines); compare against the critical value for the dof.
+
+    Scale: one partial-combined aggregation to the r×c contingency
+    table (the only pass over data); the window marginals and the X²
+    fold run over r×c cells. Dense-cell assumption holds by
+    construction here; sparse tables at scale should collapse rare
+    categories first (vocab-style head/tail split).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("r"),
+        F.col("o_orderpriority").alias("c"),
+    ).agg(F.count("*").alias("n"))
+    w_r = Window.partitionBy("r")
+    w_c = Window.partitionBy("c")
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "r",
+        "c",
+        "n",
+        F.sum("n").over(w_r).alias("row_n"),
+        F.sum("n").over(w_c).alias("col_n"),
+        F.sum("n").over(w_all).alias("grand_n"),
+    )
+    exp = F.col("row_n") * F.col("col_n") * 1.0 / F.col("grand_n")
+    return tot.agg(
+        F.max("grand_n").cast("long").alias("n"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        )
+        .cast("int")
+        .alias("dof"),
+        F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias(
+            "chi2"
+        ),
+    )
