@@ -1398,3 +1398,158 @@ def chi_square_independence_test(
             "chi2"
         ),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        spend AS (
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                       AS age_days,
+                   sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+                       AS rev_cents
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_day, count(*) AS cohort_users
+            FROM firsts GROUP BY cohort_day
+        )
+        SELECT s.cohort_day, s.age_days, z.cohort_users,
+               CAST(sum(s.rev_cents) OVER (
+                        PARTITION BY s.cohort_day ORDER BY s.age_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_rev_cents,
+               CAST(floor(sum(s.rev_cents) OVER (
+                        PARTITION BY s.cohort_day ORDER BY s.age_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    * 1.0 / z.cohort_users + 0.5) AS BIGINT)
+                   AS ltv_cents_per_user
+        FROM spend s JOIN sizes z ON s.cohort_day = z.cohort_day
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per signup cohort by age: purchase
+    revenue accumulated day-over-day since each cohort's first-seen
+    date, normalized per cohort user — the revenue sibling of the
+    retention triangle (retention_cohorts counts WHO comes back, this
+    prices it), and the curve payback-period decisions read.
+
+    Scale: the user-keyed first-seen pass and the (cohort, age) revenue
+    collapse are both partial-combined; the cumulative window then runs
+    inside per-cohort partitions of the tiny (cohort × age) relation.
+    Revenue is integer cents end-to-end; the per-user division is the
+    only float and is floor-rounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    spend = (
+        purchases.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "age_days"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev_cents").over(w)
+    return (
+        spend.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            "cohort_users",
+            cum.cast("long").alias("cum_rev_cents"),
+            F.floor(cum * 1.0 / F.col("cohort_users") + 0.5)
+            .cast("long")
+            .alias("ltv_cents_per_user"),
+        )
+    )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_type, l.l_suppkey,
+                   sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                            AS BIGINT)) AS cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        shares AS (
+            SELECT p_type, cents,
+                   sum(cents) OVER (PARTITION BY p_type) AS total
+            FROM rev
+        )
+        SELECT p_type,
+               count(*) AS n_suppliers,
+               CAST(floor(sum(power(cents * 1.0 / total, 2)) * 10000
+                          + 0.5) AS BIGINT) AS hhi_bp,
+               CASE WHEN sum(power(cents * 1.0 / total, 2)) > 0.25
+                    THEN 1 ELSE 0 END AS concentrated
+        FROM shares GROUP BY p_type
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supply-concentration index per part type:
+    the sum of squared supplier revenue shares — the standard
+    concentration metric (HHI > 0.25 = highly concentrated) behind
+    supply-risk dashboards: a part type served overwhelmingly by one
+    supplier is a single point of failure the row counts alone hide.
+    Complements parts_abc_classification (revenue skew across PARTS)
+    with skew across SUPPLIERS.
+
+    Scale: one keyed collapse of lineitem to (type, supplier) revenue
+    — the only pass over the fact table — then windows and the share
+    fold over that small relation. Integer cents into the share
+    division keeps both engines on identical operands.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type"
+    )
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("p_type")
+    shares = rev.select(
+        "p_type",
+        (F.col("cents") * 1.0 / F.sum("cents").over(w)).alias("share"),
+    )
+    hhi = F.sum(F.pow(F.col("share"), 2))
+    return shares.groupBy("p_type").agg(
+        F.count("*").alias("n_suppliers"),
+        F.floor(hhi * 10000 + 0.5).cast("long").alias("hhi_bp"),
+        F.when(hhi > 0.25, 1).otherwise(0).alias("concentrated"),
+    )
