@@ -1553,3 +1553,109 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(hhi * 10000 + 0.5).cast("long").alias("hhi_bp"),
         F.when(hhi > 0.25, 1).otherwise(0).alias("concentrated"),
     )
+
+
+@query(
+    "discount_quantity_elasticity",
+    oracle="""
+        SELECT l_linestatus,
+               count(*) AS n_lines,
+               round(regr_slope(l_quantity, l_discount), 4) + 0.0
+                   AS qty_per_discount_point,
+               round(corr(l_quantity, l_discount), 4) + 0.0 AS corr_qd
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def discount_quantity_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discount-quantity elasticity proxy: the regression slope of
+    ordered quantity on discount rate (plus their correlation) per
+    line status — the pricing-analytics question behind TPC-H Q6's
+    "what if we stopped discounting" framing, answered with the
+    relationship itself instead of a revenue delta. Near-zero slope on
+    this corpus is the honest finding (discounts are assigned
+    independently of quantity by the generator) — the operator's value
+    is that it MEASURES that.
+
+    Scale: regr_slope/corr are single-pass streaming moments over the
+    raw fact table — one partial-combined exchange, state is a handful
+    of doubles per group; no pre-aggregation needed because the
+    estimator itself is the reduction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_lines"),
+        (F.round(F.regr_slope("l_quantity", "l_discount"), 4) + 0.0).alias(
+            "qty_per_discount_point"
+        ),
+        (F.round(F.corr("l_quantity", "l_discount"), 4) + 0.0).alias(
+            "corr_qd"
+        ),
+    )
+
+
+@query(
+    "robust_mad_outlier_flags",
+    oracle="""
+        WITH med AS (
+            SELECT l_linestatus, median(l_extendedprice) AS m
+            FROM lineitem GROUP BY l_linestatus
+        ),
+        mad AS (
+            SELECT l.l_linestatus,
+                   median(abs(l.l_extendedprice - d.m)) AS mad_v
+            FROM lineitem l JOIN med d ON l.l_linestatus = d.l_linestatus
+            GROUP BY l.l_linestatus
+        )
+        SELECT l.l_linestatus,
+               count(*) AS n_rows,
+               count(*) FILTER (
+                   abs(l.l_extendedprice - d.m) > 3 * 1.4826 * a.mad_v
+               ) AS n_outliers
+        FROM lineitem l
+        JOIN med d ON l.l_linestatus = d.l_linestatus
+        JOIN mad a ON l.l_linestatus = a.l_linestatus
+        GROUP BY l.l_linestatus
+    """,
+)
+def robust_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: rows
+    beyond 3 scaled MADs (×1.4826, the normal-consistency constant)
+    from their group median — the estimator that, unlike the z-score
+    monitor, is NOT dragged by the very outliers it hunts (mean and
+    stddev both break down at 0% contamination resistance; median/MAD
+    at 50%). The heavy-tail sibling of winsorize_clip_outliers.
+
+    Scale: two holistic median passes (group-keyed, swap in
+    percentile_approx's sketch at extreme group sizes) each followed by
+    a broadcast of the tiny per-group statistic; flagging is row-local.
+    The fact table is scanned three times but never shuffled in full —
+    each pass reduces to |groups| rows before moving.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice"
+    )
+    med = li.groupBy("l_linestatus").agg(
+        F.percentile("l_extendedprice", 0.5).alias("m")
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("m")), 0.5
+            ).alias("mad_v")
+        )
+    )
+    flagged = li.join(F.broadcast(med), "l_linestatus").join(
+        F.broadcast(mad), "l_linestatus"
+    )
+    is_out = F.abs(F.col("l_extendedprice") - F.col("m")) > (
+        3 * 1.4826 * F.col("mad_v")
+    )
+    return flagged.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(is_out).alias("n_outliers"),
+    )
