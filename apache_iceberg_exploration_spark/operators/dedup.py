@@ -1100,3 +1100,51 @@ def dedup_minhash_estimator_calibration(
             F.abs(est_bp - exact_bp).alias("abs_err_bp"),
         )
     )
+
+
+@query(
+    "dedup_cluster_size_distribution",
+    oracle="""
+        WITH clusters AS (
+            SELECT md5(text) AS h, count(*) AS cluster_size
+            FROM documents GROUP BY md5(text)
+        )
+        SELECT cluster_size,
+               count(*) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+               CAST(greatest(cluster_size - 1, 0) * count(*) AS BIGINT)
+                   AS n_removable
+        FROM clusters GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplication profile of the corpus: the distribution of exact-
+    duplicate cluster sizes (how many docs live in clusters of size 1,
+    2, 3…), with the removable-row count per size — the number that
+    tells you BEFORE running dedup how much the corpus shrinks and
+    whether duplication is a long tail of pairs or a few megaclusters
+    (which need the survivor policy, not just dropDuplicates). The
+    histogram view over the same content-hash grouping
+    dedup_exact_documents resolves row-by-row.
+
+    Scale: two aggregations, both partial-combined, the second over the
+    tiny |distinct sizes| key space; the shuffle key is the 32-byte
+    content hash, never the document text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*"))
+        .cast("long")
+        .alias("n_docs"),
+        (
+            F.greatest(F.col("cluster_size") - 1, F.lit(0)) * F.count("*")
+        )
+        .cast("long")
+        .alias("n_removable"),
+    )
