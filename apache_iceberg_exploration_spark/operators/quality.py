@@ -446,14 +446,15 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH derived AS (
             SELECT l_orderkey,
-                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-                       AS calc
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+                       AS calc_cents
             FROM lineitem GROUP BY 1
         ),
         joined AS (
-            SELECT o.o_orderkey, o.o_totalprice, d.calc,
-                   CAST(floor(abs(o.o_totalprice - d.calc) * 100 + 0.5)
-                        AS BIGINT) AS diff_cents
+            SELECT o.o_orderkey,
+                   abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       - d.calc_cents) AS diff_cents
             FROM orders o JOIN derived d ON o.o_orderkey = d.l_orderkey
         )
         SELECT (SELECT count(*) FROM orders) AS n_orders,
@@ -482,24 +483,35 @@ def dq_order_total_reconciliation(
     big side touched once), then a key-width join against order
     headers; the childless check reuses the derived relation as an
     anti-join probe.
+
+    Cross-engine determinism (ADVICE r3): each line's charge is
+    integerized to cents BEFORE summing — float summation is
+    non-associative and Spark's partial-agg order nondeterministic, so
+    summing doubles then flooring could flip a boundary vs DuckDB (or
+    between runs). Summing identical per-row integers is exact in both
+    engines; the per-row product is a single deterministic IEEE
+    expression with identical operand order in both SQL dialects.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     derived = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
         F.sum(
-            F.col("l_extendedprice")
-            * (1 - F.col("l_discount"))
-            * (1 + F.col("l_tax"))
-        ).alias("calc")
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+                + 0.5
+            ).cast("long")
+        ).alias("calc_cents")
     )
     joined = orders.join(
         derived, orders.o_orderkey == derived.okey
     ).select(
-        F.floor(
-            F.abs(F.col("o_totalprice") - F.col("calc")) * 100 + 0.5
-        )
-        .cast("long")
-        .alias("diff_cents")
+        F.abs(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            - F.col("calc_cents")
+        ).alias("diff_cents")
     )
     n_orders = orders.count()
     n_childless = orders.join(

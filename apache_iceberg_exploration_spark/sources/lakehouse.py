@@ -34,6 +34,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -783,7 +784,17 @@ class LakehouseTable:
         and counts read ONE materialization, not three recomputes);
         violation counting is a partial-combined aggregation over the
         tiny exploded (constraint) key space. Two table commits (main +
-        quarantine), each the normal O(added) append protocol."""
+        quarantine), each the normal O(added) append protocol.
+
+        The two commits are NOT one atomic transaction (they are
+        independent tables). Ordering (ADVICE r3): the MAIN append
+        commits first, quarantine after — if the main commit fails
+        (contention, IO) nothing is dead-lettered and the whole call
+        retries cleanly. The residual window is the opposite one (main
+        landed, quarantine write failed): the main summary still
+        records ``quarantined_rows``/``constraint_violations``, so the
+        discrepancy is detectable by reconciling the summary against
+        the DLQ row count."""
         if not constraints:
             raise ValueError("constraints must be a non-empty dict")
         marked = df.withColumn(
@@ -814,14 +825,10 @@ class LakehouseTable:
                 .collect()
             }
             n_invalid = int(invalid.count())
-            if quarantine is not None and n_invalid:
-                quarantine.append(
-                    invalid.withColumn(
-                        "violated_constraints",
-                        F.concat_ws(",", "_violations"),
-                    ).drop("_violations")
-                )
-            return self.append(
+            # main append FIRST: a failed main commit must not leave
+            # rows already dead-lettered (a retry would re-quarantine
+            # them — duplicate DLQ entries with no idempotence key)
+            result = self.append(
                 valid,
                 summary_extra={
                     "constraint_violations": counts,
@@ -829,6 +836,14 @@ class LakehouseTable:
                     **(summary_extra or {}),
                 },
             )
+            if quarantine is not None and n_invalid:
+                quarantine.append(
+                    invalid.withColumn(
+                        "violated_constraints",
+                        F.concat_ws(",", "_violations"),
+                    ).drop("_violations")
+                )
+            return result
         finally:
             marked.unpersist()
 
@@ -1292,11 +1307,19 @@ class LakehouseTable:
         for f in files:
             rel = os.path.relpath(f, data_root)
             parts = rel.split(os.sep)
-            base = (
-                os.path.join(data_root, parts[0])
-                if parts and not parts[0].startswith("..")
-                else os.path.dirname(f)
-            )
+            if parts and not parts[0].startswith(".."):
+                base = os.path.join(data_root, parts[0])
+            else:
+                # File owned by ANOTHER table's data root (shallow clone:
+                # the manifest references source files verbatim). The true
+                # snapshot dir is above any hive 'col=val' partition
+                # segments — dirname(f) alone would be the LEAF partition
+                # dir, and basePath=leaf makes discovery recover nothing
+                # (the partition column reads back NULL). Strip trailing
+                # 'name=value' segments to the real snapshot base.
+                base = os.path.dirname(f)
+                while re.match(r"[^=/]+=", os.path.basename(base)):
+                    base = os.path.dirname(base)
             groups.setdefault((base, seqs.get(f, 0)), []).append(f)
         scans = []
         for (base, seq), grp in sorted(groups.items()):

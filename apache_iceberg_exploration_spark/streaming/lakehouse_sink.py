@@ -66,6 +66,7 @@ def _commit_append(
     partitions: dict | None = None,
     partition_specs: list[dict] | None = None,
     overwrite: bool = False,
+    schema_json: str | None = None,
 ) -> int:
     """Standalone append commit speaking LakehouseTable's manifest
     protocol: optimistic create-exclusive publish, parts-format payload
@@ -89,13 +90,20 @@ def _commit_append(
         }
         if overwrite:
             # full replace: nothing from the parent survives — not its
-            # files (the parts chain below starts fresh), schema (the
-            # batch defines it), pending MoR deletes (their targets are
-            # gone), or partition layout
+            # files (the parts chain below starts fresh), pending MoR
+            # deletes (their targets are gone), or partition layout. The
+            # batch DEFINES the new schema: record it (ADVICE r3 — an
+            # overwrite that recorded no schema silently disabled the
+            # drift guard and broke add_column/rename_column after it,
+            # asymmetric with LakehouseTable.overwrite).
             prev = {}
         for k in ("schema", "delete_files", "partition_specs"):
             if k in prev:
                 manifest[k] = prev[k]
+        if schema_json and "schema" not in manifest:
+            # overwrite, or the table's very first commit: the writer's
+            # declared Spark schema becomes the table schema
+            manifest["schema"] = schema_json
         if prev.get("schema") and files:
             # guard: a streamed batch whose columns drifted from the
             # table's declared schema must fail the commit, not corrupt
@@ -280,9 +288,15 @@ def make_lakehouse_stream_sink():
             self.partitions = partitions or {}
 
     class _Writer(DataSourceStreamWriter):
-        def __init__(self, root: str, partition_cols: list[str] | None = None):
+        def __init__(
+            self,
+            root: str,
+            partition_cols: list[str] | None = None,
+            schema_json: str | None = None,
+        ):
             self.root = root
             self.partition_cols = partition_cols or []
+            self.schema_json = schema_json
 
         def write(self, iterator) -> "_Msg":
             # EXECUTOR side: partition rows -> parquet file(s) + stats
@@ -330,6 +344,7 @@ def make_lakehouse_stream_sink():
                 ]
                 if self.partition_cols
                 else None,
+                schema_json=self.schema_json,
             )
 
         def abort(self, messages, batchId: int) -> None:
@@ -350,6 +365,7 @@ def make_lakehouse_stream_sink():
             return _Writer(
                 opts["path"],
                 [c.strip() for c in pb.split(",")] if pb else None,
+                schema_json=schema.json() if schema is not None else None,
             )
 
     return LakehouseStreamSink

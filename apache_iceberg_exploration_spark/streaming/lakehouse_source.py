@@ -601,7 +601,12 @@ def make_lakehouse_batch_source():
                 for c in opts.get("partitionby", "").split(",")
                 if c.strip()
             ]
-            return _BatchWriter(opts["path"], overwrite, parts)
+            return _BatchWriter(
+                opts["path"],
+                overwrite,
+                parts,
+                schema.json() if schema is not None else None,
+            )
 
     class _Msg(WriterCommitMessage):
         def __init__(
@@ -634,11 +639,16 @@ def make_lakehouse_batch_source():
         exactly like every other writer here."""
 
         def __init__(
-            self, root: str, overwrite: bool, partition_cols: list[str]
+            self,
+            root: str,
+            overwrite: bool,
+            partition_cols: list[str],
+            schema_json: str | None = None,
         ):
             self.root = root
             self.overwrite = overwrite
             self.partition_cols = partition_cols
+            self.schema_json = schema_json
 
         def write(self, iterator):
             from ..streaming.lakehouse_sink import write_task_files
@@ -674,6 +684,7 @@ def make_lakehouse_batch_source():
                 if self.partition_cols
                 else None,
                 overwrite=self.overwrite,
+                schema_json=self.schema_json,
             )
 
         def abort(self, messages):

@@ -2275,6 +2275,37 @@ def test_shallow_clone_survives_source_expire(spark, tmp_path):
     assert tag not in src.tags()
 
 
+def test_shallow_clone_partitioned_source_reads_partition_column(
+    spark, tmp_path
+):
+    """ADVICE r3 (high): cloning a hive-partitioned table must recover
+    the partition column. The clone's manifest references SOURCE files
+    (outside the clone's data root); basePath resolution used to fall
+    back to dirname(file) — the leaf 'col=val' dir — so partition
+    discovery recovered nothing and the column read back NULL."""
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    src.overwrite(cust, partition_by=["c_mktsegment"])
+    clone = src.clone(str(tmp_path / "clone"))
+    got = clone.read()
+    assert got.filter(F.col("c_mktsegment").isNull()).count() == 0
+    assert _hash_df(got.select(*sorted(cust.columns))) == _hash_df(
+        cust.select(*sorted(cust.columns))
+    )
+    # pruned read on the partition column still works through the clone
+    seg = cust.select("c_mktsegment").first()[0]
+    assert (
+        clone.read().filter(F.col("c_mktsegment") == seg).count()
+        == cust.filter(F.col("c_mktsegment") == seg).count()
+    )
+    # and the clone's own partitioned appends still group by its data root
+    clone.append(
+        cust.filter(F.col("c_custkey") < 5), partition_by=["c_mktsegment"]
+    )
+    assert clone.read().count() == cust.count() + 5
+    assert clone.read().filter(F.col("c_mktsegment").isNull()).count() == 0
+
+
 def test_clone_rejects_existing_destination(spark, tmp_path):
     src = LakehouseTable(spark, str(tmp_path / "src"))
     cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
@@ -2311,6 +2342,38 @@ def test_append_with_constraints_quarantines(spark, tmp_path):
         for r in dlq.read().select("violated_constraints").collect()
     }
     assert marks == {"acctbal_nonneg"}
+
+
+def test_append_with_constraints_main_commit_first(spark, tmp_path):
+    """ADVICE r3 (low): the quarantine used to commit BEFORE the main
+    append — a failed main commit left violations already dead-lettered
+    and a retry re-quarantined the same rows (duplicate DLQ entries).
+    Now the main append commits first: if it fails, the DLQ is
+    untouched and the whole call retries cleanly."""
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    dlq = LakehouseTable(spark, str(tmp_path / "dlq"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    orig_append = tbl.append
+    tbl.append = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated commit contention")
+    )
+    with pytest.raises(RuntimeError, match="contention"):
+        tbl.append_with_constraints(
+            cust,
+            constraints={"acctbal_nonneg": F.col("c_acctbal") >= 0},
+            quarantine=dlq,
+        )
+    assert dlq.current_version() == 0, "DLQ must be untouched on failure"
+    # the retry then lands exactly one DLQ batch — no duplicates
+    tbl.append = orig_append
+    tbl.append_with_constraints(
+        cust,
+        constraints={"acctbal_nonneg": F.col("c_acctbal") >= 0},
+        quarantine=dlq,
+    )
+    assert dlq.read().count() == cust.filter(
+        F.col("c_acctbal") < 0
+    ).count()
 
 
 def test_append_with_constraints_null_is_violation(spark, tmp_path):

@@ -836,6 +836,55 @@ def test_batch_writer_roundtrip_and_modes(spark, tmp_path):
     assert t2.current_version() == 1  # nothing committed
 
 
+def test_batch_writer_overwrite_records_schema(spark, tmp_path):
+    """ADVICE r3 (medium): DSv2 mode('overwrite') used to commit with
+    prev={} and record NO schema — silently disabling the drift guard
+    for all later appends and breaking add_column ('no declared schema
+    to evolve'). The writer's declared Spark schema must land in the
+    manifest on overwrite AND on a first-commit append."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    spark.dataSource.register(make_lakehouse_batch_source())
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+    def declared_cols(tbl):
+        m = tbl._read_manifest(tbl.current_version())
+        assert m.get("schema"), "manifest must record a schema"
+        return {f["name"] for f in _json.loads(m["schema"])["fields"]}
+
+    # overwrite on an existing table: the batch defines the new schema
+    path = str(tmp_path / "t")
+    cust.write.format("lakehouse").option("path", path).mode(
+        "append"
+    ).save()
+    tbl = LakehouseTable(spark, path)
+    assert declared_cols(tbl) == set(cust.columns)  # first-commit append
+    slim = cust.select("c_custkey", "c_name")
+    slim.write.format("lakehouse").option("path", path).mode(
+        "overwrite"
+    ).save()
+    assert declared_cols(tbl) == {"c_custkey", "c_name"}
+    # drift guard is live again after the overwrite
+    bad = slim.withColumn("extra", F.lit(1))
+    with _pytest.raises(Exception, match="not in the table schema"):
+        bad.write.format("lakehouse").option("path", path).mode(
+            "append"
+        ).save()
+    # and schema evolution has a declared schema to evolve
+    tbl.add_column("c_note", "string")
+    assert "c_note" in declared_cols(tbl)
+
+
 def test_batch_writer_table_feeds_streaming_source(spark, tmp_path):
     """Cross-consumer compatibility: a table created ONLY through the
     DSv2 batch writer must stream through the lakehouse streaming
