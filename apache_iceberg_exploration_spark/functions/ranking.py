@@ -1,0 +1,170 @@
+"""Distributed exact global ranking — ntile without the total sort.
+
+``ntile(n) OVER (ORDER BY ...)`` with no PARTITION BY plans a
+single-partition WindowExec ("No Partition Defined"): every row funnels
+through one task, the classic 100 TB cliff. The queries that need global
+quantile scores (RFM quintiles, curriculum deciles) operate on collapsed
+dimension-sized relations, so the single partition *works* locally — but
+the swap-in promised in their docstrings lives here, once, for all of
+them.
+
+The construction is the two-phase pattern (cf. pack_concat_chunks'
+prefix sum, training.py:51), adapted to ranking and with NO unpartitioned
+window anywhere, tiny or not:
+
+1. ``repartitionByRange`` on the sort keys — Spark's RangePartitioner
+   gives ordered, balanced key ranges (the same machinery a distributed
+   ORDER BY uses), each partition sortable independently.
+2. ``row_number`` windowed BY PARTITION ID — embarrassingly parallel.
+3. Per-partition row counts (one bounded aggregate, ≤ #partitions rows)
+   are prefix-summed ON THE DRIVER — a bounded-scalar collect, the
+   allow-listed pattern — and broadcast-joined back as rank offsets.
+4. The global rank (1-based, gap-free because the ordering is total) is
+   mapped to its tile with SQL-ntile's exact bucket-size rule: with
+   N rows and n tiles, the first ``N mod n`` tiles hold ``N div n + 1``
+   rows, the rest ``N div n``.
+
+Exactness requires the caller to pass a TOTAL ordering (append a unique
+tie-break key, e.g. the row's id) — equal sort keys land in one range
+partition, so ranks are reproducible and engine-exact, matching the SQL
+``ntile(n) OVER (ORDER BY keys, tiebreak)`` oracle bit-for-bit.
+
+The relation is pinned with ``localCheckpoint`` between the count job
+and the rank job so both see the identical range placement (range
+boundaries come from sampling; re-planning between jobs could move
+rows). Cost at scale: one range shuffle + one materialization of the
+(already collapsed) relation — instead of one partition sorting
+everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__ntile_pid"
+_OFF = "__ntile_off"
+
+
+def _ranked_with_total(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str,
+    num_ranges: int | None,
+) -> tuple[DataFrame, int]:
+    spark = df.sparkSession
+    ranges = num_ranges or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(ranges, *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()  # pin range placement across the two jobs
+    )
+    counts = sorted(
+        (r[_PID], r["n"])
+        for r in ranged.groupBy(_PID).agg(F.count("*").alias("n")).collect()
+    )  # bounded: one row per range partition
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    out = (
+        ranged.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.row_number().over(w) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+    return out, acc
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Append a 1-based gap-free global rank under ``ORDER BY
+    order_cols`` (which MUST be a total ordering) without any
+    single-partition stage."""
+    return _ranked_with_total(df, order_cols, out_col, num_ranges)[0]
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Append the INCLUSIVE running sum of ``value_col`` under ``ORDER
+    BY order_cols`` (a total ordering) — the distributed prefix sum:
+    range repartition, windowed cumsum per range partition, per-
+    partition totals prefix-summed on the driver (bounded collect) and
+    broadcast back as offsets. No unpartitioned WindowExec."""
+    spark = df.sparkSession
+    ranges = num_ranges or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(ranges, *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()  # pin range placement across the two jobs
+    )
+    totals = sorted(
+        (r[_PID], r["t"])
+        for r in ranged.groupBy(_PID)
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += t or 0
+    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+
+
+def ntile_from_rank(rank: Column, n_rows: int, n_tiles: int) -> Column:
+    """Map a 1-based gap-free global rank to its SQL-exact ntile bucket.
+
+    SQL ntile(n) over N rows: base = N div n, rem = N mod n; tiles
+    1..rem hold base+1 rows, tiles rem+1..n hold base rows.
+    """
+    base, rem = divmod(n_rows, n_tiles)
+    big = rem * (base + 1)  # rows covered by the base+1-sized tiles
+    small = F.lit(max(base, 1))  # base==0 ⇔ N < n ⇔ else-branch unreachable
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (base + 1)) + 1)
+        .otherwise(rem + 1 + F.floor((rank - big - 1) / small))
+        .cast("int")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[str | Column],
+    out_col: str,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY order_cols)`` as a
+    distributed two-phase plan — bit-equal to the SQL window for a
+    total ordering, with no unpartitioned WindowExec."""
+    rank_col = f"__rank_{out_col}"
+    ranked, n_rows = _ranked_with_total(df, order_cols, rank_col, num_ranges)
+    return ranked.withColumn(
+        out_col, ntile_from_rank(F.col(rank_col), n_rows, n_tiles)
+    ).drop(rank_col)

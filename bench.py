@@ -2,9 +2,17 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric": ..., "value": <total sec>, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Output contract (VERDICT r3 #1: the driver captures only a ~2 KB stdout
+tail, and the full 112-query map overflowed it — BENCH_r03.json came
+back ``parsed: null``): the LAST stdout line is a COMPACT JSON summary
+{"metric", "value", "unit", "sf", "core33_total", "n_queries",
+"queries": <core-33 map only>} guaranteed to fit the tail capture;
+the complete per-query map is written to ``BENCH_DETAIL.json`` next to
+this file and echoed to stderr. ``core33_total`` (VERDICT r3 #5) is the
+stable cross-round comparator: the total over the 33-query BASELINE.md
+r1 table, one number instead of a 49-query join.
 
 Each query is timed as a full action (count() of the result — forces the
 whole plan including shuffles/writes, avoids collect-to-driver cost
@@ -170,18 +178,31 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time (steady-state), local[%d]"
-                % cpus,
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    core33 = {n: timings[n] for n in HEADLINE[:33] if n in timings}
+    summary = {
+        "metric": "headline query wall time (steady-state), local[%d]"
+        % cpus,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "core33_total": round(sum(core33.values()), 3),
+        "n_queries": len(timings),
+        "queries": core33,
+    }
+    detail = dict(summary, queries=timings)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    line = json.dumps(summary)
+    if len(line) > 1900:  # stay under the driver's stdout tail capture
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

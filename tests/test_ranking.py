@@ -1,0 +1,57 @@
+"""Distributed exact ntile (functions/ranking.py) — bit-equality with
+Spark's own single-partition ntile window, plus the no-unpartitioned-
+window plan guarantee the VERDICT r3 #2 swap was made for."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.functions.ranking import (
+    distributed_ntile,
+    with_global_rank,
+)
+
+
+@pytest.mark.parametrize(
+    "n_rows,n_tiles",
+    [(97, 5), (100, 10), (3, 5), (1, 4), (64, 8), (1000, 7)],
+)
+def test_distributed_ntile_matches_window_ntile(spark, n_rows, n_tiles):
+    # keys include heavy ties; id is the total-order tiebreak
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 13).alias("k")
+    )
+    expect = df.select(
+        "id",
+        F.ntile(n_tiles).over(Window.orderBy("k", "id")).alias("t"),
+    )
+    got = distributed_ntile(df, n_tiles, ["k", "id"], "t").select("id", "t")
+    assert {(r["id"], r["t"]) for r in got.collect()} == {
+        (r["id"], r["t"]) for r in expect.collect()
+    }
+
+
+def test_with_global_rank_is_gap_free_total(spark):
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    ranked = with_global_rank(df, ["k", "id"], "r")
+    rows = sorted((r["k"], r["id"], r["r"]) for r in ranked.collect())
+    assert sorted(r for _, _, r in rows) == list(range(1, 501))
+    # rank order agrees with the (k, id) lexicographic total order
+    by_rank = sorted(rows, key=lambda t: t[2])
+    assert by_rank == sorted(rows, key=lambda t: (t[0], t[1]))
+
+
+def test_distributed_ntile_plan_has_no_unpartitioned_window(spark):
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+    out = distributed_ntile(df, 4, ["k", "id"], "t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__ntile_pid" in line, (
+                "window must be partitioned by the range-partition id:\n"
+                + line
+            )
