@@ -880,14 +880,18 @@ def incremental_dedup_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_incremental_minhash_lsh", oracle=_MINHASH_PAIRS_ORACLE)
 def dedup_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL MinHash-LSH: documents arrive in three batches; each
+    """INCREMENTAL MinHash-LSH: documents arrive in two batches; each
     batch hashes ONLY its own documents (a signature depends on nothing
     outside the document), probes the accumulated band index for
     old↔new candidate pairs, mines new↔new pairs within the batch, and
     appends its signatures to the index — after the last batch the pair
     set must equal the one-shot corpus-wide LSH (same oracle as
     dedup_minhash_lsh_pairs, the algebraic condition that makes the
-    incremental form trustworthy).
+    incremental form trustworthy). Two ticks are the minimum that
+    exercises the identity (a probe against a non-empty index must
+    occur); VERDICT r3 #6 cut the third tick — each tick prices 2
+    lakehouse commits + the probe join, fixed machinery independent of
+    the identity being tested. Per-tick marginal cost in PLANS.md.
 
     This is the fuzzy sibling of incremental_dedup_lakehouse and THE
     shape fuzzy dedup must take at 100 TB: a daily tick costs
@@ -907,8 +911,8 @@ def dedup_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         index = LakehouseTable(spark, root + "/index")
         pairs = LakehouseTable(spark, root + "/pairs")
-        for i in range(3):
-            batch = docs.filter(F.col("doc_id") % 3 == i)
+        for i in range(2):
+            batch = docs.filter(F.col("doc_id") % 2 == i)
             new_bands = scoped_persist(minhash_band_rows(batch))
             a, b = new_bands.alias("a"), new_bands.alias("b")
             batch_pairs = (

@@ -176,8 +176,11 @@ def read_jdbc(
     watermark into an f-string SQL and materializes the full result in the
     driver. Here the predicate is pushed via ``dbtable`` subquery and the
     scan is split across executors with partitionColumn bounds — the
-    100 TB-safe shape. Untested in-container (no live Postgres); exercised
-    via its option-dict in tests.
+    100 TB-safe shape. Live-tested in-container against embedded Apache
+    Derby (the driver Spark ships for the Hive metastore) —
+    tests/test_pipeline_io.py::test_jdbc_live_roundtrip_embedded_derby
+    executes a real pushed, partition-split read; no Postgres driver jar
+    exists in the sandbox, so the Postgres path stays options-level.
     """
     dbtable = f"(SELECT * FROM {table}" + (
         f" WHERE {predicate})" if predicate else ")"

@@ -65,6 +65,62 @@ def test_jdbc_incremental_options():
     )
 
 
+def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
+    """S1/S2 LIVE (VERDICT r3 #4): a real pushed + partitioned JDBC read
+    against an embedded Apache Derby database (the Derby jars ship with
+    Spark for the Hive metastore, so the driver exists in-container;
+    embedded mode needs no server process). Exercises the actual JDBC
+    codepath — subquery pushdown, partitionColumn-split parallel scan —
+    instead of options-level asserts."""
+    from apache_iceberg_exploration_spark.sources.io import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    cust = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .limit(200)
+    )
+    (
+        cust.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer")
+        .option("driver", driver)
+        .save()
+    )
+    lo, hi = 0, 200
+    back = read_jdbc(
+        spark,
+        url,
+        "customer",
+        # Derby folds unquoted identifiers to upper case; Spark's JDBC
+        # writer creates quoted (case-exact) columns — quote in predicates
+        predicate='"c_custkey" < 100',
+        partition_column="c_custkey",
+        lower_bound=lo,
+        upper_bound=hi,
+        num_partitions=4,
+        driver=driver,
+    )
+    expect = cust.filter(F.col("c_custkey") < 100)
+    assert back.count() == expect.count()
+    # the scan is genuinely split: JDBCRelation plans 4 input partitions
+    assert back.rdd.getNumPartitions() == 4
+    # values round-trip (integer cents to dodge float formatting)
+    a = back.agg(
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+    ).first()[0]
+    b = expect.agg(
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+    ).first()[0]
+    assert a == b
+    # unpartitioned full-scan form (S2) reads everything
+    assert (
+        read_jdbc(spark, url, "customer", driver=driver).count()
+        == cust.count()
+    )
+
+
 def test_customer_data_schema_has_watermark_column():
     """The reference's schema-drift bug (etl.py:41 filters a column
     init.sql never defines) is fixed in our declared schema."""
