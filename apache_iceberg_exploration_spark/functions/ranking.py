@@ -92,6 +92,79 @@ def with_global_rank(
     return _ranked_with_total(df, order_cols, out_col, num_ranges)[0]
 
 
+def with_global_rank_static(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str | Column],
+    out_col: str,
+) -> DataFrame:
+    """Distributed exact global rank via STATIC monotone bucketing —
+    the cheap sibling of :func:`with_global_rank` for keys where the
+    caller can name a bucketing expression that is monotone
+    NON-DECREASING along ``order_cols`` (dates → month number, integer
+    cents → ``div`` bands, bounded counts → the count itself; negate
+    for descending orders).
+
+    Because the bucketing is deterministic — no RangePartitioner
+    sampling — the relation needs NO localCheckpoint pin between the
+    count job and the rank job, and no extra range shuffle: one
+    bucket-keyed aggregate (bounded rows, prefix-summed driver-side),
+    one bucket-partitioned window. That makes it ~free relative to the
+    sampled variant; the trade is a SKEW ASSUMPTION: each bucket is one
+    window partition, so a bucketing that dumps most rows into one
+    bucket re-creates the single-partition sort. Use this when the key
+    distribution is known (quintile scores over dates/counts/cents);
+    fall back to :func:`with_global_rank` when it isn't (e.g. Zipf
+    frequencies, where every static bucketing is head-or-tail skewed).
+    """
+    return _static_ranked_with_total(df, bucket, order_cols, out_col)[0]
+
+
+def _static_ranked_with_total(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str | Column],
+    out_col: str,
+) -> tuple[DataFrame, int]:
+    spark = df.sparkSession
+    b = df.withColumn(_PID, bucket)
+    counts = sorted(
+        (r[_PID], r["n"])
+        for r in b.groupBy(_PID).agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for bk, n in counts:
+        offsets.append((bk, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, f"{_PID} long, {_OFF} long")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    out = (
+        b.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.row_number().over(w) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+    return out, acc
+
+
+def distributed_ntile_static(
+    df: DataFrame,
+    n_tiles: int,
+    bucket: Column,
+    order_cols: list[str | Column],
+    out_col: str,
+) -> DataFrame:
+    """Exact ntile over a static monotone bucketing (see
+    :func:`with_global_rank_static`)."""
+    rank_col = f"__rank_{out_col}"
+    ranked, n_rows = _static_ranked_with_total(
+        df, bucket, order_cols, rank_col
+    )
+    return ranked.withColumn(
+        out_col, ntile_from_rank(F.col(rank_col), n_rows, n_tiles)
+    ).drop(rank_col)
+
+
 def with_global_cumsum(
     df: DataFrame,
     order_cols: list[str | Column],

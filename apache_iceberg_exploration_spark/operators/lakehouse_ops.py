@@ -2038,3 +2038,96 @@ def lakehouse_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_change_data_feed",
+    oracle="""
+        WITH v1 AS (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer
+        ),
+        late AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   c_acctbal + 500.0 AS c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey < 50
+        ),
+        v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM late),
+        v3 AS (SELECT * FROM v2 WHERE NOT (c_mktsegment = 'BUILDING')),
+        v4 AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   CASE WHEN c_nationkey = 3 THEN c_acctbal + 100.0
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM v3
+        ),
+        v5 AS (SELECT * FROM v4 WHERE NOT (c_custkey >= 1400)),
+        ins AS (SELECT * FROM v5 EXCEPT ALL SELECT * FROM v1),
+        del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v5),
+        tagged AS (
+            SELECT 'insert' AS change_type, * FROM ins
+            UNION ALL
+            SELECT 'delete' AS change_type, * FROM del
+        )
+        SELECT change_type,
+               count(*) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS bal_cents
+        FROM tagged
+        GROUP BY 1
+    """,
+)
+def lakehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED end-to-end (Iceberg changelog scan / Delta CDF):
+    a table takes an overwrite baseline, a late-arrival append, a
+    copy-on-write DELETE, a copy-on-write UPDATE (surfacing as
+    delete+insert pairs), and a merge-on-read equality DELETE; the
+    netted row-level feed ``changelog(1)`` must reproduce exactly the
+    multiset difference between the two states — summarized per change
+    type as row count, key checksum, and integer-cents balance sum, all
+    derivable by DuckDB from the source parquet alone.
+
+    Scale: the changelog opens ONLY files changed in the interval
+    (driver-side manifest diff; MoR-delete-affected common files are
+    scoped by sequence number) and nets them with two hash-aggregated
+    EXCEPT ALLs — O(changed data). This is the feed a downstream
+    search-index/replica consumer tails instead of re-scanning 100 TB
+    (lakehouse_cdc_replication closes that loop into replication).
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        tbl.overwrite(cust)  # v1 — the consumer's sync point
+        tbl.append(
+            cust.filter(F.col("c_custkey") < 50).withColumn(
+                "c_acctbal", F.col("c_acctbal") + 500.0
+            )
+        )  # v2: late arrivals
+        tbl.delete_where(F.col("c_mktsegment") == "BUILDING")  # v3: CoW
+        tbl.update_where(
+            F.col("c_nationkey") == 3,
+            {"c_acctbal": F.col("c_acctbal") + 100.0},
+        )  # v4: CoW update -> delete+insert pairs in the feed
+        tbl.delete_where_mor(
+            F.col("c_custkey") >= 1400, keys=["c_custkey"]
+        )  # v5: MoR equality delete
+        out = (
+            tbl.changelog(1)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("key_sum"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+                )
+                .cast("long")
+                .alias("bal_cents"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -3252,13 +3252,15 @@ def rfm_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics workhorse for lifecycle campaigns.
 
     Scale (VERDICT r3 #2 — promise retired): the three quintile scores
-    use the DISTRIBUTED exact ntile (functions/ranking.py) — range
-    repartition + per-partition rank + bounded offset prefix — so no
-    single-partition WindowExec exists even though the collapsed
-    customer relation would tolerate one locally. Bit-equal to the SQL
-    ntile oracle because each ordering is total (key tiebreak).
+    use the DISTRIBUTED exact ntile over STATIC monotone bucketings
+    (functions/ranking.distributed_ntile_static — months for recency,
+    the order count itself for frequency, $10k cent-bands for
+    monetary): one bounded bucket aggregate + one bucket-partitioned
+    window each, no single-partition WindowExec, no sampling, no
+    checkpoint pin. Bit-equal to the SQL ntile oracle because each
+    ordering is total (key tiebreak).
     """
-    from ..functions.ranking import distributed_ntile
+    from ..functions.ranking import distributed_ntile_static
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
@@ -3268,13 +3270,28 @@ def rfm_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     )
-    scored = rfm
-    for col, keys in (
-        ("r_score", ["last_order", "o_custkey"]),
-        ("f_score", ["frequency", "o_custkey"]),
-        ("m_score", ["monetary_cents", "o_custkey"]),
+    # pin the collapsed dimension ONCE: each score pipeline (bucket
+    # count + window) and the final join then read the materialized
+    # |customers|-row relation instead of re-aggregating orders
+    rfm = rfm.localCheckpoint()
+    scored = None
+    for col, bucket, keys in (
+        (
+            "r_score",
+            F.year("last_order") * 12 + F.month("last_order"),
+            ["last_order", "o_custkey"],
+        ),
+        ("f_score", F.col("frequency"), ["frequency", "o_custkey"]),
+        (
+            "m_score",
+            F.expr("monetary_cents div 1000000"),  # $10k bands
+            ["monetary_cents", "o_custkey"],
+        ),
     ):
-        scored = distributed_ntile(scored, 5, keys, col)
+        part = distributed_ntile_static(
+            rfm, 5, bucket.cast("long"), keys, col
+        ).select("o_custkey", col)
+        scored = part if scored is None else scored.join(part, "o_custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
     )

@@ -618,19 +618,21 @@ def curriculum_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id is the deterministic tie-break inside equal scores.
 
     Scale (VERDICT r3 #2 — promise retired): the decile assignment is
-    the DISTRIBUTED exact ntile (functions/ranking.py — range
-    repartition + per-partition rank + bounded offset prefix), not a
-    single-partition window; only (score_bp, n_tokens, doc_id) triples
-    move through the range shuffle, never text. Bit-equal to the SQL
+    the DISTRIBUTED exact ntile over a static monotone bucketing
+    (functions/ranking.distributed_ntile_static — 250-bp score bands):
+    one bounded bucket aggregate + one bucket-partitioned window, no
+    single-partition WindowExec; only (score_bp, n_tokens, doc_id)
+    triples move through the shuffle, never text. Bit-equal to the SQL
     ntile oracle because (score, doc_id) is a total ordering.
     """
-    from ..functions.ranking import distributed_ntile
+    from ..functions.ranking import distributed_ntile_static
 
     q = text_quality_score(spark, sf_dir)
     return (
-        distributed_ntile(
+        distributed_ntile_static(
             q.select("quality_score_bp", "n_tokens", "doc_id"),
             10,
+            F.expr("quality_score_bp div 250").cast("long"),
             ["quality_score_bp", "doc_id"],
             "decile",
         )

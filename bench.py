@@ -146,6 +146,8 @@ HEADLINE = [
     "ab_conversion_wilson_ci",
     "funnel_time_to_convert",
     "ewma_smoothed_volume",
+    # r4 additions
+    "lakehouse_change_data_feed",
 ]
 
 

@@ -481,6 +481,109 @@ def test_changelog_tags_inserts_and_deletes(spark, table):
     assert len(feed) == len(ins) + len(dels)  # untouched rows absent
 
 
+def test_changelog_skips_unchanged_files(spark, table):
+    """r4 scoped changelog: files common to both versions are never
+    opened. Proven by vandalizing the baseline snapshot's data files on
+    disk — a full-snapshot diff would crash reading them; the scoped
+    diff only opens the appended file."""
+    import glob as _glob
+    import os as _os
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.overwrite(cust)
+    v1 = table.current_version()
+    table.append(cust.filter(F.col("c_custkey") < 5))
+    v1_files = set(table._read_manifest(v1)["files"])
+    for f in v1_files:
+        with open(f, "wb") as fh:  # truncate: any read of these fails
+            fh.write(b"not parquet")
+    feed = table.changelog(v1).collect()
+    assert {r.c_custkey for r in feed} == set(range(5))
+    assert all(r._change_type == "insert" for r in feed)
+
+
+def test_changelog_compaction_nets_zero(spark, table):
+    """Row-preserving rewrites (small-file compaction) produce an empty
+    feed — the property an incremental consumer relies on to not
+    re-process 100 TB after maintenance."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    for i in range(3):
+        table.append(cust.filter(F.col("c_custkey") % 3 == i))
+    v = table.current_version()
+    table.rewrite_data_files()
+    assert table.current_version() > v
+    assert table.changelog(v).count() == 0
+
+
+def test_changelog_mor_delete_scopes_affected_files(spark, table):
+    """A merge-on-read equality delete changes NO data files — the
+    feed must still surface the dead rows, via the sequence-scoped
+    affected-common-file analysis."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.overwrite(cust)
+    v1 = table.current_version()
+    table.delete_where_mor(F.col("c_custkey") < 7, keys=["c_custkey"])
+    feed = table.changelog(v1).collect()
+    assert {r.c_custkey for r in feed} == set(range(7))
+    assert all(r._change_type == "delete" for r in feed)
+    # a row re-inserted IDENTICALLY after its delete NETS to zero
+    # (delete of original + exempt re-append cancel in the multiset
+    # diff); a MODIFIED re-insert surfaces
+    table.append(
+        cust.filter(F.col("c_custkey") == 3).withColumn(
+            "c_name", F.lit("READDED")
+        )
+    )
+    feed2 = table.changelog(v1).collect()
+    ins = [r for r in feed2 if r._change_type == "insert"]
+    assert [(r.c_custkey, r.c_name) for r in ins] == [(3, "READDED")]
+    assert {r.c_custkey for r in feed2 if r._change_type == "delete"} == set(
+        range(7)
+    )
+
+
+def test_changelog_pos_delete_reads_coordinate_files(spark, table):
+    """Position deletes name their target files inside tiny coordinate
+    parquets; the scoped changelog must read those driver-side to find
+    the affected common files."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.overwrite(cust)
+    v1 = table.current_version()
+    table.delete_where_pos(F.col("c_custkey").between(10, 12))
+    feed = table.changelog(v1).collect()
+    assert {r.c_custkey for r in feed} == {10, 11, 12}
+    assert all(r._change_type == "delete" for r in feed)
+
+
+def test_changelog_rename_is_metadata_only(spark, table):
+    """A column rename produces ZERO row changes (field-id semantics
+    via prior_names resolution), and post-rename changes surface under
+    the NEW name."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.overwrite(cust)
+    v1 = table.current_version()
+    table.rename_column("c_name", "customer_name")
+    assert table.changelog(v1).count() == 0
+    table.append(
+        cust.filter(F.col("c_custkey") < 3).withColumnRenamed(
+            "c_name", "customer_name"
+        )
+    )
+    feed = table.changelog(v1)
+    assert "customer_name" in feed.columns
+    assert feed.count() == 3
+
+
 def test_rollback_restores_old_state_and_keeps_history(spark, table):
     cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
     table.overwrite(cust)

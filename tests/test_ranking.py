@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 
 from apache_iceberg_exploration_spark.functions.ranking import (
     distributed_ntile,
+    distributed_ntile_static,
+    with_global_cumsum,
     with_global_rank,
+    with_global_rank_static,
 )
 
 
@@ -41,6 +44,74 @@ def test_with_global_rank_is_gap_free_total(spark):
     # rank order agrees with the (k, id) lexicographic total order
     by_rank = sorted(rows, key=lambda t: t[2])
     assert by_rank == sorted(rows, key=lambda t: (t[0], t[1]))
+
+
+@pytest.mark.parametrize(
+    "n_rows,n_tiles",
+    [(97, 5), (100, 10), (3, 5), (1000, 7)],
+)
+def test_static_ntile_matches_window_ntile(spark, n_rows, n_tiles):
+    from pyspark.sql import Window as W
+
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 13).alias("k")
+    )
+    expect = df.select(
+        "id",
+        F.ntile(n_tiles).over(W.orderBy("k", "id")).alias("t"),
+    )
+    # bucket = the key itself (monotone, ties collapse into one bucket)
+    got = distributed_ntile_static(
+        df, n_tiles, F.col("k").cast("long"), ["k", "id"], "t"
+    ).select("id", "t")
+    assert {(r["id"], r["t"]) for r in got.collect()} == {
+        (r["id"], r["t"]) for r in expect.collect()
+    }
+
+
+def test_static_rank_with_negative_and_desc_order(spark):
+    """Descending orders work by negating the bucket; trunc-division
+    bucketing stays monotone across zero."""
+    from pyspark.sql import Window as W
+
+    df = spark.range(300).select(
+        (F.col("id") - 150).alias("v"), F.col("id")
+    )
+    expect = df.select(
+        "id",
+        F.row_number().over(W.orderBy(F.col("v").desc(), "id")).alias("r"),
+    )
+    got = with_global_rank_static(
+        df,
+        (-F.expr("v div 40")).cast("long"),
+        [F.col("v").desc(), F.col("id")],
+        "r",
+    ).select("id", "r")
+    assert {(r["id"], r["r"]) for r in got.collect()} == {
+        (r["id"], r["r"]) for r in expect.collect()
+    }
+
+
+def test_global_cumsum_matches_window(spark):
+    from pyspark.sql import Window as W
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 9).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    expect = df.select(
+        "id",
+        F.sum("v")
+        .over(
+            W.orderBy("k", "id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("c"),
+    )
+    got = with_global_cumsum(df, ["k", "id"], "v", "c").select("id", "c")
+    assert {(r["id"], r["c"]) for r in got.collect()} == {
+        (r["id"], r["c"]) for r in expect.collect()
+    }
 
 
 def test_distributed_ntile_plan_has_no_unpartitioned_window(spark):
