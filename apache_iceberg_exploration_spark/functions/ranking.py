@@ -165,6 +165,86 @@ def distributed_ntile_static(
     ).drop(rank_col)
 
 
+def with_global_cumsum_static(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Inclusive running SUM via a static monotone bucketing — the
+    deterministic (no-sampling, no-pin) sibling of
+    :func:`with_global_cumsum`."""
+    spark = df.sparkSession
+    b = df.withColumn(_PID, bucket)
+    sums = sorted(
+        (r[_PID], r["t"])
+        for r in b.groupBy(_PID).agg(F.sum(value_col).alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for bk, t in sums:
+        offsets.append((bk, acc))
+        acc += t or 0
+    off_df = spark.createDataFrame(offsets, f"{_PID} long, {_OFF} long")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+
+
+def with_global_running_min_static(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Inclusive RUNNING MIN of ``value_col`` under ``ORDER BY
+    order_cols`` via a static monotone bucketing (see
+    :func:`with_global_rank_static` for the contract): running min
+    within each bucket (partitioned window), exclusive prefix-min of
+    per-bucket minima on the driver (bounded collect), combined with
+    ``least``. Any associative order-insensitive combiner works this
+    way; min is what CUSUM needs (S_t = cum_t − min_{k≤t} cum_k)."""
+    spark = df.sparkSession
+    b = df.withColumn(_PID, bucket)
+    mins = sorted(
+        (r[_PID], r["m"])
+        for r in b.groupBy(_PID).agg(F.min(value_col).alias("m")).collect()
+    )
+    offsets, acc = [], None
+    for bk, m in mins:
+        offsets.append((bk, acc))
+        acc = m if acc is None else min(acc, m)
+    off_df = spark.createDataFrame(
+        offsets, f"{_PID} long, {_OFF} long"
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(off_df), _PID)
+        .withColumn(
+            out_col,
+            F.least(
+                F.min(value_col).over(w),
+                F.coalesce(F.col(_OFF), F.min(value_col).over(w)),
+            ),
+        )
+        .drop(_PID, _OFF)
+    )
+
+
 def with_global_cumsum(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -1659,3 +1659,93 @@ def robust_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count_if(is_out).alias("n_outliers"),
     )
+
+
+@query(
+    "cusum_changepoint_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(sum(cents) AS BIGINT) AS total,
+                   count(*) AS n
+            FROM daily
+        ),
+        dev AS (
+            SELECT day, cents,
+                   cents - (SELECT total // n FROM t) AS dev
+            FROM daily
+        ),
+        cum AS (
+            SELECT day, cents, sum(dev) OVER (ORDER BY day) AS cum
+            FROM dev
+        ),
+        s AS (
+            SELECT day, cents,
+                   cum - least(min(cum) OVER (ORDER BY day), 0) AS cusum
+            FROM cum
+        )
+        SELECT day, CAST(cents AS BIGINT) AS day_cents,
+               CAST(cusum AS BIGINT) AS cusum
+        FROM s
+        ORDER BY cusum DESC, day
+        LIMIT 5
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen over the daily revenue series: the
+    one-sided cumulative-sum statistic S_t = cum_t − min_{k≤t} cum_k
+    (cum = running sum of deviations from the series mean) peaks where
+    a sustained upward level shift begins — the classic sequential
+    drift detector, complementing the rolling z-score (point anomalies)
+    and PSI (distribution drift). Emitted: the top-5 peak days with
+    their daily totals and CUSUM values.
+
+    Cross-engine determinism: deviations are integer cents minus the
+    integer floor-divided mean (never a float mean), so every partial
+    sum is exact in both engines. The max-prefix identity
+    S_t = cum_t − min(prefix min, 0) replaces the sequential recursion
+    max(0, S_{t-1} + dev_t) with two PREFIX operators — which is what
+    makes CUSUM distributable at all.
+
+    Scale: one keyed aggregate collapses orders to ~|days| rows
+    (pinned once); the running sum and running min are the STATIC
+    two-phase prefix forms (functions/ranking.py — bucketed by year,
+    monotone in the date), so no single-partition window exists; the
+    top-5 cut plans as TakeOrdered. At 100 TB the daily rollup is the
+    only pass over the fact table.
+    """
+    from ..functions.ranking import (
+        with_global_cumsum_static,
+        with_global_running_min_static,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()  # pin: the two prefix passes + final read
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("long").alias("t"), F.count("*").alias("n")
+    ).first()
+    mean = int(tot["t"]) // int(tot["n"])
+    dev = daily.withColumn("dev", F.col("cents") - F.lit(mean))
+    year_bucket = F.year("day").cast("long")
+    cum = with_global_cumsum_static(dev, year_bucket, ["day"], "dev", "cum")
+    s = with_global_running_min_static(
+        cum, year_bucket, ["day"], "cum", "runmin"
+    ).withColumn("cusum", F.col("cum") - F.least(F.col("runmin"), F.lit(0)))
+    return (
+        s.orderBy(F.col("cusum").desc(), "day")
+        .limit(5)
+        .select("day", F.col("cents").alias("day_cents"), "cusum")
+    )

@@ -2131,3 +2131,124 @@ def lakehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_table_diff_audit",
+    oracle="""
+        WITH src AS (
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer
+        ),
+        dst AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey IN (7, 11)
+                        THEN cents + 12345 ELSE cents END AS cents
+            FROM src
+            WHERE c_custkey NOT IN (100, 200, 300)
+        ),
+        sb AS (
+            SELECT c_custkey % 64 AS bucket, count(*) AS n,
+                   CAST(sum(try_cast('0x' || substring(
+                        md5(CAST(c_custkey AS VARCHAR) || '|'
+                            || CAST(cents AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 1000000000) AS BIGINT) AS checksum
+            FROM src GROUP BY 1
+        ),
+        db AS (
+            SELECT c_custkey % 64 AS bucket, count(*) AS n,
+                   CAST(sum(try_cast('0x' || substring(
+                        md5(CAST(c_custkey AS VARCHAR) || '|'
+                            || CAST(cents AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 1000000000) AS BIGINT) AS checksum
+            FROM dst GROUP BY 1
+        )
+        SELECT coalesce(sb.bucket, db.bucket) AS bucket,
+               coalesce(sb.n, 0) AS src_rows,
+               coalesce(db.n, 0) AS dst_rows,
+               (coalesce(sb.n, 0) = coalesce(db.n, 0)) AS counts_match
+        FROM sb FULL OUTER JOIN db ON sb.bucket = db.bucket
+        WHERE sb.n IS DISTINCT FROM db.n
+           OR sb.checksum IS DISTINCT FROM db.checksum
+    """,
+)
+def lakehouse_table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table diff (the replica-verification tool that pairs
+    with lakehouse_cdc_replication): source and replica are each
+    collapsed to per-bucket digests — row count + a sum of per-row
+    md5-derived 64-bit hashes over the comparable columns — and only
+    DIVERGENT buckets are reported. Here the replica is vandalized with
+    3 missing rows and 2 corrupted balances; the audit must localize
+    exactly the buckets holding those 5 keys.
+
+    Scale: THE point of digest-based diffing — comparing two 100 TB
+    replicas costs two full scans collapsing map-side into ≤64 digest
+    rows each (partial aggregation: one tiny exchange), not a row-level
+    join; divergent buckets (usually none) are then drilled into
+    row-level over 1/64th of the data each. The per-row hash is the
+    engine-portable md5 family (functions/hashing.py), so source and
+    replica digests are comparable even across engines — the same
+    reason the oracle can reproduce them in DuckDB.
+    """
+    from ..functions.hashing import hash64
+
+    root = _scratch()
+    try:
+        src_t = LakehouseTable(spark, root + "/src")
+        dst_t = LakehouseTable(spark, root + "/dst")
+        base = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        src_t.overwrite(base)
+        dst_t.overwrite(
+            base.filter(~F.col("c_custkey").isin(100, 200, 300)).withColumn(
+                "cents",
+                F.when(
+                    F.col("c_custkey").isin(7, 11),
+                    F.col("cents") + 12345,
+                ).otherwise(F.col("cents")),
+            )
+        )
+
+        def digests(df: DataFrame) -> DataFrame:
+            row_hash = hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("c_custkey").cast("string"),
+                    F.col("cents").cast("string"),
+                )
+            )
+            return df.groupBy(
+                (F.col("c_custkey") % 64).alias("bucket")
+            ).agg(
+                F.count("*").alias("n"),
+                F.sum(row_hash % 1_000_000_000).cast("long").alias("checksum"),
+            )
+
+        sb = digests(src_t.read()).alias("sb")
+        db = digests(dst_t.read()).alias("db")
+        out = (
+            sb.join(db, F.col("sb.bucket") == F.col("db.bucket"), "full_outer")
+            .filter(
+                ~F.col("sb.n").eqNullSafe(F.col("db.n"))
+                | ~F.col("sb.checksum").eqNullSafe(F.col("db.checksum"))
+            )
+            .select(
+                F.coalesce(F.col("sb.bucket"), F.col("db.bucket")).alias(
+                    "bucket"
+                ),
+                F.coalesce(F.col("sb.n"), F.lit(0)).alias("src_rows"),
+                F.coalesce(F.col("db.n"), F.lit(0)).alias("dst_rows"),
+                (
+                    F.coalesce(F.col("sb.n"), F.lit(0))
+                    == F.coalesce(F.col("db.n"), F.lit(0))
+                ).alias("counts_match"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -148,6 +148,8 @@ HEADLINE = [
     "ewma_smoothed_volume",
     # r4 additions
     "lakehouse_change_data_feed",
+    "cusum_changepoint_daily",
+    "lakehouse_table_diff_audit",
 ]
 
 

@@ -10,8 +10,10 @@ from apache_iceberg_exploration_spark.functions.ranking import (
     distributed_ntile,
     distributed_ntile_static,
     with_global_cumsum,
+    with_global_cumsum_static,
     with_global_rank,
     with_global_rank_static,
+    with_global_running_min_static,
 )
 
 
@@ -112,6 +114,39 @@ def test_global_cumsum_matches_window(spark):
     assert {(r["id"], r["c"]) for r in got.collect()} == {
         (r["id"], r["c"]) for r in expect.collect()
     }
+
+
+def test_static_cumsum_and_running_min_match_windows(spark):
+    from pyspark.sql import Window as W
+
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 11).alias("k"),
+        ((F.col("id") * 37) % 23 - 11).alias("v"),  # mixed-sign values
+    )
+    frame = W.orderBy("k", "id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    expect = df.select(
+        "id",
+        F.sum("v").over(frame).alias("c"),
+        F.min("v").over(frame).alias("m"),
+    )
+    got_c = with_global_cumsum_static(
+        df, F.col("k").cast("long"), ["k", "id"], "v", "c"
+    ).select("id", "c")
+    got_m = with_global_running_min_static(
+        df, F.col("k").cast("long"), ["k", "id"], "v", "m"
+    ).select("id", "m")
+    want = {(r["id"], r["c"], r["m"]) for r in expect.collect()}
+    got = {
+        (rc["id"], rc["c"], rm["m"])
+        for rc, rm in zip(
+            sorted(got_c.collect(), key=lambda r: r["id"]),
+            sorted(got_m.collect(), key=lambda r: r["id"]),
+        )
+    }
+    assert got == want
 
 
 def test_distributed_ntile_plan_has_no_unpartitioned_window(spark):
