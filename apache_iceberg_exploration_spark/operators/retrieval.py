@@ -1,0 +1,305 @@
+"""Retrieval operators: BM25 sparse scoring and hybrid rank fusion.
+
+The RAG-side complement of the ANN family (operators/similarity.py):
+a corpus-statistics sparse retriever (BM25, the Lucene/Elasticsearch
+scoring function) and reciprocal-rank fusion of the sparse and dense
+arms — the standard hybrid-retrieval recipe a production RAG pipeline
+runs over exactly the ``documents`` + ``embeddings`` tables this engine
+manages. The reference has no retrieval plane at all (SURVEY.md §2);
+this extends the BASELINE.json "similarity search" north star to the
+text side.
+
+Cross-engine float discipline (see text_unigram_logprob_filter): every
+per-term float (idf × tf-normalization, reciprocal ranks) is rounded to
+9 decimals and cast to DECIMAL before summation, so aggregates are
+exact and associative in both engines; all other inputs are integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, cosine_similarity_sql
+from ..registry import query
+from ..sources.io import load_table
+from .similarity import QUERY_VEC_ID, _query_vector
+
+BM25_TERMS = ("join", "merge", "filter")  # the fixed evaluation query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_TOP_K = 10
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+# BM25 per-(doc, term) score with the Lucene +1 idf (never negative even
+# for df > N/2). Identical operand order on both engines; n/total arrive
+# as exact integers, k1/b constants parse to the same doubles.
+_BM25_TERM_SQL = (
+    "round(ln(1 + (n - df + 0.5) / (df + 0.5))"
+    " * (tf * {k1_plus_1}) / (tf + {k1} * ({one_minus_b} + {b}"
+    " * (dl * n) / total)), 9)"
+).format(k1_plus_1=1 + BM25_K1, k1=BM25_K1, one_minus_b=1 - BM25_B, b=BM25_B)
+
+_BM25_CTE = f"""
+        tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE doc_id <> {QUERY_VEC_ID}
+        ),
+        tok2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        dl_t AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+        corpus AS (
+            SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
+            FROM dl_t
+        ),
+        tf_t AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM tok2 WHERE word IN ({_TERMS_SQL}) GROUP BY 1, 2
+        ),
+        df_t AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM tf_t GROUP BY 1
+        ),
+        sparse AS (
+            SELECT t.doc_id,
+                   sum(CAST({_BM25_TERM_SQL} AS DECIMAL(18,9))) AS bm25,
+                   count(*) AS n_terms
+            FROM tf_t t
+            JOIN df_t d USING (word)
+            JOIN dl_t l USING (doc_id), corpus
+            GROUP BY 1
+        )
+"""
+
+
+@query(
+    "bm25_sparse_retrieval_topk",
+    oracle=f"""
+        WITH {_BM25_CTE}
+        SELECT doc_id,
+               CAST(n_terms AS BIGINT) AS n_terms,
+               round(CAST(bm25 AS DOUBLE), 6) AS bm25_score
+        FROM sparse
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k for a fixed term query — the sparse-retrieval baseline
+    (Lucene's Okapi BM25 with the +1 idf): per-term idf × saturated,
+    length-normalized tf, summed per document, top-{BM25_TOP_K} by
+    score. This is the lexical arm every hybrid RAG stack runs next to
+    dense ANN, over corpus statistics (df, dl, avgdl) the engine
+    already computes for TF-IDF.
+
+    Scale: corpus stats are two keyed aggregates over the exploded
+    tokens (shuffle carries tokens once); scoring touches only rows
+    whose word is IN the query terms — the inverted-index access
+    pattern expressed as a pre-aggregation filter — joined to the
+    vocabulary-sized df table (broadcast) and the per-doc lengths; the
+    top-k plans as TakeOrdered. Avgdl enters as integer (dl·N)/total so
+    no float mean crosses engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") != QUERY_VEC_ID
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    from ..functions.caching import scoped_persist
+
+    tok = scoped_persist(tok)
+    dl = scoped_persist(
+        tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    )
+    corpus = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("total")
+    ).first()
+    n, total = int(corpus["n"]), int(corpus["total"])
+    tf = (
+        tok.filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    term_score = F.round(
+        F.log(
+            1
+            + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (1 + BM25_K1))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (
+                (1 - BM25_B)
+                + BM25_B * (F.col("dl") * F.lit(n)) / F.lit(total)
+            )
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    sparse = (
+        tf.join(F.broadcast(df_t), "word")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_score).alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    return (
+        sparse.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+        .select(
+            "doc_id",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.round(F.col("bm25").cast("double"), 6).alias("bm25_score"),
+        )
+    )
+
+
+@query(
+    "hybrid_retrieval_rrf_fusion",
+    oracle=f"""
+        WITH {_BM25_CTE},
+        s_rank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM sparse
+        ),
+        q AS (SELECT embedding AS q_emb FROM embeddings
+              WHERE vec_id = {QUERY_VEC_ID}),
+        dense AS (
+            SELECT e.vec_id AS doc_id,
+                   {cosine_similarity_sql('e.embedding', 'q.q_emb')} AS cos
+            FROM embeddings e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        ),
+        d_rank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+            FROM dense
+        ),
+        fused AS (
+            SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+                   coalesce(CAST(round(1.0 / ({RRF_K} + s.r), 9)
+                                 AS DECIMAL(18,9)), 0)
+                   + coalesce(CAST(round(1.0 / ({RRF_K} + d.r), 9)
+                                   AS DECIMAL(18,9)), 0) AS rrf,
+                   s.r AS sparse_rank,
+                   d.r AS dense_rank
+            FROM s_rank s FULL OUTER JOIN d_rank d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id,
+               CAST(sparse_rank AS BIGINT) AS sparse_rank,
+               CAST(dense_rank AS BIGINT) AS dense_rank,
+               round(CAST(rrf AS DOUBLE), 6) AS rrf_score
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT {RRF_TOP_K}
+    """,
+)
+def hybrid_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion of the BM25 sparse arm
+    and the dense cosine arm (k={RRF_K}): score(d) = Σ 1/(k + rank_arm),
+    the scoreless fusion that needs no cross-arm calibration and is the
+    production default for hybrid RAG search. An arm that didn't
+    retrieve a document contributes 0. Emitted: the fused
+    top-{RRF_TOP_K} with each arm's rank.
+
+    Scale: each arm's GLOBAL rank uses the distributed exact rank
+    (functions/ranking.with_global_rank — range repartition +
+    per-partition row_number + bounded offset prefix), never a
+    single-partition window; the fusion is one full-outer join on the
+    document key. The doc↔vector identity join is the contract that
+    ``embeddings.vec_id`` mirrors ``documents.doc_id`` (TESTDATA.md).
+    """
+    from ..functions.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") != QUERY_VEC_ID
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    from ..functions.caching import scoped_persist
+
+    tok = scoped_persist(tok)
+    dl = scoped_persist(
+        tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    )
+    corpus = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("total")
+    ).first()
+    n, total = int(corpus["n"]), int(corpus["total"])
+    tf = (
+        tok.filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    term_score = F.round(
+        F.log(
+            1
+            + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (1 + BM25_K1))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (
+                (1 - BM25_B)
+                + BM25_B * (F.col("dl") * F.lit(n)) / F.lit(total)
+            )
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    sparse = (
+        tf.join(F.broadcast(df_t), "word")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("bm25"))
+    )
+    s_rank = with_global_rank(
+        sparse, [F.col("bm25").desc(), F.col("doc_id")], "r"
+    ).select("doc_id", F.col("r").alias("sparse_rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(emb)
+    dense = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias(
+                "cos"
+            ),
+        )
+    )
+    d_rank = with_global_rank(
+        dense, [F.col("cos").desc(), F.col("doc_id")], "r"
+    ).select("doc_id", F.col("r").alias("dense_rank"))
+
+    rr = lambda r: F.coalesce(  # noqa: E731
+        F.round(1.0 / (RRF_K + r), 9).cast("decimal(18,9)"),
+        F.lit(0).cast("decimal(18,9)"),
+    )
+    fused = (
+        s_rank.join(d_rank, "doc_id", "full_outer")
+        .withColumn(
+            "rrf", rr(F.col("sparse_rank")) + rr(F.col("dense_rank"))
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("sparse_rank").cast("long").alias("sparse_rank"),
+            F.col("dense_rank").cast("long").alias("dense_rank"),
+            F.round(F.col("rrf").cast("double"), 6).alias("rrf_score"),
+        )
+    )

@@ -107,5 +107,7 @@ def _load_all() -> None:
     # r6 additions — again appended last to keep the driver-verified
     # registry prefix stable.
     from .operators import analytics  # noqa: F401
+    # r4 (second cycle) additions — appended last, same prefix rule.
+    from .operators import retrieval  # noqa: F401
 
     _LOADED = True

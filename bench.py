@@ -150,6 +150,8 @@ HEADLINE = [
     "lakehouse_change_data_feed",
     "cusum_changepoint_daily",
     "lakehouse_table_diff_audit",
+    "bm25_sparse_retrieval_topk",
+    "hybrid_retrieval_rrf_fusion",
 ]
 
 
