@@ -1749,3 +1749,152 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("day", F.col("cents").alias("day_cents"), "cusum")
     )
+
+
+_PROFILE_COLS_SQL = """
+            SELECT 'o_orderkey' AS col_name,
+                   lpad(CAST(o_orderkey AS VARCHAR), 14, '0') AS val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', lpad(CAST(o_custkey AS VARCHAR), 14, '0')
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', o_orderstatus FROM orders
+            UNION ALL
+            SELECT 'o_totalprice',
+                   lpad(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS VARCHAR), 14, '0')
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d')
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', o_orderpriority FROM orders
+"""
+
+
+@query(
+    "dq_table_profile_orders",
+    oracle=f"""
+        WITH pairs AS ({_PROFILE_COLS_SQL}),
+        stats AS (
+            SELECT col_name,
+                   count(*) AS n_rows,
+                   count(*) FILTER (val IS NULL) AS n_nulls,
+                   count(DISTINCT val) AS n_distinct,
+                   min(val) AS min_val,
+                   max(val) AS max_val
+            FROM pairs GROUP BY 1
+        ),
+        freq AS (
+            SELECT col_name, val, count(*) AS c
+            FROM pairs WHERE val IS NOT NULL GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT col_name, val AS top_value, c AS top_count
+            FROM (
+                SELECT col_name, val, c,
+                       row_number() OVER (
+                           PARTITION BY col_name ORDER BY c DESC, val
+                       ) AS rk
+                FROM freq
+            ) WHERE rk = 1
+        )
+        SELECT s.col_name,
+               CAST(s.n_rows AS BIGINT) AS n_rows,
+               CAST(s.n_nulls AS BIGINT) AS n_nulls,
+               CAST(s.n_distinct AS BIGINT) AS n_distinct,
+               s.min_val, s.max_val,
+               t.top_value, CAST(t.top_count AS BIGINT) AS top_count
+        FROM stats s JOIN top t ON s.col_name = t.col_name
+    """,
+)
+def dq_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling report (the data-catalog staple —
+    Deequ/Great-Expectations ``profile``): per column, row count, null
+    count, exact distinct count, min/max, and the modal value with its
+    frequency. Values are profiled in an engine-portable CANONICAL
+    string form — integers zero-padded (lexicographic == numeric),
+    doubles as integer cents, timestamps as ISO dates — so min/max and
+    ties are identical in both engines.
+
+    Scale: the unpivot (``stack``) rewrites the scan as (column, value)
+    pairs — C× row expansion but map-local; everything downstream is
+    ONE shuffle keyed (column, value): distinct/min/max partial-
+    aggregate map-side, and the modal value is a per-column windowed
+    top-1 over the collapsed frequency relation (partitioned by column
+    — never a global window). Compare with C per-column jobs a naive
+    profiler runs: at 100 TB that's C table scans vs one.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 14, "0")  # noqa: E731
+    pairs = orders.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderkey").alias("col_name"),
+                    pad("o_orderkey").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("col_name"),
+                    pad("o_custkey").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("col_name"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col_name"),
+                    F.lpad(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5)
+                        .cast("long")
+                        .cast("string"),
+                        14,
+                        "0",
+                    ).alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderdate").alias("col_name"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col_name"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.val")
+    stats = pairs.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("val").isNull()).alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    freq = (
+        pairs.filter(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("c").desc(), F.col("val")
+    )
+    top = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "col_name",
+            F.col("val").alias("top_value"),
+            F.col("c").alias("top_count"),
+        )
+    )
+    return stats.join(top, "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        "top_value",
+        F.col("top_count").cast("long").alias("top_count"),
+    )

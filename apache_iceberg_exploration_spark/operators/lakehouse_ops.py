@@ -2252,3 +2252,109 @@ def lakehouse_table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_incremental_mv_cdf_refresh",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer
+        ),
+        v2 AS (
+            SELECT * FROM base
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, cents + 111
+            FROM base WHERE c_custkey < 50
+        ),
+        v3 AS (SELECT * FROM v2 WHERE c_custkey % 10 <> 7),
+        v4 AS (
+            SELECT c_custkey, c_mktsegment,
+                   CASE WHEN c_custkey % 10 = 4 THEN cents + 1000
+                        ELSE cents END AS cents
+            FROM v3
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS bal_cents
+        FROM v4 GROUP BY 1
+    """,
+)
+def lakehouse_incremental_mv_cdf_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance over the change feed:
+    a per-segment aggregate MV is built once, the base table then takes
+    an append, a copy-on-write delete, and a copy-on-write update — and
+    the MV is refreshed by aggregating ONLY ``changelog(v1)`` with
+    signs (+1 insert / −1 delete) and merging the per-group deltas in,
+    never re-reading the base table. Count and sum are
+    delta-maintainable (self-inverse under retraction), so
+    MV + Σ(sign·x) ≡ full recompute — which is exactly what the oracle
+    asserts against the final state.
+
+    Scale: THE reason warehouses ship CDF — refreshing a gold aggregate
+    over a 100 TB base costs O(changed rows) (the scoped changelog
+    opens only changed files) + a dimension-sized MERGE, instead of a
+    full rescan. Pairs with incremental_gold_refresh (append-only
+    watermark form); this one also absorbs deletes and updates.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        mv = LakehouseTable(spark, root + "/mv")
+        base = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        tbl.overwrite(base)  # v1 — MV built from this snapshot
+        mv.overwrite(
+            tbl.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").cast("long").alias("bal_cents"),
+            )
+        )
+        # base table moves on
+        tbl.append(
+            base.filter(F.col("c_custkey") < 50).withColumn(
+                "cents", F.col("cents") + 111
+            )
+        )
+        tbl.delete_where(F.col("c_custkey") % 10 == 7)
+        tbl.update_where(
+            F.col("c_custkey") % 10 == 4,
+            {"cents": F.col("cents") + 1000},
+        )
+        # refresh: signed per-group deltas from the scoped change feed
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = (
+            tbl.changelog(1)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(sign).cast("long").alias("d_n"),
+                F.sum(sign * F.col("cents")).cast("long").alias("d_cents"),
+            )
+        )
+        mv.merge_into(
+            delta,
+            on=["c_mktsegment"],
+            update_cols={
+                "n_rows": F.col("t.n_rows") + F.col("s.d_n"),
+                "bal_cents": F.col("t.bal_cents") + F.col("s.d_cents"),
+            },
+            insert_unmatched=False,
+        )
+        out = mv.read().select(
+            "c_mktsegment",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("bal_cents").cast("long").alias("bal_cents"),
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -152,6 +152,8 @@ HEADLINE = [
     "lakehouse_table_diff_audit",
     "bm25_sparse_retrieval_topk",
     "hybrid_retrieval_rrf_fusion",
+    "dq_table_profile_orders",
+    "lakehouse_incremental_mv_cdf_refresh",
 ]
 
 
