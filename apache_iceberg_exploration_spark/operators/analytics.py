@@ -1898,3 +1898,83 @@ def dq_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_value",
         F.col("top_count").cast("long").alias("top_count"),
     )
+
+
+@query(
+    "recursive_cte_dup_chain_closure",
+    oracle="""
+        WITH RECURSIVE fp_t AS (
+            SELECT doc_id, md5(text) AS fp FROM documents
+        ),
+        edges AS (
+            SELECT src, doc_id AS dst FROM (
+                SELECT doc_id, fp,
+                       lag(doc_id) OVER (
+                           PARTITION BY fp ORDER BY doc_id
+                       ) AS src
+                FROM fp_t
+            ) WHERE src IS NOT NULL
+        ),
+        reach(doc, anc) AS (
+            SELECT dst, src FROM edges
+            UNION ALL
+            SELECT r.doc, e.src
+            FROM reach r JOIN edges e ON e.dst = r.anc
+        ),
+        roots AS (SELECT doc, min(anc) AS root FROM reach GROUP BY doc)
+        SELECT root,
+               count(*) + 1 AS cluster_size,
+               CAST(sum(doc) + root AS BIGINT) AS member_key_sum
+        FROM roots
+        GROUP BY root
+    """,
+)
+def recursive_cte_dup_chain_closure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transitive closure by RECURSIVE CTE (Spark 4's ``WITH
+    RECURSIVE``): exact-duplicate documents are chained by fingerprint
+    (each doc edges to its predecessor in the md5 group — an ACYCLIC
+    path graph, so ``UNION ALL`` recursion terminates naturally and
+    expands linearly, never combinatorially), and the recursion walks
+    every doc to its cluster root. Output: one row per duplicate
+    cluster with its size and member-key checksum — the same cluster
+    semantics as dedup_cluster_assignment, derived through the SQL
+    engine's fixpoint operator instead of a driver-side loop.
+
+    Scale: each recursion step is one (anc = dst)-keyed equi-join;
+    depth is the longest duplicate chain. For unbounded adversarial
+    clusters prefer the DataFrame label-propagation form
+    (dedup.dedup_cluster_assignment — logarithmic rounds); this entry
+    is the declarative sibling that lets Catalyst own the loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE fp_t AS (
+            SELECT doc_id, md5(text) AS fp FROM documents_rcte
+        ),
+        edges AS (
+            SELECT src, doc_id AS dst FROM (
+                SELECT doc_id, fp,
+                       lag(doc_id) OVER (
+                           PARTITION BY fp ORDER BY doc_id
+                       ) AS src
+                FROM fp_t
+            ) WHERE src IS NOT NULL
+        ),
+        reach(doc, anc) AS (
+            SELECT dst, src FROM edges
+            UNION ALL
+            SELECT r.doc, e.src
+            FROM reach r JOIN edges e ON e.dst = r.anc
+        ),
+        roots AS (SELECT doc, min(anc) AS root FROM reach GROUP BY doc)
+        SELECT root,
+               count(*) + 1 AS cluster_size,
+               CAST(sum(doc) + root AS BIGINT) AS member_key_sum
+        FROM roots
+        GROUP BY root
+        """
+    )

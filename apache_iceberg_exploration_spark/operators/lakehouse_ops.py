@@ -2358,3 +2358,70 @@ def lakehouse_incremental_mv_cdf_refresh(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_partition_spec_evolution",
+    oracle="""
+        WITH t AS (
+            SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+        )
+        SELECT 'by_segment' AS arm, count(*) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM t WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT 'by_nation', count(*),
+               CAST(sum(c_custkey) AS BIGINT)
+        FROM t WHERE c_nationkey = 3
+    """,
+)
+def lakehouse_partition_spec_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION SPEC EVOLUTION (Iceberg's spec-per-file design): the
+    table starts partitioned by market segment; later appends switch to
+    partitioning by nation key WITHOUT rewriting old data. Both layouts
+    then coexist in one table, and a pruned scan on EITHER column
+    prunes exactly the files whose layout knows that column (the other
+    layout's files are conservatively kept and filtered row-level, so
+    results stay exact — asserted by the oracle over both filter arms).
+
+    Scale: this is how a 100 TB table changes its partition strategy at
+    zero rewrite cost — new data lands in the new layout immediately,
+    old files become prunable by the new spec only as normal compaction
+    re-lays them out. The alternative (rewrite everything) is a full
+    table write.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_nationkey"
+        )
+        tbl.overwrite(
+            cust.filter(F.col("c_custkey") < 1000),
+            partition_by=["c_mktsegment"],
+        )
+        tbl.append(  # spec evolves: same table, new layout
+            cust.filter(F.col("c_custkey") >= 1000),
+            partition_by=["c_nationkey"],
+        )
+        a = (
+            tbl.scan({"c_mktsegment": ("BUILDING", "BUILDING")})
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("key_sum"),
+            )
+            .select(F.lit("by_segment").alias("arm"), "n_rows", "key_sum")
+        )
+        b = (
+            tbl.scan({"c_nationkey": (3, 3)})
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("key_sum"),
+            )
+            .select(F.lit("by_nation").alias("arm"), "n_rows", "key_sum")
+        )
+        return _materialize(a.unionByName(b))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

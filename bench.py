@@ -154,6 +154,8 @@ HEADLINE = [
     "hybrid_retrieval_rrf_fusion",
     "dq_table_profile_orders",
     "lakehouse_incremental_mv_cdf_refresh",
+    "lakehouse_partition_spec_evolution",
+    "recursive_cte_dup_chain_closure",
 ]
 
 

@@ -584,6 +584,48 @@ def test_changelog_rename_is_metadata_only(spark, table):
     assert feed.count() == 3
 
 
+def test_partition_spec_evolution_prunes_per_layout(spark, table):
+    """Spec evolution: after switching partition_by between commits,
+    a predicate on EITHER partition column prunes that layout's files
+    while conservatively keeping the other layout's (which lack the
+    field in their partition tuple)."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    table.overwrite(
+        cust.filter(F.col("c_custkey") < 75),
+        partition_by=["c_mktsegment"],
+    )
+    n_old = len(table._read_manifest(table.current_version())["files"])
+    table.append(
+        cust.filter(F.col("c_custkey") >= 75),
+        partition_by=["c_nationkey"],
+    )
+    m = table._read_manifest(table.current_version())
+    kinds = {(d["kind"], d["col"]) for d in m["partition_specs"]}
+    assert kinds == {
+        ("identity", "c_mktsegment"),
+        ("identity", "c_nationkey"),
+    }
+    n_new = len(m["files"]) - n_old
+    seg = cust.select("c_mktsegment").first()[0]
+    kept_seg = table._partition_prune(
+        m, {"c_mktsegment": (seg, seg)}, m["files"]
+    )
+    # old layout pruned (fewer than all old files), new layout all kept
+    assert n_new <= len(kept_seg) < len(m["files"])
+    nat = cust.select("c_nationkey").first()[0]
+    kept_nat = table._partition_prune(
+        m, {"c_nationkey": (nat, nat)}, m["files"]
+    )
+    assert n_old <= len(kept_nat) < len(m["files"])
+    # and the scans stay exact across both layouts
+    assert (
+        table.scan({"c_nationkey": (nat, nat)}).count()
+        == cust.filter(F.col("c_nationkey") == nat).count()
+    )
+
+
 def test_rollback_restores_old_state_and_keeps_history(spark, table):
     cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
     table.overwrite(cust)
