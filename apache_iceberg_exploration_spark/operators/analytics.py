@@ -1978,3 +1978,65 @@ def recursive_cte_dup_chain_closure(
         GROUP BY root
         """
     )
+
+
+@query(
+    "equi_depth_histogram_lineitem",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        b AS (
+            SELECT cents,
+                   ntile(10) OVER (
+                       ORDER BY cents, l_orderkey, l_linenumber
+                   ) AS bucket
+            FROM c
+        )
+        SELECT bucket,
+               count(*) AS n_rows,
+               CAST(min(cents) AS BIGINT) AS lo_cents,
+               CAST(max(cents) AS BIGINT) AS hi_cents
+        FROM b GROUP BY 1
+    """,
+)
+def equi_depth_histogram_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram of line-item prices: ten
+    buckets of EQUAL ROW COUNT with their value ranges — the statistic
+    cost-based optimizers keep per column (selectivity under skew,
+    where equal-width bins collapse), and the exact sibling of the
+    mergeable fixed-bin histogram_merge_rollup.
+
+    Scale: unlike the dimension-sized ntile users (RFM), this ranks
+    the FACT table itself — the distributed static-bucket exact ntile
+    (functions/ranking.py, $1k price bands as the monotone bucketing)
+    ranks 6M rows/SF with one bucket aggregate + one bucket-partitioned
+    window, no single-partition sort anywhere; bucket boundaries are
+    exact order statistics, not sketch estimates.
+    """
+    from ..functions.ranking import distributed_ntile_static
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    bucketed = distributed_ntile_static(
+        li,
+        10,
+        F.expr("cents div 100000").cast("long"),  # $1k bands
+        ["cents", "l_orderkey", "l_linenumber"],
+        "bucket",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

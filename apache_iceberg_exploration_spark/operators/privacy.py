@@ -299,3 +299,87 @@ def privacy_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("acctbal_band"),
     )
+
+
+GDPR_SUBJECT_KEY = 42  # the data subject of the access-request fixture
+
+
+@query(
+    "gdpr_subject_access_report",
+    oracle=f"""
+        SELECT 'customer' AS tbl, count(*) AS n_rows,
+               CAST(coalesce(sum(CAST(floor(c_acctbal * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT) AS ref_cents
+        FROM customer WHERE c_custkey = {GDPR_SUBJECT_KEY}
+        UNION ALL
+        SELECT 'orders', count(*),
+               CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+        FROM orders WHERE o_custkey = {GDPR_SUBJECT_KEY}
+        UNION ALL
+        SELECT 'lineitem', count(*),
+               CAST(coalesce(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey = {GDPR_SUBJECT_KEY}
+        UNION ALL
+        SELECT 'events', count(*),
+               CAST(coalesce(sum(CAST(floor(value * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+        FROM events WHERE user_id = {GDPR_SUBJECT_KEY}
+    """,
+)
+def gdpr_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR Article-15 subject-access report (DSAR): one data subject's
+    footprint across every table that can reference them — row counts
+    plus a value checksum per table, the inventory a privacy office
+    produces before an export or an Article-17 erasure
+    (gdpr_purge_lakehouse is the erasure sibling). The lineitem arm
+    resolves through its order foreign key — subject data isn't only
+    where the key literally appears.
+
+    Scale: each arm is a subject-key point predicate — pushed to the
+    parquet scan here, and at 100 TB exactly what the lakehouse bloom
+    point lookup / partition pruning / z-order machinery exists for;
+    the fact-table arm is a broadcast semi-join through the key map.
+    The report is a union of single-row aggregates — driver cost is
+    four rows.
+    """
+    k = GDPR_SUBJECT_KEY
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    cents = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.floor(F.col(c) * 100 + 0.5).cast("long")), F.lit(0)
+    ).cast("long")
+
+    def arm(df: DataFrame, name: str, col: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"), cents(col).alias("ref_cents")
+        ).select(F.lit(name).alias("tbl"), "n_rows", "ref_cents")
+
+    subject_orders = orders.filter(F.col("o_custkey") == k)
+    out = (
+        arm(cust.filter(F.col("c_custkey") == k), "customer", "c_acctbal")
+        .unionByName(arm(subject_orders, "orders", "o_totalprice"))
+        .unionByName(
+            arm(
+                li.join(
+                    F.broadcast(
+                        subject_orders.select(
+                            F.col("o_orderkey").alias("l_orderkey")
+                        )
+                    ),
+                    "l_orderkey",
+                    "left_semi",
+                ),
+                "lineitem",
+                "l_extendedprice",
+            )
+        )
+        .unionByName(
+            arm(ev.filter(F.col("user_id") == k), "events", "value")
+        )
+    )
+    return out

@@ -210,14 +210,15 @@ def hybrid_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieve a document contributes 0. Emitted: the fused
     top-{RRF_TOP_K} with each arm's rank.
 
-    Scale: each arm's GLOBAL rank uses the distributed exact rank
-    (functions/ranking.with_global_rank — range repartition +
-    per-partition row_number + bounded offset prefix), never a
-    single-partition window; the fusion is one full-outer join on the
-    document key. The doc↔vector identity join is the contract that
+    Scale: each arm's GLOBAL rank uses the distributed exact rank in
+    its STATIC-bucket form (functions/ranking.with_global_rank_static
+    — integer score bands are monotone in each arm's ordering, so no
+    sampling pass and no checkpoint pin), never a single-partition
+    window; the fusion is one full-outer join on the document key. The
+    doc↔vector identity join is the contract that
     ``embeddings.vec_id`` mirrors ``documents.doc_id`` (TESTDATA.md).
     """
-    from ..functions.ranking import with_global_rank
+    from ..functions.ranking import with_global_rank_static
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") != QUERY_VEC_ID
@@ -263,8 +264,13 @@ def hybrid_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("bm25"))
     )
-    s_rank = with_global_rank(
-        sparse, [F.col("bm25").desc(), F.col("doc_id")], "r"
+    # bucket = negated integer floor of the score: monotone along the
+    # DESC ordering, bounded band count — the static rank needs no pin
+    s_rank = with_global_rank_static(
+        sparse,
+        (-F.floor(F.col("bm25"))).cast("long"),
+        [F.col("bm25").desc(), F.col("doc_id")],
+        "r",
     ).select("doc_id", F.col("r").alias("sparse_rank"))
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -279,8 +285,11 @@ def hybrid_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    d_rank = with_global_rank(
-        dense, [F.col("cos").desc(), F.col("doc_id")], "r"
+    d_rank = with_global_rank_static(
+        dense,
+        (-F.floor(F.col("cos") * 20)).cast("long"),  # 0.05-wide bands
+        [F.col("cos").desc(), F.col("doc_id")],
+        "r",
     ).select("doc_id", F.col("r").alias("dense_rank"))
 
     rr = lambda r: F.coalesce(  # noqa: E731

@@ -156,6 +156,8 @@ HEADLINE = [
     "lakehouse_incremental_mv_cdf_refresh",
     "lakehouse_partition_spec_evolution",
     "recursive_cte_dup_chain_closure",
+    "gdpr_subject_access_report",
+    "equi_depth_histogram_lineitem",
 ]
 
 
