@@ -2040,3 +2040,155 @@ def equi_depth_histogram_lineitem(
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+@query(
+    "max_concurrent_sessions_sweep",
+    oracle="""
+        WITH iv AS (
+            SELECT epoch_us(ts) AS s,
+                   epoch_us(ts + INTERVAL 30 MINUTE) AS e
+            FROM events
+        ),
+        edges AS (
+            SELECT s AS t, 1 AS d FROM iv
+            UNION ALL
+            SELECT e AS t, -1 AS d FROM iv
+        ),
+        per_t AS (SELECT t, CAST(sum(d) AS BIGINT) AS net FROM edges GROUP BY 1),
+        curve AS (
+            SELECT t, sum(net) OVER (ORDER BY t) AS conc
+            FROM per_t
+        )
+        SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
+               CAST(min(CASE WHEN conc = (SELECT max(conc) FROM curve)
+                             THEN t END) AS BIGINT) AS first_peak_us,
+               (SELECT count(*) FROM iv) AS n_intervals
+        FROM curve
+    """,
+)
+def max_concurrent_sessions_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrency by SWEEP LINE: every event opens a 30-minute
+    activity interval; +1/−1 edges are collapsed per timestamp (end
+    exclusive) and prefix-summed in event-time order — the running sum
+    IS the concurrency curve, and its max + first attainment time are
+    the capacity-planning numbers (peak simultaneous sessions, when).
+    The classic interval problem that degenerates to a single-partition
+    sort in naive form.
+
+    Scale: edge collapse is one keyed aggregate (2 rows per event in,
+    ≤|distinct timestamps| out); the prefix sum is the distributed
+    static-bucket form (functions/ranking.py, bucketed by event-time
+    month — monotone); max/argmax is an ordinary aggregate over the
+    curve. Nothing sorts globally in one task. Times flow as integer
+    epoch-µs end to end.
+    """
+    from ..functions.ranking import with_global_cumsum_static
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.unix_micros("ts").alias("s"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias(
+            "e"
+        ),
+    )
+    n_intervals = iv.count()
+    edges = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = edges.groupBy("t").agg(F.sum("d").cast("long").alias("net"))
+    # bucket: month-resolution epoch (µs // 30 days) — monotone in t
+    curve = with_global_cumsum_static(
+        per_t,
+        F.expr("t div 2592000000000").cast("long"),
+        ["t"],
+        "net",
+        "conc",
+    )
+    peak = curve.agg(F.max("conc").alias("m")).first()["m"]
+    out = curve.filter(F.col("conc") == peak).agg(
+        F.lit(int(peak)).cast("long").alias("peak_concurrency"),
+        F.min("t").cast("long").alias("first_peak_us"),
+        F.lit(n_intervals).cast("long").alias("n_intervals"),
+    )
+    return out
+
+
+PCT_BP = (5000, 9000, 9900)  # evaluated percentiles, basis points
+PCT_ACCURACY = 10000  # approx_percentile accuracy => rank err <= n/acc
+
+
+@query(
+    "percentile_sketch_bounds_eval",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM lineitem
+        ),
+        n AS (SELECT count(*) AS cnt FROM c),
+        ord AS (
+            SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c
+        )
+        SELECT p_bp,
+               (SELECT cents FROM ord, n
+                WHERE rn = (cnt * p_bp + 9999) // 10000) AS exact_cents,
+               TRUE AS within_bounds
+        FROM (VALUES {', '.join(f'({p})' for p in PCT_BP)}) AS t(p_bp)
+    """,
+)
+def percentile_sketch_bounds_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimator audit for the quantile sketch (the percentile sibling
+    of dedup_minhash_estimator_calibration / ann_ivf_recall_eval):
+    ``approx_percentile`` promises rank error ≤ n/accuracy — here each
+    approximate percentile is checked against the EXACT order
+    statistics at ranks r±⌈n/accuracy⌉, and the emitted flag is the
+    contract itself (the oracle expects TRUE; a sketch regression
+    breaks the value hash). Ranks use the pure-integer ceiling formula
+    (cnt·p_bp + 9999) // 10000 — no float·count product whose last ulp
+    could flip a ceil() across engines.
+
+    Scale: exact order statistics come from the distributed
+    static-bucket rank ($100 price bands) — value-at-rank is
+    tie-insensitive, so the non-total ordering inside equal values is
+    harmless; the sketch side is a single mergeable aggregate. Nine
+    scalar lookups cross the driver, never data.
+    """
+    from ..functions.ranking import with_global_rank_static
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    n = li.count()
+    err = -(-n // PCT_ACCURACY)  # ceil(n / accuracy)
+    targets = {}
+    for p in PCT_BP:
+        r = (n * p + 9999) // 10000
+        targets[p] = (max(1, r - err), r, min(n, r + err))
+    wanted = sorted({r for t in targets.values() for r in t})
+    ranked = with_global_rank_static(
+        li, F.expr("cents div 10000").cast("long"), ["cents"], "rn"
+    )
+    vals = {
+        r["rn"]: r["cents"]
+        for r in ranked.filter(F.col("rn").isin(wanted)).collect()
+    }  # bounded: 9 scalars
+    approx = li.agg(
+        F.percentile_approx(
+            "cents", [p / 10000 for p in PCT_BP], PCT_ACCURACY
+        ).alias("a")
+    ).first()["a"]
+    rows = []
+    for (p, (lo_r, r, hi_r)), a in zip(sorted(targets.items()), approx):
+        rows.append(
+            (p, int(vals[r]), bool(vals[lo_r] <= a <= vals[hi_r]))
+        )
+    return spark.createDataFrame(
+        rows, "p_bp int, exact_cents long, within_bounds boolean"
+    )

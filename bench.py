@@ -158,6 +158,8 @@ HEADLINE = [
     "recursive_cte_dup_chain_closure",
     "gdpr_subject_access_report",
     "equi_depth_histogram_lineitem",
+    "max_concurrent_sessions_sweep",
+    "percentile_sketch_bounds_eval",
 ]
 
 
