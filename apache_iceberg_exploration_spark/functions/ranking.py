@@ -46,6 +46,20 @@ _PID = "__ntile_pid"
 _OFF = "__ntile_off"
 
 
+def _off_df(spark, offsets, pid_type: str = "long"):
+    """Build the tiny broadcast offsets relation, typing the offset
+    column by the collected values (fractional aggregates of a DOUBLE
+    value_col would not fit a hardcoded long)."""
+    off_type = (
+        "double"
+        if any(isinstance(v, float) for _, v in offsets)
+        else "long"
+    )
+    return spark.createDataFrame(
+        offsets, f"{_PID} {pid_type}, {_OFF} {off_type}"
+    )
+
+
 def _ranked_with_total(
     df: DataFrame,
     order_cols: list[str | Column],
@@ -70,7 +84,7 @@ def _ranked_with_total(
     for pid, n in counts:
         offsets.append((pid, acc))
         acc += n
-    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    off_df = _off_df(spark, offsets, pid_type="int")
     w = Window.partitionBy(_PID).orderBy(*cols)
     out = (
         ranged.join(F.broadcast(off_df), _PID)
@@ -136,7 +150,7 @@ def _static_ranked_with_total(
     for bk, n in counts:
         offsets.append((bk, acc))
         acc += n
-    off_df = spark.createDataFrame(offsets, f"{_PID} long, {_OFF} long")
+    off_df = _off_df(spark, offsets)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     w = Window.partitionBy(_PID).orderBy(*cols)
     out = (
@@ -185,7 +199,7 @@ def with_global_cumsum_static(
     for bk, t in sums:
         offsets.append((bk, acc))
         acc += t or 0
-    off_df = spark.createDataFrame(offsets, f"{_PID} long, {_OFF} long")
+    off_df = _off_df(spark, offsets)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     w = (
         Window.partitionBy(_PID)
@@ -223,9 +237,7 @@ def with_global_running_min_static(
     for bk, m in mins:
         offsets.append((bk, acc))
         acc = m if acc is None else min(acc, m)
-    off_df = spark.createDataFrame(
-        offsets, f"{_PID} long, {_OFF} long"
-    )
+    off_df = _off_df(spark, offsets)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     w = (
         Window.partitionBy(_PID)
@@ -277,7 +289,7 @@ def with_global_cumsum(
     for pid, t in totals:
         offsets.append((pid, acc))
         acc += t or 0
-    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    off_df = _off_df(spark, offsets, pid_type="int")
     w = (
         Window.partitionBy(_PID)
         .orderBy(*cols)

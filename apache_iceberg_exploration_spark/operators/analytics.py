@@ -1915,11 +1915,12 @@ def dq_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM fp_t
             ) WHERE src IS NOT NULL
         ),
-        reach(doc, anc) AS (
-            SELECT dst, src FROM edges
+        reach(doc, anc, depth) AS (
+            SELECT dst, src, 1 FROM edges
             UNION ALL
-            SELECT r.doc, e.src
+            SELECT r.doc, e.src, r.depth + 1
             FROM reach r JOIN edges e ON e.dst = r.anc
+            WHERE r.depth < 90
         ),
         roots AS (SELECT doc, min(anc) AS root FROM reach GROUP BY doc)
         SELECT root,
@@ -1964,11 +1965,12 @@ def recursive_cte_dup_chain_closure(
                 FROM fp_t
             ) WHERE src IS NOT NULL
         ),
-        reach(doc, anc) AS (
-            SELECT dst, src FROM edges
+        reach(doc, anc, depth) AS (
+            SELECT dst, src, 1 FROM edges
             UNION ALL
-            SELECT r.doc, e.src
+            SELECT r.doc, e.src, r.depth + 1
             FROM reach r JOIN edges e ON e.dst = r.anc
+            WHERE r.depth < 90
         ),
         roots AS (SELECT doc, min(anc) AS root FROM reach GROUP BY doc)
         SELECT root,

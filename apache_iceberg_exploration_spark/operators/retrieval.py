@@ -73,6 +73,64 @@ _BM25_CTE = f"""
 """
 
 
+def _bm25_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scoring relation: (doc_id, bm25 DECIMAL(18,9),
+    n_terms) for the fixed query terms — the single source of truth
+    both retrieval queries (and their oracles, via _BM25_CTE) rank.
+    Pinned with localCheckpoint: both consumers run multiple jobs over
+    it (top-k / bucket-count + rank), so the token explode and corpus
+    stats execute once."""
+    from ..functions.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") != QUERY_VEC_ID
+    )
+    tok = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        ).filter(F.col("word") != "")
+    )
+    dl = scoped_persist(
+        tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    )
+    corpus = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("total")
+    ).first()
+    n, total = int(corpus["n"]), int(corpus["total"])
+    tf = (
+        tok.filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    term_score = F.round(
+        F.log(
+            1
+            + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (1 + BM25_K1))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (
+                (1 - BM25_B)
+                + BM25_B * (F.col("dl") * F.lit(n)) / F.lit(total)
+            )
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        tf.join(F.broadcast(df_t), "word")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_score).alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+        .localCheckpoint()
+    )
+
+
 @query(
     "bm25_sparse_retrieval_topk",
     oracle=f"""
@@ -101,55 +159,7 @@ def bm25_sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k plans as TakeOrdered. Avgdl enters as integer (dl·N)/total so
     no float mean crosses engines.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") != QUERY_VEC_ID
-    )
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    from ..functions.caching import scoped_persist
-
-    tok = scoped_persist(tok)
-    dl = scoped_persist(
-        tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    )
-    corpus = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").cast("long").alias("total")
-    ).first()
-    n, total = int(corpus["n"]), int(corpus["total"])
-    tf = (
-        tok.filter(F.col("word").isin(*BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    term_score = F.round(
-        F.log(
-            1
-            + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        )
-        * (F.col("tf") * (1 + BM25_K1))
-        / (
-            F.col("tf")
-            + BM25_K1
-            * (
-                (1 - BM25_B)
-                + BM25_B * (F.col("dl") * F.lit(n)) / F.lit(total)
-            )
-        ),
-        9,
-    ).cast("decimal(18,9)")
-    sparse = (
-        tf.join(F.broadcast(df_t), "word")
-        .join(dl, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(term_score).alias("bm25"),
-            F.count("*").alias("n_terms"),
-        )
-    )
+    sparse = _bm25_sparse(spark, sf_dir)
     return (
         sparse.orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOP_K)
@@ -220,50 +230,7 @@ def hybrid_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.ranking import with_global_rank_static
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") != QUERY_VEC_ID
-    )
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    from ..functions.caching import scoped_persist
-
-    tok = scoped_persist(tok)
-    dl = scoped_persist(
-        tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    )
-    corpus = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").cast("long").alias("total")
-    ).first()
-    n, total = int(corpus["n"]), int(corpus["total"])
-    tf = (
-        tok.filter(F.col("word").isin(*BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    term_score = F.round(
-        F.log(
-            1
-            + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        )
-        * (F.col("tf") * (1 + BM25_K1))
-        / (
-            F.col("tf")
-            + BM25_K1
-            * (
-                (1 - BM25_B)
-                + BM25_B * (F.col("dl") * F.lit(n)) / F.lit(total)
-            )
-        ),
-        9,
-    ).cast("decimal(18,9)")
-    sparse = (
-        tf.join(F.broadcast(df_t), "word")
-        .join(dl, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("bm25"))
-    )
+    sparse = _bm25_sparse(spark, sf_dir)
     # bucket = negated integer floor of the score: monotone along the
     # DESC ordering, bounded band count — the static rank needs no pin
     s_rank = with_global_rank_static(
@@ -284,6 +251,7 @@ def hybrid_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cos"
             ),
         )
+        .localCheckpoint()  # static rank runs 2 jobs over this arm
     )
     d_rank = with_global_rank_static(
         dense,

@@ -1325,28 +1325,38 @@ class LakehouseTable:
         )
         f1, f2 = set(m1["files"]), set(m2["files"])
         common = f1 & f2
-        prior = {
-            json.dumps(d, sort_keys=True)
+        # Delete entries that CHANGED in the interval, in EITHER
+        # direction: entries added in (v1, v2] kill rows in common
+        # files; entries REMOVED (rollback, compaction materializing
+        # deletes away while carrying files) RESURRECT rows — both make
+        # a common file's effective row set differ between the sides.
+        ser1 = {
+            json.dumps(d, sort_keys=True): d
             for d in m1.get("delete_files", [])
         }
-        new_dels = [
-            d
+        ser2 = {
+            json.dumps(d, sort_keys=True): d
             for d in m2.get("delete_files", [])
-            if json.dumps(d, sort_keys=True) not in prior
+        }
+        changed_dels = [d for k, d in ser2.items() if k not in ser1] + [
+            d for k, d in ser1.items() if k not in ser2
         ]
         affected: set[str] = set()
-        if new_dels and common:
-            seqs2 = m2.get("file_seq", {}) or {}
+        if changed_dels and common:
+            seqs = {
+                **(m1.get("file_seq", {}) or {}),
+                **(m2.get("file_seq", {}) or {}),
+            }
             eq_max = max(
-                (d["seq"] for d in new_dels if not d.get("pos")),
+                (d["seq"] for d in changed_dels if not d.get("pos")),
                 default=None,
             )
             if eq_max is not None:
                 affected |= {
-                    f for f in common if seqs2.get(f, 0) <= eq_max
+                    f for f in common if seqs.get(f, 0) <= eq_max
                 }
             pos_targets: set[str] = set()
-            for d in new_dels:
+            for d in changed_dels:
                 if d.get("pos"):
                     import pyarrow.parquet as _pq
 
@@ -1381,12 +1391,23 @@ class LakehouseTable:
             return df.select(F.lit(kind).alias("_change_type"), "*")
 
         if old is None and new is None:
-            base = self._project_to_schema(dict(m2)) if f2 else None
-            if base is None:
+            # zero changes — return an empty, correctly-shaped feed.
+            # With no files at the endpoints, shape from the declared
+            # schema (a drained table still has one); only a table with
+            # neither files nor schema anywhere is unreadable.
+            if f2:
+                return tag(self._project_to_schema(dict(m2)).limit(0), "")
+            schema_json = m2.get("schema") or m1.get("schema")
+            if schema_json is None:
                 raise FileNotFoundError(
-                    f"no data files at versions {v1}..{v2}"
+                    f"no data files or schema at versions {v1}..{v2}"
                 )
-            return tag(base.limit(0), "")
+            from pyspark.sql import types as T
+
+            empty = self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(schema_json))
+            )
+            return tag(empty, "")
         if old is None:
             return tag(new, "insert")
         if new is None:

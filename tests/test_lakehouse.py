@@ -563,6 +563,36 @@ def test_changelog_pos_delete_reads_coordinate_files(spark, table):
     assert all(r._change_type == "delete" for r in feed)
 
 
+def test_changelog_sees_resurrected_rows_after_rollback(spark, table):
+    """Self-review r4: delete entries REMOVED in the interval (rollback
+    of a MoR delete) resurrect rows in files common to both versions —
+    the scoped diff must treat removed entries like added ones when
+    choosing affected files."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.overwrite(cust)
+    table.delete_where_mor(F.col("c_custkey") < 7, keys=["c_custkey"])
+    v2 = table.current_version()
+    table.rollback(1)  # same files as v2, delete entry gone
+    feed = table.changelog(v2).collect()
+    assert {r.c_custkey for r in feed} == set(range(7))
+    assert all(r._change_type == "insert" for r in feed)
+
+
+def test_changelog_empty_interval_returns_empty_feed(spark, table):
+    """changelog(v, v) and drained-endpoint feeds return an EMPTY
+    correctly-shaped DataFrame, never a crash."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    table.overwrite(cust)
+    v = table.current_version()
+    feed = table.changelog(v, v)
+    assert feed.count() == 0
+    assert "_change_type" in feed.columns and "c_custkey" in feed.columns
+
+
 def test_changelog_rename_is_metadata_only(spark, table):
     """A column rename produces ZERO row changes (field-id semantics
     via prior_names resolution), and post-rename changes surface under
