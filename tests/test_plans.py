@@ -377,3 +377,31 @@ def test_eval_queries_broadcast_small_sides(spark):
         dedup_minhash_estimator_calibration(spark, SF_ORACLE)
     )
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Catalyst's dynamic partition pruning: a fact table partitioned on
+    the join key must receive a runtime ``dynamicpruning`` partition
+    filter from the selective dim side — the optimizer feature that
+    turns a star-join over a date-partitioned 100 TB fact into a scan
+    of only the qualifying partitions. Asserted on the formatted plan's
+    scan node, not trusted."""
+    from apache_iceberg_exploration_spark.plans import formatted_plan
+
+    orders = load_table(spark, SF_ORACLE, "orders").withColumn(
+        "omonth", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    fact_dir = str(tmp_path / "orders_by_month")
+    orders.write.partitionBy("omonth").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        orders.select("omonth")
+        .distinct()
+        .filter(F.col("omonth") < "1992-06")
+    )
+    joined = fact.join(dim, "omonth").groupBy("omonth").count()
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == orders.filter(
+        F.col("omonth") < "1992-06"
+    ).select("omonth").distinct().count()
