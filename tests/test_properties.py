@@ -533,3 +533,35 @@ def test_streak_fold_matches_python_model(spark, day_offsets):
         folded["mx"].alias("mx"), folded["n"].alias("n")
     ).first()
     assert (row.mx, row.n) == (longest, n_streaks), (days, row)
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=5000),
+    n_tiles=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_ntile_from_rank_matches_sql_bucket_rule(n_rows, n_tiles):
+    """Pure-math property: ntile_from_rank's closed form reproduces the
+    SQL bucket rule (first N mod n tiles hold one extra row) for every
+    rank, without touching Spark — evaluated symbolically by a Python
+    reference model."""
+    base, rem = divmod(n_rows, n_tiles)
+    # independent model: assign tiles by walking the cumulative sizes
+    # ([base+1]*rem then [base]*(n-rem)), the SQL rule stated directly
+    sizes = [base + 1] * rem + [base] * (n_tiles - rem)
+    model = []
+    for tile, sz in enumerate(sizes, start=1):
+        model.extend([tile] * sz)
+    assert len(model) == n_rows
+
+    # the module's closed form, evaluated on plain ints (the same
+    # arithmetic as the Column expression in ntile_from_rank)
+    big = rem * (base + 1)
+    small = max(base, 1)
+    for rank in range(1, n_rows + 1):
+        got = (
+            (rank - 1) // (base + 1) + 1
+            if rank <= big
+            else rem + 1 + (rank - big - 1) // small
+        )
+        assert got == model[rank - 1], (n_rows, n_tiles, rank)
