@@ -2107,10 +2107,14 @@ def lakehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_acctbal", F.col("c_acctbal") + 500.0
             )
         )  # v2: late arrivals
-        tbl.delete_where(F.col("c_mktsegment") == "BUILDING")  # v3: CoW
+        tbl.delete_where(  # v3: CoW, rewrite scoped by manifest stats
+            F.col("c_mktsegment") == "BUILDING",
+            prune={"c_mktsegment": ("BUILDING", "BUILDING")},
+        )
         tbl.update_where(
             F.col("c_nationkey") == 3,
             {"c_acctbal": F.col("c_acctbal") + 100.0},
+            prune={"c_nationkey": (3, 3)},
         )  # v4: CoW update -> delete+insert pairs in the feed
         tbl.delete_where_mor(
             F.col("c_custkey") >= 1400, keys=["c_custkey"]
