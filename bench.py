@@ -160,6 +160,7 @@ HEADLINE = [
     "equi_depth_histogram_lineitem",
     "max_concurrent_sessions_sweep",
     "percentile_sketch_bounds_eval",
+    "ann_multiprobe_lsh_topk",
 ]
 
 
