@@ -302,12 +302,24 @@ def with_global_cumsum(
     )
 
 
-def ntile_from_rank(rank: Column, n_rows: int, n_tiles: int) -> Column:
-    """Map a 1-based gap-free global rank to its SQL-exact ntile bucket.
+def ntile_of_rank(rank: int, n_rows: int, n_tiles: int) -> int:
+    """Scalar reference of the SQL ntile bucket rule — the single
+    source of truth :func:`ntile_from_rank` mirrors as a Column
+    expression and the property test pins.
 
     SQL ntile(n) over N rows: base = N div n, rem = N mod n; tiles
     1..rem hold base+1 rows, tiles rem+1..n hold base rows.
     """
+    base, rem = divmod(n_rows, n_tiles)
+    big = rem * (base + 1)
+    if rank <= big:
+        return (rank - 1) // (base + 1) + 1
+    return rem + 1 + (rank - big - 1) // max(base, 1)
+
+
+def ntile_from_rank(rank: Column, n_rows: int, n_tiles: int) -> Column:
+    """Column form of :func:`ntile_of_rank` (same arithmetic, verified
+    against it and against Spark's own ntile window by tests)."""
     base, rem = divmod(n_rows, n_tiles)
     big = rem * (base + 1)  # rows covered by the base+1-sized tiles
     small = F.lit(max(base, 1))  # base==0 ⇔ N < n ⇔ else-branch unreachable

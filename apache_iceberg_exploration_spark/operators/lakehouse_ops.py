@@ -2107,7 +2107,12 @@ def lakehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_acctbal", F.col("c_acctbal") + 500.0
             )
         )  # v2: late arrivals
-        tbl.delete_where(  # v3: CoW, rewrite scoped by manifest stats
+        # v3: CoW delete. The prune range shows the API shape; on THIS
+        # unsorted fixture every file's min/max spans all segments, so
+        # pruning keeps all files (conservative = correct). On a
+        # sorted/z-ordered table the same call rewrites only matching
+        # files — demonstrated with real skipped files in PLANS.md.
+        tbl.delete_where(
             F.col("c_mktsegment") == "BUILDING",
             prune={"c_mktsegment": ("BUILDING", "BUILDING")},
         )

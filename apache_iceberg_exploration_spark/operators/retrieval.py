@@ -282,21 +282,44 @@ def hybrid_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIPROBE_TOPK = 3
-_MP_PROBE_MOD = 29  # same probe set as ann_rp_lsh_topk, for comparison
+from .similarity import (  # noqa: E402  (multiprobe shares the RP family)
+    _RP_TOPK as MULTIPROBE_TOPK,
+    N_PLANES,
+    RP_BUCKETS_SQL,
+    RP_PROBE_MOD,
+    rp_bucket_column,
+)
 
-
-def _mp_flip_list_sql() -> str:
-    from .similarity import N_PLANES
-
-    return ", ".join(
-        ["a.bucket"] + [f"xor(a.bucket, {1 << p})" for p in range(N_PLANES)]
-    )
+_MP_FLIPS_SQL = ", ".join(
+    ["a.bucket"] + [f"xor(a.bucket, {1 << p})" for p in range(N_PLANES)]
+)
 
 
 @query(
     "ann_multiprobe_lsh_topk",
-    oracle=None,  # set below (needs similarity module constants)
+    oracle=f"""
+        WITH {RP_BUCKETS_SQL},
+        probes AS (
+            SELECT a.vec_id AS probe_id, a.embedding AS p_emb,
+                   unnest([{_MP_FLIPS_SQL}]) AS pb
+            FROM buckets a
+            WHERE a.vec_id % {RP_PROBE_MOD} = 0
+        ),
+        ranked AS (
+            SELECT p.probe_id, b.vec_id, b.label,
+                   {cosine_similarity_sql('p.p_emb', 'b.embedding')}
+                       AS cos_raw,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY {cosine_similarity_sql('p.p_emb', 'b.embedding')}
+                                DESC, b.vec_id
+                   ) AS rn
+            FROM probes p JOIN buckets b
+              ON p.pb = b.bucket AND p.probe_id <> b.vec_id
+        )
+        SELECT probe_id, vec_id, label, round(cos_raw, 4) AS cos_sim
+        FROM ranked WHERE rn <= {MULTIPROBE_TOPK}
+    """,
 )
 def ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTIPROBE sign-LSH ANN (Lv et al. 2007 applied to Charikar
@@ -304,8 +327,9 @@ def ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-distance-1 neighbor buckets (one sign bit flipped) — the
     standard recall lever for LSH that costs ~9× candidate volume
     instead of 2× hash tables. Candidates are exact-cosine-ranked,
-    top-{MULTIPROBE_TOPK} per probe; same probe set as the
-    single-bucket ann_rp_lsh_topk so recall is directly comparable.
+    top-3 per probe; the probe set and k are IMPORTED from the
+    single-bucket ann_rp_lsh_topk so recall stays directly comparable
+    by construction.
 
     Scale: a vector lives in exactly ONE bucket, so the 9 probed
     buckets are disjoint — the probe side explodes 9×, the join stays
@@ -316,7 +340,6 @@ def ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.vectors import as_double_array
-    from .similarity import N_PLANES, rp_bucket_column
 
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = emb.select(
@@ -326,7 +349,7 @@ def ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rp_bucket_column(as_double_array("embedding")).alias("bucket"),
     )
     probes = (
-        buckets.filter(F.col("vec_id") % _MP_PROBE_MOD == 0)
+        buckets.filter(F.col("vec_id") % RP_PROBE_MOD == 0)
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("p_emb"),
@@ -361,37 +384,3 @@ def ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
-
-
-def _register_multiprobe_oracle() -> None:
-    """The oracle references similarity-module SQL fragments; bind it
-    after both modules exist (registry stores oracles by name)."""
-    from ..registry import _REGISTRY
-    from .similarity import RP_BUCKETS_SQL, cosine_similarity_sql
-
-    _REGISTRY["ann_multiprobe_lsh_topk"].oracle = f"""
-        WITH {RP_BUCKETS_SQL},
-        probes AS (
-            SELECT a.vec_id AS probe_id, a.embedding AS p_emb,
-                   unnest([{_mp_flip_list_sql()}]) AS pb
-            FROM buckets a
-            WHERE a.vec_id % {_MP_PROBE_MOD} = 0
-        ),
-        ranked AS (
-            SELECT p.probe_id, b.vec_id, b.label,
-                   {cosine_similarity_sql('p.p_emb', 'b.embedding')}
-                       AS cos_raw,
-                   row_number() OVER (
-                       PARTITION BY p.probe_id
-                       ORDER BY {cosine_similarity_sql('p.p_emb', 'b.embedding')}
-                                DESC, b.vec_id
-                   ) AS rn
-            FROM probes p JOIN buckets b
-              ON p.pb = b.bucket AND p.probe_id <> b.vec_id
-        )
-        SELECT probe_id, vec_id, label, round(cos_raw, 4) AS cos_sim
-        FROM ranked WHERE rn <= {MULTIPROBE_TOPK}
-    """
-
-
-_register_multiprobe_oracle()

@@ -621,6 +621,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8  # 2^8 = 256 sign-hash buckets
 _RP_DIMS = 64  # embedding width (TESTDATA.md)
 _RP_TOPK = 3
+RP_PROBE_MOD = 29  # probe set (vec_id % MOD == 0), shared with multiprobe
 _HEX_NEG = "01234567"
 
 
@@ -701,7 +702,7 @@ RP_BUCKETS_SQL = f"""
                    ) AS rn
             FROM buckets a JOIN buckets b
               ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-            WHERE a.vec_id % 29 = 0
+            WHERE a.vec_id % {RP_PROBE_MOD} = 0
         )
         SELECT probe_id, vec_id, label, round(cos_raw, 4) AS cos_sim
         FROM ranked WHERE rn <= {_RP_TOPK}
@@ -737,7 +738,7 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         rp_bucket_column(as_double_array("embedding")).alias("bucket"),
     )
-    a = buckets.filter(F.col("vec_id") % 29 == 0).alias("a")
+    a = buckets.filter(F.col("vec_id") % RP_PROBE_MOD == 0).alias("a")
     b = buckets.alias("b")
     cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
     w = Window.partitionBy("probe_id").orderBy(

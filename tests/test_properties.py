@@ -545,6 +545,10 @@ def test_ntile_from_rank_matches_sql_bucket_rule(n_rows, n_tiles):
     SQL bucket rule (first N mod n tiles hold one extra row) for every
     rank, without touching Spark — evaluated symbolically by a Python
     reference model."""
+    from apache_iceberg_exploration_spark.functions.ranking import (
+        ntile_of_rank,
+    )
+
     base, rem = divmod(n_rows, n_tiles)
     # independent model: assign tiles by walking the cumulative sizes
     # ([base+1]*rem then [base]*(n-rem)), the SQL rule stated directly
@@ -553,15 +557,12 @@ def test_ntile_from_rank_matches_sql_bucket_rule(n_rows, n_tiles):
     for tile, sz in enumerate(sizes, start=1):
         model.extend([tile] * sz)
     assert len(model) == n_rows
-
-    # the module's closed form, evaluated on plain ints (the same
-    # arithmetic as the Column expression in ntile_from_rank)
-    big = rem * (base + 1)
-    small = max(base, 1)
+    # the MODULE's scalar closed form (the source ntile_from_rank's
+    # Column expression mirrors; its Spark parity is pinned separately
+    # by test_ranking.test_distributed_ntile_matches_window_ntile)
     for rank in range(1, n_rows + 1):
-        got = (
-            (rank - 1) // (base + 1) + 1
-            if rank <= big
-            else rem + 1 + (rank - big - 1) // small
+        assert ntile_of_rank(rank, n_rows, n_tiles) == model[rank - 1], (
+            n_rows,
+            n_tiles,
+            rank,
         )
-        assert got == model[rank - 1], (n_rows, n_tiles, rank)

@@ -149,6 +149,25 @@ def test_static_cumsum_and_running_min_match_windows(spark):
     assert got == want
 
 
+def test_ntile_column_form_matches_scalar_form(spark):
+    """Bridge: the Column expression (ntile_from_rank) and the scalar
+    reference (ntile_of_rank) must stay arithmetic-identical — editing
+    either alone fails here."""
+    from apache_iceberg_exploration_spark.functions.ranking import (
+        ntile_from_rank,
+        ntile_of_rank,
+    )
+
+    for n_rows, n_tiles in ((97, 5), (100, 10), (3, 5), (64, 8)):
+        df = spark.range(1, n_rows + 1).select(
+            F.col("id").alias("rank"),
+            ntile_from_rank(F.col("id"), n_rows, n_tiles).alias("t"),
+        )
+        got = {r["rank"]: r["t"] for r in df.collect()}
+        for rank in range(1, n_rows + 1):
+            assert got[rank] == ntile_of_rank(rank, n_rows, n_tiles)
+
+
 def test_distributed_ntile_plan_has_no_unpartitioned_window(spark):
     df = spark.range(200).select(
         F.col("id"), (F.col("id") % 5).alias("k")
