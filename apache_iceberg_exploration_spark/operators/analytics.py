@@ -2194,3 +2194,92 @@ def percentile_sketch_bounds_eval(
     return spark.createDataFrame(
         rows, "p_bp int, exact_cents long, within_bounds boolean"
     )
+
+
+SCD2_SPLIT_DATE = "1995-01-01"  # feature change instant for the PIT fixture
+
+
+@query(
+    "pit_scd2_feature_join",
+    oracle=f"""
+        WITH dim AS (
+            -- two SCD2 versions per customer: the balance feature
+            -- changes for odd keys at the split date
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS feat,
+                   DATE '1000-01-01' AS valid_from,
+                   DATE '{SCD2_SPLIT_DATE}' AS valid_to
+            FROM customer
+            UNION ALL
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN c_custkey % 2 = 1 THEN 100000 ELSE 0 END,
+                   DATE '{SCD2_SPLIT_DATE}',
+                   DATE '9999-01-01'
+            FROM customer
+        )
+        SELECT (o.o_orderdate >= DATE '{SCD2_SPLIT_DATE}') AS after_split,
+               count(*) AS n_orders,
+               CAST(sum(d.feat) AS BIGINT) AS feat_sum
+        FROM orders o
+        JOIN dim d
+          ON o.o_custkey = d.c_custkey
+         AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+         AND CAST(o.o_orderdate AS DATE) < d.valid_to
+        GROUP BY 1
+    """,
+)
+def pit_scd2_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join (the feature-store leakage guard):
+    each fact row joins the SCD2 dimension version that was valid AT
+    ITS OWN EVENT TIME — an order before the feature change must see
+    the old balance even though a newer version exists. Skipping this
+    discipline (joining current features to historical facts) is the
+    classic training-serving leakage bug; the oracle pins that every
+    order got exactly one version and the right one (versions
+    partition time, so the join is 1:1 by construction).
+
+    Scale: NOT a range join — with bounded versions per key (SCD2
+    dims), the join is a plain equi-join ON THE KEY with the validity
+    window as a residual predicate: one key-hash shuffle (or broadcast
+    for dimension-sized dims), no interval index needed. The same plan
+    at 100 TB joins the fact table once; contrast with as-of joins on
+    event streams (asof_join_purchase_to_click) where the right side
+    is itself fact-sized.
+    """
+    split = F.lit(SCD2_SPLIT_DATE).cast("date")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("base"),
+    )
+    v1 = cust.select(
+        "c_custkey",
+        F.col("base").alias("feat"),
+        F.lit("1000-01-01").cast("date").alias("valid_from"),
+        split.alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        (
+            F.col("base")
+            + F.when(F.col("c_custkey") % 2 == 1, 100000).otherwise(0)
+        ).alias("feat"),
+        split.alias("valid_from"),
+        F.lit("9999-01-01").cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    joined = orders.join(
+        dim,
+        (orders.o_custkey == dim.c_custkey)
+        & (F.col("odate") >= dim.valid_from)
+        & (F.col("odate") < dim.valid_to),
+    )
+    return joined.groupBy(
+        (F.col("odate") >= split).alias("after_split")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("feat").cast("long").alias("feat_sum"),
+    )

@@ -161,6 +161,7 @@ HEADLINE = [
     "max_concurrent_sessions_sweep",
     "percentile_sketch_bounds_eval",
     "ann_multiprobe_lsh_topk",
+    "pit_scd2_feature_join",
 ]
 
 
