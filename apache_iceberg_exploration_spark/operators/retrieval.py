@@ -384,3 +384,76 @@ def ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "embedding_knn_label_confusion",
+    oracle=f"""
+        WITH {RP_BUCKETS_SQL},
+        nn AS (
+            SELECT a.label AS label_a, b.label AS label_nn,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cosine_similarity_sql('a.embedding', 'b.embedding')}
+                                DESC, b.vec_id
+                   ) AS rn
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT label_a, label_nn,
+               count(*) AS n_pairs
+        FROM nn WHERE rn = 1
+        GROUP BY 1, 2
+    """,
+)
+def embedding_knn_label_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space label CONFUSION MATRIX: every vector's
+    (LSH-bucket-approximate) nearest neighbor votes with its label;
+    the (own label × neighbor label) counts are the 1-NN confusion
+    matrix — the standard embedding-quality diagnostic (a good space
+    concentrates mass on the diagonal; off-diagonal cells name the
+    label pairs the encoder confuses, i.e. where semantic dedup and
+    IVF cells will bleed). Member of the eval family next to
+    ann_ivf_recall_eval and the estimator calibrations.
+
+    Scale: candidate generation is the sign-LSH bucket equi-join
+    (never all-pairs; vectors with no same-bucket neighbor abstain —
+    the approximation is part of the contract and identical in the
+    oracle); the matrix itself is a ≤|labels|² aggregate.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        rp_bucket_column(as_double_array("embedding")).alias("bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    w = Window.partitionBy("a_vec").orderBy(
+        F.col("cos_raw").desc(), F.col("b_vec")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_vec"),
+            F.col("b.vec_id").alias("b_vec"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_nn"),
+            cos.alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label_a", "label_nn")
+        .agg(F.count("*").alias("n_pairs"))
+    )

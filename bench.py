@@ -162,6 +162,7 @@ HEADLINE = [
     "percentile_sketch_bounds_eval",
     "ann_multiprobe_lsh_topk",
     "pit_scd2_feature_join",
+    "embedding_knn_label_confusion",
 ]
 
 
