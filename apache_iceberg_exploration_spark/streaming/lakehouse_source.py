@@ -256,22 +256,59 @@ def make_lakehouse_stream_dist_source():
     )
 
     class _DistReader(DataSourceStreamReader):
-        def __init__(self, root: str, starting_version: int = 0):
+        """Rate limiting: the no-args ``latestOffset()`` of this API
+        variant cannot SEE the checkpointed position, so the throttle
+        keeps a reader-local high-water mark learned from every engine
+        call that carries an offset.  This is restart-safe because of
+        the engine's observed call order (traced on Spark 4.1,
+        MicroBatchExecution): a RESTARTED query always replays
+        ``partitions(checkpoint, checkpoint)`` (committed case — an
+        empty range) or ``partitions(checkpoint, planned_end)``
+        (uncommitted batch) BEFORE the first ``latestOffset()``, so the
+        floor is the true checkpointed position by the time the clamp
+        runs; a FRESH query's floor is ``startingVersion``, which is
+        exact.  If Spark ever reorders those calls, the regression
+        guard in ``partitions`` fails LOUDLY (start > end raises)
+        instead of silently re-emitting committed versions."""
+
+        def __init__(
+            self,
+            root: str,
+            starting_version: int = 0,
+            max_versions_per_trigger: int | None = None,
+        ):
             self.root = root
             self.starting_version = starting_version
+            self.max_versions = max_versions_per_trigger
+            self._hwm = starting_version  # highest position observed
+
+        def _learn(self, version: int) -> None:
+            if version > self._hwm:
+                self._hwm = version
 
         def initialOffset(self) -> dict:
             return {"version": self.starting_version}
 
         def latestOffset(self) -> dict:
-            # no rate limit here: this API variant's no-args
-            # latestOffset() cannot see the checkpointed position, so a
-            # reader-local throttle would regress offsets after restart.
-            # Use the simple reader's maxVersionsPerTrigger for bounded
-            # catch-up, or the JVM ReadLimit API once surfaced to Python.
-            return {"version": _current_version(self.root)}
+            cur = _current_version(self.root)
+            if self.max_versions is None:
+                return {"version": cur}
+            # admit at most max_versions commits past the best-known
+            # position; never step below it (monotonicity)
+            end = max(min(cur, self._hwm + self.max_versions), self._hwm)
+            self._learn(end)
+            return {"version": end}
 
         def partitions(self, start: dict, end: dict):
+            if start["version"] > end["version"]:
+                raise ValueError(
+                    "lakehouse_stream_dist: batch range regressed "
+                    f"({start} > {end}) — the rate-limit floor was "
+                    "consulted before the checkpointed position was "
+                    "replayed; clear the last (uncommitted) entry of "
+                    "the checkpoint offset log to recover"
+                )
+            self._learn(end["version"])
             files = _added_files(
                 self.root, start["version"], end["version"]
             )
@@ -286,7 +323,7 @@ def make_lakehouse_stream_dist_source():
             yield from _us_batches(pq.ParquetFile(partition.value))
 
         def commit(self, end: dict) -> None:
-            pass
+            self._learn(end["version"])
 
     class LakehouseStreamDistSource(DataSource):
         @classmethod
@@ -308,8 +345,11 @@ def make_lakehouse_stream_dist_source():
 
         def streamReader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
+            mv = opts.get("maxversionspertrigger")
             return _DistReader(
-                opts["path"], int(opts.get("startingversion", 0))
+                opts["path"],
+                int(opts.get("startingversion", 0)),
+                int(mv) if mv is not None else None,
             )
 
     return LakehouseStreamDistSource

@@ -224,6 +224,60 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     assert sorted(map(tuple, with_filter)) == sorted(map(tuple, without))
 
 
+def test_aqe_skew_join_split_fires(spark):
+    """SCALE.md's first-line answer to skewed join keys is AQE skew-join
+    splitting (session.py turns it on) — this proves the machinery
+    actually fires, not just that the conf is set.  A synthetically hot
+    key (80% of a 200k-row fact on key 0, incompressible payload so the
+    hot partition's SHUFFLE BYTES — what AQE measures — exceed the
+    threshold) joined to a 51-row dim with broadcast disabled must
+    execute as `SortMergeJoin(skew=true)` over an `AQEShuffleRead ...
+    skewed` that splits the hot partition into several tasks.  The
+    byte thresholds are lowered only because test data sits far below
+    the 256 MB default that governs a real cluster; the
+    detect-and-split logic exercised is identical.  Results must be
+    row-identical to the non-adaptive plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+
+    def q():
+        big = (
+            spark.range(0, 200_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 10 < 8, F.lit(0)).otherwise(
+                    (F.col("id") % 50) + 1
+                ),
+            )
+            # md5 payload: shuffle sizes are post-compression, so a
+            # constant payload would compress under any threshold
+            .withColumn("pay", F.md5(F.col("id").cast("string")))
+        )
+        dim = spark.range(0, 51).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        return big.join(dim, "k").select("id", "k", "v", "pay")
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = q()
+        skewed = j.collect()
+        plan = executed_plan(j)
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    plain = q().collect()
+    assert sorted(map(tuple, skewed)) == sorted(map(tuple, plain))
+
+
 def test_parquet_aggregate_pushdown_footer_only(spark):
     """MIN/MAX/COUNT over a bare parquet scan push into the source
     (DSv2 + spark.sql.parquet.aggregatePushdown): the 'PushedAggregation'

@@ -597,6 +597,85 @@ def test_lakehouse_stream_starting_version_and_rate_limit(spark, tmp_path):
     assert non_empty == [set(range(10, 20)), set(range(20, 30))], batches
 
 
+def test_lakehouse_stream_dist_rate_limit_bounded_drain_across_restarts(
+    spark, tmp_path
+):
+    """The DISTRIBUTED reader honors maxVersionsPerTrigger too (r4
+    verdict #3): a multi-commit backlog drains one version per
+    availableNow run, the checkpoint carries across restarts, and new
+    commits appended BETWEEN restarts keep draining bounded — no
+    rewind, no skip, no catch-up megabatch.  The restart safety hinges
+    on the engine replaying partitions(checkpoint, checkpoint) before
+    the first latestOffset(); the reader raises loudly if that order
+    ever changes (see _DistReader docstring)."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+    )
+
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def commit_decade(i):
+        tbl.append(
+            cust.filter(
+                (F.col("c_custkey") >= 10 * i) & (F.col("c_custkey") < 10 * (i + 1))
+            )
+        )
+
+    for i in range(3):  # v1: 0-9, v2: 10-19, v3: 20-29
+        commit_decade(i)
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+
+    batches = []
+
+    def sink(bdf, bid):
+        rows = {r.c_custkey for r in bdf.collect()}
+        if rows:
+            batches.append(rows)
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse_stream_dist")
+            .option("path", str(tmp_path / "t"))
+            .option("startingVersion", 1)  # skip v1's rows
+            .option("maxVersionsPerTrigger", 1)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    for _ in range(4):  # 2-version backlog, ≤1 version per run
+        drain()
+        if len(batches) >= 2:
+            break
+    assert batches == [set(range(10, 20)), set(range(20, 30))], batches
+
+    # backlog appended between restarts drains the same way
+    commit_decade(3)
+    commit_decade(4)
+    for _ in range(4):
+        drain()
+        if len(batches) >= 4:
+            break
+    assert batches == [
+        set(range(10, 20)),
+        set(range(20, 30)),
+        set(range(30, 40)),
+        set(range(40, 50)),
+    ], batches
+
+
 def test_lakehouse_sink_commits_interleave_with_batch_writers(spark, tmp_path):
     """The sink's optimistic commit rebases past a batch append that
     wins the version race mid-stream: both commits land, no rows lost."""
