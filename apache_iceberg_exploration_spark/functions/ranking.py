@@ -50,6 +50,17 @@ def _off_df(spark, offsets, pid_type: str = "long"):
     """Build the tiny broadcast offsets relation, typing the offset
     column by the collected values (fractional aggregates of a DOUBLE
     value_col would not fit a hardcoded long)."""
+    import decimal
+
+    if any(isinstance(v, decimal.Decimal) for _, v in offsets):
+        # a DECIMAL value_col would collect Decimal offsets that the
+        # long/double offset relation silently mis-declares — refuse
+        # with direction instead of failing inside createDataFrame
+        raise TypeError(
+            "global rank/cumsum helpers: value aggregates collected as "
+            "DECIMAL; cast value_col to long (exact integer units) or "
+            "double before calling"
+        )
     off_type = (
         "double"
         if any(isinstance(v, float) for _, v in offsets)
@@ -58,6 +69,23 @@ def _off_df(spark, offsets, pid_type: str = "long"):
     return spark.createDataFrame(
         offsets, f"{_PID} {pid_type}, {_OFF} {off_type}"
     )
+
+
+def _checked_bucket_rows(rows, val_field: str):
+    """Sort the collected per-bucket rows, failing FAST and clearly on a
+    NULL bucket key: Spark would window NULLs first while the
+    driver-side offset assignment has no ordering for them, and a bare
+    sorted() over a None key dies with an opaque TypeError instead."""
+    pairs = [(r[_PID], r[val_field]) for r in rows]
+    if any(k is None for k, _ in pairs):
+        raise ValueError(
+            "static-bucket ranking: the bucket expression yielded NULL "
+            "for some rows (e.g. a null order column feeding the "
+            "bucketing) — filter those rows out or coalesce the bucket "
+            "expression; the monotone-bucket contract requires non-null "
+            "keys"
+        )
+    return sorted(pairs)
 
 
 def _ranked_with_total(
@@ -142,9 +170,8 @@ def _static_ranked_with_total(
 ) -> tuple[DataFrame, int]:
     spark = df.sparkSession
     b = df.withColumn(_PID, bucket)
-    counts = sorted(
-        (r[_PID], r["n"])
-        for r in b.groupBy(_PID).agg(F.count("*").alias("n")).collect()
+    counts = _checked_bucket_rows(
+        b.groupBy(_PID).agg(F.count("*").alias("n")).collect(), "n"
     )
     offsets, acc = [], 0
     for bk, n in counts:
@@ -191,9 +218,8 @@ def with_global_cumsum_static(
     :func:`with_global_cumsum`."""
     spark = df.sparkSession
     b = df.withColumn(_PID, bucket)
-    sums = sorted(
-        (r[_PID], r["t"])
-        for r in b.groupBy(_PID).agg(F.sum(value_col).alias("t")).collect()
+    sums = _checked_bucket_rows(
+        b.groupBy(_PID).agg(F.sum(value_col).alias("t")).collect(), "t"
     )
     offsets, acc = [], 0
     for bk, t in sums:
@@ -229,9 +255,8 @@ def with_global_running_min_static(
     way; min is what CUSUM needs (S_t = cum_t − min_{k≤t} cum_k)."""
     spark = df.sparkSession
     b = df.withColumn(_PID, bucket)
-    mins = sorted(
-        (r[_PID], r["m"])
-        for r in b.groupBy(_PID).agg(F.min(value_col).alias("m")).collect()
+    mins = _checked_bucket_rows(
+        b.groupBy(_PID).agg(F.min(value_col).alias("m")).collect(), "m"
     )
     offsets, acc = [], None
     for bk, m in mins:

@@ -1944,12 +1944,31 @@ def recursive_cte_dup_chain_closure(
     engine's fixpoint operator instead of a driver-side loop.
 
     Scale: each recursion step is one (anc = dst)-keyed equi-join;
-    depth is the longest duplicate chain. For unbounded adversarial
-    clusters prefer the DataFrame label-propagation form
-    (dedup.dedup_cluster_assignment — logarithmic rounds); this entry
-    is the declarative sibling that lets Catalyst own the loop.
+    depth is the longest duplicate chain. The depth-90 recursion bound
+    is therefore a CONTRACT on the input — a duplicate cluster larger
+    than 91 docs would silently fragment — so it is ENFORCED up front:
+    the largest fingerprint group is checked (one cheap aggregate) and
+    the query refuses oversized inputs, directing to the alternating-
+    star DataFrame form (dedup.dedup_cluster_assignment — logarithmic
+    rounds, no depth bound) instead of returning split clusters
+    (ADVICE r4). This entry is the declarative sibling that lets
+    Catalyst own the loop.
     """
     docs = load_table(spark, sf_dir, "documents")
+    mx = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    if mx is not None and mx > 91:
+        raise RuntimeError(
+            f"recursive_cte_dup_chain_closure: largest duplicate group "
+            f"has {mx} docs — chains longer than 91 exceed the depth-90 "
+            "recursion bound and would silently fragment; use "
+            "dedup_cluster_assignment (alternating-star CC, no depth "
+            "bound) for this corpus"
+        )
     docs.createOrReplaceTempView("documents_rcte")
     return spark.sql(
         """
@@ -2100,7 +2119,17 @@ def max_concurrent_sessions_sweep(
     edges = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
-    per_t = edges.groupBy("t").agg(F.sum("d").cast("long").alias("net"))
+    # pin BEFORE fan-out (ADVICE r4): the curve feeds three separate
+    # actions (the cumsum helper's internal per-bucket collect, the
+    # peak aggregate, the argmax filter) — unpinned, each action
+    # recomputes the events scan + edge aggregation; the pin makes the
+    # docstring's one-pass cost claim true, mirroring the
+    # cusum_changepoint_daily pin
+    per_t = (
+        edges.groupBy("t")
+        .agg(F.sum("d").cast("long").alias("net"))
+        .localCheckpoint()
+    )
     # bucket: month-resolution epoch (µs // 30 days) — monotone in t
     curve = with_global_cumsum_static(
         per_t,
@@ -2282,4 +2311,94 @@ def pit_scd2_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_orders"),
         F.sum("feat").cast("long").alias("feat_sum"),
+    )
+
+
+WINSOR_ACC = 10000  # approx_percentile accuracy: rank err <= n/acc
+
+
+@query(
+    "winsorize_approx_bounds_eval",
+    oracle="""
+        WITH bounds AS (
+            SELECT l_linestatus,
+                   quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem GROUP BY l_linestatus
+        )
+        SELECT l.l_linestatus,
+               count(*) AS n_rows,
+               count(*) FILTER (l.l_extendedprice < b.lo
+                                OR l.l_extendedprice > b.hi)
+                   AS n_clipped_exact,
+               TRUE AS lo_within_rank_bound,
+               TRUE AS hi_within_rank_bound
+        FROM lineitem l JOIN bounds b ON l.l_linestatus = b.l_linestatus
+        GROUP BY l.l_linestatus
+    """,
+)
+def winsorize_approx_bounds_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The APPROXIMATE winsorize arm (r4 verdict #6) with its accuracy
+    contract tested in-band: winsorize_clip_outliers documents
+    "t-digest swap-in at 100 TB" — this query actually runs that arm
+    (per-group ``approx_percentile`` clip bounds, one mergeable sketch
+    aggregate instead of a sorted-buffer holistic) and verifies each
+    approximate bound sits within the promised rank error of the exact
+    percentile, emitting the contract as hash-checked booleans (the
+    oracle expects TRUE; a sketch regression breaks the value hash).
+
+    The rank check is pure counting, tie-robust and interpolation-free:
+    an approximate bound v occupies the rank interval
+    [count(x<v)+1, count(x<=v)]; it must intersect the target rank
+    ±(⌈n/accuracy⌉+1) — the +1 absorbs the fractional-rank slop between
+    the ceil target and quantile_cont's interpolated definition.  Raw
+    interpolated bounds are never emitted (cross-engine last-ulp trap,
+    see winsorize_clip_outliers).
+
+    Scale: pass 1 is one groupBy computing BOTH arms' bounds (the
+    exact arm exists only to audit — at 100 TB you'd drop it and keep
+    the sketch); pass 2 re-joins the |groups|-row bounds by broadcast
+    and counts row-locally.  Same two-scan shape as the exact operator.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice"
+    )
+    x = F.col("l_extendedprice")
+    stats = li.groupBy("l_linestatus").agg(
+        F.percentile(x, 0.05).alias("lo_e"),
+        F.percentile(x, 0.95).alias("hi_e"),
+        F.percentile_approx(x, 0.05, WINSOR_ACC).alias("lo_a"),
+        F.percentile_approx(x, 0.95, WINSOR_ACC).alias("hi_a"),
+    )
+    g = (
+        li.join(F.broadcast(stats), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(
+                (x < F.col("lo_e")) | (x > F.col("hi_e"))
+            ).alias("n_clipped_exact"),
+            F.count_if(x < F.col("lo_a")).alias("lt_lo"),
+            F.count_if(x <= F.col("lo_a")).alias("le_lo"),
+            F.count_if(x < F.col("hi_a")).alias("lt_hi"),
+            F.count_if(x <= F.col("hi_a")).alias("le_hi"),
+        )
+    )
+    n = F.col("n")
+    err = F.floor((n + WINSOR_ACC - 1) / WINSOR_ACC) + 1
+    r_lo = F.floor((n * 500 + 9999) / 10000)  # ceil(0.05 n)
+    r_hi = F.floor((n * 9500 + 9999) / 10000)  # ceil(0.95 n)
+
+    def within(lt, le, r):
+        # rank interval [lt+1, le] intersects [r-err, r+err]
+        return (F.col(lt) + 1 <= r + err) & (F.col(le) >= r - err)
+
+    return g.select(
+        "l_linestatus",
+        n.alias("n_rows"),
+        "n_clipped_exact",
+        within("lt_lo", "le_lo", r_lo).alias("lo_within_rank_bound"),
+        within("lt_hi", "le_hi", r_hi).alias("hi_within_rank_bound"),
     )

@@ -200,6 +200,48 @@ def read_jdbc(
     return reader.load()
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "error",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """JDBC sink (S12's declared-but-never-executed intent: the
+    test-backup variant wires a ClickHouse load it never runs —
+    SURVEY §2.1; generalized here as the warehouse-export sink).
+
+    Each input partition opens one connection and streams batched
+    INSERTs, so write parallelism == partition count: cap it with
+    ``num_partitions`` (a `coalesce`, no shuffle) — a 10k-partition
+    100 TB frame must NOT open 10k simultaneous connections against
+    one database. ``batch_size`` maps to Spark's ``batchsize`` (rows
+    per executeBatch round-trip). Overwrite mode drops/recreates by
+    default; pass ``truncate="true"`` to keep the table's DDL.
+
+    Exactly-once caveat (documented, not hidden): Spark task retries
+    re-run partition inserts, so a mid-write failure can leave partial
+    rows in plain append mode — the production pattern is loading into
+    a staging table then an atomic SQL rename/swap, or an idempotent
+    upsert target. Live-tested against embedded Derby
+    (tests/test_pipeline_io.py::test_jdbc_sink_roundtrip_embedded_derby).
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 import re as _re
 
 _IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")

@@ -1361,11 +1361,38 @@ class LakehouseTable:
                     import pyarrow.parquet as _pq
 
                     for kf in d["files"]:
-                        for v in (
-                            _pq.read_table(kf, columns=["__file"])
-                            .column("__file")
-                            .to_pylist()
-                        ):
+                        try:
+                            col = _pq.read_table(
+                                kf, columns=["__file"]
+                            ).column("__file")
+                        except (FileNotFoundError, OSError) as ex:
+                            # ADVICE r4 weighed a conservative fallback
+                            # (treat all common files as affected), but
+                            # that would be silently WRONG, not
+                            # conservative: the same coordinates are
+                            # needed again when the diff MATERIALIZES
+                            # the endpoint's effective rows (_side
+                            # applies this entry), and without them the
+                            # rows this entry killed read as alive —
+                            # their resurrection/deletion events vanish
+                            # from the feed. The information is
+                            # destroyed; refuse with direction instead
+                            # of an opaque IO stack. (Normal retention
+                            # can't get here: both GC passes keep
+                            # delete-key files of every retained
+                            # manifest, and changelog endpoints are by
+                            # construction readable manifests.)
+                            raise ValueError(
+                                "changelog: a position-delete entry in "
+                                f"the interval references coordinate "
+                                f"file {kf!r} which is unreadable "
+                                "(garbage-collected out-of-band?); the "
+                                "interval's row changes cannot be "
+                                "reconstructed — widen the interval "
+                                "past the damaged snapshot or re-sync "
+                                "the consumer from a full read"
+                            ) from ex
+                        for v in col.to_pylist():
                             # coordinates store the parquet reader's
                             # file URI (file:///...); manifests store
                             # plain paths — normalize before comparing

@@ -1,0 +1,49 @@
+"""Pins the bench.py driver contract (r4 verdict #7).
+
+The driver captures only a ~2 KB stdout tail; bench.py's final line
+must stay under 1.9 KB or BENCH_r{N}.json comes back ``parsed: null``
+(it happened in r3).  The headline is FROZEN at 128 queries: new
+operators keep oracles + parity coverage, and join the headline only
+by REPLACING an existing entry (BASELINE.md notes the policy).
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from apache_iceberg_exploration_spark import registry
+
+
+def test_headline_frozen_at_128():
+    assert len(bench.HEADLINE) == 128, (
+        "the bench headline is frozen at 128 (runtime ≈2 min, stdout "
+        "tail near the driver cap): add new operators to the registry "
+        "and parity suite, and only swap them into HEADLINE by "
+        "replacing an entry"
+    )
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_headline_names_resolve():
+    registry._load_all()
+    qs = registry.all_queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+
+
+def test_final_stdout_line_fits_driver_tail_capture():
+    """Worst-case render of the summary line (every core-33 timing at
+    maximum printed width) must fit the 1.9 KB bound WITHOUT relying
+    on the runtime drop-queries fallback."""
+    core33 = {n: 999.999 for n in bench.HEADLINE[:33]}
+    summary = {
+        "metric": "headline query wall time (steady-state), local[32]",
+        "value": 99999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "core33_total": 99999.999,
+        "n_queries": len(bench.HEADLINE),
+        "queries": core33,
+    }
+    assert len(json.dumps(summary)) <= 1900

@@ -78,3 +78,62 @@ def test_attribution_positions_and_totals(spark):
     for r in rows:
         by_pos[r.position] = by_pos.get(r.position, 0) + r.attributed_cents
     assert by_pos["middle"] < by_pos["first"] + by_pos["last"]
+
+
+def test_connected_components_star_deep_path_and_random(spark):
+    """The alternating large-star/small-star CC (r4 verdict #5) must
+    handle component diameter far beyond any fixed propagation bound:
+    a 120-node PATH (diameter 119 — the old 30-round min-label loop
+    raised on this) converges and labels every node with the path's
+    minimum.  A random graph with isolated nodes cross-checks against
+    a driver-side union-find oracle."""
+    import random
+
+    from apache_iceberg_exploration_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # path 0-1-...-119 plus a separate pair and two isolated nodes
+    path_edges = [(i, i + 1) for i in range(119)]
+    extra = [(500, 501)]
+    nodes = list(range(120)) + [500, 501, 900, 901]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "n long")
+    edf = spark.createDataFrame(path_edges + extra, "a long, b long")
+    got = {
+        r.n: r.lbl for r in connected_components_star(ndf, edf).collect()
+    }
+    assert all(got[i] == 0 for i in range(120))
+    assert got[500] == 500 and got[501] == 500
+    assert got[900] == 900 and got[901] == 901
+
+    # randomized cross-check vs union-find
+    rng = random.Random(1234)
+    n = 300
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(260)
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in range(n)}
+    # canonicalize to component minimum
+    comp_min = {}
+    for x, r in expect.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expect = {x: comp_min[r] for x, r in expect.items()}
+
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "n long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r.n: r.lbl for r in connected_components_star(ndf, edf).collect()
+    }
+    assert got == expect

@@ -180,3 +180,37 @@ def test_distributed_ntile_plan_has_no_unpartitioned_window(spark):
                 "window must be partitioned by the range-partition id:\n"
                 + line
             )
+
+
+def test_static_bucket_null_key_fails_fast(spark):
+    """ADVICE r4: a NULL bucket key (null order column feeding the
+    bucketing) must raise a clear contract error, not an opaque
+    TypeError from sorted()."""
+    from apache_iceberg_exploration_spark.functions.ranking import (
+        with_global_rank_static,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, k int"
+    )
+    with pytest.raises(ValueError, match="yielded NULL"):
+        with_global_rank_static(
+            df, F.col("k").cast("long"), ["k"], "rn"
+        ).collect()
+
+
+def test_static_cumsum_decimal_value_col_refused(spark):
+    """ADVICE r4: DECIMAL value columns would collect Decimal offsets
+    mis-declared as long — refused with direction instead of dying in
+    createDataFrame."""
+    from apache_iceberg_exploration_spark.functions.ranking import (
+        with_global_cumsum_static,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, v long"
+    ).withColumn("v", F.col("v").cast("decimal(10,2)"))
+    with pytest.raises(TypeError, match="DECIMAL"):
+        with_global_cumsum_static(
+            df, F.col("id"), ["id"], "v", "running"
+        ).collect()
