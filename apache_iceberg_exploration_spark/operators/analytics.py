@@ -2402,3 +2402,100 @@ def winsorize_approx_bounds_eval(
         within("lt_lo", "le_lo", r_lo).alias("lo_within_rank_bound"),
         within("lt_hi", "le_hi", r_hi).alias("hi_within_rank_bound"),
     )
+
+
+@query(
+    "timeseries_stl_decompose_weekly",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS day_idx,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        trended AS (
+            SELECT day_idx, cents,
+                   CAST(floor(avg(cents) OVER (
+                       ORDER BY day_idx
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   ) * 1000 + 0.5) AS BIGINT) AS trend_mc
+            FROM daily
+        ),
+        detr AS (
+            SELECT day_idx, cents, trend_mc,
+                   cents * 1000 - trend_mc AS detr_mc,
+                   (day_idx + 4) % 7 AS dow
+            FROM trended
+        ),
+        seas AS (
+            SELECT dow,
+                   CAST(floor(avg(detr_mc) + 0.5) AS BIGINT)
+                       AS seasonal_mc
+            FROM detr GROUP BY dow
+        )
+        SELECT d.day_idx, d.cents AS revenue_cents, d.trend_mc,
+               s.seasonal_mc,
+               d.detr_mc - s.seasonal_mc AS remainder_mc
+        FROM detr d JOIN seas s ON s.dow = d.dow
+    """,
+)
+def timeseries_stl_decompose_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive seasonal-trend decomposition (STL-style, one pass each
+    component): daily revenue splits into a 7-day centered-moving-
+    average TREND, a day-of-week SEASONAL profile (mean of the
+    detrended series per weekday), and the REMAINDER — the
+    decomposition behind anomaly baselining and the seasonal-naive
+    forecast (forecast_seasonal_naive_eval); by construction
+    revenue·1000 = trend + seasonal + remainder exactly.
+
+    Cross-engine exactness: the trend window averages LONG cents (sums
+    exact in double at any realistic magnitude) and is floor-quantized
+    to millicents per row BEFORE the seasonal aggregation, so every
+    downstream sum is pure integer arithmetic — no double summation
+    whose partial-aggregation order could differ between engines.
+    Weekday comes from the integer formula (epoch_day+4)%7, not from
+    date functions with differing week conventions.
+
+    Scale: the fact scan collapses to one row per DAY first (keyed
+    mergeable aggregate); every window/aggregate after that runs on
+    the bounded daily series (10^3-10^4 rows for any horizon), so the
+    unpartitioned ordered window is a post-aggregate no-op — the same
+    argument as domain_token_mix's share window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_idx")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w7 = Window.orderBy("day_idx").rowsBetween(-3, 3)
+    detr = daily.select(
+        "day_idx",
+        "cents",
+        F.floor(F.avg("cents").over(w7) * 1000 + 0.5)
+        .cast("long")
+        .alias("trend_mc"),
+    ).select(
+        "day_idx",
+        "cents",
+        "trend_mc",
+        (F.col("cents") * 1000 - F.col("trend_mc")).alias("detr_mc"),
+        ((F.col("day_idx") + 4) % 7).alias("dow"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.floor(F.avg("detr_mc") + 0.5).cast("long").alias("seasonal_mc")
+    )
+    return detr.join(F.broadcast(seas), "dow").select(
+        "day_idx",
+        F.col("cents").alias("revenue_cents"),
+        "trend_mc",
+        "seasonal_mc",
+        (F.col("detr_mc") - F.col("seasonal_mc")).alias("remainder_mc"),
+    )

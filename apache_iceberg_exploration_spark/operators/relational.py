@@ -3360,3 +3360,105 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("value_cents"),
         )
     )
+
+
+INCIDENT_VALUE = 220.0  # events above this open an incident window
+HOUR_US = 3_600_000_000  # bucket width for the interval-interval join
+DAY_US = 86_400_000_000
+
+
+@query(
+    "interval_overlap_join",
+    oracle=f"""
+        WITH spans AS (
+            SELECT user_id,
+                   epoch_us(min(ts)) AS s,
+                   epoch_us(max(ts)) + 1800000000 AS e
+            FROM events
+            GROUP BY user_id, epoch_us(ts) // {DAY_US}
+        ),
+        inc AS (
+            SELECT event_id,
+                   epoch_us(ts) - 900000000 AS s2,
+                   epoch_us(ts) + 900000000 AS e2
+            FROM events WHERE value > {INCIDENT_VALUE}
+        )
+        SELECT i.event_id,
+               count(sp.user_id) AS n_overlap_spans,
+               count(DISTINCT sp.user_id) AS n_overlap_users
+        FROM inc i LEFT JOIN spans sp
+          ON sp.s <= i.e2 AND i.s2 <= sp.e
+        GROUP BY i.event_id
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — the join shape missing from
+    the point-in-interval family (range_join_event_attribution joins
+    points to intervals; this joins two interval SETS): per-user daily
+    activity spans (first event → last event + 30 min) against
+    incident windows (±15 min around every high-value event), counting
+    the spans and distinct users active during each incident —
+    blast-radius analysis.
+
+    Scale: the naive form is a cross join with an overlap residual
+    (O(n·m) — Catalyst plans exactly that for `a.s <= b.e AND b.s <=
+    a.e`). Here both interval sets explode into the HOURS they cover
+    (bounded: spans ≤ 25 buckets, windows ≤ 2), the join is a bucket
+    EQUI-join with the overlap predicate as residual, and multi-bucket
+    double-hits collapse with one distinct — shuffle O(intervals ×
+    buckets-per-interval), never the cross product. The bucket width
+    is the tuning knob: hours for day-scale spans; at 100 TB pick it
+    near the median interval length so the per-interval explode stays
+    O(1). The plan-audit suite (no CartesianProduct anywhere) covers
+    this query like every other.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    spans = (
+        ev.groupBy(
+            "user_id", (us.cast("long") / F.lit(DAY_US)).cast("long")
+        )
+        .agg(
+            F.min(us).alias("s"),
+            (F.max(us) + 1_800_000_000).alias("e"),
+        )
+        .select("user_id", "s", "e")
+    )
+    # integer floor-div bucketing (floor() both sides — cast truncates
+    # in Spark but ROUNDS in DuckDB)
+    inc = ev.filter(F.col("value") > INCIDENT_VALUE).select(
+        "event_id",
+        (us - 900_000_000).alias("s2"),
+        (us + 900_000_000).alias("e2"),
+    )
+    a = spans.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / HOUR_US), F.floor(F.col("e") / HOUR_US)
+            )
+        ),
+    )
+    b = inc.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s2") / HOUR_US),
+                F.floor(F.col("e2") / HOUR_US),
+            )
+        ),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter((F.col("s") <= F.col("e2")) & (F.col("s2") <= F.col("e")))
+        .select("event_id", "user_id", "s")
+        .distinct()
+    )
+    return (
+        inc.join(pairs, "event_id", "left")
+        .groupBy("event_id")
+        .agg(
+            F.count("user_id").alias("n_overlap_spans"),
+            F.countDistinct("user_id").alias("n_overlap_users"),
+        )
+    )

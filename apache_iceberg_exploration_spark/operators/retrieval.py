@@ -457,3 +457,285 @@ def embedding_knn_label_confusion(
         .groupBy("label_a", "label_nn")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+IVF_SPLIT_VEC = 400  # index trained on vec_id < split; newer = new batch
+
+
+def _ivf_incremental_oracle() -> str:
+    from .similarity import (
+        KMEANS_ITERS,
+        kmeans_centroid_ctes,
+    )
+
+    cos = cosine_similarity_sql("e.v", "c.c")
+    ctes = kmeans_centroid_ctes(f"vec_id < {IVF_SPLIT_VEC}")
+    return f"""
+        WITH {",".join(ctes)},
+        newv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= {IVF_SPLIT_VEC}
+        ),
+        aold AS (
+            SELECT cell, count(*) AS n_old FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos} DESC, c.cell)
+                           AS rn
+                FROM emb e, c{KMEANS_ITERS} c
+            ) WHERE rn = 1 GROUP BY cell
+        ),
+        anew AS (
+            SELECT cell, count(*) AS n_new,
+                   CAST(sum(CAST(floor(sim * 1000000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_new_sim_e6
+            FROM (
+                SELECT e.vec_id, c.cell, {cos} AS sim,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos} DESC, c.cell)
+                           AS rn
+                FROM newv e, c{KMEANS_ITERS} c
+            ) WHERE rn = 1 GROUP BY cell
+        )
+        SELECT c.cell,
+               CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+               CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+               CAST(coalesce(n.sum_new_sim_e6, 0) AS BIGINT)
+                   AS sum_new_sim_e6
+        FROM c{KMEANS_ITERS} c
+        LEFT JOIN aold o ON o.cell = c.cell
+        LEFT JOIN anew n ON n.cell = c.cell
+    """
+
+
+@query("ann_ivf_incremental_assign", oracle=_ivf_incremental_oracle())
+def ann_ivf_incremental_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF index MAINTENANCE tick: a new vector batch (vec_id ≥ split)
+    is assigned to the FROZEN centroids of the existing index (trained
+    on the older half only) — the incremental sibling of
+    ann_kmeans_cells, mirroring dedup_incremental_minhash_lsh on the
+    dense side. Output per cell: existing occupancy, new-batch
+    additions, and the summed assignment similarity of the additions
+    (integer 1e-6 units) — the drift report that tells an index
+    operator when accumulated new data merits a re-train (falling
+    per-cell mean similarity = centroids no longer describe the
+    distribution).
+
+    Scale: the tick costs O(|new| · K) — broadcast K·d centroid
+    doubles, one argmax pass over the new batch, one ≤K-row aggregate;
+    the existing corpus is NOT rescanned for assignment (its occupancy
+    aggregate is manifest-grade metadata a real deployment keeps
+    incrementally — recomputed here only because the oracle needs the
+    same numbers).
+    """
+    from ..functions.caching import scoped_persist
+    from .similarity import lloyd_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    old = scoped_persist(
+        emb.filter(F.col("vec_id") < IVF_SPLIT_VEC).repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        )
+    )
+    new = emb.filter(F.col("vec_id") >= IVF_SPLIT_VEC)
+    centroids = scoped_persist(lloyd_centroids(old))
+
+    from pyspark.sql import Window as W
+
+    cos = cosine_similarity(F.col("v"), F.col("c"))
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+
+    def assign(df):
+        return (
+            df.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "cell", cos.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    n_old = assign(old).groupBy("cell").agg(F.count("*").alias("n_old"))
+    a_new = (
+        assign(new)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.floor(F.col("sim") * 1_000_000 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_new_sim_e6"),
+        )
+    )
+    return (
+        centroids.select("cell")
+        .join(n_old, "cell", "left")
+        .join(a_new, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("sum_new_sim_e6", F.lit(0))
+            .cast("long")
+            .alias("sum_new_sim_e6"),
+        )
+    )
+
+
+NDCG_K = 10
+NDCG_N_QUERIES = 20  # vec_id < 20 are the evaluation queries
+
+
+@query(
+    "retrieval_ndcg_label_eval",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+            FROM embeddings WHERE vec_id < {NDCG_N_QUERIES}
+        ),
+        ranked AS (
+            SELECT q.q_id, q.q_label, e.vec_id, e.label,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {cosine_similarity_sql('e.embedding', 'q.q_emb')}
+                                DESC, e.vec_id
+                   ) AS rnk
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.q_id
+        ),
+        top AS (
+            SELECT q_id, q_label, rnk,
+                   CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel
+            FROM ranked WHERE rnk <= {NDCG_K}
+        ),
+        dcg AS (
+            SELECT q_id,
+                   CAST(sum(rel) AS BIGINT) AS n_relevant_at_k,
+                   CAST(coalesce(min(CASE WHEN rel = 1 THEN rnk END), 0)
+                        AS BIGINT) AS first_rel_rank,
+                   sum(CAST(round(rel / log2(rnk + 1.0), 9)
+                            AS DECIMAL(18,9))) AS dcg_v
+            FROM top GROUP BY q_id
+        ),
+        nrel AS (
+            SELECT q.q_id, count(*) AS n_rel_total
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.q_id AND e.label = q.q_label
+            GROUP BY q.q_id
+        ),
+        idcg AS (
+            SELECT n.q_id,
+                   sum(CAST(round(1.0 / log2(i + 1.0), 9)
+                            AS DECIMAL(18,9))) AS idcg_v
+            FROM nrel n,
+                 UNNEST(range(1, {NDCG_K} + 1)) AS t(i)
+            WHERE i <= least(n.n_rel_total, {NDCG_K})
+            GROUP BY n.q_id
+        )
+        SELECT d.q_id, d.n_relevant_at_k, d.first_rel_rank,
+               CAST(floor(CAST(d.dcg_v AS DOUBLE)
+                          / CAST(i.idcg_v AS DOUBLE) * 10000 + 0.5)
+                    AS BIGINT) AS ndcg_bp
+        FROM dcg d JOIN idcg i ON i.q_id = d.q_id
+    """,
+)
+def retrieval_ndcg_label_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ranking-quality evaluation for the dense retriever: NDCG@10 and
+    first-relevant-rank per query, with label agreement as the
+    relevance oracle — the eval-family member (recall@k, estimator
+    calibration, label confusion) that grades the ORDER of results,
+    not just their membership. Falling NDCG with stable recall is the
+    signature of a miscalibrated scoring stage (e.g. quantization
+    noise reordering near-ties).
+
+    Cross-engine float discipline: per-rank discounted gains
+    (rel/log₂(rank+1)) are functions of INTEGER rank — rounded to 9
+    decimals and DECIMAL-summed, so DCG and IDCG are exact; only the
+    final ratio divides two identically-derived doubles. MRR's float
+    is avoided entirely by emitting the first relevant RANK (integer;
+    0 = none in the top K).
+
+    Scale: same broadcast-queries × corpus shape as the brute-force
+    top-k (the eval is definitionally exhaustive — it grades the
+    approximate tiers against the truth, so it runs at eval-set size,
+    not corpus size).
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NDCG_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    w = W.partitionBy("q_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    top = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            cos.alias("c"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NDCG_K)
+        .withColumn(
+            "rel",
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0),
+        )
+    )
+    gain = F.round(
+        F.col("rel") / F.log2(F.col("rnk") + 1.0), 9
+    ).cast("decimal(18,9)")
+    dcg = top.groupBy("q_id").agg(
+        F.sum("rel").cast("long").alias("n_relevant_at_k"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.sum(gain).alias("dcg_v"),
+    )
+    nrel = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_rel_total"))
+    )
+    igain = F.round(1.0 / F.log2(F.col("i") + 1.0), 9).cast(
+        "decimal(18,9)"
+    )
+    idcg = (
+        nrel.select(
+            "q_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.col("n_rel_total"), F.lit(NDCG_K))
+                )
+            ).alias("i"),
+        )
+        .groupBy("q_id")
+        .agg(F.sum(igain).alias("idcg_v"))
+    )
+    return dcg.join(idcg, "q_id").select(
+        "q_id",
+        "n_relevant_at_k",
+        "first_rel_rank",
+        F.floor(
+            F.col("dcg_v").cast("double")
+            / F.col("idcg_v").cast("double")
+            * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("ndcg_bp"),
+    )

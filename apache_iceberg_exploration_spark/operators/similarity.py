@@ -301,16 +301,17 @@ K_CELLS = 8
 KMEANS_ITERS = 4
 
 
-def _kmeans_oracle() -> str:
-    """Lloyd's with a FIXED iteration budget is SQL-expressible after all:
-    unroll the loop into one CTE pair (assign, recenter) per iteration,
-    generated here by the same Python loop that drives the Spark plan.
-    Both engines do double-precision cosine; assignments only diverge if
-    two centroid similarities tie within one ulp."""
+def kmeans_centroid_ctes(where: str = "") -> list[str]:
+    """Shared oracle scaffolding: the CTE chain (`emb`, `c0`..`c{N}`)
+    that unrolls Lloyd's fixed iteration budget in SQL — consumers
+    (ann_kmeans_cells here, ann_ivf_incremental_assign in retrieval)
+    append their own final CTEs/SELECT over ``c{KMEANS_ITERS}``.
+    ``where`` restricts the TRAINING corpus (e.g. the pre-existing
+    index half in the incremental-maintenance query)."""
     cos = cosine_similarity_sql("e.v", "c.c")
     ctes = [
         "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings)",
+        f" FROM embeddings{' WHERE ' + where if where else ''})",
         f"""c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
             FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {K_CELLS})
@@ -338,6 +339,17 @@ def _kmeans_oracle() -> str:
             )
             GROUP BY cell
         )""")
+    return ctes
+
+
+def _kmeans_oracle() -> str:
+    """Lloyd's with a FIXED iteration budget is SQL-expressible after all:
+    unroll the loop into one CTE pair (assign, recenter) per iteration,
+    generated by the same Python loop that drives the Spark plan. Both
+    engines do double-precision cosine; assignments only diverge if two
+    centroid similarities tie within one ulp."""
+    cos = cosine_similarity_sql("e.v", "c.c")
+    ctes = kmeans_centroid_ctes()
     return f"""
         WITH {",".join(ctes)}
         SELECT vec_id, cell, round(sim, 4) AS cos_to_centroid
@@ -350,48 +362,28 @@ def _kmeans_oracle() -> str:
     """
 
 
-@query("ann_kmeans_cells", oracle=_kmeans_oracle())
-def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell CONSTRUCTION: k-means (Lloyd's) over the embeddings with
-    deterministic init (the K lowest vec_ids) and a fixed iteration
-    budget — produces (vec_id, cell, cos_to_centroid). This replaces the
-    'label' column the other ANN queries lean on with cells the engine
-    derives itself; ann_ivf_probe_topk over these cells is the full
-    self-contained IVF pipeline.
-
-    Each iteration is: broadcast K centroids → per-vector argmax cosine
-    (JVM higher-order functions, no Python) → new centroids via
-    posexplode + (cell, dim) average. The oracle unrolls the fixed
-    iteration budget into generated CTEs (_kmeans_oracle) — the
-    genuinely-unbounded fixpoint variant would stay oracle-exempt; tests
-    additionally assert determinism, total coverage, and assignment
-    improvement.
-
-    Scale: per iteration one broadcast (K·d doubles) + one narrow
-    argmax pass + one k·d-row shuffle — Lloyd's at any corpus size;
-    k-means|| init swaps in for the deterministic seed without touching
-    the loop."""
+def lloyd_centroids(
+    emb: DataFrame, k: int = K_CELLS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over ``emb`` (columns vec_id, v:array<double>)
+    with deterministic init (the k lowest vec_ids); returns (cell, c)
+    centroids after ``iters`` rounds. Per iteration: one broadcast of
+    K·d doubles, one narrow argmax pass, one k·d-row shuffle — the
+    distributed Lloyd shape at any corpus size. Shared by
+    ann_kmeans_cells (index build) and ann_ivf_incremental_assign
+    (maintenance tick on a FROZEN index)."""
     from pyspark.sql import Window as W
-
-    from ..functions.caching import scoped_persist
-
-    emb = scoped_persist(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    )
 
     centroids = (
         emb.orderBy("vec_id")
-        .limit(K_CELLS)
+        .limit(k)
         .select(
             (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
             F.col("v").alias("c"),
         )
     )
-
     cos = cosine_similarity(F.col("v"), F.col("c"))
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         assigned = (
             emb.crossJoin(F.broadcast(centroids))
             .select("vec_id", "v", "cell", cos.alias("sim"))
@@ -417,7 +409,42 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             )
         )
+    return centroids
 
+
+@query("ann_kmeans_cells", oracle=_kmeans_oracle())
+def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell CONSTRUCTION: k-means (Lloyd's) over the embeddings with
+    deterministic init (the K lowest vec_ids) and a fixed iteration
+    budget — produces (vec_id, cell, cos_to_centroid). This replaces the
+    'label' column the other ANN queries lean on with cells the engine
+    derives itself; ann_ivf_probe_topk over these cells is the full
+    self-contained IVF pipeline.
+
+    Each iteration is: broadcast K centroids → per-vector argmax cosine
+    (JVM higher-order functions, no Python) → new centroids via
+    posexplode + (cell, dim) average. The oracle unrolls the fixed
+    iteration budget into generated CTEs (_kmeans_oracle) — the
+    genuinely-unbounded fixpoint variant would stay oracle-exempt; tests
+    additionally assert determinism, total coverage, and assignment
+    improvement.
+
+    Scale: per iteration one broadcast (K·d doubles) + one narrow
+    argmax pass + one k·d-row shuffle — Lloyd's at any corpus size;
+    k-means|| init swaps in for the deterministic seed without touching
+    the loop."""
+    from ..functions.caching import scoped_persist
+
+    emb = scoped_persist(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    centroids = lloyd_centroids(emb)
+
+    from pyspark.sql import Window as W
+
+    cos = cosine_similarity(F.col("v"), F.col("c"))
     final = (
         emb.crossJoin(F.broadcast(centroids))
         .select("vec_id", "cell", cos.alias("sim"))

@@ -1252,3 +1252,123 @@ def zipf_law_fit_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.regr_slope(ln_n, ln_r), 4).alias("zipf_alpha"),
         F.round(F.regr_r2(ln_n, ln_r), 4).alias("fit_r2"),
     )
+
+
+BIGRAM_SURPRISAL_THRESHOLD = 3.45  # nats; calibrated so the synthetic
+# corpus flags a real tail at every SF (a vacuous always-false flag
+# would prove nothing — the embedding_norm_qa lesson)
+
+
+@query(
+    "text_bigram_logprob_filter",
+    oracle=f"""
+        WITH ws AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '')
+                       AS ws
+            FROM documents
+        ),
+        tokv AS (
+            SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(ws) AS w FROM ws)
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+            FROM ws
+        ),
+        cnt AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+        leftc AS (
+            SELECT split_part(bg, ' ', 1) AS a, count(*) AS ca
+            FROM big GROUP BY 1
+        ),
+        scored AS (
+            SELECT b.doc_id,
+                   CAST(round(-ln((c.c + 1.0) / (l.ca + t.v)), 9)
+                        AS DECIMAL(18,9)) AS nlp
+            FROM big b
+            JOIN cnt c ON c.bg = b.bg
+            JOIN leftc l ON l.a = split_part(b.bg, ' ', 1)
+            CROSS JOIN tokv t
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(CAST(sum(nlp) AS DOUBLE) / count(*), 4)
+                   AS avg_neg_logp,
+               (CAST(sum(nlp) AS DOUBLE) / count(*)
+                    > {BIGRAM_SURPRISAL_THRESHOLD}) AS is_incoherent
+        FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model coherence filter — the conditional sibling
+    of text_unigram_logprob_filter: each document scores the mean
+    -ln P(wᵢ | wᵢ₋₁) under the corpus bigram model with add-1
+    smoothing (V = unigram vocabulary). Unigram surprisal catches rare
+    WORDS; bigram surprisal catches wrong word ORDER — shuffled or
+    machine-mangled text whose unigram profile is perfectly normal.
+    The flagged tail is what a pretraining pipeline routes past the
+    cheap filters to an actual LM scorer.
+
+    Cross-engine float discipline: per-bigram -ln p rounded to 9
+    decimals and cast to DECIMAL before the per-doc sum (associative),
+    exactly as the unigram filter. Bigrams join on the token pair as a
+    single space-joined string — tokens cannot contain spaces (they
+    come from a space split), so the encoding is injective.
+
+    Scale: two corpus count tables (bigram and left-context), both
+    keyed aggregates; scoring is two equi-joins on the bigram/left key
+    plus one keyed aggregate. The bigram table is NOT broadcast — at
+    corpus scale it exceeds the unigram vocabulary by orders of
+    magnitude, so both joins shuffle on the key, which AQE sizes; the
+    vocabulary size is the only driver scalar.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n = F.size(ws)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bg_arr = F.zip_with(
+        F.slice(ws, 1, pair_len),
+        F.slice(ws, 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    from ..functions.caching import scoped_persist
+
+    big = scoped_persist(
+        docs.select("doc_id", F.explode(bg_arr).alias("bg"))
+    )
+    v = (
+        docs.select(F.explode(ws).alias("w"))
+        .agg(F.countDistinct("w"))
+        .first()[0]
+    )  # scalar: unigram vocabulary size
+    cnt = big.groupBy("bg").agg(F.count("*").alias("c"))
+    leftc = big.groupBy(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("a")
+    ).agg(F.count("*").alias("ca"))
+    nlp = F.round(
+        -F.log((F.col("c") + 1.0) / (F.col("ca") + F.lit(float(v)))), 9
+    ).cast("decimal(18,9)")
+    scored = (
+        big.join(cnt, "bg")
+        .withColumn(
+            "a", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .join(leftc, "a")
+        .select("doc_id", nlp.alias("nlp"))
+    )
+    avg = F.col("sum_nlp").cast("double") / F.col("n_bigrams")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("nlp").alias("sum_nlp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(avg, 4).alias("avg_neg_logp"),
+            (avg > BIGRAM_SURPRISAL_THRESHOLD).alias("is_incoherent"),
+        )
+    )

@@ -607,3 +607,90 @@ def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x_even_milli"),
     )
+
+
+SOURCE_CAP = 15  # max docs kept per source
+
+
+def _source_cap_oracle() -> str:
+    from .text import _STOPWORDS
+
+    stop_in = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+        WITH feats AS (
+            SELECT doc_id, source, n_chars,
+                   string_split(text, ' ') AS words
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source,
+                   least(1.0, len(words) / 100.0) * 0.5
+                   + least(1.0, CAST(len(list_filter(words,
+                         w -> w IN ({stop_in}))) AS DOUBLE)
+                       / len(words) * 5) * 0.3
+                   + CASE WHEN CAST(n_chars AS DOUBLE) / len(words)
+                          BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END AS score
+            FROM feats
+        ),
+        ranked AS (
+            SELECT doc_id, source, score,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY score DESC, doc_id
+                   ) AS q_rank
+            FROM scored
+        )
+        SELECT source, doc_id,
+               CAST(q_rank AS BIGINT) AS q_rank,
+               CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+        FROM ranked WHERE q_rank <= {SOURCE_CAP}
+    """
+
+
+@query("source_cap_sample", oracle=_source_cap_oracle())
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most SOURCE_CAP docs per source
+    domain, best quality first (deterministic doc_id tiebreak) — the
+    anti-domination guard every web-scale corpus applies so one crawl
+    host cannot flood the training mix, complementing the
+    proportional controls (domain_token_mix / data_mixing_weighted)
+    with a hard ceiling.
+
+    Scale: one window per source partition (row_number over the quality
+    ordering, filtered to the cap). The per-source sort is Spark's
+    external sort — no per-source collect_list buffer that a
+    100M-doc host would blow up; a skewed giant source costs one big
+    sorted partition, which AQE's skew handling splits for every stage
+    except the final rank (where per-key order is required — the
+    irreducible cost of exact per-key top-k). Score is the same
+    bounded [0,1] heuristic as quality_weighted_sample, so both
+    engines rank identically (floor-quantized only at emission).
+    """
+    from .text import _STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tok = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("double")
+    avg_len = F.col("n_chars").cast("double") / n_tok
+    score = (
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), sw / n_tok * 5) * 0.3
+        + F.when(avg_len.between(3, 10), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", score.alias("score"))
+        .withColumn("q_rank", F.row_number().over(w))
+        .filter(F.col("q_rank") <= SOURCE_CAP)
+        .select(
+            "source",
+            "doc_id",
+            F.col("q_rank").cast("long").alias("q_rank"),
+            F.floor(F.col("score") * 10000 + 0.5)
+            .cast("long")
+            .alias("score_bp"),
+        )
+    )
