@@ -3120,7 +3120,9 @@ class LakehouseTable:
 
         return self._commit_rmw(compute)
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 1, dry_run: bool = False
+    ) -> list[int] | dict:
         """Drop all but the last ``keep_last`` snapshot manifests and
         garbage-collect the data directories those EXPIRED manifests
         referenced (minus anything a retained manifest still needs).
@@ -3131,7 +3133,17 @@ class LakehouseTable:
         data files are written but whose manifest isn't published yet
         (concurrent committers are supported). Cleaning true orphans is a
         separate age-based pass (``remove_orphan_files``), exactly as in
-        Iceberg. Returns expired version numbers."""
+        Iceberg. Returns expired version numbers.
+
+        ``dry_run=True`` (Iceberg's retention preview) deletes NOTHING
+        and returns the full impact report — which versions would
+        expire, which data files become unreferenced (``doomed``), and
+        which manifest parts would go — so an operator can check a
+        retention change before running it. The subsequent real run
+        expires exactly the reported versions; doomed data files are
+        physically removed per-directory (a directory goes only when
+        every file in it is doomed — the same conservative rule as the
+        real pass has always used)."""
         current = self.current_version()
         cutoff = max(current - keep_last + 1, 1)
         # retention anchors: tags + every live branch's fork point
@@ -3162,8 +3174,17 @@ class LakehouseTable:
             m = self._read_manifest(v)
             expired_files.update(m["files"])
             expired_files.update(self._delete_key_files(m))
-            os.remove(p)
+            if not dry_run:
+                os.remove(p)
             expired.append(v)
+
+        if dry_run:
+            return {
+                "would_expire_versions": expired,
+                "doomed_files": sorted(expired_files - retained_files),
+                "doomed_parts": sorted(expired_parts - retained_parts),
+                "retained_file_count": len(retained_files),
+            }
 
         # manifest parts referenced ONLY by expired snapshots go with them
         # (metadata GC — the manifest-list half of Iceberg's expire)

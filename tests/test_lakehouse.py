@@ -2879,3 +2879,36 @@ def test_table_lifecycle_is_rename_free(spark, tmp_path, monkeypatch):
     got = {r.c_custkey for r in t.read().collect()}
     want = set(range(5, 60)) - {30}
     assert got == want
+
+def test_expire_snapshots_dry_run_previews_real_run(spark, table):
+    """Retention preview (Iceberg's expire dry-run): report-only, no
+    deletion; the real run then expires exactly the previewed versions,
+    tagged snapshots stay anchored, and previewed-doomed files are the
+    ones physically removed (per-directory rule)."""
+    import os as _os
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    for i in range(4):
+        table.append(cust.filter(F.col("c_custkey") % 4 == i))
+    table.rewrite_data_files()  # v5 rewrites — v1-v4 files become dead
+    table.tag("keep2", 2)  # anchor v2 against expiry
+
+    report = table.expire_snapshots(keep_last=1, dry_run=True)
+    assert report["would_expire_versions"] == [1, 3, 4]  # 2 tagged, 5 kept
+    assert report["doomed_files"]  # the pre-compaction fragments
+    for f in report["doomed_files"]:
+        assert _os.path.exists(f)  # nothing deleted by the preview
+    assert table.current_version() == 5
+    assert {s["version"] for s in table.snapshots()} == {1, 2, 3, 4, 5}
+
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == report["would_expire_versions"]
+    assert {s["version"] for s in table.snapshots()} == {2, 5}
+    # conservative per-directory deletion: no doomed file survives in a
+    # fully-doomed directory, and no retained file was touched
+    assert table.read().count() == cust.count()
+    assert table.read(version=2).count() == cust.filter(
+        F.col("c_custkey") % 4 < 2
+    ).count()
