@@ -2499,3 +2499,131 @@ def timeseries_stl_decompose_weekly(
         "seasonal_mc",
         (F.col("detr_mc") - F.col("seasonal_mc")).alias("remainder_mc"),
     )
+
+
+@query(
+    "trend_theil_sen_slope",
+    oracle="""
+        WITH monthly AS (
+            SELECT c.c_mktsegment,
+                   (year(o.o_orderdate) - 1992) * 12
+                       + month(o.o_orderdate) - 1 AS t,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS rev_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        slopes AS (
+            SELECT a.c_mktsegment,
+                   b.rev_cents - a.rev_cents AS num,
+                   b.t - a.t AS den,
+                   CAST(b.rev_cents - a.rev_cents AS DOUBLE)
+                       / (b.t - a.t) AS slope
+            FROM monthly a
+            JOIN monthly b ON a.c_mktsegment = b.c_mktsegment
+                          AND a.t < b.t
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY slope ASC, num ASC, den ASC
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY c_mktsegment) AS n_pairs
+            FROM slopes
+        ),
+        months AS (
+            SELECT c_mktsegment, count(*) AS n_months FROM monthly
+            GROUP BY 1
+        )
+        SELECT r.c_mktsegment, m.n_months, r.n_pairs,
+               r.num AS med_num_cents, r.den AS med_den_months,
+               CAST(floor(r.num * 100.0 / r.den + 0.5) AS BIGINT)
+                   AS slope_ccents_per_month
+        FROM ranked r JOIN months m ON r.c_mktsegment = m.c_mktsegment
+        WHERE r.rn = (r.n_pairs + 1) // 2
+    """,
+)
+def trend_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per market segment: the median of all
+    pairwise slopes of the monthly revenue series — a 29%-breakdown
+    estimator that one wild month cannot drag, unlike the least-squares
+    slope (`trend_regression_per_segment`, its fragile sibling). The
+    lower median (element at rank ⌈n/2⌉) is reported, never an
+    interpolated midpoint — interpolation is the cross-engine float
+    trap (memory: cross-engine-float-traps); the selected element is
+    emitted as its exact (numerator cents, denominator months) pair
+    plus a derived centi-cents/month integer.
+
+    Scale: Theil-Sen is quadratic in SERIES LENGTH, not data size —
+    the monthly pre-aggregation collapses any SF to |segments|×|months|
+    rows first, so the pair self-join is bounded by the time range
+    (~84 months → ~3.5k pairs per segment) forever; the per-segment
+    window never sees more than that. Revenue in integer cents and the
+    slope double num/den computed identically on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    from ..functions.caching import scoped_persist
+
+    monthly = scoped_persist(monthly)
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.c_mktsegment").alias("c_mktsegment"),
+        (F.col("b.rev_cents") - F.col("a.rev_cents")).alias("num"),
+        (F.col("b.t") - F.col("a.t")).alias("den"),
+        (
+            (F.col("b.rev_cents") - F.col("a.rev_cents")).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+    )
+    from pyspark.sql.window import Window
+
+    wseg = Window.partitionBy("c_mktsegment")
+    ranked = slopes.select(
+        "*",
+        F.row_number()
+        .over(wseg.orderBy(F.asc("slope"), F.asc("num"), F.asc("den")))
+        .alias("rn"),
+        F.count("*").over(wseg).alias("n_pairs"),
+    )
+    months = monthly.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_months")
+    )
+    return (
+        ranked.filter(
+            F.col("rn") == F.expr("(n_pairs + 1) div 2")
+        )
+        .join(F.broadcast(months), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_months",
+            "n_pairs",
+            F.col("num").alias("med_num_cents"),
+            F.col("den").alias("med_den_months"),
+            F.floor(F.col("num") * 100.0 / F.col("den") + 0.5)
+            .cast("long")
+            .alias("slope_ccents_per_month"),
+        )
+    )

@@ -206,6 +206,23 @@ def graph_triangle_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once, no /6 correction and no symmetric blowup. Deterministic
     top-K (weight desc, neighbor asc) keeps the DuckDB oracle bit-exact.
     """
+    mutual = _mutual_topk_graph(spark, sf_dir)
+    corners = _triangle_corners(mutual)
+    nodes = (
+        mutual.select(F.col("u").alias("node"))
+        .union(mutual.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return nodes.join(corners, "node", "left").select(
+        F.col("node").alias("suppkey"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+def _mutual_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-top-K sparsified co-supply graph as canonical (u < v)
+    undirected edges, persisted (both triangle enumeration and the
+    degree census re-read it)."""
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -234,7 +251,7 @@ def graph_triangle_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     ta, tb = topk.alias("ta"), topk.alias("tb")
-    mutual = scoped_persist(
+    return scoped_persist(
         ta.join(
             tb,
             (F.col("ta.u") == F.col("tb.v")) & (F.col("ta.v") == F.col("tb.u")),
@@ -242,6 +259,11 @@ def graph_triangle_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ta.u") < F.col("ta.v"))
         .select(F.col("ta.u").alias("u"), F.col("ta.v").alias("v"))
     )
+
+
+def _triangle_corners(mutual: DataFrame) -> DataFrame:
+    """(node, cnt): triangles incident to each node, from the ordered-
+    triple enumeration (each triangle counted once per corner)."""
     e1, e2, e3 = mutual.alias("e1"), mutual.alias("e2"), mutual.alias("e3")
     tri = (
         e1.join(
@@ -258,21 +280,12 @@ def graph_triangle_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.v").alias("c"),
         )
     )
-    corners = (
+    return (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
         .unionAll(tri.select(F.col("c").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("cnt"))
-    )
-    nodes = (
-        mutual.select(F.col("u").alias("node"))
-        .union(mutual.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    return nodes.join(corners, "node", "left").select(
-        F.col("node").alias("suppkey"),
-        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_triangles"),
     )
 
 
@@ -399,4 +412,91 @@ def graph_link_prediction_common_neighbors(
         F.col("v").alias("supp_b"),
         "common_neighbors",
         "rank",
+    )
+
+
+def _clustering_coeff_oracle() -> str:
+    return f"""
+        WITH {_EDGES_SQL.strip()},
+        ranked AS (
+            SELECT src AS u, dst AS v,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges
+        ),
+        topk AS (SELECT u, v FROM ranked WHERE rn <= {TRI_TOPK}),
+        mutual AS (
+            SELECT a.u, a.v
+            FROM topk a JOIN topk b ON a.u = b.v AND a.v = b.u
+            WHERE a.u < a.v
+        ),
+        adj AS (
+            SELECT u, v FROM mutual UNION ALL SELECT v, u FROM mutual
+        ),
+        deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY 1),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM mutual e1
+            JOIN mutual e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN mutual e3 ON e3.u = e1.v AND e3.v = e2.v
+        ),
+        corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ),
+        tcnt AS (SELECT node, count(*) AS cnt FROM corners GROUP BY 1)
+        SELECT d.node AS suppkey,
+               CAST(d.deg AS BIGINT) AS degree,
+               CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_triangles,
+               CAST(CASE WHEN d.deg >= 2
+                    THEN (coalesce(t.cnt, 0) * 2 * 10000)
+                         // (d.deg * (d.deg - 1))
+                    ELSE 0 END AS BIGINT) AS coeff_bp
+        FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+    """
+
+
+@query("graph_clustering_coefficient", oracle=_clustering_coeff_oracle())
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per supplier on the mutual-top-K
+    co-supply graph: C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the
+    fraction of v's neighbor pairs that are themselves connected, the
+    standard community-cohesion score built on the triangle census
+    (`graph_triangle_count_topk` reports the numerator; this closes
+    the ratio with the degree census over the SAME sparsified graph,
+    so both queries share the `_mutual_topk_graph` kernel).
+
+    Coefficient in integer basis points — (2·tri·10⁴) div (deg·(deg−1))
+    — exact BIGINT in both engines; deg < 2 reports 0 (no wedge).
+
+    Scale: the top-K sparsification caps degree at K, so the wedge
+    denominator is bounded and the triangle join is ≤ V·K² — the same
+    budget as the triangle query; degree census is one extra groupBy
+    over the persisted mutual edges.
+    """
+    mutual = _mutual_topk_graph(spark, sf_dir)
+    adj = mutual.select("u", "v").unionAll(
+        mutual.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    corners = _triangle_corners(mutual)
+    return deg.join(corners, "node", "left").select(
+        F.col("node").alias("suppkey"),
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                "(coalesce(cnt, 0) * 2 * 10000)"
+                " div (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("coeff_bp"),
     )

@@ -739,3 +739,128 @@ def retrieval_ndcg_label_eval(
         .cast("long")
         .alias("ndcg_bp"),
     )
+
+
+CF_TOP_K = 5
+CF_SCALE = 100_000_000  # cosine² in 1e-8 units (integer-exact ranking)
+
+
+@query(
+    "recsys_item_item_cosine_topk",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        deg AS (
+            SELECT l_partkey, count(*) AS n FROM baskets GROUP BY 1
+        ),
+        cooc AS (
+            SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c
+            FROM baskets a
+            JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        sym AS (
+            SELECT i, j, c FROM cooc
+            UNION ALL
+            SELECT j, i, c FROM cooc
+        ),
+        scored AS (
+            SELECT s.i AS item_i, s.j AS item_j, s.c AS cooc,
+                   di.n AS n_i, dj.n AS n_j,
+                   (s.c * s.c * {CF_SCALE}) // (di.n * dj.n) AS score_e8
+            FROM sym s
+            JOIN deg di ON s.i = di.l_partkey
+            JOIN deg dj ON s.j = dj.l_partkey
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY item_i
+                ORDER BY score_e8 DESC, item_j ASC
+            ) AS rnk
+            FROM scored
+        )
+        SELECT item_i, item_j, cooc, n_i, n_j, score_e8,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= {CF_TOP_K}
+    """,
+)
+def recsys_item_item_cosine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item collaborative filtering: top-k most-similar parts per
+    part by co-purchase cosine — cos(i,j) = C(i,j) / √(n_i·n_j) over
+    the binary order×part basket matrix (the classic Amazon item-item
+    recommender; market_basket_lift_pairs ranks PAIRS by lift, this
+    produces the per-item RECOMMENDATION LIST, a different contract).
+
+    Cross-engine exactness: rank by cosine² in integer 1e-8 units —
+    (C²·1e8) div (n_i·n_j) — monotone in cosine, all-BIGINT in both
+    engines (no float division anywhere); ties break on item id.
+
+    Scale: co-occurrence via basket self-join on the order key —
+    fan-out bounded by order SIZE (≤ lines-per-order², never n²);
+    degree join is broadcast-size at any SF (one row per item); the
+    per-item window partitions by item (no global sort). A viral item
+    in every basket would skew the self-join — the standard fix is a
+    basket-size cap (cap each order's item list, as source_cap_sample
+    does for sources) before pairing; C²·1e8 overflows int64 only past
+    C ≈ 9.6e4 co-purchases, where DECIMAL(38) arithmetic swaps in.
+    """
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = baskets.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sym = cooc.union(cooc.select("j", "i", "c"))
+    scored = (
+        sym.join(
+            F.broadcast(deg.withColumnRenamed("l_partkey", "i")).withColumnRenamed(
+                "n", "n_i"
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(deg.withColumnRenamed("l_partkey", "j")).withColumnRenamed(
+                "n", "n_j"
+            ),
+            "j",
+        )
+        .select(
+            F.col("i").alias("item_i"),
+            F.col("j").alias("item_j"),
+            F.col("c").alias("cooc"),
+            "n_i",
+            "n_j",
+            F.expr(f"(c * c * {CF_SCALE}L) div (n_i * n_j)").alias(
+                "score_e8"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("item_i").orderBy(
+        F.col("score_e8").desc(), F.col("item_j").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CF_TOP_K)
+        .select(
+            "item_i", "item_j", "cooc", "n_i", "n_j", "score_e8",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

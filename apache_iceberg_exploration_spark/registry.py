@@ -109,5 +109,7 @@ def _load_all() -> None:
     from .operators import analytics  # noqa: F401
     # r4 (second cycle) additions — appended last, same prefix rule.
     from .operators import retrieval  # noqa: F401
+    # r5 (second cycle) additions — appended last, same prefix rule.
+    from .operators import geospatial  # noqa: F401
 
     _LOADED = True

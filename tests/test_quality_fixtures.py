@@ -98,3 +98,86 @@ def test_driver_scale_run_is_nonempty(spark):
     vacuous.  (Value-level parity vs DuckDB is test_oracle_parity.)"""
     n = embedding_norm_qa_outliers(spark, SF_ORACLE).count()
     assert n > 0
+
+
+# ---------------------------------------------------------------- DBSCAN
+
+
+def _dbscan_on(spark, coords, eps=10, min_pts=3):
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.operators.geospatial import (
+        dbscan_label_points,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(coords)],
+        "pid long, x long, y long",
+    ).selectExpr("pid", "x", "y", f"x div {eps} AS cx", f"y div {eps} AS cy")
+    rows = dbscan_label_points(pts, eps, min_pts).collect()
+    return {r.pid: (r.n_in_eps, r.cls) for r in rows}
+
+
+def test_dbscan_labels_planted_blob_border_and_noise(spark):
+    """A 4-point blob (all mutually within ε) → cores; a point within ε
+    of one core but with a thin ε-ball of its own → border; a far-away
+    singleton → noise. Cell-boundary adjacency (blob straddles grid
+    cells) is exercised by placing points across a cell edge."""
+    coords = [
+        (9, 9),  # blob, last cell-0 corner
+        (11, 9),  # blob, next cell over (crosses cx boundary at 10)
+        (9, 11),  # blob, crosses cy boundary
+        (11, 11),  # blob
+        (19, 17),  # border: d²=100 to (11,11) only; own ball = 2 < 3
+        (70, 70),  # noise
+    ]
+    got = _dbscan_on(spark, coords)
+    assert {p: c for p, (_, c) in got.items()} == {
+        0: "core", 1: "core", 2: "core", 3: "core",
+        4: "border", 5: "noise",
+    }
+    # ε-ball census (self included): the blob corner (11,11) also sees
+    # the border point exactly on the ε boundary (d² == ε²)
+    assert {p: n for p, (n, _) in got.items()} == {
+        0: 4, 1: 4, 2: 4, 3: 5, 4: 2, 5: 1,
+    }
+
+
+def test_dbscan_clusters_two_blobs_get_distinct_components(spark):
+    """Two ε-separated blobs become two components labeled by their
+    smallest point id; the bridge point near only one blob is border
+    and adopts that blob's label."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from apache_iceberg_exploration_spark.operators.geospatial import (
+        eps_neighbor_pairs,
+    )
+
+    eps, min_pts = 10, 3
+    coords = [
+        (0, 0), (5, 0), (0, 5),        # blob A: pids 0,1,2
+        (100, 100), (105, 100), (100, 105),  # blob B: pids 3,4,5
+    ]
+    pts = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(coords)],
+        "pid long, x long, y long",
+    ).selectExpr("pid", "x", "y", f"x div {eps} AS cx", f"y div {eps} AS cy")
+    pairs = eps_neighbor_pairs(pts, eps)
+    counts = pairs.groupBy("pa").count()
+    cores = counts.filter(F.col("count") >= min_pts).select(
+        F.col("pa").alias("n")
+    )
+    cedges = (
+        pairs.filter(F.col("pa") != F.col("pb"))
+        .join(cores.withColumnRenamed("n", "pa"), "pa")
+        .join(cores.withColumnRenamed("n", "pb"), "pb")
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    comp = {
+        r.n: r.lbl
+        for r in connected_components_star(cores, cedges).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
