@@ -1372,3 +1372,177 @@ def text_bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg > BIGRAM_SURPRISAL_THRESHOLD).alias("is_incoherent"),
         )
     )
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle="""
+        WITH perdoc AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(string_split(text, ' '),
+                                                 w -> w <> ''))) AS n_types
+            FROM documents
+        ),
+        pts AS (
+            SELECT ln(CAST(n_tokens AS DOUBLE)) AS x,
+                   ln(CAST(n_types AS DOUBLE)) AS y
+            FROM perdoc WHERE n_tokens > 0
+        ),
+        mom AS (
+            SELECT count(*) AS n,
+                   sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS sx,
+                   sum(CAST(round(y, 9) AS DECIMAL(18,9))) AS sy,
+                   sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS sxx,
+                   sum(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS sxy
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(floor(
+                   (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS heaps_beta_e6,
+               CAST(floor(exp(
+                   CAST(sy AS DOUBLE) / n
+                   - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE) / n)
+                   * 1000 + 0.5) AS BIGINT) AS heaps_k_e3
+        FROM mom
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β estimated by
+    regressing ln(types) on ln(tokens) across per-document points —
+    the corpus diagnostic PAIRED with `zipf_law_fit_vocab` (Zipf: how
+    frequency decays within the vocabulary; Heaps: how the vocabulary
+    GROWS with corpus size — natural text sits near β ≈ 0.5-0.7, and a
+    drifting β across ingestion batches signals templated or
+    duplicated content entering the mix).
+
+    Unlike the Zipf query (which leans on rounded `regr_*` builtins),
+    the regression here is computed from EXACT moments: each per-doc
+    term (x, y, x², xy) is rounded to 9 decimals and DECIMAL-summed,
+    so the four aggregates are associative and bit-identical in both
+    engines; β and K then derive from those exact inputs through an
+    identical double-precision expression — no summation-order float
+    hazard anywhere (memory: cross-engine-float-traps).
+
+    Scale: one groupBy-free pass — per-doc token/type counts are
+    row-local array ops (no explode, no shuffle), and the moment
+    aggregate is a constant-size partial state merged map-side; the
+    whole fit costs one scan regardless of SF.
+    """
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    perdoc = load_table(spark, sf_dir, "documents").select(
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    x = F.log(F.col("n_tokens").cast("double"))
+    y = F.log(F.col("n_types").cast("double"))
+    dec = "decimal(18,9)"
+    mom = perdoc.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(x, 9).cast(dec)).alias("sx"),
+        F.sum(F.round(y, 9).cast(dec)).alias("sy"),
+        F.sum(F.round(x * x, 9).cast(dec)).alias("sxx"),
+        F.sum(F.round(x * y, 9).cast(dec)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    beta = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    k = F.exp(sy / nd - beta * sx / nd)
+    return mom.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.floor(beta * 1000000 + 0.5).cast("long").alias("heaps_beta_e6"),
+        F.floor(k * 1000 + 0.5).cast("long").alias("heaps_k_e3"),
+    )
+
+
+@query(
+    "text_char_bigram_entropy",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS g
+            FROM documents, UNNEST(range(1, length(text))) AS t(i)
+        ),
+        cnt AS (
+            SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   count(*) AS n_distinct
+            FROM cnt GROUP BY 1
+        ),
+        terms AS (
+            SELECT c.doc_id,
+                   CAST(round(
+                       -(CAST(c.c AS DOUBLE) / t.n)
+                       * log2(CAST(c.c AS DOUBLE) / t.n), 9)
+                   AS DECIMAL(18,9)) AS term
+            FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+        )
+        SELECT t.doc_id, t.n AS n_bigrams,
+               CAST(t.n_distinct AS BIGINT) AS n_distinct_bigrams,
+               CAST(floor(CAST(s.h AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   AS entropy_e6
+        FROM tot t
+        JOIN (SELECT doc_id, sum(term) AS h FROM terms GROUP BY 1) s
+          ON t.doc_id = s.doc_id
+    """,
+)
+def text_char_bigram_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document character-bigram Shannon entropy — the classic
+    gibberish/encoding-corruption detector (natural language sits in a
+    narrow entropy band; base64 blobs, mojibake, and key-mash score
+    far above it, repeated-char padding far below). Complements the
+    WORD-level signals (unigram/bigram LM surprisal) with a
+    vocabulary-free signal that works on any script.
+
+    Each entropy term −p·log₂p is rounded to 9 decimals and
+    DECIMAL-summed per document (the BM25/surprisal discipline), so
+    the per-doc entropy is an exact decimal both engines agree on;
+    p = c/n is a rational of exact integers, identical doubles.
+
+    Scale: the bigram explode is O(total characters) rows shuffled on
+    (doc_id, gram) — partial-aggregated map-side first; everything
+    downstream is keyed by doc_id. No window, no global structure.
+    """
+    grams = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("g"),
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = cnt.join(tot, "doc_id").select(
+        "doc_id",
+        F.round(-p * F.log2(p), 9).cast("decimal(18,9)").alias("term"),
+    )
+    h = terms.groupBy("doc_id").agg(F.sum("term").alias("h"))
+    return tot.join(h, "doc_id").select(
+        "doc_id",
+        F.col("n").alias("n_bigrams"),
+        "n_distinct_bigrams",
+        F.floor(F.col("h").cast("double") * 1000000 + 0.5)
+        .cast("long")
+        .alias("entropy_e6"),
+    )
