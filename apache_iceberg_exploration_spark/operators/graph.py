@@ -46,14 +46,17 @@ _EDGES_SQL = """
 """
 
 
-def _pagerank_oracle() -> str:
-    """Unrolled fixed-iteration PageRank in generated CTEs. All integer:
-    ranks live in parts-per-billion; per-edge contribution is
-    ``rank * w // wtot`` (floor), the damping update is
-    ``(15*base + 85*incoming) // 100`` — both engines do exact BIGINT
-    arithmetic, so the hash matches to the last unit."""
+def pagerank_oracle_ctes(edges_cte: str) -> list[str]:
+    """Unrolled fixed-iteration PageRank in generated CTEs (the SQL
+    twin of ``pagerank_integer``), appended after the caller-supplied
+    ``edges`` CTE — shared by the co-supply oracle here and the
+    TextRank oracle in operators/text.py. All integer: ranks live in
+    parts-per-billion; per-edge contribution is ``rank * w // wtot``
+    (floor), the damping update is ``(15*base + 85*incoming) // 100``
+    — both engines do exact BIGINT arithmetic, so the hash matches to
+    the last unit. The final rank relation is ``r{PR_ITERS}``."""
     ctes = [
-        _EDGES_SQL.strip(),
+        edges_cte.strip(),
         "wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot"
         " FROM edges GROUP BY 1)",
         "nodes AS (SELECT DISTINCT src AS node FROM edges)",
@@ -76,6 +79,11 @@ def _pagerank_oracle() -> str:
                     + 85 * coalesce(i.inc, 0)) // 100 AS r
             FROM nodes n LEFT JOIN i{i} i ON n.node = i.node
         )""")
+    return ctes
+
+
+def _pagerank_oracle() -> str:
+    ctes = pagerank_oracle_ctes(_EDGES_SQL)
     return f"""
         WITH {",".join(ctes)}
         SELECT node AS suppkey, CAST(r AS BIGINT) AS rank_ppb
@@ -123,6 +131,20 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
+    ranks = pagerank_integer(edges)
+    return ranks.select(
+        F.col("node").alias("suppkey"), F.col("r").alias("rank_ppb")
+    )
+
+
+def pagerank_integer(
+    edges: DataFrame, iters: int = PR_ITERS, scale: int = PR_SCALE
+) -> DataFrame:
+    """Integer-exact weighted PageRank kernel over (src, dst, w) edges
+    (node ids of any joinable type — supplier keys here, word strings
+    for the TextRank view in operators/text.py). Ranks in 1/``scale``
+    units; per-edge contribution ``(r*w) div wtot``; damping update
+    ``(15·base + 85·inc) div 100``. Returns (node, r)."""
     wsum = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wtot"))
     # (src, dst, w, wtot): the loop-invariant edge relation — persisted so
     # the expensive pair-expansion join runs once, not once per iteration.
@@ -130,9 +152,9 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = scoped_persist(edges.select(F.col("src").alias("node")).distinct())
 
     n = nodes.count()  # one scalar to the driver: |V|, needed as a literal
-    base = PR_SCALE // n
+    base = scale // n
     ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         inc = (
             edges_n.join(F.broadcast(ranks), edges_n.src == ranks.node)
             .select(
@@ -148,9 +170,7 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"({15 * base} + 85 * coalesce(inc, 0)) div 100"
             ).cast("long").alias("r"),
         )
-    return ranks.select(
-        F.col("node").alias("suppkey"), F.col("r").alias("rank_ppb")
-    )
+    return ranks
 
 
 def _triangle_oracle() -> str:

@@ -2434,3 +2434,74 @@ def lakehouse_partition_spec_evolution(
         return _materialize(a.unionByName(b))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_hilbert_clustered_scan",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 500 AND 900
+          AND l_partkey BETWEEN 100 AND 160
+        GROUP BY l_returnflag
+    """,
+)
+def lakehouse_hilbert_clustered_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hilbert-curve clustering end-to-end — the upgraded sibling of
+    `lakehouse_zorder_pruned_scan`: same hash-fragmented appends, then
+    ``rewrite_data_files(hilbert_by=['l_orderkey', 'l_partkey'])``
+    reclusters on the Hilbert d-index (functions/spacefilling.py — a
+    SQL aggregate FOLD over the bit planes, whole-stage-codegen, no
+    UDF), and a 2-D box scan plans only overlapping files. Hilbert's
+    step-adjacency (consecutive curve positions are grid neighbors —
+    property-tested) removes Morton's quadrant-boundary jumps, so each
+    file covers a tighter bounding rectangle; Delta's OPTIMIZE moved
+    to Hilbert for this reason and Iceberg reserves it as a sort
+    transform. Single-dimension pruning asserted on both keys, and
+    tests/test_lakehouse.py compares surviving-file counts against the
+    Morton layout over a box sweep.
+
+    Scale: identical cost model to z-order — one range-shuffle
+    maintenance tick, then O(files) metadata pruning per scan.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
+        )
+        for i in range(3):
+            tbl.append(
+                li.filter(F.crc32(F.col("l_orderkey").cast("string")) % 3 == i)
+                .repartition(2)
+            )
+        tbl.rewrite_data_files(
+            target_file_count=16, hilbert_by=["l_orderkey", "l_partkey"]
+        )
+        manifest = tbl._read_manifest(tbl.current_version())
+        n_files = len(manifest["files"])
+        for one_dim in (
+            {"l_orderkey": (500, 900)},
+            {"l_partkey": (100, 160)},
+        ):
+            assert (
+                len(tbl._prune_files(manifest, one_dim)) < n_files
+            ), f"hilbert failed to prune on {list(one_dim)}"
+        out = (
+            tbl.scan({"l_orderkey": (500, 900), "l_partkey": (100, 160)})
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                ).alias("revenue_cents"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

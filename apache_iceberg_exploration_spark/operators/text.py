@@ -1546,3 +1546,86 @@ def text_char_bigram_entropy(
         .cast("long")
         .alias("entropy_e6"),
     )
+
+
+_TEXTRANK_EDGES_SQL = """
+    tok AS (
+        SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    adjp AS (
+        SELECT ws[CAST(i AS INTEGER)] AS a,
+               ws[CAST(i AS INTEGER) + 1] AS b
+        FROM tok, UNNEST(range(1, len(ws))) AS t(i)
+        WHERE ws[CAST(i AS INTEGER)] <> ws[CAST(i AS INTEGER) + 1]
+    ),
+    edges AS (
+        SELECT src, dst, count(*) AS w
+        FROM (SELECT a AS src, b AS dst FROM adjp
+              UNION ALL SELECT b, a FROM adjp) u
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _textrank_oracle() -> str:
+    from .graph import PR_ITERS, pagerank_oracle_ctes
+
+    ctes = pagerank_oracle_ctes(_TEXTRANK_EDGES_SQL)
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT node AS word, CAST(r AS BIGINT) AS rank_ppb
+        FROM r{PR_ITERS}
+    """
+
+
+@query("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — words are nodes, adjacent word
+    pairs are (symmetrized, count-weighted) edges, and the stationary
+    score ranks corpus keywords. The graph-centrality complement of
+    the frequency-based extractors (tf-idf, vocab coverage): a word
+    that BRIDGES many contexts outranks one that merely repeats.
+
+    Runs on the shared integer-exact PageRank kernel
+    (operators/graph.py:pagerank_integer — ranks in ppb, floor-div
+    contributions) with string node ids; the oracle unrolls the same
+    fixed iterations via graph.pagerank_oracle_ctes over a word-
+    adjacency edge CTE. Bit-exact in both engines.
+
+    Scale: adjacency explode is O(total tokens) but the edge
+    aggregation collapses to |vocab|² at most (vocabulary-bounded, the
+    zipf/vocab argument); the rank vector is vocab-sized and broadcast
+    each iteration — the whole fixpoint runs on a relation the size of
+    the dictionary, not the corpus.
+    """
+    from .graph import pagerank_integer
+
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    adjp = (
+        load_table(spark, sf_dir, "documents")
+        .select(ws.alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1),"
+                    " slice(ws, 2, size(ws) - 1),"
+                    " (a, b) -> struct(a, b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = (
+        adjp.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            adjp.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return pagerank_integer(edges).select(
+        F.col("node").alias("word"), F.col("r").alias("rank_ppb")
+    )

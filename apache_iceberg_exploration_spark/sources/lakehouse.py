@@ -2814,19 +2814,16 @@ class LakehouseTable:
 
     # -- maintenance (BASELINE.json: 'Spark read/write + compaction') ---------
 
-    def _zorder_column(self, df: DataFrame, cols: list[str]) -> F.Column:
-        """Z-value (Morton code) over numeric columns: each column is
-        min-max normalized to 16 bits (one tiny agg pass for the bounds),
-        then the bit planes are interleaved — column j contributes bit i
-        at position ``i*m + j``. Pure shift/and/or expressions, so the
-        whole computation stays in whole-stage codegen. NULL sorts as the
-        column minimum."""
+    def _quantize_cols(
+        self, df: DataFrame, cols: list[str], bits: int
+    ) -> list[F.Column]:
+        """Min-max normalize each column to ``bits``-bit integer cells
+        (one tiny agg pass for the bounds). NULL sorts as the column
+        minimum. Shared by the Morton and Hilbert clustering keys."""
         bounds = df.agg(
             *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
             *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
         ).first()
-        m = len(cols)
-        bits = min(16, 63 // m)  # keep the interleave clear of the sign bit
         top = (1 << bits) - 1
         quantized = []
         for c in cols:
@@ -2838,6 +2835,18 @@ class LakehouseTable:
                 * F.lit(float(top))
             ).cast("long")
             quantized.append(F.least(q, F.lit(top)))
+        return quantized
+
+    def _zorder_column(self, df: DataFrame, cols: list[str]) -> F.Column:
+        """Z-value (Morton code) over numeric columns: each column is
+        min-max normalized to 16 bits (one tiny agg pass for the bounds),
+        then the bit planes are interleaved — column j contributes bit i
+        at position ``i*m + j``. Pure shift/and/or expressions, so the
+        whole computation stays in whole-stage codegen. NULL sorts as the
+        column minimum."""
+        m = len(cols)
+        bits = min(16, 63 // m)  # keep the interleave clear of the sign bit
+        quantized = self._quantize_cols(df, cols, bits)
         z = F.lit(0).cast("long")
         for i in range(bits):
             for j, q in enumerate(quantized):
@@ -2846,6 +2855,30 @@ class LakehouseTable:
                     * F.lit(1 << (i * (m - 1) + j))
                 )
         return z
+
+    def _with_hilbert_key(
+        self, src: DataFrame, cols: list[str]
+    ) -> DataFrame:
+        """``src`` with a ``__h`` Hilbert clustering key appended —
+        the d-index over exactly TWO numeric columns (16-bit cells):
+        quantize like z-order, then walk the curve via the SQL
+        aggregate fold in functions/spacefilling.py. Hilbert's
+        step-adjacency gives each output file a tighter bounding
+        rectangle than the same-size Morton run (no quadrant-boundary
+        jumps), i.e. better min/max pruning per file."""
+        from ..functions.spacefilling import hilbert_sql
+
+        if len(cols) != 2:
+            raise ValueError(
+                "hilbert_by requires exactly 2 columns (the 2-D walk); "
+                "use zorder_by for other dimensionalities"
+            )
+        qx, qy = self._quantize_cols(src, cols, 16)
+        return (
+            src.withColumns({"__hx": qx, "__hy": qy})
+            .withColumn("__h", F.expr(hilbert_sql("__hx", "__hy", 16)))
+            .drop("__hx", "__hy")
+        )
 
     def rewrite_small_files(
         self, min_file_bytes: int = 8 * 1024 * 1024
@@ -2941,6 +2974,7 @@ class LakehouseTable:
         target_file_count: int | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        hilbert_by: list[str] | None = None,
     ) -> dict:
         """Compaction: rewrite the current snapshot's files into
         ``target_file_count`` larger ones (default: executor parallelism).
@@ -2957,12 +2991,25 @@ class LakehouseTable:
         numeric columns (Iceberg ``rewrite_data_files(strategy=>'sort',
         sort_order=>'zorder(...)')``): every output file covers a bounded
         hyper-rectangle, so min/max pruning works for predicates on ANY
-        of the z-ordered columns, not just a prefix."""
+        of the z-ordered columns, not just a prefix.
+
+        ``hilbert_by`` (exactly 2 columns) clusters on the Hilbert
+        curve instead — same pruning contract as z-order but with
+        step-adjacent locality (no Morton quadrant jumps), so each
+        file's bounding rectangle is tighter; this is Delta OPTIMIZE's
+        upgraded default and an Iceberg-spec sort transform."""
         n = target_file_count or self.spark.sparkContext.defaultParallelism
 
         def compute(base: int) -> tuple[dict, list[str]]:
             src = self.read(version=base)
-            if zorder_by:
+            if hilbert_by:
+                df = (
+                    self._with_hilbert_key(src, hilbert_by)
+                    .repartitionByRange(n, "__h")
+                    .sortWithinPartitions("__h")
+                    .drop("__h")
+                )
+            elif zorder_by:
                 z = self._zorder_column(src, zorder_by)
                 df = (
                     src.withColumn("__z", z)
