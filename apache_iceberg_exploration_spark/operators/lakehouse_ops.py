@@ -2505,3 +2505,126 @@ def lakehouse_hilbert_clustered_scan(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_incremental_join_mv_refresh",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders WHERE o_orderkey % 10 <> 3
+        ),
+        b AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 2 THEN 'PROMO'
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+        )
+        SELECT b.seg, count(*) AS n_orders,
+               CAST(sum(a.cents) AS BIGINT) AS rev_cents
+        FROM a JOIN b ON a.o_custkey = b.c_custkey
+        GROUP BY b.seg
+    """,
+)
+def lakehouse_incremental_join_mv_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view — the
+    two-delta rule from classic IVM: for Q = A ⋈ B aggregated,
+    ΔQ = (ΔA ⋈ B_old) + (A_new ⋈ ΔB), where each Δ is the table's
+    signed change feed and B_old comes from TIME TRAVEL back to the
+    MV's build version. This composes three lakehouse primitives —
+    scoped changelog on BOTH tables, versioned reads, and aggregate
+    MERGE — to refresh a fact⋈dim gold view without rescanning either
+    base table. Extends `lakehouse_incremental_mv_cdf_refresh` (single
+    table) to the join case, including a dimension UPDATE that moves
+    customers to a brand-new segment (the unmatched-insert path) and
+    fact-side deletes (negative deltas).
+
+    Scale: cost is O(ΔA)·⋈ + O(ΔB)·⋈ — the fact-side delta joins a
+    broadcast dimension; the dimension-side delta (tiny) joins the
+    fact CURRENT state on the join key, which at 100 TB is the one
+    expensive term and is still key-scoped (pushdown on the changed
+    customer keys), never a full A×B recompute. Sum/count are
+    retraction-safe, so MV + ΔQ ≡ full recompute — the oracle asserts
+    exactly that against the final states.
+    """
+    root = _scratch()
+    try:
+        fact = LakehouseTable(spark, root + "/fact")
+        dim = LakehouseTable(spark, root + "/dim")
+        mv = LakehouseTable(spark, root + "/mv")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("seg")
+        )
+        fact.overwrite(o.filter(F.col("o_orderkey") % 4 != 0))  # v1
+        dim.overwrite(c)  # v1
+        f1, d1 = fact.read(), dim.read()
+        mv.overwrite(
+            f1.join(d1, f1.o_custkey == d1.c_custkey)
+            .groupBy("seg")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").cast("long").alias("rev_cents"),
+            )
+        )
+        # both base tables move on
+        fact.append(o.filter(F.col("o_orderkey") % 4 == 0))
+        fact.delete_where(F.col("o_orderkey") % 10 == 3)
+        dim.update_where(
+            F.col("c_custkey") % 7 == 2, {"seg": F.lit("PROMO")}
+        )
+        # ΔQ = ΔA ⋈ B_old  +  A_new ⋈ ΔB   (signed)
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        b_old = dim.read(version=1)
+        da = (
+            fact.changelog(1)
+            .select("o_custkey", "cents", sign.alias("s"))
+            .join(F.broadcast(b_old), F.col("o_custkey") == b_old.c_custkey)
+        )
+        db = dim.changelog(1).select(
+            "c_custkey", "seg", sign.alias("s")
+        )
+        a_new = fact.read()
+        ab = a_new.join(
+            F.broadcast(db), a_new.o_custkey == db.c_custkey
+        )
+        delta = (
+            da.select("seg", "s", "cents")
+            .unionByName(ab.select("seg", "s", "cents"))
+            .groupBy("seg")
+            .agg(
+                F.sum("s").cast("long").alias("n_orders"),
+                F.sum(F.col("s") * F.col("cents"))
+                .cast("long")
+                .alias("rev_cents"),
+            )
+        )
+        # delta columns carry the MV's own names: matched rows ADD the
+        # delta; a brand-new segment (the PROMO insert path) lands as
+        # its delta verbatim
+        mv.merge_into(
+            delta,
+            on=["seg"],
+            update_cols={
+                "n_orders": F.col("t.n_orders") + F.col("s.n_orders"),
+                "rev_cents": F.col("t.rev_cents") + F.col("s.rev_cents"),
+            },
+        )
+        out = mv.read().select(
+            "seg",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

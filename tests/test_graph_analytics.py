@@ -137,3 +137,33 @@ def test_connected_components_star_deep_path_and_random(spark):
         r.n: r.lbl for r in connected_components_star(ndf, edf).collect()
     }
     assert got == expect
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Σ_i φ_i = v(full) − v(∅) exactly (the Shapley efficiency axiom,
+    in ×24 integer units): total credit distributed over the four
+    channels equals the conversions that involved any channel at all
+    (converting journeys minus the purchase-only ones)."""
+    from pyspark.sql import functions as F
+
+    from apache_iceberg_exploration_spark.operators.attribution import (
+        attribution_shapley_credit,
+    )
+    from apache_iceberg_exploration_spark.sources.io import load_table
+
+    phi = attribution_shapley_credit(spark, SF_ORACLE)
+    total_x24 = phi.agg(F.sum("phi_x24")).first()[0]
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    j = ev.groupBy("user_id", F.col("ts").cast("date")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+        F.max(
+            F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+        ).alias("touched"),
+    )
+    v_full = j.filter("conv = 1").count()
+    v_empty = j.filter("conv = 1 AND touched = 0").count()
+    assert total_x24 == 24 * (v_full - v_empty)
+    assert phi.count() == 4  # every channel earns a row
