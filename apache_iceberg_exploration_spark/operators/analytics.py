@@ -2627,3 +2627,201 @@ def trend_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_ccents_per_month"),
         )
     )
+
+
+CORR_COLS = ("qty", "price_cents", "disc_bp", "tax_bp")
+
+
+@query(
+    "stats_correlation_matrix_exact",
+    oracle=f"""
+        WITH u AS (
+            SELECT CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                       AS disc_bp,
+                   CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_bp
+            FROM lineitem
+        ),
+        mom AS (
+            SELECT count(*) AS n,
+                   {", ".join(f"sum(CAST({c} AS DECIMAL(38,0))) AS s_{c}" for c in CORR_COLS)},
+                   {", ".join(f"sum(CAST({a} AS DECIMAL(38,0)) * {b}) AS p_{a}_{b}" for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i:])}
+            FROM u
+        )
+        {" UNION ALL ".join(
+            f'''SELECT '{a}' AS col_a, '{b}' AS col_b,
+               round(
+                 (n * CAST(p_{a}_{b} AS DOUBLE)
+                  - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                 / sqrt((n * CAST(p_{a}_{a} AS DOUBLE)
+                         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                      * (n * CAST(p_{b}_{b} AS DOUBLE)
+                         - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))),
+                 6) + 0.0 AS corr_r6
+            FROM mom'''
+            for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:]
+        )}
+    """,
+)
+def stats_correlation_matrix_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measures from
+    EXACT moments: every input is integer units (qty, cents, basis
+    points), the sums and cross-products accumulate in DECIMAL(38,0)
+    (associative, bit-identical in both engines — the builtin `corr`
+    is a float-sum whose value depends on partition merge order), and
+    the correlation derives from those exact moments through one
+    identical double expression, rounded to 6 decimals.
+
+    Scale: one scan, one constant-size aggregate state (4 sums + 10
+    cross-products merged map-side) for the entire 6-pair matrix —
+    the same cost as a single sum at any SF. Int64 products would
+    overflow near 1e19 (price_cents² ≈ 1e14 × rows); DECIMAL(38)
+    holds to ~1e24 rows.
+    """
+    u = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc_bp"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("long").alias("tax_bp"),
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast(dec) * F.col(b)).alias(f"p_{a}_{b}")
+            )
+    mom = u.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1 :]:
+            nd = F.col("n").cast("double")
+            sa, sb = (
+                F.col(f"s_{a}").cast("double"),
+                F.col(f"s_{b}").cast("double"),
+            )
+            pab = F.col(f"p_{a}_{b}").cast("double")
+            paa = F.col(f"p_{a}_{a}").cast("double")
+            pbb = F.col(f"p_{b}_{b}").cast("double")
+            corr = (nd * pab - sa * sb) / F.sqrt(
+                (nd * paa - sa * sa) * (nd * pbb - sb * sb)
+            )
+            pairs.append(
+                mom.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    (F.round(corr, 6) + 0.0).alias("corr_r6"),
+                )
+            )
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "stats_chi_square_independence",
+    oracle="""
+        WITH j AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+                   count(*) AS obs
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        rt AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS r FROM j GROUP BY 1),
+        ct AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS c FROM j GROUP BY 1),
+        nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM j),
+        terms AS (
+            SELECT j.seg, j.pri,
+                   CAST(round(
+                       CAST((j.obs * nn.n - rt.r * ct.c) AS DOUBLE)
+                       * (j.obs * nn.n - rt.r * ct.c)
+                       / (CAST(nn.n AS DOUBLE) * rt.r * ct.c * nn.n), 9)
+                   AS DECIMAL(18,9)) AS t
+            FROM j, nn
+            JOIN rt ON j.seg = rt.seg
+            JOIN ct ON j.pri = ct.pri
+        )
+        SELECT count(*) AS n_cells,
+               CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+               * ((SELECT count(*) FROM ct) - 1) AS dof,
+               CAST(floor(CAST(sum(t) AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS chi2_e6
+        FROM terms
+    """,
+)
+def stats_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson χ² test of independence between customer market segment
+    and order priority — the contingency-table screen that catches
+    cross-feature dependence before a sampling/mixing plan assumes the
+    dimensions independent (the categorical sibling of
+    `stats_correlation_matrix_exact`; inference siblings: Welch z,
+    Wilson CI).
+
+    Each cell's term is the algebraic form (obs·n − r·c)²/(n·r·c·n) —
+    numerator entirely in BIGINT before the division (obs·n ≈ 1e11 at
+    sf1; the square would pass int64 near sf3, where the numerator
+    moves to DECIMAL — noted, not needed here), the term a
+    deterministic double rounded to 9 decimals and DECIMAL-summed.
+    Degrees of freedom from the observed marginals.
+
+    Scale: one join + three keyed aggregates over a contingency table
+    whose size is |segments|×|priorities| (25 cells at any SF); the
+    join is the broadcast customer-dimension shape every TPC-H query
+    here uses.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    from ..functions.caching import scoped_persist
+
+    j = scoped_persist(j)
+    rt = j.groupBy("seg").agg(F.sum("obs").cast("long").alias("r"))
+    ct = j.groupBy("pri").agg(F.sum("obs").cast("long").alias("c"))
+    nn = j.agg(F.sum("obs").cast("long").alias("n"))
+    num = F.col("obs") * F.col("n") - F.col("r") * F.col("c")
+    term = F.round(
+        num.cast("double")
+        * num
+        / (
+            F.col("n").cast("double")
+            * F.col("r")
+            * F.col("c")
+            * F.col("n")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    terms = (
+        j.crossJoin(F.broadcast(nn))
+        .join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .select(term.alias("t"))
+    )
+    n_seg = rt.count()
+    n_pri = ct.count()
+    return terms.agg(
+        F.count("*").alias("n_cells"),
+        F.lit((n_seg - 1) * (n_pri - 1)).cast("long").alias("dof"),
+        F.floor(F.sum("t").cast("double") * 1000000 + 0.5)
+        .cast("long")
+        .alias("chi2_e6"),
+    )

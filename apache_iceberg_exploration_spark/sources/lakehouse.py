@@ -426,22 +426,43 @@ class LakehouseTable:
             per_col: dict[str, list] = {"__rows": md.num_rows}
             if md.num_row_groups == 0:  # empty file: nothing to record
                 return f, per_col
+            nulls: dict[str, int] = {}
             for ci in range(md.num_columns):
                 name = md.row_group(0).column(ci).path_in_schema
                 if "." in name:  # nested — skip
                     continue
                 mins, maxs = [], []
+                ncount, nknown = 0, True
                 for g in range(md.num_row_groups):
                     st = md.row_group(g).column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        mins = []
+                    if st is None:
+                        mins, nknown = [], False
                         break
+                    if st.null_count is None:
+                        nknown = False
+                    else:
+                        ncount += st.null_count
+                    if not st.has_min_max:
+                        mins = []
+                        continue
                     mins.append(st.min)
                     maxs.append(st.max)
-                if mins and all(
-                    isinstance(v, (int, float, str)) for v in (mins + maxs)
+                if nknown:
+                    # per-column null count (Iceberg's null_value_counts):
+                    # IS NULL prunes files with 0, IS NOT NULL prunes
+                    # files where nulls == __rows
+                    nulls[name] = ncount
+                if (
+                    mins
+                    and len(mins) == md.num_row_groups
+                    and all(
+                        isinstance(v, (int, float, str))
+                        for v in (mins + maxs)
+                    )
                 ):
                     per_col[name] = [min(mins), max(maxs)]
+            if nulls:
+                per_col["__nulls"] = nulls
             return f, per_col
 
         if len(files) <= 1:
@@ -1667,14 +1688,43 @@ class LakehouseTable:
                 return False
         return True
 
+    @staticmethod
+    def _null_prunable(
+        file_stats: dict | None, null_predicates: dict[str, bool]
+    ) -> bool:
+        """True if the file provably yields no rows for the null
+        predicates (col → True = IS NULL, False = IS NOT NULL), from
+        the manifest's per-column null counts (Iceberg's
+        null_value_counts). Unknown counts → kept."""
+        if not file_stats:
+            return False
+        nulls = file_stats.get("__nulls") or {}
+        rows = file_stats.get("__rows")
+        for col, want_null in null_predicates.items():
+            n = nulls.get(col)
+            if n is None:
+                continue
+            if want_null and n == 0:
+                return True
+            if not want_null and rows is not None and n == rows:
+                return True
+        return False
+
     def _prune_files(
-        self, manifest: dict, where: dict[str, tuple]
+        self,
+        manifest: dict,
+        where: dict[str, tuple],
+        null_predicates: dict[str, bool] | None = None,
     ) -> list[str]:
         stats = manifest.get("stats", {})
         kept = [
             f
             for f in manifest["files"]
             if self._file_overlaps(stats.get(f), where)
+            and not (
+                null_predicates
+                and self._null_prunable(stats.get(f), null_predicates)
+            )
         ]
         # point predicates additionally consult per-file bloom sidecars
         # (built by add_bloom_filters; absent -> conservatively kept)
@@ -1863,7 +1913,10 @@ class LakehouseTable:
         return files
 
     def scan(
-        self, where: dict[str, tuple], version: int | None = None
+        self,
+        where: dict[str, tuple],
+        version: int | None = None,
+        null_predicates: dict[str, bool] | None = None,
     ) -> DataFrame:
         """Stats-pruned scan: ``where`` maps column → inclusive
         ``(lo, hi)`` range (``None`` = open end). Files whose
@@ -1880,7 +1933,7 @@ class LakehouseTable:
         """
         v = self.current_version() if version is None else version
         manifest = self._read_manifest(v)
-        kept = self._prune_files(manifest, where)
+        kept = self._prune_files(manifest, where, null_predicates)
         kept = self._partition_prune(manifest, where, kept)
         if not kept:
             return self._project_to_schema(manifest).limit(0)
@@ -1890,6 +1943,10 @@ class LakehouseTable:
                 df = df.filter(F.col(col) >= lo)
             if hi is not None:
                 df = df.filter(F.col(col) <= hi)
+        for col, want_null in (null_predicates or {}).items():
+            df = df.filter(
+                F.col(col).isNull() if want_null else F.col(col).isNotNull()
+            )
         return df
 
     def read_incremental(

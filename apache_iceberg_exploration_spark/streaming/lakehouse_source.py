@@ -499,6 +499,8 @@ def make_lakehouse_batch_source():
         GreaterThanOrEqual,
         In,
         InputPartition,
+        IsNotNull,
+        IsNull,
         LessThan,
         LessThanOrEqual,
         WriterCommitMessage,
@@ -514,6 +516,7 @@ def make_lakehouse_batch_source():
             # plan only files ADDED by append commits in (since, version]
             self.since = since
             self.bounds: dict[str, list] = {}  # col -> [lo, hi] (closed)
+            self.null_preds: dict[str, bool] = {}  # col -> IS NULL?
 
         def pushFilters(self, filters):
             # materialized eagerly (not a generator): bounds must be set
@@ -534,6 +537,13 @@ def make_lakehouse_batch_source():
                     self._clamp(col, None, f.value)
                 elif isinstance(f, In) and f.value:
                     self._clamp(col, min(f.value), max(f.value))
+                elif isinstance(f, IsNull):
+                    self.null_preds[col] = True
+                elif isinstance(f, IsNotNull):
+                    # both null predicates on one column = empty result;
+                    # the interval fold can't express that, so IS NULL
+                    # (the rarer, stronger pruner) wins the slot
+                    self.null_preds.setdefault(col, False)
                 # every filter is returned: Spark re-applies them
                 # row-level, so open/strict bounds folded to closed
                 # intervals here stay exactness-preserving
@@ -591,6 +601,23 @@ def make_lakehouse_batch_source():
                             break
                     except TypeError:
                         continue  # incomparable types: keep, stay exact
+                if not skip and self.null_preds:
+                    # null-count skipping (Iceberg null_value_counts):
+                    # IS NULL drops null-free files, IS NOT NULL drops
+                    # all-null files; unknown counts keep the file
+                    nulls = st.get("__nulls") or {}
+                    rows = st.get("__rows")
+                    for col, want_null in self.null_preds.items():
+                        n = nulls.get(col)
+                        if n is None:
+                            continue
+                        if (want_null and n == 0) or (
+                            not want_null
+                            and rows is not None
+                            and n == rows
+                        ):
+                            skip = True
+                            break
                 if not skip:
                     kept.append(f)
             self.planned_files = kept  # introspection for tests

@@ -2912,3 +2912,66 @@ def test_expire_snapshots_dry_run_previews_real_run(spark, table):
     assert table.read(version=2).count() == cust.filter(
         F.col("c_custkey") % 4 < 2
     ).count()
+
+def test_null_count_stats_prune_null_predicate_scans(spark, tmp_path):
+    """Per-column null counts (Iceberg's null_value_counts) recorded at
+    commit time prune IS NULL / IS NOT NULL scans on BOTH surfaces:
+    LakehouseTable.scan(null_predicates=...) and the DSv2 reader's
+    pushFilters path — exactness preserved, files provably empty for
+    the predicate never planned."""
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    n_lo = cust.filter(F.col("c_custkey") < 60).count()
+    t.append(  # file A: c_name entirely NULL
+        cust.filter(F.col("c_custkey") < 60)
+        .withColumn("c_name", F.lit(None).cast("string"))
+        .repartition(1)
+    )
+    t.append(  # file B: null-free
+        cust.filter(F.col("c_custkey") >= 60).repartition(1)
+    )
+    m = t._read_manifest(t.current_version())
+    assert len(m["files"]) == 2
+    # manifest recorded the counts
+    by_nulls = sorted(
+        m["stats"][f]["__nulls"]["c_name"] for f in m["files"]
+    )
+    assert by_nulls[0] == 0 and by_nulls[1] == n_lo
+
+    # IS NOT NULL prunes the all-null file; IS NULL prunes the other
+    kept_nn = t._prune_files(m, {}, {"c_name": False})
+    kept_n = t._prune_files(m, {}, {"c_name": True})
+    assert len(kept_nn) == 1 and len(kept_n) == 1
+    assert set(kept_nn) != set(kept_n)
+    # results stay exact
+    assert t.scan({}, null_predicates={"c_name": True}).count() == n_lo
+    assert (
+        t.scan({}, null_predicates={"c_name": False}).count()
+        == cust.count() - n_lo
+    )
+
+    # DSv2 pushFilters path: IS NOT NULL plans 1 task for 2 files
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(make_lakehouse_batch_source())
+    scan = (
+        spark.read.format("lakehouse")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .filter(F.col("c_name").isNotNull())
+    )
+    assert scan.rdd.getNumPartitions() == 1
+    assert scan.count() == cust.count() - n_lo
+    scan_null = (
+        spark.read.format("lakehouse")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .filter(F.col("c_name").isNull())
+    )
+    assert scan_null.rdd.getNumPartitions() == 1
+    assert scan_null.count() == n_lo
