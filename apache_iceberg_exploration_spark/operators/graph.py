@@ -520,3 +520,115 @@ def graph_clustering_coefficient(
         .cast("long")
         .alias("coeff_bp"),
     )
+
+
+def _assortativity_oracle() -> str:
+    return f"""
+        WITH {_EDGES_SQL.strip()},
+        ranked AS (
+            SELECT src AS u, dst AS v,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges
+        ),
+        topk AS (SELECT u, v FROM ranked WHERE rn <= {TRI_TOPK}),
+        mutual AS (
+            SELECT a.u, a.v
+            FROM topk a JOIN topk b ON a.u = b.v AND a.v = b.u
+            WHERE a.u < a.v
+        ),
+        adj AS (
+            SELECT u, v FROM mutual UNION ALL SELECT v, u FROM mutual
+        ),
+        deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+                FROM adj GROUP BY 1),
+        ep AS (
+            SELECT da.d AS x, db.d AS y
+            FROM adj JOIN deg da ON adj.u = da.node
+                     JOIN deg db ON adj.v = db.node
+        ),
+        mom AS (
+            SELECT count(*) AS n,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                   sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                   sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+            FROM ep
+        )
+        SELECT CAST(n AS BIGINT) AS n_endpoints,
+               round(
+                   (n * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((n * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                   6) + 0.0 AS assortativity_r6
+        FROM mom
+    """
+
+
+@query("graph_degree_assortativity", oracle=_assortativity_oracle())
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the mutual-top-K co-supply graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    occurrences (Newman 2002) — positive means hubs link hubs (social
+    shape), negative means hubs serve the periphery (infrastructure
+    shape); the one-number summary that, with clustering coefficient
+    and triangles, completes the standard graph-topology report.
+
+    Uses the exact-moment correlation discipline
+    (`stats_correlation_matrix_exact`): degree sums and cross-products
+    in DECIMAL(38,0), correlation derived once in identical doubles,
+    rounded to 6.
+
+    Scale: two joins of the edge list against the degree relation
+    (broadcast — one row per node) + one constant-state moment
+    aggregate; degree is capped by the top-K sparsification, so the
+    moments can't overflow DECIMAL(38) at any SF.
+    """
+    mutual = _mutual_topk_graph(spark, sf_dir)
+    adj = mutual.select("u", "v").unionAll(
+        mutual.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    ep = (
+        adj.join(
+            F.broadcast(deg.withColumnRenamed("node", "u")).withColumnRenamed(
+                "d", "x"
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.withColumnRenamed("node", "v")).withColumnRenamed(
+                "d", "y"
+            ),
+            "v",
+        )
+        .select("x", "y")
+    )
+    dec = "decimal(38,0)"
+    mom = ep.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_endpoints"),
+        (F.round(r, 6) + 0.0).alias("assortativity_r6"),
+    )
