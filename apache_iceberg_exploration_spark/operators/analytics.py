@@ -1904,7 +1904,7 @@ def dq_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursive_cte_dup_chain_closure",
     oracle="""
         WITH RECURSIVE fp_t AS (
-            SELECT doc_id, md5(text) AS fp FROM documents
+            SELECT doc_id, md5(substring(text, 1, 24)) AS fp FROM documents
         ),
         edges AS (
             SELECT src, doc_id AS dst FROM (
@@ -1934,8 +1934,12 @@ def recursive_cte_dup_chain_closure(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Transitive closure by RECURSIVE CTE (Spark 4's ``WITH
-    RECURSIVE``): exact-duplicate documents are chained by fingerprint
-    (each doc edges to its predecessor in the md5 group — an ACYCLIC
+    RECURSIVE``): documents sharing a PREFIX fingerprint (md5 of the
+    first 24 chars — the cheap boilerplate-opening near-dup proxy;
+    full-text md5 finds ZERO duplicates in this corpus, which made the
+    driver-checked result an empty set, the vacuous-green class the
+    r4 verdict flagged) are chained (each doc edges to its
+    predecessor in the fingerprint group — an ACYCLIC
     path graph, so ``UNION ALL`` recursion terminates naturally and
     expands linearly, never combinatorially), and the recursion walks
     every doc to its cluster root. Output: one row per duplicate
@@ -1956,7 +1960,7 @@ def recursive_cte_dup_chain_closure(
     """
     docs = load_table(spark, sf_dir, "documents")
     mx = (
-        docs.groupBy(F.md5("text").alias("fp"))
+        docs.groupBy(F.md5(F.substring("text", 1, 24)).alias("fp"))
         .count()
         .agg(F.max("count"))
         .first()[0]
@@ -1973,7 +1977,7 @@ def recursive_cte_dup_chain_closure(
     return spark.sql(
         """
         WITH RECURSIVE fp_t AS (
-            SELECT doc_id, md5(text) AS fp FROM documents_rcte
+            SELECT doc_id, md5(substring(text, 1, 24)) AS fp FROM documents_rcte
         ),
         edges AS (
             SELECT src, doc_id AS dst FROM (

@@ -318,7 +318,14 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PHASH_CELLS = 65  # 64 dHash bits from 65 sampled bytes
-PHASH_HAMMING_MAX = 12
+PHASH_HAMMING_MAX = 20  # near-dup bar. Real-image dHash pipelines use
+# ~10-12; this corpus's stand-in blobs (utf-8 text) have a minimum
+# candidate distance of 17 at the sf0.01 oracle scale, so 12 made the
+# driver-checked result an EMPTY set — a vacuous green (the r4
+# embedding-QA lesson; the vacuous-green sweep in
+# tests/test_quality_fixtures.py now pins the whole registry). 20
+# keeps a nonempty, fully value-checked pair set while the planted
+# near-identical-blob fixture covers the tight-threshold branch.
 
 
 @query(
