@@ -1208,3 +1208,94 @@ def dedup_cluster_size_distribution(
         .cast("long")
         .alias("n_removable"),
     )
+
+
+_CROSS_SOURCE_ORACLE = (
+    _MINHASH_PAIRS_ORACLE.replace(
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
+        """, pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b""",
+    ).rstrip().rstrip()
+    + """
+        ),
+        docsrc AS (SELECT doc_id, source FROM documents),
+        tagged AS (
+            SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b
+            FROM pairs p
+            JOIN docsrc sa ON p.doc_a = sa.doc_id
+            JOIN docsrc sb ON p.doc_b = sb.doc_id
+        ),
+        totals AS (SELECT source, count(*) AS n FROM docsrc GROUP BY 1)
+        SELECT t.source_a, t.source_b, count(*) AS n_leaked_pairs,
+               CAST(ta.n AS BIGINT) AS n_docs_a,
+               CAST(tb.n AS BIGINT) AS n_docs_b,
+               count(*) * 1000000 // (ta.n * tb.n) AS leak_ppm
+        FROM tagged t
+        JOIN totals ta ON t.source_a = ta.source
+        JOIN totals tb ON t.source_b = tb.source
+        GROUP BY t.source_a, t.source_b, ta.n, tb.n
+    """
+)
+
+
+@query("dedup_cross_source_leakage", oracle=_CROSS_SOURCE_ORACLE)
+def dedup_cross_source_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplication report: near-dup pairs (the shared
+    MinHash-LSH band pipeline) aggregated by unordered SOURCE pair —
+    the audit run before splitting a corpus by source (train on src0,
+    eval on src1): a hot (source_a, source_b) cell means the split
+    leaks near-duplicates across the boundary, silently inflating
+    eval. Within-source cells (a = b) measure internal redundancy for
+    mixing weights. Rates in ppm of the source-pair's doc-count
+    product (exact integer floor-div).
+
+    Scale: the pair relation is the band equi-join (bounded buckets,
+    no all-pairs); source tagging is two broadcast joins against the
+    doc→source projection; the report is |sources|² rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            F.broadcast(src.withColumnRenamed("source", "sa")),
+            pairs.doc_a == src.doc_id,
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(src.withColumnRenamed("source", "sb")),
+            pairs.doc_b == src.doc_id,
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    totals = src.groupBy("source").agg(F.count("*").alias("n"))
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_leaked_pairs"))
+        .join(
+            F.broadcast(totals.withColumnRenamed("source", "source_a")),
+            "source_a",
+        )
+        .withColumnRenamed("n", "n_docs_a")
+        .join(
+            F.broadcast(totals.withColumnRenamed("source", "source_b")),
+            "source_b",
+        )
+        .withColumnRenamed("n", "n_docs_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_leaked_pairs",
+            F.col("n_docs_a").cast("long").alias("n_docs_a"),
+            F.col("n_docs_b").cast("long").alias("n_docs_b"),
+            F.expr(
+                "n_leaked_pairs * 1000000 div (n_docs_a * n_docs_b)"
+            ).alias("leak_ppm"),
+        )
+    )

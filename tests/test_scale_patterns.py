@@ -336,3 +336,76 @@ def test_observe_metrics_piggyback_on_action(spark):
     assert m["rows_seen"] == 10_000  # metrics cover the FULL scan
     assert m["null_users"] == 0
     assert out < m["rows_seen"]
+
+
+def test_holt_segmented_fold_composes_affinely():
+    """The forecast_holt_linear_daily docstring claims long series can
+    split into chunk folds composed exactly because Holt's update is
+    affine in (level, trend). Proof: each step is
+    [l', b']ᵀ = M·[l, b]ᵀ + v·y with constant M, v — so a chunk is one
+    composed affine map, and composing two chunks' maps equals folding
+    straight through. Verified numerically against the sequential fold
+    on a 200-step series (agreement to 1e-9 relative — float op order
+    differs, exactness is of the MAP, not the bits)."""
+    import random
+
+    alpha, beta = 0.4, 0.3
+
+    def step(l, b, y):
+        nl = alpha * y + (1 - alpha) * (l + b)
+        nb = beta * (nl - l) + (1 - beta) * b
+        return nl, nb
+
+    # affine form of one step: state' = M @ state + v * y
+    M = [
+        [1 - alpha, 1 - alpha],
+        [-alpha * beta, beta * (1 - alpha) + (1 - beta)],
+    ]
+    v = [alpha, alpha * beta]
+
+    def mat_step(state, y):
+        return (
+            M[0][0] * state[0] + M[0][1] * state[1] + v[0] * y,
+            M[1][0] * state[0] + M[1][1] * state[1] + v[1] * y,
+        )
+
+    rng = random.Random(3)
+    ys = [rng.uniform(10, 100) for _ in range(200)]
+    # sequential ground truth
+    l, b = ys[0], 0.0
+    for y in ys[1:]:
+        l, b = step(l, b, y)
+    # matrix form agrees step-for-step (the affine claim itself)
+    l2, b2 = ys[0], 0.0
+    for y in ys[1:]:
+        l2, b2 = mat_step((l2, b2), y)
+    assert abs(l - l2) < 1e-9 * abs(l) and abs(b - b2) < 1e-9 * abs(l)
+    # segmented: fold chunk 2 as a COMPOSED affine map applied to the
+    # end-state of chunk 1 (compose by folding the identity + basis —
+    # three probe states recover the chunk's (A, c) exactly)
+    half = 100
+    mid_l, mid_b = ys[0], 0.0
+    for y in ys[1:half]:
+        mid_l, mid_b = step(mid_l, mid_b, y)
+
+    def chunk_map(chunk):
+        def run(state):
+            s = state
+            for y in chunk:
+                s = mat_step(s, y)
+            return s
+
+        z = run((0.0, 0.0))
+        e1 = run((1.0, 0.0))
+        e2 = run((0.0, 1.0))
+        A = [
+            [e1[0] - z[0], e2[0] - z[0]],
+            [e1[1] - z[1], e2[1] - z[1]],
+        ]
+        return A, z
+
+    A, c = chunk_map(ys[half:])
+    fin_l = A[0][0] * mid_l + A[0][1] * mid_b + c[0]
+    fin_b = A[1][0] * mid_l + A[1][1] * mid_b + c[1]
+    assert abs(fin_l - l) < 1e-9 * abs(l)
+    assert abs(fin_b - b) < 1e-9 * max(abs(b), 1.0)
