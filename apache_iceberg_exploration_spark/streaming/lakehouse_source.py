@@ -111,6 +111,107 @@ def _added_files(root: str, since: int, until: int) -> list[str]:
     return out
 
 
+_MOR_OPS = {"delete-mor", "delete-pos", "update-mor"}
+
+
+def _manifest_meta(root: str, version: int) -> dict | None:
+    """Operation + materialized file list + delete files of a snapshot
+    (parts-aware, no Spark)."""
+    if version <= 0:
+        return {"op": None, "files": [], "delete_files": []}
+    path = os.path.join(root, "snapshots", f"v{version}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        m = json.load(f)
+    return {
+        "op": m.get("operation"),
+        "files": _manifest_files(root, version),
+        # entries are {"files": [...], "seq": N, ...} — flatten to the
+        # referenced delete-file paths (identity for CDC gating)
+        "delete_files": [
+            f for d in m.get("delete_files", []) for f in d["files"]
+        ],
+    }
+
+
+def _cdc_rows(
+    root: str, since: int, until: int, colnames: list[str]
+) -> list[tuple]:
+    """Change rows for snapshots (since, until] — the streaming CHANGE
+    FEED (Delta's readChangeFeed / Iceberg's changelog scan, streamed):
+    every commit is net row-diffed over its CHANGED FILES ONLY (removed
+    vs added multisets — a compaction that rewrites identical rows
+    nets to zero automatically, an overwrite/merge/CoW delete nets to
+    its true inserts+deletes). Rows are (cols..., _change_type,
+    _commit_version).
+
+    MoR commits (equality/position delete files) hide rows WITHOUT
+    touching data files, which a file diff cannot see — the feed
+    refuses them loudly (compact first, or use the batch
+    ``LakehouseTable.changelog``), the same guard the distributed
+    batch reader applies to pending deletes."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    prev = _manifest_meta(root, since)
+    if prev is None:
+        raise RuntimeError(
+            f"lakehouse_stream CDC: snapshot v{since} expired — consumer "
+            "lagged past snapshot retention"
+        )
+
+    def read_multiset(files: list[str]) -> Counter:
+        c: Counter = Counter()
+        for f in files:
+            t = pq.read_table(f)
+            names = t.column_names
+            cols = [
+                t.column(n).to_pylist() if n in names else None
+                for n in colnames
+            ]
+            n_rows = t.num_rows
+            for i in range(n_rows):
+                c[
+                    tuple(
+                        col[i] if col is not None else None for col in cols
+                    )
+                ] += 1
+        return c
+
+    out: list[tuple] = []
+    prev_files = set(prev["files"])
+    prev_dels = set(prev["delete_files"])
+    for v in range(since + 1, until + 1):
+        m = _manifest_meta(root, v)
+        if m is None:
+            raise RuntimeError(
+                f"lakehouse_stream CDC: snapshot v{v} expired — consumer "
+                "lagged past snapshot retention"
+            )
+        if m["op"] in _MOR_OPS or set(m["delete_files"]) - prev_dels:
+            raise ValueError(
+                f"lakehouse_stream CDC: snapshot v{v} ({m['op']}) adds "
+                "merge-on-read delete files, invisible to a file-level "
+                "diff; compact first (rewrite_data_files) or consume "
+                "LakehouseTable.changelog in batch"
+            )
+        files = set(m["files"])
+        removed = sorted(prev_files - files)
+        added = sorted(files - prev_files)
+        if removed or added:
+            ca = read_multiset(added)
+            cr = read_multiset(removed)
+            for t, n in sorted((ca - cr).items(), key=repr):
+                out.extend([(*t, "insert", v)] * n)
+            for t, n in sorted((cr - ca).items(), key=repr):
+                out.extend([(*t, "delete", v)] * n)
+        prev_files = files
+        prev_dels = set(m["delete_files"])
+    return out
+
+
 def _us_schema(schema):
     """Arrow schema with nanosecond timestamps demoted to microseconds:
     Spark's INT96 parquet timestamps surface as timestamp[ns] in pyarrow,
@@ -159,10 +260,20 @@ def make_lakehouse_stream_source():
             root: str,
             starting_version: int = 0,
             max_versions_per_trigger: int | None = None,
+            cdc: bool = False,
         ):
             self.root = root
             self.starting_version = starting_version
             self.max_versions = max_versions_per_trigger
+            self.cdc = cdc
+            if cdc:
+                import pyarrow.parquet as pq
+
+                files = _manifest_files(root, _current_version(root))
+                self._colnames = [
+                    f.name
+                    for f in pq.ParquetFile(files[0]).schema_arrow
+                ]
 
         def initialOffset(self) -> dict:
             # 0 = replay the whole table in the first batch; a
@@ -195,12 +306,24 @@ def make_lakehouse_stream_source():
                 until = min(until, since + self.max_versions)
             if until <= since:
                 return [], start
+            if self.cdc:
+                return (
+                    _cdc_rows(self.root, since, until, self._colnames),
+                    {"version": until},
+                )
             files = _added_files(self.root, since, until)
             return self._rows_for(files), {"version": until}
 
         def readBetweenOffsets(self, start: dict, end: dict):
             # replay after restart: manifests are immutable, so the same
             # offset range always yields the same rows
+            if self.cdc:
+                return _cdc_rows(
+                    self.root,
+                    start["version"],
+                    end["version"],
+                    self._colnames,
+                )
             return self._rows_for(
                 _added_files(self.root, start["version"], end["version"])
             )
@@ -218,6 +341,7 @@ def make_lakehouse_stream_source():
 
         def schema(self):
             from pyspark.sql.pandas.types import from_arrow_schema
+            from pyspark.sql.types import LongType, StringType, StructField
 
             root = self.options["path"]
             files = _manifest_files(root, _current_version(root))
@@ -225,9 +349,16 @@ def make_lakehouse_stream_source():
                 raise ValueError(f"empty lakehouse table at {root}")
             import pyarrow.parquet as pq
 
-            return from_arrow_schema(
+            base = from_arrow_schema(
                 _us_schema(pq.ParquetFile(files[0]).schema_arrow)
             )
+            opts = {k.lower(): v for k, v in self.options.items()}
+            if opts.get("readchangefeed", "").lower() == "true":
+                # Delta readChangeFeed column convention
+                base = base.add(
+                    StructField("_change_type", StringType())
+                ).add(StructField("_commit_version", LongType()))
+            return base
 
         def simpleStreamReader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
@@ -236,6 +367,7 @@ def make_lakehouse_stream_source():
                 opts["path"],
                 int(opts.get("startingversion", 0)),
                 int(mv) if mv is not None else None,
+                cdc=opts.get("readchangefeed", "").lower() == "true",
             )
 
     return LakehouseStreamSource
@@ -965,5 +1097,102 @@ def lakehouse_batch_incremental_options_read(
             F.sum("o_orderkey").alias("key_sum"),
         )
         return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_lakehouse_cdc_feed",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer
+        ),
+        late AS (
+            SELECT c_custkey, c_mktsegment, cents + 111 AS cents
+            FROM base WHERE c_custkey < 20
+        ),
+        v2_state AS (
+            SELECT * FROM base UNION ALL SELECT * FROM late
+        )
+        SELECT CAST(1 AS BIGINT) AS _commit_version,
+               'insert' AS _change_type, * FROM base
+        UNION ALL
+        SELECT 2, 'insert', * FROM late
+        UNION ALL
+        SELECT 3, 'delete', * FROM v2_state
+        WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def streaming_lakehouse_cdc_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING change data feed (Delta's
+    ``readStream.option("readChangeFeed", true)`` / Iceberg's
+    streaming changelog) on the lakehouse source: the table takes an
+    initial load, an append, a copy-on-write delete, and a compaction;
+    a Structured Streaming query consumes the table with
+    ``readChangeFeed`` and receives every row-level change tagged
+    (_change_type, _commit_version) — the compaction nets to ZERO rows
+    (identical rows removed+re-added cancel in the per-commit multiset
+    diff), and the whole feed is replay-deterministic because it
+    derives from immutable manifests. This upgrades the streaming
+    source from appends-only to full CDC, completing the pair with the
+    batch ``LakehouseTable.changelog``.
+
+    MoR-delete commits are refused loudly (file-level diffs cannot see
+    rows hidden by delete files — compact first), mirroring the batch
+    reader's pending-delete guard; covered by test_streaming.
+
+    Scale: each commit diffs only its CHANGED files (the scoped-
+    changelog argument); the simple reader materializes driver-side —
+    right for metadata-paced feeds; a fan-out variant would plan the
+    net-diff as executor partitions exactly like the dist reader.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import LakehouseTable
+
+    root = tempfile.mkdtemp(prefix="lakehouse_cdc_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        tbl.overwrite(cust)  # v1: initial load
+        tbl.append(  # v2: late-arriving corrections
+            cust.filter(F.col("c_custkey") < 20).withColumn(
+                "cents", F.col("cents") + 111
+            )
+        )
+        tbl.delete_where(F.col("c_mktsegment") == "BUILDING")  # v3: CoW
+        tbl.rewrite_data_files(target_file_count=4)  # v4: nets to zero
+
+        spark.dataSource.register(make_lakehouse_stream_source())
+        stream = (
+            spark.readStream.format("lakehouse_stream")
+            .option("path", root + "/t")
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        from .windows import _run_available_now
+
+        out = _run_available_now(
+            stream.select(
+                "_commit_version",
+                "_change_type",
+                "c_custkey",
+                "c_mktsegment",
+                "cents",
+            ),
+            "append",
+        )
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)

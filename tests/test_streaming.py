@@ -1001,3 +1001,64 @@ def test_batch_writer_table_feeds_streaming_source(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == cust.count()
+
+
+def test_cdc_stream_refuses_mor_delete_commits(spark, tmp_path):
+    """A merge-on-read delete hides rows via delete FILES — invisible to
+    the CDC reader's file-level diff. The feed must refuse loudly (not
+    silently miss the deletes), mirroring the dist batch reader's
+    pending-delete guard; after compaction materializes the deletes,
+    the feed flows again."""
+    import pytest
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        _cdc_rows,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t.overwrite(cust)
+    t.delete_where_mor(F.col("c_custkey") < 10, keys=["c_custkey"])  # v2
+    cols = ["c_custkey", "c_mktsegment"]
+    with pytest.raises(ValueError, match="merge-on-read"):
+        _cdc_rows(str(tmp_path / "t"), 0, 2, cols)
+    t.rewrite_data_files(target_file_count=2)  # v3: materializes deletes
+    # feed from the compacted snapshot onward works; net effect of
+    # v2+v3 from v1 is exactly the 10 deletes
+    rows = _cdc_rows(str(tmp_path / "t"), 2, 3, cols)
+    assert {r[2] for r in rows} == {"delete"}
+    assert sorted(r[0] for r in rows) == list(range(10))
+
+
+def test_cdc_stream_replay_is_deterministic(spark, tmp_path):
+    """readBetweenOffsets replay: the same offset range yields the same
+    multiset of change rows (immutable manifests)."""
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        _cdc_rows,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t.overwrite(cust)
+    t.append(cust.filter(F.col("c_custkey") % 5 == 0))
+    t.delete_where(F.col("c_custkey") >= 100)
+    cols = ["c_custkey", "c_mktsegment"]
+    a = sorted(_cdc_rows(str(tmp_path / "t"), 0, 3, cols))
+    b = sorted(_cdc_rows(str(tmp_path / "t"), 0, 3, cols))
+    assert a == b and len(a) > 0
+    # windowed reads compose to the full range
+    w = sorted(
+        _cdc_rows(str(tmp_path / "t"), 0, 1, cols)
+        + _cdc_rows(str(tmp_path / "t"), 1, 3, cols)
+    )
+    assert w == a
