@@ -864,3 +864,123 @@ def recsys_item_item_cosine_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+MRL_DIMS = (8, 16, 32)  # matryoshka prefix widths (full = 64)
+MRL_QUERIES = 20
+MRL_K = 10
+
+
+def _mrl_oracle() -> str:
+    arms = []
+    for d in MRL_DIMS:
+        arms.append(f"""
+        SELECT {d} AS dim, count(iv.vec_id) AS n_hits,
+               CAST(floor(count(iv.vec_id)
+                    / ({MRL_K}.0 * {MRL_QUERIES}) * 10000 + 0.5)
+                    AS BIGINT) AS recall_bp
+        FROM (SELECT * FROM exact WHERE rn <= {MRL_K}) ex
+        LEFT JOIN (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {cosine_similarity_sql(f'e.embedding[1:{d}]', f'q.q_emb[1:{d}]')} DESC,
+                                    e.vec_id) AS rn
+                FROM embeddings e, q WHERE e.vec_id <> q.q_id
+            ) WHERE rn <= {MRL_K}
+        ) iv ON iv.q_id = ex.q_id AND iv.vec_id = ex.vec_id""")
+    return f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < {MRL_QUERIES}),
+        exact AS (
+            SELECT q.q_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {cosine_similarity_sql('e.embedding', 'q.q_emb')} DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.q_id
+        )
+        {" UNION ALL ".join(arms)}
+    """
+
+
+@query("ann_matryoshka_truncation_eval", oracle=_mrl_oracle())
+def ann_matryoshka_truncation_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka (MRL) truncation sweep: recall@{MRL_K} of
+    prefix-truncated embeddings (8/16/32 of 64 dims) against the
+    full-dimension exact top-k — the eval that decides how far a
+    matryoshka-trained embedding column can be truncated for cheap
+    first-stage retrieval before recall collapses (the modern
+    two-stage recipe: truncated prefix scan → full-dim rerank, exactly
+    the SQ8+rerank shape with dimensionality instead of precision).
+
+    Shares the calibration-family contract (ivf recall, minhash
+    estimator): approximations must ship with their measured error.
+    Rankings order by IEEE-identical cosine doubles with id
+    tie-breaks; recall is exact integer basis points.
+
+    Scale: each arm is one broadcast-queries brute-force pass (the
+    ann_batch_topk shape) over a PREFIX of the vector column — array
+    slicing is row-local and the narrower dot products are
+    proportionally cheaper; the ground-truth pass is shared.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    from pyspark.sql.window import Window
+
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id")
+
+    def topk(score_col):
+        return (
+            pairs.select(
+                "q_id",
+                "vec_id",
+                F.row_number()
+                .over(w.orderBy(score_col.desc(), F.col("vec_id")))
+                .alias("rn"),
+            )
+            .filter(F.col("rn") <= MRL_K)
+            .drop("rn")
+        )
+
+    exact = topk(cosine_similarity(F.col("embedding"), F.col("q_emb")))
+    from ..functions.caching import scoped_persist
+
+    exact = scoped_persist(exact)
+    arms = []
+    for d in MRL_DIMS:
+        trunc = topk(
+            cosine_similarity(
+                F.slice(F.col("embedding"), 1, d),
+                F.slice(F.col("q_emb"), 1, d),
+            )
+        ).withColumnRenamed("vec_id", "t_vec")
+        hits = exact.join(
+            trunc,
+            (exact.q_id == trunc.q_id) & (exact.vec_id == trunc.t_vec),
+            "left",
+        ).agg(F.count("t_vec").alias("n_hits"))
+        arms.append(
+            hits.select(
+                F.lit(d).alias("dim"),
+                "n_hits",
+                F.floor(
+                    F.col("n_hits") / (MRL_K * 1.0 * MRL_QUERIES) * 10000
+                    + 0.5
+                )
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
