@@ -408,11 +408,21 @@ def make_lakehouse_stream_dist_source():
             root: str,
             starting_version: int = 0,
             max_versions_per_trigger: int | None = None,
+            cdc: bool = False,
         ):
             self.root = root
             self.starting_version = starting_version
             self.max_versions = max_versions_per_trigger
             self._hwm = starting_version  # highest position observed
+            self.cdc = cdc
+            if cdc:
+                import pyarrow.parquet as pq
+
+                files = _manifest_files(root, _current_version(root))
+                self._colnames = [
+                    f.name
+                    for f in pq.ParquetFile(files[0]).schema_arrow
+                ]
 
         def _learn(self, version: int) -> None:
             if version > self._hwm:
@@ -441,12 +451,57 @@ def make_lakehouse_stream_dist_source():
                     "the checkpoint offset log to recover"
                 )
             self._learn(end["version"])
+            if self.cdc:
+                # change-feed planning: ONE partition per COMMIT in the
+                # range (the diff must cancel a commit's removed rows
+                # against its added rows, so a commit is the atomic
+                # work unit); work per partition is bounded by that
+                # commit's CHANGED files — the scoped-changelog shape.
+                # The MoR guard runs here (driver, metadata-only) so
+                # refusal is loud at planning time, not task time.
+                parts = []
+                prev = _manifest_meta(self.root, start["version"])
+                if prev is None:
+                    raise RuntimeError(
+                        f"lakehouse_stream_dist CDC: snapshot "
+                        f"v{start['version']} expired"
+                    )
+                prev_dels = set(prev["delete_files"])
+                prev_files = set(prev["files"])
+                for v in range(start["version"] + 1, end["version"] + 1):
+                    m = _manifest_meta(self.root, v)
+                    if m is None:
+                        raise RuntimeError(
+                            f"lakehouse_stream_dist CDC: snapshot v{v} "
+                            "expired"
+                        )
+                    if (
+                        m["op"] in _MOR_OPS
+                        or set(m["delete_files"]) - prev_dels
+                    ):
+                        raise ValueError(
+                            f"lakehouse_stream_dist CDC: snapshot v{v} "
+                            f"({m['op']}) adds merge-on-read delete "
+                            "files; compact first or use the batch "
+                            "changelog"
+                        )
+                    if set(m["files"]) != prev_files:
+                        parts.append(InputPartition(("cdc", v)))
+                    prev_files = set(m["files"])
+                    prev_dels = set(m["delete_files"])
+                return parts
             files = _added_files(
                 self.root, start["version"], end["version"]
             )
             return [InputPartition(f) for f in files]
 
         def read(self, partition):
+            if self.cdc:
+                _, v = partition.value
+                # executor-side per-commit net diff (v-1 → v); tuples,
+                # bounded by the commit's changed files
+                yield from _cdc_rows(self.root, v - 1, v, self._colnames)
+                return
             # executor-side: stream the file as Arrow batches (zero-copy
             # into Spark's Arrow pipe, no Python row materialization;
             # ns timestamps demoted to µs for Spark's Arrow ingest)
@@ -464,6 +519,7 @@ def make_lakehouse_stream_dist_source():
 
         def schema(self):
             from pyspark.sql.pandas.types import from_arrow_schema
+            from pyspark.sql.types import LongType, StringType, StructField
 
             root = self.options["path"]
             files = _manifest_files(root, _current_version(root))
@@ -471,9 +527,15 @@ def make_lakehouse_stream_dist_source():
                 raise ValueError(f"empty lakehouse table at {root}")
             import pyarrow.parquet as pq
 
-            return from_arrow_schema(
+            base = from_arrow_schema(
                 _us_schema(pq.ParquetFile(files[0]).schema_arrow)
             )
+            opts = {k.lower(): v for k, v in self.options.items()}
+            if opts.get("readchangefeed", "").lower() == "true":
+                base = base.add(
+                    StructField("_change_type", StringType())
+                ).add(StructField("_commit_version", LongType()))
+            return base
 
         def streamReader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
@@ -482,6 +544,7 @@ def make_lakehouse_stream_dist_source():
                 opts["path"],
                 int(opts.get("startingversion", 0)),
                 int(mv) if mv is not None else None,
+                cdc=opts.get("readchangefeed", "").lower() == "true",
             )
 
     return LakehouseStreamDistSource

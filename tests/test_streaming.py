@@ -1062,3 +1062,51 @@ def test_cdc_stream_replay_is_deterministic(spark, tmp_path):
         + _cdc_rows(str(tmp_path / "t"), 1, 3, cols)
     )
     assert w == a
+
+
+def test_cdc_dist_reader_matches_simple_reader(spark, tmp_path):
+    """The distributed CDC reader (one partition per commit,
+    executor-side diff) must produce exactly the simple reader's feed
+    on the same table history — same rows, same tags, same versions."""
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+        make_lakehouse_stream_source,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t.overwrite(cust)
+    t.append(cust.filter(F.col("c_custkey") % 4 == 1))
+    t.delete_where(F.col("c_mktsegment") == "MACHINERY")
+    t.rewrite_data_files(target_file_count=2)  # nets to zero
+
+    spark.dataSource.register(make_lakehouse_stream_source())
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    feeds = {}
+    for i, fmt in enumerate(["lakehouse_stream", "lakehouse_stream_dist"]):
+        q = (
+            spark.readStream.format(fmt)
+            .option("path", str(tmp_path / "t"))
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(f"cdcfeed{i}")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            .start()
+        )
+        q.awaitTermination(120)
+        feeds[fmt] = sorted(
+            tuple(r) for r in spark.sql(f"SELECT * FROM cdcfeed{i}").collect()
+        )
+    assert feeds["lakehouse_stream"] == feeds["lakehouse_stream_dist"]
+    assert len(feeds["lakehouse_stream"]) > 0
+    types = {r[-2] for r in feeds["lakehouse_stream"]}
+    assert types == {"insert", "delete"}
+    versions = {r[-1] for r in feeds["lakehouse_stream"]}
+    assert versions == {1, 2, 3}  # compaction (v4) emitted nothing
