@@ -3031,3 +3031,230 @@ def forecast_holt_linear_daily(
             " AS BIGINT)"
         ).alias("forecast_next_e6"),
     )
+
+
+MW_SEG_A = "BUILDING"  # "treatment" sample
+MW_SEG_B = "MACHINERY"  # comparison sample
+
+# shared z-statistic formula — identical text in both engines so the
+# doubles agree bit-for-bit (all inputs exact BIGINTs)
+_MW_Z_SQL = (
+    "CAST(floor((((r1x2 - n1 * (n1 + 1)) / 2.0 - (n1 * n2) / 2.0)"
+    " / sqrt((CAST(n1 AS DOUBLE) * n2) / 12.0"
+    "        * ((n + 1) - ties / (n * (n - 1.0)))))"
+    " * 10000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN c_mktsegment = '{MW_SEG_A}' THEN 1
+                        ELSE 0 END AS grp
+            FROM customer
+            WHERE c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+        ),
+        d AS (
+            SELECT cents, CAST(count(*) AS BIGINT) AS n_v,
+                   CAST(sum(grp) AS BIGINT) AS n1_v
+            FROM r GROUP BY 1
+        ),
+        c AS (
+            SELECT cents, n_v, n1_v,
+                   sum(n_v) OVER (ORDER BY cents) - n_v AS cum_before
+            FROM d
+        ),
+        agg AS (
+            SELECT CAST(sum(n1_v * (2 * cum_before + n_v + 1)) AS BIGINT)
+                       AS r1x2,
+                   CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS ties,
+                   CAST(sum(n_v) AS BIGINT) AS n,
+                   CAST(sum(n1_v) AS BIGINT) AS n1
+            FROM c
+        )
+        SELECT n1, n - n1 AS n2,
+               r1x2 - n1 * (n1 + 1) AS u_x2, ties,
+               {_MW_Z_SQL.replace("n2", "(n - n1)")} AS z_e4
+        FROM agg
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing account-balance
+    distributions between two market segments — the NONPARAMETRIC
+    two-sample test the inference family lacked (Welch z assumes
+    near-normal means; U detects any stochastic dominance), with the
+    exact tie correction (average ranks; Σ(t³−t) variance term).
+
+    Exactness: ranks never materialize per row — the VALUE DICTIONARY
+    (distinct cents, group counts) carries everything: tie-averaged
+    rank ×2 = 2·cum_before + n_v + 1 (integer), so the rank-sum,
+    U-statistic (×2) and tie term are exact BIGINTs; the z-statistic
+    derives through one shared formula string evaluated identically in
+    both engines.
+
+    Scale: one keyed aggregation to the dictionary, then the global
+    prefix sum uses the static-monotone-bucket distributed cumsum
+    (functions/ranking.py — cents div 100000 bands, no sampling, no
+    pin, no single-partition window); everything after is a
+    constant-size aggregate.
+    """
+    from ..functions.ranking import with_global_cumsum_static
+
+    r = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B))
+        .select(
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            F.when(F.col("c_mktsegment") == MW_SEG_A, 1)
+            .otherwise(0)
+            .alias("grp"),
+        )
+    )
+    d = r.groupBy("cents").agg(
+        F.count("*").cast("long").alias("n_v"),
+        F.sum("grp").cast("long").alias("n1_v"),
+    )
+    c = with_global_cumsum_static(
+        d,
+        F.expr("cents div 100000"),
+        ["cents"],
+        "n_v",
+        "cum_incl",
+    ).withColumn("cum_before", F.col("cum_incl") - F.col("n_v"))
+    agg = c.agg(
+        F.sum(
+            F.col("n1_v")
+            * (2 * F.col("cum_before") + F.col("n_v") + 1)
+        )
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        )
+        .cast("long")
+        .alias("ties"),
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum("n1_v").cast("long").alias("n1"),
+    )
+    return agg.select(
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u_x2"),
+        "ties",
+        F.expr(
+            _MW_Z_SQL.replace("n2", "(n - n1)")
+        ).alias("z_e4"),
+    )
+
+
+# tie-corrected H, shared formula text (inputs exact BIGINTs; the
+# R2²/n_j sum arrives as a DOUBLE computed identically in both engines)
+_KW_H_SQL = (
+    "CAST(floor((((12.0 / (n * (n + 1.0))) * (rsq4 / 4.0)"
+    " - 3.0 * (n + 1))"
+    " / (1.0 - ties / (CAST(n AS DOUBLE) * n * n - n)))"
+    " * 10000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "stats_kruskal_wallis_h",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+                   c_mktsegment AS seg
+            FROM customer
+        ),
+        d AS (
+            SELECT cents, CAST(count(*) AS BIGINT) AS n_v
+            FROM r GROUP BY 1
+        ),
+        c AS (
+            SELECT cents, n_v,
+                   sum(n_v) OVER (ORDER BY cents) - n_v AS cum_before
+            FROM d
+        ),
+        ds AS (
+            SELECT r.seg, CAST(count(*) AS BIGINT) AS n_j,
+                   CAST(sum(c.cum_before * 2 + c.n_v + 1) AS BIGINT)
+                       AS r2_j
+            FROM r JOIN c ON r.cents = c.cents
+            GROUP BY 1
+        ),
+        agg AS (
+            SELECT CAST(sum(n_j) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(
+                       CAST(r2_j AS DOUBLE) * r2_j / n_j, 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS rsq4,
+                   (SELECT CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT)
+                    FROM d) AS ties,
+                   CAST(count(*) AS BIGINT) AS k_groups
+            FROM ds
+        )
+        SELECT n, k_groups, ties, {_KW_H_SQL} AS h_e4
+        FROM agg
+    """,
+)
+def stats_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: the k-sample extension of Mann-Whitney —
+    "do account balances differ across ALL five market segments?"
+    without normality assumptions, with the standard tie correction
+    1 − Σ(t³−t)/(n³−n). Same exact machinery as
+    `stats_mann_whitney_u`: tie-averaged ranks ×2 live on the value
+    dictionary as integers; per-group rank sums are exact BIGINTs; H
+    derives through one shared formula text; the R²/n terms are
+    rounded to 4 decimals and DECIMAL-summed (associative, engine-
+    order-proof — the BM25/surprisal discipline) before the final
+    double arithmetic.
+
+    Scale: dictionary aggregation + distributed static-bucket prefix
+    sum + one dictionary-sized join back to rows (broadcast — the
+    dictionary is value-cardinality-bounded); per-group sums are a
+    keyed aggregate; no per-row ranks ever materialize.
+    """
+    from ..functions.ranking import with_global_cumsum_static
+
+    r = load_table(spark, sf_dir, "customer").select(
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    d = r.groupBy("cents").agg(F.count("*").cast("long").alias("n_v"))
+    c = with_global_cumsum_static(
+        d, F.expr("cents div 100000"), ["cents"], "n_v", "cum_incl"
+    ).withColumn("cum_before", F.col("cum_incl") - F.col("n_v"))
+    from ..functions.caching import scoped_persist
+
+    c = scoped_persist(c)
+    ds = (
+        r.join(F.broadcast(c), "cents")
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("long").alias("n_j"),
+            F.sum(F.col("cum_before") * 2 + F.col("n_v") + 1)
+            .cast("long")
+            .alias("r2_j"),
+        )
+    )
+    ties_v = d.agg(
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).cast("long")
+    ).first()[0]
+    agg = ds.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.sum(
+            F.round(
+                F.col("r2_j").cast("double") * F.col("r2_j") / F.col("n_j"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("rsq4"),
+        F.lit(ties_v).cast("long").alias("ties"),
+        F.count("*").cast("long").alias("k_groups"),
+    )
+    return agg.select("n", "k_groups", "ties", F.expr(_KW_H_SQL).alias("h_e4"))
