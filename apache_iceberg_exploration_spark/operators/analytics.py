@@ -3258,3 +3258,113 @@ def stats_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("k_groups"),
     )
     return agg.select("n", "k_groups", "ties", F.expr(_KW_H_SQL).alias("h_e4"))
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN c_mktsegment = '{MW_SEG_A}' THEN 1
+                        ELSE 0 END AS grp
+            FROM customer
+            WHERE c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+        ),
+        d AS (
+            SELECT cents,
+                   CAST(sum(grp) AS BIGINT) AS a_v,
+                   CAST(count(*) - sum(grp) AS BIGINT) AS b_v
+            FROM r GROUP BY 1
+        ),
+        c AS (
+            SELECT cents,
+                   sum(a_v) OVER (ORDER BY cents) AS cum_a,
+                   sum(b_v) OVER (ORDER BY cents) AS cum_b
+            FROM d
+        ),
+        nn AS (
+            SELECT CAST(sum(a_v) AS BIGINT) AS n1,
+                   CAST(sum(b_v) AS BIGINT) AS n2
+            FROM d
+        )
+        SELECT nn.n1, nn.n2,
+               CAST(max(abs(c.cum_a * nn.n2 - c.cum_b * nn.n1))
+                    AS BIGINT) AS d_num,
+               CAST(floor(CAST(max(abs(c.cum_a * nn.n2
+                                       - c.cum_b * nn.n1)) AS DOUBLE)
+                    / (CAST(nn.n1 AS DOUBLE) * nn.n2) * 1000000 + 0.5)
+                    AS BIGINT) AS d_e6
+        FROM c, nn
+        GROUP BY nn.n1, nn.n2
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the
+    Mann-Whitney pair of segments: D = max over values of
+    |F̂₁ − F̂₂|, computed EXACTLY as the integer cross-multiplied form
+    max |cum₁·n₂ − cum₂·n₁| on the value dictionary — the third
+    member of the nonparametric trio (U: stochastic dominance; H:
+    k-sample; KS: any distributional difference, location or shape).
+    D in 1e-6 units derives from the exact integer maximum.
+
+    Scale: identical shape to `stats_mann_whitney_u` — dictionary
+    aggregation, TWO static-bucket distributed prefix sums (one per
+    sample's counts, same bucketing), and a max-aggregate; integer
+    numerators stay under int64 through ~sf30 (cum·n ≈ n²), DECIMAL
+    past that.
+    """
+    from ..functions.ranking import with_global_cumsum_static
+
+    r = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B))
+        .select(
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            F.when(F.col("c_mktsegment") == MW_SEG_A, 1)
+            .otherwise(0)
+            .alias("grp"),
+        )
+    )
+    from ..functions.caching import scoped_persist
+
+    # pin the dictionary BEFORE chaining the two prefix helpers: each
+    # helper collects its bucket totals, and an unpinned input would
+    # recompute the row scan per collect (the rfm chaining lesson —
+    # CLAUDE.md)
+    d = scoped_persist(
+        r.groupBy("cents").agg(
+            F.sum("grp").cast("long").alias("a_v"),
+            (F.count("*") - F.sum("grp")).cast("long").alias("b_v"),
+        )
+    )
+    bucket = F.expr("cents div 100000")
+    c = with_global_cumsum_static(d, bucket, ["cents"], "a_v", "cum_a")
+    c = with_global_cumsum_static(c, bucket, ["cents"], "b_v", "cum_b")
+    c = scoped_persist(c)
+    nn = c.agg(
+        F.sum("a_v").cast("long").alias("n1"),
+        F.sum("b_v").cast("long").alias("n2"),
+    )
+    num = F.abs(
+        F.col("cum_a") * F.col("n2") - F.col("cum_b") * F.col("n1")
+    )
+    return (
+        c.crossJoin(F.broadcast(nn))
+        .groupBy("n1", "n2")
+        .agg(F.max(num).cast("long").alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            F.floor(
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2"))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("d_e6"),
+        )
+    )
