@@ -1629,3 +1629,63 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(edges).select(
         F.col("node").alias("word"), F.col("r").alias("rank_ppb")
     )
+
+
+@query(
+    "text_lexical_diversity_by_source",
+    oracle="""
+        WITH tok AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), w -> w <> '')
+                       AS ws
+            FROM documents
+        ),
+        w AS (SELECT source, unnest(ws) AS word FROM tok),
+        wc AS (
+            SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               count(*) * 10000 // CAST(sum(c) AS BIGINT) AS ttr_bp,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 10000 // count(*) AS hapax_bp
+        FROM wc GROUP BY source
+    """,
+)
+def text_lexical_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source lexical diversity dashboard: type-token ratio and
+    hapax-legomenon rate — the per-SOURCE quality screen that pairs
+    with the corpus-level laws (Zipf exponent, Heaps growth): a source
+    whose TTR or hapax rate collapses relative to its peers is
+    templated/machine-generated content entering the mix, and these
+    are the numbers a mixing-weight policy (data mixing, source caps)
+    consumes. All integer: counts and floor-division basis points.
+
+    Scale: one (source, word) keyed aggregation (map-side partials —
+    the wire carries per-task vocabularies, not tokens) + one
+    source-keyed rollup; |sources| rows out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    wc = w.groupBy("source", "word").agg(F.count("*").alias("c"))
+    return wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("count(*) * 10000 div CAST(sum(c) AS BIGINT)").alias(
+            "ttr_bp"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            " * 10000 div count(*)"
+        ).alias("hapax_bp"),
+    )

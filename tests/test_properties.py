@@ -566,3 +566,42 @@ def test_ntile_from_rank_matches_sql_bucket_rule(n_rows, n_tiles):
             n_tiles,
             rank,
         )
+
+
+_pts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=0, max_value=500),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(coords=_pts, eps=st.sampled_from([7, 30, 120]))
+def test_grid_neighbor_join_equals_bruteforce(spark, coords, eps):
+    """The 9-cell grid probe must return EXACTLY the ε-ball pairs the
+    O(n²) reference enumerates — for arbitrary point sets (duplicates
+    included: a point stacked on another is a legitimate pair both
+    ways) and ε values that land points on cell boundaries."""
+    from apache_iceberg_exploration_spark.operators.geospatial import (
+        eps_neighbor_pairs,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(coords)],
+        "pid long, x long, y long",
+    ).selectExpr(
+        "pid", "x", "y", f"x div {eps} AS cx", f"y div {eps} AS cy"
+    )
+    got = sorted(
+        (r.pa, r.pb) for r in eps_neighbor_pairs(pts, eps).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (xi, yi) in enumerate(coords)
+        for j, (xj, yj) in enumerate(coords)
+        if (xi - xj) ** 2 + (yi - yj) ** 2 <= eps * eps
+    )
+    assert got == want
