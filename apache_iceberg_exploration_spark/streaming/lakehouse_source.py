@@ -649,10 +649,22 @@ def _manifest_payload(
 
 
 def _resolve_version(root: str, opts: dict) -> int:
-    """Batch-read version resolution: versionAsOf / timestampAsOf
+    """Batch-read version resolution: versionAsOf (a snapshot number OR
+    a tag name — Iceberg's ``VERSION AS OF 'tag'``) / timestampAsOf
     options (Iceberg/Delta time-travel ergonomics), else current tip."""
     if "versionasof" in opts:
-        return int(opts["versionasof"])
+        v = opts["versionasof"]
+        try:
+            return int(v)
+        except ValueError:
+            ref = os.path.join(root, "refs", f"{v}.json")
+            if not os.path.exists(ref):
+                raise ValueError(
+                    f"versionAsOf {v!r}: not a snapshot number and no "
+                    "such tag"
+                ) from None
+            with open(ref) as f:
+                return int(json.load(f)["version"])
     if "timestampasof" in opts:
         ts = float(opts["timestampasof"])
         best = 0

@@ -2975,3 +2975,36 @@ def test_null_count_stats_prune_null_predicate_scans(spark, tmp_path):
     )
     assert scan_null.rdd.getNumPartitions() == 1
     assert scan_null.count() == n_lo
+
+def test_dsv2_reader_version_as_of_accepts_tag_names(spark, tmp_path):
+    """Iceberg's `VERSION AS OF 'tag'` through the DSv2 batch reader:
+    versionAsOf resolves tag names via refs/, numbers still work, and
+    an unknown name fails loudly."""
+    import pytest
+
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    t.overwrite(cust.filter(F.col("c_custkey") < 50))  # v1
+    t.tag("training-v1")
+    t.append(cust.filter(F.col("c_custkey") >= 50))  # v2
+    spark.dataSource.register(make_lakehouse_batch_source())
+
+    def read(**opts):
+        r = spark.read.format("lakehouse").option(
+            "path", str(tmp_path / "t")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    assert read(versionAsOf="training-v1").count() == 50
+    assert read(versionAsOf="1").count() == 50
+    assert read().count() == cust.count()
+    with pytest.raises(Exception, match="no such tag"):
+        read(versionAsOf="nope").count()
