@@ -3558,3 +3558,137 @@ def ab_cuped_variance_reduction(
         "n_users long, n_control long, n_treatment long, theta_e6 long,"
         " rho2_e6 long, raw_diff_ccents long, cuped_diff_ccents long",
     )
+
+
+# shared M-K z formula text: S with continuity correction over the
+# tie-corrected variance (all inputs exact BIGINTs)
+_MK_Z_SQL = (
+    "CAST(floor((CASE WHEN s > 0 THEN (s - 1.0) WHEN s < 0 THEN (s + 1.0)"
+    " ELSE 0.0 END / sqrt((CAST(nm AS DOUBLE) * (nm - 1) * (2 * nm + 5)"
+    " - ties) / 18.0)) * 10000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "trend_mann_kendall_test",
+    oracle=f"""
+        WITH monthly AS (
+            SELECT c.c_mktsegment,
+                   (year(o.o_orderdate) - 1992) * 12
+                       + month(o.o_orderdate) - 1 AS t,
+                   sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS rev_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        s_stat AS (
+            SELECT a.c_mktsegment,
+                   CAST(sum(CASE WHEN b.rev_cents > a.rev_cents THEN 1
+                                 WHEN b.rev_cents < a.rev_cents THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s
+            FROM monthly a
+            JOIN monthly b ON a.c_mktsegment = b.c_mktsegment
+                          AND a.t < b.t
+            GROUP BY 1
+        ),
+        tie_groups AS (
+            SELECT c_mktsegment,
+                   CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS ties
+            FROM (SELECT c_mktsegment, count(*) AS g FROM monthly
+                  GROUP BY c_mktsegment, rev_cents)
+            GROUP BY 1
+        ),
+        nm_t AS (
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS nm
+            FROM monthly GROUP BY 1
+        )
+        SELECT s.c_mktsegment, n.nm AS n_months, s.s AS s_stat, tg.ties,
+               {_MK_Z_SQL} AS z_e4
+        FROM s_stat s
+        JOIN tie_groups tg ON s.c_mktsegment = tg.c_mktsegment
+        JOIN nm_t n ON s.c_mktsegment = n.c_mktsegment
+    """,
+)
+def trend_mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per market segment — the SIGNIFICANCE
+    half of the classic nonparametric trend pairing whose MAGNITUDE
+    half is `trend_theil_sen_slope`: S = Σ sign(y_later − y_earlier)
+    over all month pairs, z from the tie-corrected variance
+    (n(n−1)(2n+5) − Σg(g−1)(2g+5))/18 with continuity correction.
+    Monotone-trend detection with no linearity or normality
+    assumption — the standard screen before trusting any fitted slope.
+
+    S, n, and the tie term are exact BIGINTs (the pair relation is the
+    same monthly self-join as Theil-Sen); z derives through one shared
+    formula text.
+
+    Scale: identical to Theil-Sen — quadratic in the MONTH count only
+    (monthly pre-aggregation first), keyed aggregates throughout.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            (
+                (F.year("o_orderdate") - 1992) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    from ..functions.caching import scoped_persist
+
+    monthly = scoped_persist(monthly)
+    a, b = monthly.alias("a"), monthly.alias("b")
+    s_stat = (
+        a.join(
+            b,
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.c_mktsegment").alias("c_mktsegment"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev_cents") > F.col("a.rev_cents"), 1)
+                .when(F.col("b.rev_cents") < F.col("a.rev_cents"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        monthly.groupBy("c_mktsegment", "rev_cents")
+        .agg(F.count("*").alias("g"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.col("g") * (F.col("g") - 1) * (2 * F.col("g") + 5)
+            )
+            .cast("long")
+            .alias("ties")
+        )
+    )
+    nm = monthly.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("nm")
+    )
+    return (
+        s_stat.join(ties, "c_mktsegment")
+        .join(nm, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.col("nm").alias("n_months"),
+            F.col("s").alias("s_stat"),
+            "ties",
+            F.expr(_MK_Z_SQL).alias("z_e4"),
+        )
+    )
