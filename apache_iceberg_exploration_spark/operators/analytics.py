@@ -3692,3 +3692,182 @@ def trend_mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_MK_Z_SQL).alias("z_e4"),
         )
     )
+
+
+BOOT_REPS = 100
+BOOT_SALT = "boot1"
+# Poisson(1) CDF thresholds in exact 1e-9 integer units: the weight is
+# the count of thresholds below the hash-uniform — integer comparisons
+# only, so resampling is bit-identical everywhere
+_POIS_CDF_E9 = (
+    367879441, 735758882, 919698602, 981011843,
+    996340153, 999405815, 999916758,
+)
+_BOOT_LO = 3  # 2.5th percentile of B=100 replicate means (lower rank)
+_BOOT_HI = 98  # 97.5th
+
+
+def _pois_w_sql(u: str) -> str:
+    """Poisson(1) draw from an integer uniform in [0, 1e9)."""
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END"
+            for t in _POIS_CDF_E9
+        )
+        + ")"
+    )
+
+
+@query(
+    "bootstrap_poisson_ci_mean",
+    oracle=f"""
+        WITH rows_v AS (
+            SELECT event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+        ),
+        draws AS (
+            SELECT r.cents, CAST(rep.i AS BIGINT) AS rep,
+                   {_pois_w_sql(
+                       hash64_sql(
+                           "'" + BOOT_SALT + "|' || CAST(event_id AS VARCHAR)"
+                           " || '|' || CAST(rep.i AS VARCHAR)"
+                       ) + " % 1000000000"
+                   )} AS w
+            FROM rows_v r, (SELECT unnest(range({BOOT_REPS})) AS i) rep
+        ),
+        reps AS (
+            SELECT rep, CAST(sum(w) AS BIGINT) AS n_w,
+                   CAST(sum(w * cents) AS BIGINT) AS sum_w
+            FROM draws GROUP BY rep HAVING sum(w) > 0
+        ),
+        ranked AS (
+            SELECT rep, CAST(sum_w AS DOUBLE) / n_w AS m,
+                   row_number() OVER (
+                       ORDER BY CAST(sum_w AS DOUBLE) / n_w, rep
+                   ) AS rk,
+                   count(*) OVER () AS b
+            FROM reps
+        ),
+        pt AS (
+            SELECT CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM rows_v
+        )
+        SELECT (SELECT CAST(b AS BIGINT) FROM ranked LIMIT 1) AS n_reps,
+               CAST(floor(CAST(pt.s AS DOUBLE) / pt.n * 10000 + 0.5)
+                    AS BIGINT) AS mean_e4,
+               CAST(floor((SELECT m FROM ranked WHERE rk = {_BOOT_LO})
+                    * 10000 + 0.5) AS BIGINT) AS ci_lo_e4,
+               CAST(floor((SELECT m FROM ranked WHERE rk = {_BOOT_HI})
+                    * 10000 + 0.5) AS BIGINT) AS ci_hi_e4
+        FROM pt
+    """,
+)
+def bootstrap_poisson_ci_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean purchase value — THE
+    distributed bootstrap (each row draws an independent Poisson(1)
+    multiplicity per replicate, so resampling needs no global n and
+    runs as one scan; the classic multinomial bootstrap cannot
+    shard). Inference for arbitrary statistics where the CLT formulas
+    (Welch, Wilson) don't reach.
+
+    Determinism end-to-end: the per-(row, replicate) weight is the
+    count of exact integer CDF thresholds below a salted-hash uniform
+    in [0, 1e9) — integer comparisons only, so both engines draw the
+    SAME resamples; replicate means are rationals of exact sums; the
+    CI bounds are SELECTED order statistics of the 100 replicate
+    means (never interpolated — the percentile-trap rule), floored in
+    1e-4 cents.
+
+    Scale: the replicate explode is rows×B but collapses immediately
+    through a map-side-combinable keyed aggregate to B partial rows
+    per task; the order-statistic window runs on B=100 rows (bounded
+    by the replicate budget, not data). B scales the CI's resolution,
+    not the shuffle width.
+    """
+    from ..functions.hashing import hash64
+
+    r = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    draws = r.select(
+        "cents",
+        F.explode(F.expr(f"sequence(0, {BOOT_REPS - 1})")).alias("rep"),
+        "event_id",
+    )
+    u = (
+        hash64(
+            F.concat(
+                F.lit(BOOT_SALT + "|"),
+                F.col("event_id").cast("string"),
+                F.lit("|"),
+                F.col("rep").cast("string"),
+            )
+        )
+        % 1000000000
+    )
+    w = sum(
+        F.when(u >= t, 1).otherwise(0) for t in _POIS_CDF_E9
+    )
+    reps = (
+        draws.select("cents", "rep", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("n_w"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("sum_w"),
+        )
+        .filter(F.col("n_w") > 0)
+    )
+    from pyspark.sql.window import Window
+
+    m = F.col("sum_w").cast("double") / F.col("n_w")
+    ranked = reps.select(
+        m.alias("m"),
+        F.row_number()
+        .over(Window.orderBy(m, F.col("rep")))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("b"),
+    )
+    from ..functions.caching import scoped_persist
+
+    ranked = scoped_persist(ranked)
+    pt = r.agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    lo = ranked.filter(F.col("rk") == _BOOT_LO).select(
+        F.floor(F.col("m") * 10000 + 0.5).cast("long").alias("ci_lo_e4")
+    )
+    hi = ranked.filter(F.col("rk") == _BOOT_HI).select(
+        F.floor(F.col("m") * 10000 + 0.5).cast("long").alias("ci_hi_e4")
+    )
+    b = ranked.agg(F.max("b").cast("long").alias("n_reps"))
+    return (
+        b.crossJoin(
+            F.broadcast(
+                pt.select(
+                    F.floor(
+                        F.col("s").cast("double") / F.col("n") * 10000
+                        + 0.5
+                    )
+                    .cast("long")
+                    .alias("mean_e4")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )
