@@ -1271,3 +1271,122 @@ def streaming_lakehouse_cdc_feed(
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_cdc_mv_maintenance",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer
+        ),
+        v2 AS (
+            SELECT * FROM base
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, cents + 77 FROM base
+            WHERE c_custkey % 6 = 0
+        ),
+        v3 AS (SELECT * FROM v2 WHERE c_mktsegment <> 'AUTOMOBILE')
+        SELECT c_mktsegment, count(*) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS bal_cents
+        FROM v3 GROUP BY c_mktsegment
+    """,
+)
+def streaming_cdc_mv_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING materialized-view maintenance — the end-to-end
+    composition of tonight's pieces: the base table's CHANGE FEED
+    (``readChangeFeed``) streams into ``foreachBatch``, each
+    micro-batch folds its rows into SIGNED per-group deltas
+    (+1 insert / −1 delete — count and sum are retraction-safe), and
+    a MERGE applies them to the gold aggregate table. The MV tracks
+    the base through appends AND copy-on-write deletes with cost
+    O(changed rows) per batch — the streaming twin of
+    `lakehouse_incremental_mv_cdf_refresh` (batch) and the pattern
+    that replaces scheduled full recomputes of gold tables.
+
+    Exactly-once: offsets are snapshot versions (deterministic
+    replay), and the MERGE keyed on the group column is idempotent
+    per batch under Structured Streaming's batch-id replay — the same
+    argument as the exactly-once sink.
+
+    Scale: per-batch work is the CDC diff (changed files only) plus a
+    group-keyed MERGE into a |groups|-sized table; nothing rescans
+    the base.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import LakehouseTable
+
+    root = tempfile.mkdtemp(prefix="lakehouse_cdc_mv_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        mv = LakehouseTable(spark, root + "/mv")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        tbl.overwrite(cust)  # v1
+        tbl.append(  # v2
+            cust.filter(F.col("c_custkey") % 6 == 0).withColumn(
+                "cents", F.col("cents") + 77
+            )
+        )
+        tbl.delete_where(F.col("c_mktsegment") == "AUTOMOBILE")  # v3
+        # seed the MV empty-but-typed; the feed replays from v0, so the
+        # initial load arrives as batch-0 inserts
+        mv.overwrite(
+            cust.select("c_mktsegment")
+            .limit(0)
+            .withColumn("n_rows", F.lit(0).cast("long"))
+            .withColumn("bal_cents", F.lit(0).cast("long"))
+        )
+
+        def fold_batch(batch, batch_id):
+            sign = F.when(
+                F.col("_change_type") == "insert", 1
+            ).otherwise(-1)
+            delta = batch.groupBy("c_mktsegment").agg(
+                F.sum(sign).cast("long").alias("n_rows"),
+                F.sum(sign * F.col("cents"))
+                .cast("long")
+                .alias("bal_cents"),
+            )
+            mv.merge_into(
+                delta,
+                on=["c_mktsegment"],
+                update_cols={
+                    "n_rows": F.col("t.n_rows") + F.col("s.n_rows"),
+                    "bal_cents": F.col("t.bal_cents")
+                    + F.col("s.bal_cents"),
+                },
+            )
+
+        spark.dataSource.register(make_lakehouse_stream_source())
+        q = (
+            spark.readStream.format("lakehouse_stream")
+            .option("path", root + "/t")
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", root + "/ck")
+            .start()
+        )
+        q.awaitTermination(180)
+        out = mv.read().filter(F.col("n_rows") > 0).select(
+            "c_mktsegment",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("bal_cents").cast("long").alias("bal_cents"),
+        )
+        # materialize before the scratch dir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
