@@ -3871,3 +3871,56 @@ def bootstrap_poisson_ci_mean(
         .crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
     )
+
+
+@query(
+    "events_hour_of_day_profile",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, hour(ts) AS hod, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+                   CAST(max(n) AS BIGINT) AS mx
+            FROM h GROUP BY 1
+        )
+        SELECT h.event_type, CAST(h.hod AS INTEGER) AS hod,
+               CAST(h.n AS BIGINT) AS n,
+               h.n * 10000 // t.tot AS share_bp,
+               h.n = t.mx AS is_peak_hour
+        FROM h JOIN t ON h.event_type = t.event_type
+    """,
+)
+def events_hour_of_day_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: volume share in
+    integer basis points and the peak-hour flag — the diurnal
+    fingerprint that capacity planning and anomaly baselines consume
+    (the weekly shape lives in the STL decomposition; this is the
+    within-day shape). A type whose traffic is flat across hours is
+    usually bot traffic — the flag-bearing rows give the oracle both
+    branches at every SF (24 hours × 5 types, ≥1 peak each).
+
+    Scale: one keyed aggregation to a 24×|types| relation + a
+    broadcast totals join; constant output size at any SF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(F.count("*").alias("n"))
+    from ..functions.caching import scoped_persist
+
+    h = scoped_persist(h)
+    t = h.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.max("n").cast("long").alias("mx"),
+    )
+    return h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        F.col("hod").cast("int").alias("hod"),
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * 10000 div tot").alias("share_bp"),
+        (F.col("n") == F.col("mx")).alias("is_peak_hour"),
+    )
