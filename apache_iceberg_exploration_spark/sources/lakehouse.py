@@ -1950,12 +1950,17 @@ class LakehouseTable:
         return df
 
     def read_incremental(
-        self, since_version: int, to_version: int | None = None
+        self,
+        since_version: int | str,
+        to_version: int | str | None = None,
     ) -> DataFrame:
         """Rows ADDED between two snapshots (exclusive/inclusive) — the
         incremental-consumption path (Iceberg's ``start-snapshot-id`` /
         ``end-snapshot-id`` scan): a downstream job checkpoints the last
-        version it processed and reads only newer files.
+        version it processed and reads only newer files. Either bound
+        may be a TAG NAME ("everything since ``training-v1``") — tags
+        are how a consumer cites a durable position without holding a
+        raw version number.
 
         Only append snapshots are incremental-safe; an intervening
         overwrite/merge rewrites history and raises ValueError (matching
@@ -1965,7 +1970,12 @@ class LakehouseTable:
         recompute-everything daily overwrite — each pipeline tick touches
         new files only, so cost tracks arrival rate, not table size.
         """
-        to = self.current_version() if to_version is None else to_version
+        since_version = self._resolve_version(since_version)
+        to = (
+            self.current_version()
+            if to_version is None
+            else self._resolve_version(to_version)
+        )
         if to < since_version:
             raise ValueError(f"to_version {to} < since_version {since_version}")
         for v in range(since_version + 1, to + 1):

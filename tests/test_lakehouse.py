@@ -3008,3 +3008,30 @@ def test_dsv2_reader_version_as_of_accepts_tag_names(spark, tmp_path):
     assert read().count() == cust.count()
     with pytest.raises(Exception, match="no such tag"):
         read(versionAsOf="nope").count()
+
+def test_read_incremental_accepts_tag_bounds(spark, tmp_path):
+    """Incremental reads bounded by TAG names: consume "everything
+    since training-v1" without holding a raw version number."""
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    t.append(cust.filter(F.col("c_custkey") < 50))  # v1
+    t.tag("training-v1")
+    t.append(cust.filter(F.col("c_custkey").between(50, 99)))  # v2
+    t.tag("training-v2")
+    t.append(cust.filter(F.col("c_custkey") >= 100))  # v3
+
+    by_tag = t.read_incremental("training-v1", "training-v2")
+    by_num = t.read_incremental(1, 2)
+    assert sorted(r.c_custkey for r in by_tag.collect()) == sorted(
+        r.c_custkey for r in by_num.collect()
+    )
+    since_tag = t.read_incremental("training-v2")
+    assert {r.c_custkey for r in since_tag.collect()} == {
+        r.c_custkey for r in cust.filter(F.col("c_custkey") >= 100).collect()
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.read_incremental("nope")
