@@ -3924,3 +3924,75 @@ def events_hour_of_day_profile(
         F.expr("n * 10000 div tot").alias("share_bp"),
         (F.col("n") == F.col("mx")).alias("is_peak_hour"),
     )
+
+
+@query(
+    "dq_functional_dependency_audit",
+    oracle="""
+        WITH fd1 AS (
+            SELECT 'c_custkey->c_mktsegment' AS fd,
+                   count(*) AS n_keys,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating
+            FROM (SELECT c_custkey,
+                         count(DISTINCT c_mktsegment) AS nd
+                  FROM customer GROUP BY 1)
+        ),
+        fd2 AS (
+            SELECT 'o_orderdate->o_orderpriority' AS fd,
+                   count(*) AS n_keys,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating
+            FROM (SELECT o_orderdate,
+                         count(DISTINCT o_orderpriority) AS nd
+                  FROM orders GROUP BY 1)
+        ),
+        u AS (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2)
+        SELECT fd, n_keys, n_violating,
+               n_violating * 10000 // n_keys AS violation_bp,
+               n_violating = 0 AS holds
+        FROM u
+    """,
+)
+def dq_functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency audit — the profiling check behind
+    normalization and dedup-key design: for each candidate FD
+    ``determinant → dependent``, count determinant values mapping to
+    MORE than one dependent value. Two declared candidates give the
+    oracle both verdict branches: the key-to-segment FD HOLDS (a real
+    key), the date-to-priority FD is massively violated (dates don't
+    determine priority) — so a regression in either direction flips a
+    checked value. This is the single-table sibling of the
+    referential-integrity and uniqueness audits. (Registered from
+    analytics.py, NOT quality.py: appending to the quality module would
+    shift the driver-verified registry prefix — CLAUDE.md.)
+
+    Scale: each FD is one groupBy(determinant) +
+    count(DISTINCT dependent) — Catalyst's two-phase partial-distinct
+    aggregate, one shuffle per FD keyed on the determinant; the audit
+    over k declared FDs costs k keyed aggregations regardless of SF.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def audit(df: DataFrame, det: str, dep: str) -> DataFrame:
+        g = df.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        return g.agg(
+            F.lit(f"{det}->{dep}").alias("fd"),
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+        )
+    u = audit(cust, "c_custkey", "c_mktsegment").unionByName(
+        audit(orders, "o_orderdate", "o_orderpriority")
+    )
+    return u.select(
+        "fd",
+        "n_keys",
+        "n_violating",
+        F.expr("n_violating * 10000 div n_keys").alias("violation_bp"),
+        (F.col("n_violating") == 0).alias("holds"),
+    )

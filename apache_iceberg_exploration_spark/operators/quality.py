@@ -535,3 +535,4 @@ def dq_order_total_reconciliation(
         "n_orders long, n_with_lines long, n_childless long,"
         " n_mismatched long, max_diff_cents long",
     )
+
