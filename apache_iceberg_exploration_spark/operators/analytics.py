@@ -3996,3 +3996,12 @@ def dq_functional_dependency_audit(
         F.expr("n_violating * 10000 div n_keys").alias("violation_bp"),
         (F.col("n_violating") == 0).alias("holds"),
     )
+
+
+# registration relocated from operators/dedup.py (see note there): the
+# implementation and oracle live with the dedup family; registering
+# HERE keeps the driver-verified registry prefix composition stable.
+from .dedup import _CROSS_SOURCE_ORACLE as _XSRC_ORACLE  # noqa: E402
+from .dedup import dedup_cross_source_leakage as _xsrc_impl  # noqa: E402
+
+query("dedup_cross_source_leakage", oracle=_XSRC_ORACLE)(_xsrc_impl)

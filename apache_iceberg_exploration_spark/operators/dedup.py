@@ -1239,7 +1239,9 @@ _CROSS_SOURCE_ORACLE = (
 )
 
 
-@query("dedup_cross_source_leakage", oracle=_CROSS_SOURCE_ORACLE)
+# NOTE: registered from operators/analytics.py (not here): dedup.py
+# registers third, and a new entry at position ~42 would shift the
+# driver-verified registry prefix (CLAUDE.md's placement rule).
 def dedup_cross_source_leakage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
