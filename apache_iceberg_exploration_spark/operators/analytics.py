@@ -4005,3 +4005,150 @@ from .dedup import _CROSS_SOURCE_ORACLE as _XSRC_ORACLE  # noqa: E402
 from .dedup import dedup_cross_source_leakage as _xsrc_impl  # noqa: E402
 
 query("dedup_cross_source_leakage", oracle=_XSRC_ORACLE)(_xsrc_impl)
+
+
+@query(
+    "ab_difference_in_differences",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN day(ts) < 8
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS p0,
+                   CAST(sum(CASE WHEN day(ts) >= 8
+                             AND day(ts) < {CUPED_SPLIT_DAY}
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS pre,
+                   CAST(sum(CASE WHEN day(ts) >= {CUPED_SPLIT_DAY}
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS post
+            FROM events WHERE value IS NOT NULL
+            GROUP BY user_id
+        ),
+        assigned AS (
+            SELECT CASE WHEN {hash64_sql(
+                       "'" + AB_SALT + "|' || CAST(user_id AS VARCHAR)"
+                   )} % 2 = 0 THEN 0 ELSE 1 END AS arm, p0, pre, post
+            FROM per_user
+        ),
+        arms AS (
+            SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
+                   CAST(sum(p0) AS BIGINT) AS s0,
+                   CAST(sum(pre) AS BIGINT) AS s1,
+                   CAST(sum(post) AS BIGINT) AS s2
+            FROM assigned GROUP BY arm
+        ),
+        w AS (
+            SELECT
+              (SELECT n_a FROM arms WHERE arm = 0) AS n0,
+              (SELECT n_a FROM arms WHERE arm = 1) AS n1,
+              (SELECT CAST(s2 AS DOUBLE) / n_a FROM arms WHERE arm = 1)
+              - (SELECT CAST(s1 AS DOUBLE) / n_a FROM arms WHERE arm = 1)
+              - ((SELECT CAST(s2 AS DOUBLE) / n_a FROM arms WHERE arm = 0)
+                 - (SELECT CAST(s1 AS DOUBLE) / n_a FROM arms
+                    WHERE arm = 0)) AS did,
+              (SELECT CAST(s1 AS DOUBLE) / n_a FROM arms WHERE arm = 1)
+              - (SELECT CAST(s0 AS DOUBLE) / n_a FROM arms WHERE arm = 1)
+              - ((SELECT CAST(s1 AS DOUBLE) / n_a FROM arms WHERE arm = 0)
+                 - (SELECT CAST(s0 AS DOUBLE) / n_a FROM arms
+                    WHERE arm = 0)) AS placebo
+        )
+        SELECT n0 AS n_control, n1 AS n_treatment,
+               CAST(floor(did * 100 + 0.5) AS BIGINT) AS did_ccents,
+               CAST(floor(placebo * 100 + 0.5) AS BIGINT)
+                   AS placebo_ccents
+        FROM w
+    """,
+)
+def ab_difference_in_differences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Difference-in-differences: (treatment post − pre) − (control
+    post − pre) — the causal estimator for the OBSERVATIONAL setting
+    where CUPED's randomization assumption doesn't hold (staged
+    rollouts, geo launches): the control arm's pre→post drift absorbs
+    the common time trend. Shipped WITH its diagnostic: a PLACEBO DiD
+    over two pre-treatment windows (days 1-7 vs 8-15), which must sit
+    near zero for the parallel-trends assumption to be credible — the
+    check practitioners skip and then regret. Both estimates derive
+    from the four arm×period exact integer sums (no per-user values
+    materialized past the first aggregate).
+
+    Scale: one per-user keyed aggregation + a 2-row arm rollup —
+    constant cost beyond the scan at any SF.
+    """
+    from ..functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") < 8, cents).otherwise(0))
+        .cast("long")
+        .alias("p0"),
+        F.sum(
+            F.when(
+                (F.dayofmonth("ts") >= 8)
+                & (F.dayofmonth("ts") < CUPED_SPLIT_DAY),
+                cents,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pre"),
+        F.sum(
+            F.when(F.dayofmonth("ts") >= CUPED_SPLIT_DAY, cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("post"),
+    )
+    arms = {
+        r.arm: r
+        for r in per_user.select(
+            (
+                hash64(
+                    F.concat(
+                        F.lit(AB_SALT + "|"),
+                        F.col("user_id").cast("string"),
+                    )
+                )
+                % 2
+            ).alias("arm"),
+            "p0",
+            "pre",
+            "post",
+        )
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_a"),
+            F.sum("p0").cast("long").alias("s0"),
+            F.sum("pre").cast("long").alias("s1"),
+            F.sum("post").cast("long").alias("s2"),
+        )
+        .collect()
+    }
+    a0, a1 = arms[0], arms[1]
+
+    def mean(s, n):
+        return float(s) / n
+
+    did = (mean(a1.s2, a1.n_a) - mean(a1.s1, a1.n_a)) - (
+        mean(a0.s2, a0.n_a) - mean(a0.s1, a0.n_a)
+    )
+    placebo = (mean(a1.s1, a1.n_a) - mean(a1.s0, a1.n_a)) - (
+        mean(a0.s1, a0.n_a) - mean(a0.s0, a0.n_a)
+    )
+    import math as _math
+
+    return spark.createDataFrame(
+        [
+            (
+                a0.n_a,
+                a1.n_a,
+                _math.floor(did * 100 + 0.5),
+                _math.floor(placebo * 100 + 0.5),
+            )
+        ],
+        "n_control long, n_treatment long, did_ccents long,"
+        " placebo_ccents long",
+    )
