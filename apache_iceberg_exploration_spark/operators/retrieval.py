@@ -984,3 +984,144 @@ def ann_matryoshka_truncation_eval(
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+MMR_POOL = 20  # candidate pool (dense top-N)
+MMR_K = 10  # diversified results
+MMR_LAMBDA = 0.7  # relevance vs diversity trade
+
+
+def _mmr_oracle() -> str:
+    from .similarity import QUERY_VEC_ID
+
+    sel_union = lambda i: " UNION ALL ".join(  # noqa: E731
+        f"SELECT vec_id FROM s{j}" for j in range(1, i)
+    )
+    steps = []
+    for i in range(2, MMR_K + 1):
+        steps.append(f"""
+        s{i} AS MATERIALIZED (
+            SELECT c.vec_id FROM qs c
+            JOIN (
+                SELECT s.va AS vec_id, max(s.s) AS ms
+                FROM sims s
+                WHERE s.vb IN ({sel_union(i)})
+                GROUP BY s.va
+            ) m ON m.vec_id = c.vec_id
+            WHERE c.vec_id NOT IN ({sel_union(i)})
+            ORDER BY {MMR_LAMBDA} * c.q - {1 - MMR_LAMBDA:.1f} * m.ms
+                     DESC, c.vec_id
+            LIMIT 1
+        )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rnk, vec_id FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings
+                   WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+                   {cosine_similarity_sql('e.embedding', 'q.q_emb')} AS q
+            FROM embeddings e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY q DESC, e.vec_id
+            LIMIT {MMR_POOL}
+        ),
+        qs AS MATERIALIZED (SELECT vec_id, q FROM cand),
+        sims AS MATERIALIZED (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   {cosine_similarity_sql('a.embedding', 'b.embedding')}
+                       AS s
+            FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+        ),
+        s1 AS MATERIALIZED (SELECT vec_id FROM qs
+                            ORDER BY q DESC, vec_id LIMIT 1),
+        {",".join(steps)}
+        SELECT f.rnk, f.vec_id,
+               CAST(floor(qs.q * 1000000 + 0.5) AS BIGINT) AS q_sim_e6
+        FROM ({finals}) f JOIN qs ON f.vec_id = qs.vec_id
+    """
+
+
+@query("retrieval_mmr_diversified_topk", oracle=_mmr_oracle())
+def retrieval_mmr_diversified_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    '98): the dense top-{MMR_POOL} pool is greedily re-ordered by
+    λ·sim(query, d) − (1−λ)·max sim(d, selected) — the diversification
+    pass RAG retrievers run so the context window isn't ten
+    paraphrases of one passage. Deterministic: ties break on vec_id,
+    all similarities are the engine-computed cosine doubles.
+
+    Scale contract: the DISTRIBUTED part is the candidate generation
+    (brute-force/IVF top-{MMR_POOL}, the existing ANN machinery); the
+    greedy runs on the POOL ONLY — {MMR_POOL} candidates and their
+    {MMR_POOL}² sim matrix, bounded by the re-rank budget, never by
+    corpus size (the two-stage retrieve-then-rerank shape, like
+    ann_sq_rerank_topk). The oracle unrolls the same {MMR_K} greedy
+    steps as generated CTEs.
+    """
+    from ..functions.vectors import cosine_similarity
+    from .similarity import QUERY_VEC_ID, _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(emb)
+    cand = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias(
+                "q"
+            ),
+        )
+        .orderBy(F.col("q").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    rows = cand.collect()  # bounded: the re-rank pool, never the corpus
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = {
+        (r.va, r.vb): r.s
+        for r in a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            cosine_similarity(
+                F.col("a.embedding"), F.col("b.embedding")
+            ).alias("s"),
+        )
+        .collect()
+    }
+    qs = {r.vec_id: r.q for r in rows}
+    remaining = sorted(qs)
+    selected: list[int] = []
+    for _ in range(MMR_K):
+        if not selected:
+            # argmax relevance with ascending-id tie-break
+            best = sorted(remaining, key=lambda v: (-qs[v], v))[0]
+        else:
+            best = sorted(
+                remaining,
+                key=lambda v: (
+                    -(
+                        MMR_LAMBDA * qs[v]
+                        - (1 - MMR_LAMBDA)
+                        * max(sims[(v, s)] for s in selected)
+                    ),
+                    v,
+                ),
+            )[0]
+        selected.append(best)
+        remaining.remove(best)
+    import math as _math
+
+    return spark.createDataFrame(
+        [
+            (i + 1, v, _math.floor(qs[v] * 1000000 + 0.5))
+            for i, v in enumerate(selected)
+        ],
+        "rnk int, vec_id long, q_sim_e6 long",
+    )
