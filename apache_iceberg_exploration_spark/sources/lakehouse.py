@@ -688,7 +688,9 @@ class LakehouseTable:
         """Full-replace snapshot — the reference's only write mode
         (``mode("overwrite").saveAsTable``, etl.py:51-54).
         ``distribution="hash"`` clusters rows to one file per partition
-        tuple (see :meth:`_write_data_files`)."""
+        tuple (see :meth:`_write_data_files`). Persistent CHECK
+        constraints are enforced before any file is written."""
+        self._enforce_constraints(df)
         _, files = self._write_data_files(df, partition_by, distribution)
         stats = self._collect_file_stats(files)
         specs = [
@@ -709,6 +711,76 @@ class LakehouseTable:
             )
         )
 
+    # -- persistent CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ----
+    #
+    # Stored table-level in refs/-style metadata, NOT in snapshots:
+    # constraints are table CONFIG, and carrying them through every one
+    # of the ~19 snapshot-building paths would recreate the
+    # partition-layout-erosion bug class (CLAUDE.md). The write paths
+    # consult the store at write time; history stays time-travelable.
+
+    @property
+    def _constraints_path(self) -> str:
+        return os.path.join(self.path, "constraints.json")
+
+    def check_constraints(self) -> dict[str, str]:
+        if not os.path.exists(self._constraints_path):
+            return {}
+        with open(self._constraints_path) as f:
+            return json.load(f)
+
+    def add_check_constraint(self, name: str, expr_sql: str) -> None:
+        """Persist a CHECK constraint (SQL boolean expression over the
+        table's columns). EXISTING data is validated first — adding a
+        constraint the current snapshot violates raises (Delta's
+        behavior) — then every subsequent ``append``/``overwrite``
+        enforces it automatically: violating writes raise BEFORE any
+        commit, listing the violation count per constraint. NULL
+        evaluations count as violations (a constraint that cannot be
+        evaluated is not satisfied — the append_with_constraints
+        rule)."""
+        if self.current_version():
+            bad = self.read().filter(
+                ~F.coalesce(F.expr(expr_sql), F.lit(False))
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {bad} existing "
+                    "rows violate it"
+                )
+        cons = self.check_constraints()
+        cons[name] = expr_sql
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._constraints_path, "w") as f:
+            json.dump(cons, f)
+
+    def drop_check_constraint(self, name: str) -> None:
+        cons = self.check_constraints()
+        cons.pop(name, None)
+        with open(self._constraints_path, "w") as f:
+            json.dump(cons, f)
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        cons = self.check_constraints()
+        if not cons:
+            return
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.coalesce(F.expr(sql), F.lit(False)), 0
+                    ).otherwise(1)
+                ).alias(name)
+                for name, sql in cons.items()
+            ]
+        ).first()
+        bad = {n: counts[n] for n in cons if counts[n]}
+        if bad:
+            raise ValueError(
+                "CHECK constraint violation — write refused: "
+                + ", ".join(f"{n}: {c} rows" for n, c in bad.items())
+            )
+
     def append(
         self,
         df: DataFrame,
@@ -723,7 +795,10 @@ class LakehouseTable:
         land in the commit summary (Iceberg snapshot summary properties
         — e.g. a streaming sink's batch id, see streaming.sinks).
         ``distribution="hash"`` clusters rows to one file per partition
-        tuple (see :meth:`_write_data_files`)."""
+        tuple (see :meth:`_write_data_files`). Persistent CHECK
+        constraints (:meth:`add_check_constraint`) are enforced before
+        any file is written."""
+        self._enforce_constraints(df)
         _, files = self._write_data_files(df, partition_by, distribution)
         new_stats = self._collect_file_stats(files)
 

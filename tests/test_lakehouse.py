@@ -3035,3 +3035,43 @@ def test_read_incremental_accepts_tag_bounds(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown tag"):
         t.read_incremental("nope")
+
+def test_persistent_check_constraints_enforced_on_writes(spark, tmp_path):
+    """Delta-style table-level CHECK constraints: adding one validates
+    existing data, every later append/overwrite enforces it (refused
+    BEFORE any commit — version unchanged), NULL evaluations violate,
+    and dropping it re-opens the gate."""
+    import pytest
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    t.overwrite(cust.filter(F.col("c_acctbal") >= 0))
+    t.add_check_constraint("nonneg_bal", "c_acctbal >= 0")
+
+    # adding a constraint the CURRENT data violates is refused
+    with pytest.raises(ValueError, match="existing"):
+        t.add_check_constraint("impossible", "c_custkey > 100000")
+
+    v = t.current_version()
+    with pytest.raises(ValueError, match="nonneg_bal"):
+        t.append(
+            cust.filter(F.col("c_acctbal") < 0).limit(5)
+            if cust.filter(F.col("c_acctbal") < 0).count()
+            else cust.limit(3).withColumn("c_acctbal", F.lit(-1.0))
+        )
+    assert t.current_version() == v  # nothing committed
+
+    # NULL evaluation counts as a violation
+    with pytest.raises(ValueError, match="nonneg_bal"):
+        t.append(
+            cust.limit(2).withColumn(
+                "c_acctbal", F.lit(None).cast("double")
+            )
+        )
+    # conforming write passes; drop re-opens the gate
+    t.append(cust.filter(F.col("c_acctbal") >= 0).limit(5))
+    t.drop_check_constraint("nonneg_bal")
+    t.append(cust.limit(2).withColumn("c_acctbal", F.lit(-1.0)))
+    assert t.current_version() == v + 2
