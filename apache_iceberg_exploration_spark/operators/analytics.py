@@ -4228,3 +4228,77 @@ def dq_duplicate_payment_screen(
             gap.cast("long").alias("day_gap"),
         )
     )
+
+
+@query(
+    "ops_lead_time_service_levels",
+    oracle="""
+        WITH lt AS (
+            SELECT n.n_name,
+                   date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT n_name,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) * 10000 // count(*) AS within_30d_bp,
+               CAST(sum(CASE WHEN days <= 60 THEN 1 ELSE 0 END)
+                    AS BIGINT) * 10000 // count(*) AS within_60d_bp,
+               CAST(sum(CASE WHEN days <= 90 THEN 1 ELSE 0 END)
+                    AS BIGINT) * 10000 // count(*) AS within_90d_bp,
+               CAST(max(days) AS BIGINT) AS worst_days
+        FROM lt GROUP BY n_name
+    """,
+)
+def ops_lead_time_service_levels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship lead-time SERVICE LEVELS per supplier nation —
+    the operations dashboard: share of line items shipped within
+    30/60/90 days of the order, in integer basis points, plus the
+    worst case. Service-level SHARES at fixed day bars instead of
+    lead-time percentiles deliberately: shares are pure integer
+    counting (the cross-engine percentile-interpolation trap never
+    enters — memory: cross-engine-float-traps), and SLA contracts are
+    written as "x% within N days" anyway.
+
+    Scale: the fact table joins two broadcast dimensions and the
+    orders date (the q5-family join shape Catalyst already reorders);
+    one keyed aggregation, |nations| rows out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    lt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", days.alias("days"))
+    )
+
+    def within(d: int):
+        # integer floor-division end to end (double-divide-then-cast
+        # truncates the IEEE quotient — last-ulp drift vs // at scale)
+        return F.expr(
+            f"CAST(sum(CASE WHEN days <= {d} THEN 1 ELSE 0 END)"
+            " AS BIGINT) * 10000 div count(*)"
+        )
+
+    return lt.groupBy("n_name").agg(
+        F.count("*").alias("n_lines"),
+        within(30).alias("within_30d_bp"),
+        within(60).alias("within_60d_bp"),
+        within(90).alias("within_90d_bp"),
+        F.max("days").cast("long").alias("worst_days"),
+    )
