@@ -4302,3 +4302,93 @@ def ops_lead_time_service_levels(
         within(90).alias("within_90d_bp"),
         F.max("days").cast("long").alias("worst_days"),
     )
+
+
+@query(
+    "market_concentration_hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name, l.l_suppkey,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                        * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT n_name, CAST(sum(cents) AS BIGINT) AS t,
+                   count(*) AS n_suppliers,
+                   CAST(max(cents) AS BIGINT) AS mx,
+                   sum(CAST(cents AS DECIMAL(38,0)) * cents) AS sq
+            FROM rev GROUP BY 1
+        )
+        SELECT n_name, n_suppliers,
+               CAST(floor(CAST(sq AS DOUBLE)
+                    / (CAST(t AS DOUBLE) * t) * 1000000 + 0.5)
+                    AS BIGINT) AS hhi_e6,
+               mx * 10000 // t AS top_share_bp
+        FROM tot
+    """,
+)
+def market_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue per
+    nation: HHI = Σ shareᵢ² in 1e-6 units (10 000 ≈ the US antitrust
+    "moderately concentrated" bar scaled) plus the largest single
+    share — the market-structure complement of the ABC/Pareto family
+    (ABC ranks; HHI is the one-number concentration index a risk or
+    procurement team tracks over time). Σcents² accumulates in
+    DECIMAL(38,0) (cents² overflows int64 by sf0.1); HHI derives as
+    one identical double expression from the exact aggregates.
+
+    Scale: two keyed aggregations (supplier revenue, then the
+    per-nation moment rollup) — constant-size state, |nations| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count("*").alias("n_suppliers"),
+        F.max("cents").cast("long").alias("mx"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sq"
+        ),
+    )
+    return tot.select(
+        "n_name",
+        "n_suppliers",
+        F.floor(
+            F.col("sq").cast("double")
+            / (F.col("t").cast("double") * F.col("t"))
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("hhi_e6"),
+        F.expr("mx * 10000 div t").alias("top_share_bp"),
+    )
