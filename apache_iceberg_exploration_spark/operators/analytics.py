@@ -4392,3 +4392,88 @@ def market_concentration_hhi(
         .alias("hhi_e6"),
         F.expr("mx * 10000 div t").alias("top_share_bp"),
     )
+
+
+@query(
+    "inequality_gini_customer_spend",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, o_custkey) AS r
+            FROM spend
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS t,
+                   CAST(sum(r * cents) AS BIGINT) AS srx
+            FROM ranked
+        )
+        SELECT n AS n_customers, t AS total_cents,
+               CAST(floor(CAST(2 * srx - (n + 1) * t AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * t) * 1000000 + 0.5)
+                    AS BIGINT) AS gini_e6
+        FROM agg
+    """,
+)
+def inequality_gini_customer_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality measure
+    pairing with the HHI (HHI: how concentrated revenue is among
+    SUPPLIERS; Gini: how unequal spend is across CUSTOMERS — the
+    whale-dependence number a revenue-risk review tracks). Computed
+    from the rank identity G = Σ(2rᵢ−n−1)xᵢ / (n·Σx) — exact BIGINT
+    numerator (tie order is irrelevant: equal x under permuted ranks
+    leave the sum unchanged), one double division at the end.
+
+    Scale: the global rank is the STATIC-monotone-bucket distributed
+    rank (cents div 10⁶ bands — no sampling, no pin, no
+    single-partition sort); everything else is keyed aggregation.
+    The rank·cents products pass int64 near sf10 — DECIMAL there.
+    """
+    from ..functions.ranking import with_global_rank_static
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = with_global_rank_static(
+        spend,
+        F.expr("cents div 1000000"),
+        ["cents", "o_custkey"],
+        "r",
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+        F.sum(F.col("r") * F.col("cents")).cast("long").alias("srx"),
+    )
+    # G numerator via the algebraic identity 2·Σr·x − (n+1)·Σx (a
+    # window count inside an aggregate is illegal in both engines)
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("t").alias("total_cents"),
+        F.floor(
+            (
+                2 * F.col("srx") - (F.col("n") + 1) * F.col("t")
+            ).cast("double")
+            / (F.col("n").cast("double") * F.col("t"))
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("gini_e6"),
+    )
