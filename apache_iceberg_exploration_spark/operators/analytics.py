@@ -4477,3 +4477,110 @@ def inequality_gini_customer_spend(
         .cast("long")
         .alias("gini_e6"),
     )
+
+
+CROSTON_ALPHA = "0.3"
+CROSTON_MIN_ARRIVALS = 3
+
+
+@query(
+    "forecast_croston_intermittent",
+    oracle=f"""
+        WITH RECURSIVE d AS (
+            SELECT l_partkey,
+                   (year(l_shipdate) - 1992) * 12
+                       + month(l_shipdate) - 1 AS t,
+                   CAST(sum(l_quantity) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT l_partkey, t, q,
+                   row_number() OVER (PARTITION BY l_partkey
+                                      ORDER BY t) AS rn
+            FROM d
+        ),
+        mx AS (SELECT l_partkey, max(rn) AS m FROM idx GROUP BY 1),
+        rec(l_partkey, rn, t, z, p) AS (
+            SELECT l_partkey, 1, t, CAST(q AS DOUBLE),
+                   CAST(t + 1 AS DOUBLE)
+            FROM idx WHERE rn = 1
+            UNION ALL
+            SELECT i.l_partkey, r.rn + 1, i.t,
+                   {CROSTON_ALPHA}::DOUBLE * i.q
+                   + (1.0::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * r.z,
+                   {CROSTON_ALPHA}::DOUBLE * (i.t - r.t)
+                   + (1.0::DOUBLE - {CROSTON_ALPHA}::DOUBLE) * r.p
+            FROM rec r JOIN idx i ON i.l_partkey = r.l_partkey
+                                 AND i.rn = r.rn + 1
+        )
+        SELECT r.l_partkey, CAST(mx.m AS BIGINT) AS n_arrivals,
+               CAST(floor(r.z * 10000 + 0.5) AS BIGINT) AS size_e4,
+               CAST(floor(r.p * 10000 + 0.5) AS BIGINT) AS interval_e4,
+               CAST(floor(r.z / r.p * 1000000 + 0.5) AS BIGINT)
+                   AS demand_rate_e6
+        FROM rec r JOIN mx ON r.l_partkey = mx.l_partkey
+                          AND r.rn = mx.m
+        WHERE mx.m >= {CROSTON_MIN_ARRIVALS}
+    """,
+)
+def forecast_croston_intermittent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (sparse series with
+    many zero periods — exactly per-part monthly demand here, ~25
+    arrivals over 84 months): separate exponential smoothings of the
+    demand SIZE (z) and the inter-demand INTERVAL (p), forecast rate
+    z/p per period. The forecaster Holt/seasonal models get wrong on
+    sparse series (they smooth the zeros into the level); the
+    spare-parts/long-tail-SKU standard.
+
+    Zeros never materialize: the recursion runs over ARRIVALS only
+    (gap = t − t_prev carries the interval information), so the state
+    fold is O(arrivals), not O(periods). Spark folds each part's
+    sorted arrival array row-locally; the oracle replays the identical
+    recurrence as ONE recursive CTE over all parts simultaneously
+    (the Holt oracle pattern — DuckDB list_reduce is not oracle-safe,
+    memory: cross-engine-float-traps).
+
+    Scale: keyed aggregation to arrivals, per-key row-local fold over
+    a time-bounded array; 2 000 parts × ≤ 84 elements at any SF.
+    """
+    a = CROSTON_ALPHA + "D"
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        "l_partkey",
+        (
+            (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+        ).alias("t"),
+    ).agg(F.sum("l_quantity").cast("long").alias("q"))
+    arr = d.groupBy("l_partkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("q")))
+        ).alias("a")
+    )
+    fold = (
+        "aggregate(slice(a, 2, size(a) - 1), "
+        "named_struct('t', a[0].t, "
+        "'z', CAST(a[0].q AS DOUBLE), "
+        "'p', CAST(a[0].t + 1 AS DOUBLE)), "
+        f"(acc, x) -> named_struct('t', x.t, "
+        f"'z', {a} * x.q + (1.0D - {a}) * acc.z, "
+        f"'p', {a} * (x.t - acc.t) + (1.0D - {a}) * acc.p))"
+    )
+    return (
+        arr.filter(F.expr(f"size(a) >= {CROSTON_MIN_ARRIVALS}"))
+        .select(
+            "l_partkey",
+            F.expr("size(a)").cast("long").alias("n_arrivals"),
+            F.expr(
+                f"CAST(floor(({fold}).z * 10000 + 0.5) AS BIGINT)"
+            ).alias("size_e4"),
+            F.expr(
+                f"CAST(floor(({fold}).p * 10000 + 0.5) AS BIGINT)"
+            ).alias("interval_e4"),
+            F.expr(
+                f"CAST(floor(({fold}).z / ({fold}).p * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("demand_rate_e6"),
+        )
+    )
