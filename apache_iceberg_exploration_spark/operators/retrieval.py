@@ -1125,3 +1125,204 @@ def retrieval_mmr_diversified_topk(
         ],
         "rnk int, vec_id long, q_sim_e6 long",
     )
+
+
+PRF_FEEDBACK_DOCS = 3
+PRF_EXPANSION_TERMS = 2
+PRF_EXP_WEIGHT = "0.5"  # expansion-term score weight
+PRF_TOP_K = 10
+
+
+@query(
+    "bm25_prf_expansion_topk",
+    oracle=f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE doc_id <> {QUERY_VEC_ID}
+        ),
+        tok2 AS MATERIALIZED (
+            SELECT doc_id, word FROM tok WHERE word <> ''
+        ),
+        dl_t AS MATERIALIZED (
+            SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1
+        ),
+        corpus AS MATERIALIZED (
+            SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
+            FROM dl_t
+        ),
+        tf_t AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM tok2 WHERE word IN ({_TERMS_SQL}) GROUP BY 1, 2
+        ),
+        df_t AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM tf_t GROUP BY 1
+        ),
+        sparse AS MATERIALIZED (
+            SELECT t.doc_id,
+                   sum(CAST({_BM25_TERM_SQL} AS DECIMAL(18,9))) AS bm25
+            FROM tf_t t
+            JOIN df_t d USING (word)
+            JOIN dl_t l USING (doc_id), corpus
+            GROUP BY 1
+        ),
+        fb AS MATERIALIZED (
+            SELECT doc_id FROM sparse
+            ORDER BY bm25 DESC, doc_id LIMIT {PRF_FEEDBACK_DOCS}
+        ),
+        cand AS MATERIALIZED (
+            SELECT t.word, CAST(sum(1) AS BIGINT) AS fb_tf
+            FROM tok2 t JOIN fb ON t.doc_id = fb.doc_id
+            WHERE t.word NOT IN ({_TERMS_SQL})
+            GROUP BY 1
+        ),
+        gdf AS MATERIALIZED (
+            SELECT t.word, count(DISTINCT t.doc_id) AS df
+            FROM tok2 t JOIN cand c ON t.word = c.word
+            GROUP BY 1
+        ),
+        exp_terms AS MATERIALIZED (
+            SELECT c.word, g.df
+            FROM cand c JOIN gdf g ON c.word = g.word
+            ORDER BY c.fb_tf * 1000000 // g.df DESC, c.word
+            LIMIT {PRF_EXPANSION_TERMS}
+        ),
+        etf AS (
+            SELECT t.doc_id, t.word, count(*) AS tf
+            FROM tok2 t JOIN exp_terms e ON t.word = e.word
+            GROUP BY 1, 2
+        ),
+        exp_score AS (
+            SELECT t.doc_id,
+                   sum(CAST(round({PRF_EXP_WEIGHT}::DOUBLE
+                       * {_BM25_TERM_SQL}, 9)
+                       AS DECIMAL(18,9))) AS exp_bm25
+            FROM etf t
+            JOIN exp_terms d ON t.word = d.word
+            JOIN dl_t l USING (doc_id), corpus
+            GROUP BY 1
+        )
+        SELECT coalesce(s.doc_id, e.doc_id) AS doc_id,
+               round(CAST(coalesce(s.bm25, 0)
+                          + coalesce(e.exp_bm25, 0) AS DOUBLE), 6)
+                   AS prf_score
+        FROM sparse s FULL OUTER JOIN exp_score e
+          ON s.doc_id = e.doc_id
+        ORDER BY coalesce(s.bm25, 0) + coalesce(e.exp_bm25, 0) DESC,
+                 doc_id
+        LIMIT {PRF_TOP_K}
+    """,
+)
+def bm25_prf_expansion_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio/RM3-lite): run the fixed
+    BM25 query, take the top-{PRF_FEEDBACK_DOCS} documents as assumed-
+    relevant, extract the {PRF_EXPANSION_TERMS} most distinctive new
+    terms (feedback tf × 1e6 div corpus df — exact integer ranking),
+    and re-score the corpus with the expanded query (expansion terms
+    at weight {PRF_EXP_WEIGHT}) — the classic recall-rescue move when
+    the literal query terms miss relevant vocabulary. Completes the
+    retrieval stack: sparse (BM25) + dense (ANN) + fusion (RRF) +
+    diversification (MMR) + expansion (PRF).
+
+    Cross-engine: both scoring passes use the shared _BM25_TERM_SQL
+    round9+DECIMAL discipline; expansion selection is integer
+    arithmetic with term-string tie-breaks; final scores round to 6.
+
+    Scale: two passes of the BM25 shape (inverted-index access =
+    pre-aggregation filter on the term set; the expansion term set is
+    {PRF_EXPANSION_TERMS} terms discovered from {PRF_FEEDBACK_DOCS}
+    docs — feedback-sized, never corpus-sized); candidate-term df
+    lookup touches only words present in the feedback docs.
+    """
+    from ..functions.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") != QUERY_VEC_ID
+    )
+    tok2 = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        ).filter(F.col("word") != "")
+    )
+    dl = scoped_persist(tok2.groupBy("doc_id").agg(F.count("*").alias("dl")))
+    corpus = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("total")
+    ).first()
+    n, total = int(corpus["n"]), int(corpus["total"])
+
+    def bm25_scores(term_df: DataFrame, weight: float) -> DataFrame:
+        """(doc_id, score DECIMAL) for the terms in term_df (word, df)."""
+        tf = (
+            tok2.join(F.broadcast(term_df.select("word")), "word")
+            .groupBy("doc_id", "word")
+            .agg(F.count("*").alias("tf"))
+        )
+        term_score = F.round(
+            F.lit(weight)
+            * F.log(
+                1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (1 + BM25_K1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (
+                    (1 - BM25_B)
+                    + BM25_B * (F.col("dl") * F.lit(n)) / F.lit(total)
+                )
+            ),
+            9,
+        ).cast("decimal(18,9)")
+        return (
+            tf.join(F.broadcast(term_df), "word")
+            .join(dl, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.sum(term_score).alias("score"))
+        )
+
+    orig_terms = tok2.filter(
+        F.col("word").isin(*BM25_TERMS)
+    ).groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    sparse = scoped_persist(bm25_scores(orig_terms, 1.0))
+    fb = (
+        sparse.orderBy(F.col("score").desc(), "doc_id")
+        .limit(PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    cand = (
+        tok2.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("word").isin(*BM25_TERMS))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("fb_tf"))
+    )
+    gdf = (
+        tok2.join(F.broadcast(cand.select("word")), "word")
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    exp_terms = (
+        cand.join(gdf, "word")
+        .orderBy(
+            F.expr("fb_tf * 1000000 div df").desc(), "word"
+        )
+        .limit(PRF_EXPANSION_TERMS)
+        .select("word", "df")
+    )
+    exp_score = bm25_scores(exp_terms, float(PRF_EXP_WEIGHT))
+    fused = sparse.withColumnRenamed("score", "bm25").join(
+        exp_score.withColumnRenamed("score", "exp_bm25"),
+        "doc_id",
+        "full_outer",
+    )
+    tot = F.coalesce(F.col("bm25"), F.lit(0).cast("decimal(18,9)")) + \
+        F.coalesce(F.col("exp_bm25"), F.lit(0).cast("decimal(18,9)"))
+    return (
+        fused.select("doc_id", tot.alias("t"))
+        .orderBy(F.col("t").desc(), "doc_id")
+        .limit(PRF_TOP_K)
+        .select(
+            "doc_id",
+            F.round(F.col("t").cast("double"), 6).alias("prf_score"),
+        )
+    )
