@@ -4584,3 +4584,90 @@ def forecast_croston_intermittent(
             ).alias("demand_rate_e6"),
         )
     )
+
+
+ACF_LAGS = (1, 2, 7)
+
+
+@query(
+    "timeseries_autocorrelation_lags",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        )
+        {" UNION ALL ".join(f'''
+        SELECT {lag} AS lag, count(*) AS n_pairs,
+               round((count(*) * CAST(sum(a.n * b.n) AS DOUBLE)
+                      - CAST(sum(a.n) AS DOUBLE) * sum(b.n))
+                     / sqrt((count(*) * CAST(sum(a.n * a.n) AS DOUBLE)
+                             - CAST(sum(a.n) AS DOUBLE) * sum(a.n))
+                          * (count(*) * CAST(sum(b.n * b.n) AS DOUBLE)
+                             - CAST(sum(b.n) AS DOUBLE) * sum(b.n))),
+                     6) + 0.0 AS acf_r6
+        FROM daily a JOIN daily b
+          ON b.day = a.day + INTERVAL {lag} DAY'''
+        for lag in ACF_LAGS)}
+    """,
+)
+def timeseries_autocorrelation_lags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Autocorrelation of daily event volume at calendar lags 1/2/7 —
+    the periodicity detector that picks the seasonal period BEFORE
+    fitting a seasonal model (a strong lag-7 says weekly; STL and the
+    seasonal-naive forecaster then consume that period as an input
+    instead of an assumption). Pearson r over (day, day+lag) pairs
+    from exact BIGINT sums (counts and their products never touch
+    floats until the single final expression, rounded to 6).
+
+    Scale: the daily rollup is time-bounded; each lag is one
+    equi-join on the shifted date key (a calendar lag is an exact key,
+    not a window) + a constant-state moment aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    from ..functions.caching import scoped_persist
+
+    daily = scoped_persist(daily)
+    arms = []
+    for lag in ACF_LAGS:
+        a, b = daily.alias("a"), daily.alias("b")
+        j = a.join(
+            b, F.col("b.day") == F.date_add(F.col("a.day"), lag)
+        ).select(F.col("a.n").alias("x"), F.col("b.n").alias("y"))
+        mom = j.agg(
+            F.count("*").alias("c"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        r = (
+            F.col("c") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy")
+        ) / F.sqrt(
+            (
+                F.col("c") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            * (
+                F.col("c") * F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+        )
+        arms.append(
+            mom.select(
+                F.lit(lag).alias("lag"),
+                F.col("c").alias("n_pairs"),
+                (F.round(r, 6) + 0.0).alias("acf_r6"),
+            )
+        )
+    out = arms[0]
+    for a_ in arms[1:]:
+        out = out.unionByName(a_)
+    return out
