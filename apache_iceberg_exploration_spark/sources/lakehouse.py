@@ -3310,7 +3310,10 @@ class LakehouseTable:
         return self._commit_rmw(compute)
 
     def expire_snapshots(
-        self, keep_last: int = 1, dry_run: bool = False
+        self,
+        keep_last: int = 1,
+        dry_run: bool = False,
+        older_than_ts: float | None = None,
     ) -> list[int] | dict:
         """Drop all but the last ``keep_last`` snapshot manifests and
         garbage-collect the data directories those EXPIRED manifests
@@ -3335,6 +3338,26 @@ class LakehouseTable:
         real pass has always used)."""
         current = self.current_version()
         cutoff = max(current - keep_last + 1, 1)
+        if older_than_ts is not None:
+            # Iceberg's expire_snapshots(older_than, retain_last):
+            # age-eligible = committed strictly before the timestamp;
+            # keep_last still floors how much history survives. The
+            # walk stops at the first young-enough snapshot so history
+            # never becomes discontiguous.
+            age_cutoff = 1
+            for v in range(1, current + 1):
+                p = self._manifest_path(v)
+                if not os.path.exists(p):
+                    age_cutoff = v + 1
+                    continue
+                if (
+                    self._raw_manifest(p).get("committed_at", 0.0)
+                    < older_than_ts
+                ):
+                    age_cutoff = v + 1
+                else:
+                    break
+            cutoff = min(cutoff, age_cutoff)
         # retention anchors: tags + every live branch's fork point
         tagged = set(self.tags().values()) | {
             b["base_version"] for b in self.branches().values()

@@ -3075,3 +3075,46 @@ def test_persistent_check_constraints_enforced_on_writes(spark, tmp_path):
     t.drop_check_constraint("nonneg_bal")
     t.append(cust.limit(2).withColumn("c_acctbal", F.lit(-1.0)))
     assert t.current_version() == v + 2
+
+def test_expire_snapshots_older_than_timestamp(spark, table):
+    """Age-based retention (Iceberg expire_snapshots(older_than)):
+    only snapshots committed strictly before the timestamp expire,
+    keep_last floors survival, and a mid-history young snapshot stops
+    the walk (history stays contiguous)."""
+    import json as _json
+    import os as _os
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name"
+    )
+    for i in range(4):
+        table.append(cust.filter(F.col("c_custkey") % 4 == i))
+    # age the first two snapshots artificially
+    for v in (1, 2):
+        p = table._manifest_path(v)
+        m = _json.load(open(p))
+        m["committed_at"] -= 10_000
+        _json.dump(m, open(p, "w"))
+
+    import time as _time
+
+    ts = _time.time() - 5_000  # between the aged pair and v3/v4
+    report = table.expire_snapshots(
+        keep_last=1, older_than_ts=ts, dry_run=True
+    )
+    assert report["would_expire_versions"] == [1, 2]
+    expired = table.expire_snapshots(keep_last=1, older_than_ts=ts)
+    assert expired == [1, 2]
+    assert {s["version"] for s in table.snapshots()} == {3, 4}
+    # keep_last floors survival even with an aggressive timestamp:
+    # only {3, 4} remain and keep_last=2 retains both
+    expired2 = table.expire_snapshots(
+        keep_last=2, older_than_ts=_time.time() + 10
+    )
+    assert expired2 == []
+    assert {s["version"] for s in table.snapshots()} == {3, 4}
+    # keep_last=1 then lets the aggressive timestamp take v3
+    assert table.expire_snapshots(
+        keep_last=1, older_than_ts=_time.time() + 10
+    ) == [3]
+    assert table.read().count() == cust.count()
