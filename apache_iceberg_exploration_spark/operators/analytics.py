@@ -4671,3 +4671,135 @@ def timeseries_autocorrelation_lags(
     for a_ in arms[1:]:
         out = out.unionByName(a_)
     return out
+
+
+SPLIT_SALT = "split1"
+
+
+def _split_oracle() -> str:
+    from ..functions.hashing import hash64_sql
+    from .dedup import _CC_CTES
+
+    nh = hash64_sql(f"'{SPLIT_SALT}|' || CAST(c.doc_id AS VARCHAR)")
+    ch = hash64_sql(f"'{SPLIT_SALT}|' || CAST(c.cluster_id AS VARCHAR)")
+    return f"""
+        {_CC_CTES},
+        clusters AS (
+            SELECT n AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY n
+        ),
+        sides AS (
+            SELECT c.doc_id,
+                   ({nh} % 10 < 8) AS naive_train,
+                   ({ch} % 10 < 8) AS cluster_train
+            FROM clusters c
+        ),
+        leaks AS (
+            SELECT
+              CAST(sum(CASE WHEN a.naive_train <> b.naive_train
+                       THEN 1 ELSE 0 END) AS BIGINT) AS naive_leak,
+              CAST(sum(CASE WHEN a.cluster_train <> b.cluster_train
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cluster_leak
+            FROM pairs p
+            JOIN sides a ON p.da = a.doc_id
+            JOIN sides b ON p.db = b.doc_id
+        )
+        SELECT 'naive' AS method,
+               (SELECT count(*) FROM sides WHERE naive_train) AS n_train,
+               (SELECT count(*) FROM sides WHERE NOT naive_train)
+                   AS n_test,
+               naive_leak AS cross_split_neardup_pairs
+        FROM leaks
+        UNION ALL
+        SELECT 'cluster_aware',
+               (SELECT count(*) FROM sides WHERE cluster_train),
+               (SELECT count(*) FROM sides WHERE NOT cluster_train),
+               cluster_leak
+        FROM leaks
+    """
+
+
+@query("training_dedup_aware_split", oracle=_split_oracle())
+def training_dedup_aware_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-AWARE train/test split — the leakage fix the whole dedup
+    family exists to enable: hash-splitting by DOCUMENT id strands
+    near-duplicate pairs across the boundary (the eval contamination
+    `dedup_cross_source_leakage` measures between sources), while
+    hash-splitting by CLUSTER id (the connected-component root from
+    `dedup_cluster_assignment`) keeps every near-dup family on one
+    side — cross-split near-dup pairs are ZERO by construction. Both
+    arms are reported with their leak counts, so the oracle checks
+    the naive arm's nonzero leakage AND the cluster arm's zero.
+
+    Scale: clusters and pairs come from the LSH band machinery
+    (bounded buckets, star-kernel components); the split itself is a
+    salted hash on the root id — O(docs), deterministic, and stable
+    as the corpus grows (a new near-dup joins its family's side).
+    """
+    from ..functions.caching import scoped_persist
+    from ..functions.hashing import hash64
+    from .dedup import dedup_cluster_assignment, dedup_minhash_lsh_pairs
+
+    clusters = dedup_cluster_assignment(spark, sf_dir)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sides = clusters.select(
+        "doc_id",
+        (
+            hash64(
+                F.concat(
+                    F.lit(SPLIT_SALT + "|"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            % 10
+            < 8
+        ).alias("naive_train"),
+        (
+            hash64(
+                F.concat(
+                    F.lit(SPLIT_SALT + "|"),
+                    F.col("cluster_id").cast("string"),
+                )
+            )
+            % 10
+            < 8
+        ).alias("cluster_train"),
+    )
+    sides = scoped_persist(sides)
+    a = sides.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("naive_train").alias("na"),
+        F.col("cluster_train").alias("ca"),
+    )
+    b = sides.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("naive_train").alias("nb"),
+        F.col("cluster_train").alias("cb"),
+    )
+    leaks = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("long")
+            .alias("naive_leak"),
+            F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0))
+            .cast("long")
+            .alias("cluster_leak"),
+        )
+    ).first()
+    counts = sides.agg(
+        F.sum(F.when(F.col("naive_train"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("naive_train"), 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(F.col("cluster_train"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("cluster_train"), 1).otherwise(0)).alias("cv"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            ("naive", counts.nt, counts.nv, leaks.naive_leak),
+            ("cluster_aware", counts.ct, counts.cv, leaks.cluster_leak),
+        ],
+        "method string, n_train long, n_test long,"
+        " cross_split_neardup_pairs long",
+    )
