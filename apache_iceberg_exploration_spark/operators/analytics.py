@@ -4803,3 +4803,8 @@ def training_dedup_aware_split(
         "method string, n_train long, n_test long,"
         " cross_split_neardup_pairs long",
     )
+
+from .dedup import _mh_lookup_oracle as _mhl_oracle  # noqa: E402
+from .dedup import dedup_minhash_topk_lookup as _mhl_impl  # noqa: E402
+
+query("dedup_minhash_topk_lookup", oracle=_mhl_oracle())(_mhl_impl)

@@ -1301,3 +1301,108 @@ def dedup_cross_source_leakage(
             ).alias("leak_ppm"),
         )
     )
+
+
+MH_LOOKUP_QUERY_DOC = 8  # has band candidates at BOTH test SFs
+MH_LOOKUP_TOP_K = 5
+
+
+def _mh_lookup_oracle() -> str:
+    return f"""
+        WITH {_MINHASH_PAIRS_ORACLE.split("WITH", 1)[1].replace(
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
+            ", cand AS (SELECT DISTINCT b.doc_id AS cand_id",
+        ).replace(
+            "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id",
+            "ON a.band = b.band AND a.sig = b.sig"
+            f" AND a.doc_id = {MH_LOOKUP_QUERY_DOC}"
+            f" AND b.doc_id <> {MH_LOOKUP_QUERY_DOC}",
+        )}
+        ),
+        agree AS (
+            SELECT c.cand_id,
+                   CAST(sum(CASE WHEN qa.h = qb.h THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_match
+            FROM cand c
+            JOIN mh qa ON qa.doc_id = {MH_LOOKUP_QUERY_DOC}
+            JOIN mh qb ON qb.doc_id = c.cand_id AND qb.seed = qa.seed
+            GROUP BY 1
+        )
+        SELECT cand_id, n_match,
+               n_match * 10000 // {NUM_MINHASH} AS est_jaccard_bp
+        FROM agree
+        ORDER BY n_match DESC, cand_id
+        LIMIT {MH_LOOKUP_TOP_K}
+    """
+
+
+# NOTE: registered from operators/analytics.py (prefix-placement rule —
+# see dedup_cross_source_leakage's note above).
+def dedup_minhash_topk_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point lookup against the MinHash-LSH index: for ONE query
+    document, candidates come from its band buckets only (never a
+    corpus scan), ranked by signature agreement — estimated Jaccard in
+    integer basis points (n_match/{NUM_MINHASH}). The single-query
+    twin of the all-pairs miner: what a "find documents like this one"
+    API or an ingest-time pre-insert check runs per document.
+
+    Scale: the query doc's {NUM_MINHASH // BAND_SIZE} band signatures
+    probe the (band, sig) index via equi-join — cost is bucket
+    occupancy, independent of corpus size; agreement re-uses the
+    signature relation (8 ints per doc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = scoped_persist(minhash_band_rows(docs))
+    qb = bands.filter(F.col("doc_id") == MH_LOOKUP_QUERY_DOC).select(
+        F.col("band").alias("qband"), F.col("sig").alias("qsig")
+    )
+    cand = (
+        bands.join(
+            F.broadcast(qb),
+            (F.col("band") == F.col("qband"))
+            & (F.col("sig") == F.col("qsig")),
+        )
+        .filter(F.col("doc_id") != MH_LOOKUP_QUERY_DOC)
+        .select(F.col("doc_id").alias("cand_id"))
+        .distinct()
+    )
+    # signature agreement: band signatures are '|'-joined minhash
+    # strings, so per-band agreement = equal sig; per-SEED agreement
+    # needs the split back out
+    seeds = bands.select(
+        "doc_id",
+        F.posexplode(F.split("sig", "\\|")).alias("pos", "h"),
+        "band",
+    ).select(
+        "doc_id",
+        (F.col("band") * BAND_SIZE + F.col("pos")).alias("seed"),
+        "h",
+    )
+    qs = seeds.filter(F.col("doc_id") == MH_LOOKUP_QUERY_DOC).select(
+        F.col("seed").alias("qseed"), F.col("h").alias("qh")
+    )
+    agree = (
+        seeds.join(cand, seeds.doc_id == cand.cand_id)
+        .join(F.broadcast(qs), F.col("seed") == F.col("qseed"))
+        .groupBy("cand_id")
+        .agg(
+            F.sum(
+                F.when(F.col("h") == F.col("qh"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_match")
+        )
+    )
+    return (
+        agree.orderBy(F.col("n_match").desc(), "cand_id")
+        .limit(MH_LOOKUP_TOP_K)
+        .select(
+            "cand_id",
+            "n_match",
+            F.expr(f"n_match * 10000 div {NUM_MINHASH}").alias(
+                "est_jaccard_bp"
+            ),
+        )
+    )
