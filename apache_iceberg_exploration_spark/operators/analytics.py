@@ -4808,3 +4808,96 @@ from .dedup import _mh_lookup_oracle as _mhl_oracle  # noqa: E402
 from .dedup import dedup_minhash_topk_lookup as _mhl_impl  # noqa: E402
 
 query("dedup_minhash_topk_lookup", oracle=_mhl_oracle())(_mhl_impl)
+
+
+TOPIC_TOP_TERMS = 3
+TOPIC_MIN_TF = 5
+
+
+@query(
+    "topic_label_keywords_ctfidf",
+    oracle=f"""
+        WITH w AS (
+            SELECT e.label, t.word
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents) t
+            JOIN embeddings e ON e.vec_id = t.doc_id
+            WHERE t.word <> ''
+        ),
+        tfc AS (
+            SELECT label, word, CAST(count(*) AS BIGINT) AS tf_c
+            FROM w GROUP BY 1, 2
+        ),
+        tft AS (
+            SELECT word, CAST(sum(tf_c) AS BIGINT) AS tf_t
+            FROM tfc GROUP BY 1
+        ),
+        scored AS (
+            SELECT c.label, c.word, c.tf_c,
+                   c.tf_c * 1000000 // t.tf_t AS share_e6,
+                   row_number() OVER (
+                       PARTITION BY c.label
+                       ORDER BY c.tf_c * 1000000 // t.tf_t DESC, c.word
+                   ) AS rnk
+            FROM tfc c JOIN tft t ON c.word = t.word
+            WHERE c.tf_c >= {TOPIC_MIN_TF}
+        )
+        SELECT label, word, tf_c, share_e6, CAST(rnk AS INTEGER) AS rnk
+        FROM scored WHERE rnk <= {TOPIC_TOP_TERMS}
+    """,
+)
+def topic_label_keywords_ctfidf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster keyword labeling (c-TF-IDF-lite, the BERTopic recipe):
+    for each embedding-space cluster (the label column — the same
+    cells the IVF index probes), the terms most CONCENTRATED in that
+    cluster — share = cluster-tf ×1e6 div corpus-tf, min-support
+    filtered, top-{TOPIC_TOP_TERMS} per cluster with term tie-breaks.
+    Joins the text and vector sides of the corpus (vec_id ≡ doc_id):
+    this is how embedding clusters get human-readable names in a
+    topic-modeling / corpus-triage pipeline.
+
+    All-integer ranking; the per-label window partitions by label.
+
+    Scale: (label, word) aggregation with map-side partials
+    (vocabulary-bounded output), corpus-tf is a second
+    vocabulary-sized aggregate broadcast back; no per-doc state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    w = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .join(F.broadcast(emb), F.col("doc_id") == F.col("vec_id"))
+    )
+    tfc = w.groupBy("label", "word").agg(
+        F.count("*").cast("long").alias("tf_c")
+    )
+    from ..functions.caching import scoped_persist
+
+    tfc = scoped_persist(tfc)
+    tft = tfc.groupBy("word").agg(
+        F.sum("tf_c").cast("long").alias("tf_t")
+    )
+    from pyspark.sql.window import Window as _W
+
+    share = F.expr("tf_c * 1000000 div tf_t")
+    scored = (
+        tfc.filter(F.col("tf_c") >= TOPIC_MIN_TF)
+        .join(F.broadcast(tft), "word")
+        .select("label", "word", "tf_c", share.alias("share_e6"))
+    )
+    rnk = F.row_number().over(
+        _W.partitionBy("label").orderBy(
+            F.col("share_e6").desc(), F.col("word")
+        )
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("int"))
+        .filter(F.col("rnk") <= TOPIC_TOP_TERMS)
+    )
