@@ -4901,3 +4901,98 @@ def topic_label_keywords_ctfidf(
         scored.withColumn("rnk", rnk.cast("int"))
         .filter(F.col("rnk") <= TOPIC_TOP_TERMS)
     )
+
+
+BOT_CV2_BAR_E6 = 700_000  # CV² below 0.70 ⇒ suspiciously regular
+BOT_MIN_GAPS = 5
+
+
+@query(
+    "fraud_bot_regularity_screen",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+        ),
+        g AS (
+            SELECT user_id,
+                   s - lag(s) OVER (PARTITION BY user_id ORDER BY s)
+                       AS gap
+            FROM e
+        ),
+        a AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS sg,
+                   CAST(sum(gap * gap) AS BIGINT) AS sgg
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= {BOT_MIN_GAPS}
+        )
+        SELECT user_id, n_gaps,
+               sg // n_gaps AS mean_gap_s,
+               CAST(floor((n_gaps * CAST(sgg AS DOUBLE)
+                    / (CAST(sg AS DOUBLE) * sg) - 1.0)
+                    * 1000000 + 0.5) AS BIGINT) AS cv2_e6,
+               CAST(floor((n_gaps * CAST(sgg AS DOUBLE)
+                    / (CAST(sg AS DOUBLE) * sg) - 1.0)
+                    * 1000000 + 0.5) AS BIGINT) < {BOT_CV2_BAR_E6}
+                   AS too_regular
+        FROM a
+    """,
+)
+def fraud_bot_regularity_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bot/automation screen on inter-event TIMING: per user, the
+    squared coefficient of variation of inter-event gaps — human
+    (Poisson-ish) activity sits near CV² ≈ 1, schedulers and scripted
+    clients are far more regular (CV² → 0). Users under the
+    {BOT_CV2_BAR_E6}/1e6 bar flag as too-regular — the behavioral
+    sibling of the flat-diurnal-profile signal
+    (`events_hour_of_day_profile`). The bar is calibrated so the
+    sf0.01 corpus flags a real tail (~5-8%) with both branches
+    populated.
+
+    CV² = n·Σg²/(Σg)² − 1 from exact BIGINT gap moments (epoch
+    seconds); one identical double expression, floored to 1e-6, then
+    an integer threshold compare.
+
+    Scale: the lag window partitions per user (gap count bounded by
+    user activity); moments are keyed aggregates. n·Σg² in double
+    (the BIGINT product passes int64 for multi-month spans — noted).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as _W
+
+    s = F.unix_timestamp("ts").alias("s")
+    g = ev.select("user_id", s).select(
+        "user_id",
+        (
+            F.col("s")
+            - F.lag("s").over(_W.partitionBy("user_id").orderBy("s"))
+        ).alias("gap"),
+    )
+    a = (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sgg"),
+        )
+        .filter(F.col("n_gaps") >= BOT_MIN_GAPS)
+    )
+    cv2 = F.floor(
+        (
+            F.col("n_gaps") * F.col("sgg").cast("double")
+            / (F.col("sg").cast("double") * F.col("sg"))
+            - 1.0
+        )
+        * 1000000
+        + 0.5
+    ).cast("long")
+    return a.select(
+        "user_id",
+        "n_gaps",
+        F.expr("sg div n_gaps").alias("mean_gap_s"),
+        cv2.alias("cv2_e6"),
+        (cv2 < BOT_CV2_BAR_E6).alias("too_regular"),
+    )
