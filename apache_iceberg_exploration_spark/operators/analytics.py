@@ -4996,3 +4996,80 @@ def fraud_bot_regularity_screen(
         cv2.alias("cv2_e6"),
         (cv2 < BOT_CV2_BAR_E6).alias("too_regular"),
     )
+
+
+SPC_Z = "2.0"  # control-limit width (2σ: calibrated to flag a real
+# tail on this corpus; the textbook 3σ flags nothing at sf0.01)
+
+
+@query(
+    "spc_p_chart_return_rate",
+    oracle=f"""
+        WITH m AS (
+            SELECT (year(l_shipdate) - 1992) * 12
+                       + month(l_shipdate) - 1 AS t,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS r
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(r) AS BIGINT) AS rt,
+                   CAST(sum(n) AS BIGINT) AS nt
+            FROM m
+        )
+        SELECT m.t, m.n, m.r,
+               m.r * 1000000 // m.n AS rate_e6,
+               abs(CAST(m.r AS DOUBLE) / m.n
+                   - CAST(tot.rt AS DOUBLE) / tot.nt)
+               > {SPC_Z}::DOUBLE
+                 * sqrt((CAST(tot.rt AS DOUBLE) / tot.nt)
+                        * (1.0::DOUBLE
+                           - CAST(tot.rt AS DOUBLE) / tot.nt) / m.n)
+                   AS out_of_control
+        FROM m, tot
+    """,
+)
+def spc_p_chart_return_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Statistical process control p-chart of the monthly RETURN RATE:
+    each month's rate against ±{SPC_Z}σ binomial control limits around
+    the process mean — the SPC discipline that separates common-cause
+    noise from a month that genuinely shifted (supplier defect batch,
+    policy change). Flags 4 of 83 months at sf0.01 — both chart
+    branches value-checked.
+
+    Exactness: counts are BIGINT; the center line and limits derive
+    from exact integer totals through ONE identical double expression
+    on both engines (rates compared, never emitted raw — the monthly
+    rate ships as integer ppm separately).
+
+    Scale: one keyed monthly aggregate + a broadcast scalar total;
+    the chart relation is time-bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (
+            (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+        ).alias("t")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    tot = m.agg(
+        F.sum("r").cast("long").alias("rt"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    pbar = F.col("rt").cast("double") / F.col("nt")
+    dev = F.abs(F.col("r").cast("double") / F.col("n") - pbar)
+    lim = float(SPC_Z) * F.sqrt(pbar * (1.0 - pbar) / F.col("n"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n",
+        "r",
+        F.expr("r * 1000000 div n").alias("rate_e6"),
+        (dev > lim).alias("out_of_control"),
+    )
