@@ -3700,3 +3700,93 @@ def window_frames_order_history(
         .alias("trailing3_max_cents"),
         F.last("cents").over(full).alias("final_order_cents"),
     )
+
+
+NEAREST_WINDOW_S = 7200  # ±2 h candidate band
+
+
+@query(
+    "nearest_event_join",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+        ),
+        cand AS (
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                   CAST(abs(CAST(floor(epoch(p.ts)) AS BIGINT)
+                        - CAST(floor(epoch(c.ts)) AS BIGINT))
+                        AS BIGINT) AS dist_s
+            FROM p JOIN c ON p.user_id = c.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL {NEAREST_WINDOW_S} SECOND
+                          AND p.ts + INTERVAL {NEAREST_WINDOW_S} SECOND
+        ),
+        best AS (
+            SELECT purchase_id, click_id, dist_s,
+                   row_number() OVER (
+                       PARTITION BY purchase_id
+                       ORDER BY dist_s, click_id
+                   ) AS rn
+            FROM cand
+        )
+        SELECT purchase_id, click_id, dist_s
+        FROM best WHERE rn = 1
+    """,
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event join — the bidirectional sibling of the backward
+    as-of join (`asof_join_purchase_to_click`): each purchase pairs
+    with its temporally CLOSEST click in EITHER direction within ±2 h
+    (sensor-fusion / clickstream-reconciliation semantics; as-of's
+    "latest before" is wrong when the related signal can arrive just
+    after). Tie at equal distance breaks to the lower event id.
+
+    Scale: candidates come from a BOUNDED BAND join on (user, ±window)
+    — fan-out is each user's click density inside 4 h, never the full
+    history — then a per-purchase argmin window (partition = one
+    purchase's candidates). Distances in whole epoch seconds (floored
+    identically in both engines — the epoch() trap).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+    )
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("cuid"))
+        & (
+            F.col("cts")
+            >= F.col("pts") - F.expr(f"INTERVAL {NEAREST_WINDOW_S} SECONDS")
+        )
+        & (
+            F.col("cts")
+            <= F.col("pts") + F.expr(f"INTERVAL {NEAREST_WINDOW_S} SECONDS")
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.abs(
+            F.unix_timestamp("pts") - F.unix_timestamp("cts")
+        ).cast("long").alias("dist_s"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    rn = F.row_number().over(
+        _W.partitionBy("purchase_id").orderBy("dist_s", "click_id")
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
