@@ -5073,3 +5073,89 @@ def spc_p_chart_return_rate(
         F.expr("r * 1000000 div n").alias("rate_e6"),
         (dev > lim).alias("out_of_control"),
     )
+
+
+TRIPLET_ANCHORS = 20
+
+
+@query(
+    "embedding_triplet_margin_eval",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        a AS (SELECT * FROM e WHERE vec_id < {TRIPLET_ANCHORS}),
+        best AS (
+            SELECT a.vec_id,
+                   max(CASE WHEN b.label = a.label
+                       THEN list_cosine_similarity(a.emb, b.emb) END)
+                       AS bp,
+                   max(CASE WHEN b.label <> a.label
+                       THEN list_cosine_similarity(a.emb, b.emb) END)
+                       AS bn
+            FROM a JOIN e b ON b.vec_id <> a.vec_id
+            GROUP BY 1
+        )
+        SELECT vec_id AS anchor_id,
+               CAST(floor(bp * 1000000 + 0.5) AS BIGINT) AS best_pos_e6,
+               CAST(floor(bn * 1000000 + 0.5) AS BIGINT) AS best_neg_e6,
+               CAST(floor((bp - bn) * 1000000 + 0.5) AS BIGINT)
+                   AS margin_e6,
+               bp - bn < 0.0 AS violated
+        FROM best
+    """,
+)
+def embedding_triplet_margin_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triplet-margin QA for the embedding space: per anchor, the best
+    SAME-label cosine (hardest positive achievable) vs the best
+    OTHER-label cosine (hardest negative) — a NEGATIVE margin means
+    some wrong-label vector sits closer than every right-label one,
+    i.e. a 1-NN classifier misfires there (the per-anchor drill-down
+    under `embedding_knn_label_confusion`, and the evaluation side of
+    `hard_negative_mining`). Both branches populated: this corpus's
+    margins span −0.18..+0.04 at sf0.01.
+
+    Max-cosine per (anchor, side) from engine-identical doubles;
+    margins floored to 1e-6; the violation flag is a sign test.
+
+    Scale: anchors broadcast against the corpus (the batch-top-k
+    shape); one grouped aggregate per anchor — never corpus × corpus.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("aemb"),
+    )
+    cos = cosine_similarity(F.col("aemb"), F.col("embedding"))
+    best = (
+        emb.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .groupBy("anchor_id")
+        .agg(
+            F.max(
+                F.when(F.col("label") == F.col("alabel"), cos)
+            ).alias("bp"),
+            F.max(
+                F.when(F.col("label") != F.col("alabel"), cos)
+            ).alias("bn"),
+        )
+    )
+    return best.select(
+        "anchor_id",
+        F.floor(F.col("bp") * 1000000 + 0.5).cast("long").alias(
+            "best_pos_e6"
+        ),
+        F.floor(F.col("bn") * 1000000 + 0.5).cast("long").alias(
+            "best_neg_e6"
+        ),
+        F.floor((F.col("bp") - F.col("bn")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("margin_e6"),
+        (F.col("bp") - F.col("bn") < 0.0).alias("violated"),
+    )
