@@ -5159,3 +5159,104 @@ def embedding_triplet_margin_eval(
         .alias("margin_e6"),
         (F.col("bp") - F.col("bn") < 0.0).alias("violated"),
     )
+
+
+MARKOV_TRAIN_LAST_DAY = 20  # days 1-20 train, 21+ evaluate
+
+
+@query(
+    "markov_next_event_accuracy_eval",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ),
+        train AS (
+            SELECT prev, event_type AS nxt, count(*) AS c
+            FROM seq
+            WHERE prev IS NOT NULL
+              AND day(ts) <= {MARKOV_TRAIN_LAST_DAY}
+            GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT prev, nxt AS predicted FROM (
+                SELECT prev, nxt,
+                       row_number() OVER (
+                           PARTITION BY prev ORDER BY c DESC, nxt
+                       ) AS rn
+                FROM train
+            ) WHERE rn = 1
+        ),
+        test AS (
+            SELECT s.prev, s.event_type AS actual
+            FROM seq s
+            WHERE s.prev IS NOT NULL
+              AND day(s.ts) > {MARKOV_TRAIN_LAST_DAY}
+        )
+        SELECT count(*) AS n_test,
+               CAST(sum(CASE WHEN t.actual = p.predicted
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN t.actual = p.predicted
+                    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*)
+                   AS accuracy_bp
+        FROM test t JOIN pred p ON t.prev = p.prev
+    """,
+)
+def markov_next_event_accuracy_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Held-out evaluation of the first-order Markov next-event model:
+    transitions from days 1-{MARKOV_TRAIN_LAST_DAY} train the
+    argmax-next predictor (`markov_event_transitions` is the model;
+    this is its honest accuracy number), transitions whose TARGET
+    falls after the cutoff score it — temporal splitting, the only
+    split that doesn't leak future behavior into the table. Integer
+    counts, argmax with event-name tie-break, accuracy in exact bp.
+
+    Scale: the sequence lag partitions per user; the model is
+    |event_types|² rows (broadcast); the eval is one join + counting.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as _W
+
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type")
+        .over(_W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    from ..functions.caching import scoped_persist
+
+    seq = scoped_persist(seq)
+    train = (
+        seq.filter(F.dayofmonth("ts") <= MARKOV_TRAIN_LAST_DAY)
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count("*").alias("c"))
+    )
+    rn = F.row_number().over(
+        _W.partitionBy("prev").orderBy(F.col("c").desc(), F.col("nxt"))
+    )
+    pred = (
+        train.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    test = seq.filter(
+        F.dayofmonth("ts") > MARKOV_TRAIN_LAST_DAY
+    ).select("prev", F.col("event_type").alias("actual"))
+    hit = F.sum(
+        F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0)
+    ).cast("long")
+    return test.join(F.broadcast(pred), "prev").agg(
+        F.count("*").alias("n_test"),
+        hit.alias("n_correct"),
+        F.expr(
+            "CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)"
+            " AS BIGINT) * 10000 div count(*)"
+        ).alias("accuracy_bp"),
+    )
