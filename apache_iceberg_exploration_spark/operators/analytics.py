@@ -5260,3 +5260,74 @@ def markov_next_event_accuracy_eval(
             " AS BIGINT) * 10000 div count(*)"
         ).alias("accuracy_bp"),
     )
+
+
+@query(
+    "pricing_discount_elasticity",
+    oracle="""
+        WITH u AS (
+            SELECT p.p_brand,
+                   CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS d,
+                   CAST(l.l_quantity AS BIGINT) AS q
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        mom AS (
+            SELECT p_brand, count(*) AS n,
+                   sum(CAST(d AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(q AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(d AS DECIMAL(38,0)) * d) AS sxx,
+                   sum(CAST(d AS DECIMAL(38,0)) * q) AS sxy
+            FROM u GROUP BY 1
+        )
+        SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+               CAST(floor(
+                   (n * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT)
+                   AS qty_per_disc_pt_e6
+        FROM mom
+    """,
+)
+def pricing_discount_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discount elasticity per brand: the least-squares slope of
+    ordered QUANTITY on DISCOUNT POINTS — does a deeper discount move
+    volume for this brand, and by how many units per point? The
+    pricing-analytics read on data the engine already has, via the
+    exact-DECIMAL-moment regression (`stats_correlation_matrix_exact`
+    discipline — discount in integer points, quantity integer, four
+    exact moments per brand, slope through one identical double
+    expression in 1e-6 units).
+
+    Scale: broadcast part-dimension join + one constant-state moment
+    aggregate per brand; |brands| rows out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    u = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    dec = "decimal(38,0)"
+    mom = u.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("d").cast(dec)).alias("sx"),
+        F.sum(F.col("q").cast(dec)).alias("sy"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).alias("sxx"),
+        F.sum(F.col("d").cast(dec) * F.col("q")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return mom.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.floor(slope * 1000000 + 0.5).cast("long").alias(
+            "qty_per_disc_pt_e6"
+        ),
+    )
