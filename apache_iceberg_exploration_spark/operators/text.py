@@ -1689,3 +1689,65 @@ def text_lexical_diversity_by_source(
             " * 10000 div count(*)"
         ).alias("hapax_bp"),
     )
+
+
+@query(
+    "text_language_id_confusion_eval",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS words
+                     FROM documents),
+        pred AS (
+            SELECT lang AS actual_lang,
+                   CASE
+                     {' '.join(f"WHEN {_hits_sql(m)} >= GREATEST({', '.join(_hits_sql(m2) for l2, m2 in sorted(_LANG_MARKERS.items()) if l2 != l)}) AND {_hits_sql(m)} > 0 THEN '{l}'" for l, m in sorted(_LANG_MARKERS.items()))}
+                     ELSE 'und'
+                   END AS predicted_lang
+            FROM tok
+        ),
+        cells AS (
+            SELECT actual_lang, predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pred GROUP BY 1, 2
+        ),
+        rows_t AS (
+            SELECT actual_lang, CAST(sum(n) AS BIGINT) AS row_n
+            FROM cells GROUP BY 1
+        )
+        SELECT c.actual_lang, c.predicted_lang, c.n,
+               c.n * 10000 // r.row_n AS row_share_bp,
+               c.actual_lang = c.predicted_lang AS is_correct
+        FROM cells c JOIN rows_t r ON c.actual_lang = r.actual_lang
+    """,
+)
+def text_language_id_confusion_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    corpus's GROUND-TRUTH lang column — the honest-accuracy pairing
+    for `text_language_id` (the same pattern as the Markov and
+    recall evals: every heuristic ships with its measured error).
+    Diagonal cells carry per-language recall in integer bp
+    (row-share of the correct cell); off-diagonal cells localize the
+    confusions (which marker sets collide).
+
+    Scale: the per-doc prediction is row-local array ops (no
+    shuffle); the matrix is a ≤(|langs|+1)² keyed aggregate.
+    """
+    pred = text_language_id(spark, sf_dir).select(
+        "actual_lang", "predicted_lang"
+    )
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rows_t = cells.groupBy("actual_lang").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return cells.join(F.broadcast(rows_t), "actual_lang").select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.expr("n * 10000 div row_n").alias("row_share_bp"),
+        (F.col("actual_lang") == F.col("predicted_lang")).alias(
+            "is_correct"
+        ),
+    )
