@@ -2324,6 +2324,88 @@ class LakehouseTable:
 
         return self._commit_rmw(compute)
 
+    def overwrite_partitions_dynamic(self, df: DataFrame) -> dict:
+        """DYNAMIC partition overwrite (Spark's
+        ``partitionOverwriteMode=dynamic`` / Iceberg's dynamic
+        INSERT OVERWRITE): replace exactly the partitions PRESENT in
+        ``df`` — inferred from the data, no predicate to write — and
+        carry every other partition untouched. The idempotent
+        re-materialization primitive when the job knows which slices
+        it recomputed only by what it produced.
+
+        Requires a partitioned table; files WITHOUT a recorded
+        partition tuple (written before the table adopted its spec)
+        cannot be attributed to a partition and make the operation
+        refuse loudly (compact with ``rewrite_small_files`` — which
+        re-lays-out by spec — first) rather than silently leaving
+        stale rows in a "replaced" partition.
+
+        Scale: new data is written once (partition-laid-out, hash
+        distribution); the commit drops old files by TUPLE match —
+        O(affected partitions' files) metadata, no data read."""
+        base_manifest = self._read_manifest(self.current_version())
+        specs = base_manifest.get("partition_specs")
+        if not specs:
+            raise ValueError(
+                "overwrite_partitions_dynamic requires a partitioned "
+                "table (no partition spec recorded)"
+            )
+        spec_strs = [PartitionSpec(**d).spec_str for d in specs]
+        self._enforce_constraints(df)
+        _, new_files = self._write_data_files(
+            df, partition_by=spec_strs, distribution="hash"
+        )
+        new_stats = self._collect_file_stats(new_files)
+        new_parts = self._file_partitions(new_files)
+        affected = {tuple(sorted(v.items())) for v in new_parts.values()}
+
+        def compute(base: int) -> tuple[dict, list[str]]:
+            manifest = self._read_manifest(base)
+            parts = manifest.get("partitions", {})
+            unattributed = [
+                f for f in manifest["files"] if f not in parts
+            ]
+            if unattributed:
+                raise ValueError(
+                    "dynamic overwrite refused: "
+                    f"{len(unattributed)} data files carry no partition "
+                    "tuple (pre-spec writes); compact first so every "
+                    "file is attributable"
+                )
+            removed = {
+                f
+                for f in manifest["files"]
+                if tuple(sorted(parts[f].items())) in affected
+            }
+            carried = [f for f in manifest["files"] if f not in removed]
+            old_stats = manifest.get("stats", {})
+            old_seq = manifest.get("file_seq", {})
+            return self._snapshot(
+                "overwrite-dynamic",
+                carried + new_files,
+                base,
+                schema_json=manifest.get("schema"),
+                stats={
+                    **{f: old_stats[f] for f in carried if f in old_stats},
+                    **new_stats,
+                },
+                file_seq={
+                    **{f: old_seq.get(f, 0) for f in carried},
+                    **{f: base + 1 for f in new_files},
+                },
+                delete_files=manifest.get("delete_files", []),
+                partition_specs=specs,
+                partitions={
+                    **{f: parts[f] for f in carried},
+                    **new_parts,
+                },
+                added=len(new_files),
+                replaced_partitions=len(affected),
+                removed=len(removed),
+            ), []
+
+        return self._commit_rmw(compute)
+
     def overwrite_where(
         self,
         df: DataFrame,

@@ -3118,3 +3118,44 @@ def test_expire_snapshots_older_than_timestamp(spark, table):
         keep_last=1, older_than_ts=_time.time() + 10
     ) == [3]
     assert table.read().count() == cust.count()
+
+def test_dynamic_partition_overwrite_replaces_present_partitions(
+    spark, tmp_path
+):
+    """Dynamic INSERT OVERWRITE: partitions inferred from the incoming
+    data replace their old contents; absent partitions carry; rerun is
+    idempotent; unattributable (pre-spec) files refuse loudly."""
+    import pytest
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t.overwrite(
+        cust, partition_by=["c_mktsegment"], distribution="hash"
+    )
+    before = {
+        r.c_mktsegment: r.n
+        for r in t.read().groupBy("c_mktsegment").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # replace ONLY the BUILDING partition with a halved slice
+    repl = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 2 == 0)
+    )
+    n_repl = repl.count()
+    t.overwrite_partitions_dynamic(repl)
+    after = {
+        r.c_mktsegment: r.n
+        for r in t.read().groupBy("c_mktsegment").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert after.pop("BUILDING") == n_repl
+    assert after == {k: v for k, v in before.items() if k != "BUILDING"}
+    # idempotent rerun
+    t.overwrite_partitions_dynamic(repl)
+    assert t.read().filter("c_mktsegment = 'BUILDING'").count() == n_repl
+    # unattributable files refuse: append without partition layout
+    t.append(cust.filter(F.col("c_custkey") < 5).repartition(1))
+    with pytest.raises(ValueError, match="no partition tuple"):
+        t.overwrite_partitions_dynamic(repl)
