@@ -2628,3 +2628,73 @@ def lakehouse_incremental_join_mv_refresh(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_dynamic_partition_overwrite",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer
+        ),
+        repl AS (
+            SELECT c_custkey, c_mktsegment, cents + 999 AS cents
+            FROM base
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+        ),
+        final AS (
+            SELECT * FROM base WHERE c_mktsegment <> 'BUILDING'
+            UNION ALL
+            SELECT * FROM repl
+        )
+        SELECT c_mktsegment, count(*) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS bal_cents
+        FROM final GROUP BY c_mktsegment
+    """,
+)
+def lakehouse_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite end-to-end: a segment-partitioned
+    table takes `overwrite_partitions_dynamic` with a corrected slice
+    of ONE partition — that partition's contents are replaced entirely
+    (including rows the slice dropped), every other partition carries
+    by path, and the oracle reconstructs the exact final state. The
+    no-predicate sibling of `lakehouse_replace_where_backfill`: the
+    job declares what it recomputed by what it produced.
+
+    Scale: metadata-only drop of the affected partitions' files +
+    partition-laid-out write of the new slice; untouched partitions
+    cost nothing.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        tbl.overwrite(
+            cust, partition_by=["c_mktsegment"], distribution="hash"
+        )
+        tbl.overwrite_partitions_dynamic(
+            cust.filter(
+                (F.col("c_mktsegment") == "BUILDING")
+                & (F.col("c_custkey") % 2 == 0)
+            ).withColumn("cents", F.col("cents") + 999)
+        )
+        out = (
+            tbl.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").cast("long").alias("bal_cents"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
