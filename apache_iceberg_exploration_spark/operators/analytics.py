@@ -5331,3 +5331,100 @@ def pricing_discount_elasticity(
             "qty_per_disc_pt_e6"
         ),
     )
+
+
+MDE_Z = "2.8016"  # z_{α/2}=1.9600 + z_{power=0.8}=0.8416
+
+
+@query(
+    "ab_minimum_detectable_effect",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY user_id
+        ),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   sum(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+            FROM per_user
+        )
+        SELECT n AS n_users,
+               s // n AS mean_cents,
+               CAST(floor(sqrt((n * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s) / (n * (n - 1.0)))
+                    * 100 + 0.5) AS BIGINT) AS sd_ccents,
+               CAST(floor({MDE_Z}::DOUBLE
+                    * sqrt((n * CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * s) / (n * (n - 1.0)))
+                    * sqrt(2.0::DOUBLE / (n // 2)) * 100 + 0.5)
+                    AS BIGINT) AS mde_ccents,
+               CAST(floor({MDE_Z}::DOUBLE
+                    * sqrt((n * CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * s) / (n * (n - 1.0)))
+                    * sqrt(2.0::DOUBLE / (n // 2))
+                    / (CAST(s AS DOUBLE) / n) * 10000 + 0.5)
+                    AS BIGINT) AS mde_rel_bp
+        FROM mom
+    """,
+)
+def ab_minimum_detectable_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Experiment POWER ANALYSIS: the minimum detectable effect on
+    per-user purchase value if the current population split 50/50 —
+    MDE = (z_{{α/2}} + z_{{power}})·σ·√(2/n_arm) at α=0.05, power=0.8.
+    The design-side member of the experimentation set (CUPED and DiD
+    analyze a finished experiment; this says whether the experiment is
+    WORTH RUNNING at the available sample size — the question skipped
+    before every underpowered test). Absolute MDE in centi-cents and
+    relative MDE in bp of the mean.
+
+    σ from exact integer/DECIMAL moments (sample variance via
+    n·Σx²−(Σx)²); z-constants baked as shared literals; one identical
+    double expression end-to-end.
+
+    Scale: one per-user aggregation + a constant-state moment
+    aggregate — power analysis at any SF costs a sum.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ss"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(
+        (F.col("n") * F.col("ss").cast("double")
+         - F.col("s").cast("double") * F.col("s"))
+        / (F.col("n") * (nd - 1.0))
+    )
+    mde = (
+        F.lit(float(MDE_Z))
+        * sd
+        * F.sqrt(F.lit(2.0) / F.expr("n div 2"))
+    )
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.expr("s div n").alias("mean_cents"),
+        F.floor(sd * 100 + 0.5).cast("long").alias("sd_ccents"),
+        F.floor(mde * 100 + 0.5).cast("long").alias("mde_ccents"),
+        F.floor(
+            mde / (F.col("s").cast("double") / F.col("n")) * 10000 + 0.5
+        )
+        .cast("long")
+        .alias("mde_rel_bp"),
+    )
