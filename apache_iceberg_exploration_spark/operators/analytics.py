@@ -5428,3 +5428,115 @@ def ab_minimum_detectable_effect(
         .cast("long")
         .alias("mde_rel_bp"),
     )
+
+
+NEYMAN_BUDGET = 1000  # total sample budget to allocate
+
+
+@query(
+    "sampling_neyman_allocation",
+    oracle=f"""
+        WITH s AS (
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS nh,
+                   CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sx,
+                   sum(CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS DECIMAL(38,0))
+                       * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                       AS sxx
+            FROM customer GROUP BY 1
+        ),
+        w AS (
+            SELECT c_mktsegment, nh, sx, sxx,
+                   CAST(round(nh * sqrt((nh * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * sx)
+                             / (nh * (nh - 1.0))), 4)
+                        AS DECIMAL(38,4)) AS nh_sd
+            FROM s
+        ),
+        tot AS (
+            SELECT CAST(sum(nh) AS BIGINT) AS n_total,
+                   CAST(sum(nh_sd) AS DOUBLE) AS sum_nh_sd
+            FROM w
+        )
+        SELECT w.c_mktsegment, w.nh,
+               CAST(floor(sqrt((w.nh * CAST(w.sxx AS DOUBLE)
+                    - CAST(w.sx AS DOUBLE) * w.sx)
+                    / (w.nh * (w.nh - 1.0))) * 100 + 0.5) AS BIGINT)
+                   AS sd_ccents,
+               CAST(floor({NEYMAN_BUDGET}
+                    * CAST(w.nh_sd AS DOUBLE) / tot.sum_nh_sd
+                    + 0.5) AS BIGINT) AS neyman_n,
+               CAST(floor({NEYMAN_BUDGET}
+                    * (CAST(w.nh AS DOUBLE) / tot.n_total) + 0.5)
+                    AS BIGINT) AS proportional_n
+        FROM w, tot
+    """,
+)
+def sampling_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman OPTIMAL allocation for stratified sampling: a fixed
+    budget of {NEYMAN_BUDGET} samples split across market segments
+    ∝ N_h·σ_h — high-variance strata earn more than their population
+    share, which is exactly where proportional allocation (the
+    `stratified_sample_per_lang` policy) wastes budget. Reported
+    side-by-side with the proportional split so the reallocation is
+    visible; the design input to any audit/labeling-budget decision.
+
+    σ_h from exact integer/DECIMAL per-stratum moments; the two
+    allocations derive from identical double expressions; the N_h·σ_h
+    terms are round4+DECIMAL-summed (associative — no float-order
+    hazard at any stratum count).
+
+    Scale: one keyed moment aggregate; |strata| rows.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    s = cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sxx"
+        ),
+    )
+    sd = F.sqrt(
+        (
+            F.col("nh") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / (F.col("nh") * (F.col("nh").cast("double") - 1.0))
+    )
+    w = s.withColumn(
+        "nh_sd",
+        F.round(F.col("nh") * sd, 4).cast("decimal(38,4)"),
+    )
+    from ..functions.caching import scoped_persist
+
+    w = scoped_persist(w)
+    tot = w.agg(
+        F.sum("nh").cast("long").alias("n_total"),
+        F.sum("nh_sd").cast("double").alias("sum_nh_sd"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "nh",
+        F.floor(sd * 100 + 0.5).cast("long").alias("sd_ccents"),
+        F.floor(
+            NEYMAN_BUDGET * F.col("nh_sd").cast("double")
+            / F.col("sum_nh_sd")
+            + 0.5
+        )
+        .cast("long")
+        .alias("neyman_n"),
+        F.floor(
+            NEYMAN_BUDGET
+            * (F.col("nh").cast("double") / F.col("n_total"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("proportional_n"),
+    )
