@@ -5540,3 +5540,79 @@ def sampling_neyman_allocation(
         .cast("long")
         .alias("proportional_n"),
     )
+
+
+BEHAVIOR_ENTROPY_BAR_E6 = 2_000_000  # bits ×1e6; max for 5 types ≈ 2.32
+
+
+@query(
+    "behavior_entropy_segments",
+    oracle=f"""
+        WITH c AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT user_id, CAST(sum(k) AS BIGINT) AS n,
+                   count(*) AS n_types
+            FROM c GROUP BY 1
+        ),
+        terms AS (
+            SELECT c.user_id,
+                   CAST(round(-(CAST(c.k AS DOUBLE) / t.n)
+                        * log2(CAST(c.k AS DOUBLE) / t.n), 9)
+                        AS DECIMAL(18,9)) AS term
+            FROM c JOIN t ON c.user_id = t.user_id
+        ),
+        h AS (
+            SELECT user_id, sum(term) AS ent FROM terms GROUP BY 1
+        )
+        SELECT t.user_id, t.n AS n_events,
+               CAST(t.n_types AS BIGINT) AS n_types,
+               CAST(floor(CAST(h.ent AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS entropy_e6,
+               CASE WHEN CAST(floor(CAST(h.ent AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT)
+                         >= {BEHAVIOR_ENTROPY_BAR_E6}
+                    THEN 'explorer' ELSE 'specialist' END AS segment
+        FROM t JOIN h ON t.user_id = h.user_id
+    """,
+)
+def behavior_entropy_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral-entropy segmentation: Shannon entropy of each user's
+    event-type mix — near-uniform users ('explorers', H → log₂5) vs
+    users concentrated in few actions ('specialists') — the
+    engagement-breadth axis RFM's depth metrics miss. Entropy terms
+    −p·log₂p round9+DECIMAL-summed per user (the char-entropy
+    discipline); the band threshold compares post-floor integers, both
+    segments populated at sf0.01.
+
+    Scale: (user, type) keyed aggregate (≤5 rows per user), per-user
+    DECIMAL sum — no windows, no collection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("k").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    terms = c.join(t, "user_id").select(
+        "user_id",
+        F.round(-p * F.log2(p), 9).cast("decimal(18,9)").alias("term"),
+    )
+    h = terms.groupBy("user_id").agg(F.sum("term").alias("ent"))
+    e6 = F.floor(F.col("ent").cast("double") * 1000000 + 0.5).cast("long")
+    return t.join(h, "user_id").select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        e6.alias("entropy_e6"),
+        F.when(e6 >= BEHAVIOR_ENTROPY_BAR_E6, "explorer")
+        .otherwise("specialist")
+        .alias("segment"),
+    )
