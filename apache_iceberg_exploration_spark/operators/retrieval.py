@@ -1326,3 +1326,114 @@ def bm25_prf_expansion_topk(
             F.round(F.col("t").cast("double"), 6).alias("prf_score"),
         )
     )
+
+
+LMD_MU = 2000  # Dirichlet smoothing mass (the Lucene default)
+
+
+@query(
+    "lm_dirichlet_retrieval_topk",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE doc_id <> {QUERY_VEC_ID}
+        ),
+        tok2 AS MATERIALIZED (
+            SELECT doc_id, word FROM tok WHERE word <> ''
+        ),
+        dl_t AS MATERIALIZED (
+            SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1
+        ),
+        corpus AS (
+            SELECT CAST(sum(dl) AS BIGINT) AS total FROM dl_t
+        ),
+        ctf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cf
+            FROM tok2 WHERE word IN ({_TERMS_SQL}) GROUP BY 1
+        ),
+        tf_t AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM tok2 WHERE word IN ({_TERMS_SQL}) GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT l.doc_id,
+                   sum(CAST(round(ln(
+                       (coalesce(t.tf, 0) + {LMD_MU}.0
+                        * (c.cf / CAST(co.total AS DOUBLE)))
+                       / (l.dl + {LMD_MU}.0)), 9)
+                       AS DECIMAL(18,9))) AS ql
+            FROM dl_t l
+            CROSS JOIN ctf c
+            CROSS JOIN corpus co
+            LEFT JOIN tf_t t ON t.doc_id = l.doc_id AND t.word = c.word
+            GROUP BY 1
+        )
+        SELECT doc_id, round(CAST(ql AS DOUBLE), 6) AS ql_score
+        FROM scored
+        ORDER BY ql DESC, doc_id
+        LIMIT {BM25_TOP_K}
+    """,
+)
+def lm_dirichlet_retrieval_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (μ=
+    {LMD_MU}, the Lucene LMDirichletSimilarity default) — the language-
+    modeling scorer next to BM25: each document is scored by the log
+    probability its smoothed unigram LM assigns the query, Σ_w log((tf
+    + μ·P_corpus(w)) / (dl + μ)). Unlike BM25, ABSENT query terms
+    still contribute (the smoothed background mass), so every document
+    is scored — the grid is doc × query-term with a LEFT join on tf.
+
+    Per-term log-probs round9+DECIMAL-summed; corpus term frequencies
+    and doc lengths are exact integers; same fixed query terms as the
+    BM25 arm so the two scorers are directly comparable.
+
+    Scale: the doc×term grid is |docs|×3 rows (the query's terms, not
+    the vocabulary) with the term stats broadcast; one keyed sum; the
+    top-k plans as TakeOrdered.
+    """
+    from ..functions.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") != QUERY_VEC_ID
+    )
+    tok2 = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        ).filter(F.col("word") != "")
+    )
+    dl = scoped_persist(tok2.groupBy("doc_id").agg(F.count("*").alias("dl")))
+    total = int(dl.agg(F.sum("dl")).first()[0])
+    qt = tok2.filter(F.col("word").isin(*BM25_TERMS))
+    ctf = qt.groupBy("word").agg(F.count("*").cast("long").alias("cf"))
+    tf = qt.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    grid = (
+        dl.crossJoin(F.broadcast(ctf))
+        .join(F.broadcast(tf), ["doc_id", "word"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0))
+                        + float(LMD_MU)
+                        * (F.col("cf") / F.lit(float(total)))
+                    )
+                    / (F.col("dl") + float(LMD_MU))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    scored = grid.groupBy("doc_id").agg(F.sum("lp").alias("ql"))
+    return (
+        scored.orderBy(F.col("ql").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+        .select(
+            "doc_id",
+            F.round(F.col("ql").cast("double"), 6).alias("ql_score"),
+        )
+    )
