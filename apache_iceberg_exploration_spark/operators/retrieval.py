@@ -1437,3 +1437,110 @@ def lm_dirichlet_retrieval_topk(
             F.round(F.col("ql").cast("double"), 6).alias("ql_score"),
         )
     )
+
+
+@query(
+    "retrieval_scorer_rank_agreement",
+    oracle=f"""
+        WITH {_BM25_CTE},
+        b_rank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+            FROM sparse
+        ),
+        tok2q AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        dlq AS (SELECT doc_id, count(*) AS dl FROM tok2q GROUP BY 1),
+        corpus2 AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM dlq),
+        ctf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cf
+            FROM tok2q WHERE word IN ({_TERMS_SQL}) GROUP BY 1
+        ),
+        tfq AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM tok2q WHERE word IN ({_TERMS_SQL}) GROUP BY 1, 2
+        ),
+        ql AS (
+            SELECT l.doc_id,
+                   sum(CAST(round(ln(
+                       (coalesce(t.tf, 0) + {LMD_MU}.0
+                        * (c.cf / CAST(co.total AS DOUBLE)))
+                       / (l.dl + {LMD_MU}.0)), 9)
+                       AS DECIMAL(18,9))) AS s
+            FROM dlq l CROSS JOIN ctf c CROSS JOIN corpus2 co
+            LEFT JOIN tfq t ON t.doc_id = l.doc_id AND t.word = c.word
+            GROUP BY 1
+        ),
+        q_rank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY s DESC, doc_id) AS rq
+            FROM ql
+        ),
+        common AS (
+            SELECT b.doc_id, b.rb, q.rq
+            FROM (SELECT * FROM b_rank WHERE rb <= {BM25_TOP_K}) b
+            JOIN (SELECT * FROM q_rank WHERE rq <= {BM25_TOP_K}) q
+              ON b.doc_id = q.doc_id
+        ),
+        pairs AS (
+            SELECT CASE WHEN (a.rb - b.rb) * (a.rq - b.rq) > 0
+                        THEN 1 ELSE 0 END AS conc
+            FROM common a JOIN common b ON a.doc_id < b.doc_id
+        )
+        SELECT count(*) AS n_pairs,
+               CAST(sum(conc) AS BIGINT) AS concordant,
+               (2 * CAST(sum(conc) AS BIGINT) - count(*)) * 10000
+                   // count(*) AS kendall_tau_bp
+        FROM pairs
+    """,
+)
+def retrieval_scorer_rank_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall-τ rank agreement between the two sparse scorers (BM25
+    vs query-likelihood Dirichlet) over BM25's top-{BM25_TOP_K}: the
+    eval that says whether swapping similarity functions would
+    actually reorder results — low τ means the choice matters and a
+    fusion (RRF) earns its keep; high τ means pick the cheaper one.
+    Concordant-pair counting on exact integer ranks; τ in exact
+    integer bp ((2C − n) div n).
+
+    Scale: both scorers are the query-term-filtered shapes; the pair
+    comparison is top-k × top-k (budget-bounded, ≤190 pairs).
+    """
+    from pyspark.sql.window import Window as _W
+
+    # ranking windows run over the two TOP-K results (k rows — bounded
+    # by the retrieval budget, never by the corpus)
+    bm = bm25_sparse_retrieval_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(_W.orderBy(F.col("bm25_score").desc(), "doc_id"))
+        .alias("rb"),
+    )
+    qlr = lm_dirichlet_retrieval_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(_W.orderBy(F.col("ql_score").desc(), "doc_id"))
+        .alias("rq"),
+    )
+    common = bm.join(qlr, "doc_id")
+    a, b = common.alias("a"), common.alias("b")
+    conc = F.when(
+        (F.col("a.rb") - F.col("b.rb")) * (F.col("a.rq") - F.col("b.rq"))
+        > 0,
+        1,
+    ).otherwise(0)
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(conc).cast("long").alias("concordant"),
+        )
+        .select(
+            "n_pairs",
+            "concordant",
+            F.expr(
+                "(2 * concordant - n_pairs) * 10000 div n_pairs"
+            ).alias("kendall_tau_bp"),
+        )
+    )
