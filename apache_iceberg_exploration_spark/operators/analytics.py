@@ -5616,3 +5616,118 @@ def behavior_entropy_segments(
         .otherwise("specialist")
         .alias("segment"),
     )
+
+
+DRIFT_COS_BAR_E6 = 995_000  # cos(old, new centroid) below this ⇒ drift
+
+
+@query(
+    "embedding_drift_centroid_shift",
+    oracle=f"""
+        WITH half AS (
+            SELECT label, vec_id,
+                   vec_id % 2 AS h,
+                   CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT label, h, i.i AS dim,
+                   CAST(round(emb[CAST(i.i AS INTEGER)], 9)
+                        AS DECIMAL(18,9)) AS v
+            FROM half, UNNEST(range(1, 65)) AS i(i)
+        ),
+        cent AS (
+            SELECT label, h, dim,
+                   CAST(sum(v) AS DOUBLE) / count(*) AS c
+            FROM comp GROUP BY 1, 2, 3
+        ),
+        pairs AS (
+            SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+            FROM cent a JOIN cent b
+              ON a.label = b.label AND a.dim = b.dim
+             AND a.h = 0 AND b.h = 1
+        ),
+        dots AS (
+            SELECT label,
+                   sum(CAST(round(ca * cb, 9) AS DECIMAL(18,9))) AS ab,
+                   sum(CAST(round(ca * ca, 9) AS DECIMAL(18,9))) AS aa,
+                   sum(CAST(round(cb * cb, 9) AS DECIMAL(18,9))) AS bb
+            FROM pairs GROUP BY 1
+        )
+        SELECT label,
+               CAST(floor(CAST(ab AS DOUBLE)
+                    / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS centroid_cos_e6,
+               CAST(floor(CAST(ab AS DOUBLE)
+                    / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) < {DRIFT_COS_BAR_E6}
+                   AS drifted
+        FROM dots
+    """,
+)
+def embedding_drift_centroid_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the cosine
+    between the class centroid of one half of the corpus (even
+    vec_ids, standing in for "the embeddings we indexed last month")
+    and the other half ("this month's") — the cheap first alarm that
+    an encoder change or data shift moved the space and the ANN index
+    / classifier thresholds need revisiting. PSI watches scalar
+    columns; this is its vector-column sibling.
+
+    Exactness: per-component sums are round9+DECIMAL (float32 inputs
+    widen exactly; centroid = exact-decimal sum / integer count), and
+    the centroid dot products are themselves round9+DECIMAL-summed —
+    no float-order hazard at either aggregation level.
+
+    Scale: the component explode is rows×64 but collapses immediately
+    through a map-side-combinable (label, half, dim) aggregate; the
+    cosine runs on |labels|×64 rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    comp = half.select(
+        "label",
+        "h",
+        "dim",
+        F.round(F.col("v"), 9).cast("decimal(18,9)").alias("v"),
+    )
+    cent = comp.groupBy("label", "h", "dim").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("c")
+    )
+    a = cent.filter(F.col("h") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("h") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    pairs = a.join(b, ["label", "dim"])
+    dots = pairs.groupBy("label").agg(
+        F.sum(
+            F.round(F.col("ca") * F.col("cb"), 9).cast("decimal(18,9)")
+        ).alias("ab"),
+        F.sum(
+            F.round(F.col("ca") * F.col("ca"), 9).cast("decimal(18,9)")
+        ).alias("aa"),
+        F.sum(
+            F.round(F.col("cb") * F.col("cb"), 9).cast("decimal(18,9)")
+        ).alias("bb"),
+    )
+    cos_e6 = F.floor(
+        F.col("ab").cast("double")
+        / F.sqrt(F.col("aa").cast("double") * F.col("bb").cast("double"))
+        * 1000000
+        + 0.5
+    ).cast("long")
+    return dots.select(
+        "label",
+        cos_e6.alias("centroid_cos_e6"),
+        (cos_e6 < DRIFT_COS_BAR_E6).alias("drifted"),
+    )
