@@ -5731,3 +5731,94 @@ def embedding_drift_centroid_shift(
         cos_e6.alias("centroid_cos_e6"),
         (cos_e6 < DRIFT_COS_BAR_E6).alias("drifted"),
     )
+
+
+@query(
+    "embedding_isotropy_index",
+    oracle="""
+        WITH comp AS (
+            SELECT i.i AS dim,
+                   CAST(round(CAST(embedding AS DOUBLE[])
+                        [CAST(i.i AS INTEGER)], 9) AS DECIMAL(18,9))
+                       AS v
+            FROM embeddings, UNNEST(range(1, 65)) AS i(i)
+        ),
+        n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        cent AS (
+            SELECT dim, CAST(sum(v) AS DOUBLE) AS sv,
+                   sum(CAST(round(CAST(v AS DOUBLE)
+                       * CAST(v AS DOUBLE), 9) AS DECIMAL(18,9))) AS svv
+            FROM comp GROUP BY dim
+        ),
+        agg AS (
+            SELECT sum(CAST(round((sv / n.n) * (sv / n.n), 9)
+                       AS DECIMAL(18,9))) AS mu2,
+                   CAST(sum(svv) AS DOUBLE) / n.n AS ex2,
+                   n.n
+            FROM cent, n_t n GROUP BY n.n
+        )
+        SELECT n AS n_vectors,
+               CAST(floor(CAST(mu2 AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS mean_norm2_e6,
+               CAST(floor(ex2 * 1000000 + 0.5) AS BIGINT)
+                   AS avg_norm2_e6,
+               CAST(floor((1.0 - CAST(mu2 AS DOUBLE) / ex2) * 1000000
+                    + 0.5) AS BIGINT) AS isotropy_e6
+        FROM agg
+    """,
+)
+def embedding_isotropy_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotropy index of the embedding space: 1 − ‖μ‖²/E[‖x‖²] — the
+    fraction of vector energy NOT explained by the common mean
+    direction. Transformer embeddings are notoriously anisotropic
+    (a dominant shared direction inflates all cosines and flattens
+    retrieval contrast); this one-pass index is the health check run
+    before trusting cosine thresholds, and the before/after metric
+    for mean-centering or whitening fixes. Near 1 = healthy, low =
+    collapsed.
+
+    Exactness: component sums, squared-component sums, and the
+    per-dimension μ² terms are all round9+DECIMAL-summed — three
+    nested aggregates, zero float-order hazard.
+
+    Scale: one rows×64 explode collapsing into a 64-row per-dimension
+    aggregate; the index is a constant-size reduction of that.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    ).select(
+        "dim", F.round(F.col("v"), 9).cast("decimal(18,9)").alias("v")
+    )
+    n = emb.count()
+    cent = comp.groupBy("dim").agg(
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(
+            F.round(
+                F.col("v").cast("double") * F.col("v").cast("double"), 9
+            ).cast("decimal(18,9)")
+        ).alias("svv"),
+    )
+    agg = cent.agg(
+        F.sum(
+            F.round(
+                (F.col("sv") / n) * (F.col("sv") / n), 9
+            ).cast("decimal(18,9)")
+        ).alias("mu2"),
+        (F.sum("svv").cast("double") / n).alias("ex2"),
+    )
+    mu2d = F.col("mu2").cast("double")
+    return agg.select(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.floor(mu2d * 1000000 + 0.5).cast("long").alias("mean_norm2_e6"),
+        F.floor(F.col("ex2") * 1000000 + 0.5)
+        .cast("long")
+        .alias("avg_norm2_e6"),
+        F.floor((1.0 - mu2d / F.col("ex2")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("isotropy_e6"),
+    )
