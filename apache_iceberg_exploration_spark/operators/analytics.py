@@ -5822,3 +5822,117 @@ def embedding_isotropy_index(
         .cast("long")
         .alias("isotropy_e6"),
     )
+
+
+@query(
+    "calendar_weekend_effect",
+    oracle="""
+        WITH o AS (
+            SELECT c.c_mktsegment AS seg,
+                   CASE WHEN dayofweek(o.o_orderdate) IN (0, 6)
+                        THEN 1 ELSE 0 END AS wknd,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        s AS (
+            SELECT seg, wknd, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sx,
+                   sum(CAST(cents AS DECIMAL(38,0)) * cents) AS sxx
+            FROM o GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT a.seg,
+                   a.n AS n_wk, b.n AS n_we,
+                   CAST(a.sx AS DOUBLE) / a.n AS m_wk,
+                   CAST(b.sx AS DOUBLE) / b.n AS m_we,
+                   (a.n * CAST(a.sxx AS DOUBLE)
+                    - CAST(a.sx AS DOUBLE) * a.sx)
+                   / (a.n * (a.n - 1.0)) AS v_wk,
+                   (b.n * CAST(b.sxx AS DOUBLE)
+                    - CAST(b.sx AS DOUBLE) * b.sx)
+                   / (b.n * (b.n - 1.0)) AS v_we
+            FROM (SELECT * FROM s WHERE wknd = 0) a
+            JOIN (SELECT * FROM s WHERE wknd = 1) b ON a.seg = b.seg
+        )
+        SELECT seg, n_wk AS n_weekday, n_we AS n_weekend,
+               CAST(floor((m_we - m_wk) * 1 + 0.5) AS BIGINT)
+                   AS uplift_cents,
+               CAST(floor((m_we - m_wk)
+                    / sqrt(v_wk / n_wk + v_we / n_we) * 10000 + 0.5)
+                    AS BIGINT) AS welch_z_e4
+        FROM wide
+    """,
+)
+def calendar_weekend_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekend effect on order value per segment: weekend-vs-weekday
+    mean difference with a Welch z — the calendar covariate check run
+    BEFORE time-based experiment splits or forecasts (a real weekend
+    effect biases any split that doesn't stratify by day type; a null
+    one licenses simpler models). Means and variances from exact
+    integer/DECIMAL moments; the uplift in whole cents and z in 1e-4.
+
+    Scale: broadcast dimension join + one (segment, daytype) moment
+    aggregate — constant state, |segments| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.dayofweek("o_orderdate").isin(1, 7), 1)
+        .otherwise(0)
+        .alias("wknd"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "cents"
+        ),
+    )
+    s = rows.groupBy("seg", "wknd").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sxx"
+        ),
+    )
+    a = s.filter(F.col("wknd") == 0).select(
+        "seg",
+        F.col("n").alias("n_wk"),
+        F.col("sx").alias("sx_wk"),
+        F.col("sxx").alias("sxx_wk"),
+    )
+    b = s.filter(F.col("wknd") == 1).select(
+        "seg",
+        F.col("n").alias("n_we"),
+        F.col("sx").alias("sx_we"),
+        F.col("sxx").alias("sxx_we"),
+    )
+    w = a.join(b, "seg")
+    m_wk = F.col("sx_wk").cast("double") / F.col("n_wk")
+    m_we = F.col("sx_we").cast("double") / F.col("n_we")
+    v_wk = (
+        F.col("n_wk") * F.col("sxx_wk").cast("double")
+        - F.col("sx_wk").cast("double") * F.col("sx_wk")
+    ) / (F.col("n_wk") * (F.col("n_wk").cast("double") - 1.0))
+    v_we = (
+        F.col("n_we") * F.col("sxx_we").cast("double")
+        - F.col("sx_we").cast("double") * F.col("sx_we")
+    ) / (F.col("n_we") * (F.col("n_we").cast("double") - 1.0))
+    return w.select(
+        "seg",
+        F.col("n_wk").alias("n_weekday"),
+        F.col("n_we").alias("n_weekend"),
+        F.floor((m_we - m_wk) * 1 + 0.5).cast("long").alias(
+            "uplift_cents"
+        ),
+        F.floor(
+            (m_we - m_wk)
+            / F.sqrt(v_wk / F.col("n_wk") + v_we / F.col("n_we"))
+            * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("welch_z_e4"),
+    )
