@@ -5936,3 +5936,110 @@ def calendar_weekend_effect(
         .cast("long")
         .alias("welch_z_e4"),
     )
+
+
+MIGRATION_SPLIT_DATE = "1995-07-01"  # H1 = before, H2 = from
+
+
+def _activity_band_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} = 0 THEN 'inactive' "
+        f"WHEN {col} <= 2 THEN 'light' ELSE 'heavy' END"
+    )
+
+
+@query(
+    "customer_activity_migration_matrix",
+    oracle=f"""
+        WITH per AS (
+            SELECT c.c_custkey,
+                   CAST(sum(CASE WHEN o.o_orderdate
+                            < DATE '{MIGRATION_SPLIT_DATE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                   CAST(sum(CASE WHEN o.o_orderdate
+                            >= DATE '{MIGRATION_SPLIT_DATE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS h2
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        ),
+        banded AS (
+            SELECT {_activity_band_sql('h1')} AS band_h1,
+                   {_activity_band_sql('h2')} AS band_h2
+            FROM per
+        ),
+        cells AS (
+            SELECT band_h1, band_h2, CAST(count(*) AS BIGINT) AS n
+            FROM banded GROUP BY 1, 2
+        ),
+        rows_t AS (
+            SELECT band_h1, CAST(sum(n) AS BIGINT) AS row_n
+            FROM cells GROUP BY 1
+        )
+        SELECT c.band_h1, c.band_h2, c.n,
+               c.n * 10000 // r.row_n AS row_share_bp
+        FROM cells c JOIN rows_t r ON c.band_h1 = r.band_h1
+    """,
+)
+def customer_activity_migration_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activity-band MIGRATION matrix: each customer's order-count
+    band (inactive / light / heavy) in the first half of the horizon
+    vs the second — the transition view behind retention strategy
+    (the heavy→inactive cell is the churn to chase; inactive→heavy is
+    acquisition quality). LEFT join keeps never-ordering customers in
+    the inactive row. Row-shares in exact integer bp; all counting.
+
+    Scale: one broadcast-dim LEFT join + per-customer counting + a
+    3×3 matrix aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < MIGRATION_SPLIT_DATE, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("h1"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= MIGRATION_SPLIT_DATE, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+
+    def band(col: str):
+        return (
+            F.when(F.col(col) == 0, "inactive")
+            .when(F.col(col) <= 2, "light")
+            .otherwise("heavy")
+        )
+
+    cells = per.select(
+        band("h1").alias("band_h1"), band("h2").alias("band_h2")
+    ).groupBy("band_h1", "band_h2").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    from ..functions.caching import scoped_persist
+
+    cells = scoped_persist(cells)
+    rows_t = cells.groupBy("band_h1").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return cells.join(F.broadcast(rows_t), "band_h1").select(
+        "band_h1",
+        "band_h2",
+        "n",
+        F.expr("n * 10000 div row_n").alias("row_share_bp"),
+    )
