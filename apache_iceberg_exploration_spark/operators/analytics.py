@@ -6043,3 +6043,58 @@ def customer_activity_migration_matrix(
         "n",
         F.expr("n * 10000 div row_n").alias("row_share_bp"),
     )
+
+
+@query(
+    "supply_risk_single_source",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem GROUP BY 1
+        ),
+        b AS (
+            SELECT p.p_brand,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(CASE WHEN ps.n_supp = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_single
+            FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+            GROUP BY 1
+        )
+        SELECT p_brand, n_parts, n_single,
+               n_single * 10000 // n_parts AS single_source_bp
+        FROM b
+    """,
+)
+def supply_risk_single_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-source supply risk per brand: the share of parts whose
+    OBSERVED order history runs through exactly one supplier — the
+    procurement-risk number (one supplier outage stalls every
+    single-sourced part; dual-sourcing targets start from this
+    table). Distinct-supplier counting per part, integer bp rollup.
+
+    Scale: one partial-distinct keyed aggregate over lineitem + a
+    broadcast part-dimension join; |brands| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    b = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.when(F.col("n_supp") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_single"),
+        )
+    )
+    return b.select(
+        "p_brand",
+        "n_parts",
+        "n_single",
+        F.expr("n_single * 10000 div n_parts").alias("single_source_bp"),
+    )
