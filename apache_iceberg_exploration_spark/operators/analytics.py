@@ -6098,3 +6098,72 @@ def supply_risk_single_source(
         "n_single",
         F.expr("n_single * 10000 div n_parts").alias("single_source_bp"),
     )
+
+
+@query(
+    "orders_line_count_dispersion",
+    oracle="""
+        WITH lc AS (
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+            FROM lineitem GROUP BY 1
+        ),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS s,
+                   CAST(sum(k * k) AS BIGINT) AS ss
+            FROM lc
+        )
+        SELECT n AS n_orders,
+               CAST(floor(CAST(s AS DOUBLE) / n * 10000 + 0.5)
+                    AS BIGINT) AS mean_lines_e4,
+               CAST(floor(((n * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s) / (n * (n - 1.0)))
+                    / (CAST(s AS DOUBLE) / n) * 1000000 + 0.5)
+                    AS BIGINT) AS dispersion_e6,
+               CAST(floor(((n * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s) / (n * (n - 1.0)))
+                    / (CAST(s AS DOUBLE) / n) * 1000000 + 0.5)
+                    AS BIGINT)
+                   > 1000000 + CAST(floor(2.0 * sqrt(2.0 / (n - 1.0))
+                                    * 1000000 + 0.5) AS BIGINT)
+                   AS overdispersed
+        FROM mom
+    """,
+)
+def orders_line_count_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dispersion diagnostic for lines-per-order: the variance-to-mean
+    ratio (index of dispersion) against the Poisson reference of 1,
+    flagged when it exceeds 1 + 2√(2/(n−1)) (two sigmas of the index
+    under Poisson) — the count-model check run before any capacity or
+    packing model ASSUMES Poisson order sizes (overdispersion means
+    bursty baskets and heavier tail planning). Exact integer moments;
+    one identical double expression; the flag compares post-floor
+    integers.
+
+    Scale: per-order counting + a constant-state moment aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lc = li.groupBy("l_orderkey").agg(F.count("*").cast("long").alias("k"))
+    mom = lc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("n") * F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s")
+    ) / (F.col("n") * (nd - 1.0))
+    disp = F.floor(var / mean * 1000000 + 0.5).cast("long")
+    bar = F.lit(1000000) + F.floor(
+        2.0 * F.sqrt(2.0 / (nd - 1.0)) * 1000000 + 0.5
+    ).cast("long")
+    return mom.select(
+        F.col("n").alias("n_orders"),
+        F.floor(mean * 10000 + 0.5).cast("long").alias("mean_lines_e4"),
+        disp.alias("dispersion_e6"),
+        (disp > bar).alias("overdispersed"),
+    )
