@@ -6167,3 +6167,73 @@ def orders_line_count_dispersion(
         disp.alias("dispersion_e6"),
         (disp > bar).alias("overdispersed"),
     )
+
+
+@query(
+    "activation_time_to_first_purchase",
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS first_any,
+                   CAST(floor(epoch(min(CASE WHEN event_type = 'purchase'
+                        THEN ts END))) AS BIGINT) AS first_buy
+            FROM events GROUP BY 1
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN first_buy IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_activated,
+               CAST(sum(CASE WHEN first_buy - first_any <= 3600
+                    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*)
+                   AS within_1h_bp,
+               CAST(sum(CASE WHEN first_buy - first_any <= 86400
+                    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*)
+                   AS within_1d_bp,
+               CAST(sum(CASE WHEN first_buy - first_any <= 604800
+                    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*)
+                   AS within_7d_bp
+        FROM f
+    """,
+)
+def activation_time_to_first_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activation funnel timing: share of users whose FIRST purchase
+    lands within 1 h / 1 day / 7 days of their first event — the
+    activation metric every growth team tracks, in the SLA-share form
+    (fixed time bars, integer counting — never a latency percentile,
+    the cross-engine interpolation trap). Never-activated users count
+    in the denominator (NULL lag fails every bar), so the shares are
+    honest activation rates, not conditional ones.
+
+    Scale: one per-user min aggregate (two mins, one conditional) +
+    a constant-state rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("first_any"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.unix_timestamp("ts"),
+            )
+        )
+        .cast("long")
+        .alias("first_buy"),
+    )
+    lag = F.col("first_buy") - F.col("first_any")
+
+    def within(sec: int):
+        return F.expr(
+            f"CAST(sum(CASE WHEN first_buy - first_any <= {sec}"
+            " THEN 1 ELSE 0 END) AS BIGINT) * 10000 div count(*)"
+        )
+
+    return f.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("first_buy").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_activated"),
+        within(3600).alias("within_1h_bp"),
+        within(86400).alias("within_1d_bp"),
+        within(604800).alias("within_7d_bp"),
+    )
