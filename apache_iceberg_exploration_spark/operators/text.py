@@ -1751,3 +1751,67 @@ def text_language_id_confusion_eval(
             "is_correct"
         ),
     )
+
+
+@query(
+    "text_oov_rate_split",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tok2 AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
+        vocab AS (
+            SELECT DISTINCT w FROM tok2 WHERE doc_id % 2 = 0
+        ),
+        test AS (
+            SELECT t.source, t.w, v.w AS known
+            FROM tok2 t LEFT JOIN vocab v ON t.w = v.w
+            WHERE t.doc_id % 2 = 1
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) * 1000000 // count(*) AS oov_ppm
+        FROM test GROUP BY source
+    """,
+)
+def text_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate under a FROZEN vocabulary: the vocab is
+    built from half the corpus (even doc ids — "what the tokenizer
+    was trained on"), and the other half's token stream is scored for
+    OOV per source — the serving-time drift monitor for any
+    fixed-vocabulary component (tokenizer, embedding table,
+    feature hasher whitelist): a source whose OOV ppm spikes is
+    sending vocabulary the model never saw. Pure set-membership
+    counting, exact ppm.
+
+    Scale: vocabulary is a distinct aggregate (vocabulary-bounded);
+    the membership probe is a broadcast-or-shuffle LEFT join keyed on
+    the token; per-source rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = (
+        tok.filter(F.col("doc_id") % 2 == 0)
+        .select("w")
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    test = tok.filter(F.col("doc_id") % 2 == 1).join(
+        F.broadcast(vocab), "w", "left"
+    )
+    return test.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.expr(
+            "CAST(sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) * 1000000 div count(*)"
+        ).alias("oov_ppm"),
+    )
