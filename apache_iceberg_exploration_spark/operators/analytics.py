@@ -6237,3 +6237,96 @@ def activation_time_to_first_purchase(
         within(86400).alias("within_1d_bp"),
         within(604800).alias("within_7d_bp"),
     )
+
+
+@query(
+    "event_type_pmi_pairs",
+    oracle="""
+        WITH jd AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+            FROM events
+        ),
+        nn AS (
+            SELECT CAST(count(DISTINCT (user_id, d)) AS BIGINT) AS n
+            FROM jd
+        ),
+        singles AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS c
+            FROM jd GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.event_type AS t_a, b.event_type AS t_b,
+                   CAST(count(*) AS BIGINT) AS c_ab
+            FROM jd a JOIN jd b
+              ON a.user_id = b.user_id AND a.d = b.d
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.t_a, p.t_b, p.c_ab,
+               CAST(floor(ln((CAST(p.c_ab AS DOUBLE) * nn.n)
+                    / (CAST(sa.c AS DOUBLE) * sb.c)) * 1000000 + 0.5)
+                    AS BIGINT) AS pmi_e6,
+               CAST(p.c_ab AS DOUBLE) * nn.n
+                   > CAST(sa.c AS DOUBLE) * sb.c AS associated
+        FROM pairs p
+        JOIN singles sa ON p.t_a = sa.event_type
+        JOIN singles sb ON p.t_b = sb.event_type
+        CROSS JOIN nn
+    """,
+)
+def event_type_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event-type pairs within a
+    user-day: PMI = ln(P(a,b)/(P(a)·P(b))) over user-day incidence —
+    the CO-OCCURRENCE association view that complements the Markov
+    SEQUENCE view (PMI sees "these happen together in a day"; the
+    transition matrix sees "this follows that"). The `associated`
+    flag is the exact integer cross-multiplication c_ab·n > c_a·c_b
+    (no float in the verdict); PMI itself ships in 1e-6 from exact
+    counts through one identical double expression.
+
+    Scale: user-day incidence dedup + a self-join bounded by ≤5 types
+    per user-day; the pair table is |types|² rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    jd = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d"), "event_type"
+    ).distinct()
+    from ..functions.caching import scoped_persist
+
+    jd = scoped_persist(jd)
+    n = jd.select("user_id", "d").distinct().count()
+    singles = jd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a, b = jd.alias("a"), jd.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t_a"),
+            F.col("b.event_type").alias("t_b"),
+        )
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    sa = singles.withColumnRenamed("event_type", "t_a").withColumnRenamed(
+        "c", "c_a"
+    )
+    sb = singles.withColumnRenamed("event_type", "t_b").withColumnRenamed(
+        "c", "c_b"
+    )
+    out = pairs.join(F.broadcast(sa), "t_a").join(F.broadcast(sb), "t_b")
+    num = F.col("c_ab").cast("double") * n
+    den = F.col("c_a").cast("double") * F.col("c_b")
+    return out.select(
+        "t_a",
+        "t_b",
+        "c_ab",
+        F.floor(F.log(num / den) * 1000000 + 0.5)
+        .cast("long")
+        .alias("pmi_e6"),
+        (num > den).alias("associated"),
+    )
