@@ -6330,3 +6330,96 @@ def event_type_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pmi_e6"),
         (num > den).alias("associated"),
     )
+
+
+PAD_BUCKET_TOKENS = 32  # bucketed-padding granularity
+
+
+@query(
+    "packing_padding_waste_eval",
+    oracle=f"""
+        WITH lens AS (
+            SELECT len(list_filter(string_split(text, ' '),
+                                   w -> w <> '')) AS n
+            FROM documents
+        ),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(n) AS BIGINT) AS toks,
+                   CAST(max(n) AS BIGINT) AS mx
+            FROM lens
+        ),
+        bucketed AS (
+            SELECT n, ((n + {PAD_BUCKET_TOKENS} - 1)
+                       // {PAD_BUCKET_TOKENS}) * {PAD_BUCKET_TOKENS}
+                       AS pad_to
+            FROM lens
+        ),
+        b AS (
+            SELECT CAST(sum(pad_to - n) AS BIGINT) AS bucket_waste,
+                   CAST(sum(pad_to) AS BIGINT) AS bucket_padded
+            FROM bucketed
+        )
+        SELECT g.docs, g.toks,
+               (g.docs * g.mx - g.toks) * 10000 // (g.docs * g.mx)
+                   AS global_pad_waste_bp,
+               b.bucket_waste * 10000 // b.bucket_padded
+                   AS bucket_pad_waste_bp
+        FROM g, b
+    """,
+)
+def packing_padding_waste_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Padding-waste comparison for batched training/inference: pad
+    every sequence to the GLOBAL max vs pad within
+    {PAD_BUCKET_TOKENS}-token LENGTH BUCKETS — the token-waste numbers
+    (in exact bp of padded volume) that justify length-bucketed
+    batching before the fancier packing (`pack_concat_chunks`
+    eliminates padding entirely but breaks example boundaries; this
+    quantifies the middle option serving stacks actually use).
+
+    All integer: lengths, ceil-to-bucket via integer arithmetic,
+    waste ratios by floor division.
+
+    Scale: row-local length computation + two constant-state
+    aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    ).alias("n")
+    lens = docs.select(n)
+    from ..functions.caching import scoped_persist
+
+    lens = scoped_persist(lens)
+    bucketed = lens.select(
+        "n",
+        (
+            F.expr(
+                f"((n + {PAD_BUCKET_TOKENS - 1})"
+                f" div {PAD_BUCKET_TOKENS}) * {PAD_BUCKET_TOKENS}"
+            )
+        ).alias("pad_to"),
+    )
+    g = lens.agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n").cast("long").alias("toks"),
+        F.max("n").cast("long").alias("mx"),
+    )
+    b = bucketed.agg(
+        F.sum(F.col("pad_to") - F.col("n")).cast("long").alias(
+            "bucket_waste"
+        ),
+        F.sum("pad_to").cast("long").alias("bucket_padded"),
+    )
+    return g.crossJoin(F.broadcast(b)).select(
+        "docs",
+        "toks",
+        F.expr(
+            "(docs * mx - toks) * 10000 div (docs * mx)"
+        ).alias("global_pad_waste_bp"),
+        F.expr(
+            "bucket_waste * 10000 div bucket_padded"
+        ).alias("bucket_pad_waste_bp"),
+    )
