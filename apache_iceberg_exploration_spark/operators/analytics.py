@@ -6423,3 +6423,162 @@ def packing_padding_waste_eval(
             "bucket_waste * 10000 div bucket_padded"
         ).alias("bucket_pad_waste_bp"),
     )
+
+
+@query(
+    "survival_log_rank_test",
+    oracle=f"""
+        WITH span AS (
+            SELECT user_id,
+                   min(CAST(ts AS DATE)) AS first_day,
+                   max(CAST(ts AS DATE)) AS last_day
+            FROM events GROUP BY user_id
+        ),
+        horizon AS (SELECT max(last_day) AS h FROM span),
+        durations AS (
+            SELECT CASE WHEN {hash64_sql(
+                       "'exp1|' || CAST(user_id AS VARCHAR)"
+                   )} % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                   date_diff('day', first_day, last_day) AS t,
+                   CASE WHEN last_day <= h - {KM_CENSOR_GAP} THEN 1
+                        ELSE 0 END AS churned
+            FROM span, horizon
+        ),
+        per_t AS (
+            SELECT arm, t, CAST(sum(churned) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS removed
+            FROM durations GROUP BY arm, t
+        ),
+        risk AS (
+            SELECT arm, t, d,
+                   sum(removed) OVER (PARTITION BY arm)
+                   - coalesce(sum(removed) OVER (
+                         PARTITION BY arm ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS n_at
+            FROM per_t
+        ),
+        tt AS (
+            SELECT t,
+                   CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END)
+                        AS BIGINT) AS d1,
+                   CAST(sum(d) AS BIGINT) AS dt,
+                   CAST(sum(CASE WHEN arm = 1 THEN n_at ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(sum(n_at) AS BIGINT) AS nt
+            FROM risk GROUP BY t
+        ),
+        terms AS (
+            SELECT CAST(round(d1 - CAST(n1 AS DOUBLE) * dt / nt, 9)
+                        AS DECIMAL(18,9)) AS oe,
+                   CAST(round(CASE WHEN nt > 1 THEN
+                       (CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt)
+                        * (1.0 - CAST(n1 AS DOUBLE) / nt)
+                        * (nt - dt)) / (nt - 1.0)
+                       ELSE 0.0 END, 9) AS DECIMAL(18,9)) AS v
+            FROM tt WHERE dt > 0
+        )
+        SELECT count(*) AS n_event_times,
+               CAST(floor(CAST(sum(oe) AS DOUBLE) * 10000 + 0.5)
+                    AS BIGINT) AS o_minus_e_e4,
+               CAST(floor(CAST(sum(oe) AS DOUBLE)
+                    / sqrt(CAST(sum(v) AS DOUBLE)) * 10000 + 0.5)
+                    AS BIGINT) AS log_rank_z_e4
+        FROM terms
+    """,
+)
+def survival_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two experiment arms' retention
+    curves — the SIGNIFICANCE companion to
+    `survival_kaplan_meier_retention` (the curves show the shapes;
+    log-rank says whether they differ beyond chance, correctly
+    weighting every event time by its risk set and respecting
+    censoring — the thing a naive end-point churn-rate comparison
+    gets wrong). Z = Σ(O₁−E₁)/√ΣV with the hypergeometric variance
+    per event time; the O−E and V terms are round9+DECIMAL-summed
+    from exact integer risk-set counts.
+
+    Scale: risk sets come from per-arm cumulative windows over the
+    TIME-bounded duration rollup (the KM machinery); the test is a
+    constant-size reduction over event times.
+    """
+    from ..functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    h = span.agg(F.max("last_day")).first()[0]
+    durations = span.select(
+        (
+            hash64(
+                F.concat(F.lit("exp1|"), F.col("user_id").cast("string"))
+            )
+            % 2
+        ).alias("arm"),
+        F.datediff("last_day", "first_day").alias("t"),
+        F.when(
+            F.col("last_day") <= F.date_sub(F.lit(h), KM_CENSOR_GAP), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    per_t = durations.groupBy("arm", "t").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count("*").cast("long").alias("removed"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    warm = _W.partitionBy("arm")
+    wcum = warm.orderBy("t").rowsBetween(_W.unboundedPreceding, -1)
+    risk = per_t.select(
+        "arm",
+        "t",
+        "d",
+        (
+            F.sum("removed").over(warm)
+            - F.coalesce(F.sum("removed").over(wcum), F.lit(0))
+        ).alias("n_at"),
+    )
+    tt = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("d").cast("long").alias("dt"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_at")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum("n_at").cast("long").alias("nt"),
+    )
+    n1d = F.col("n1").cast("double")
+    ntd = F.col("nt").cast("double")
+    dtd = F.col("dt").cast("double")
+    oe = F.round(F.col("d1") - n1d * F.col("dt") / F.col("nt"), 9).cast(
+        "decimal(18,9)"
+    )
+    v = F.round(
+        F.when(
+            F.col("nt") > 1,
+            (dtd * (n1d / ntd) * (1.0 - n1d / ntd) * (F.col("nt") - F.col("dt")))
+            / (ntd - 1.0),
+        ).otherwise(0.0),
+        9,
+    ).cast("decimal(18,9)")
+    terms = tt.filter(F.col("dt") > 0).select(
+        oe.alias("oe"), v.alias("v")
+    )
+    return terms.agg(
+        F.count("*").alias("n_event_times"),
+        F.floor(F.sum("oe").cast("double") * 10000 + 0.5)
+        .cast("long")
+        .alias("o_minus_e_e4"),
+        F.floor(
+            F.sum("oe").cast("double")
+            / F.sqrt(F.sum("v").cast("double"))
+            * 10000
+            + 0.5
+        )
+        .cast("long")
+        .alias("log_rank_z_e4"),
+    )
