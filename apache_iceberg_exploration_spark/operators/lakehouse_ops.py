@@ -2698,3 +2698,98 @@ def lakehouse_dynamic_partition_overwrite(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_consistent_cross_table_asof",
+    oracle="""
+        WITH fact AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        dim_v1 AS (
+            SELECT c_custkey, c_mktsegment AS seg FROM customer
+        ),
+        dim_v2 AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 5 = 0 THEN 'PROMO'
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+        ),
+        asof_t AS (
+            SELECT d.seg, count(*) AS n,
+                   CAST(sum(f.cents) AS BIGINT) AS cents
+            FROM fact f JOIN dim_v1 d ON f.o_custkey = d.c_custkey
+            GROUP BY 1
+        ),
+        cur AS (
+            SELECT d.seg, count(*) AS n,
+                   CAST(sum(f.cents) AS BIGINT) AS cents
+            FROM fact f JOIN dim_v2 d ON f.o_custkey = d.c_custkey
+            GROUP BY 1
+        )
+        SELECT 'as_of_training-v1' AS snapshot, seg, n, cents FROM asof_t
+        UNION ALL
+        SELECT 'current', seg, n, cents FROM cur
+    """,
+)
+def lakehouse_consistent_cross_table_asof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-TABLE snapshot consistency via a shared tag: fact and
+    dimension tables are tagged 'training-v1' together; the dimension
+    then mutates (a segment recoding). Joining both tables
+    ``read(version='training-v1')`` reproduces the training-time
+    attribution EXACTLY, while the current-state join shows the new
+    one — both arms oracle-checked. This is the reproducibility
+    contract a model card's "trained on training-v1" citation needs:
+    per-table time travel is not enough, the tag must pin EVERY table
+    the pipeline read (Iceberg leaves this coordination to the user;
+    the convention here is one tag name across tables).
+
+    Scale: tags are metadata pins — the as-of join costs the same as
+    the current join; no extra storage beyond retention anchoring.
+    """
+    root = _scratch()
+    try:
+        fact = LakehouseTable(spark, root + "/fact")
+        dim = LakehouseTable(spark, root + "/dim")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("seg")
+        )
+        fact.overwrite(o)
+        dim.overwrite(c)
+        fact.tag("training-v1")
+        dim.tag("training-v1")  # ONE tag name pins the whole read set
+        dim.update_where(
+            F.col("c_custkey") % 5 == 0, {"seg": F.lit("PROMO")}
+        )
+
+        def joined(fdf: DataFrame, ddf: DataFrame, label: str):
+            return (
+                fdf.join(ddf, fdf.o_custkey == ddf.c_custkey)
+                .groupBy("seg")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("cents").cast("long").alias("cents"),
+                )
+                .select(F.lit(label).alias("snapshot"), "seg", "n", "cents")
+            )
+
+        out = joined(
+            fact.read(version="training-v1"),
+            dim.read(version="training-v1"),
+            "as_of_training-v1",
+        ).unionByName(joined(fact.read(), dim.read(), "current"))
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
