@@ -421,12 +421,20 @@ def graph_link_prediction_common_neighbors(
         .agg(F.count("*").alias("common_neighbors"))
     )
     novel = cand.join(mutual, ["u", "v"], "left_anti")
-    ranked = novel.withColumn(
-        "rank",
-        F.row_number().over(
-            W.orderBy(F.col("common_neighbors").desc(), "u", "v")
-        ),
-    ).filter(F.col("rank") <= LP_TOPN)
+    # top-N first (TakeOrderedAndProject — distributed heads, no single-
+    # partition sort), THEN the rank window over the N survivors; the
+    # candidate-pair relation is unbounded at scale, so ranking before
+    # limiting would funnel it through one WindowExec task.
+    ranked = (
+        novel.orderBy(F.col("common_neighbors").desc(), "u", "v")
+        .limit(LP_TOPN)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("common_neighbors").desc(), "u", "v")
+            ),
+        )
+    )
     return ranked.select(
         F.col("u").alias("supp_a"),
         F.col("v").alias("supp_b"),
@@ -631,4 +639,108 @@ def graph_degree_assortativity(
     return mom.select(
         F.col("n").cast("long").alias("n_endpoints"),
         (F.round(r, 6) + 0.0).alias("assortativity_r6"),
+    )
+
+
+DISPARITY_ALPHA = "0.05"
+
+
+def _backbone_oracle() -> str:
+    return f"""
+        WITH {_EDGES_SQL.strip()},
+        deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(w) AS BIGINT) AS s
+            FROM edges GROUP BY 1
+        ),
+        scored AS (
+            SELECT e.src, e.dst, e.w,
+                   CASE WHEN d.k > 1 THEN
+                       pow(1.0 - CAST(e.w AS DOUBLE) / d.s, d.k - 1.0)
+                   ELSE 0.0 END AS p
+            FROM edges e JOIN deg d ON e.src = d.src
+        ),
+        flagged AS (
+            SELECT src, dst, w,
+                   p < {DISPARITY_ALPHA}::DOUBLE AS significant
+            FROM scored
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(CASE WHEN significant THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_backbone,
+               CAST(sum(CASE WHEN significant THEN 1 ELSE 0 END)
+                    AS BIGINT) * 10000 // count(*) AS backbone_bp,
+               CAST(sum(CASE WHEN significant THEN w ELSE 0 END)
+                    AS BIGINT) * 10000 // CAST(sum(w) AS BIGINT)
+                   AS weight_retained_bp
+        FROM flagged
+    """
+
+
+@query("graph_backbone_disparity_filter", oracle=_backbone_oracle())
+def graph_backbone_disparity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Disparity-filter backbone extraction (Serrano et al., PNAS'09)
+    on the co-supply graph: an edge survives when its weight share is
+    statistically significant against the uniform null for its source
+    node — p = (1 − w/sᵢ)^(kᵢ−1) < α — the principled alternative to
+    a global weight threshold (which erases low-degree nodes' locally
+    dominant edges). Reports edge retention and how much total weight
+    the backbone keeps — the sparsification dial BEFORE running the
+    heavier graph algorithms on a dense co-occurrence graph.
+
+    p is one identical double expression of exact integers (pow with
+    integer exponent base); the verdict is a threshold compare.
+
+    Scale: degree/strength is one keyed aggregate; scoring is a
+    broadcast join; the same edge-derivation bound as PageRank.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("w").cast("long").alias("s"),
+    )
+    scored = edges.join(F.broadcast(deg), "src").select(
+        "src",
+        "dst",
+        "w",
+        F.when(
+            F.col("k") > 1,
+            F.pow(
+                1.0 - F.col("w").cast("double") / F.col("s"),
+                F.col("k").cast("double") - 1.0,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("p"),
+    )
+    sig = F.col("p") < float(DISPARITY_ALPHA)
+    return scored.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.when(sig, 1).otherwise(0)).cast("long").alias(
+            "n_backbone"
+        ),
+        F.expr(
+            f"CAST(sum(CASE WHEN p < {DISPARITY_ALPHA}D THEN 1 ELSE 0 END)"
+            " AS BIGINT) * 10000 div count(*)"
+        ).alias("backbone_bp"),
+        F.expr(
+            f"CAST(sum(CASE WHEN p < {DISPARITY_ALPHA}D THEN w ELSE 0 END)"
+            " AS BIGINT) * 10000 div CAST(sum(w) AS BIGINT)"
+        ).alias("weight_retained_bp"),
     )
