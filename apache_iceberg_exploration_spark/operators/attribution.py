@@ -333,16 +333,23 @@ def sessionize_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path")
         )
     )
+    # top-N FIRST (plans as TakeOrderedAndProject — distributed per-
+    # partition heads + driver merge of N·partitions rows), THEN the
+    # rank window over the N survivors only. Ranking before limiting
+    # would funnel every distinct path through one WindowExec
+    # partition — the global-sort-window anti-pattern the r3 verdict
+    # retired; path cardinality is unbounded at 100 TB.
     ranked = (
         paths.groupBy("path")
         .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOPN)
         .withColumn(
             "rank",
             F.row_number().over(
                 W.orderBy(F.col("n_sessions").desc(), "path")
             ),
         )
-        .filter(F.col("rank") <= PATH_TOPN)
     )
     return ranked.select("rank", "path", "n_sessions")
 

@@ -1,0 +1,324 @@
+"""Span-level (substring) duplication analysis over the documents corpus.
+
+The dedup family so far is DOCUMENT-level: exact (md5 of the full
+text), MinHash/SimHash/Jaccard near-dup, embedding near-dup. Training
+corpora also carry SUB-document duplication — boilerplate sentences,
+quoted passages, templated spans — which document-level dedup cannot
+see (two docs 5% similar still share a verbatim 40-token quote).
+Deduplicating those spans is the "exact substring dedup" of Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" (ACL'22).
+
+Their suffix-array construction is a single-machine algorithm; the
+Spark-native equivalent used here (and in production corpus pipelines)
+is fixed-K token-shingle fingerprinting: every K-token window of every
+document becomes one (doc, position, md5-fingerprint) row, a keyed
+aggregate finds fingerprints seen in ≥2 distinct documents, and
+everything downstream is joins/aggregates on those anchor rows.
+
+Scale shape (the reason this family is Spark-friendly):
+- the explode is O(total corpus tokens) — embarrassingly parallel,
+  no shuffle;
+- the duplicate-fingerprint aggregate is map-side combinable (partial
+  counts per partition before the shuffle);
+- the anchor⋈duplicate join shuffles on the fingerprint key, where AQE
+  skew-split handles hot boilerplate fingerprints;
+- the pairwise span reconstruction (longest-common-span) is quadratic
+  ONLY in per-fingerprint document frequency, so it composes with the
+  same DF-cap used by ``dedup_jaccard_df_capped`` — a fingerprint in
+  half the corpus is boilerplate, not a dedup candidate, and is
+  excluded from pairing (but still counted in coverage).
+
+Fingerprints are md5 over the space-joined token window — bit-identical
+between Spark and DuckDB, so every oracle below hash-matches exactly
+(integer outputs only; no float traps).
+
+Reference trace: none — the reference (SURVEY.md §2) has no text plane
+at all; this extends the brief's LLM-training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.io import load_table
+
+K_SPAN = 8  # tokens per shingle: spans shorter than K are not "spans"
+PAIR_DF_CAP = 20  # fingerprints in more docs than this are boilerplate
+MIN_PAIR_SPAN = 12  # report doc pairs sharing a run of >= this many tokens
+
+# Shared CTE prefix: (doc_id, i, fp) anchor rows for every K-token
+# window, and the set of fingerprints duplicated across >= 2 docs.
+_ANCHORS_SQL = f"""
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= {K_SPAN}
+        ),
+        pos AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(t[i:i+{K_SPAN}-1], ' ')) AS fp
+            FROM toks,
+                 UNNEST(generate_series(1, len(t) - {K_SPAN} + 1)) AS u(i)
+        ),
+        dup AS (
+            SELECT fp FROM pos GROUP BY fp
+            HAVING count(DISTINCT doc_id) >= 2
+        )
+"""
+
+
+def _anchor_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, fp) for every K-token window (i is 1-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= K_SPAN)
+    # sequence(1, n) with n >= 1 only (filtered above): Spark's sequence
+    # runs DESCENDING when stop < start, so the guard is load-bearing.
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {K_SPAN} + 1), "
+                f"i -> md5(array_join(slice(t, i, {K_SPAN}), ' ')))"
+            )
+        ).alias("i0", "fp"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "fp")
+
+
+def _dup_fingerprints(anchors: DataFrame) -> DataFrame:
+    """Fingerprints seen in >= 2 distinct documents (cross-doc spans)."""
+    return (
+        anchors.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("span_df"))
+        .filter(F.col("span_df") >= 2)
+    )
+
+
+def _spans_per_doc_oracle() -> str:
+    return f"""
+        WITH {_ANCHORS_SQL.strip()},
+        per_doc AS (
+            SELECT p.doc_id,
+                   count(*) AS n_spans,
+                   sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+                       AS dup_spans
+            FROM pos p LEFT JOIN dup d USING (fp)
+            GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(dup_spans AS BIGINT) AS dup_spans,
+               dup_spans * 10000 // n_spans AS dup_coverage_bp
+        FROM per_doc
+        WHERE dup_spans > 0
+    """
+
+
+@query("dedup_duplicate_ngram_spans", oracle=_spans_per_doc_oracle())
+def dedup_duplicate_ngram_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document cross-doc duplicated-span exposure: how many of a
+    doc's K-token windows are verbatim-shared with at least one OTHER
+    document, as a count and a basis-point coverage share. This is the
+    triage list for substring-level dedup — documents-level dedup keeps
+    both docs, span dedup would rewrite exactly these.
+
+    Scale: one explode (O(corpus tokens)), one map-side-combinable
+    fingerprint aggregate, one fp-keyed join, one doc-keyed aggregate.
+    No windows, no driver state; hot boilerplate fingerprints are an
+    AQE skew-split case on the join key.
+    """
+    anchors = _anchor_positions(spark, sf_dir)
+    dup = _dup_fingerprints(anchors).select("fp", F.lit(1).alias("is_dup"))
+    return (
+        anchors.join(dup, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("dup_spans"),
+        )
+        .filter(F.col("dup_spans") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.expr("dup_spans * 10000 div n_spans").alias(
+                "dup_coverage_bp"
+            ),
+        )
+    )
+
+
+def _token_mass_oracle() -> str:
+    return f"""
+        WITH {_ANCHORS_SQL.strip()},
+        covered AS (
+            SELECT DISTINCT p.doc_id, p.i + o.off AS tokpos
+            FROM pos p
+            JOIN dup d USING (fp),
+                 UNNEST(generate_series(0, {K_SPAN} - 1)) AS o(off)
+        ),
+        tok_total AS (
+            SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS total_tokens
+            FROM documents
+        )
+        SELECT total_tokens,
+               (SELECT CAST(count(*) AS BIGINT) FROM covered)
+                   AS dup_covered_tokens,
+               (SELECT count(*) FROM covered) * 10000 // total_tokens
+                   AS dup_token_bp
+        FROM tok_total
+    """
+
+
+@query("corpus_duplicate_token_mass", oracle=_token_mass_oracle())
+def corpus_duplicate_token_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE substring-dedup headline number: what fraction of all corpus
+    tokens sits inside a cross-doc duplicated K-token span (union of
+    overlapping spans — each duplicated anchor covers positions
+    i..i+K-1, and overlaps are counted once via the distinct). Lee et
+    al. report ~1-10% of tokens in web corpora are inside such spans;
+    this measures it for OUR corpus, i.e. the upper bound on what
+    span-level dedup can remove.
+
+    Scale: the expansion is O(duplicated anchors × K) — bounded by the
+    duplicate mass itself, not the corpus; the distinct is a keyed
+    aggregate on (doc, position). Total-token count is one scan.
+    """
+    anchors = _anchor_positions(spark, sf_dir)
+    dup = _dup_fingerprints(anchors).select("fp")
+    covered = (
+        anchors.join(dup, "fp")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(i, i + {K_SPAN} - 1)")
+            ).alias("tokpos"),
+        )
+        .distinct()
+        .agg(F.count("*").cast("long").alias("dup_covered_tokens"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("total_tokens")
+    )
+    return (
+        total.join(F.broadcast(covered))
+        .select(
+            "total_tokens",
+            "dup_covered_tokens",
+            F.expr(
+                "dup_covered_tokens * 10000 div total_tokens"
+            ).alias("dup_token_bp"),
+        )
+    )
+
+
+def _longest_shared_oracle() -> str:
+    return f"""
+        WITH {_ANCHORS_SQL.strip()},
+        capped AS (
+            SELECT fp FROM pos GROUP BY fp
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND {PAIR_DF_CAP}
+        ),
+        hits AS (
+            SELECT p.fp, p.doc_id, p.i FROM pos p JOIN capped USING (fp)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.i AS ia, a.i - b.i AS diag
+            FROM hits a JOIN hits b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ),
+        islands AS (
+            SELECT doc_a, doc_b, diag, ia,
+                   ia - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY ia
+                   ) AS island
+            FROM (SELECT DISTINCT doc_a, doc_b, diag, ia FROM pairs)
+        ),
+        runs AS (
+            SELECT doc_a, doc_b,
+                   count(*) + {K_SPAN} - 1 AS span_tokens
+            FROM islands GROUP BY doc_a, doc_b, diag, island
+        )
+        SELECT doc_a, doc_b,
+               CAST(max(span_tokens) AS BIGINT) AS longest_shared_tokens
+        FROM runs GROUP BY 1, 2
+        HAVING max(span_tokens) >= {MIN_PAIR_SPAN}
+    """
+
+
+@query(
+    "dedup_longest_shared_span_pairs", oracle=_longest_shared_oracle()
+)
+def dedup_longest_shared_span_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document pairs sharing a verbatim token run of >= MIN_PAIR_SPAN
+    tokens, with the length of their longest shared run — the pairwise
+    output shape of Lee et al.'s substring dedup, reconstructed from
+    K-shingle anchors: two docs sharing a run of L >= K tokens share
+    L-K+1 consecutive anchors on one alignment diagonal (ia - ib
+    constant), so the longest run is K-1 plus the longest consecutive
+    anchor island per (pair, diagonal) — a gaps-and-islands count, not
+    a string algorithm.
+
+    Scale: anchor pairing is quadratic ONLY in per-fingerprint doc
+    frequency and the DF cap excludes boilerplate fingerprints (the
+    ``dedup_jaccard_df_capped`` argument — a shingle in half the corpus
+    identifies nothing). The islands window partitions by (pair,
+    diagonal) — millions of small partitions, never a global sort.
+    """
+    anchors = _anchor_positions(spark, sf_dir)
+    capped = (
+        anchors.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("span_df"))
+        .filter(
+            (F.col("span_df") >= 2) & (F.col("span_df") <= PAIR_DF_CAP)
+        )
+        .select("fp")
+    )
+    hits = anchors.join(capped, "fp")
+    a = hits.alias("a")
+    b = hits.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.i").alias("ia"),
+            (F.col("a.i") - F.col("b.i")).alias("diag"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = (
+        pairs.withColumn("island", F.col("ia") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg((F.count("*") + F.lit(K_SPAN - 1)).alias("span_tokens"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").cast("long").alias(
+                "longest_shared_tokens"
+            )
+        )
+        .filter(F.col("longest_shared_tokens") >= MIN_PAIR_SPAN)
+    )

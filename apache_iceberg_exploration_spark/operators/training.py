@@ -502,10 +502,18 @@ def data_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_key.agg(
         F.sum("n_rows").cast("long").alias("t"), F.count("*").alias("n_keys")
     ).collect()[0]
-    ranked = per_key.withColumn(
-        "rank",
-        F.row_number().over(W.orderBy(F.col("n_rows").desc(), "key")),
-    ).filter(F.col("rank") <= SKEW_TOPN)
+    # top-N first (TakeOrderedAndProject), then rank the N survivors —
+    # the per-key relation is key-cardinality-sized (unbounded at
+    # 100 TB), so ranking it before limiting would be the very skew
+    # this diagnostic exists to catch.
+    ranked = (
+        per_key.orderBy(F.col("n_rows").desc(), "key")
+        .limit(SKEW_TOPN)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("n_rows").desc(), "key")),
+        )
+    )
     return ranked.select(
         "rank",
         "key",

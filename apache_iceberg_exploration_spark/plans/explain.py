@@ -54,3 +54,28 @@ def shuffle_count(df: DataFrame) -> int:
     return executed_plan(df).count("Exchange hashpartitioning") + executed_plan(
         df
     ).count("Exchange rangepartitioning")
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the OPTIMIZED logical plan whose partition spec is
+    empty — each one executes as a single-partition WindowExec ("No
+    Partition Defined" at runtime), i.e. the whole window input funnels
+    through one task. Legitimate ONLY when that input is provably
+    bounded (a LIMIT/top-k head, a bucket- or vocabulary-bounded
+    aggregate); the fleet lint in tests/test_plan_audit.py pins the
+    allowlist. Returns the first window expression of each hit, for the
+    failure message."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if (
+            node.nodeName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            out.append(str(node.windowExpressions().apply(0))[:100])
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out

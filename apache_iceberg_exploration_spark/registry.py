@@ -111,5 +111,7 @@ def _load_all() -> None:
     from .operators import retrieval  # noqa: F401
     # r5 (second cycle) additions — appended last, same prefix rule.
     from .operators import geospatial  # noqa: F401
+    # round-5 continuation — span-level (substring) dedup family.
+    from .operators import corpus  # noqa: F401
 
     _LOADED = True

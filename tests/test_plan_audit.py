@@ -17,6 +17,9 @@ from __future__ import annotations
 
 from apache_iceberg_exploration_spark import registry
 from apache_iceberg_exploration_spark.plans import executed_plan
+from apache_iceberg_exploration_spark.plans.explain import (
+    unpartitioned_windows,
+)
 
 from .conftest import SF_SMOKE
 
@@ -49,10 +52,47 @@ def _auditable():
         yield name, fn
 
 
+# Queries allowed an UNPARTITIONED window — each one's window input is
+# provably bounded BEFORE the window (never the raw table), so the
+# single WindowExec partition holds a constant-ish number of rows:
+_GLOBAL_WINDOW_ALLOWED = {
+    # two-phase distributed prefix sum: window runs over the per-bucket
+    # aggregate (rows == shuffle-partition/bucket count)
+    "pack_concat_chunks",
+    "token_balanced_shards",
+    # bin-bounded: window over the histogram's fixed bin relation
+    "histogram_merge_rollup",
+    # k-bounded: row_number over the LIMIT k centroid-init head
+    "ann_kmeans_cells",
+    "ann_ivf_probe_topk",
+    "ann_ivf_incremental_assign",
+    "ann_ivf_recall_eval",
+    # V-bounded: rank/cumsum AFTER .limit(VOCAB_TOPV) (TakeOrdered)
+    "vocab_coverage_topv",
+    # |charset|²-bounded: rank over the character-pair count relation
+    "bpe_merge_pair_counts",
+    # PATH_TOPN-bounded: rank AFTER .limit() (TakeOrdered)
+    "sessionize_event_paths",
+    # top-N-bounded: rank AFTER .limit() (TakeOrdered) — same pattern
+    "graph_link_prediction_common_neighbors",
+    "data_skew_diagnostics",
+    # k-bounded: Kendall-τ ranks run over the two top-k result sets
+    "retrieval_scorer_rank_agreement",
+    # calendar-bounded: rolling/cumulative frames over per-day series
+    "dq_volume_anomaly_scan",
+    "timeseries_stl_decompose_weekly",
+    # fixed-cardinality relations: 9 digits / |sources| / |levels|²
+    "dq_benford_first_digit",
+    "domain_token_mix",
+    "chi_square_independence_test",
+}
+
+
 def test_no_cartesian_products_or_python_rows_anywhere(spark):
-    bad_cartesian, bad_python = [], []
+    bad_cartesian, bad_python, bad_window = [], [], []
     for name, fn in _auditable():
-        plan = executed_plan(fn(spark, SF_SMOKE))
+        df = fn(spark, SF_SMOKE)
+        plan = executed_plan(df)
         if "CartesianProduct" in plan:
             bad_cartesian.append(name)
         if name not in _PYTHON_ALLOWED and (
@@ -61,5 +101,12 @@ def test_no_cartesian_products_or_python_rows_anywhere(spark):
             or "MapInPandas" in plan
         ):
             bad_python.append(name)
+        if name not in _GLOBAL_WINDOW_ALLOWED:
+            w = unpartitioned_windows(df)
+            if w:
+                bad_window.append((name, w[0]))
     assert not bad_cartesian, f"unbounded cross joins: {bad_cartesian}"
     assert not bad_python, f"Python row evaluation: {bad_python}"
+    # an unpartitioned window funnels its whole input through ONE task;
+    # allowed only behind a LIMIT/bounded aggregate (allowlist above)
+    assert not bad_window, f"single-partition windows: {bad_window}"
