@@ -45,6 +45,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Iceberg's safe type-promotion chains (spec §Schemas: int→long,
+# float→double, decimal(P,S)→decimal(P'>P,S)), extended down Spark's
+# narrow integer types. Within a chain, the WIDER type can represent
+# every value of the narrower exactly — so promoting the declared type
+# never changes existing data, and reading old files upcasts losslessly.
+_INT_CHAIN = ["byte", "short", "integer", "long"]
+_FLOAT_CHAIN = ["float", "double"]
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _promote_type(base_t, extra_t, col: str) -> str:
+    """Resolve a same-name type conflict between a table's declared type
+    and an incoming write's type: return the promoted declared type when
+    the pair sits on one promotion chain, raise otherwise (never silently
+    cast incoming values down)."""
+    if not (isinstance(base_t, str) and isinstance(extra_t, str)):
+        raise ValueError(
+            f"column {col!r}: nested type conflict "
+            f"({base_t!r} vs {extra_t!r}) — nested-type evolution is "
+            "not supported"
+        )
+    for chain in (_INT_CHAIN, _FLOAT_CHAIN):
+        if base_t in chain and extra_t in chain:
+            return max(base_t, extra_t, key=chain.index)
+    mb, me = _DECIMAL_RE.match(base_t), _DECIMAL_RE.match(extra_t)
+    if mb and me and mb.group(2) == me.group(2):
+        p = max(int(mb.group(1)), int(me.group(1)))
+        return f"decimal({p},{mb.group(2)})"
+    raise ValueError(
+        f"column {col!r}: incompatible types {base_t!r} vs {extra_t!r} — "
+        "only widening promotions (int→long, float→double, decimal "
+        "precision growth at equal scale) are allowed; cast the "
+        "incoming frame explicitly if narrowing is intended"
+    )
+
+
 class CommitConflict(Exception):
     """Another writer committed the same version first."""
 
@@ -445,8 +481,16 @@ class LakehouseTable:
                     if not st.has_min_max:
                         mins = []
                         continue
-                    mins.append(st.min)
-                    maxs.append(st.max)
+                    try:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    except NotImplementedError:
+                        # pyarrow can't DECODE min/max for some physical
+                        # types (e.g. fixed-len-byte-array decimals) —
+                        # record nothing; pruning conservatively keeps
+                        # files without stats, so reads stay exact.
+                        mins = []
+                        break
                 if nknown:
                     # per-column null count (Iceberg's null_value_counts):
                     # IS NULL prunes files with 0, IS NOT NULL prunes
@@ -580,8 +624,24 @@ class LakehouseTable:
             return base_json
         base = json.loads(base_json)
         extra = json.loads(extra_json)
+        extra_by_name = {f["name"]: f for f in extra["fields"]}
+        merged = []
+        for f in base["fields"]:
+            e = extra_by_name.get(f["name"])
+            if e is not None and e["type"] != f["type"]:
+                # Iceberg type promotion: a widening write PROMOTES the
+                # declared type (int→long, float→double, decimal
+                # precision); anything else raises — casting the
+                # incoming values down to the declared type would wrap/
+                # truncate silently, which is exactly the corruption
+                # Iceberg's promotion lattice exists to forbid.
+                f = {
+                    **f,
+                    "type": _promote_type(f["type"], e["type"], f["name"]),
+                }
+            merged.append(f)
         have = {f["name"] for f in base["fields"]}
-        base["fields"] = base["fields"] + [
+        base["fields"] = merged + [
             f for f in extra["fields"] if f["name"] not in have
         ]
         return json.dumps(base)
@@ -677,6 +737,36 @@ class LakehouseTable:
         return self._commit_schema(
             json.dumps({"type": "struct", "fields": fields + [new_field]}),
             added_column=name,
+        )
+
+    def update_column_type(self, name: str, spark_type: str) -> dict:
+        """Metadata-only type widening (Iceberg ``ALTER TABLE ... ALTER
+        COLUMN ... TYPE``): the declared type moves UP its promotion
+        chain (int→long, float→double, decimal precision at equal
+        scale); anything else raises. No data files change — readers
+        upcast old files' values losslessly via the declared-schema
+        projection, and subsequent appends may write the wider type
+        directly."""
+        from pyspark.sql import types as T
+
+        fields = self._current_schema_fields()
+        if name not in [f["name"] for f in fields]:
+            raise ValueError(f"no such column: {name!r}")
+        new_t = T._parse_datatype_string(spark_type).jsonValue()
+        for f in fields:
+            if f["name"] == name:
+                if f["type"] != new_t:
+                    promoted = _promote_type(f["type"], new_t, name)
+                    if promoted != new_t:
+                        raise ValueError(
+                            f"column {name!r}: {spark_type!r} would "
+                            f"NARROW the declared type {f['type']!r}"
+                        )
+                    f["type"] = promoted
+        return self._commit_schema(
+            json.dumps({"type": "struct", "fields": fields}),
+            widened_column=name,
+            widened_to=spark_type,
         )
 
     def overwrite(

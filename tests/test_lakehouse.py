@@ -3159,3 +3159,101 @@ def test_dynamic_partition_overwrite_replaces_present_partitions(
     t.append(cust.filter(F.col("c_custkey") < 5).repartition(1))
     with pytest.raises(ValueError, match="no partition tuple"):
         t.overwrite_partitions_dynamic(repl)
+
+
+def test_type_promotion_widening_append(spark, table):
+    """Iceberg type promotion on write: appending a LONG frame into an
+    INT column promotes the DECLARED type to long — values past 2^31
+    survive exactly (before the fix they would cast-wrap), and old
+    files' ints upcast losslessly."""
+    ints = spark.range(5).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("int").alias("v"),
+    )
+    table.append(ints)
+    v1 = table.current_version()
+    big = spark.range(5, 8).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") + F.lit(2**40)).alias("v"),  # long territory
+    )
+    table.append(big)
+    out = table.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    got = {r.k: r.v for r in out.collect()}
+    assert got[7] == 7 + 2**40  # no wrap
+    assert got[2] == 2  # old ints upcast exactly
+    # time travel: the pre-promotion snapshot keeps its int schema
+    assert dict(table.read(v1).dtypes)["v"] == "int"
+
+
+def test_type_promotion_decimal_precision(spark, table):
+    """decimal(P,S) widens to decimal(P'>P,S) at equal scale; a scale
+    change is NOT a promotion and raises."""
+    table.append(
+        spark.range(3).select(
+            "id", F.col("id").cast("decimal(10,2)").alias("amt")
+        )
+    )
+    table.append(
+        spark.range(3, 5).select(
+            "id", F.col("id").cast("decimal(16,2)").alias("amt")
+        )
+    )
+    assert dict(table.read().dtypes)["amt"] == "decimal(16,2)"
+    with pytest.raises(ValueError, match="incompatible"):
+        table.append(
+            spark.range(5, 6).select(
+                "id", F.col("id").cast("decimal(16,4)").alias("amt")
+            )
+        )
+
+
+def test_type_promotion_rejects_incompatible(spark, table):
+    """A non-promotable type conflict (string into int, double into
+    long) raises loudly instead of silently casting values down."""
+    table.append(spark.range(3).select("id", F.lit(1).alias("v")))
+    with pytest.raises(ValueError, match="incompatible"):
+        table.append(
+            spark.range(3, 4).select("id", F.lit("oops").alias("v"))
+        )
+    with pytest.raises(ValueError, match="incompatible"):
+        table.append(
+            spark.range(3, 4).select("id", F.lit(1.5).alias("v"))
+        )
+
+
+def test_type_promotion_narrower_append_keeps_wide(spark, table):
+    """Appending a NARROWER frame (int into a long column) keeps the
+    declared wide type — incoming values upcast, no schema change."""
+    table.append(spark.range(3).select("id", F.col("id").alias("v")))
+    table.append(
+        spark.range(3, 5).select(
+            "id", F.col("id").cast("int").alias("v")
+        )
+    )
+    out = table.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert out.count() == 5
+
+
+def test_update_column_type_ddl(spark, table):
+    """ALTER COLUMN TYPE: metadata-only widening — no data files change,
+    later appends may write the wide type directly, narrowing raises."""
+    table.append(
+        spark.range(4).select("id", F.col("id").cast("int").alias("v"))
+    )
+    files_before = set(table._read_manifest(table.current_version())["files"])
+    table.update_column_type("v", "long")
+    m = table._read_manifest(table.current_version())
+    assert set(m["files"]) == files_before  # metadata-only
+    assert dict(table.read().dtypes)["v"] == "bigint"
+    table.append(
+        spark.range(4, 6).select(
+            "id", (F.col("id") + F.lit(2**40)).alias("v")
+        )
+    )
+    assert table.read().filter(F.col("v") > 2**39).count() == 2
+    with pytest.raises(ValueError, match="NARROW|incompatible"):
+        table.update_column_type("v", "int")
+    with pytest.raises(ValueError, match="no such column"):
+        table.update_column_type("nope", "long")
