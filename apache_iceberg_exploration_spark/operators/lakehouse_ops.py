@@ -2793,3 +2793,59 @@ def lakehouse_consistent_cross_table_asof(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_type_promotion_widening",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(max(c_custkey) AS BIGINT) AS max_key,
+               CAST(sum(CASE WHEN c_custkey < 500
+                        THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                        ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                             + 1099511627776
+                        END) AS BIGINT) AS cents_total
+        FROM customer
+    """,
+)
+def lakehouse_type_promotion_widening(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Type-promotion evolution (Iceberg int→long): v1 appends balances
+    as INT cents; v2 appends values offset by 2^40 — far past int range
+    — as LONG. The append PROMOTES the declared column type, so the
+    final aggregate sums every value exactly (a silent down-cast would
+    wrap the big values); old files' ints upcast losslessly. The oracle
+    reconstructs the same total from the base table.
+
+    Scale: promotion is a metadata decision at commit time — no data
+    rewrite, no extra shuffle; readers upcast per file inside the scan
+    projection."""
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer")
+        cents_int = F.expr(
+            "CAST(floor(c_acctbal * 100 + 0.5) AS INT)"
+        ).alias("cents")
+        cents_big = (
+            F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+            + F.lit(2**40)
+        ).alias("cents")
+        key_int = F.col("c_custkey").cast("int").alias("c_custkey")
+        tbl.append(
+            cust.filter(F.col("c_custkey") < 500).select(key_int, cents_int)
+        )
+        assert dict(tbl.read().dtypes)["cents"] == "int"
+        tbl.append(
+            cust.filter(F.col("c_custkey") >= 500).select(key_int, cents_big)
+        )
+        assert dict(tbl.read().dtypes)["cents"] == "bigint"
+        out = tbl.read().agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
