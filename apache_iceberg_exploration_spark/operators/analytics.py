@@ -6582,3 +6582,157 @@ def survival_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("log_rank_z_e4"),
     )
+
+
+W1_PRI_A = "1-URGENT"
+W1_PRI_B = "5-LOW"
+W1_BAND = 100000  # cents div 1e5: static monotone price bands
+
+
+@query(
+    "stats_wasserstein_distance",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   CASE WHEN o_orderpriority = '{W1_PRI_A}' THEN 1
+                        ELSE 0 END AS ga
+            FROM orders
+            WHERE o_orderpriority IN ('{W1_PRI_A}', '{W1_PRI_B}')
+        ),
+        d AS (
+            SELECT cents, CAST(count(*) AS BIGINT) AS n_v,
+                   CAST(sum(ga) AS BIGINT) AS na_v
+            FROM r GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(na_v) AS BIGINT) AS na,
+                   CAST(sum(n_v) - sum(na_v) AS BIGINT) AS nb
+            FROM d
+        ),
+        c AS (
+            SELECT cents,
+                   sum(na_v) OVER w AS cum_a,
+                   sum(n_v - na_v) OVER w AS cum_b,
+                   lead(cents) OVER (ORDER BY cents) AS lead_c
+            FROM d
+            WINDOW w AS (ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        s AS (
+            SELECT sum(
+                       abs(CAST(cum_a AS DECIMAL(38,0)) * tot.nb
+                           - CAST(cum_b AS DECIMAL(38,0)) * tot.na)
+                       * (coalesce(lead_c, cents) - cents)
+                   ) AS sd
+            FROM c, tot
+        )
+        SELECT tot.na AS n_a, tot.nb AS n_b,
+               CAST(floor(CAST(s.sd AS DOUBLE) * 100.0
+                          / (CAST(tot.na AS DOUBLE) * tot.nb) + 0.5)
+                    AS BIGINT) AS w1_centicents
+        FROM s, tot
+    """,
+)
+def stats_wasserstein_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Wasserstein-1 (earth-mover) distance between the order-value
+    distributions of urgent vs low-priority orders — distribution drift
+    in ACTUAL UNITS (centi-cents of price), the complement to PSI
+    (binned, unitless) and KS (sup-norm, scale-free): W1 answers "how
+    many dollars would it cost to reshape one distribution into the
+    other", which is the number a training-mix or pricing change is
+    judged by.
+
+    W1 = ∫|F_a − F_b| dv over the union support. Exactness follows the
+    nonparametric-rank recipe (stats_mann_whitney_u): everything lives
+    on the VALUE DICTIONARY — per distinct cents value, group counts;
+    inclusive prefix counts via the static-monotone-bucket distributed
+    cumsum (never a per-row rank, never a single-partition window);
+    |cum_a·n_b − cum_b·n_a| is an exact DECIMAL(38,0) cross-product;
+    the gap to the next distinct value comes from a WITHIN-band lead
+    plus a band→next-band-head broadcast (bands are the same bounded
+    static bucketing, so the boundary fix is a bounded driver map, the
+    same contract as functions/ranking's offset collect). The single
+    double division at the end is computed from identical exact
+    integers in both engines.
+
+    Scale: one keyed aggregate to the dictionary, dictionary-sized
+    windows partitioned by price band, two bounded driver collects
+    (band offsets + band heads). The max-value row's gap is 0 by
+    construction (cum_a·n_b = cum_b·n_a there), so coalescing its lead
+    to itself is exact, not an approximation.
+    """
+    from ..functions.ranking import with_global_cumsum_static
+
+    band = F.expr(f"cents div {W1_BAND}")
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(W1_PRI_A, W1_PRI_B))
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            F.when(F.col("o_orderpriority") == W1_PRI_A, 1)
+            .otherwise(0)
+            .alias("ga"),
+        )
+    )
+    d = (
+        r.groupBy("cents")
+        .agg(
+            F.count("*").cast("long").alias("n_v"),
+            F.sum("ga").cast("long").alias("na_v"),
+        )
+        .withColumn("nb_v", F.col("n_v") - F.col("na_v"))
+        .localCheckpoint()  # pin: feeds two cumsums + heads + totals
+    )
+    tot = d.agg(
+        F.sum("na_v").cast("long").alias("na"),
+        F.sum("nb_v").cast("long").alias("nb"),
+    ).collect()[0]
+    c = with_global_cumsum_static(d, band, ["cents"], "na_v", "cum_a")
+    c = with_global_cumsum_static(c, band, ["cents"], "nb_v", "cum_b")
+    wb = Window.partitionBy(band).orderBy("cents")
+    c = c.withColumn("lead_c", F.lead("cents").over(wb))
+    # band -> head (min cents) of the NEXT non-empty band: bounded
+    # driver map (bands are the static bucketing's bounded key space)
+    heads = sorted(
+        (row.bk, row.h)
+        for row in d.groupBy(band.alias("bk"))
+        .agg(F.min("cents").alias("h"))
+        .collect()
+    )
+    nexts = [
+        (bk, heads[i + 1][1])
+        for i, (bk, _) in enumerate(heads[:-1])
+    ]
+    if nexts:
+        nh = spark.createDataFrame(nexts, "bk long, next_head long")
+        c = c.join(
+            F.broadcast(nh), band == F.col("bk"), "left"
+        ).drop("bk")
+    else:
+        c = c.withColumn("next_head", F.lit(None).cast("long"))
+    gap = (
+        F.coalesce(F.col("lead_c"), F.col("next_head"), F.col("cents"))
+        - F.col("cents")
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.lit(int(tot.nb))
+        - F.col("cum_b").cast("decimal(38,0)") * F.lit(int(tot.na))
+    )
+    s = c.agg(F.sum(diff * gap).alias("sd"))
+    return s.select(
+        F.lit(int(tot.na)).alias("n_a"),
+        F.lit(int(tot.nb)).alias("n_b"),
+        F.floor(
+            F.col("sd").cast("double")
+            * 100.0
+            / (float(tot.na) * float(tot.nb))
+            + 0.5
+        )
+        .cast("long")
+        .alias("w1_centicents"),
+    )
