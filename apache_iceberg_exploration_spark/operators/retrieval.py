@@ -813,6 +813,13 @@ def recsys_item_item_cosine_topk(
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    return _cf_topk_from_baskets(baskets)
+
+
+def _cf_topk_from_baskets(baskets: DataFrame) -> DataFrame:
+    """Item-item cosine² top-k from a (l_orderkey, l_partkey) basket
+    relation — the recsys_item_item_cosine_topk kernel, factored so the
+    hold-out evaluation can train it on a TIME-SPLIT subset."""
     deg = baskets.groupBy("l_partkey").agg(F.count("*").alias("n"))
     a, b = baskets.alias("a"), baskets.alias("b")
     cooc = (
@@ -1542,5 +1549,179 @@ def retrieval_scorer_rank_agreement(
             F.expr(
                 "(2 * concordant - n_pairs) * 10000 div n_pairs"
             ).alias("kendall_tau_bp"),
+        )
+    )
+
+
+def _cf_holdout_oracle() -> str:
+    return f"""
+        WITH split AS (
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY o_custkey) AS n_orders
+            FROM orders
+        ),
+        train_b AS (
+            SELECT DISTINCT l.l_orderkey, l.l_partkey
+            FROM lineitem l JOIN split s ON l.l_orderkey = s.o_orderkey
+            WHERE s.rn > 1
+        ),
+        deg AS (
+            SELECT l_partkey, count(*) AS n FROM train_b GROUP BY 1
+        ),
+        cooc AS (
+            SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS c
+            FROM train_b a
+            JOIN train_b b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        sym AS (
+            SELECT i, j, c FROM cooc
+            UNION ALL SELECT j, i, c FROM cooc
+        ),
+        topk AS (
+            SELECT item_i, item_j FROM (
+                SELECT s.i AS item_i, s.j AS item_j,
+                       row_number() OVER (
+                           PARTITION BY s.i
+                           ORDER BY (s.c * s.c * {CF_SCALE})
+                                    // (di.n * dj.n) DESC, s.j ASC
+                       ) AS rnk
+                FROM sym s
+                JOIN deg di ON s.i = di.l_partkey
+                JOIN deg dj ON s.j = dj.l_partkey
+            ) WHERE rnk <= {CF_TOP_K}
+        ),
+        profile AS (
+            SELECT DISTINCT s.o_custkey AS c, l.l_partkey AS i
+            FROM lineitem l JOIN split s ON l.l_orderkey = s.o_orderkey
+            WHERE s.rn > 1
+        ),
+        recs AS (
+            SELECT DISTINCT p.c, t.item_j AS j
+            FROM profile p JOIN topk t ON p.i = t.item_i
+            WHERE NOT EXISTS (
+                SELECT 1 FROM profile q
+                WHERE q.c = p.c AND q.i = t.item_j
+            )
+        ),
+        test_items AS (
+            SELECT DISTINCT s.o_custkey AS c, l.l_partkey AS p
+            FROM lineitem l JOIN split s ON l.l_orderkey = s.o_orderkey
+            WHERE s.rn = 1 AND s.n_orders >= 2
+        ),
+        eval_users AS (SELECT DISTINCT c FROM test_items),
+        hits AS (
+            SELECT DISTINCT t.c
+            FROM test_items t JOIN recs r ON t.c = r.c AND t.p = r.j
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM eval_users)
+                   AS n_eval_users,
+               (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+               (SELECT count(*) FROM hits) * 10000
+                   // (SELECT count(*) FROM eval_users) AS hitrate_bp
+    """
+
+
+@query("recsys_cf_holdout_hitrate", oracle=_cf_holdout_oracle())
+def recsys_cf_holdout_hitrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end recommender evaluation: hold out each customer's LAST
+    order (leave-one-basket-out), train the item-item CF index on the
+    remaining orders only, recommend the union of each profile item's
+    top-k neighbors (minus already-bought items), and score hit-rate —
+    the share of held-out customers whose next basket contains at least
+    one recommended item. The CF query proves the index computes; THIS
+    proves it predicts — the difference between having a recommender
+    and having evaluated one (same estimator-audit doctrine as
+    ann_ivf_recall_eval / dedup_minhash_estimator_calibration).
+
+    Leakage discipline: degrees, co-occurrences and profiles all come
+    from TRAIN baskets only; the held-out basket is touched exactly
+    once, by the hit test (the dedup-aware-split doctrine applied to
+    recsys).
+
+    Scale: the split is one per-customer window (keyed, no global
+    sort); train co-occurrence fan-out stays bounded by basket size;
+    recommendation is profile⋈topk (both keyed); the anti-join removes
+    already-bought items; the hit test is one equi-join on
+    (customer, item). All shuffles keyed — nothing global.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    wsplit = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    split = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(wsplit).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n_orders"),
+    )
+    train_orders = split.filter(F.col("rn") > 1)
+    train = (
+        li.join(
+            train_orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_partkey", "o_custkey")
+    )
+    train_b = train.select("l_orderkey", "l_partkey").distinct()
+    topk = _cf_topk_from_baskets(train_b).select("item_i", "item_j")
+    profile = train.select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("i")
+    ).distinct()
+    recs = (
+        profile.join(topk, profile.i == topk.item_i)
+        .select("c", F.col("item_j").alias("j"))
+        .distinct()
+        .join(
+            profile.select("c", F.col("i").alias("j")),
+            ["c", "j"],
+            "left_anti",
+        )
+    )
+    test_items = (
+        li.join(
+            split.filter((F.col("rn") == 1) & (F.col("n_orders") >= 2))
+            .select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    eval_users = test_items.select("c").distinct()
+    hits = (
+        test_items.join(
+            recs, (test_items.c == recs.c) & (test_items.p == recs.j)
+        )
+        .select(test_items.c)
+        .distinct()
+    )
+    n_users = eval_users.agg(
+        F.count("*").cast("long").alias("n_eval_users")
+    )
+    n_hits = hits.agg(F.count("*").cast("long").alias("n_hits"))
+    return (
+        n_users.join(F.broadcast(n_hits))
+        .select(
+            "n_eval_users",
+            "n_hits",
+            F.expr("n_hits * 10000 div n_eval_users").alias(
+                "hitrate_bp"
+            ),
         )
     )
