@@ -3790,3 +3790,112 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "rollup_revenue_region_nation",
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(grouping(r.r_name) AS INTEGER) AS g_region,
+               CAST(grouping(n.n_name) AS INTEGER) AS g_nation,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue_region_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical subtotals in ONE pass: revenue by (region, nation)
+    with per-region subtotals and a grand total via GROUP BY ROLLUP —
+    the multi-level report that would otherwise take three scans and a
+    union. GROUPING() flags distinguish a real NULL group from a
+    subtotal row (the standard disambiguator).
+
+    Scale: Catalyst plans rollup as one Expand (×3 grouping sets) feeding
+    a SINGLE hash aggregate — partial (map-side) aggregation still
+    applies per grouping set, so the shuffle carries ≤ 3·|groups|
+    partial rows per task, and there is exactly ONE exchange regardless
+    of how many levels the hierarchy has. At 100 TB this beats the
+    union-of-aggregates rewrite by (levels−1) full scans.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(
+            F.grouping("region").cast("int").alias("g_region"),
+            F.grouping("nation").cast("int").alias("g_nation"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            "region", "nation", "g_region", "g_nation",
+            "n_orders", "revenue_cents",
+        )
+    )
+
+
+@query(
+    "cube_lineitem_flag_status",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flag_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All 2² marginal views of the TPC-H pricing-summary dimensions in
+    one pass: GROUP BY CUBE (returnflag, linestatus) yields the full
+    cross-tab PLUS both one-way marginals PLUS the grand total — the
+    OLAP cube materialization the reference's BI layer would build
+    per-dashboard-widget; GROUPING() flags mark marginal rows.
+
+    Scale: same Expand→single-hash-aggregate shape as rollup (×4
+    grouping sets here); the expansion multiplies ROWS INTO THE PARTIAL
+    AGGREGATE, not the shuffle — each task emits at most
+    4·|flag×status| partials. Cube over high-cardinality dimensions is
+    the known trap (2^d explosion); over enum-like dimensions it is
+    one cheap scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "n_lines", "sum_qty",
+        )
+    )
