@@ -40,6 +40,7 @@ def get_spark(
     cpus: int | None = None,
     warehouse: str = DEFAULT_WAREHOUSE,
     extra_conf: dict[str, str] | None = None,
+    hive_metastore: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
@@ -50,6 +51,14 @@ def get_spark(
     - shuffle partitions ≈ cores for local mode (on a cluster, leave the
       default or size to 2-3× total cores),
     - Arrow on for pandas/Pandas-UDF interchange.
+
+    ``hive_metastore=True`` adds ``enableHiveSupport()`` — the
+    reference's constant.py:60 — backing ``saveAsTable``/``listTables``
+    with a persistent (embedded-Derby) Hive metastore under the
+    warehouse dir instead of the in-memory catalog. Off by default:
+    the engine's own queries never need HMS, and a metastore pins the
+    JVM to one catalog per process (getOrCreate would otherwise leak
+    the setting into unrelated tests).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -89,6 +98,14 @@ def get_spark(
             .config("spark.sql.catalog.my_catalog.type", "hadoop")
             .config("spark.sql.catalog.my_catalog.warehouse", os.path.join(warehouse, "iceberg"))
         )
+
+    if hive_metastore:
+        # embedded Derby metastore colocated with the warehouse (the
+        # reference keeps HMS state in its compose volume the same way)
+        builder = builder.config(
+            "javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={os.path.join(warehouse, 'metastore_db')};create=true",
+        ).enableHiveSupport()
 
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
