@@ -6736,3 +6736,120 @@ def stats_wasserstein_distance(
         .cast("long")
         .alias("w1_centicents"),
     )
+
+
+HIST_BUCKETS = 10  # equi-depth bucket count (CBO-style histogram)
+
+
+@query(
+    "histogram_equidepth_boundaries",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        d AS (SELECT cents, count(*) AS n_v FROM r GROUP BY 1),
+        c AS (
+            SELECT cents,
+                   sum(n_v) OVER (ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        ks AS (
+            SELECT unnest(generate_series(1, {HIST_BUCKETS - 1})) AS k
+        ),
+        bnd AS (
+            SELECT k, min(cents) AS bval
+            FROM ks, c, tot
+            WHERE c.cum >= (k * tot.n) // {HIST_BUCKETS}
+            GROUP BY k
+            UNION ALL
+            SELECT {HIST_BUCKETS}, max(cents) FROM d
+        ),
+        bc AS (
+            SELECT b.k, b.bval, c.cum
+            FROM bnd b JOIN c ON c.cents = b.bval
+        )
+        SELECT cur.k,
+               CAST(cur.bval AS BIGINT) AS boundary_cents,
+               CAST(cur.cum - coalesce(prev.cum, 0) AS BIGINT)
+                   AS rows_in_bucket,
+               CAST(abs((cur.cum - coalesce(prev.cum, 0))
+                        * {HIST_BUCKETS} - tot.n) * 10000 // tot.n
+                    AS BIGINT) AS depth_skew_bp
+        FROM bc cur
+        LEFT JOIN bc prev ON prev.k = cur.k - 1, tot
+    """,
+)
+def histogram_equidepth_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram over order value — the CBO
+    statistic behind range-selectivity estimation (Spark's own ANALYZE
+    ... FOR COLUMNS builds exactly this shape). Boundary k is the
+    smallest ACTUAL data value whose inclusive prefix count reaches
+    k·n/B — a discrete order statistic, never an interpolated quantile
+    (interpolation differs between engines in the last ulp; comparisons
+    against exact prefix counts cannot). depth_skew_bp audits how far
+    each bucket's true depth drifts from the ideal n/B — the number
+    that says whether the histogram's uniform-depth assumption (and so
+    any selectivity estimate built on it) is trustworthy on this
+    column; heavy single values surface as adjacent equal boundaries
+    with a 10000 bp skew.
+
+    Scale: the value dictionary + static-band distributed prefix sum
+    (the nonparametric-rank recipe); boundary selection is a
+    ≤(B−1)-row broadcast theta-join against the dictionary, and the
+    bucket-depth differencing is a B-row self-join — no global sort,
+    no per-row ranks, no single-partition window.
+    """
+    from ..functions.ranking import with_global_cumsum_static
+
+    B = HIST_BUCKETS
+    band = F.expr(f"cents div {W1_BAND}")
+    r = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    d = (
+        r.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("n_v"))
+        .localCheckpoint()  # pin: feeds the cumsum helper + totals
+    )
+    n = int(d.agg(F.sum("n_v")).collect()[0][0])
+    c = with_global_cumsum_static(d, band, ["cents"], "n_v", "cum")
+    tgt = spark.createDataFrame(
+        [(k, (k * n) // B) for k in range(1, B)], "k int, r_k long"
+    )
+    bnd = (
+        c.join(F.broadcast(tgt), F.col("cum") >= F.col("r_k"))
+        .groupBy("k")
+        .agg(F.min("cents").alias("bval"))
+        .unionByName(
+            c.agg(
+                F.lit(B).alias("k"), F.max("cents").alias("bval")
+            )
+        )
+    )
+    bc = bnd.join(
+        c.select("cents", "cum"), bnd.bval == F.col("cents")
+    ).select("k", "bval", "cum")
+    prev = bc.select(
+        (F.col("k") + 1).alias("k"), F.col("cum").alias("prev_cum")
+    )
+    rows_in = F.col("cum") - F.coalesce(F.col("prev_cum"), F.lit(0))
+    return (
+        bc.join(F.broadcast(prev), "k", "left")
+        .select(
+            "k",
+            F.col("bval").cast("long").alias("boundary_cents"),
+            rows_in.cast("long").alias("rows_in_bucket"),
+            F.expr(
+                f"CAST(abs((cum - coalesce(prev_cum, 0)) * {B} - {n}L)"
+                f" * 10000 div {n}L AS BIGINT)"
+            ).alias("depth_skew_bp"),
+        )
+    )
