@@ -2915,6 +2915,31 @@ class LakehouseTable:
         ]
         return self.spark.createDataFrame(rows, schema)
 
+    def refs(self) -> DataFrame:
+        """``<table>.refs`` metadata table (Iceberg): one row per named
+        ref — every tag (type 'tag', pinned version) and every branch
+        (type 'branch', current head + the base it forked from, NULL
+        for tags). The missing sibling of :meth:`history`/:meth:`files`/
+        :meth:`partitions`; driver-side O(refs) metadata, zero data IO."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("version", T.LongType()),
+                T.StructField("base_version", T.LongType()),
+            ]
+        )
+        rows = [
+            (name, "tag", int(v), None)
+            for name, v in sorted(self.tags().items())
+        ] + [
+            (name, "branch", int(b["head"]), int(b["base_version"]))
+            for name, b in sorted(self.branches().items())
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
     def files(self, version: int | str | None = None) -> DataFrame:
         """``<table>.files`` metadata table (Iceberg): one row per live
         data file with size, row count, sequence number, partition tuple

@@ -3257,3 +3257,25 @@ def test_update_column_type_ddl(spark, table):
         table.update_column_type("v", "int")
     with pytest.raises(ValueError, match="no such column"):
         table.update_column_type("nope", "long")
+
+
+def test_refs_metadata_table(spark, table):
+    """refs metadata table: tags and branches surface as typed rows
+    (Iceberg <table>.refs parity)."""
+    table.append(spark.range(3).select("id"))
+    table.tag("v1-release")
+    table.create_branch("experiment")
+    table.append_branch(
+        "experiment", spark.range(3, 5).select("id")
+    )
+    refs = {r.name: r for r in table.refs().collect()}
+    assert refs["v1-release"].type == "tag"
+    assert refs["v1-release"].version == 1
+    assert refs["v1-release"].base_version is None
+    assert refs["experiment"].type == "branch"
+    assert refs["experiment"].base_version == 1
+    # head is the BRANCH-LOCAL version counter (one branch commit so far)
+    assert refs["experiment"].version == 1
+    table.append_branch("experiment", spark.range(5, 6).select("id"))
+    refs2 = {r.name: r for r in table.refs().collect()}
+    assert refs2["experiment"].version == 2

@@ -181,3 +181,33 @@ def test_dbscan_clusters_two_blobs_get_distinct_components(spark):
         for r in connected_components_star(cores, cedges).collect()
     }
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_longest_shared_span_planted_fixture(spark, tmp_path):
+    """Span-dedup semantics on a PLANTED fixture (the norm-QA doctrine:
+    never trust a green that nothing exercises): two docs share exactly
+    one verbatim 20-token run, a third is disjoint — the pair surfaces
+    with longest_shared_tokens == 20, and no other pair appears."""
+    from apache_iceberg_exploration_spark.operators.corpus import (
+        K_SPAN,
+        MIN_PAIR_SPAN,
+        _anchor_positions,
+        dedup_longest_shared_span_pairs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))  # 20-token run
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta " + shared + " gamma delta epsilon"),
+            (1, "zeta eta theta iota " + shared + " kappa"),
+            (2, " ".join(f"u{i}" for i in range(40))),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out_dir = str(tmp_path / "docs")
+    docs.write.parquet(out_dir + "/documents.parquet")
+    got = dedup_longest_shared_span_pairs(spark, out_dir).collect()
+    assert MIN_PAIR_SPAN <= 20 and K_SPAN <= 20  # fixture sanity
+    assert [(r.doc_a, r.doc_b, r.longest_shared_tokens) for r in got] == [
+        (0, 1, 20)
+    ]
