@@ -6853,3 +6853,159 @@ def histogram_equidepth_boundaries(
             ).alias("depth_skew_bp"),
         )
     )
+
+
+QINI_TILES = 10  # uplift-ranking deciles
+
+
+@query(
+    "uplift_qini_deciles",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type <> 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS score,
+                   CAST(max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+                   CASE WHEN {hash64_sql(
+                       "'" + AB_SALT + "|' || CAST(user_id AS VARCHAR)"
+                   )} % 2 = 0 THEN 0 ELSE 1 END AS arm
+            FROM events GROUP BY user_id
+        ),
+        tiled AS (
+            SELECT *, ntile({QINI_TILES}) OVER (
+                       ORDER BY score DESC, user_id
+                   ) AS decile
+            FROM u
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_t,
+                   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_c,
+                   CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                        AS BIGINT) AS conv_t,
+                   CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                        AS BIGINT) AS conv_c
+            FROM tiled GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n_t, n_c, conv_t, conv_c,
+                   sum(n_t) OVER w AS cn_t, sum(n_c) OVER w AS cn_c,
+                   sum(conv_t) OVER w AS cc_t,
+                   sum(conv_c) OVER w AS cc_c
+            FROM per
+            WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT decile, n_t, n_c, conv_t, conv_c,
+               (conv_t * n_c - conv_c * n_t) * 10000 // (n_t * n_c)
+                   AS uplift_bp,
+               (cc_t * cn_c - cc_c * cn_t) * 10000 // (cn_t * cn_c)
+                   AS cum_uplift_bp
+        FROM cum
+    """,
+)
+def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-model evaluation (Qini/uplift-by-decile curve): rank users
+    by a targeting score (pre-purchase activity — the feature a real
+    uplift model would replace), cut into exact deciles, and report
+    per-decile and CUMULATIVE treatment-vs-control conversion uplift.
+    A useful targeting score shows uplift concentrating in the top
+    deciles (cum_uplift_bp decreasing toward the population average);
+    a useless one gives a flat curve — the causal-targeting sibling of
+    the A/B family's average effects (ab_test_lift_zstat measures IF
+    treatment works; this measures WHO to treat).
+
+    Cross-engine exactness: deciles via the distributed exact ntile
+    over a static monotone bucketing (the RFM machinery — score itself
+    is the bucket, user_id breaks ties, bit-equal to SQL NTILE);
+    uplift differences by integer cross-multiplication, never a float
+    rate.
+
+    Scale: one keyed user aggregate, one bounded-bucket ntile (no
+    global sort), a 10×2 cell aggregate, and a ≤10-row broadcast
+    self-join for the cumulative — nothing global, nothing driver-side
+    beyond the bounded bucket offsets.
+    """
+    from ..functions.ranking import distributed_ntile_static
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("score"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                hash64(
+                    F.concat(
+                        F.lit(AB_SALT + "|"),
+                        F.col("user_id").cast("string"),
+                    )
+                )
+                % 2
+                == 0,
+                0,
+            ).otherwise(1),
+        )
+        .withColumn("neg", -F.col("score"))
+        .localCheckpoint()  # pin: feeds the ntile bucket collect + agg
+    )
+    tiled = distributed_ntile_static(
+        u, QINI_TILES, F.col("neg"), ["neg", "user_id"], "decile"
+    )
+    per = tiled.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    earlier = per.select(
+        F.col("decile").alias("d2"),
+        F.col("n_t").alias("e_nt"),
+        F.col("n_c").alias("e_nc"),
+        F.col("conv_t").alias("e_ct"),
+        F.col("conv_c").alias("e_cc"),
+    )
+    cum = (
+        per.join(F.broadcast(earlier), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_t", "n_c", "conv_t", "conv_c")
+        .agg(
+            F.sum("e_nt").alias("cn_t"),
+            F.sum("e_nc").alias("cn_c"),
+            F.sum("e_ct").alias("cc_t"),
+            F.sum("e_cc").alias("cc_c"),
+        )
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.expr(
+            "(conv_t * n_c - conv_c * n_t) * 10000 div (n_t * n_c)"
+        ).alias("uplift_bp"),
+        F.expr(
+            "(cc_t * cn_c - cc_c * cn_t) * 10000 div (cn_t * cn_c)"
+        ).alias("cum_uplift_bp"),
+    )
