@@ -7009,3 +7009,156 @@ def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(cc_t * cn_c - cc_c * cn_t) * 10000 div (cn_t * cn_c)"
         ).alias("cum_uplift_bp"),
     )
+
+
+SEQ_BOUND_E4 = 28000  # |z| >= 2.8: Pocock-style constant for many looks
+
+# shared Welch-z-from-cumulative-moments text (identical in both
+# engines; inputs are exact integers/decimals cast to DOUBLE here)
+_SEQ_Z_SQL = (
+    "CAST(floor("
+    " (CAST(st AS DOUBLE)/nt - CAST(sc AS DOUBLE)/nc)"
+    " / sqrt("
+    "   (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE)*st/nt) / (nt-1) / nt"
+    " + (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE)*sc/nc) / (nc-1) / nc)"
+    " * 10000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "ab_sequential_monitoring",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CASE WHEN {hash64_sql(
+                       "'" + AB_SALT + "|' || CAST(user_id AS VARCHAR)"
+                   )} % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+        ),
+        daily AS (
+            SELECT day, arm,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS DECIMAL(38,0)) AS s,
+                   CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                        AS DECIMAL(38,0)) AS q
+            FROM assigned GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT day, arm,
+                   sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+                   sum(q) OVER w AS cq
+            FROM daily
+            WINDOW w AS (PARTITION BY arm ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        wide AS (
+            SELECT t.day, t.cn AS nt, t.cs AS st, t.cq AS qt,
+                   c.cn AS nc, c.cs AS sc, c.cq AS qc
+            FROM (SELECT * FROM cum WHERE arm = 1) t
+            JOIN (SELECT * FROM cum WHERE arm = 0) c USING (day)
+            WHERE t.cn > 1 AND c.cn > 1
+        ),
+        scored AS (
+            SELECT day, CAST(nt AS BIGINT) AS cum_n_t,
+                   CAST(nc AS BIGINT) AS cum_n_c,
+                   {_SEQ_Z_SQL} AS z_e4
+            FROM wide
+        )
+        SELECT day, cum_n_t, cum_n_c, z_e4,
+               CAST(CASE WHEN abs(z_e4) >= {SEQ_BOUND_E4}
+                    THEN 1 ELSE 0 END AS INTEGER) AS crossed
+        FROM scored
+    """,
+)
+def ab_sequential_monitoring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential (group-sequential) A/B monitoring: the cumulative
+    Welch z after EVERY day of the experiment against a Pocock-style
+    ±2.8 boundary — the always-peeking companion to the fixed-horizon
+    family (ab_test_lift_zstat reads the experiment once at the end;
+    real dashboards peek daily, and naive repeated 1.96 testing
+    inflates false positives ~5×; the widened constant boundary is the
+    standard correction). Emits the full monitoring trace: a reader
+    sees exactly when (if ever) the experiment could have stopped.
+
+    Exactness: daily moments are exact integers/DECIMAL(38,0) (cents,
+    cents²); cumulative prefixes are windows PARTITIONED BY ARM over
+    the calendar (keyed, bounded); the single z formula evaluates one
+    shared text on identical exact inputs in both engines, emitted as
+    an e4 integer. Boundary crossing is an integer compare of that.
+
+    Scale: one keyed daily aggregate (map-side partial), |days|-row
+    state thereafter. The 100 TB cost is the purchase scan, full stop.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    assigned = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.when(
+            hash64(
+                F.concat(
+                    F.lit(AB_SALT + "|"), F.col("user_id").cast("string")
+                )
+            )
+            % 2
+            == 0,
+            0,
+        )
+        .otherwise(1)
+        .alias("arm"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    daily = assigned.groupBy("day", "arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("q"),
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+        F.sum("q").over(w).alias("cq"),
+    )
+    t = cum.filter(F.col("arm") == 1).select(
+        "day",
+        F.col("cn").alias("nt"),
+        F.col("cs").alias("st"),
+        F.col("cq").alias("qt"),
+    )
+    c = cum.filter(F.col("arm") == 0).select(
+        "day",
+        F.col("cn").alias("nc"),
+        F.col("cs").alias("sc"),
+        F.col("cq").alias("qc"),
+    )
+    wide = t.join(c, "day").filter(
+        (F.col("nt") > 1) & (F.col("nc") > 1)
+    )
+    scored = wide.select(
+        "day",
+        F.col("nt").cast("long").alias("cum_n_t"),
+        F.col("nc").cast("long").alias("cum_n_c"),
+        F.expr(_SEQ_Z_SQL).alias("z_e4"),
+    )
+    return scored.select(
+        "day",
+        "cum_n_t",
+        "cum_n_c",
+        "z_e4",
+        F.when(F.abs(F.col("z_e4")) >= SEQ_BOUND_E4, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("crossed"),
+    )
