@@ -6797,7 +6797,10 @@ def histogram_equidepth_boundaries(
     that says whether the histogram's uniform-depth assumption (and so
     any selectivity estimate built on it) is trustworthy on this
     column; heavy single values surface as adjacent equal boundaries
-    with a 10000 bp skew.
+    with a 10000 bp skew. Sibling: equi_depth_histogram_lineitem builds
+    the same statistic by per-row distributed ntile over the fact
+    table; THIS works on the value dictionary (cheaper when values
+    repeat) and adds the depth-skew audit.
 
     Scale: the value dictionary + static-band distributed prefix sum
     (the nonparametric-rank recipe); boundary selection is a
@@ -7161,4 +7164,141 @@ def ab_sequential_monitoring(
         .otherwise(0)
         .cast("int")
         .alias("crossed"),
+    )
+
+
+HW_ALPHA = "0.4"  # level gain
+HW_BETA = "0.1"  # trend gain
+HW_GAMMA = "0.2"  # seasonal gain
+HW_M = 7  # weekly season on the daily grain
+
+
+def _hw_oracle() -> str:
+    A, B, G = (f"{c}::DOUBLE" for c in (HW_ALPHA, HW_BETA, HW_GAMMA))
+    y7 = " + ".join(
+        f"max(CASE WHEN rn = {i} THEN y END)" for i in range(1, HW_M + 1)
+    )
+    s_init = ", ".join(
+        f"max(CASE WHEN rn = {i} THEN y END) - ({y7}) / 7.0::DOUBLE"
+        for i in range(1, HW_M + 1)
+    )
+    scols = ", ".join(f"s{i}" for i in range(HW_M))
+    lvl = f"{A} * (i.y - r.s0) + (1.0::DOUBLE - {A}) * (r.l + r.b)"
+    step_s = ", ".join(f"r.s{i}" for i in range(1, HW_M))
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn,
+                   CAST(n AS DOUBLE) AS y
+            FROM daily
+        ),
+        mx AS (
+            SELECT event_type, max(rn) AS m FROM idx GROUP BY 1
+            HAVING max(rn) >= {2 * HW_M + 1}
+        ),
+        rec(event_type, rn, l, b, {scols}) AS (
+            SELECT event_type, {HW_M},
+                   ({y7}) / 7.0::DOUBLE, CAST(0 AS DOUBLE),
+                   {s_init}
+            FROM idx WHERE rn <= {HW_M} GROUP BY event_type
+            UNION ALL
+            SELECT i.event_type, r.rn + 1,
+                   {lvl},
+                   {B} * (({lvl}) - r.l) + (1.0::DOUBLE - {B}) * r.b,
+                   {step_s},
+                   {G} * (i.y - ({lvl})) + (1.0::DOUBLE - {G}) * r.s0
+            FROM rec r
+            JOIN idx i ON i.event_type = r.event_type
+                      AND i.rn = r.rn + 1
+        )
+        SELECT r.event_type, CAST(mx.m AS BIGINT) AS n_days,
+               CAST(floor(r.l * 1000000 + 0.5) AS BIGINT) AS level_e6,
+               CAST(floor(r.b * 1000000 + 0.5) AS BIGINT) AS trend_e6,
+               CAST(floor((r.l + r.b + r.s0) * 1000000 + 0.5) AS BIGINT)
+                   AS forecast_next_e6
+        FROM rec r JOIN mx ON r.event_type = mx.event_type
+                          AND r.rn = mx.m
+    """
+
+
+@query("forecast_holt_winters_weekly", oracle=_hw_oracle())
+def forecast_holt_winters_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (weekly season, daily
+    grain) per event type — the top rung of the forecasting ladder
+    (EWMA: level; Holt: +trend; THIS: +seasonality; the
+    seasonal-naive backtest is its null model). State:
+    ℓ_t = α(y_t−s_{t−m}) + (1−α)(ℓ+b); b_t = β(ℓ_t−ℓ) + (1−β)b;
+    s_t = γ(y_t−ℓ_t) + (1−γ)s_{t−m}; init ℓ₀ = mean of week 1,
+    b₀ = 0, s_i = y_i − ℓ₀. Emits final state and the one-step
+    forecast ℓ + b + s (the next day's seasonal index is the head of
+    the rotated register).
+
+    Same twin-recurrence discipline as forecast_holt_linear_daily: the
+    Spark side is a row-local ARRAY FOLD whose accumulator carries the
+    7-slot seasonal register (slice+concat rotation — arrays in a
+    named_struct fold are fine; it is DuckDB's list_reduce that
+    mis-evaluates multi-field accumulators, hence the oracle is a
+    step-indexed recursive CTE carrying s0..s6 as columns). Both
+    engines execute the identical double arithmetic in the identical
+    order, so the e6-floored outputs hash-match exactly.
+
+    Scale: one keyed daily rollup, one bounded collect_list per key
+    (the series length is the CALENDAR, never the SF), zero windows
+    beyond it. Series too long for a row: segment the fold and compose
+    — the HW update is affine in (ℓ, b, s), so chunk composition is
+    exact (same note as Holt).
+    """
+    A, B, G = (c + "D" for c in (HW_ALPHA, HW_BETA, HW_GAMMA))
+    m = HW_M
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    arr = (
+        daily.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("day").alias("d"),
+                        F.col("n").cast("double").alias("y"),
+                    )
+                )
+            ).alias("a")
+        )
+        .filter(F.expr(f"size(a) >= {2 * m + 1}"))
+    )
+    y7 = " + ".join(f"a[{i}].y" for i in range(m))
+    l0 = f"(({y7}) / 7.0D)"
+    s_init = ", ".join(f"a[{i}].y - {l0}" for i in range(m))
+    lvl = f"{A} * (x.y - acc.s[0]) + (1.0D - {A}) * (acc.l + acc.b)"
+    fold = (
+        f"aggregate(slice(a, {m + 1}, size(a) - {m}), "
+        f"named_struct('l', {l0}, 'b', 0.0D, 's', array({s_init})), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lvl}, "
+        f"'b', {B} * (({lvl}) - acc.l) + (1.0D - {B}) * acc.b, "
+        f"'s', concat(slice(acc.s, 2, {m - 1}), "
+        f"array({G} * (x.y - ({lvl})) + (1.0D - {G}) * acc.s[0]))))"
+    )
+    return arr.select(
+        "event_type",
+        F.expr("size(a)").cast("long").alias("n_days"),
+        F.expr(
+            f"CAST(floor(({fold}).l * 1000000 + 0.5) AS BIGINT)"
+        ).alias("level_e6"),
+        F.expr(
+            f"CAST(floor(({fold}).b * 1000000 + 0.5) AS BIGINT)"
+        ).alias("trend_e6"),
+        F.expr(
+            f"CAST(floor((({fold}).l + ({fold}).b + ({fold}).s[0])"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("forecast_next_e6"),
     )
