@@ -7302,3 +7302,134 @@ def forecast_holt_winters_weekly(
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("forecast_next_e6"),
     )
+
+
+PVM_Y0, PVM_Y1 = 1996, 1997  # revenue-bridge comparison years
+
+
+@query(
+    "price_volume_mix_bridge",
+    oracle=f"""
+        WITH py AS (
+            SELECT p.p_brand AS brand, l.l_partkey AS pk,
+                   CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+                   CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       AS q,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS r
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE year(l.l_shipdate) IN ({PVM_Y0}, {PVM_Y1})
+            GROUP BY 1, 2, 3
+        ),
+        w AS (
+            SELECT brand, pk,
+                   max(CASE WHEN yr = {PVM_Y0} THEN q END) AS q0,
+                   max(CASE WHEN yr = {PVM_Y0} THEN r END) AS r0,
+                   max(CASE WHEN yr = {PVM_Y1} THEN q END) AS q1,
+                   max(CASE WHEN yr = {PVM_Y1} THEN r END) AS r1
+            FROM py GROUP BY 1, 2
+        )
+        SELECT brand,
+               CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(sum(coalesce(r0, 0)) AS BIGINT) AS rev0_cents,
+               CAST(sum(coalesce(r1, 0)) AS BIGINT) AS rev1_cents,
+               CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                        THEN (r1 * q0 - r0 * q1) // q1
+                        ELSE 0 END) AS BIGINT) AS price_effect_cents,
+               CAST(sum(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                        THEN ((q1 - q0) * r0) // q0
+                        ELSE 0 END) AS BIGINT) AS volume_effect_cents,
+               CAST(sum(CASE WHEN q0 IS NULL THEN r1 ELSE 0 END)
+                    AS BIGINT) AS new_parts_cents,
+               CAST(sum(CASE WHEN q1 IS NULL THEN r0 ELSE 0 END)
+                    AS BIGINT) AS dropped_parts_cents
+        FROM w GROUP BY brand
+    """,
+)
+def price_volume_mix_bridge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue bridge (price/volume/mix decomposition) per brand between
+    two years — the classic FP&A "why did revenue change" waterfall:
+    for parts sold in BOTH years, the price effect holds volume at the
+    base year ((p1−p0)·q0, Laspeyres) and the volume effect holds price
+    at the base ((q1−q0)·p0); parts that appeared/disappeared carry
+    their whole revenue into new/dropped buckets. The interaction
+    residual is recoverable as (Δrev − price − volume) by the reader.
+
+    Exactness: unit prices never materialize as floats — each part's
+    effect cross-multiplies exact cent/quantity integers and floors
+    ONCE per part ((r1·q0 − r0·q1) div q1), the same integerize-per-
+    row-then-sum rule as dq_order_total_reconciliation.
+
+    Scale: one keyed (brand, part, year) aggregate off the fact scan
+    (partial map-side), a part-level pivot by conditional aggregation
+    (no join of two year-scans), and a brand rollup. The part
+    dimension join broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    py = (
+        li.filter(F.year("l_shipdate").isin(PVM_Y0, PVM_Y1))
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("pk"),
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                    + 0.5
+                ).cast("long")
+            ).alias("r"),
+        )
+    )
+    w = py.groupBy("brand", "pk").agg(
+        F.max(F.when(F.col("yr") == PVM_Y0, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("yr") == PVM_Y0, F.col("r"))).alias("r0"),
+        F.max(F.when(F.col("yr") == PVM_Y1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == PVM_Y1, F.col("r"))).alias("r1"),
+    )
+    matched = F.col("q0").isNotNull() & F.col("q1").isNotNull()
+    return w.groupBy("brand").agg(
+        F.sum(F.when(matched, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.coalesce(F.col("r0"), F.lit(0)))
+        .cast("long")
+        .alias("rev0_cents"),
+        F.sum(F.coalesce(F.col("r1"), F.lit(0)))
+        .cast("long")
+        .alias("rev1_cents"),
+        F.sum(
+            F.when(
+                matched, F.expr("(r1 * q0 - r0 * q1) div q1")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("price_effect_cents"),
+        F.sum(
+            F.when(
+                matched, F.expr("((q1 - q0) * r0) div q0")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("volume_effect_cents"),
+        F.sum(F.when(F.col("q0").isNull(), F.col("r1")).otherwise(0))
+        .cast("long")
+        .alias("new_parts_cents"),
+        F.sum(F.when(F.col("q1").isNull(), F.col("r0")).otherwise(0))
+        .cast("long")
+        .alias("dropped_parts_cents"),
+    )
