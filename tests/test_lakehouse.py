@@ -3279,3 +3279,60 @@ def test_refs_metadata_table(spark, table):
     table.append_branch("experiment", spark.range(5, 6).select("id"))
     refs2 = {r.name: r for r in table.refs().collect()}
     assert refs2["experiment"].version == 2
+
+
+def test_type_promotion_concurrent_appends(spark, table):
+    """Type promotion composes with optimistic-retry rebasing: an INT
+    writer and a LONG writer race; whichever order the commits
+    linearize in, the final declared type is long and every value —
+    including past-int-range ones — survives exactly."""
+    table.append(
+        spark.range(1).select("id", F.lit(0).cast("int").alias("v"))
+    )
+    errs = []
+
+    def writer(frame):
+        try:
+            table.append(frame)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ints = spark.range(1, 4).select(
+        "id", F.col("id").cast("int").alias("v")
+    )
+    longs = spark.range(4, 7).select(
+        "id", (F.col("id") + F.lit(2**40)).alias("v")
+    )
+    threads = [
+        threading.Thread(target=writer, args=(f,)) for f in (ints, longs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    out = table.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    got = {r.id: r.v for r in out.collect()}
+    assert got[6] == 6 + 2**40 and got[2] == 2
+    assert len(got) == 7
+
+
+def test_type_promotion_through_branch_publish(spark, table):
+    """A branch that widened a column publishes back to main: the
+    publish-time schema union promotes main's declared type instead of
+    silently reverting the branch's evolution (same _merge_schema_json
+    contract as add-column publish)."""
+    table.append(
+        spark.range(3).select("id", F.col("id").cast("int").alias("v"))
+    )
+    table.create_branch("widen")
+    table.append_branch(
+        "widen",
+        spark.range(3, 5).select("id", (F.col("id") + F.lit(2**40)).alias("v")),
+    )
+    table.fast_forward("widen")
+    out = table.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    vals = {r.id: r.v for r in out.collect()}
+    assert vals[4] == 4 + 2**40 and vals[1] == 1
