@@ -322,3 +322,180 @@ def dedup_longest_shared_span_pairs(
         )
         .filter(F.col("longest_shared_tokens") >= MIN_PAIR_SPAN)
     )
+
+
+FUNNEL_MIN_TOKENS = 20  # length gate
+FUNNEL_TTR_MILLE = 400  # type-token ratio gate (×1000, integer compare)
+FUNNEL_SPAN_BP = 5000  # drop docs with >=50% duplicated-span coverage
+
+
+def _funnel_oracle() -> str:
+    return f"""
+        WITH {_ANCHORS_SQL.strip()},
+        cov AS (
+            SELECT p.doc_id,
+                   count(*) AS n_spans,
+                   sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+                       AS dup_spans
+            FROM pos p LEFT JOIN dup d USING (fp)
+            GROUP BY 1
+        ),
+        flags AS (
+            SELECT doc.doc_id,
+                   CAST(len(string_split(doc.text, ' ')) AS BIGINT)
+                       AS n_tok,
+                   doc.lang = 'en' AS g_lang,
+                   len(string_split(doc.text, ' '))
+                       >= {FUNNEL_MIN_TOKENS} AS g_len,
+                   len(list_distinct(string_split(doc.text, ' ')))
+                       * 1000 >= {FUNNEL_TTR_MILLE}
+                       * len(string_split(doc.text, ' ')) AS g_ttr,
+                   coalesce(cov.dup_spans * 10000
+                            < {FUNNEL_SPAN_BP} * cov.n_spans, TRUE)
+                       AS g_span
+            FROM documents doc LEFT JOIN cov ON doc.doc_id = cov.doc_id
+        ),
+        stages(stage_order, stage, cond) AS (
+            SELECT * FROM (VALUES
+                (0, 'total', TRUE),
+                (1, 'after_lang', NULL),
+                (2, 'after_length', NULL),
+                (3, 'after_ttr', NULL),
+                (4, 'after_span_dedup', NULL)) v(a, b, c)
+        )
+        SELECT 0 AS stage_order, 'total' AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM flags
+        UNION ALL
+        SELECT 1, 'after_lang', count(*), CAST(sum(n_tok) AS BIGINT)
+        FROM flags WHERE g_lang
+        UNION ALL
+        SELECT 2, 'after_length', count(*), CAST(sum(n_tok) AS BIGINT)
+        FROM flags WHERE g_lang AND g_len
+        UNION ALL
+        SELECT 3, 'after_ttr', count(*), CAST(sum(n_tok) AS BIGINT)
+        FROM flags WHERE g_lang AND g_len AND g_ttr
+        UNION ALL
+        SELECT 4, 'after_span_dedup', count(*),
+               CAST(sum(n_tok) AS BIGINT)
+        FROM flags WHERE g_lang AND g_len AND g_ttr AND g_span
+        UNION ALL
+        SELECT 5, 'only_lang_removes', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+        FROM flags WHERE NOT g_lang AND g_len AND g_ttr AND g_span
+        UNION ALL
+        SELECT 6, 'only_length_removes', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+        FROM flags WHERE g_lang AND NOT g_len AND g_ttr AND g_span
+        UNION ALL
+        SELECT 7, 'only_ttr_removes', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+        FROM flags WHERE g_lang AND g_len AND NOT g_ttr AND g_span
+        UNION ALL
+        SELECT 8, 'only_span_removes', count(*),
+               CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+        FROM flags WHERE g_lang AND g_len AND g_ttr AND NOT g_span
+    """
+
+
+@query("corpus_filter_funnel", oracle=_funnel_oracle())
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus filter funnel: document/token survival through
+    the sequential cleaning gates (language → length → lexical
+    diversity → span-dedup coverage) PLUS marginal attribution — how
+    many documents each gate alone removes (fails it, passes all
+    others). The report a data-curation run publishes next to its
+    dataset card: the funnel says what the pipeline kept, the marginal
+    rows say which gate to tune when too much is dying.
+
+    The span gate is the substring-dedup family acting as a FILTER:
+    a document whose 8-gram windows are ≥50% cross-doc duplicated is
+    dropped as near-boilerplate (coverage from the same anchor
+    pipeline as dedup_duplicate_ngram_spans; short docs with no
+    windows pass vacuously).
+
+    Scale: flags are one row-local projection over the corpus plus the
+    span-coverage aggregate (the corpus.py scale argument); every
+    funnel row is a conditional count over the SAME flags relation —
+    Spark computes all nine aggregates in one pass (grouping by a
+    literal stage id costs a 9× conditional-sum, not 9 scans).
+    """
+    anchors = _anchor_positions(spark, sf_dir)
+    dup = _dup_fingerprints(anchors).select(
+        "fp", F.lit(1).alias("is_dup")
+    )
+    cov = (
+        anchors.join(dup, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias(
+                "dup_spans"
+            ),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    flags = (
+        docs.join(cov, "doc_id", "left")
+        .select(
+            F.size(toks).cast("long").alias("n_tok"),
+            (F.col("lang") == "en").alias("g_lang"),
+            (F.size(toks) >= FUNNEL_MIN_TOKENS).alias("g_len"),
+            (
+                F.size(F.array_distinct(toks)) * 1000
+                >= F.lit(FUNNEL_TTR_MILLE) * F.size(toks)
+            ).alias("g_ttr"),
+            F.coalesce(
+                F.col("dup_spans") * 10000
+                < F.lit(FUNNEL_SPAN_BP) * F.col("n_spans"),
+                F.lit(True),
+            ).alias("g_span"),
+        )
+        .localCheckpoint()  # pin: nine conditional aggregates below
+    )
+
+    def stage(order: int, name: str, cond) -> DataFrame:
+        return flags.filter(cond).agg(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+
+    g = {c: F.col(c) for c in ("g_lang", "g_len", "g_ttr", "g_span")}
+    out = stage(0, "total", F.lit(True))
+    for o, name, cond in (
+        (1, "after_lang", g["g_lang"]),
+        (2, "after_length", g["g_lang"] & g["g_len"]),
+        (3, "after_ttr", g["g_lang"] & g["g_len"] & g["g_ttr"]),
+        (
+            4,
+            "after_span_dedup",
+            g["g_lang"] & g["g_len"] & g["g_ttr"] & g["g_span"],
+        ),
+        (
+            5,
+            "only_lang_removes",
+            ~g["g_lang"] & g["g_len"] & g["g_ttr"] & g["g_span"],
+        ),
+        (
+            6,
+            "only_length_removes",
+            g["g_lang"] & ~g["g_len"] & g["g_ttr"] & g["g_span"],
+        ),
+        (
+            7,
+            "only_ttr_removes",
+            g["g_lang"] & g["g_len"] & ~g["g_ttr"] & g["g_span"],
+        ),
+        (
+            8,
+            "only_span_removes",
+            g["g_lang"] & g["g_len"] & g["g_ttr"] & ~g["g_span"],
+        ),
+    ):
+        out = out.unionByName(stage(o, name, cond))
+    return out
