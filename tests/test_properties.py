@@ -605,3 +605,63 @@ def test_grid_neighbor_join_equals_bruteforce(spark, coords, eps):
         if (xi - xj) ** 2 + (yi - yj) ** 2 <= eps * eps
     )
     assert got == want
+
+
+class TestTypePromotionLattice:
+    """Property tests for the Iceberg promotion lattice (hypothesis):
+    promotion is commutative-in-result, idempotent, always returns the
+    wider chain member, and rejects cross-chain pairs loudly."""
+
+    def test_chain_promotion_total(self):
+        from hypothesis import given
+        from hypothesis import strategies as st
+
+        from apache_iceberg_exploration_spark.sources.lakehouse import (
+            _INT_CHAIN,
+            _FLOAT_CHAIN,
+            _promote_type,
+        )
+
+        @given(
+            st.sampled_from(_INT_CHAIN + _FLOAT_CHAIN),
+            st.sampled_from(_INT_CHAIN + _FLOAT_CHAIN),
+        )
+        def check(a, b):
+            same_chain = ({a, b} <= set(_INT_CHAIN)) or (
+                {a, b} <= set(_FLOAT_CHAIN)
+            )
+            if same_chain:
+                chain = _INT_CHAIN if a in _INT_CHAIN else _FLOAT_CHAIN
+                wide = max(a, b, key=chain.index)
+                assert _promote_type(a, b, "c") == wide
+                assert _promote_type(b, a, "c") == wide  # symmetric
+                assert _promote_type(wide, wide, "c") == wide  # idempotent
+            else:
+                import pytest as _pt
+
+                with _pt.raises(ValueError, match="incompatible"):
+                    _promote_type(a, b, "c")
+
+        check()
+
+    def test_decimal_rules(self):
+        import pytest as _pt
+
+        from apache_iceberg_exploration_spark.sources.lakehouse import (
+            _promote_type,
+        )
+
+        assert (
+            _promote_type("decimal(10,2)", "decimal(20,2)", "c")
+            == "decimal(20,2)"
+        )
+        assert (
+            _promote_type("decimal(20,2)", "decimal(10,2)", "c")
+            == "decimal(20,2)"
+        )
+        with _pt.raises(ValueError):  # scale change is not a promotion
+            _promote_type("decimal(10,2)", "decimal(10,4)", "c")
+        with _pt.raises(ValueError):  # cross-kind
+            _promote_type("decimal(10,2)", "double", "c")
+        with _pt.raises(ValueError):  # nested types never promote
+            _promote_type({"type": "struct"}, "long", "c")
