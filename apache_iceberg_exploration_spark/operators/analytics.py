@@ -7433,3 +7433,133 @@ def price_volume_mix_bridge(
         .cast("long")
         .alias("dropped_parts_cents"),
     )
+
+
+# Spearman ρ numerator/denominator from exact integer rank-×2 moments;
+# one shared text so the single double division agrees bit-for-bit.
+_SPEARMAN_RHO_SQL = (
+    "CAST(floor("
+    " (CAST(sab AS DOUBLE) - n * (n + 1.0) * (n + 1.0))"
+    " / sqrt((CAST(saa AS DOUBLE) - n * (n + 1.0) * (n + 1.0))"
+    "      * (CAST(sbb AS DOUBLE) - n * (n + 1.0) * (n + 1.0)))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "stats_spearman_rank_correlation",
+    oracle=f"""
+        WITH rows_xy AS (
+            SELECT CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS y
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+            ) o ON c.c_custkey = o.o_custkey
+        ),
+        dx AS (
+            SELECT x, count(*) AS n_v,
+                   2 * (sum(count(*)) OVER (ORDER BY x
+                        ROWS UNBOUNDED PRECEDING) - count(*))
+                   + count(*) + 1 AS r2
+            FROM rows_xy GROUP BY x
+        ),
+        dy AS (
+            SELECT y, count(*) AS n_v,
+                   2 * (sum(count(*)) OVER (ORDER BY y
+                        ROWS UNBOUNDED PRECEDING) - count(*))
+                   + count(*) + 1 AS r2
+            FROM rows_xy GROUP BY y
+        ),
+        dxy AS (SELECT x, y, count(*) AS n_xy FROM rows_xy GROUP BY 1, 2),
+        mo AS (
+            SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+                   CAST(sum(CAST(n_xy AS DECIMAL(38,0))
+                            * dx.r2 * dy.r2) AS DECIMAL(38,0)) AS sab,
+                   CAST(sum(CAST(n_xy AS DECIMAL(38,0))
+                            * dx.r2 * dx.r2) AS DECIMAL(38,0)) AS saa,
+                   CAST(sum(CAST(n_xy AS DECIMAL(38,0))
+                            * dy.r2 * dy.r2) AS DECIMAL(38,0)) AS sbb
+            FROM dxy JOIN dx USING (x) JOIN dy USING (y)
+        )
+        SELECT n, {_SPEARMAN_RHO_SQL} + 0 AS spearman_rho_e6
+        FROM mo
+    """,
+)
+def stats_spearman_rank_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between customer balance and order
+    count — the MONOTONE-association companion to the exact Pearson
+    matrix (stats_correlation_matrix_exact measures linearity; ranks
+    are robust to the heavy right tail of order counts and to balance
+    outliers).
+
+    Exactness (the nonparametric-rank recipe, third application):
+    per-row ranks never materialize — each variable's tie-averaged
+    rank ×2 is the integer 2·cum_before + n_v + 1 on its VALUE
+    DICTIONARY, and every moment Σ n_xy·r2ₐ·r2ᵦ is an exact
+    DECIMAL(38,0) over the (x, y) JOINT dictionary. With rank×2
+    integers, n·(n+1)² is exactly 4n·r̄² — the shared formula divides
+    once in double and floors to e6.
+
+    Scale: two marginal dictionaries (static-band distributed cumsum),
+    one joint-dictionary aggregate, two broadcast-size dictionary
+    joins. Cardinality is bounded by distinct values, never rows.
+    """
+    from ..functions.ranking import with_global_cumsum_static
+
+    cust = load_table(spark, sf_dir, "customer")
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    rows_xy = cust.join(
+        oc, cust.c_custkey == oc.o_custkey, "left"
+    ).select(
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("x"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y"),
+    )
+    rows_xy = rows_xy.localCheckpoint()  # feeds three dictionaries
+
+    def rank2(dim: str, band_div: int) -> DataFrame:
+        d = rows_xy.groupBy(dim).agg(F.count("*").alias("n_v"))
+        c = with_global_cumsum_static(
+            d,
+            F.expr(f"{dim} div {band_div}"),
+            [dim],
+            "n_v",
+            "cum",
+        )
+        return c.select(
+            dim,
+            (
+                2 * (F.col("cum") - F.col("n_v"))
+                + F.col("n_v")
+                + 1
+            ).alias(f"r2_{dim}"),
+        )
+
+    dx = rank2("x", 100000)
+    dy = rank2("y", 1)
+    dxy = rows_xy.groupBy("x", "y").agg(F.count("*").alias("n_xy"))
+    dec = F.col("n_xy").cast("decimal(38,0)")
+    mo = (
+        dxy.join(dx, "x")
+        .join(F.broadcast(dy), "y")
+        .agg(
+            F.sum("n_xy").cast("long").alias("n"),
+            F.sum(dec * F.col("r2_x") * F.col("r2_y"))
+            .cast("decimal(38,0)")
+            .alias("sab"),
+            F.sum(dec * F.col("r2_x") * F.col("r2_x"))
+            .cast("decimal(38,0)")
+            .alias("saa"),
+            F.sum(dec * F.col("r2_y") * F.col("r2_y"))
+            .cast("decimal(38,0)")
+            .alias("sbb"),
+        )
+    )
+    return mo.select(
+        "n", (F.expr(_SPEARMAN_RHO_SQL) + F.lit(0)).alias("spearman_rho_e6")
+    )
