@@ -7563,3 +7563,154 @@ def stats_spearman_rank_correlation(
     return mo.select(
         "n", (F.expr(_SPEARMAN_RHO_SQL) + F.lit(0)).alias("spearman_rho_e6")
     )
+
+
+def _hw_tournament_oracle() -> str:
+    A, B, G = (f"{c}::DOUBLE" for c in (HW_ALPHA, HW_BETA, HW_GAMMA))
+    y7 = " + ".join(
+        f"max(CASE WHEN rn = {i} THEN y END)" for i in range(1, HW_M + 1)
+    )
+    s_init = ", ".join(
+        f"max(CASE WHEN rn = {i} THEN y END) - ({y7}) / 7.0::DOUBLE"
+        for i in range(1, HW_M + 1)
+    )
+    scols = ", ".join(f"s{i}" for i in range(HW_M))
+    lvl = f"{A} * (i.y - r.s0) + (1.0::DOUBLE - {A}) * (r.l + r.b)"
+    step_s = ", ".join(f"r.s{i}" for i in range(1, HW_M))
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn,
+                   CAST(n AS DOUBLE) AS y
+            FROM daily
+        ),
+        mx AS (
+            SELECT event_type, max(rn) AS m FROM idx GROUP BY 1
+            HAVING max(rn) >= {2 * HW_M + 1}
+        ),
+        rec(event_type, rn, l, b, {scols}, sae) AS (
+            SELECT event_type, {HW_M},
+                   ({y7}) / 7.0::DOUBLE, CAST(0 AS DOUBLE),
+                   {s_init}, CAST(0 AS DOUBLE)
+            FROM idx WHERE rn <= {HW_M} GROUP BY event_type
+            UNION ALL
+            SELECT i.event_type, r.rn + 1,
+                   {lvl},
+                   {B} * (({lvl}) - r.l) + (1.0::DOUBLE - {B}) * r.b,
+                   {step_s},
+                   {G} * (i.y - ({lvl})) + (1.0::DOUBLE - {G}) * r.s0,
+                   r.sae + abs(i.y - (r.l + r.b + r.s0))
+            FROM rec r
+            JOIN idx i ON i.event_type = r.event_type
+                      AND i.rn = r.rn + 1
+        ),
+        hw AS (
+            SELECT r.event_type, mx.m,
+                   CAST(mx.m - {HW_M} AS BIGINT) AS n_eval,
+                   r.sae
+            FROM rec r JOIN mx ON r.event_type = mx.event_type
+                              AND r.rn = mx.m
+        ),
+        naive AS (
+            SELECT a.event_type,
+                   sum(abs(a.y - b.y)) AS nae
+            FROM idx a JOIN idx b
+              ON a.event_type = b.event_type
+             AND b.rn = a.rn - {HW_M}
+            WHERE a.rn > {HW_M}
+            GROUP BY 1
+        )
+        SELECT hw.event_type, n_eval,
+               CAST(floor(hw.sae / n_eval * 1000000 + 0.5) AS BIGINT)
+                   AS hw_mae_e6,
+               CAST(floor(naive.nae / n_eval * 1000000 + 0.5) AS BIGINT)
+                   AS naive_mae_e6,
+               CAST(CASE WHEN hw.sae < naive.nae THEN 1 ELSE 0 END
+                    AS INTEGER) AS hw_wins
+        FROM hw JOIN naive ON hw.event_type = naive.event_type
+    """
+
+
+@query("forecast_backtest_tournament", oracle=_hw_tournament_oracle())
+def forecast_backtest_tournament(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Walk-forward model tournament: one-step-ahead MAE of Holt-Winters
+    vs the seasonal-naive null (ŷ_t = y_{t−7}) over the same evaluation
+    steps — the accuracy evidence the forecasting ladder owes its
+    users (a seasonal model that can't beat "same weekday last week"
+    is decoration; this emits the verdict per series). Forecasts are
+    made BEFORE each update (honest walk-forward, no leakage): the HW
+    error accumulates inside the same fold that advances the state,
+    ŷ = ℓ + b + s_head at each step.
+
+    Same twin-recurrence discipline as forecast_holt_winters_weekly —
+    the oracle recursion carries an extra running-error column; the
+    naive arm is one index self-join (rn = rn−7) in both engines.
+
+    Scale: identical to the HW fit — one keyed daily rollup, one
+    bounded per-key fold; the naive arm adds a row-local array zip,
+    zero extra shuffles.
+    """
+    A, B, G = (c + "D" for c in (HW_ALPHA, HW_BETA, HW_GAMMA))
+    m = HW_M
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    arr = (
+        daily.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("day").alias("d"),
+                        F.col("n").cast("double").alias("y"),
+                    )
+                )
+            ).alias("a")
+        )
+        .filter(F.expr(f"size(a) >= {2 * m + 1}"))
+    )
+    y7 = " + ".join(f"a[{i}].y" for i in range(m))
+    l0 = f"(({y7}) / 7.0D)"
+    s_init = ", ".join(f"a[{i}].y - {l0}" for i in range(m))
+    lvl = f"{A} * (x.y - acc.s[0]) + (1.0D - {A}) * (acc.l + acc.b)"
+    fold = (
+        f"aggregate(slice(a, {m + 1}, size(a) - {m}), "
+        f"named_struct('l', {l0}, 'b', 0.0D, 's', array({s_init}), "
+        f"'sae', 0.0D), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lvl}, "
+        f"'b', {B} * (({lvl}) - acc.l) + (1.0D - {B}) * acc.b, "
+        f"'s', concat(slice(acc.s, 2, {m - 1}), "
+        f"array({G} * (x.y - ({lvl})) + (1.0D - {G}) * acc.s[0])), "
+        f"'sae', acc.sae + abs(x.y - (acc.l + acc.b + acc.s[0]))))"
+    )
+    naive = (
+        f"aggregate(transform(sequence({m + 1}, size(a)), "
+        f"i -> abs(a[i - 1].y - a[i - 1 - {m}].y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    n_eval = f"(size(a) - {m})"
+    return arr.select(
+        "event_type",
+        F.expr(n_eval).cast("long").alias("n_eval"),
+        F.expr(
+            f"CAST(floor(({fold}).sae / {n_eval} * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("hw_mae_e6"),
+        F.expr(
+            f"CAST(floor(({naive}) / {n_eval} * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("naive_mae_e6"),
+        F.expr(
+            f"CAST(CASE WHEN ({fold}).sae < ({naive}) THEN 1 ELSE 0 END"
+            " AS INT)"
+        ).alias("hw_wins"),
+    )
