@@ -3336,3 +3336,41 @@ def test_type_promotion_through_branch_publish(spark, table):
     assert dict(out.dtypes)["v"] == "bigint"
     vals = {r.id: r.v for r in out.collect()}
     assert vals[4] == 4 + 2**40 and vals[1] == 1
+
+
+def test_integrity_checksums_detect_tampering(spark, table):
+    """verify_integrity(): clean table verifies ok; a byte flipped in a
+    live data file surfaces as corrupted (exactly that file); a file
+    committed after the checksum pass reads unverified; a deleted file
+    reads missing_file."""
+    table.append(spark.range(100).select("id"))
+    n = table.add_integrity_checksums()
+    assert n > 0
+    assert table.add_integrity_checksums() == 0  # idempotent
+    rep = table.verify_integrity()
+    assert not rep["corrupted"] and not rep["missing_file"]
+    assert not rep["unverified"] and len(rep["ok"]) == n
+
+    # tamper: flip one byte mid-file (size unchanged -> md5 must catch)
+    victim = rep["ok"][0]
+    with open(victim, "r+b") as f:
+        f.seek(50)
+        b = f.read(1)
+        f.seek(50)
+        f.write(bytes([b[0] ^ 0xFF]))
+    rep2 = table.verify_integrity()
+    assert rep2["corrupted"] == [victim]
+
+    # a later append is unverified until the next checksum pass
+    table.append(spark.range(100, 120).select("id"))
+    rep3 = table.verify_integrity()
+    assert rep3["unverified"] and victim in rep3["corrupted"]
+    table.add_integrity_checksums()
+    assert not table.verify_integrity()["unverified"]
+
+    # missing file
+    gone = [f for f in rep3["ok"]][0]
+    import os as _o
+
+    _o.remove(gone)
+    assert gone in table.verify_integrity()["missing_file"]
