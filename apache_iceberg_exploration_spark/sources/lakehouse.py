@@ -3649,6 +3649,21 @@ class LakehouseTable:
             if pp not in live_parts and now - os.path.getmtime(pp) > older_than_seconds:
                 os.remove(pp)
                 removed.append(pp)
+        # sidecars (bloom / checksum) whose data file is gone everywhere:
+        # keyed by path-hash of immutable files, so once the file has
+        # been GC'd the sidecar can never be read again — same age guard
+        ref_hashes = {
+            os.path.basename(self._bloom_sidecar_path(f))
+            for f in referenced
+        }
+        for d in (self._bloom_dir, self._checksum_dir):
+            for sp in glob.glob(os.path.join(d, "*.json")):
+                if (
+                    os.path.basename(sp) not in ref_hashes
+                    and now - os.path.getmtime(sp) > older_than_seconds
+                ):
+                    os.remove(sp)
+                    removed.append(sp)
         return removed
 
     # -- integrity checksums (bit-rot / tamper detection) ---------------------

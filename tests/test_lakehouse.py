@@ -3374,3 +3374,27 @@ def test_integrity_checksums_detect_tampering(spark, table):
 
     _o.remove(gone)
     assert gone in table.verify_integrity()["missing_file"]
+
+
+def test_orphan_cleanup_reclaims_stale_sidecars(spark, table):
+    """remove_orphan_files also reclaims bloom/checksum sidecars whose
+    data file is no longer referenced by any manifest (after the grace
+    period), and keeps sidecars of live files."""
+    table.overwrite(spark.range(10).select("id"))
+    table.add_integrity_checksums()
+    live_before = set(table._read_manifest(table.current_version())["files"])
+    table.overwrite(spark.range(10, 20).select("id"))  # orphans v1 files
+    table.add_integrity_checksums()
+    table.expire_snapshots(keep_last=1)
+    import glob as _g
+    import os as _o
+
+    n_sidecars = len(_g.glob(_o.path.join(table._checksum_dir, "*.json")))
+    removed = table.remove_orphan_files(older_than_seconds=0.0)
+    assert any(p.startswith(table._checksum_dir) for p in removed)
+    left = set(_g.glob(_o.path.join(table._checksum_dir, "*.json")))
+    assert len(left) < n_sidecars
+    # live files keep their sidecars -> integrity still fully verified
+    rep = table.verify_integrity()
+    assert not rep["unverified"] and not rep["corrupted"]
+    assert not (live_before & set(rep["ok"]))  # old files truly gone
