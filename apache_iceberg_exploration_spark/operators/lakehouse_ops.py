@@ -2849,3 +2849,65 @@ def lakehouse_type_promotion_widening(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_integrity_audit",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows_committed,
+               CAST(3 AS BIGINT) AS ok_files,
+               CAST(1 AS BIGINT) AS corrupted_files,
+               CAST(0 AS BIGINT) AS missing_files
+        FROM customer WHERE c_custkey < 400
+    """,
+)
+def lakehouse_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bit-rot / tamper detection end-to-end: commit 4 data files,
+    record checksum sidecars, flip one byte in one file OUT OF BAND
+    (simulating silent storage corruption — parquet page checksums
+    don't tie bytes to TABLE metadata), and audit. Exactly the
+    tampered file must surface as corrupted, the other three as ok —
+    the guarantee a storage migration or long-retention archive
+    verifies before trusting a restore.
+
+    Scale: the hash pass streams each file once, embarrassingly
+    parallel per file; it is opt-in maintenance (add_integrity_
+    checksums), never on the commit path.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") < 400
+        )
+        n_rows = cust.count()
+        tbl.append(cust.repartition(4))
+        files = sorted(
+            tbl._read_manifest(tbl.current_version())["files"]
+        )
+        assert len(files) == 4
+        assert tbl.add_integrity_checksums() == 4
+        with open(files[0], "r+b") as f:  # out-of-band tamper
+            f.seek(100)
+            b = f.read(1)
+            f.seek(100)
+            f.write(bytes([b[0] ^ 0xFF]))
+        rep = tbl.verify_integrity()
+        assert rep["corrupted"] == [files[0]]
+        out = spark.createDataFrame(
+            [
+                (
+                    n_rows,
+                    len(rep["ok"]),
+                    len(rep["corrupted"]),
+                    len(rep["missing_file"]),
+                )
+            ],
+            "n_rows_committed long, ok_files long, "
+            "corrupted_files long, missing_files long",
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
