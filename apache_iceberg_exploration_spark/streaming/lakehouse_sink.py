@@ -104,6 +104,21 @@ def _commit_append(
             # overwrite, or the table's very first commit: the writer's
             # declared Spark schema becomes the table schema
             manifest["schema"] = schema_json
+        elif schema_json and prev.get("schema"):
+            # type promotion through the SINK path (same lattice as
+            # LakehouseTable.append): carrying the parent's declared
+            # type over a WIDER batch would down-cast at read — silent
+            # wrap past int range. Promote-or-raise; an incompatible
+            # batch aborts the commit (its files are cleaned up by the
+            # writer's abort path). New columns are still rejected by
+            # the drift guard below — streams never add columns
+            # implicitly, but widening a type is not drift, it is the
+            # write succeeding with its declared meaning intact.
+            from ..sources.lakehouse import LakehouseTable
+
+            manifest["schema"] = LakehouseTable._merge_schema_json(
+                prev["schema"], schema_json
+            )
         if prev.get("schema") and files:
             # guard: a streamed batch whose columns drifted from the
             # table's declared schema must fail the commit, not corrupt

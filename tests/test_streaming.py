@@ -1110,3 +1110,46 @@ def test_cdc_dist_reader_matches_simple_reader(spark, tmp_path):
     assert types == {"insert", "delete"}
     versions = {r[-1] for r in feeds["lakehouse_stream"]}
     assert versions == {1, 2, 3}  # compaction (v4) emitted nothing
+
+
+def test_batch_writer_type_promotion(spark, tmp_path):
+    """The DSv2 writer path promotes types like LakehouseTable.append
+    (same _merge_schema_json lattice): a LONG batch into an INT table
+    widens the declared type — values past 2^31 read back exactly —
+    and an incompatible batch (string into int) aborts the commit,
+    leaving the table untouched."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    spark.dataSource.register(make_lakehouse_batch_source())
+    path = str(tmp_path / "t")
+    tbl = LakehouseTable(spark, path)
+    tbl.overwrite(
+        spark.range(3).select("id", F.col("id").cast("int").alias("v"))
+    )
+    big = spark.range(3, 5).select(
+        "id", (F.col("id") + F.lit(2**40)).alias("v")
+    )
+    big.write.format("lakehouse").option("path", path).mode(
+        "append"
+    ).save()
+    out = tbl.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {r.v for r in out.filter(F.col("id") >= 3).collect()} == {
+        3 + 2**40,
+        4 + 2**40,
+    }
+    v_now = tbl.current_version()
+    bad = spark.range(5, 6).select("id", F.lit("oops").alias("v"))
+    with _pytest.raises(Exception, match="incompatible"):
+        bad.write.format("lakehouse").option("path", path).mode(
+            "append"
+        ).save()
+    assert tbl.current_version() == v_now  # nothing published
