@@ -499,3 +499,103 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(stage(o, name, cond))
     return out
+
+
+SPAN_BASE_MOD = 3  # doc_id % 3 != 0 -> base corpus; == 0 -> new batch
+
+
+def _incremental_span_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= {K_SPAN}
+        ),
+        pos AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(t[i:i+{K_SPAN}-1], ' ')) AS fp
+            FROM toks,
+                 UNNEST(generate_series(1, len(t) - {K_SPAN} + 1)) AS u(i)
+        ),
+        index_fps AS (
+            SELECT DISTINCT fp FROM pos
+            WHERE doc_id % {SPAN_BASE_MOD} <> 0
+        ),
+        new_pos AS (
+            SELECT * FROM pos WHERE doc_id % {SPAN_BASE_MOD} = 0
+        ),
+        per_doc AS (
+            SELECT n.doc_id,
+                   count(*) AS n_spans,
+                   sum(CASE WHEN ix.fp IS NOT NULL THEN 1 ELSE 0 END)
+                       AS hit_spans
+            FROM new_pos n LEFT JOIN index_fps ix USING (fp)
+            GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_new_docs,
+               CAST(sum(CASE WHEN hit_spans * 2 >= n_spans
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged_docs,
+               CAST(sum(hit_spans) AS BIGINT) AS spans_hitting_index,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM (SELECT DISTINCT fp FROM new_pos
+                      WHERE fp NOT IN (SELECT fp FROM index_fps)))
+                   AS new_fps_to_add
+        FROM per_doc
+    """
+
+
+@query(
+    "dedup_incremental_span_index", oracle=_incremental_span_oracle()
+)
+def dedup_incremental_span_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental substring-dedup tick: an arriving batch is checked
+    against the EXISTING corpus's fingerprint index — per new doc, how
+    many of its K-token windows already exist in the corpus (flagged
+    when ≥50% do: the batch re-submits known text), and how many new
+    fingerprints the index grows by. The O(new)-shape sibling of
+    dedup_incremental_minhash_lsh for the span family: a daily crawl
+    drop probes the index instead of recomputing corpus×corpus.
+
+    Scale: the index is a distinct-fp relation (bounded by corpus
+    token count, amortized across ticks in a real pipeline — here
+    derived from the doc_id split so the oracle can reconstruct it);
+    the probe is one fp-keyed left join sized by the NEW batch; the
+    index delta is an anti-join of new fps. Nothing rescans old docs'
+    pairings.
+    """
+    anchors = _anchor_positions(spark, sf_dir)
+    base = anchors.filter(F.col("doc_id") % SPAN_BASE_MOD != 0)
+    new = anchors.filter(F.col("doc_id") % SPAN_BASE_MOD == 0)
+    index_fps = base.select("fp").distinct()
+    per_doc = (
+        new.join(
+            index_fps.withColumn("hit", F.lit(1)), "fp", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias(
+                "hit_spans"
+            ),
+        )
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("long").alias("n_new_docs"),
+        F.sum(
+            F.when(
+                F.col("hit_spans") * 2 >= F.col("n_spans"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged_docs"),
+        F.sum("hit_spans").cast("long").alias("spans_hitting_index"),
+    )
+    delta = (
+        new.select("fp")
+        .distinct()
+        .join(index_fps, "fp", "left_anti")
+        .agg(F.count("*").cast("long").alias("new_fps_to_add"))
+    )
+    return stats.join(F.broadcast(delta))
