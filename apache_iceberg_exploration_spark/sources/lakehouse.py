@@ -3220,7 +3220,9 @@ class LakehouseTable:
         )
 
     def rewrite_small_files(
-        self, min_file_bytes: int = 8 * 1024 * 1024
+        self,
+        min_file_bytes: int = 8 * 1024 * 1024,
+        where: dict[str, tuple] | None = None,
     ) -> dict | None:
         """Bin-pack compaction that touches ONLY small files (Iceberg's
         BinPackStrategy ``min-input-files``/size-threshold behavior):
@@ -3234,12 +3236,29 @@ class LakehouseTable:
         table: cost tracks the small-file tail (the recent appends), not
         table size — a full :meth:`rewrite_data_files` is the occasional
         re-clustering, not the hourly job. Returns None when fewer than
-        two small files exist (nothing to pack)."""
+        two small files exist (nothing to pack).
+
+        ``where`` scopes the pass (Delta ``OPTIMIZE ... WHERE`` /
+        Iceberg's filtered rewrite): column → inclusive (lo, hi) range;
+        only small files whose stats/partition tuple CAN overlap the
+        range are packed, everything else is carried verbatim. Scoping
+        uses the same pruning as :meth:`scan` — conservative on missing
+        stats, so a scoped pass may pack a file the range does not
+        strictly need, never corrupt one it does."""
 
         def compute(base: int) -> tuple[dict, list[str]]:
             manifest = self._read_manifest(base)
             sizes = {f: os.path.getsize(f) for f in manifest["files"]}
             small = [f for f, sz in sizes.items() if sz < min_file_bytes]
+            if where:
+                scoped = set(
+                    self._partition_prune(
+                        manifest,
+                        where,
+                        self._prune_files(manifest, where, None),
+                    )
+                )
+                small = [f for f in small if f in scoped]
             if len(small) < 2:
                 return None, []
             carried = [f for f in manifest["files"] if f not in set(small)]
@@ -3304,6 +3323,15 @@ class LakehouseTable:
             for f in manifest["files"]
             if os.path.getsize(f) < min_file_bytes
         ]
+        if where and small:
+            scoped = set(
+                self._partition_prune(
+                    manifest,
+                    where,
+                    self._prune_files(manifest, where, None),
+                )
+            )
+            small = [f for f in small if f in scoped]
         if len(small) < 2:
             return None
         return self._commit_rmw(compute)

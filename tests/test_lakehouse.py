@@ -3398,3 +3398,28 @@ def test_orphan_cleanup_reclaims_stale_sidecars(spark, table):
     rep = table.verify_integrity()
     assert not rep["unverified"] and not rep["corrupted"]
     assert not (live_before & set(rep["ok"]))  # old files truly gone
+
+
+def test_scoped_small_file_compaction(spark, table):
+    """rewrite_small_files(where=...) — OPTIMIZE ... WHERE: only small
+    files overlapping the scope are packed; out-of-scope small files
+    carry verbatim, and table contents are unchanged."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    lo = cust.filter(F.col("c_custkey") < 75)
+    hi = cust.filter(F.col("c_custkey") >= 75)
+    table.append(lo.repartition(4))  # 4 small files, keys < 75
+    table.append(hi.repartition(4))  # 4 small files, keys >= 75
+    before = set(table._read_manifest(table.current_version())["files"])
+    pre_hash = _hash_df(table.read())
+    res = table.rewrite_small_files(where={"c_custkey": (None, 74)})
+    assert res is not None
+    after = set(table._read_manifest(table.current_version())["files"])
+    carried = before & after
+    # the hi-range files all carried; at least the lo files were packed
+    assert len(carried) >= 4  # hi-range files untouched
+    assert len(before - after) >= 2  # some lo files rewritten
+    assert _hash_df(table.read()) == pre_hash  # data-neutral
+    # scope with no small files -> no-op, no snapshot
+    v = table.current_version()
+    assert table.rewrite_small_files(where={"c_custkey": (10**9, None)}) is None
+    assert table.current_version() == v
