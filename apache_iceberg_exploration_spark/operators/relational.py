@@ -3899,3 +3899,53 @@ def cube_lineitem_flag_status(
             "n_lines", "sum_qty",
         )
     )
+
+
+@query(
+    "lateral_topk_orders_per_customer",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(floor(t.o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS total_cents
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+    """,
+)
+def lateral_topk_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 LATERAL, Spark 4 SQL
+    surface): each customer's top-2 orders by value, written the way an
+    analyst coming from Postgres/DuckDB writes per-key top-k — the
+    declarative twin of the window-rank idiom (window_rank_lead_ntile
+    covers that form; this proves the LATERAL spelling plans correctly
+    too).
+
+    Scale: Catalyst decorrelates the lateral into a join + per-key
+    ranking (DomainJoin rewrite) — the executed plan is the same keyed
+    window/aggregate shape as the explicit form, NOT one subquery
+    execution per outer row; no per-row loops survive optimization.
+    """
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(floor(t.o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS total_cents
+        FROM lat_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        """
+    )
