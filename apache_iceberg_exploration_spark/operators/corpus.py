@@ -599,3 +599,95 @@ def dedup_incremental_span_index(
         .agg(F.count("*").cast("long").alias("new_fps_to_add"))
     )
     return stats.join(F.broadcast(delta))
+
+
+NOVELTY_BATCHES = 10  # arrival-order batches (doc_id as ingest order)
+
+
+def _novelty_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= {K_SPAN}
+        ),
+        mx AS (SELECT max(doc_id) + 1 AS n FROM toks),
+        pos AS (
+            SELECT doc_id, md5(array_to_string(t[i:i+{K_SPAN}-1], ' '))
+                       AS fp
+            FROM toks,
+                 UNNEST(generate_series(1, len(t) - {K_SPAN} + 1)) AS u(i)
+        ),
+        batched AS (
+            SELECT CAST(doc_id * {NOVELTY_BATCHES} // mx.n AS BIGINT)
+                       AS batch, fp
+            FROM pos, mx
+        ),
+        first_seen AS (
+            SELECT fp, min(batch) AS first_batch
+            FROM (SELECT DISTINCT batch, fp FROM batched)
+            GROUP BY fp
+        ),
+        per_batch AS (
+            SELECT b.batch,
+                   count(DISTINCT b.fp) AS distinct_fps,
+                   count(DISTINCT CASE WHEN f.first_batch = b.batch
+                                  THEN b.fp END) AS novel_fps
+            FROM batched b JOIN first_seen f ON b.fp = f.fp
+            GROUP BY 1
+        )
+        SELECT batch,
+               CAST(distinct_fps AS BIGINT) AS distinct_fps,
+               CAST(novel_fps AS BIGINT) AS novel_fps,
+               novel_fps * 10000 // distinct_fps AS novelty_bp
+        FROM per_batch
+    """
+
+
+@query("corpus_novelty_curve", oracle=_novelty_oracle())
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty-over-arrival curve: split the corpus into ten
+    arrival-order batches (doc_id as ingest order) and measure, per
+    batch, the share of its distinct K-gram fingerprints never seen in
+    ANY earlier batch — the freshness monitor a continuous crawl reads:
+    a healthy source keeps novelty high; a crawler stuck re-fetching
+    the same content decays toward zero (and the span-dedup family
+    tells you which docs to drop).
+
+    Scale: fingerprints from the shared anchor pipeline; first-seen is
+    one keyed min over the (batch, fp) distinct relation; per-batch
+    novelty is a count-distinct aggregate. Batch assignment is a
+    row-local integer expression off the max doc id (one scalar
+    aggregate) — arrival-time bucketing at 100 TB would use the real
+    ingest timestamp the same way.
+    """
+    anchors = _anchor_positions(spark, sf_dir)
+    n = (
+        anchors.agg(F.max("doc_id").alias("m")).collect()[0].m + 1
+    )
+    batched = anchors.select(
+        F.expr(f"doc_id * {NOVELTY_BATCHES} div {n}L").alias("batch"),
+        "fp",
+    ).distinct()
+    first_seen = batched.groupBy("fp").agg(
+        F.min("batch").alias("first_batch")
+    )
+    per_batch = (
+        batched.join(first_seen, "fp")
+        .groupBy("batch")
+        .agg(
+            F.count_distinct("fp").alias("distinct_fps"),
+            F.count_distinct(
+                F.when(
+                    F.col("first_batch") == F.col("batch"), F.col("fp")
+                )
+            ).alias("novel_fps"),
+        )
+    )
+    return per_batch.select(
+        "batch",
+        F.col("distinct_fps").cast("long").alias("distinct_fps"),
+        F.col("novel_fps").cast("long").alias("novel_fps"),
+        F.expr("novel_fps * 10000 div distinct_fps").alias(
+            "novelty_bp"
+        ),
+    )
