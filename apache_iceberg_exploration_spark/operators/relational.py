@@ -3949,3 +3949,139 @@ def lateral_topk_orders_per_customer(
         ) t
         """
     )
+
+
+XYZ_YEAR = 1996  # demand-history window (12 fixed months)
+XYZ_X_E4 = 2500  # cv² < 0.25  (cv < 0.5): stable demand
+XYZ_Y_E4 = 10000  # cv² < 1.0  (cv < 1.0): variable; else erratic
+
+
+@query(
+    "inventory_abc_xyz_matrix",
+    oracle=f"""
+        WITH li96 AS (
+            SELECT l_partkey,
+                   CAST(month(l_shipdate) AS INTEGER) AS mo,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT) AS cents,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem WHERE year(l_shipdate) = {XYZ_YEAR}
+        ),
+        monthly AS (
+            SELECT l_partkey, mo, CAST(sum(q) AS BIGINT) AS mq
+            FROM li96 GROUP BY 1, 2
+        ),
+        per_part AS (
+            SELECT m.l_partkey,
+                   CAST(sum(m.mq) AS BIGINT) AS s,
+                   CAST(sum(m.mq * m.mq) AS BIGINT) AS q2,
+                   r.rev_cents
+            FROM monthly m JOIN (
+                SELECT l_partkey,
+                       CAST(sum(cents) AS BIGINT) AS rev_cents
+                FROM li96 GROUP BY 1
+            ) r ON m.l_partkey = r.l_partkey
+            GROUP BY m.l_partkey, r.rev_cents
+        ),
+        tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t
+                FROM per_part),
+        classed AS (
+            SELECT (12 * q2 - s * s) * 10000 // (s * s) AS cv2_e4,
+                   rev_cents,
+                   CAST((sum(rev_cents) OVER (
+                            ORDER BY rev_cents DESC, l_partkey)
+                         * 1000000) // (SELECT t FROM tot) AS BIGINT)
+                       AS cum_ppm
+            FROM per_part
+        )
+        SELECT CASE WHEN cum_ppm <= 800000 THEN 'A'
+                    WHEN cum_ppm <= 950000 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CASE WHEN cv2_e4 < {XYZ_X_E4} THEN 'X'
+                    WHEN cv2_e4 < {XYZ_Y_E4} THEN 'Y'
+                    ELSE 'Z' END AS xyz_class,
+               count(*) AS n_parts,
+               CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents
+        FROM classed
+        GROUP BY 1, 2
+    """,
+)
+def inventory_abc_xyz_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC-XYZ inventory matrix over one demand year: ABC = Pareto
+    revenue class (the parts_abc_classification cut: 80%/95% cumulative
+    share), XYZ = demand-variability class from the coefficient of
+    variation of MONTHLY quantities over the fixed 12-month window
+    (months without sales count as zero demand: cv² = (12·Σq² − S²)/S²
+    — exact integers; at 100 TB yearly-quantity squares approach int64
+    and swap to DECIMAL(38,0), the standard escalation). AX = stable
+    cash cows (automate reordering), CZ = erratic long tail (make to
+    order) — the 9-cell planning matrix ops teams actually use.
+
+    Scale: one fact scan → (part, month) aggregate → per-part moments;
+    the ABC cumulative share reuses the distributed prefix sum
+    (functions/ranking.with_global_cumsum — no single-partition
+    window); the final 9-cell rollup is constant-size.
+    """
+    from ..functions.ranking import with_global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == XYZ_YEAR
+    )
+    li96 = li.select(
+        "l_partkey",
+        F.month("l_shipdate").alias("mo"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    monthly = li96.groupBy("l_partkey", "mo").agg(
+        F.sum("q").cast("long").alias("mq")
+    )
+    rev = li96.groupBy("l_partkey").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    per_part = (
+        monthly.groupBy("l_partkey")
+        .agg(
+            F.sum("mq").cast("long").alias("s"),
+            F.sum(F.col("mq") * F.col("mq")).cast("long").alias("q2"),
+        )
+        .join(rev, "l_partkey")
+    )
+    total = per_part.agg(
+        F.sum("rev_cents").cast("long").alias("t")
+    ).collect()[0].t
+    classed = with_global_cumsum(
+        per_part,
+        [F.col("rev_cents").desc(), F.col("l_partkey")],
+        "rev_cents",
+        "cum",
+    ).select(
+        F.expr("(12 * q2 - s * s) * 10000 div (s * s)").alias("cv2_e4"),
+        "rev_cents",
+        F.expr(f"(cum * 1000000) div {total}L").alias("cum_ppm"),
+    )
+    return (
+        classed.select(
+            F.when(F.col("cum_ppm") <= 800000, "A")
+            .when(F.col("cum_ppm") <= 950000, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            F.when(F.col("cv2_e4") < XYZ_X_E4, "X")
+            .when(F.col("cv2_e4") < XYZ_Y_E4, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+            "rev_cents",
+        )
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("class_rev_cents"),
+        )
+    )
