@@ -691,3 +691,17 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_bp"
         ),
     )
+
+
+# Late registration for the semantic-threshold sweep: the IMPL lives in
+# operators/dedup.py with its family; registering it there would shift
+# the driver-verified registry prefix (dedup loads 3rd), so the @query
+# binding happens here, in the last-loaded module.
+from .dedup import (  # noqa: E402
+    _sem_sweep_oracle,
+    dedup_semantic_threshold_sweep,
+)
+
+query(
+    "dedup_semantic_threshold_sweep", oracle=_sem_sweep_oracle()
+)(dedup_semantic_threshold_sweep)

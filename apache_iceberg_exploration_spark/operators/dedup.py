@@ -1406,3 +1406,102 @@ def dedup_minhash_topk_lookup(
             ),
         )
     )
+
+
+_SWEEP_TAUS = ("0.2", "0.3", "0.5", "0.7", "0.9")
+
+
+def _sem_sweep_oracle() -> str:
+    from .similarity import RP_BUCKETS_SQL
+
+    cos = cosine_similarity_sql("a.embedding", "b.embedding")
+    taus = ", ".join(f"({t}::DOUBLE)" for t in _SWEEP_TAUS)
+    return f"""
+        WITH {RP_BUCKETS_SQL},
+        n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM buckets),
+        cand AS (
+            SELECT b.vec_id AS dropped_id, {cos} AS cos
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        taus(tau) AS (VALUES {taus})
+        SELECT CAST(floor(tau * 100 + 0.5) AS BIGINT) AS tau_e2,
+               CAST(count(CASE WHEN cos >= tau THEN 1 END) AS BIGINT)
+                   AS n_pairs,
+               CAST(count(DISTINCT CASE WHEN cos >= tau
+                          THEN dropped_id END) AS BIGINT) AS n_dropped,
+               (n.total - count(DISTINCT CASE WHEN cos >= tau
+                                THEN dropped_id END)) * 1000000
+                   // n.total AS retained_ppm
+        FROM taus LEFT JOIN cand ON TRUE, n
+        GROUP BY tau, n.total
+    """
+
+
+# NOTE: registered LATE (operators/corpus.py) — a decorator here would
+# insert into the driver-verified registry prefix (CLAUDE.md rule).
+def dedup_semantic_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup threshold tuning table: candidate pairs (same sign-LSH
+    cell) are scored ONCE, then swept across cosine cutoffs τ ∈ {0.2 …
+    0.9} — per τ: surviving pair count, documents the keep-lowest-id
+    rule would drop, and corpus retention in ppm. THE table a curator
+    reads before committing to a τ (dedup_semantic_semdedup applies one
+    fixed τ; this shows the retention curve the choice moves along —
+    Abbas et al. tune exactly this way).
+
+    Scale: the expensive part (bucket join + cosine) happens once;
+    the sweep is a broadcast of 5 thresholds over the scored candidate
+    relation — one conditional aggregate, not 5 reruns.
+    """
+    from ..functions.vectors import _dot, _norm2, as_double_array
+    from .similarity import rp_bucket_column
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id",
+        as_double_array("embedding").alias("v"),
+        rp_bucket_column(as_double_array("embedding")).alias("bucket"),
+    )
+    normed = scoped_persist(
+        buckets.withColumn("nrm", _norm2(F.col("v")))
+    )
+    total = normed.count()
+    a, b = normed.alias("a"), normed.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("dropped_id"), cos.alias("cos"))
+    )
+    taus = spark.createDataFrame(
+        [(float(t),) for t in _SWEEP_TAUS], "tau double"
+    )
+    hit = F.when(F.col("cos") >= F.col("tau"), 1)
+    hit_id = F.when(F.col("cos") >= F.col("tau"), F.col("dropped_id"))
+    return (
+        F.broadcast(taus)
+        .join(cand, F.lit(True), "left")
+        .groupBy("tau")
+        .agg(
+            F.floor(F.col("tau") * 100 + 0.5)
+            .cast("long")
+            .alias("tau_e2"),
+            F.count(hit).cast("long").alias("n_pairs"),
+            F.count_distinct(hit_id).cast("long").alias("n_dropped"),
+        )
+        .select(
+            "tau_e2",
+            "n_pairs",
+            "n_dropped",
+            F.expr(
+                f"({total}L - n_dropped) * 1000000 div {total}L"
+            ).alias("retained_ppm"),
+        )
+    )
