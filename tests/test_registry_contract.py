@@ -83,3 +83,71 @@ def test_every_oracle_names_registered_query():
     qs = registry.all_queries()
     extra = [n for n in registry.all_oracles() if n not in qs]
     assert not extra, extra
+
+
+# The EXACT driver-verified prefix (r04 composition, frozen): any
+# insertion before position 50 silently changes which queries the
+# driver's CORRECTNESS harness checks. New @query registrations belong
+# in late-loading modules (see registry._load_all); impls may live in
+# their family file and register late (corpus.py shows the pattern).
+_FROZEN_PREFIX_50 = [
+    'bronze_ingest_customer',
+    'incremental_extract_events',
+    'silver_dedup_fullrow',
+    'silver_dedup_keyed',
+    'gold_customer_agg',
+    'gold_duplicate_audit',
+    'row_count_orders',
+    'latest_event_per_user',
+    'medallion_pipeline_e2e',
+    'dq_expectations_report',
+    'dq_volume_anomaly_scan',
+    'dq_referential_integrity_audit',
+    'dq_uniqueness_audit',
+    'dq_benford_first_digit',
+    'dq_order_total_reconciliation',
+    'dedup_exact_documents',
+    'dedup_minhash_lsh_pairs',
+    'dedup_ngram_jaccard_pairs',
+    'dedup_simhash_fingerprint',
+    'dedup_simhash_clusters',
+    'dedup_embedding_neardup_pairs',
+    'dedup_cluster_assignment',
+    'dedup_survivor_selection',
+    'dedup_jaccard_df_capped',
+    'ann_cosine_topk_bruteforce',
+    'ann_ivf_probe_topk',
+    'similarity_knn_join_blocked',
+    'embedding_quantize_int8',
+    'ann_batch_topk',
+    'ann_kmeans_cells',
+    'embedding_centroid_per_label',
+    'ann_pq_adc_topk',
+    'ann_rp_lsh_topk',
+    'hard_negative_mining',
+    'ann_sq_rerank_topk',
+    'embedding_random_projection_jl',
+    'ann_ivf_recall_eval',
+    'embedding_norm_qa_outliers',
+    'dedup_semantic_semdedup',
+    'incremental_dedup_lakehouse',
+    'dedup_incremental_minhash_lsh',
+    'dedup_minhash_estimator_calibration',
+    'dedup_cluster_size_distribution',
+    'lakehouse_merge_upsert',
+    'lakehouse_merge_delete',
+    'lakehouse_time_travel',
+    'lakehouse_compaction_roundtrip',
+    'lakehouse_incremental_read',
+    'lakehouse_partitioned_scan',
+    'lakehouse_incremental_gold_refresh',
+]
+
+
+def test_driver_prefix_exact_composition():
+    reg = _fresh_registry()
+    assert reg["names"][:50] == _FROZEN_PREFIX_50, (
+        "driver-verified prefix shifted: first diff at position "
+        + str(next(i for i, (a, b) in enumerate(
+            zip(reg["names"][:50], _FROZEN_PREFIX_50)) if a != b))
+    )
