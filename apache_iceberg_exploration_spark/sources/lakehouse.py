@@ -233,7 +233,7 @@ class LakehouseTable:
     # immutable), so every consumer above this layer is unchanged.
     # Manifests from older table versions (inline "files") still read.
 
-    PART_KEYS = ("stats", "file_seq", "partitions")
+    PART_KEYS = ("stats", "file_seq", "partitions", "row_ids")
 
     @property
     def _parts_dir(self) -> str:
@@ -578,6 +578,8 @@ class LakehouseTable:
         delete_files: list[dict] | None = None,
         partition_specs: list[dict] | None = None,
         partitions: dict[str, dict] | None = None,
+        row_carry: dict | None = None,
+        no_lineage: bool = False,
         **summary,
     ) -> dict:
         manifest = {
@@ -609,7 +611,66 @@ class LakehouseTable:
             # partition tuples (for transform-aware pruning in scan())
             manifest["partition_specs"] = partition_specs
             manifest["partitions"] = partitions or {}
+        if not no_lineage:
+            self._assign_row_lineage(manifest, parent, stats, row_carry)
         return manifest
+
+    def _assign_row_lineage(
+        self,
+        manifest: dict,
+        parent: int,
+        stats: dict[str, dict] | None,
+        row_carry: dict | None,
+    ) -> None:
+        """Iceberg v3 row lineage, assigned at commit time: every data
+        file gets a ``first_row_id`` (``row_ids[file]``) from a monotone
+        table counter (``next_row_id``); a row's stable identity is
+        ``first_row_id + its position in the file``, unless the file
+        physically materializes a ``__row_id`` column (rewrites do —
+        see :meth:`_project_with_lineage_cols`), which wins at read.
+        The counter advances by each NEW file's full row count — carried
+        rows inside a rewritten file burn id slots, which is exactly the
+        Iceberg v3 inheritance scheme: no distributed id assignment, no
+        collisions, ids never reused.
+
+        Carry rules: files already present in the parent snapshot keep
+        their base verbatim (a base never changes once assigned — data
+        files are immutable and per-commit unique). ``row_carry``
+        injects bases from a NON-parent lineage (rollback restores the
+        target snapshot's bases; clone inherits the source's); its
+        ``next_row_id`` only ever raises the counter — monotone across
+        rollback. Branch-chain commits skip assignment (``no_lineage``):
+        provisional branch ids would collide with main's counter, so ids
+        are assigned when the branch publishes (fast_forward), exactly
+        like Iceberg's commit-time inheritance."""
+        prev_m: dict = {}
+        if parent and os.path.exists(self._manifest_path(parent)):
+            prev_m = self._read_manifest(parent)
+        carry = dict(prev_m.get("row_ids") or {})
+        next_id = int(prev_m.get("next_row_id", 0))
+        if row_carry:
+            for f, b in (row_carry.get("row_ids") or {}).items():
+                carry.setdefault(f, b)
+            next_id = max(next_id, int(row_carry.get("next_row_id", 0)))
+        bases: dict[str, int] = {}
+        fresh: list[str] = []
+        for f in manifest["files"]:
+            if f in carry:
+                bases[f] = carry[f]
+            else:
+                fresh.append(f)
+        for f in sorted(fresh):
+            n = (stats or {}).get(f, {}).get("__rows")
+            if n is None:
+                # path without precomputed stats (e.g. publish of an old
+                # stage): one footer read — metadata-only, no data IO
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(f).metadata.num_rows
+            bases[f] = next_id
+            next_id += int(n)
+        manifest["row_ids"] = bases
+        manifest["next_row_id"] = next_id
 
     @staticmethod
     def _merge_schema_json(base_json: str | None, extra_json: str | None) -> str | None:
@@ -851,6 +912,10 @@ class LakehouseTable:
             json.dump(cons, f)
 
     def _enforce_constraints(self, df: DataFrame) -> None:
+        # write-path validation: lineage column names are reserved —
+        # a user column named __row_id would be read back as MATERIALIZED
+        # row lineage and silently corrupt identity tracking
+        self._reject_reserved_cols(df)
         cons = self.check_constraints()
         if not cons:
             return
@@ -869,6 +934,15 @@ class LakehouseTable:
             raise ValueError(
                 "CHECK constraint violation — write refused: "
                 + ", ".join(f"{n}: {c} rows" for n, c in bad.items())
+            )
+
+    @staticmethod
+    def _reject_reserved_cols(df: DataFrame) -> None:
+        bad = {"__row_id", "__last_updated"} & set(df.columns)
+        if bad:
+            raise ValueError(
+                f"column names {sorted(bad)} are reserved for row-lineage "
+                "materialization — rename them before writing"
             )
 
     def append(
@@ -1168,6 +1242,13 @@ class LakehouseTable:
             cloned_from=self.path,
             cloned_version=v,
             source_retention_tag=tag_name,
+            # inherit the source's row lineage wholesale: shared files
+            # keep their bases, and the clone's counter starts past the
+            # source's so clone-side inserts never reuse an id
+            row_carry={
+                "row_ids": m.get("row_ids"),
+                "next_row_id": m.get("next_row_id", 0),
+            },
         )
         dest._try_commit(v, manifest)
         return dest
@@ -1234,6 +1315,7 @@ class LakehouseTable:
         tip is untouched; concurrent branch committers race on the
         branch-chain file exactly as main committers race on v{N}."""
         base = self._branch_base(name)  # raises if branch missing
+        self._reject_reserved_cols(df)
         _, files = self._write_data_files(df)
         new_stats = self._collect_file_stats(files)
         for _ in range(self.max_commit_retries):
@@ -1267,6 +1349,12 @@ class LakehouseTable:
                 added=len(files),
                 branch=name,
                 base_version=base,
+                # branch-chain manifests carry NO row lineage: `head` is a
+                # branch-local version (main's v{head} is a different
+                # snapshot), and provisional branch ids would collide with
+                # ids main assigns meanwhile — fast_forward assigns real
+                # ids at publish, Iceberg's commit-time inheritance
+                no_lineage=True,
             )
             try:
                 self._try_commit(
@@ -1434,15 +1522,36 @@ class LakehouseTable:
                 out.update(self._raw_manifest(bp).get("parts", []))
         return out
 
-    def read(self, version: int | str | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | str | None = None,
+        with_lineage: bool = False,
+    ) -> DataFrame:
         """Scan the table at a version (default: latest) — time travel ↔
         Iceberg ``VERSION AS OF``; a string reads a named tag. Empty
-        table → raises FileNotFoundError."""
+        table → raises FileNotFoundError. ``with_lineage`` appends the
+        Iceberg v3 lineage columns ``_row_id`` /
+        ``_last_updated_version`` (see :meth:`_project_to_schema`)."""
         v = self._resolve_version(version)
         manifest = self._read_manifest(v)
         if not manifest["files"]:
             raise FileNotFoundError(f"no data files at version {v}")
-        return self._project_to_schema(manifest)
+        return self._project_to_schema(manifest, with_lineage=with_lineage)
+
+    def _project_with_lineage_cols(self, manifest: dict) -> DataFrame:
+        """Rewrite-side read: the manifest's rows with their lineage
+        MATERIALIZED as physical ``__row_id`` / ``__last_updated``
+        columns, ready to be written into replacement files. Every
+        rewrite path (compaction, CoW delete/update/merge, sort/z-order)
+        reads survivors through this, so row identity survives any
+        sequence of rewrites — the Iceberg v3 requirement that engines
+        must write row ids when copying existing rows."""
+        df = self._project_to_schema(manifest, with_lineage=True)
+        return (
+            df.withColumn("__row_id", F.col("_row_id"))
+            .withColumn("__last_updated", F.col("_last_updated_version"))
+            .drop("_row_id", "_last_updated_version")
+        )
 
     def version_as_of(self, ts: float) -> int:
         """Latest version committed at or before a unix timestamp —
@@ -1765,7 +1874,9 @@ class LakehouseTable:
             )
         return df.drop("__seq", "__file", "__pos")
 
-    def _project_to_schema(self, manifest: dict) -> DataFrame:
+    def _project_to_schema(
+        self, manifest: dict, with_lineage: bool = False
+    ) -> DataFrame:
         """Read a manifest's files projected to its declared schema.
 
         Schema evolution contract (Iceberg-style, add-column only):
@@ -1775,24 +1886,36 @@ class LakehouseTable:
 
         When the manifest carries pending merge-on-read delete files,
         each row travels with its file's sequence number and the delete
-        keys are anti-joined out (see :meth:`_apply_deletes`)."""
+        keys are anti-joined out (see :meth:`_apply_deletes`).
+
+        ``with_lineage`` appends the Iceberg v3 row-lineage columns:
+        ``_row_id`` (stable row identity — the file's ``first_row_id``
+        plus the row's position, unless the file materializes
+        ``__row_id``, which wins) and ``_last_updated_version`` (the
+        version that last wrote the row — materialized ``__last_updated``
+        if present, else inherited from the file's sequence number)."""
         files = manifest["files"]
         schema_json = manifest.get("schema")
         deletes = manifest.get("delete_files", [])
-        has_pos = any(d.get("pos") for d in deletes)
+        has_pos = any(d.get("pos") for d in deletes) or with_lineage
         df = self._scan_files(
             files,
             manifest.get("file_seq"),
-            with_seq=bool(deletes),
+            with_seq=bool(deletes) or with_lineage,
             with_pos=has_pos,
         )
+        lineage_phys = [
+            c for c in ("__row_id", "__last_updated") if c in df.columns
+        ]
         if schema_json is not None:
             from pyspark.sql import types as T
 
             declared = T.StructType.fromJson(json.loads(schema_json))
-            keep = ["__seq"] if deletes else []
+            keep = ["__seq"] if (deletes or with_lineage) else []
             if has_pos:
                 keep += ["__file", "__pos"]
+            if with_lineage:
+                keep += lineage_phys
             cols = []
             for f in declared.fields:
                 # renamed columns: pre-rename files populate a prior name,
@@ -1816,11 +1939,63 @@ class LakehouseTable:
                 cols.append(expr.alias(f.name))
             cols += [F.col(c) for c in keep]
             df = df.select(*cols)
+        if with_lineage:
+            df = self._attach_lineage_cols(df, manifest)
         if deletes:
             df = self._apply_deletes(
                 df, deletes, renames=self._schema_renames(schema_json)
             )
+        elif with_lineage:
+            df = df.drop("__seq", "__file", "__pos")
         return df
+
+    def _attach_lineage_cols(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Compute ``_row_id`` / ``_last_updated_version`` from the
+        manifest's per-file ``first_row_id`` bases plus the parquet
+        reader's physical row position. A tiny (file → base) table is
+        broadcast-joined on the row's ``_metadata.file_path`` — O(files)
+        metadata, never a shuffle of the data side. Materialized
+        ``__row_id`` / ``__last_updated`` columns (written by rewrites)
+        take precedence; rows without them inherit ``base + position``
+        and the file's sequence number, the Iceberg v3 inheritance
+        rule. Applied BEFORE MoR delete anti-joins, so lineage sees the
+        same physical coordinates the deletes target; the anti-join then
+        removes dead rows, lineage intact."""
+        bases = manifest.get("row_ids")
+        if bases is None:
+            raise ValueError(
+                "row lineage unavailable for this snapshot: it predates "
+                "lineage tracking or is a branch-chain manifest (ids are "
+                "assigned at publish) — commit once (any write) to assign"
+            )
+        rows = [(f, bases.get(f)) for f in manifest["files"]]
+        bdf = self.spark.createDataFrame(
+            rows, "__lin_file string, __lin_base long"
+        )
+        # the reader reports file:///-URIs; manifests store plain paths
+        norm = F.regexp_replace(F.col("__file"), "^file:/+", "/")
+        df = df.join(F.broadcast(bdf), norm == F.col("__lin_file"), "left")
+        phys_rid = (
+            F.col("__row_id")
+            if "__row_id" in df.columns
+            else F.lit(None).cast("long")
+        )
+        phys_upd = (
+            F.col("__last_updated")
+            if "__last_updated" in df.columns
+            else F.lit(None).cast("long")
+        )
+        return (
+            df.withColumn(
+                "_row_id",
+                F.coalesce(phys_rid, F.col("__lin_base") + F.col("__pos")),
+            )
+            .withColumn(
+                "_last_updated_version",
+                F.coalesce(phys_upd, F.col("__seq").cast("long")),
+            )
+            .drop("__lin_file", "__lin_base", "__row_id", "__last_updated")
+        )
 
     @staticmethod
     def _schema_renames(schema_json: str | None) -> dict[str, list[str]]:
@@ -2239,14 +2414,14 @@ class LakehouseTable:
                     f for f in manifest["files"] if f not in set(touched)
                 ]
                 target_df = (
-                    self._project_to_schema(
+                    self._project_with_lineage_cols(
                         {**manifest, "files": touched}
                     )
                     if touched
-                    else self.read(version=base).limit(0)
+                    else self._project_with_lineage_cols(manifest).limit(0)
                 )
             else:
-                target_df = self.read(version=base)
+                target_df = self._project_with_lineage_cols(manifest)
             # Explicit presence markers, NOT key-NULL-ness: a target row
             # whose merge-key column is legitimately NULL must survive as
             # "target only", not be misread as an unmatched source row and
@@ -2274,8 +2449,11 @@ class LakehouseTable:
                 # keep only rows with a source side present
                 joined = joined.filter(F.col("s._s_present").isNotNull())
 
+            lineage_names = ("__row_id", "__last_updated")
             projections = []
             for c in t_cols:
+                if c in lineage_names:
+                    continue  # handled below — never user-updatable
                 expr = F.col(f"t.{c}")
                 if update_cols and c in update_cols:
                     expr = F.when(matched, update_cols[c]).otherwise(expr)
@@ -2291,9 +2469,26 @@ class LakehouseTable:
                 projections += [
                     F.col(f"s.{c}").alias(c)
                     for c in source.columns
-                    if c not in t_cols and c != "_s_present"
+                    if c not in t_cols
+                    and c != "_s_present"
+                    and c not in lineage_names
                 ]
+            # row lineage through the merge: target rows (updated or
+            # pass-through) keep their __row_id; inserted rows carry a
+            # t-side NULL from the outer join and inherit base+pos at
+            # read. __last_updated resets to NULL (= this commit) for
+            # UPDATED rows only; pass-throughs keep their old version.
+            upd_expr = F.col("t.__last_updated")
+            if update_cols:
+                upd_expr = F.when(
+                    matched, F.lit(None).cast("long")
+                ).otherwise(upd_expr)
+            projections += [
+                F.col("t.__row_id").alias("__row_id"),
+                upd_expr.alias("__last_updated"),
+            ]
             merged = joined.select(*projections)
+            data_schema_json = merged.drop(*lineage_names).schema.json()
 
             snap_id, files = self._write_data_files(merged)
             stats = self._collect_file_stats(files)
@@ -2304,10 +2499,10 @@ class LakehouseTable:
                 carried + files,
                 base,
                 schema_json=self._merge_schema_json(
-                    manifest.get("schema"), merged.schema.json()
+                    manifest.get("schema"), data_schema_json
                 )
                 if carried
-                else merged.schema.json(),
+                else data_schema_json,
                 stats={
                     **{f: old_stats[f] for f in carried if f in old_stats},
                     **stats,
@@ -2372,7 +2567,10 @@ class LakehouseTable:
             new_files: list[str] = []
             new_stats: dict[str, dict] = {}
             if touched:
-                kept = self._project_to_schema(
+                # survivors carry their row ids into the replacement
+                # files (materialized __row_id/__last_updated) — a CoW
+                # delete never changes the identity of the rows it keeps
+                kept = self._project_with_lineage_cols(
                     {**manifest, "files": touched}
                 ).filter(~condition)
                 snap_id, new_files = self._write_data_files(kept)
@@ -2524,6 +2722,7 @@ class LakehouseTable:
         (no tombstones, no read-side merge), and the whole operation is
         serialized by the same read-modify-write commit as merge —
         concurrent appends rebase, lost updates are impossible."""
+        self._reject_reserved_cols(df)
         if validate:
             bad = df.filter(
                 ~F.coalesce(condition, F.lit(False))
@@ -2549,7 +2748,8 @@ class LakehouseTable:
             new_files: list[str] = []
             new_stats: dict[str, dict] = {}
             if touched:
-                kept = self._project_to_schema(
+                # survivors of the replaced slice keep their row ids
+                kept = self._project_with_lineage_cols(
                     {**manifest, "files": touched}
                 ).filter(~F.coalesce(condition, F.lit(False)))
                 snap_id, new_files = self._write_data_files(kept)
@@ -2738,7 +2938,14 @@ class LakehouseTable:
             new_files: list[str] = []
             new_stats: dict[str, dict] = {}
             if touched:
-                src = self._project_to_schema({**manifest, "files": touched})
+                src = self._project_with_lineage_cols(
+                    {**manifest, "files": touched}
+                )
+                # updated rows keep their __row_id but RESET
+                # __last_updated to NULL — at read time NULL inherits the
+                # rewritten file's sequence number (= this commit), which
+                # is exactly 'last updated here'; untouched rows in the
+                # same file keep their materialized old version
                 updated = src.select(
                     *[
                         (
@@ -2746,7 +2953,15 @@ class LakehouseTable:
                             .otherwise(F.col(c))
                             .alias(c)
                             if c in set_cols
-                            else F.col(c)
+                            else (
+                                F.when(
+                                    condition, F.lit(None).cast("long")
+                                )
+                                .otherwise(F.col(c))
+                                .alias(c)
+                                if c == "__last_updated"
+                                else F.col(c)
+                            )
                         )
                         for c in src.columns
                     ]
@@ -2831,7 +3046,7 @@ class LakehouseTable:
             # existence probe, keys write, and images write don't each
             # re-run the table scan + pending-delete anti-joins
             src = (
-                self._project_to_schema(manifest)
+                self._project_with_lineage_cols(manifest)
                 .filter(condition)
                 .localCheckpoint(eager=True)
             )
@@ -2839,12 +3054,20 @@ class LakehouseTable:
                 return None, []
             doomed = src.select(*keys).distinct()
             del_snap, del_files = self._write_data_files(doomed)
+            # the appended images carry the matched rows' __row_id — a
+            # MoR update replaces the old image (hidden by the equality
+            # delete) with a SAME-IDENTITY new image; __last_updated
+            # resets to NULL so reads inherit the new file's seq
             updated = src.select(
                 *[
                     (
                         set_cols[c].alias(c)
                         if c in set_cols
-                        else F.col(c)
+                        else (
+                            F.lit(None).cast("long").alias(c)
+                            if c == "__last_updated"
+                            else F.col(c)
+                        )
                     )
                     for c in src.columns
                 ]
@@ -3045,6 +3268,14 @@ class LakehouseTable:
                 partitions=old.get("partitions"),
                 added=0,
                 restored_version=to_version,
+                # restored files keep the ids they had at to_version; the
+                # counter never rewinds (max of tip and target), so rows
+                # appended after the restore can't collide with ids that
+                # existed in the rolled-past snapshots
+                row_carry={
+                    "row_ids": old.get("row_ids"),
+                    "next_row_id": old.get("next_row_id", 0),
+                },
             )
         )
 
@@ -3062,6 +3293,7 @@ class LakehouseTable:
         Scale: the expensive part (writing data) happens here, outside
         the commit path; publish is a metadata-only commit. A failed
         audit aborts without ever perturbing readers."""
+        self._reject_reserved_cols(df)
         _, files = self._write_data_files(df)
         stage_id = uuid.uuid4().hex[:12]
         os.makedirs(self._snap_dir, exist_ok=True)
@@ -3262,7 +3494,11 @@ class LakehouseTable:
             if len(small) < 2:
                 return None, []
             carried = [f for f in manifest["files"] if f not in set(small)]
-            src = self._project_to_schema({**manifest, "files": small})
+            # packed rows keep their identity (materialized lineage) —
+            # compaction must be invisible to _row_id consumers
+            src = self._project_with_lineage_cols(
+                {**manifest, "files": small}
+            )
             specs = manifest.get("partition_specs")
             if specs:
                 # partition-aware packing: coalescing across partitions
@@ -3368,7 +3604,10 @@ class LakehouseTable:
         n = target_file_count or self.spark.sparkContext.defaultParallelism
 
         def compute(base: int) -> tuple[dict, list[str]]:
-            src = self.read(version=base)
+            # re-clustering rewrites every row — identity must ride along
+            # (materialized __row_id/__last_updated), or a z-order pass
+            # would silently re-key every downstream lineage consumer
+            src = self._project_with_lineage_cols(self._read_manifest(base))
             if hilbert_by:
                 df = (
                     self._with_hilbert_key(src, hilbert_by)
@@ -3499,7 +3738,8 @@ class LakehouseTable:
             new_files: list[str] = []
             new_stats: dict[str, dict] = {}
             if targeted:
-                src = self._project_to_schema(
+                # survivors of the targeted files keep their row ids
+                src = self._project_with_lineage_cols(
                     {**manifest, "files": sorted(targeted)}
                 )
                 snap_id, new_files = self._write_data_files(src)

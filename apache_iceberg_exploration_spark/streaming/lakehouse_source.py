@@ -212,10 +212,19 @@ def _cdc_rows(
     return out
 
 
+# physical row-lineage columns (Iceberg v3): rewrites MATERIALIZE these
+# into data files so row identity survives compaction/CoW; they are
+# table metadata, not user data — every raw-file reader below must
+# exclude them or a rewritten file would change the visible schema and
+# un-cancel CDC multiset diffs
+_RESERVED_LINEAGE = ("__row_id", "__last_updated")
+
+
 def _us_schema(schema):
-    """Arrow schema with nanosecond timestamps demoted to microseconds:
-    Spark's INT96 parquet timestamps surface as timestamp[ns] in pyarrow,
-    which Spark's Arrow ingest path rejects (UNSUPPORTED_ARROWTYPE)."""
+    """Arrow schema with nanosecond timestamps demoted to microseconds
+    (Spark's INT96 parquet timestamps surface as timestamp[ns] in
+    pyarrow, which Spark's Arrow ingest path rejects —
+    UNSUPPORTED_ARROWTYPE) and materialized lineage columns dropped."""
     import pyarrow as pa
 
     return pa.schema(
@@ -228,6 +237,7 @@ def _us_schema(schema):
                 f.nullable,
             )
             for f in schema
+            if f.name not in _RESERVED_LINEAGE
         ]
     )
 
@@ -239,12 +249,16 @@ def _us_batches(pf):
 
     target = _us_schema(pf.schema_arrow)
     plain = target == pf.schema_arrow
+    names = [f.name for f in target]
     for batch in pf.iter_batches():
         if plain:
             yield batch
         else:
             yield from (
-                pa.Table.from_batches([batch]).cast(target).to_batches()
+                pa.Table.from_batches([batch])
+                .select(names)
+                .cast(target)
+                .to_batches()
             )
 
 
@@ -273,6 +287,7 @@ def make_lakehouse_stream_source():
                 self._colnames = [
                     f.name
                     for f in pq.ParquetFile(files[0]).schema_arrow
+                    if f.name not in _RESERVED_LINEAGE
                 ]
 
         def initialOffset(self) -> dict:
@@ -288,7 +303,13 @@ def make_lakehouse_stream_source():
 
             rows: list[tuple] = []
             for f in files:
-                for batch in pq.ParquetFile(f).iter_batches():
+                pf = pq.ParquetFile(f)
+                names = [
+                    n
+                    for n in pf.schema_arrow.names
+                    if n not in _RESERVED_LINEAGE
+                ]
+                for batch in pf.iter_batches(columns=names):
                     rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
             return rows
 
@@ -422,6 +443,7 @@ def make_lakehouse_stream_dist_source():
                 self._colnames = [
                     f.name
                     for f in pq.ParquetFile(files[0]).schema_arrow
+                    if f.name not in _RESERVED_LINEAGE
                 ]
 
         def _learn(self, version: int) -> None:

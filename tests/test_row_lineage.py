@@ -1,0 +1,308 @@
+"""Iceberg v3 row-lineage tests (VERDICT r5 task #1): every row gets a
+stable ``_row_id`` (manifest ``first_row_id`` per file + read-time
+position, Iceberg v3 inheritance) and a ``_last_updated_version``, and
+EVERY rewrite path must preserve identity by materializing the lineage
+columns into the files it writes — one test per mutation path, per the
+partition-layout-erosion lesson (CLAUDE.md): any path that forgets the
+carry silently re-keys rows.
+
+Reference parity note: the reference pins iceberg-spark-runtime 1.4/1.5
+(docker/Dockerfile:14,23), which predates v3 row lineage; this implements
+the v3 spec semantics (first-row-id assignment at commit, id inheritance
+at read, materialization on rewrite) on the from-scratch manifest layer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.sources.lakehouse import (
+    LakehouseTable,
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return LakehouseTable(spark, str(tmp_path / "tbl"))
+
+
+def _kv(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .coalesce(1)
+        .sortWithinPartitions("k")
+    )
+
+
+def _ids(table):
+    return {
+        r["k"]: r["_row_id"]
+        for r in table.read(with_lineage=True).collect()
+    }
+
+
+def _upd(table):
+    return {
+        r["k"]: r["_last_updated_version"]
+        for r in table.read(with_lineage=True).collect()
+    }
+
+
+def test_append_assigns_dense_ids_and_counter_advances(spark, table):
+    table.append(_kv(spark, 0, 10))
+    ids = _ids(table)
+    assert sorted(ids.values()) == list(range(10))
+    table.append(_kv(spark, 10, 15))
+    ids = _ids(table)
+    assert sorted(ids.values()) == list(range(15))
+    # single sorted file per append: id == key by construction
+    assert all(ids[k] == k for k in ids)
+    m = table._read_manifest(table.current_version())
+    assert m["next_row_id"] == 15
+    # _last_updated_version inherits each file's commit version
+    upd = _upd(table)
+    assert all(v == (1 if k < 10 else 2) for k, v in upd.items())
+
+
+def test_cow_update_preserves_ids_and_bumps_last_updated(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    v = table.update_where(F.col("k") == 3, {"v": F.lit(999)})["version"]
+    assert _ids(table) == pre
+    upd = _upd(table)
+    assert upd[3] == v
+    # untouched rows in the SAME rewritten file keep their old version
+    assert all(val == 1 for k, val in upd.items() if k != 3)
+
+
+def test_cow_delete_preserves_survivor_ids(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    table.delete_where(F.col("k") == 7)
+    ids = _ids(table)
+    assert ids == {k: i for k, i in pre.items() if k != 7}
+    # a later insert never reuses the deleted id (counter is monotone)
+    table.append(_kv(spark, 100, 101))
+    assert min(i for k, i in _ids(table).items() if k == 100) >= 10
+
+
+def test_compaction_invisible_to_lineage(spark, table):
+    for lo in (0, 10, 20):
+        table.append(_kv(spark, lo, lo + 10))
+    pre, preu = _ids(table), _upd(table)
+    assert table.rewrite_small_files(min_file_bytes=64 * 1024 * 1024)
+    assert _ids(table) == pre
+    assert _upd(table) == preu  # compaction is NOT an update
+
+
+def test_sort_rewrite_preserves_ids(spark, table):
+    table.append(_kv(spark, 0, 50))
+    table.append(_kv(spark, 50, 100))
+    pre = _ids(table)
+    table.rewrite_data_files(target_file_count=4, sort_by=["v"])
+    assert _ids(table) == pre
+
+
+def test_merge_update_insert_delete_lineage(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    src = spark.createDataFrame(
+        [(1, 111), (2, 222), (50, 500), (9, -1)], "k long, v long"
+    )
+    table.merge_into(
+        src,
+        on=["k"],
+        update_cols={"v": F.col("s.v")},
+        delete_condition=F.col("s.v") < 0,
+    )
+    ids = _ids(table)
+    # updated rows keep their ids; deleted row gone; insert id is fresh
+    assert ids[1] == pre[1] and ids[2] == pre[2]
+    assert 9 not in ids
+    assert ids[50] >= 10
+    assert all(ids[k] == pre[k] for k in ids if k != 50)
+    upd = _upd(table)
+    v = table.current_version()
+    assert upd[1] == v and upd[50] == v
+    # pass-through target rows are NOT updates
+    assert upd[0] == 1
+
+
+def test_mor_update_same_identity_new_image(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    v = table.update_where_mor(
+        F.col("k") == 4, keys=["k"], set_cols={"v": F.lit(444)}
+    )["version"]
+    ids = _ids(table)
+    assert ids == pre  # the new image carries the old row's id
+    upd = _upd(table)
+    assert upd[4] == v
+    row = (
+        table.read(with_lineage=True).filter(F.col("k") == 4).first()
+    )
+    assert row["v"] == 444
+
+
+def test_mor_pos_delete_then_rewrite(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    table.delete_where_pos(F.col("k") == 5)
+    ids = _ids(table)
+    assert ids == {k: i for k, i in pre.items() if k != 5}
+    # materializing the pos deletes away must keep survivor ids
+    table.rewrite_position_delete_files()
+    assert _ids(table) == {k: i for k, i in pre.items() if k != 5}
+
+
+def test_mor_equality_delete_inheritance(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    table.delete_where_mor(F.col("k") == 2, keys=["k"])
+    assert _ids(table) == {k: i for k, i in pre.items() if k != 2}
+
+
+def test_rollback_restores_ids_counter_monotone(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    table.delete_where(F.col("k") < 5)
+    table.append(_kv(spark, 200, 205))  # burn ids past the delete
+    m_tip = table._read_manifest(table.current_version())
+    table.rollback(1)
+    assert _ids(table) == pre
+    m = table._read_manifest(table.current_version())
+    assert m["next_row_id"] >= m_tip["next_row_id"]
+
+
+def test_clone_inherits_lineage(spark, table, tmp_path):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    clone = table.clone(str(tmp_path / "clone"))
+    assert {
+        r["k"]: r["_row_id"]
+        for r in clone.read(with_lineage=True).collect()
+    } == pre
+    # clone-side insert starts past the source counter
+    clone.append(_kv(spark, 300, 302))
+    cids = {
+        r["k"]: r["_row_id"]
+        for r in clone.read(with_lineage=True).collect()
+    }
+    assert min(cids[300], cids[301]) >= 10
+
+
+def test_branch_publish_assigns_at_fast_forward(spark, table):
+    table.append(_kv(spark, 0, 10))
+    table.create_branch("audit")
+    table.append_branch("audit", _kv(spark, 10, 13))
+    # branch-chain manifests carry no lineage — loud, not silent
+    with pytest.raises(ValueError, match="lineage unavailable"):
+        table._project_to_schema(
+            table._read_branch_manifest("audit", 1), with_lineage=True
+        )
+    table.fast_forward("audit")
+    ids = _ids(table)
+    assert sorted(ids.values()) == list(range(13))
+
+
+def test_wap_publish_assigns_ids(spark, table):
+    table.append(_kv(spark, 0, 10))
+    stage = table.stage_append(_kv(spark, 10, 12))
+    table.publish(stage)
+    assert sorted(_ids(table).values()) == list(range(12))
+
+
+def test_overwrite_where_slice_lineage(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    repl = spark.createDataFrame([(3, 33), (4, 44)], "k long, v long")
+    table.overwrite_where(
+        repl, (F.col("k") >= 3) & (F.col("k") <= 4)
+    )
+    ids = _ids(table)
+    # survivors keep ids; replacement rows are NEW identities
+    assert all(ids[k] == pre[k] for k in ids if k not in (3, 4))
+    assert ids[3] >= 10 and ids[4] >= 10
+
+
+def test_dynamic_partition_overwrite_lineage(spark, table):
+    df = (
+        spark.range(0, 20)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).alias("p"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    table.append(df, partition_by=["p"], distribution="hash")
+    pre = _ids(table)
+    repl = (
+        spark.range(0, 3)
+        .select(
+            (F.col("id") + 1000).alias("k"),
+            F.lit(1).alias("p"),
+            F.lit(0).alias("v"),
+        )
+    )
+    table.overwrite_partitions_dynamic(repl)
+    ids = _ids(table)
+    # untouched partition p=0 keeps its ids; p=1 rows are replaced
+    assert all(ids[k] == pre[k] for k in ids if k < 20)
+    assert all(k >= 1000 or k % 2 == 0 for k in ids)
+
+
+def test_schema_evolution_keeps_lineage(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = _ids(table)
+    table.add_column("note", "string")
+    assert _ids(table) == pre
+    table.update_where(F.col("k") == 1, {"note": F.lit("x")})
+    assert _ids(table) == pre
+
+
+def test_reserved_column_names_refused(spark, table):
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1).alias("__row_id")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        table.append(bad)
+
+
+def test_time_travel_lineage(spark, table):
+    table.append(_kv(spark, 0, 10))
+    table.update_where(F.col("k") == 3, {"v": F.lit(999)})
+    old = {
+        r["k"]: (r["_row_id"], r["_last_updated_version"])
+        for r in table.read(version=1, with_lineage=True).collect()
+    }
+    assert all(v == (k, 1) for k, v in old.items())
+
+
+def test_pre_lineage_manifest_raises_then_next_commit_assigns(
+    spark, table
+):
+    table.append(_kv(spark, 0, 5))
+    # simulate a pre-upgrade snapshot: strip lineage from the manifest
+    import json
+    import os
+
+    p = table._manifest_path(1)
+    with open(p) as f:
+        m = json.load(f)
+    m.pop("next_row_id", None)
+    keys = m.get("part_keys")
+    if keys and "row_ids" in keys:
+        # parts-format: drop the key so materialization yields no map
+        m["part_keys"] = [k for k in keys if k != "row_ids"]
+    m.pop("row_ids", None)
+    os.unlink(p)
+    with open(p, "w") as f:
+        json.dump(m, f)
+    table.__dict__.pop("_part_cache", None)
+    with pytest.raises(ValueError, match="lineage unavailable"):
+        table.read(with_lineage=True).collect()
+    table.append(_kv(spark, 5, 8))  # any commit assigns
+    ids = _ids(table)
+    assert sorted(ids.values()) == list(range(8))
