@@ -113,5 +113,7 @@ def _load_all() -> None:
     from .operators import geospatial  # noqa: F401
     # round-5 continuation — span-level (substring) dedup family.
     from .operators import corpus  # noqa: F401
+    # r6 (third cycle) — Iceberg v3 row lineage + identity-keyed CDC.
+    from .operators import lineage  # noqa: F401
 
     _LOADED = True

@@ -1575,6 +1575,7 @@ class LakehouseTable:
         self,
         from_version: int | str,
         to_version: int | str | None = None,
+        row_level: bool = False,
     ) -> DataFrame:
         """NET row-level change feed between two snapshots — the
         changelog scan (Iceberg ``changelog_view`` / Delta CDF, netted
@@ -1587,6 +1588,17 @@ class LakehouseTable:
         changelog emits for copy-on-write updates). Rewrites that
         preserve rows (compaction, z-order) cancel to zero changes —
         exactly what a downstream incremental consumer wants.
+
+        ``row_level=True`` upgrades the diff from value multisets to
+        ROW IDENTITY (Iceberg v3 row lineage, r6): the two sides join
+        on ``_row_id``, so an UPDATE surfaces as ONE paired change —
+        ``update_preimage`` + ``update_postimage`` sharing the same
+        ``_row_id`` (Delta CDF's four-type convention) — instead of an
+        unpaired delete+insert; a deleted row re-inserted with
+        identical values is now correctly a delete + insert of two
+        DIFFERENT identities rather than a silent cancel. ``_row_id``
+        is emitted on every change row. Same changed-file scoping; the
+        join key is the lineage id, so cost stays O(changed data).
 
         Scale (r4 — this replaced a both-full-snapshot diff): only
         CHANGED files are opened. File sets of the two manifests are
@@ -1704,10 +1716,19 @@ class LakehouseTable:
             sub = dict(state)
             sub["files"] = sorted(files)
             sub["schema"] = m2.get("schema")  # both sides under TO schema
+            if row_level:
+                return self._project_to_schema(
+                    sub, with_lineage=True
+                ).drop("_last_updated_version")
             return self._project_to_schema(sub)
 
         old = _side(m1, (f1 - f2) | affected)
         new = _side(m2, (f2 - f1) | affected)
+
+        if row_level:
+            # a side over a pre-lineage manifest raises inside
+            # _attach_lineage_cols ("row lineage unavailable") at _side
+            return self._changelog_row_level(old, new, m2, m1)
 
         def tag(df: DataFrame, kind: str) -> DataFrame:
             return df.select(F.lit(kind).alias("_change_type"), "*")
@@ -1737,6 +1758,81 @@ class LakehouseTable:
         return tag(new.exceptAll(old), "insert").unionByName(
             tag(old.exceptAll(new), "delete")
         )
+
+    def _changelog_row_level(
+        self,
+        old: DataFrame | None,
+        new: DataFrame | None,
+        m2: dict,
+        m1: dict,
+    ) -> DataFrame:
+        """Identity-keyed interval diff (Delta CDF's four change types):
+        the sides (already scoped to changed files, already carrying
+        ``_row_id``) full-outer-join on the lineage id. One id on both
+        sides with differing values is ONE update — emitted as an
+        ``update_preimage``/``update_postimage`` pair sharing the id;
+        same values (a rewrite that moved the row) emits nothing; id
+        only-old is a delete, only-new an insert. The pair construction
+        is a conditional-array explode — one pass over the join, no
+        recompute per change type; a NULL array (unchanged row) is
+        dropped by ``explode`` itself."""
+        sides = [d for d in (old, new) if d is not None]
+        if not sides:
+            # zero changes — empty, row-level-shaped feed
+            schema_json = m2.get("schema") or m1.get("schema")
+            if schema_json is None:
+                raise FileNotFoundError("no data files or schema")
+            from pyspark.sql import types as T
+
+            shape = T.StructType.fromJson(json.loads(schema_json))
+            shape = T.StructType(
+                [T.StructField("_change_type", T.StringType())]
+                + list(shape.fields)
+                + [T.StructField("_row_id", T.LongType())]
+            )
+            return self.spark.createDataFrame([], shape)
+        user_cols = [c for c in sides[0].columns if c != "_row_id"]
+
+        def shaped(df: DataFrame, kind: str) -> DataFrame:
+            return df.select(
+                F.lit(kind).alias("_change_type"), *user_cols, "_row_id"
+            )
+
+        if old is None:
+            return shaped(new, "insert")
+        if new is None:
+            return shaped(old, "delete")
+        o = old.withColumn("_o_present", F.lit(True)).alias("__cl_o")
+        n = new.withColumn("_n_present", F.lit(True)).alias("__cl_n")
+        joined = o.join(
+            n, o["_row_id"] == n["_row_id"], "full_outer"
+        )
+        only_new = o["_o_present"].isNull()
+        only_old = n["_n_present"].isNull()
+        same = F.struct(*[o[c] for c in user_cols]).eqNullSafe(
+            F.struct(*[n[c] for c in user_cols])
+        )
+
+        def ev(kind: str, side: DataFrame) -> F.Column:
+            return F.struct(
+                F.lit(kind).alias("_change_type"),
+                *[side[c].alias(c) for c in user_cols],
+                side["_row_id"].alias("_row_id"),
+            )
+
+        events = (
+            F.when(only_new, F.array(ev("insert", n)))
+            .when(only_old, F.array(ev("delete", o)))
+            .when(
+                ~same,
+                F.array(
+                    ev("update_preimage", o), ev("update_postimage", n)
+                ),
+            )
+        )  # matched & identical -> NULL array -> explode drops the row
+        return joined.select(
+            F.explode(events).alias("__e")
+        ).select("__e.*")
 
     def _scan_files(
         self,

@@ -111,14 +111,24 @@ def _added_files(root: str, since: int, until: int) -> list[str]:
     return out
 
 
-_MOR_OPS = {"delete-mor", "delete-pos", "update-mor"}
+# equality-delete ops hide rows by VALUE with sequence-number scoping —
+# invisible to any file-level diff, still refused. Position deletes
+# ("delete-pos") name exact (file, row) coordinates, so the feed CAN
+# emit them (r6, VERDICT r5 #4): no longer in the refuse set.
+_MOR_OPS = {"delete-mor", "update-mor"}
 
 
 def _manifest_meta(root: str, version: int) -> dict | None:
-    """Operation + materialized file list + delete files of a snapshot
-    (parts-aware, no Spark)."""
+    """Operation + materialized file list + delete entries + commit time
+    of a snapshot (parts-aware, no Spark)."""
     if version <= 0:
-        return {"op": None, "files": [], "delete_files": []}
+        return {
+            "op": None,
+            "files": [],
+            "delete_files": [],
+            "delete_entries": [],
+            "committed_at": None,
+        }
     path = os.path.join(root, "snapshots", f"v{version}.json")
     if not os.path.exists(path):
         return None
@@ -128,11 +138,101 @@ def _manifest_meta(root: str, version: int) -> dict | None:
         "op": m.get("operation"),
         "files": _manifest_files(root, version),
         # entries are {"files": [...], "seq": N, ...} — flatten to the
-        # referenced delete-file paths (identity for CDC gating)
+        # referenced delete-file paths (identity for CDC gating)...
         "delete_files": [
             f for d in m.get("delete_files", []) for f in d["files"]
         ],
+        # ...and keep the structured entries (pos flag + coordinate
+        # files) for the position-delete CDC path
+        "delete_entries": m.get("delete_files", []),
+        "committed_at": m.get("committed_at"),
     }
+
+
+def _commit_ts(meta: dict):
+    """Commit wall-clock as a tz-aware datetime (Delta CDF's
+    ``_commit_timestamp`` convention, ADVICE r5) — None for manifests
+    that predate the field."""
+    from datetime import datetime, timezone
+
+    ts = meta.get("committed_at")
+    if ts is None:
+        return None
+    return datetime.fromtimestamp(float(ts), tz=timezone.utc)
+
+
+def _norm_path(v: str) -> str:
+    """Coordinate files store the parquet reader's file URI
+    (file:///...); manifests store plain paths — normalize."""
+    if v.startswith("file:"):
+        v = v[5:]
+        while v.startswith("//"):
+            v = v[1:]
+    return v
+
+
+def _pos_coords(entry_files: list[str]) -> dict[str, set[int]]:
+    """target data file -> set of doomed row positions, from a position
+    delete entry's coordinate files."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for kf in entry_files:
+        t = pq.read_table(kf)
+        for fv, pv in zip(
+            t.column("__file").to_pylist(), t.column("__pos").to_pylist()
+        ):
+            out.setdefault(_norm_path(fv), set()).add(pv)
+    return out
+
+
+def _entry_key(d: dict) -> str:
+    return json.dumps(d, sort_keys=True)
+
+
+def _cdc_entry_delta(
+    prev_entries: list[dict], cur_entries: list[dict]
+) -> tuple[list[dict], list[dict]]:
+    """Delete entries added/removed by a commit."""
+    pk = {_entry_key(d): d for d in prev_entries}
+    ck = {_entry_key(d): d for d in cur_entries}
+    added = [d for k, d in ck.items() if k not in pk]
+    removed = [d for k, d in pk.items() if k not in ck]
+    return added, removed
+
+
+def _cdc_entry_guards(
+    added_e: list[dict],
+    removed_e: list[dict],
+    files_changed: bool,
+    label: str,
+    v: int,
+) -> None:
+    """Equality-delete gating for the file-level CDC feed.
+
+    ADDED equality entries hide rows by VALUE — invisible to any file
+    diff, always refused (the deferred-delete contract: their delete
+    events surface later, when a rewrite physically drops the rows —
+    pinned by test_cdc_stream_refuses_mor_delete_commits). REMOVED
+    equality entries are fine exactly when the same commit rewrites
+    files (compaction materializing them away: the hidden rows sit in
+    the removed files and the diff emits their deferred deletes);
+    without a file change (rollback past a MoR delete) the rows
+    resurrect invisibly — refused."""
+    if any(not d.get("pos") for d in added_e):
+        raise ValueError(
+            f"{label}: snapshot v{v} adds equality merge-on-read "
+            "delete files, invisible to a file-level diff; compact "
+            "first (rewrite_data_files) or consume "
+            "LakehouseTable.changelog in batch"
+        )
+    if not files_changed and any(not d.get("pos") for d in removed_e):
+        raise ValueError(
+            f"{label}: snapshot v{v} drops equality-delete entries "
+            "without rewriting files (rollback past a MoR delete?) — "
+            "the resurrected rows are invisible to a file-level diff; "
+            "consume LakehouseTable.changelog in batch"
+        )
 
 
 def _cdc_rows(
@@ -146,11 +246,14 @@ def _cdc_rows(
     its true inserts+deletes). Rows are (cols..., _change_type,
     _commit_version).
 
-    MoR commits (equality/position delete files) hide rows WITHOUT
-    touching data files, which a file diff cannot see — the feed
-    refuses them loudly (compact first, or use the batch
-    ``LakehouseTable.changelog``), the same guard the distributed
-    batch reader applies to pending deletes."""
+    Equality-delete commits (delete-mor / update-mor) hide rows by
+    VALUE, which a file diff cannot see — refused loudly (compact
+    first, or use the batch ``LakehouseTable.changelog``). POSITION
+    delete commits ARE emitted (r6): the coordinate files name exact
+    (file, row) targets, so the feed reads precisely the doomed rows
+    and emits their delete events; file diffs thereafter exclude
+    already-dead coordinates, so the eventual compaction that
+    materializes the deletes away still nets to zero."""
     from collections import Counter
 
     import pyarrow.parquet as pq
@@ -162,7 +265,25 @@ def _cdc_rows(
             "lagged past snapshot retention"
         )
 
-    def read_multiset(files: list[str]) -> Counter:
+    coords_cache: dict[str, dict[str, set[int]]] = {}
+
+    def entry_coords(d: dict) -> dict[str, set[int]]:
+        k = _entry_key(d)
+        if k not in coords_cache:
+            coords_cache[k] = _pos_coords(d["files"])
+        return coords_cache[k]
+
+    def pending_dead(entries: list[dict]) -> dict[str, set[int]]:
+        dead: dict[str, set[int]] = {}
+        for d in entries:
+            if d.get("pos"):
+                for tf, ps in entry_coords(d).items():
+                    dead.setdefault(tf, set()).update(ps)
+        return dead
+
+    def read_multiset(
+        files: list[str], dead: dict[str, set[int]]
+    ) -> Counter:
         c: Counter = Counter()
         for f in files:
             t = pq.read_table(f)
@@ -171,8 +292,11 @@ def _cdc_rows(
                 t.column(n).to_pylist() if n in names else None
                 for n in colnames
             ]
+            skip = dead.get(f, ())
             n_rows = t.num_rows
             for i in range(n_rows):
+                if i in skip:
+                    continue  # already logically deleted — not a change
                 c[
                     tuple(
                         col[i] if col is not None else None for col in cols
@@ -180,9 +304,21 @@ def _cdc_rows(
                 ] += 1
         return c
 
+    def rows_at(tf: str, positions: set[int]) -> list[tuple]:
+        t = pq.read_table(tf)
+        names = t.column_names
+        cols = [
+            t.column(n).to_pylist() if n in names else None
+            for n in colnames
+        ]
+        return [
+            tuple(col[i] if col is not None else None for col in cols)
+            for i in sorted(positions)
+        ]
+
     out: list[tuple] = []
     prev_files = set(prev["files"])
-    prev_dels = set(prev["delete_files"])
+    prev_entries = prev["delete_entries"]
     for v in range(since + 1, until + 1):
         m = _manifest_meta(root, v)
         if m is None:
@@ -190,25 +326,49 @@ def _cdc_rows(
                 f"lakehouse_stream CDC: snapshot v{v} expired — consumer "
                 "lagged past snapshot retention"
             )
-        if m["op"] in _MOR_OPS or set(m["delete_files"]) - prev_dels:
-            raise ValueError(
-                f"lakehouse_stream CDC: snapshot v{v} ({m['op']}) adds "
-                "merge-on-read delete files, invisible to a file-level "
-                "diff; compact first (rewrite_data_files) or consume "
-                "LakehouseTable.changelog in batch"
-            )
+        added_e, removed_e = _cdc_entry_delta(
+            prev_entries, m["delete_entries"]
+        )
+        ts = _commit_ts(m)
         files = set(m["files"])
         removed = sorted(prev_files - files)
         added = sorted(files - prev_files)
+        _cdc_entry_guards(
+            added_e,
+            removed_e,
+            bool(removed or added),
+            "lakehouse_stream CDC",
+            v,
+        )
+        # new position deletes on files present on BOTH sides: emit the
+        # doomed rows as deletes (a file removed this commit reports its
+        # rows through the diff below; a file added this commit arrives
+        # with the rows already dead — both excluded here)
+        for d in added_e:
+            for tf, ps in sorted(entry_coords(d).items()):
+                if tf in files and tf in prev_files:
+                    out.extend(
+                        (*t, "delete", v, ts) for t in rows_at(tf, ps)
+                    )
+        # position entries REMOVED while their target files persist
+        # (rollback past the delete): the rows come back — inserts
+        for d in removed_e:
+            if not d.get("pos"):
+                continue  # equality removal: deferred via the file diff
+            for tf, ps in sorted(entry_coords(d).items()):
+                if tf in files and tf in prev_files:
+                    out.extend(
+                        (*t, "insert", v, ts) for t in rows_at(tf, ps)
+                    )
         if removed or added:
-            ca = read_multiset(added)
-            cr = read_multiset(removed)
+            ca = read_multiset(added, pending_dead(m["delete_entries"]))
+            cr = read_multiset(removed, pending_dead(prev_entries))
             for t, n in sorted((ca - cr).items(), key=repr):
-                out.extend([(*t, "insert", v)] * n)
+                out.extend([(*t, "insert", v, ts)] * n)
             for t, n in sorted((cr - ca).items(), key=repr):
-                out.extend([(*t, "delete", v)] * n)
+                out.extend([(*t, "delete", v, ts)] * n)
         prev_files = files
-        prev_dels = set(m["delete_files"])
+        prev_entries = m["delete_entries"]
     return out
 
 
@@ -362,7 +522,12 @@ def make_lakehouse_stream_source():
 
         def schema(self):
             from pyspark.sql.pandas.types import from_arrow_schema
-            from pyspark.sql.types import LongType, StringType, StructField
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                TimestampType,
+            )
 
             root = self.options["path"]
             files = _manifest_files(root, _current_version(root))
@@ -378,7 +543,9 @@ def make_lakehouse_stream_source():
                 # Delta readChangeFeed column convention
                 base = base.add(
                     StructField("_change_type", StringType())
-                ).add(StructField("_commit_version", LongType()))
+                ).add(StructField("_commit_version", LongType())).add(
+                    StructField("_commit_timestamp", TimestampType())
+                )
             return base
 
         def simpleStreamReader(self, schema):
@@ -488,7 +655,7 @@ def make_lakehouse_stream_dist_source():
                         f"lakehouse_stream_dist CDC: snapshot "
                         f"v{start['version']} expired"
                     )
-                prev_dels = set(prev["delete_files"])
+                prev_entries = prev["delete_entries"]
                 prev_files = set(prev["files"])
                 for v in range(start["version"] + 1, end["version"] + 1):
                     m = _manifest_meta(self.root, v)
@@ -497,20 +664,25 @@ def make_lakehouse_stream_dist_source():
                             f"lakehouse_stream_dist CDC: snapshot v{v} "
                             "expired"
                         )
-                    if (
-                        m["op"] in _MOR_OPS
-                        or set(m["delete_files"]) - prev_dels
-                    ):
-                        raise ValueError(
-                            f"lakehouse_stream_dist CDC: snapshot v{v} "
-                            f"({m['op']}) adds merge-on-read delete "
-                            "files; compact first or use the batch "
-                            "changelog"
-                        )
-                    if set(m["files"]) != prev_files:
+                    # equality guards run here (driver, metadata-only)
+                    # so refusal is loud at planning time; position-
+                    # delete commits PLAN a partition — their events
+                    # are computed executor-side by _cdc_rows
+                    added_e, removed_e = _cdc_entry_delta(
+                        prev_entries, m["delete_entries"]
+                    )
+                    files_changed = set(m["files"]) != prev_files
+                    _cdc_entry_guards(
+                        added_e,
+                        removed_e,
+                        files_changed,
+                        "lakehouse_stream_dist CDC",
+                        v,
+                    )
+                    if files_changed or added_e or removed_e:
                         parts.append(InputPartition(("cdc", v)))
                     prev_files = set(m["files"])
-                    prev_dels = set(m["delete_files"])
+                    prev_entries = m["delete_entries"]
                 return parts
             files = _added_files(
                 self.root, start["version"], end["version"]
@@ -541,7 +713,12 @@ def make_lakehouse_stream_dist_source():
 
         def schema(self):
             from pyspark.sql.pandas.types import from_arrow_schema
-            from pyspark.sql.types import LongType, StringType, StructField
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                TimestampType,
+            )
 
             root = self.options["path"]
             files = _manifest_files(root, _current_version(root))
@@ -556,7 +733,9 @@ def make_lakehouse_stream_dist_source():
             if opts.get("readchangefeed", "").lower() == "true":
                 base = base.add(
                     StructField("_change_type", StringType())
-                ).add(StructField("_commit_version", LongType()))
+                ).add(StructField("_commit_version", LongType())).add(
+                    StructField("_commit_timestamp", TimestampType())
+                )
             return base
 
         def streamReader(self, schema):
@@ -1212,6 +1391,9 @@ def lakehouse_batch_incremental_options_read(
         ),
         v2_state AS (
             SELECT * FROM base UNION ALL SELECT * FROM late
+        ),
+        v3_state AS (
+            SELECT * FROM v2_state WHERE c_mktsegment <> 'BUILDING'
         )
         SELECT CAST(1 AS BIGINT) AS _commit_version,
                'insert' AS _change_type, * FROM base
@@ -1220,6 +1402,9 @@ def lakehouse_batch_incremental_options_read(
         UNION ALL
         SELECT 3, 'delete', * FROM v2_state
         WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT 5, 'delete', * FROM v3_state
+        WHERE c_custkey % 97 = 5
     """,
 )
 def streaming_lakehouse_cdc_feed(
@@ -1270,6 +1455,14 @@ def streaming_lakehouse_cdc_feed(
         )
         tbl.delete_where(F.col("c_mktsegment") == "BUILDING")  # v3: CoW
         tbl.rewrite_data_files(target_file_count=4)  # v4: nets to zero
+        # v5: merge-on-read POSITION delete — no data file changes; the
+        # feed reads the doomed coordinates and emits their deletes
+        # (r6 lift — previously refused)
+        tbl.delete_where_pos(F.col("c_custkey") % 97 == 5)
+        # v6: compaction materializes the pending pos deletes away —
+        # already-dead coordinates are excluded from the removed-side
+        # multiset, so this nets to zero changes too
+        tbl.rewrite_data_files(target_file_count=3)
 
         spark.dataSource.register(make_lakehouse_stream_source())
         stream = (
