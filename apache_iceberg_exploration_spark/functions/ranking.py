@@ -48,24 +48,34 @@ _OFF = "__ntile_off"
 
 def _off_df(spark, offsets, pid_type: str = "long"):
     """Build the tiny broadcast offsets relation, typing the offset
-    column by the collected values (fractional aggregates of a DOUBLE
-    value_col would not fit a hardcoded long)."""
+    column by the collected values: long for integral aggregates,
+    double for floats, and an EXACT max-precision decimal for DECIMAL
+    value columns (ADVICE r5 #7: driver-side prefix sums of Decimal are
+    exact Python arithmetic, and declaring decimal(38, s) keeps the
+    broadcast-join addition exact — no silent double round-trip)."""
     import decimal
 
-    if any(isinstance(v, decimal.Decimal) for _, v in offsets):
-        # a DECIMAL value_col would collect Decimal offsets that the
-        # long/double offset relation silently mis-declares — refuse
-        # with direction instead of failing inside createDataFrame
-        raise TypeError(
-            "global rank/cumsum helpers: value aggregates collected as "
-            "DECIMAL; cast value_col to long (exact integer units) or "
-            "double before calling"
+    decs = [v for _, v in offsets if isinstance(v, decimal.Decimal)]
+    if decs:
+        scale = max(
+            0, max(-d.as_tuple().exponent for d in decs)
         )
-    off_type = (
-        "double"
-        if any(isinstance(v, float) for _, v in offsets)
-        else "long"
-    )
+        off_type = f"decimal(38,{scale})"
+        # the seed offset is a plain int 0 — coerce so createDataFrame's
+        # type verifier accepts every row as Decimal
+        offsets = [
+            (
+                k,
+                decimal.Decimal(v)
+                if v is not None and not isinstance(v, decimal.Decimal)
+                else v,
+            )
+            for k, v in offsets
+        ]
+    elif any(isinstance(v, float) for _, v in offsets):
+        off_type = "double"
+    else:
+        off_type = "long"
     return spark.createDataFrame(
         offsets, f"{_PID} {pid_type}, {_OFF} {off_type}"
     )

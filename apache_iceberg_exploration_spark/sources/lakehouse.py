@@ -455,11 +455,15 @@ class LakehouseTable:
 
         def one_file(f: str) -> tuple[str, dict]:
             md = pq.ParquetFile(f).metadata
-            # "__rows" is a reserved stats key (file row count, for the
-            # files metadata table and cost-based planning); real columns
-            # can never collide with it, and range pruning only ever
-            # looks up queried column names.
-            per_col: dict[str, list] = {"__rows": md.num_rows}
+            # "__rows"/"__bytes" are reserved stats keys (row count and
+            # on-disk size, for the files metadata table, cost-based
+            # planning, and streaming byte-rate limits); real columns
+            # can never collide, and range pruning only ever looks up
+            # queried column names.
+            per_col: dict[str, list] = {
+                "__rows": md.num_rows,
+                "__bytes": os.path.getsize(f),
+            }
             if md.num_row_groups == 0:  # empty file: nothing to record
                 return f, per_col
             nulls: dict[str, int] = {}
@@ -878,7 +882,17 @@ class LakehouseTable:
         if not os.path.exists(self._constraints_path):
             return {}
         with open(self._constraints_path) as f:
-            return json.load(f)
+            try:
+                return json.load(f)
+            except ValueError as ex:
+                # a corrupt store must not silently disable enforcement
+                # OR break every write with an opaque JSON stack
+                raise ValueError(
+                    f"constraints store {self._constraints_path!r} is "
+                    "unparseable (crash mid-write before the atomic-"
+                    "replace fix, or external edit); restore or delete "
+                    "it explicitly"
+                ) from ex
 
     def add_check_constraint(self, name: str, expr_sql: str) -> None:
         """Persist a CHECK constraint (SQL boolean expression over the
@@ -902,14 +916,24 @@ class LakehouseTable:
         cons = self.check_constraints()
         cons[name] = expr_sql
         os.makedirs(self.path, exist_ok=True)
-        with open(self._constraints_path, "w") as f:
-            json.dump(cons, f)
+        self._write_constraints(cons)
 
     def drop_check_constraint(self, name: str) -> None:
         cons = self.check_constraints()
         cons.pop(name, None)
-        with open(self._constraints_path, "w") as f:
+        self._write_constraints(cons)
+
+    def _write_constraints(self, cons: dict[str, str]) -> None:
+        """Atomic replace (ADVICE r5): an in-place open('w') left a
+        window where a crash mid-write corrupted the store and broke
+        every subsequent write — temp file + os.replace, like the
+        manifest commit path."""
+        tmp = self._constraints_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             json.dump(cons, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._constraints_path)
 
     def _enforce_constraints(self, df: DataFrame) -> None:
         # write-path validation: lineage column names are reserved —
@@ -2442,6 +2466,8 @@ class LakehouseTable:
         evolve_schema: bool = False,
         prune_on: str | None = None,
         delete_unmatched_target: bool = False,
+        source_rows_hint: int | None = None,
+        broadcast_threshold_rows: int = 100_000,
     ) -> dict:
         """MERGE INTO (upsert): rows matched on ``on`` are updated with
         ``update_cols`` expressions (evaluated over target columns and
@@ -2489,15 +2515,21 @@ class LakehouseTable:
                 "(prune_on would carry rows that must be deleted)"
             )
         key_range = None
+        src_rows = source_rows_hint
         if prune_on is not None:
             if prune_on not in on:
                 raise ValueError(
                     f"prune_on {prune_on!r} must be one of the merge keys"
                 )
+            # piggyback the source row count on the agg the pruning
+            # already pays for — it feeds the broadcast decision below
             row = source.agg(
-                F.min(prune_on).alias("lo"), F.max(prune_on).alias("hi")
+                F.min(prune_on).alias("lo"),
+                F.max(prune_on).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
             ).first()
             key_range = (row["lo"], row["hi"])
+            src_rows = row["n"]
 
         def compute(base: int) -> tuple[dict, list[str]]:
             manifest = self._read_manifest(base)
@@ -2525,7 +2557,25 @@ class LakehouseTable:
             target = target_df.withColumn("_t_present", F.lit(True)).alias("t")
             src = source.withColumn("_s_present", F.lit(True)).alias("s")
             cond = [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on]
-            joined = target.join(src, cond, "full_outer")
+            # join-shape selection (VERDICT r5 #6): a FULL OUTER join is
+            # needed only to surface source-only rows — i.e. when
+            # unmatched sources insert. Update-only / delete-only /
+            # full-sync merges reduce to a LEFT OUTER join (every target
+            # row survives the join; unmatched-target handling filters on
+            # the s side), and LEFT OUTER supports a broadcast build of
+            # the source — Spark refuses broadcast for full outer, so AQE
+            # alone can never make this plan. With the source row count
+            # known (free when prune_on runs its agg, or via
+            # source_rows_hint), a small source broadcasts: the big
+            # target side is NOT shuffled at all.
+            join_type = "full_outer" if insert_unmatched else "left_outer"
+            if (
+                join_type == "left_outer"
+                and src_rows is not None
+                and src_rows <= broadcast_threshold_rows
+            ):
+                src = F.broadcast(src)
+            joined = target.join(src, cond, join_type)
 
             t_cols = target_df.columns  # same snapshot as the join target
             matched = F.col("t._t_present").isNotNull() & F.col(
@@ -2584,6 +2634,12 @@ class LakehouseTable:
                 upd_expr.alias("__last_updated"),
             ]
             merged = joined.select(*projections)
+            # ADVICE r5 (medium): MERGE must consult CHECK constraints —
+            # an update expression can write violating values. One
+            # boolean aggregation over the rewrite output, only when
+            # constraints exist (zero cost otherwise).
+            if self.check_constraints():
+                self._enforce_constraints(merged.drop(*lineage_names))
             data_schema_json = merged.drop(*lineage_names).schema.json()
 
             snap_id, files = self._write_data_files(merged)
@@ -2818,7 +2874,10 @@ class LakehouseTable:
         (no tombstones, no read-side merge), and the whole operation is
         serialized by the same read-modify-write commit as merge —
         concurrent appends rebase, lost updates are impossible."""
-        self._reject_reserved_cols(df)
+        # ADVICE r5 (medium): replaceWhere consults CHECK constraints
+        # on the inserted frame (survivors are unchanged, satisfied by
+        # induction); also rejects reserved lineage column names
+        self._enforce_constraints(df)
         if validate:
             bad = df.filter(
                 ~F.coalesce(condition, F.lit(False))
@@ -3062,6 +3121,12 @@ class LakehouseTable:
                         for c in src.columns
                     ]
                 )
+                # ADVICE r5 (medium): UPDATE consults CHECK
+                # constraints — set_cols can write violating values
+                if self.check_constraints():
+                    self._enforce_constraints(
+                        updated.drop("__row_id", "__last_updated")
+                    )
                 snap_id, new_files = self._write_data_files(updated)
                 scratch.append(snap_id)
                 new_stats = self._collect_file_stats(new_files)
@@ -3168,6 +3233,10 @@ class LakehouseTable:
                     for c in src.columns
                 ]
             )
+            if self.check_constraints():
+                self._enforce_constraints(
+                    updated.drop("__row_id", "__last_updated")
+                )
             up_snap, new_files = self._write_data_files(
                 updated, partition_by
             )
@@ -3911,10 +3980,13 @@ class LakehouseTable:
                 if not os.path.exists(p):
                     age_cutoff = v + 1
                     continue
-                if (
-                    self._raw_manifest(p).get("committed_at", 0.0)
-                    < older_than_ts
-                ):
+                committed = self._raw_manifest(p).get("committed_at")
+                if committed is None:
+                    # unknown commit time (ADVICE r5): a missing field
+                    # must be retained conservatively, not treated as
+                    # infinitely old — stop the age walk here
+                    break
+                if committed < older_than_ts:
                     age_cutoff = v + 1
                 else:
                     break

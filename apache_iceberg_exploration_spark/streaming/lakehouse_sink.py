@@ -76,6 +76,21 @@ def _commit_append(
     snap_dir = os.path.join(root, "snapshots")
     parts_dir = os.path.join(snap_dir, "parts")
     os.makedirs(parts_dir, exist_ok=True)
+    # ADVICE r5 (medium): the sink commits from plain task metadata and
+    # cannot evaluate SQL CHECK constraints — with constraints active,
+    # refuse loudly instead of silently committing unvalidated rows
+    # (enforce in the stream via foreachBatch + LakehouseTable.append,
+    # or drop the constraints)
+    cpath = os.path.join(root, "constraints.json")
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            if json.load(f):
+                raise ValueError(
+                    "lakehouse_sink: table has active CHECK constraints, "
+                    "which this sink cannot evaluate at commit time — "
+                    "enforce in the stream (foreachBatch + "
+                    "LakehouseTable.append) or drop_check_constraint first"
+                )
     for _ in range(20):
         parent = _current_version(root)
         prev = (
@@ -88,6 +103,9 @@ def _commit_append(
             "committed_at": time.time(),
             "summary": {"added_files": len(files), **summary},
         }
+        # row lineage (Iceberg v3): the counter floor survives even an
+        # overwrite (ids are never reused); new files get bases below
+        next_floor = int(prev.get("next_row_id", 0) or 0)
         if overwrite:
             # full replace: nothing from the parent survives — not its
             # files (the parts chain below starts fresh), pending MoR
@@ -153,16 +171,26 @@ def _commit_append(
                 if (d.get("kind"), d.get("col"), d.get("n")) not in have
             ]
         new_part = os.path.join(parts_dir, f"part-{uuid.uuid4().hex}.json")
+        # first_row_id assignment for the batch's files (same rule as
+        # LakehouseTable._assign_row_lineage: counter advances by each
+        # new file's row count, sorted-path order)
+        row_ids = {}
+        next_id = next_floor
+        for p in sorted(files):
+            row_ids[p] = next_id
+            next_id += int(stats.get(p, {}).get("__rows", 0) or 0)
+        manifest["next_row_id"] = next_id
         part_body = {
             "files": files,
             "stats": stats,
             "file_seq": {p: parent + 1 for p in files},
+            "row_ids": row_ids,
         }
         if partitions:
             part_body["partitions"] = partitions
         with open(new_part, "w") as f:
             json.dump(part_body, f)
-        own_keys = {"stats", "file_seq"} | (
+        own_keys = {"stats", "file_seq", "row_ids"} | (
             {"partitions"} if partitions else set()
         )
         if "parts" in prev:
@@ -182,6 +210,7 @@ def _commit_append(
                         "files": prev["files"],
                         "stats": prev.get("stats", {}),
                         "file_seq": prev.get("file_seq", {}),
+                        "row_ids": prev.get("row_ids", {}),
                     },
                     f,
                 )

@@ -118,6 +118,80 @@ def _added_files(root: str, since: int, until: int) -> list[str]:
 _MOR_OPS = {"delete-mor", "update-mor"}
 
 
+def _manifest_files_sizes(
+    root: str, version: int
+) -> tuple[list[str], dict[str, int]] | None:
+    """File list + on-disk sizes of a snapshot, parts-aware, no Spark.
+    Sizes come from the manifest's per-file ``__bytes`` stat (recorded
+    at commit time — zero planning IO); files committed before that
+    stat existed fall back to one getsize call each."""
+    path = os.path.join(root, "snapshots", f"v{version}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        m = json.load(f)
+    stats: dict[str, dict] = {}
+    if "files" in m:
+        files = m["files"]
+        stats = m.get("stats") or {}
+    else:
+        files = []
+        for ppath in m.get("parts", []):
+            with open(ppath) as pf:
+                part = json.load(pf)
+            files.extend(part["files"])
+            stats.update(part.get("stats") or {})
+    sizes: dict[str, int] = {}
+    for fp in files:
+        b = (stats.get(fp) or {}).get("__bytes")
+        if b is None and os.path.exists(fp):
+            b = os.path.getsize(fp)
+        sizes[fp] = int(b or 0)
+    return files, sizes
+
+
+def _clamp_rate_limit(
+    root: str,
+    since: int,
+    until: int,
+    max_versions: int | None,
+    max_files: int | None,
+    max_bytes: int | None,
+) -> int:
+    """Admission control for a micro-batch (VERDICT r5 #5): clamp the
+    batch's end version so it admits at most ``max_versions`` commits,
+    and/or stops at the first commit where the cumulative NEW files /
+    bytes reach the caps — versions are uneven units under compaction,
+    so byte/file caps bound actual work. At least one version is always
+    admitted (progress guarantee, Delta's maxBytesPerTrigger rule).
+    Pure driver metadata: file lists from the manifests, sizes from the
+    committed ``__bytes`` stats."""
+    if max_versions is not None:
+        until = min(until, since + max_versions)
+    if (max_files is None and max_bytes is None) or until <= since:
+        return until
+    prev = set(_manifest_files(root, since)) if since > 0 else set()
+    tot_f = tot_b = 0
+    admitted = since
+    for v in range(since + 1, until + 1):
+        got = _manifest_files_sizes(root, v)
+        if got is None:
+            # gap (expired snapshot): don't clamp — the reader's own
+            # expiry diagnostics fire with the full range
+            return until
+        files, sizes = got
+        new = [fp for fp in files if fp not in prev]
+        tot_f += len(new)
+        tot_b += sum(sizes.get(fp, 0) for fp in new)
+        admitted = v  # at least one version always admitted
+        prev = set(files)
+        if (max_files is not None and tot_f >= max_files) or (
+            max_bytes is not None and tot_b >= max_bytes
+        ):
+            break
+    return admitted
+
+
 def _manifest_meta(root: str, version: int) -> dict | None:
     """Operation + materialized file list + delete entries + commit time
     of a snapshot (parts-aware, no Spark)."""
@@ -435,10 +509,14 @@ def make_lakehouse_stream_source():
             starting_version: int = 0,
             max_versions_per_trigger: int | None = None,
             cdc: bool = False,
+            max_files_per_trigger: int | None = None,
+            max_bytes_per_trigger: int | None = None,
         ):
             self.root = root
             self.starting_version = starting_version
             self.max_versions = max_versions_per_trigger
+            self.max_files = max_files_per_trigger
+            self.max_bytes = max_bytes_per_trigger
             self.cdc = cdc
             if cdc:
                 import pyarrow.parquet as pq
@@ -483,8 +561,14 @@ def make_lakehouse_stream_source():
             # counterpart isn't surfaced to Python yet).
             until = _current_version(self.root)
             since = start["version"]
-            if self.max_versions is not None:
-                until = min(until, since + self.max_versions)
+            until = _clamp_rate_limit(
+                self.root,
+                since,
+                until,
+                self.max_versions,
+                self.max_files,
+                self.max_bytes,
+            )
             if until <= since:
                 return [], start
             if self.cdc:
@@ -551,11 +635,15 @@ def make_lakehouse_stream_source():
         def simpleStreamReader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
             mv = opts.get("maxversionspertrigger")
+            mf = opts.get("maxfilespertrigger")
+            mb = opts.get("maxbytespertrigger")
             return _Reader(
                 opts["path"],
                 int(opts.get("startingversion", 0)),
                 int(mv) if mv is not None else None,
                 cdc=opts.get("readchangefeed", "").lower() == "true",
+                max_files_per_trigger=int(mf) if mf is not None else None,
+                max_bytes_per_trigger=int(mb) if mb is not None else None,
             )
 
     return LakehouseStreamSource
@@ -597,10 +685,14 @@ def make_lakehouse_stream_dist_source():
             starting_version: int = 0,
             max_versions_per_trigger: int | None = None,
             cdc: bool = False,
+            max_files_per_trigger: int | None = None,
+            max_bytes_per_trigger: int | None = None,
         ):
             self.root = root
             self.starting_version = starting_version
             self.max_versions = max_versions_per_trigger
+            self.max_files = max_files_per_trigger
+            self.max_bytes = max_bytes_per_trigger
             self._hwm = starting_version  # highest position observed
             self.cdc = cdc
             if cdc:
@@ -622,11 +714,25 @@ def make_lakehouse_stream_dist_source():
 
         def latestOffset(self) -> dict:
             cur = _current_version(self.root)
-            if self.max_versions is None:
+            if (
+                self.max_versions is None
+                and self.max_files is None
+                and self.max_bytes is None
+            ):
                 return {"version": cur}
-            # admit at most max_versions commits past the best-known
-            # position; never step below it (monotonicity)
-            end = max(min(cur, self._hwm + self.max_versions), self._hwm)
+            # admit commits past the best-known position up to the
+            # version/file/byte caps; never step below it (monotonicity)
+            end = max(
+                _clamp_rate_limit(
+                    self.root,
+                    self._hwm,
+                    cur,
+                    self.max_versions,
+                    self.max_files,
+                    self.max_bytes,
+                ),
+                self._hwm,
+            )
             self._learn(end)
             return {"version": end}
 
@@ -741,11 +847,15 @@ def make_lakehouse_stream_dist_source():
         def streamReader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
             mv = opts.get("maxversionspertrigger")
+            mf = opts.get("maxfilespertrigger")
+            mb = opts.get("maxbytespertrigger")
             return _DistReader(
                 opts["path"],
                 int(opts.get("startingversion", 0)),
                 int(mv) if mv is not None else None,
                 cdc=opts.get("readchangefeed", "").lower() == "true",
+                max_files_per_trigger=int(mf) if mf is not None else None,
+                max_bytes_per_trigger=int(mb) if mb is not None else None,
             )
 
     return LakehouseStreamDistSource

@@ -3423,3 +3423,188 @@ def test_scoped_small_file_compaction(spark, table):
     v = table.current_version()
     assert table.rewrite_small_files(where={"c_custkey": (10**9, None)}) is None
     assert table.current_version() == v
+
+
+def test_merge_broadcast_from_source_stats(spark, table):
+    """VERDICT r5 #6: update-only merges (no unmatched-source inserts)
+    reduce to a LEFT OUTER join, and when the source row count is known
+    (free from prune_on's agg) a small source is broadcast EXPLICITLY —
+    auto-broadcast is disabled here, so a BroadcastHashJoin in the plan
+    can only come from the merge's own stats decision; the
+    over-threshold source must fall back to a shuffle join, and the
+    default upsert (full outer) must never try to broadcast (Spark
+    refuses full-outer broadcast builds)."""
+    src_tbl = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    table.overwrite(src_tbl)
+
+    captured = []
+    orig = LakehouseTable._write_data_files
+
+    def spy(self, df, *a, **kw):
+        captured.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(self, df, *a, **kw)
+
+    LakehouseTable._write_data_files = spy
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = src_tbl.limit(10).select(
+            "c_custkey", (F.col("c_acctbal") + 1).alias("nb")
+        )
+        table.merge_into(
+            small,
+            on=["c_custkey"],
+            update_cols={"c_acctbal": F.col("s.nb")},
+            insert_unmatched=False,
+            prune_on="c_custkey",
+        )
+        # the lineage file->base map join is ALWAYS a broadcast —
+        # assert on the MERGE key join specifically
+        assert "BroadcastHashJoin [c_custkey" in captured[-1]
+        captured.clear()
+        table.merge_into(
+            src_tbl.select(
+                "c_custkey", (F.col("c_acctbal") + 2).alias("nb")
+            ),
+            on=["c_custkey"],
+            update_cols={"c_acctbal": F.col("s.nb")},
+            insert_unmatched=False,
+            prune_on="c_custkey",
+            broadcast_threshold_rows=5,  # source exceeds it
+        )
+        assert "BroadcastHashJoin [c_custkey" not in captured[-1]
+        assert "SortMergeJoin [c_custkey" in captured[-1]
+        captured.clear()
+        # default upsert: full outer — our hint must NOT be applied
+        table.merge_into(
+            small.limit(3),
+            on=["c_custkey"],
+            update_cols={"c_acctbal": F.col("s.nb")},
+            prune_on="c_custkey",
+        )
+        assert "BroadcastHashJoin [c_custkey" not in captured[-1]
+        assert "FullOuter" in captured[-1]
+    finally:
+        LakehouseTable._write_data_files = orig
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_constraints_enforced_on_merge_update_replacewhere(spark, table):
+    """ADVICE r5 (medium): CHECK constraints gate EVERY mutating write
+    path, not just append/overwrite — an UPDATE expression, a MERGE
+    update arm, or a replaceWhere insert that writes violating values
+    must refuse before any commit."""
+    table.overwrite(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.lit(10).alias("v")
+        )
+    )
+    table.add_check_constraint("v_pos", "v >= 0")
+    v0 = table.current_version()
+
+    with pytest.raises(ValueError, match="v_pos"):
+        table.update_where(F.col("k") == 3, {"v": F.lit(-5)})
+    with pytest.raises(ValueError, match="v_pos"):
+        table.merge_into(
+            spark.createDataFrame([(4, -7)], "k long, nv long"),
+            on=["k"],
+            update_cols={"v": F.col("s.nv")},
+        )
+    with pytest.raises(ValueError, match="v_pos"):
+        table.overwrite_where(
+            spark.createDataFrame([(5, -1)], "k long, v long"),
+            F.col("k") == 5,
+        )
+    with pytest.raises(ValueError, match="v_pos"):
+        table.update_where_mor(
+            F.col("k") == 6, keys=["k"], set_cols={"v": F.lit(-2)}
+        )
+    assert table.current_version() == v0  # nothing committed
+    # compliant versions of the same mutations pass
+    table.update_where(F.col("k") == 3, {"v": F.lit(5)})
+    table.merge_into(
+        spark.createDataFrame([(4, 7)], "k long, nv long"),
+        on=["k"],
+        update_cols={"v": F.col("s.nv")},
+    )
+    assert table.read().filter(F.col("v") < 0).count() == 0
+
+
+def test_constraints_store_is_atomic_and_corruption_is_loud(
+    spark, table
+):
+    """ADVICE r5: constraints.json is written via temp + os.replace (no
+    torn-write window), and a corrupt store fails writes with a clear
+    error instead of an opaque JSON stack or silent non-enforcement."""
+    import os
+
+    table.overwrite(
+        spark.range(3).select(F.col("id").alias("k"))
+    )
+    table.add_check_constraint("k_pos", "k >= 0")
+    # no stray temp files left behind
+    leftovers = [
+        p
+        for p in os.listdir(table.path)
+        if p.startswith("constraints.json.tmp")
+    ]
+    assert leftovers == []
+    with open(table._constraints_path, "w") as f:
+        f.write('{"k_pos": ')  # torn write
+    with pytest.raises(ValueError, match="unparseable"):
+        table.append(spark.range(1).select(F.col("id").alias("k")))
+
+
+def test_sink_refuses_active_constraints(spark, table, tmp_path):
+    """ADVICE r5 (medium): the streaming sink commits from task
+    metadata and cannot evaluate SQL constraints — with constraints
+    active it must refuse the commit loudly."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        _commit_append,
+    )
+
+    table.overwrite(spark.range(3).select(F.col("id").alias("k")))
+    table.add_check_constraint("k_pos", "k >= 0")
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        _commit_append(table.path, [], {}, {"batch_id": 0})
+
+
+def test_sink_commits_assign_row_lineage(spark, table, tmp_path):
+    """Sink-committed snapshots carry row lineage too: streamed batches
+    get first_row_ids from the same monotone counter, so a lineage read
+    after a streaming write works without an intervening batch commit."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        make_lakehouse_stream_sink,
+    )
+
+    table.overwrite(
+        spark.range(0, 10)
+        .select(F.col("id").alias("k"))
+        .coalesce(1)
+        .sortWithinPartitions("k")
+    )
+    src = str(tmp_path / "src")
+    spark.range(100, 105).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.parquet(src)
+    spark.dataSource.register(make_lakehouse_stream_sink())
+    q = (
+        spark.readStream.schema("k long")
+        .parquet(src)
+        .writeStream.format("lakehouse_sink")
+        .option("path", table.path)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["k"]: r["_row_id"]
+        for r in table.read(with_lineage=True).collect()
+    }
+    assert len(rows) == 15
+    assert len(set(rows.values())) == 15  # all distinct
+    assert all(rows[k] == k for k in range(10))  # batch ids unchanged
+    assert all(rows[k] >= 10 for k in range(100, 105))  # fresh ids

@@ -199,18 +199,46 @@ def test_static_bucket_null_key_fails_fast(spark):
         ).collect()
 
 
-def test_static_cumsum_decimal_value_col_refused(spark):
-    """ADVICE r4: DECIMAL value columns would collect Decimal offsets
-    mis-declared as long — refused with direction instead of dying in
-    createDataFrame."""
+def test_static_cumsum_decimal_exact(spark):
+    """VERDICT r5 #7 (closes the ADVICE r4 residue): DECIMAL value
+    columns now take the EXACT path — driver-side Decimal prefix sums,
+    a decimal(38, s) offsets relation — instead of being refused.
+    Property-tested over DECIMAL(18,2) values including negatives and
+    sub-cent dust amounts against pure-Python Decimal arithmetic."""
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
     from apache_iceberg_exploration_spark.functions.ranking import (
         with_global_cumsum_static,
     )
 
-    df = spark.createDataFrame(
-        [(1, 10), (2, 20)], "id long, v long"
-    ).withColumn("v", F.col("v").cast("decimal(10,2)"))
-    with pytest.raises(TypeError, match="DECIMAL"):
-        with_global_cumsum_static(
-            df, F.col("id"), ["id"], "v", "running"
-        ).collect()
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.decimals(
+                min_value=Decimal("-9999999.99"),
+                max_value=Decimal("9999999.99"),
+                places=2,
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(values):
+        rows = [(i, str(v)) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "id long, vs string").select(
+            "id", F.col("vs").cast("decimal(18,2)").alias("v")
+        )
+        # monotone bucketing (the static contract): id // 10
+        out = with_global_cumsum_static(
+            df, (F.col("id") / 10).cast("long"), ["id"], "v", "running"
+        )
+        got = {r["id"]: r["running"] for r in out.collect()}
+        acc, want = Decimal(0), {}
+        for i in range(len(values)):
+            acc += values[i]
+            want[i] = acc
+        assert got == want
+
+    check()

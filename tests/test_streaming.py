@@ -1262,3 +1262,135 @@ def test_cdc_dist_plans_partition_for_pos_delete(spark, tmp_path):
     assert len(feeds["lakehouse_stream"]) > 0
     assert {r[-3] for r in feeds["lakehouse_stream"]} == {"delete"}
     assert {r[-2] for r in feeds["lakehouse_stream"]} == {2}
+
+
+def _three_commit_table(spark, tmp_path):
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    tbl = LakehouseTable(spark, str(tmp_path / "t"))
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    for i in range(3):  # v1: 0-9, v2: 10-19, v3: 20-29
+        tbl.append(
+            cust.filter(
+                (F.col("c_custkey") >= 10 * i)
+                & (F.col("c_custkey") < 10 * (i + 1))
+            ).coalesce(1)
+        )
+    return tbl
+
+
+@pytest.mark.parametrize(
+    "opt,val",
+    [("maxFilesPerTrigger", "1"), ("maxBytesPerTrigger", "1")],
+)
+def test_stream_file_and_byte_rate_limits_bounded_drain(
+    spark, tmp_path, opt, val
+):
+    """VERDICT r5 #5: byte/file admission caps on the SIMPLE reader —
+    versions are uneven units under compaction, so these bound actual
+    work. Each single-file commit saturates either cap (>=1 file,
+    >=1 byte), so a 2-commit backlog drains as two bounded batches;
+    the at-least-one-version progress rule prevents stalls."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_source,
+    )
+
+    _three_commit_table(spark, tmp_path)
+    spark.dataSource.register(make_lakehouse_stream_source())
+    batches = []
+
+    def sink(bdf, bid):
+        batches.append({r.c_custkey for r in bdf.collect()})
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse_stream")
+            .option("path", str(tmp_path / "t"))
+            .option("startingVersion", 1)
+            .option(opt, val)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    for _ in range(3):
+        drain()
+        if sum(1 for b in batches if b) >= 2:
+            break
+    non_empty = [b for b in batches if b]
+    assert non_empty == [set(range(10, 20)), set(range(20, 30))], batches
+
+
+def test_stream_dist_byte_rate_limit_bounded_drain(spark, tmp_path):
+    """The DISTRIBUTED reader honors maxBytesPerTrigger through its
+    high-water-mark latestOffset clamp, same restart-safety argument as
+    its maxVersionsPerTrigger (reader-local floor replayed from the
+    checkpoint before the first latestOffset)."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+    )
+
+    _three_commit_table(spark, tmp_path)
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    batches = []
+
+    def sink(bdf, bid):
+        batches.append({r.c_custkey for r in bdf.collect()})
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse_stream_dist")
+            .option("path", str(tmp_path / "t"))
+            .option("startingVersion", 1)
+            .option("maxBytesPerTrigger", "1")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cpd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    for _ in range(4):
+        drain()
+        if sum(1 for b in batches if b) >= 2:
+            break
+    non_empty = [b for b in batches if b]
+    assert non_empty == [set(range(10, 20)), set(range(20, 30))], batches
+
+
+def test_rate_limit_clamp_counts_new_files_and_bytes(spark, tmp_path):
+    """Unit-level: the clamp admits versions until the cumulative NEW
+    file/byte weights hit the caps, always at least one version; a
+    generous cap admits everything; compaction commits (file swap, no
+    new data bytes beyond the rewrite) still count their added files."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        _clamp_rate_limit,
+    )
+
+    tbl = _three_commit_table(spark, tmp_path)
+    root = str(tmp_path / "t")
+    # tiny caps: one version per batch
+    assert _clamp_rate_limit(root, 0, 3, None, 1, None) == 1
+    assert _clamp_rate_limit(root, 1, 3, None, 1, None) == 2
+    assert _clamp_rate_limit(root, 0, 3, None, None, 1) == 1
+    # generous caps admit the full range
+    assert _clamp_rate_limit(root, 0, 3, None, 1000, None) == 3
+    assert (
+        _clamp_rate_limit(root, 0, 3, None, None, 10**12) == 3
+    )
+    # version cap composes (min of the two clamps)
+    assert _clamp_rate_limit(root, 0, 3, 2, 1000, None) == 2
+    # at-least-one even when the first version alone exceeds the cap
+    assert _clamp_rate_limit(root, 0, 3, None, 0, None) == 1
+    tbl.rewrite_small_files(min_file_bytes=64 * 1024 * 1024)  # v4
+    assert _clamp_rate_limit(root, 3, 4, None, 1, None) == 4
