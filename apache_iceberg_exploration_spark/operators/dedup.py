@@ -440,6 +440,15 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     a centroid/cluster id turns it into Σ_c |c|² with |c| ≈ n/k — the IVF
     idea (see operators.similarity for the search-side variant). Cosine is
     evaluated with zip_with/aggregate in double precision, JVM-side.
+
+    DECLARED EXPONENT 2.0 (BENCH_SCALING.json, r6 audit): ``label`` is a
+    fixed vocabulary, so this EXACT within-block recall contract is
+    Θ(Σ|block|²) by definition — the measured sf0.1→sf1 slope (~1.3 on
+    32 cores) is the flagged quadratic, not a plan defect. The scale
+    path for growing corpora is ``dedup_semantic_semdedup``, whose
+    sign-LSH cell count now ADAPTS to corpus size (constant occupancy →
+    linear pairwise work) — contrast its slope in the same artifact;
+    tests/test_scaling_curve.py pins both.
     """
     from ..functions.vectors import _dot, _norm2, as_double_array
 
@@ -795,11 +804,11 @@ _SEMDEDUP_TAU = 0.3  # tuned to this synthetic corpus (see neardup note)
 
 
 def _semdedup_oracle() -> str:
-    from .similarity import RP_BUCKETS_SQL
+    from .similarity import rp_buckets_sql
 
     cos = cosine_similarity_sql("a.embedding", "b.embedding")
     return f"""
-        WITH {RP_BUCKETS_SQL},
+        WITH {rp_buckets_sql(adaptive=True)},
         dropped AS (
             SELECT DISTINCT b.vec_id
             FROM buckets a JOIN buckets b
@@ -836,14 +845,22 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan stays bounded by the max cell size.
     """
     from ..functions.vectors import _dot, _norm2, as_double_array
-    from .similarity import rp_bucket_column
+    from ..sources.io import parquet_num_rows
+    from .similarity import adaptive_n_planes, rp_bucket_column
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # cells sized to the corpus (r6): planes = ceil(log2(N/target)),
+    # floored at 8 — occupancy stays ~constant, so the within-cell
+    # pairwise stage is O(N·target), not O(N²/2^8). The count is one
+    # footer read; the oracle computes the same count in SQL.
+    planes = adaptive_n_planes(parquet_num_rows(sf_dir, "embeddings"))
     buckets = emb.select(
         "vec_id",
         "label",
         as_double_array("embedding").alias("v"),
-        rp_bucket_column(as_double_array("embedding")).alias("bucket"),
+        rp_bucket_column(
+            as_double_array("embedding"), planes
+        ).alias("bucket"),
     )
     # norms computed once per vector, not per pair (see neardup note)
     normed = scoped_persist(
@@ -1412,12 +1429,12 @@ _SWEEP_TAUS = ("0.2", "0.3", "0.5", "0.7", "0.9")
 
 
 def _sem_sweep_oracle() -> str:
-    from .similarity import RP_BUCKETS_SQL
+    from .similarity import rp_buckets_sql
 
     cos = cosine_similarity_sql("a.embedding", "b.embedding")
     taus = ", ".join(f"({t}::DOUBLE)" for t in _SWEEP_TAUS)
     return f"""
-        WITH {RP_BUCKETS_SQL},
+        WITH {rp_buckets_sql(adaptive=True)},
         n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM buckets),
         cand AS (
             SELECT b.vec_id AS dropped_id, {cos} AS cos
@@ -1456,13 +1473,17 @@ def dedup_semantic_threshold_sweep(
     relation — one conditional aggregate, not 5 reruns.
     """
     from ..functions.vectors import _dot, _norm2, as_double_array
-    from .similarity import rp_bucket_column
+    from ..sources.io import parquet_num_rows
+    from .similarity import adaptive_n_planes, rp_bucket_column
 
     emb = load_table(spark, sf_dir, "embeddings")
+    planes = adaptive_n_planes(parquet_num_rows(sf_dir, "embeddings"))
     buckets = emb.select(
         "vec_id",
         as_double_array("embedding").alias("v"),
-        rp_bucket_column(as_double_array("embedding")).alias("bucket"),
+        rp_bucket_column(as_double_array("embedding"), planes).alias(
+            "bucket"
+        ),
     )
     normed = scoped_persist(
         buckets.withColumn("nrm", _norm2(F.col("v")))

@@ -652,7 +652,30 @@ RP_PROBE_MOD = 29  # probe set (vec_id % MOD == 0), shared with multiprobe
 _HEX_NEG = "01234567"
 
 
-def _rp_signs() -> list[list[float]]:
+# adaptive sign-LSH sizing (r6 scaling audit, VERDICT r5 #3): FIXED
+# 2^8 cells make every within-cell pairwise stage quadratic once the
+# corpus outgrows them (cell occupancy grows linearly with N — the
+# dedup_embedding_neardup_pairs slope-1.29 flag in BENCH_SCALING.json).
+# The semantic-dedup queries size the bucketing to the corpus instead:
+# planes = ceil(log2(N / target_occupancy)), floored at 8 (so the
+# driver's sf0.001-0.1 data keeps today's exact cells) and capped at 24.
+SEM_CELL_TARGET = 8
+MAX_PLANES = 24
+
+
+def adaptive_n_planes(n_vectors: int) -> int:
+    import math
+
+    return min(
+        MAX_PLANES,
+        max(
+            N_PLANES,
+            math.ceil(math.log2(max(n_vectors, 1) / SEM_CELL_TARGET)),
+        ),
+    )
+
+
+def _rp_signs(n_planes: int = N_PLANES) -> list[list[float]]:
     """±1 hyperplane components, deterministically derived from md5 so
     the DuckDB oracle reproduces them exactly (functions.hashing
     convention): component (p, d) is +1 iff the first hex digit of
@@ -666,18 +689,20 @@ def _rp_signs() -> list[list[float]]:
             else -1.0
             for d in range(_RP_DIMS)
         ]
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     ]
 
 
-def rp_bucket_column(vec: F.Column) -> F.Column:
+def rp_bucket_column(
+    vec: F.Column, n_planes: int = N_PLANES
+) -> F.Column:
     """Spark expression for a vector's sign-LSH bucket: bit p of the
     result is the sign of the projection onto hyperplane p. Pure
     zip_with/aggregate arithmetic over plan literals — whole-stage
     codegen, shared by the ANN probe and the SemDeDup-style semantic
-    dedup (operators.dedup)."""
+    dedup (operators.dedup, which passes an adaptive plane count)."""
     bucket = None
-    for p, plane in enumerate(_rp_signs()):
+    for p, plane in enumerate(_rp_signs(n_planes)):
         proj = F.aggregate(
             F.zip_with(
                 F.array(*[F.lit(x) for x in plane]), vec, lambda x, y: x * y
@@ -693,15 +718,35 @@ def rp_bucket_column(vec: F.Column) -> F.Column:
 # DuckDB twin of rp_bucket_column: `signs`+`buckets` CTE bodies (insert
 # after WITH). `buckets` exposes (vec_id, label, embedding, bucket) with
 # bucket CAST to BIGINT so both engines agree on the output type.
-RP_BUCKETS_SQL = f"""
-        signs AS (
+def rp_buckets_sql(adaptive: bool = False) -> str:
+    """DuckDB twin of rp_bucket_column: `signs`+`buckets` CTE bodies
+    (insert after WITH; adds a `params` CTE when adaptive). With
+    ``adaptive``, the plane count is computed IN SQL from the corpus
+    size — the same ceil(log2(N/target)) rule as adaptive_n_planes —
+    so the oracle stays self-contained at any scale."""
+    if adaptive:
+        planes_src = f"range({MAX_PLANES}) tp(p), params"
+        planes_filter = "WHERE p < params.np"
+        prefix = f"""params AS (
+            SELECT LEAST({MAX_PLANES}, GREATEST({N_PLANES},
+                CAST(ceil(log2(greatest(count(*), 1) / {SEM_CELL_TARGET}.0))
+                     AS INTEGER))) AS np
+            FROM embeddings
+        ),
+        """
+    else:
+        planes_src = f"range({N_PLANES}) tp(p)"
+        planes_filter = ""
+        prefix = ""
+    return f"""{prefix}signs AS (
             SELECT p,
                    list(CASE WHEN substring(
                             md5(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)),
                             1, 1) NOT IN
                             ({", ".join(repr(c) for c in _HEX_NEG)})
                         THEN 1.0 ELSE -1.0 END ORDER BY d) AS s
-            FROM range({N_PLANES}) tp(p), range({_RP_DIMS}) td(d)
+            FROM {planes_src}, range({_RP_DIMS}) td(d)
+            {planes_filter}
             GROUP BY p
         ),
         buckets AS (
@@ -712,6 +757,9 @@ RP_BUCKETS_SQL = f"""
             FROM embeddings e, signs s
             GROUP BY e.vec_id, e.label, e.embedding
         )"""
+
+
+RP_BUCKETS_SQL = rp_buckets_sql()
 
 
 @query(

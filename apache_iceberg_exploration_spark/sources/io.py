@@ -34,14 +34,37 @@ def events_ts_is_int64(sf_dir: str) -> bool:
     directory (one driver-side metadata read, no data IO) instead of
     hard-coding either."""
     if sf_dir not in _EVENTS_TS_IS_INT64:
+        import glob as _glob
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        t = pq.read_schema(
-            os.path.join(sf_dir, "events.parquet")
-        ).field("ts").type
+        path = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(path):
+            # Spark-written dataset (e.g. the synthesized scaling SFs,
+            # tools/synth_scale.py): sniff any one leaf file
+            path = sorted(_glob.glob(os.path.join(path, "*.parquet")))[0]
+        t = pq.read_schema(path).field("ts").type
         _EVENTS_TS_IS_INT64[sf_dir] = pa.types.is_integer(t)
     return _EVENTS_TS_IS_INT64[sf_dir]
+
+
+def parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footers — one driver-side metadata read,
+    no Spark job (feeds data-size-adaptive parameters, e.g. the
+    semantic-dedup sign-LSH plane count). Handles both the driver's
+    single-file layout and Spark-written dataset directories."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def events_raw_schema(sf_dir: str) -> T.StructType:
