@@ -180,3 +180,82 @@ def lakehouse_changelog_row_level_pairs(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_cdc_row_lineage_feed",
+    oracle=f"""
+        WITH base AS ({_BASE_SQL}),
+        upd AS (SELECT * FROM base WHERE cents % 7 = 3),
+        v2s AS (
+            SELECT c_custkey, c_mktsegment,
+                   CASE WHEN cents % 7 = 3 THEN cents + 55
+                        ELSE cents END AS cents,
+                   rid
+            FROM base
+        ),
+        dead AS (SELECT * FROM v2s WHERE c_custkey % 13 = 5)
+        SELECT 'insert' AS change_type, c_custkey, cents,
+               CAST(rid AS BIGINT) AS row_id,
+               CAST(1 AS BIGINT) AS commit_v
+        FROM base
+        UNION ALL
+        SELECT 'update_preimage', c_custkey, cents, rid, 2 FROM upd
+        UNION ALL
+        SELECT 'update_postimage', c_custkey, cents + 55, rid, 2 FROM upd
+        UNION ALL
+        SELECT 'delete', c_custkey, cents, rid, 3 FROM dead
+    """,
+)
+def streaming_cdc_row_lineage_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING identity-keyed change feed —
+    ``readStream.option("readChangeFeed", true).option("rowLineage",
+    true)``: per-commit events carry ``_row_id`` and Delta CDF's FOUR
+    change types. The history: initial load (inserts at v1), a CoW
+    UPDATE (one pre/postimage PAIR per changed row at v2, sharing its
+    id — the value-diff feed would emit an unpairable delete+insert), a
+    CoW DELETE (v3), and a full re-cluster (v4) that nets to ZERO by
+    IDENTITY (the value-multiset feed nets by equality; identity
+    netting also survives rewrites that change row order or file
+    assignment arbitrarily).
+
+    Scale: same changed-files-only planning as the value-level feed;
+    the diff keys are O(changed rows) ints. The dist reader runs the
+    identical per-commit diff executor-side (parity pinned by
+    test_cdc_row_lineage_feed_update_pairs)."""
+    from ..streaming.lakehouse_source import make_lakehouse_stream_source
+    from ..streaming.windows import _run_available_now
+
+    root = tempfile.mkdtemp(prefix="lakehouse_rlcdc_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        tbl.append(_base_customer(spark, sf_dir))  # v1: ids = rank
+        tbl.update_where(  # v2: update pairs
+            F.col("cents") % 7 == 3, {"cents": F.col("cents") + 55}
+        )
+        tbl.delete_where(F.col("c_custkey") % 13 == 5)  # v3: deletes
+        tbl.rewrite_data_files(target_file_count=4)  # v4: zero events
+
+        spark.dataSource.register(make_lakehouse_stream_source())
+        stream = (
+            spark.readStream.format("lakehouse_stream")
+            .option("path", root + "/t")
+            .option("readChangeFeed", "true")
+            .option("rowLineage", "true")
+            .load()
+        )
+        out = _run_available_now(
+            stream.select(
+                F.col("_change_type").alias("change_type"),
+                "c_custkey",
+                "cents",
+                F.col("_row_id").alias("row_id"),
+                F.col("_commit_version").alias("commit_v"),
+            ),
+            "append",
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -202,6 +202,7 @@ def _manifest_meta(root: str, version: int) -> dict | None:
             "delete_files": [],
             "delete_entries": [],
             "committed_at": None,
+            "row_ids": {},
         }
     path = os.path.join(root, "snapshots", f"v{version}.json")
     if not os.path.exists(path):
@@ -220,7 +221,23 @@ def _manifest_meta(root: str, version: int) -> dict | None:
         # files) for the position-delete CDC path
         "delete_entries": m.get("delete_files", []),
         "committed_at": m.get("committed_at"),
+        "row_ids": _manifest_row_ids(root, m),
     }
+
+
+def _manifest_row_ids(root: str, m: dict) -> dict[str, int]:
+    """Per-file first_row_id map of a manifest (Iceberg v3 row lineage),
+    materializing parts — the id substrate for the identity-keyed CDC
+    feed. Empty for pre-lineage manifests."""
+    if "row_ids" in m:
+        return m["row_ids"] or {}
+    if "row_ids" not in (m.get("part_keys") or []):
+        return {}
+    out: dict[str, int] = {}
+    for ppath in m.get("parts", []):
+        with open(ppath) as f:
+            out.update(json.load(f).get("row_ids") or {})
+    return out
 
 
 def _commit_ts(meta: dict):
@@ -310,7 +327,11 @@ def _cdc_entry_guards(
 
 
 def _cdc_rows(
-    root: str, since: int, until: int, colnames: list[str]
+    root: str,
+    since: int,
+    until: int,
+    colnames: list[str],
+    row_level: bool = False,
 ) -> list[tuple]:
     """Change rows for snapshots (since, until] — the streaming CHANGE
     FEED (Delta's readChangeFeed / Iceberg's changelog scan, streamed):
@@ -327,7 +348,18 @@ def _cdc_rows(
     (file, row) targets, so the feed reads precisely the doomed rows
     and emits their delete events; file diffs thereafter exclude
     already-dead coordinates, so the eventual compaction that
-    materializes the deletes away still nets to zero."""
+    materializes the deletes away still nets to zero.
+
+    ``row_level`` (``rowLineage=true``, r6): the diff keys on the
+    Iceberg v3 ``_row_id`` (the file's first_row_id + position, or the
+    materialized ``__row_id`` a rewrite wrote) instead of value
+    multisets, and rows become (cols..., _row_id, _change_type,
+    _commit_version, _commit_timestamp) with Delta CDF's FOUR change
+    types: an id on both sides of a commit with differing values is an
+    ``update_preimage``/``update_postimage`` PAIR sharing the id; a
+    rewrite that moves rows without changing them nets to zero by
+    IDENTITY, and a delete+identical-reinsert is correctly two
+    different identities."""
     from collections import Counter
 
     import pyarrow.parquet as pq
@@ -390,9 +422,76 @@ def _cdc_rows(
             for i in sorted(positions)
         ]
 
+    def _rid(phys, base, i: int, tf: str) -> int:
+        if phys is not None and phys[i] is not None:
+            return phys[i]
+        if base is None:
+            raise ValueError(
+                "lakehouse_stream CDC rowLineage: data file has neither "
+                f"a first_row_id nor materialized __row_id ({tf!r}) — "
+                "the snapshot predates lineage tracking; commit once "
+                "(any write) to assign row ids"
+            )
+        return base + i
+
+    def read_id_map(
+        files: list[str],
+        dead: dict[str, set[int]],
+        bases: dict[str, int],
+    ) -> dict[int, tuple]:
+        out_m: dict[int, tuple] = {}
+        for f in files:
+            t = pq.read_table(f)
+            names = t.column_names
+            cols = [
+                t.column(n).to_pylist() if n in names else None
+                for n in colnames
+            ]
+            phys = (
+                t.column("__row_id").to_pylist()
+                if "__row_id" in names
+                else None
+            )
+            base = bases.get(f)
+            skip = dead.get(f, ())
+            for i in range(t.num_rows):
+                if i in skip:
+                    continue
+                out_m[_rid(phys, base, i, f)] = tuple(
+                    col[i] if col is not None else None for col in cols
+                )
+        return out_m
+
+    def ids_at(
+        tf: str, positions: set[int], bases: dict[str, int]
+    ) -> list[tuple]:
+        """(row values, _row_id) at the given positions of one file."""
+        t = pq.read_table(tf)
+        names = t.column_names
+        cols = [
+            t.column(n).to_pylist() if n in names else None
+            for n in colnames
+        ]
+        phys = (
+            t.column("__row_id").to_pylist()
+            if "__row_id" in names
+            else None
+        )
+        base = bases.get(tf)
+        return [
+            (
+                tuple(
+                    col[i] if col is not None else None for col in cols
+                ),
+                _rid(phys, base, i, tf),
+            )
+            for i in sorted(positions)
+        ]
+
     out: list[tuple] = []
     prev_files = set(prev["files"])
     prev_entries = prev["delete_entries"]
+    prev_row_ids = prev["row_ids"]
     for v in range(since + 1, until + 1):
         m = _manifest_meta(root, v)
         if m is None:
@@ -421,9 +520,16 @@ def _cdc_rows(
         for d in added_e:
             for tf, ps in sorted(entry_coords(d).items()):
                 if tf in files and tf in prev_files:
-                    out.extend(
-                        (*t, "delete", v, ts) for t in rows_at(tf, ps)
-                    )
+                    if row_level:
+                        out.extend(
+                            (*t, rid, "delete", v, ts)
+                            for t, rid in ids_at(tf, ps, prev_row_ids)
+                        )
+                    else:
+                        out.extend(
+                            (*t, "delete", v, ts)
+                            for t in rows_at(tf, ps)
+                        )
         # position entries REMOVED while their target files persist
         # (rollback past the delete): the rows come back — inserts
         for d in removed_e:
@@ -431,10 +537,38 @@ def _cdc_rows(
                 continue  # equality removal: deferred via the file diff
             for tf, ps in sorted(entry_coords(d).items()):
                 if tf in files and tf in prev_files:
-                    out.extend(
-                        (*t, "insert", v, ts) for t in rows_at(tf, ps)
+                    if row_level:
+                        out.extend(
+                            (*t, rid, "insert", v, ts)
+                            for t, rid in ids_at(tf, ps, m["row_ids"])
+                        )
+                    else:
+                        out.extend(
+                            (*t, "insert", v, ts)
+                            for t in rows_at(tf, ps)
+                        )
+        if (removed or added) and row_level:
+            # identity-keyed commit diff: ids are unique per snapshot,
+            # so the sides are dicts, not multisets
+            new_map = read_id_map(
+                added, pending_dead(m["delete_entries"]), m["row_ids"]
+            )
+            old_map = read_id_map(
+                removed, pending_dead(prev_entries), prev_row_ids
+            )
+            for rid in sorted(old_map.keys() - new_map.keys()):
+                out.append((*old_map[rid], rid, "delete", v, ts))
+            for rid in sorted(new_map.keys() - old_map.keys()):
+                out.append((*new_map[rid], rid, "insert", v, ts))
+            for rid in sorted(old_map.keys() & new_map.keys()):
+                if old_map[rid] != new_map[rid]:
+                    out.append(
+                        (*old_map[rid], rid, "update_preimage", v, ts)
                     )
-        if removed or added:
+                    out.append(
+                        (*new_map[rid], rid, "update_postimage", v, ts)
+                    )
+        elif removed or added:
             ca = read_multiset(added, pending_dead(m["delete_entries"]))
             cr = read_multiset(removed, pending_dead(prev_entries))
             for t, n in sorted((ca - cr).items(), key=repr):
@@ -443,6 +577,7 @@ def _cdc_rows(
                 out.extend([(*t, "delete", v, ts)] * n)
         prev_files = files
         prev_entries = m["delete_entries"]
+        prev_row_ids = m["row_ids"]
     return out
 
 
@@ -511,6 +646,7 @@ def make_lakehouse_stream_source():
             cdc: bool = False,
             max_files_per_trigger: int | None = None,
             max_bytes_per_trigger: int | None = None,
+            row_level: bool = False,
         ):
             self.root = root
             self.starting_version = starting_version
@@ -518,6 +654,7 @@ def make_lakehouse_stream_source():
             self.max_files = max_files_per_trigger
             self.max_bytes = max_bytes_per_trigger
             self.cdc = cdc
+            self.row_level = row_level
             if cdc:
                 import pyarrow.parquet as pq
 
@@ -573,7 +710,13 @@ def make_lakehouse_stream_source():
                 return [], start
             if self.cdc:
                 return (
-                    _cdc_rows(self.root, since, until, self._colnames),
+                    _cdc_rows(
+                        self.root,
+                        since,
+                        until,
+                        self._colnames,
+                        row_level=self.row_level,
+                    ),
                     {"version": until},
                 )
             files = _added_files(self.root, since, until)
@@ -588,6 +731,7 @@ def make_lakehouse_stream_source():
                     start["version"],
                     end["version"],
                     self._colnames,
+                    row_level=self.row_level,
                 )
             return self._rows_for(
                 _added_files(self.root, start["version"], end["version"])
@@ -623,8 +767,12 @@ def make_lakehouse_stream_source():
                 _us_schema(pq.ParquetFile(files[0]).schema_arrow)
             )
             opts = {k.lower(): v for k, v in self.options.items()}
+            # Delta readChangeFeed column convention
             if opts.get("readchangefeed", "").lower() == "true":
-                # Delta readChangeFeed column convention
+                if opts.get("rowlineage", "").lower() == "true":
+                    # Iceberg v3 identity column — upgrades the feed to
+                    # four change types (update pre/postimage pairs)
+                    base = base.add(StructField("_row_id", LongType()))
                 base = base.add(
                     StructField("_change_type", StringType())
                 ).add(StructField("_commit_version", LongType())).add(
@@ -644,6 +792,7 @@ def make_lakehouse_stream_source():
                 cdc=opts.get("readchangefeed", "").lower() == "true",
                 max_files_per_trigger=int(mf) if mf is not None else None,
                 max_bytes_per_trigger=int(mb) if mb is not None else None,
+                row_level=opts.get("rowlineage", "").lower() == "true",
             )
 
     return LakehouseStreamSource
@@ -687,6 +836,7 @@ def make_lakehouse_stream_dist_source():
             cdc: bool = False,
             max_files_per_trigger: int | None = None,
             max_bytes_per_trigger: int | None = None,
+            row_level: bool = False,
         ):
             self.root = root
             self.starting_version = starting_version
@@ -695,6 +845,7 @@ def make_lakehouse_stream_dist_source():
             self.max_bytes = max_bytes_per_trigger
             self._hwm = starting_version  # highest position observed
             self.cdc = cdc
+            self.row_level = row_level
             if cdc:
                 import pyarrow.parquet as pq
 
@@ -800,7 +951,13 @@ def make_lakehouse_stream_dist_source():
                 _, v = partition.value
                 # executor-side per-commit net diff (v-1 → v); tuples,
                 # bounded by the commit's changed files
-                yield from _cdc_rows(self.root, v - 1, v, self._colnames)
+                yield from _cdc_rows(
+                    self.root,
+                    v - 1,
+                    v,
+                    self._colnames,
+                    row_level=self.row_level,
+                )
                 return
             # executor-side: stream the file as Arrow batches (zero-copy
             # into Spark's Arrow pipe, no Python row materialization;
@@ -837,6 +994,10 @@ def make_lakehouse_stream_dist_source():
             )
             opts = {k.lower(): v for k, v in self.options.items()}
             if opts.get("readchangefeed", "").lower() == "true":
+                if opts.get("rowlineage", "").lower() == "true":
+                    # Iceberg v3 identity column — upgrades the feed to
+                    # four change types (update pre/postimage pairs)
+                    base = base.add(StructField("_row_id", LongType()))
                 base = base.add(
                     StructField("_change_type", StringType())
                 ).add(StructField("_commit_version", LongType())).add(
@@ -856,6 +1017,7 @@ def make_lakehouse_stream_dist_source():
                 cdc=opts.get("readchangefeed", "").lower() == "true",
                 max_files_per_trigger=int(mf) if mf is not None else None,
                 max_bytes_per_trigger=int(mb) if mb is not None else None,
+                row_level=opts.get("rowlineage", "").lower() == "true",
             )
 
     return LakehouseStreamDistSource

@@ -1394,3 +1394,101 @@ def test_rate_limit_clamp_counts_new_files_and_bytes(spark, tmp_path):
     assert _clamp_rate_limit(root, 0, 3, None, 0, None) == 1
     tbl.rewrite_small_files(min_file_bytes=64 * 1024 * 1024)  # v4
     assert _clamp_rate_limit(root, 3, 4, None, 1, None) == 4
+
+
+def test_cdc_row_lineage_feed_update_pairs(spark, tmp_path):
+    """rowLineage=true upgrades the CDC feed to identity-keyed four-type
+    semantics: an UPDATE is one update_preimage/update_postimage pair
+    sharing _row_id; a full re-cluster nets to zero BY IDENTITY; a
+    delete+identical-reinsert is two different identities; both readers
+    agree row-for-row."""
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+        make_lakehouse_stream_source,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    df = (
+        spark.range(0, 10)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .coalesce(1)
+        .sortWithinPartitions("k")
+    )
+    t.append(df)  # v1: ids 0..9
+    t.update_where(F.col("k") == 3, {"v": F.lit(999)})  # v2
+    t.delete_where(F.col("k") == 7)  # v3
+    t.rewrite_data_files(target_file_count=2)  # v4: zero by identity
+    t.delete_where(F.col("k") == 5)  # v5
+    t.append(  # v6: identical VALUES to the deleted row — new identity
+        spark.createDataFrame([(5, 50)], "k long, v long")
+    )
+
+    spark.dataSource.register(make_lakehouse_stream_source())
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    feeds = {}
+    for i, fmt in enumerate(["lakehouse_stream", "lakehouse_stream_dist"]):
+        q = (
+            spark.readStream.format(fmt)
+            .option("path", str(tmp_path / "t"))
+            .option("readChangeFeed", "true")
+            .option("rowLineage", "true")
+            .option("startingVersion", "1")
+            .load()
+            .writeStream.format("memory")
+            .queryName(f"cdcrl{i}")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckrl{i}"))
+            .start()
+        )
+        q.awaitTermination(120)
+        feeds[fmt] = sorted(
+            tuple(r)
+            for r in spark.sql(
+                f"SELECT k, v, _row_id, _change_type, _commit_version "
+                f"FROM cdcrl{i}"
+            ).collect()
+        )
+    assert feeds["lakehouse_stream"] == feeds["lakehouse_stream_dist"]
+    got = feeds["lakehouse_stream"]
+    assert (3, 30, 3, "update_preimage", 2) in got
+    assert (3, 999, 3, "update_postimage", 2) in got
+    assert (7, 70, 7, "delete", 3) in got
+    assert not any(r[4] == 4 for r in got)  # re-cluster: zero events
+    assert (5, 50, 5, "delete", 5) in got
+    # the re-insert of identical values is a NEW identity
+    ins = [r for r in got if r[3] == "insert" and r[4] == 6]
+    assert len(ins) == 1 and ins[0][2] != 5
+    # v2 pair + v3 delete + v5 delete + v6 insert (startingVersion=1
+    # skips v1's initial load)
+    assert len(got) == 5
+
+
+def test_cdc_row_lineage_pos_delete_ids(spark, tmp_path):
+    """Position-delete commits in rowLineage mode emit the doomed rows
+    with their exact identities (base + coordinate position)."""
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        _cdc_rows,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    df = (
+        spark.range(0, 8)
+        .select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        .coalesce(1)
+        .sortWithinPartitions("k")
+    )
+    t.append(df)
+    t.delete_where_pos(F.col("k").isin(2, 6))
+    rows = _cdc_rows(
+        str(tmp_path / "t"), 1, 2, ["k", "v"], row_level=True
+    )
+    assert sorted((r[0], r[2], r[3]) for r in rows) == [
+        (2, 2, "delete"),
+        (6, 6, "delete"),
+    ]
