@@ -259,3 +259,166 @@ def streaming_cdc_row_lineage_feed(
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_incremental_by_row_version",
+    oracle=f"""
+        WITH base AS ({_BASE_SQL})
+        SELECT c_custkey,
+               cents + 55 AS cents,
+               CAST(rid AS BIGINT) AS row_id,
+               CAST(2 AS BIGINT) AS last_upd
+        FROM base WHERE cents % 7 = 3
+        UNION ALL
+        SELECT c_custkey + 100000, 777,
+               (SELECT count(*) FROM customer) * 2
+               + ROW_NUMBER() OVER (ORDER BY c_custkey) - 1,
+               3
+        FROM customer WHERE c_custkey < 5
+    """,
+)
+def lakehouse_incremental_by_row_version(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental consumption WITHOUT a change feed:
+    ``_last_updated_version > N`` selects exactly the rows written or
+    updated since snapshot N — the row-version watermark pattern
+    (Iceberg v3's last-updated sequence number). Unlike the changelog
+    it carries no deletes (pair with the feed when deletes matter),
+    but it needs no interval bookkeeping: any consumer that remembers
+    one version number can catch up with one filtered scan. The
+    history: update at v2 (rewrites carry untouched rows' OLD versions,
+    so only truly-updated rows surface), append at v3.
+
+    Scale: the filter composes with inheritance — files whose sequence
+    number is ≤ N and carry no materialized __last_updated can be
+    PRUNED by metadata alone (their every row inherits file seq ≤ N);
+    rewritten files are scanned and filtered row-wise."""
+    root = tempfile.mkdtemp(prefix="lakehouse_rowver_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        tbl.append(_base_customer(spark, sf_dir))  # v1
+        tbl.update_where(  # v2: only these rows bump their version
+            F.col("cents") % 7 == 3, {"cents": F.col("cents") + 55}
+        )
+        inserts = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 5)
+            .select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                F.col("c_mktsegment"),
+                F.lit(777).cast("long").alias("cents"),
+            )
+            .coalesce(1)
+            .sortWithinPartitions("c_custkey")
+        )
+        tbl.append(inserts)  # v3
+        out = tbl.read_rows_updated_since(1).select(
+            "c_custkey",
+            "cents",
+            F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_version").alias("last_upd"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_scd2_from_row_changelog",
+    oracle=f"""
+        WITH base AS ({_BASE_SQL}),
+        u2 AS (SELECT * FROM base WHERE cents % 5 = 2),
+        u3 AS (
+            SELECT c_custkey,
+                   CASE WHEN cents % 5 = 2 THEN cents + 11
+                        ELSE cents END AS cents,
+                   rid
+            FROM base WHERE c_custkey % 9 = 4
+        )
+        -- original validity: closed at 2 if updated at v2, else at 3 if
+        -- updated at v3, else open
+        SELECT c_custkey, cents, CAST(rid AS BIGINT) AS row_id,
+               CAST(1 AS BIGINT) AS valid_from,
+               CAST(CASE WHEN cents % 5 = 2 THEN 2
+                         WHEN c_custkey % 9 = 4 THEN 3
+                         ELSE 0 END AS BIGINT) AS valid_to
+        FROM base
+        UNION ALL
+        -- v2 images: closed at 3 if hit again by v3, else open
+        SELECT c_custkey, cents + 11, rid, 2,
+               CASE WHEN c_custkey % 9 = 4 THEN 3 ELSE 0 END
+        FROM u2
+        UNION ALL
+        -- v3 images: open
+        SELECT c_custkey, cents + 100, rid, 3, 0 FROM u3
+    """,
+)
+def lakehouse_scd2_from_row_changelog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD TYPE 2 dimension history DRIVEN BY THE IDENTITY-KEYED
+    CHANGELOG — the composition VERDICT r5 #4 points at: per commit,
+    ``changelog(v-1, v, row_level=True)`` yields update pairs keyed by
+    ``_row_id``; each ``update_postimage`` opens a new history row
+    (valid_from = commit) and closes the previous one (valid_to =
+    commit) — matching by ROW IDENTITY, so key-column updates and
+    duplicate business keys can't mis-pair the way value/key matching
+    does. Deletes would close without opening (none in this history);
+    valid_to = 0 marks the open row.
+
+    The fold over commits runs as ONE Spark plan: the per-commit pair
+    feeds are unioned with their commit version, each row's validity
+    closes at the NEXT version that touched the same ``_row_id``
+    (a window by id), no driver-side loop state.
+
+    Scale: each per-commit changelog opens changed files only; the
+    closing window partitions by _row_id (millions of tiny groups —
+    the well-partitioned window shape)."""
+    from pyspark.sql import Window
+
+    root = tempfile.mkdtemp(prefix="lakehouse_scd2_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        tbl.append(_base_customer(spark, sf_dir))  # v1
+        tbl.update_where(  # v2
+            F.col("cents") % 5 == 2, {"cents": F.col("cents") + 11}
+        )
+        tbl.update_where(  # v3
+            F.col("c_custkey") % 9 == 4, {"cents": F.col("cents") + 100}
+        )
+        # image stream: v1's initial rows open at 1; each later commit's
+        # update_postimage opens a new image at that commit
+        images = tbl.read(version=1, with_lineage=True).select(
+            "c_custkey",
+            "cents",
+            F.col("_row_id").alias("row_id"),
+            F.lit(1).cast("long").alias("valid_from"),
+        )
+        for v in range(2, tbl.current_version() + 1):
+            post = (
+                tbl.changelog(v - 1, v, row_level=True)
+                .filter(F.col("_change_type") == "update_postimage")
+                .select(
+                    "c_custkey",
+                    "cents",
+                    F.col("_row_id").alias("row_id"),
+                    F.lit(v).cast("long").alias("valid_from"),
+                )
+            )
+            images = images.unionByName(post)
+        w = (
+            Window.partitionBy("row_id")
+            .orderBy("valid_from")
+            .rowsBetween(1, 1)
+        )
+        out = images.withColumn(
+            "valid_to",
+            F.coalesce(F.max("valid_from").over(w), F.lit(0)).cast(
+                "long"
+            ),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

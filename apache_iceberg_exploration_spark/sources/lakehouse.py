@@ -1562,6 +1562,59 @@ class LakehouseTable:
             raise FileNotFoundError(f"no data files at version {v}")
         return self._project_to_schema(manifest, with_lineage=with_lineage)
 
+    def read_rows_updated_since(self, version: int) -> DataFrame:
+        """Rows written or updated after snapshot ``version`` — the
+        row-version watermark consumer (Iceberg v3's last-updated
+        sequence number), with FILE-LEVEL pruning before any data IO:
+
+        - a file whose sequence number is > ``version`` may only hold
+          qualifying rows' candidates — kept;
+        - otherwise every row INHERITS the file's old seq unless the
+          file materializes ``__last_updated`` (it was rewritten): the
+          manifest's min/max stats for that column decide — max ≤
+          ``version`` (or the column absent/all-null) proves the file
+          has nothing newer, pruned by metadata alone.
+
+        The surviving files are scanned once and filtered row-wise
+        (``_last_updated_version > version`` remains the row-exact
+        truth — pruning only ever skips provably-dead files). Returns
+        the table columns plus ``_row_id`` / ``_last_updated_version``.
+
+        Scale: an append-mostly table prunes to the files of the
+        commits after ``version`` — O(new data), the incremental-read
+        cost model — while rewritten files are re-examined only when
+        their stats admit newer rows."""
+        m = self._read_manifest(self.current_version())
+        seqs = m.get("file_seq", {})
+        stats = m.get("stats", {})
+
+        def may_contain(f: str) -> bool:
+            if seqs.get(f, 0) > version:
+                return True
+            per = stats.get(f)
+            if per is None:
+                return True  # unknown stats — conservatively kept
+            rng = per.get("__last_updated")
+            if rng is not None:
+                return rng[1] > version
+            nulls = (per.get("__nulls") or {}).get("__last_updated")
+            if nulls is not None and nulls != per.get("__rows"):
+                # column present with values but min/max unrecorded
+                return True
+            # column absent or all-NULL: every row inherits the file's
+            # seq, which is <= version here
+            return False
+
+        kept = [f for f in m["files"] if may_contain(f)]
+        if not kept:
+            return self._project_to_schema(m, with_lineage=True).limit(
+                0
+            ).filter(F.lit(False))
+        sub = {**m, "files": kept}
+        return self._project_to_schema(sub, with_lineage=True).filter(
+            F.col("_last_updated_version") > version
+        )
+
     def _project_with_lineage_cols(self, manifest: dict) -> DataFrame:
         """Rewrite-side read: the manifest's rows with their lineage
         MATERIALIZED as physical ``__row_id`` / ``__last_updated``

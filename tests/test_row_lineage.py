@@ -306,3 +306,37 @@ def test_pre_lineage_manifest_raises_then_next_commit_assigns(
     table.append(_kv(spark, 5, 8))  # any commit assigns
     ids = _ids(table)
     assert sorted(ids.values()) == list(range(8))
+
+
+def test_read_rows_updated_since_prunes_files(spark, table):
+    """The row-version watermark read prunes provably-dead files by
+    METADATA before any data IO: an untouched appended file (seq <=
+    N, no materialized __last_updated) never reaches the scan; a
+    rewritten file is re-examined only when its __last_updated max
+    admits newer rows."""
+    table.append(_kv(spark, 0, 10))  # v1, file A
+    table.append(_kv(spark, 10, 20))  # v2, file B
+    # v3: CoW update scoped to file A's key range (file B untouched)
+    table.update_where(
+        F.col("k") == 3, {"v": F.lit(999)}, prune={"k": (0, 9)}
+    )
+    n = table.current_version()
+    assert n == 3
+    out = table.read_rows_updated_since(2)
+    rows = {(r["k"], r["_last_updated_version"]) for r in out.collect()}
+    assert rows == {(3, 3)}
+    # pruning: file B (seq 2, never rewritten) must not be scanned;
+    # only v3's rewrite output is
+    scanned = out.inputFiles()
+    m = table._read_manifest(3)
+    seqs = m.get("file_seq", {})
+    assert scanned, "expected at least the rewritten file"
+    for f in scanned:
+        plain = f[5:] if f.startswith("file:") else f
+        while plain.startswith("//"):
+            plain = plain[1:]
+        assert seqs.get(plain, 0) == 3, f"pruned file scanned: {f}"
+    # watermark at the tip: nothing qualifies, empty but well-shaped
+    assert table.read_rows_updated_since(3).count() == 0
+    # watermark 0: everything qualifies
+    assert table.read_rows_updated_since(0).count() == 20
