@@ -2141,13 +2141,34 @@ class LakehouseTable:
                 "lineage tracking or is a branch-chain manifest (ids are "
                 "assigned at publish) — commit once (any write) to assign"
             )
-        rows = [(f, bases.get(f)) for f in manifest["files"]]
-        bdf = self.spark.createDataFrame(
-            rows, "__lin_file string, __lin_base long"
-        )
         # the reader reports file:///-URIs; manifests store plain paths
         norm = F.regexp_replace(F.col("__file"), "^file:/+", "/")
-        df = df.join(F.broadcast(bdf), norm == F.col("__lin_file"), "left")
+        files = manifest["files"]
+        known = [f for f in files if bases.get(f) is not None]
+        if len(files) <= 64:
+            # small scans (every rewrite at test scale, most narrow
+            # reads): inline the file→base map as a literal expression —
+            # no broadcast exchange, no join stage (the join path cost
+            # ~0.3-0.6 s of fixed plan machinery PER REWRITE at sf0.1,
+            # the r6 bench regression on the CoW/MoR update queries)
+            if known:
+                pairs: list = []
+                for f in known:
+                    pairs += [F.lit(f), F.lit(int(bases[f]))]
+                base_col = F.element_at(F.create_map(*pairs), norm)
+            else:
+                base_col = F.lit(None).cast("long")
+            df = df.withColumn("__lin_base", base_col)
+        else:
+            # wide scans: a tiny (file, base) relation broadcast-joined —
+            # O(files) metadata, never a shuffle of the data side
+            rows = [(f, bases.get(f)) for f in files]
+            bdf = self.spark.createDataFrame(
+                rows, "__lin_file string, __lin_base long"
+            )
+            df = df.join(
+                F.broadcast(bdf), norm == F.col("__lin_file"), "left"
+            ).drop("__lin_file")
         phys_rid = (
             F.col("__row_id")
             if "__row_id" in df.columns
@@ -2167,7 +2188,7 @@ class LakehouseTable:
                 "_last_updated_version",
                 F.coalesce(phys_upd, F.col("__seq").cast("long")),
             )
-            .drop("__lin_file", "__lin_base", "__row_id", "__last_updated")
+            .drop("__lin_base", "__row_id", "__last_updated")
         )
 
     @staticmethod
