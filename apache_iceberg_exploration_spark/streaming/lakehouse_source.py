@@ -1121,6 +1121,25 @@ def _manifest_payload(
     return files, stats, deletes
 
 
+def _manifest_lineage_maps(
+    root: str, version: int
+) -> tuple[dict[str, int], dict[str, int]]:
+    """(row_ids, file_seq) of a snapshot, parts-aware — the planning
+    inputs for a lineage-projecting batch read."""
+    path = os.path.join(root, "snapshots", f"v{version}.json")
+    with open(path) as f:
+        m = json.load(f)
+    row_ids = _manifest_row_ids(root, m)
+    if "file_seq" in m:
+        return row_ids, m.get("file_seq") or {}
+    seqs: dict[str, int] = {}
+    if "file_seq" in (m.get("part_keys") or []):
+        for ppath in m.get("parts", []):
+            with open(ppath) as f:
+                seqs.update(json.load(f).get("file_seq") or {})
+    return row_ids, seqs
+
+
 def _resolve_version(root: str, opts: dict) -> int:
     """Batch-read version resolution: versionAsOf (a snapshot number OR
     a tag name — Iceberg's ``VERSION AS OF 'tag'``) / timestampAsOf
@@ -1188,13 +1207,18 @@ def make_lakehouse_batch_source():
 
     class _BatchReader(DataSourceReader):
         def __init__(
-            self, root: str, version: int, since: int | None = None
+            self,
+            root: str,
+            version: int,
+            since: int | None = None,
+            with_lineage: bool = False,
         ):
             self.root = root
             self.version = version
             # incremental batch read (Iceberg's incremental scan):
             # plan only files ADDED by append commits in (since, version]
             self.since = since
+            self.with_lineage = with_lineage
             self.bounds: dict[str, list] = {}  # col -> [lo, hi] (closed)
             self.null_preds: dict[str, bool] = {}  # col -> IS NULL?
 
@@ -1301,12 +1325,82 @@ def make_lakehouse_batch_source():
                 if not skip:
                     kept.append(f)
             self.planned_files = kept  # introspection for tests
+            if self.with_lineage:
+                # each partition carries its file's lineage inputs so
+                # the executor computes ids with zero extra IO. For the
+                # incremental (since) walk the tip manifest may no
+                # longer reference a mid-range file compacted away —
+                # overlay every in-range manifest's maps (a file's base
+                # never changes once assigned, so overlaying is exact)
+                row_ids: dict[str, int] = {}
+                seqs: dict[str, int] = {}
+                versions = (
+                    [self.version]
+                    if self.since is None
+                    else range(self.since + 1, self.version + 1)
+                )
+                for mv in versions:
+                    try:
+                        r, s = _manifest_lineage_maps(self.root, mv)
+                    except FileNotFoundError:
+                        continue
+                    row_ids.update(r)
+                    seqs.update(s)
+                missing = [f for f in kept if f not in row_ids]
+                if missing:
+                    raise ValueError(
+                        "lakehouse batch format withLineage: "
+                        f"{len(missing)} data files carry no "
+                        "first_row_id (snapshot predates lineage "
+                        "tracking) — commit once (any write) to assign"
+                    )
+                return [
+                    InputPartition((f, row_ids[f], seqs.get(f, 0)))
+                    for f in kept
+                ]
             return [InputPartition(f) for f in kept]
 
         def read(self, partition):
             import pyarrow.parquet as pq
 
-            yield from _us_batches(pq.ParquetFile(partition.value))
+            if not self.with_lineage:
+                yield from _us_batches(pq.ParquetFile(partition.value))
+                return
+            import pyarrow as pa
+
+            f, base, seq = partition.value
+            pf = pq.ParquetFile(f)
+            target = _us_schema(pf.schema_arrow)
+            names = [fld.name for fld in target]
+            has_rid = "__row_id" in pf.schema_arrow.names
+            has_lu = "__last_updated" in pf.schema_arrow.names
+            offset = 0
+            for batch in pf.iter_batches():
+                tbl = pa.Table.from_batches([batch])
+                n = tbl.num_rows
+                # Iceberg v3 inheritance, Arrow-side: materialized ids
+                # win; NULL slots inherit base+position / the file seq
+                if has_rid:
+                    phys = tbl.column("__row_id").to_pylist()
+                    rid = [
+                        p if p is not None else base + offset + i
+                        for i, p in enumerate(phys)
+                    ]
+                else:
+                    rid = list(range(base + offset, base + offset + n))
+                if has_lu:
+                    plu = tbl.column("__last_updated").to_pylist()
+                    lu = [p if p is not None else seq for p in plu]
+                else:
+                    lu = [seq] * n
+                out = tbl.select(names).cast(target)
+                out = out.append_column(
+                    "_row_id", pa.array(rid, pa.int64())
+                ).append_column(
+                    "_last_updated_version", pa.array(lu, pa.int64())
+                )
+                yield from out.to_batches()
+                offset += n
 
     class LakehouseBatchSource(DataSource):
         @classmethod
@@ -1315,6 +1409,7 @@ def make_lakehouse_batch_source():
 
         def schema(self):
             from pyspark.sql.pandas.types import from_arrow_schema
+            from pyspark.sql.types import LongType, StructField
 
             opts = {k.lower(): v for k, v in self.options.items()}
             root = opts["path"]
@@ -1323,13 +1418,19 @@ def make_lakehouse_batch_source():
                 raise ValueError(f"empty lakehouse table at {root}")
             import pyarrow.parquet as pq
 
-            return from_arrow_schema(
+            base = from_arrow_schema(
                 _us_schema(pq.ParquetFile(files[0]).schema_arrow)
             )
+            if opts.get("withlineage", "").lower() == "true":
+                base = base.add(
+                    StructField("_row_id", LongType())
+                ).add(StructField("_last_updated_version", LongType()))
+            return base
 
         def reader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
             root = opts["path"]
+            wl = opts.get("withlineage", "").lower() == "true"
             if "startingversion" in opts:
                 # incremental batch read: rows appended AFTER snapshot
                 # startingVersion, up to endingVersion (default: tip) —
@@ -1338,8 +1439,12 @@ def make_lakehouse_batch_source():
                 until = int(
                     opts.get("endingversion", _current_version(root))
                 )
-                return _BatchReader(root, until, since=since)
-            return _BatchReader(root, _resolve_version(root, opts))
+                return _BatchReader(
+                    root, until, since=since, with_lineage=wl
+                )
+            return _BatchReader(
+                root, _resolve_version(root, opts), with_lineage=wl
+            )
 
         def writer(self, schema, overwrite: bool):
             opts = {k.lower(): v for k, v in self.options.items()}

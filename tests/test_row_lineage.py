@@ -340,3 +340,44 @@ def test_read_rows_updated_since_prunes_files(spark, table):
     assert table.read_rows_updated_since(3).count() == 0
     # watermark 0: everything qualifies
     assert table.read_rows_updated_since(0).count() == 20
+
+
+def test_dsv2_batch_reader_with_lineage(spark, table):
+    """withLineage=true on the DSv2 ``lakehouse`` format: _row_id /
+    _last_updated_version computed Arrow-side from the partition's
+    (base, seq) — identical values to LakehouseTable.read(
+    with_lineage=True), including materialized ids in rewritten files,
+    and composing with the incremental startingVersion walk."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    table.append(_kv(spark, 0, 10))  # v1
+    table.update_where(F.col("k") == 3, {"v": F.lit(999)})  # v2
+    table.append(_kv(spark, 10, 14))  # v3
+
+    spark.dataSource.register(make_lakehouse_batch_source())
+    dsv2 = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("withLineage", "true")
+        .load()
+    )
+    native = table.read(with_lineage=True)
+    key = lambda df: sorted(
+        (r["k"], r["v"], r["_row_id"], r["_last_updated_version"])
+        for r in df.collect()
+    )
+    assert key(dsv2) == key(native)
+    # incremental + lineage: only rows appended after v2, with ids
+    inc = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("startingVersion", "2")
+        .option("withLineage", "true")
+        .load()
+    )
+    rows = {r["k"]: r["_row_id"] for r in inc.collect()}
+    assert sorted(rows) == list(range(10, 14))
+    full = {r["k"]: r["_row_id"] for r in native.collect()}
+    assert all(rows[k] == full[k] for k in rows)
