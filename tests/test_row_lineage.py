@@ -381,3 +381,61 @@ def test_dsv2_batch_reader_with_lineage(spark, table):
     assert sorted(rows) == list(range(10, 14))
     full = {r["k"]: r["_row_id"] for r in native.collect()}
     assert all(rows[k] == full[k] for k in rows)
+
+
+def test_rename_and_type_promotion_keep_lineage(spark, table):
+    """Schema evolution edge cases × lineage: a column RENAME (metadata
+    only — prior_names coalesce) and an int→long TYPE PROMOTION (via a
+    widening append) must leave ids untouched; a rewrite AFTER the
+    evolution still materializes identity correctly."""
+    table.append(
+        spark.range(0, 10)
+        .select(F.col("id").alias("k"), F.lit(1).cast("int").alias("v"))
+        .coalesce(1)
+        .sortWithinPartitions("k")
+    )
+    pre = _ids(table)
+    table.rename_column("v", "val")
+    assert _ids(table) == pre
+    # widening append promotes the declared type
+    table.append(
+        spark.range(10, 12)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") + 2**40).alias("val"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("k")
+    )
+    ids = _ids(table)
+    assert {k: i for k, i in ids.items() if k < 10} == pre
+    assert sorted(ids.values()) == list(range(12))
+    # CoW update through the evolved schema: ids still stable
+    table.update_where(F.col("k") == 1, {"val": F.lit(7).cast("long")})
+    assert _ids(table) == ids
+    out = {
+        r["k"]: (r["val"], r["_last_updated_version"])
+        for r in table.read(with_lineage=True).collect()
+    }
+    assert out[1][0] == 7
+    assert out[11][0] == 11 + 2**40
+
+
+def test_drop_column_keeps_lineage(spark, table):
+    table.append(_kv(spark, 0, 6))
+    pre = _ids(table)
+    table.add_column("extra", "string")
+    table.drop_column("extra")
+    assert _ids(table) == pre
+
+
+def test_lineage_survives_expire_snapshots(spark, table):
+    """GC interplay: expiring old snapshots (which rewrites nothing)
+    must not disturb ids, and the surviving manifest still resolves
+    every base after parts GC."""
+    for lo in (0, 10, 20):
+        table.append(_kv(spark, lo, lo + 10))
+    table.update_where(F.col("k") == 5, {"v": F.lit(1)})
+    pre = _ids(table)
+    table.expire_snapshots(keep_last=1)
+    assert _ids(table) == pre
