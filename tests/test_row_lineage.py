@@ -439,3 +439,35 @@ def test_lineage_survives_expire_snapshots(spark, table):
     pre = _ids(table)
     table.expire_snapshots(keep_last=1)
     assert _ids(table) == pre
+
+
+def test_concurrent_appends_never_collide_ids(spark, table):
+    """The optimistic-commit rebase must re-derive lineage from the NEW
+    parent: two racing appenders both build manifests claiming id
+    ranges; the loser rebases and its files get FRESH bases past the
+    winner's counter — ids stay globally unique, counter strictly
+    monotone (mirrors test_concurrent_append_isolation)."""
+    import threading
+
+    table.append(_kv(spark, 0, 10))
+    dfs = [_kv(spark, 100, 110), _kv(spark, 200, 210)]
+    errs = []
+
+    def run(df):
+        try:
+            table.append(df)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ts = [threading.Thread(target=run, args=(d,)) for d in dfs]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    rows = table.read(with_lineage=True).collect()
+    ids = [r["_row_id"] for r in rows]
+    assert len(ids) == 30
+    assert len(set(ids)) == 30  # no collisions
+    m = table._read_manifest(table.current_version())
+    assert m["next_row_id"] == 30
