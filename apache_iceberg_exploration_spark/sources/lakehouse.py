@@ -3423,6 +3423,7 @@ class LakehouseTable:
         seqs = manifest.get("file_seq", {})
         stats = manifest.get("stats", {})
         parts = manifest.get("partitions", {})
+        rids = manifest.get("row_ids", {})
 
         def footer(f: str) -> tuple[int, int]:
             rows = stats.get(f, {}).get("__rows")
@@ -3444,6 +3445,8 @@ class LakehouseTable:
                 "partition", T.MapType(T.StringType(), T.StringType()), True
             ),
             T.StructField("stats_json", T.StringType(), True),
+            # Iceberg v3: the file's assigned first_row_id (row lineage)
+            T.StructField("first_row_id", T.LongType(), True),
         ])
         rows = [
             (
@@ -3458,6 +3461,7 @@ class LakehouseTable:
                 )
                 if f in stats
                 else None,
+                rids.get(f),
             )
             for f in flist
         ]

@@ -987,6 +987,15 @@ def test_files_and_partitions_metadata_tables(spark, table):
     p = table.partitions()
     assert p.count() == len(segs)
     assert p.agg(F.sum("row_count")).first()[0] == cust.count()
+    # Iceberg v3: every file exposes its assigned first_row_id, ranges
+    # are disjoint and dense (sum of rows == id space consumed)
+    rid_rows = f.select("first_row_id", "num_rows").collect()
+    assert all(r.first_row_id is not None for r in rid_rows)
+    spans = sorted((r.first_row_id, r.num_rows) for r in rid_rows)
+    cursor = 0
+    for base, n in spans:
+        assert base >= cursor
+        cursor = base + n
 
 
 def test_merge_schema_evolution(spark, table):
