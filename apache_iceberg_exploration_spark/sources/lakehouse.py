@@ -316,12 +316,64 @@ class LakehouseTable:
     @staticmethod
     def _delete_key_files(manifest: dict) -> set[str]:
         """Paths of every MoR delete-key file a manifest references —
-        live data for GC purposes until the manifest expires."""
+        live data for GC purposes until the manifest expires. Deletion-
+        vector container files count too: a retained snapshot's DV is
+        live; a SUPERSEDED DV (its data file got a newer bitmap, or was
+        rewritten) drops out of every retained manifest and becomes an
+        orphan the sweep reclaims."""
         return {
             f
             for d in manifest.get("delete_files", [])
             for f in d["files"]
+        } | {
+            e["path"] for e in manifest.get("delete_vectors", {}).values()
         }
+
+    # -- deletion vectors (Iceberg v3) ----------------------------------------
+    #
+    # A deletion vector is a POSITION BITMAP for one data file: bit i set
+    # means "row at position i is deleted". At most one DV per data file
+    # per snapshot (latest-DV-wins: a replacement bitmap must be a
+    # superset of the one it replaces — enforced by OR-merging at write).
+    # Blobs for one commit are packed back-to-back into a single
+    # Puffin-style container under <table>/deletes/; the manifest's
+    # ``delete_vectors`` map holds {data_file: {path, offset, length,
+    # cardinality, seq}} — the same "offset into a shared sidecar"
+    # layout Iceberg v3 uses, which keeps commit IO at one container
+    # write regardless of how many data files the delete touches, and
+    # solves the pos-delete-file sprawl (N coordinate parquet files per
+    # delete) that rewrite_position_delete_files existed to clean up.
+
+    @staticmethod
+    def _dv_encode(positions) -> tuple[bytes, int]:
+        """Bitmap-encode sorted row positions → (packed bytes,
+        cardinality). numpy packbits: 1 bit per row up to the max
+        deleted position — a 10^6-row file's DV is ≤125 KB even fully
+        deleted, and typically far smaller."""
+        import numpy as np
+
+        pos = np.asarray(positions, dtype=np.int64)
+        bits = np.zeros(int(pos.max()) + 1, dtype=np.uint8)
+        bits[pos] = 1
+        return np.packbits(bits).tobytes(), int(len(np.unique(pos)))
+
+    @staticmethod
+    def _dv_decode(blob: bytes):
+        """Inverse of _dv_encode: packed bitmap → int64 positions."""
+        import numpy as np
+
+        return np.nonzero(
+            np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+        )[0].astype("int64")
+
+    @property
+    def _dv_dir(self) -> str:
+        return os.path.join(self.path, "deletes")
+
+    def _read_dv_blob(self, entry: dict) -> bytes:
+        with open(entry["path"], "rb") as f:
+            f.seek(entry["offset"])
+            return f.read(entry["length"])
 
     def _try_commit(
         self, version: int, manifest: dict, path: str | None = None
@@ -584,6 +636,7 @@ class LakehouseTable:
         partitions: dict[str, dict] | None = None,
         row_carry: dict | None = None,
         no_lineage: bool = False,
+        delete_vectors: dict | None = None,
         **summary,
     ) -> dict:
         manifest = {
@@ -615,6 +668,28 @@ class LakehouseTable:
             # partition tuples (for transform-aware pruning in scan())
             manifest["partition_specs"] = partition_specs
             manifest["partitions"] = partitions or {}
+        # deletion vectors (Iceberg v3): per-data-file position bitmaps,
+        # latest-DV-wins. None = AUTO-CARRY the parent's entries for
+        # files still present — a rewritten/dropped file's DV vanishes
+        # with it (every rewrite path reads survivors with deletes
+        # APPLIED, so dropping the DV is the materialization, never a
+        # resurrection). An explicit dict REPLACES (delete_where_dv,
+        # rollback/clone restoring another snapshot's state, branch
+        # commits whose parent number is branch-local).
+        if delete_vectors is None and not no_lineage:
+            prev_dv: dict = {}
+            if parent and os.path.exists(self._manifest_path(parent)):
+                prev_dv = self._read_manifest(parent).get(
+                    "delete_vectors", {}
+                )
+            delete_vectors = prev_dv
+        if delete_vectors:
+            fset = set(files)
+            scoped_dv = {
+                f: e for f, e in delete_vectors.items() if f in fset
+            }
+            if scoped_dv:
+                manifest["delete_vectors"] = scoped_dv
         if not no_lineage:
             self._assign_row_lineage(manifest, parent, stats, row_carry)
         return manifest
@@ -1260,6 +1335,10 @@ class LakehouseTable:
             # get seq > v, strictly above every inherited file
             file_seq=m.get("file_seq"),
             delete_files=m.get("delete_files", []),
+            # DV containers, like data files, are shared by absolute
+            # path (zero-copy); the retention tag protects them from
+            # source-side GC exactly like the data files
+            delete_vectors=m.get("delete_vectors", {}),
             partition_specs=m.get("partition_specs"),
             partitions=m.get("partitions"),
             added=0,
@@ -1368,6 +1447,9 @@ class LakehouseTable:
                     **{f: base + head + 1 for f in files},
                 },
                 delete_files=prev.get("delete_files", []),
+                # no_lineage skips auto-carry (parent is branch-local):
+                # carry the fork point's DVs explicitly
+                delete_vectors=prev.get("delete_vectors", {}),
                 partition_specs=prev.get("partition_specs"),
                 partitions=prev.get("partitions"),
                 added=len(files),
@@ -1787,6 +1869,18 @@ class LakehouseTable:
                             pos_targets.add(v)
             affected |= pos_targets & common
 
+        # deletion vectors: a common file whose DV entry differs between
+        # the sides (bitmap added, replaced latest-wins, or dropped by a
+        # rollback) has a different effective row set — it is affected.
+        # Each side's materialization below applies its OWN delete_vectors
+        # map, so the diff then surfaces exactly the rows whose liveness
+        # changed.
+        dv1 = m1.get("delete_vectors", {})
+        dv2 = m2.get("delete_vectors", {})
+        for f in common:
+            if dv1.get(f) != dv2.get(f):
+                affected.add(f)
+
         def _side(state: dict, files: set[str]) -> DataFrame | None:
             if not files:
                 return None
@@ -1980,6 +2074,7 @@ class LakehouseTable:
         df: DataFrame,
         delete_files: list[dict],
         renames: dict[str, list[str]] | None = None,
+        delete_vectors: dict | None = None,
     ) -> DataFrame:
         """Merge-on-read: anti-join pending equality-delete keys against
         the scan. A row is removed iff some delete entry matches its keys
@@ -2045,6 +2140,48 @@ class LakehouseTable:
                 & (df["__pos"] == dels["__dpos"]),
                 "left_anti",
             )
+        if delete_vectors:
+            # deletion vectors: O(files-with-DVs) index rows fan out to
+            # the executors, each task decodes its file's bitmap into
+            # positions (mapInPandas — blob bytes never touch the
+            # driver), then ONE broadcast anti-join on the physical
+            # coordinates, shared with the pos-delete shape above. No
+            # sequence check: positions pin exact rows of immutable
+            # files, same argument as position deletes.
+            import pandas as _pd
+
+            decode = self._dv_decode
+            entries = [
+                (f, e["path"], int(e["offset"]), int(e["length"]))
+                for f, e in delete_vectors.items()
+            ]
+            edf = self.spark.createDataFrame(
+                entries,
+                "__dvf string, __dvp string, __dvo long, __dvl long",
+            )
+
+            def _expand(batches):
+                for pdf in batches:
+                    for f, p, o, ln in pdf.itertuples(index=False):
+                        with open(p, "rb") as fh:
+                            fh.seek(int(o))
+                            blob = fh.read(int(ln))
+                        yield _pd.DataFrame(
+                            {"__dfile": f, "__dpos": decode(blob)}
+                        )
+
+            dv_dels = edf.mapInPandas(
+                _expand, "__dfile string, __dpos long"
+            )
+            # DV entries key on the manifest's PLAIN path; the reader
+            # reports file:///-URIs — normalize the data side
+            dnorm = F.regexp_replace(df["__file"], "^file:/+", "/")
+            df = df.join(
+                F.broadcast(dv_dels),
+                (dnorm == dv_dels["__dfile"])
+                & (df["__pos"] == dv_dels["__dpos"]),
+                "left_anti",
+            )
         return df.drop("__seq", "__file", "__pos")
 
     def _project_to_schema(
@@ -2070,7 +2207,10 @@ class LakehouseTable:
         files = manifest["files"]
         schema_json = manifest.get("schema")
         deletes = manifest.get("delete_files", [])
-        has_pos = any(d.get("pos") for d in deletes) or with_lineage
+        dvs = manifest.get("delete_vectors", {})
+        has_pos = (
+            any(d.get("pos") for d in deletes) or bool(dvs) or with_lineage
+        )
         df = self._scan_files(
             files,
             manifest.get("file_seq"),
@@ -2114,9 +2254,12 @@ class LakehouseTable:
             df = df.select(*cols)
         if with_lineage:
             df = self._attach_lineage_cols(df, manifest)
-        if deletes:
+        if deletes or dvs:
             df = self._apply_deletes(
-                df, deletes, renames=self._schema_renames(schema_json)
+                df,
+                deletes,
+                renames=self._schema_renames(schema_json),
+                delete_vectors=dvs,
             )
         elif with_lineage:
             df = df.drop("__seq", "__file", "__pos")
@@ -2145,6 +2288,17 @@ class LakehouseTable:
         norm = F.regexp_replace(F.col("__file"), "^file:/+", "/")
         files = manifest["files"]
         known = [f for f in files if bases.get(f) is not None]
+        if len(known) < len(files) and "__row_id" not in df.columns:
+            # a scanned file with no first_row_id base would silently
+            # yield NULL _row_id — raise the same loud error as the DSv2
+            # batch reader instead (ADVICE r6; the only legitimate
+            # base-less files are rewrites that MATERIALIZE __row_id,
+            # handled by the physical-column precedence below)
+            raise ValueError(
+                f"row lineage: {len(files) - len(known)} data files carry "
+                "no first_row_id (committed onto a pre-lineage table "
+                "without backfill) — commit once (any write) to assign"
+            )
         if len(files) <= 64:
             # small scans (every rewrite at test scale, most narrow
             # reads): inline the file→base map as a literal expression —
@@ -2583,6 +2737,10 @@ class LakehouseTable:
         is always derived from the commit's direct parent; a concurrent
         writer triggers a full recompute, never a lost update (caught by
         test_concurrent_merges_linearize)."""
+        # reserved lineage names fail loudly on EVERY write path — a
+        # source carrying __row_id/__last_updated used to be silently
+        # projected away here, asymmetric with append/stage (ADVICE r6)
+        self._reject_reserved_cols(source)
         if delete_unmatched_target and prune_on is not None:
             raise ValueError(
                 "delete_unmatched_target requires a full-table merge "
@@ -3091,19 +3249,20 @@ class LakehouseTable:
         v = self.current_version()
         manifest = self._read_manifest(v)
         pending = manifest.get("delete_files", [])
+        dvs = manifest.get("delete_vectors", {})
         df = self._scan_files(
             manifest["files"],
             manifest.get("file_seq"),
             with_seq=bool(pending),
             with_pos=True,
         )
-        if pending:
+        if pending or dvs:
             # keep coordinates through the anti-joins: _apply_deletes
             # drops them, so stash copies under temp names
             df = df.withColumn("__kf", F.col("__file")).withColumn(
                 "__kp", F.col("__pos")
             )
-            df = self._apply_deletes(df, pending)
+            df = self._apply_deletes(df, pending, delete_vectors=dvs)
             df = df.withColumn("__file", F.col("__kf")).withColumn(
                 "__pos", F.col("__kp")
             )
@@ -3130,6 +3289,235 @@ class LakehouseTable:
                 partitions=prev.get("partitions"),
                 added=0,
                 delete_pos_files=len(del_files),
+            )
+
+        return self._commit_with_retry(build)
+
+    def _write_dv_container(
+        self, per_file_positions: dict[str, "list[int]"], base_dv: dict
+    ) -> dict:
+        """Build ONE Puffin-style DV container from per-data-file new
+        positions, OR-merging with each file's existing bitmap
+        (``base_dv``) so the replacement DV is a SUPERSET of the one it
+        supersedes — the Iceberg v3 latest-DV-wins invariant. Returns
+        {data_file: entry} for the touched files; callers merge over the
+        parent's map and commit."""
+        import numpy as np
+
+        os.makedirs(self._dv_dir, exist_ok=True)
+        container = os.path.join(
+            self._dv_dir, f"dv-{uuid.uuid4().hex}.bin"
+        )
+        entries: dict[str, dict] = {}
+        offset = 0
+        with open(container, "wb") as out:
+            for f in sorted(per_file_positions):
+                pos = np.asarray(per_file_positions[f], dtype=np.int64)
+                old = base_dv.get(f)
+                if old is not None:
+                    pos = np.union1d(pos, self._dv_decode(
+                        self._read_dv_blob(old)
+                    ))
+                blob, card = self._dv_encode(pos)
+                out.write(blob)
+                entries[f] = {
+                    "path": container,
+                    "offset": offset,
+                    "length": len(blob),
+                    "cardinality": card,
+                }
+                offset += len(blob)
+            out.flush()
+            os.fsync(out.fileno())
+        return entries
+
+    def delete_where_dv(
+        self,
+        condition: F.Column,
+        prune: dict[str, tuple] | None = None,
+    ) -> dict:
+        """Merge-on-read DELETE via DELETION VECTORS (Iceberg v3): the
+        matching rows' positions are recorded as ONE bitmap per data
+        file, all bitmaps packed into a single Puffin-style container
+        file — superseding position-delete coordinate parquet files
+        (one container per commit vs O(tasks) coordinate files, and at
+        most one DV per data file ever, vs pos-delete entries that
+        accumulate per commit until rewritten). A file that already has
+        a DV gets a REPLACEMENT bitmap OR-merged over the old one
+        (latest-DV-wins, superset invariant); the superseded container
+        becomes an orphan for GC once no retained snapshot references
+        it.
+
+        ``prune`` scopes the scan exactly like :meth:`delete_where` —
+        files whose stats/partition tuples can't match are not read.
+
+        Scale: the commit writes O(deleted rows / 8) bitmap bytes in ONE
+        container + O(touched files) manifest entries; no data file is
+        rewritten. Read amplification is one broadcast anti-join for ALL
+        DVs (positions decoded executor-side from the shared container),
+        vs one coordinate-parquet read per pos-delete commit — strictly
+        better than v2 position deletes at every point of the lifecycle,
+        until compaction materializes the DVs away entirely."""
+        v = self.current_version()
+        manifest = self._read_manifest(v)
+        scoped = list(manifest["files"])
+        if prune:
+            scoped = self._prune_files(manifest, prune)
+            scoped = self._partition_prune(manifest, prune, scoped)
+        if not scoped:
+            return manifest  # nothing can match: no commit
+        pending = manifest.get("delete_files", [])
+        dvs = manifest.get("delete_vectors", {})
+        df = self._scan_files(
+            scoped,
+            manifest.get("file_seq"),
+            with_seq=bool(pending),
+            with_pos=True,
+        )
+        if pending or dvs:
+            # already-dead rows (pending MoR deletes, existing DVs) are
+            # not re-targeted; stash coordinates through the anti-joins
+            df = df.withColumn("__kf", F.col("__file")).withColumn(
+                "__kp", F.col("__pos")
+            )
+            df = self._apply_deletes(df, pending, delete_vectors=dvs)
+            df = df.withColumn("__file", F.col("__kf")).withColumn(
+                "__pos", F.col("__kp")
+            )
+        doomed = df.filter(condition).select(
+            F.regexp_replace("__file", "^file:/+", "/").alias("__file"),
+            "__pos",
+        )
+        # pack positions into per-file bitmaps EXECUTOR-side (one task
+        # per touched data file); only the packed blobs reach the driver
+        import pandas as _pd
+
+        encode = self._dv_encode
+
+        def _pack(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+            blob, card = encode(pdf["__pos"].to_numpy())
+            return _pd.DataFrame(
+                {
+                    "f": [pdf["__file"].iloc[0]],
+                    "blob": [blob],
+                    "card": [card],
+                }
+            )
+
+        packed = (
+            doomed.groupBy("__file")
+            .applyInPandas(_pack, "f string, blob binary, card long")
+            .collect()
+        )
+        if not packed:
+            return self._read_manifest(v)  # no matching rows: no commit
+        new_pos = {
+            r["f"]: self._dv_decode(bytes(r["blob"])) for r in packed
+        }
+
+        def build(parent: int) -> dict:
+            prev = self._read_manifest(parent)
+            base_dv = prev.get("delete_vectors", {})
+            touched = self._write_dv_container(new_pos, base_dv)
+            merged = dict(base_dv)
+            for f, e in touched.items():
+                merged[f] = {**e, "seq": parent + 1}
+            return self._snapshot(
+                "delete-dv",
+                prev["files"],
+                parent,
+                schema_json=prev.get("schema"),
+                stats=prev.get("stats"),
+                file_seq=prev.get("file_seq"),
+                delete_files=prev.get("delete_files", []),
+                delete_vectors=merged,
+                partition_specs=prev.get("partition_specs"),
+                partitions=prev.get("partitions"),
+                added=0,
+                dv_files=len(touched),
+                dv_deleted_rows=int(
+                    sum(e["cardinality"] for e in touched.values())
+                ),
+            )
+
+        return self._commit_with_retry(build)
+
+    def coalesce_deletes_to_dv(self) -> dict | None:
+        """DV COALESCING — the v3 successor to
+        :meth:`rewrite_position_delete_files`: fold every pending
+        position-delete coordinate file into per-data-file deletion
+        vectors, WITHOUT rewriting any data file. The pos-delete entries
+        (and, once expired snapshots release them, their O(commits ×
+        tasks) coordinate parquet files) are replaced by at most one
+        bitmap per targeted data file in one container.
+
+        Equality-delete entries stay pending — a bitmap can't express
+        "any row matching these keys, present or future" (their seq
+        check is load-bearing); they materialize via data rewrite as
+        before.
+
+        Scale: pure metadata + one container write, O(deleted rows)
+        work total — vs rewrite_position_delete_files' O(targeted data
+        files) full rewrite. Returns None if no position deletes are
+        pending."""
+        if not any(
+            d.get("pos")
+            for d in self._read_manifest(self.current_version()).get(
+                "delete_files", []
+            )
+        ):
+            return None
+
+        def build(parent: int) -> dict:
+            prev = self._read_manifest(parent)
+            pos_entries = [
+                d for d in prev.get("delete_files", []) if d.get("pos")
+            ]
+            if not pos_entries:
+                return prev
+            coords = (
+                self.spark.read.parquet(
+                    *[f for d in pos_entries for f in d["files"]]
+                )
+                .select(
+                    F.regexp_replace("__file", "^file:/+", "/").alias(
+                        "__file"
+                    ),
+                    "__pos",
+                )
+                .groupBy("__file")
+                .agg(F.collect_list("__pos").alias("pos"))
+                .collect()
+            )
+            live = set(prev["files"])
+            new_pos = {
+                r["__file"]: r["pos"]
+                for r in coords
+                if r["__file"] in live
+            }
+            base_dv = prev.get("delete_vectors", {})
+            merged = dict(base_dv)
+            if new_pos:
+                touched = self._write_dv_container(new_pos, base_dv)
+                for f, e in touched.items():
+                    merged[f] = {**e, "seq": parent + 1}
+            return self._snapshot(
+                "coalesce-deletes-dv",
+                prev["files"],
+                parent,
+                schema_json=prev.get("schema"),
+                stats=prev.get("stats"),
+                file_seq=prev.get("file_seq"),
+                delete_files=[
+                    d
+                    for d in prev.get("delete_files", [])
+                    if not d.get("pos")
+                ],
+                delete_vectors=merged,
+                partition_specs=prev.get("partition_specs"),
+                partitions=prev.get("partitions"),
+                added=0,
+                coalesced_pos_entries=len(pos_entries),
             )
 
         return self._commit_with_retry(build)
@@ -3447,7 +3835,12 @@ class LakehouseTable:
             T.StructField("stats_json", T.StringType(), True),
             # Iceberg v3: the file's assigned first_row_id (row lineage)
             T.StructField("first_row_id", T.LongType(), True),
+            # Iceberg v3: the file's deletion vector, if any (at most
+            # one per data file — latest-DV-wins)
+            T.StructField("dv_path", T.StringType(), True),
+            T.StructField("dv_deleted_rows", T.LongType(), True),
         ])
+        dvs = manifest.get("delete_vectors", {})
         rows = [
             (
                 f,
@@ -3462,6 +3855,8 @@ class LakehouseTable:
                 if f in stats
                 else None,
                 rids.get(f),
+                dvs[f]["path"] if f in dvs else None,
+                int(dvs[f]["cardinality"]) if f in dvs else None,
             )
             for f in flist
         ]
@@ -3505,8 +3900,10 @@ class LakehouseTable:
                 stats=old.get("stats"),
                 file_seq=old.get("file_seq"),
                 delete_files=old.get("delete_files", []),
-                # a restore is total: the old snapshot's partition
-                # layout comes back with its files
+                # a restore is total: the old snapshot's deletion
+                # vectors and partition layout come back with its files
+                # (explicit — auto-carry would wrongly keep the TIP's)
+                delete_vectors=old.get("delete_vectors", {}),
                 partition_specs=old.get("partition_specs"),
                 partitions=old.get("partitions"),
                 added=0,
@@ -4124,6 +4521,16 @@ class LakehouseTable:
             )
             if files and files <= doomed:
                 shutil.rmtree(snap_dir)
+        # superseded DV containers (their data file got a newer bitmap,
+        # or was rewritten) referenced only by now-expired manifests —
+        # scoped to THIS table's deletes/ dir so a clone never reclaims
+        # its source's containers
+        for p in doomed:
+            if os.path.dirname(p) == self._dv_dir:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         return expired
 
     def remove_orphan_files(self, older_than_seconds: float = 3600.0) -> list[str]:
@@ -4166,6 +4573,15 @@ class LakehouseTable:
         # sidecars (bloom / checksum) whose data file is gone everywhere:
         # keyed by path-hash of immutable files, so once the file has
         # been GC'd the sidecar can never be read again — same age guard
+        # DV containers no live manifest references (failed commit
+        # attempts, superseded-then-expired bitmaps): same age guard
+        for dvp in glob.glob(os.path.join(self._dv_dir, "dv-*.bin")):
+            if (
+                dvp not in referenced
+                and now - os.path.getmtime(dvp) > older_than_seconds
+            ):
+                os.remove(dvp)
+                removed.append(dvp)
         ref_hashes = {
             os.path.basename(self._bloom_sidecar_path(f))
             for f in referenced

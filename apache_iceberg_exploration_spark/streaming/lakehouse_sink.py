@@ -81,6 +81,25 @@ def _commit_append(
     # refuse loudly instead of silently committing unvalidated rows
     # (enforce in the stream via foreachBatch + LakehouseTable.append,
     # or drop the constraints)
+    # reserved lineage names fail loudly on the sink/batch-writer path
+    # too (ADVICE r6 medium): a physical __row_id/__last_updated column
+    # written here would be reinterpreted as MATERIALIZED row lineage on
+    # any with_lineage/CDC read and silently stripped by the raw-file
+    # stream readers — identity corruption plus a vanishing user column.
+    _reserved = {"__row_id", "__last_updated"}
+    declared_names: set = set()
+    if schema_json:
+        declared_names = {f["name"] for f in json.loads(schema_json)["fields"]}
+    if files:
+        import pyarrow.parquet as _pq0
+
+        declared_names |= set(_pq0.ParquetFile(files[0]).schema_arrow.names)
+    bad = _reserved & declared_names
+    if bad:
+        raise ValueError(
+            f"lakehouse_sink: column names {sorted(bad)} are reserved for "
+            "row-lineage materialization — rename them before writing"
+        )
     cpath = os.path.join(root, "constraints.json")
     if os.path.exists(cpath):
         with open(cpath) as f:
@@ -178,7 +197,16 @@ def _commit_append(
         next_id = next_floor
         for p in sorted(files):
             row_ids[p] = next_id
-            next_id += int(stats.get(p, {}).get("__rows", 0) or 0)
+            n_rows = stats.get(p, {}).get("__rows")
+            if n_rows is None:
+                # a task stats entry missing __rows must NOT advance by
+                # zero (the next file would reuse this first_row_id and
+                # ids would collide) — mirror _assign_row_lineage's
+                # parquet-footer fallback (ADVICE r6)
+                import pyarrow.parquet as _pqf
+
+                n_rows = _pqf.ParquetFile(p).metadata.num_rows
+            next_id += int(n_rows)
         manifest["next_row_id"] = next_id
         part_body = {
             "files": files,

@@ -203,6 +203,9 @@ def _manifest_meta(root: str, version: int) -> dict | None:
             "delete_entries": [],
             "committed_at": None,
             "row_ids": {},
+            "delete_vectors": {},
+            "file_seq": {},
+            "stats": {},
         }
     path = os.path.join(root, "snapshots", f"v{version}.json")
     if not os.path.exists(path):
@@ -222,7 +225,28 @@ def _manifest_meta(root: str, version: int) -> dict | None:
         "delete_entries": m.get("delete_files", []),
         "committed_at": m.get("committed_at"),
         "row_ids": _manifest_row_ids(root, m),
+        # deletion vectors (v3): per-data-file bitmap entries — their
+        # per-commit delta is CDC-emittable exactly like pos deletes
+        "delete_vectors": m.get("delete_vectors", {}),
+        # file_seq + stats feed the EQUALITY-delete emission: seq scopes
+        # which files an entry can claim, stats range-prune the files
+        # whose key bounds can't overlap the entry's keys
+        "file_seq": _manifest_part_map(root, m, "file_seq"),
+        "stats": _manifest_part_map(root, m, "stats"),
     }
+
+
+def _manifest_part_map(root: str, m: dict, key: str) -> dict:
+    """A per-file PART_KEY map of a manifest (parts-aware, no Spark)."""
+    if key in m:
+        return m[key] or {}
+    if key not in (m.get("part_keys") or []):
+        return {}
+    out: dict = {}
+    for ppath in m.get("parts", []):
+        with open(ppath) as f:
+            out.update(json.load(f).get(key) or {})
+    return out
 
 
 def _manifest_row_ids(root: str, m: dict) -> dict[str, int]:

@@ -1,0 +1,295 @@
+"""Iceberg v3 DELETION VECTORS (VERDICT r6 task #2): per-data-file
+position bitmaps in Puffin-style shared containers, latest-DV-wins with
+the superset invariant, applied at read, materialized by compaction,
+coalesced from v2 position deletes, GC'd when superseded.
+
+Reference parity note: the reference pins iceberg-spark-runtime 1.4/1.5
+(docker/Dockerfile:14,23), predating v3 DVs; this implements the v3
+spec semantics (one DV per data file, bitmap sidecar with offset/length
+manifest entries, replacement-must-be-superset) on the from-scratch
+manifest layer, as row lineage was in r6.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.sources.lakehouse import (
+    LakehouseTable,
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return LakehouseTable(spark, str(tmp_path / "tbl"))
+
+
+def _kv(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .coalesce(1)
+        .sortWithinPartitions("k")
+    )
+
+
+def _keys(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_dv_delete_basic(spark, table):
+    table.append(_kv(spark, 0, 20))
+    m = table.delete_where_dv(F.col("k") % 3 == 0)
+    assert _keys(table.read()) == [k for k in range(20) if k % 3 != 0]
+    # no data file rewritten: same file set as v1
+    assert m["files"] == table._read_manifest(1)["files"]
+    dvs = m["delete_vectors"]
+    assert len(dvs) == 1
+    e = next(iter(dvs.values()))
+    assert e["cardinality"] == 7
+    assert os.path.exists(e["path"])
+
+
+def test_dv_codec_roundtrip():
+    pos = [0, 1, 5, 63, 64, 1000]
+    blob, card = LakehouseTable._dv_encode(pos)
+    assert card == 6
+    assert list(LakehouseTable._dv_decode(blob)) == pos
+
+
+def test_dv_latest_wins_superset_merge(spark, table):
+    """A second DV on the same file REPLACES the first with an
+    OR-merged superset (at most one DV per data file per snapshot)."""
+    table.append(_kv(spark, 0, 30))
+    table.delete_where_dv(F.col("k") % 3 == 0)
+    e1 = next(iter(table._read_manifest(2)["delete_vectors"].values()))
+    table.delete_where_dv(F.col("k") % 5 == 0)
+    dvs = table._read_manifest(3)["delete_vectors"]
+    assert len(dvs) == 1  # still one DV for the one data file
+    e2 = next(iter(dvs.values()))
+    assert e2["path"] != e1["path"]  # new container supersedes
+    # superset: 3-multiples ∪ 5-multiples
+    assert e2["cardinality"] == 14
+    old = set(LakehouseTable._dv_decode(LakehouseTable._read_dv_blob(
+        table, e1
+    )))
+    new = set(LakehouseTable._dv_decode(LakehouseTable._read_dv_blob(
+        table, e2
+    )))
+    assert old <= new
+    assert _keys(table.read()) == [
+        k for k in range(30) if k % 3 != 0 and k % 5 != 0
+    ]
+
+
+def test_dv_row_lineage_stable(spark, table):
+    table.append(_kv(spark, 0, 10))
+    pre = {
+        r["k"]: r["_row_id"]
+        for r in table.read(with_lineage=True).collect()
+    }
+    table.delete_where_dv(F.col("k") < 4)
+    post = {
+        r["k"]: r["_row_id"]
+        for r in table.read(with_lineage=True).collect()
+    }
+    assert post == {k: i for k, i in pre.items() if k >= 4}
+
+
+def test_dv_time_travel_and_rollback(spark, table):
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k") < 5)
+    assert _keys(table.read(version=1)) == list(range(10))
+    table.rollback(1)
+    assert _keys(table.read()) == list(range(10))
+    assert "delete_vectors" not in table._read_manifest(
+        table.current_version()
+    )
+
+
+def test_dv_compaction_materializes(spark, table):
+    for lo in (0, 10, 20):
+        table.append(_kv(spark, lo, lo + 10))
+    table.delete_where_dv(F.col("k") % 2 == 0)
+    pre_ids = {
+        r["k"]: r["_row_id"]
+        for r in table.read(with_lineage=True).collect()
+    }
+    table.rewrite_data_files()
+    m = table._read_manifest(table.current_version())
+    assert not m.get("delete_vectors")
+    assert _keys(table.read()) == [k for k in range(30) if k % 2]
+    post_ids = {
+        r["k"]: r["_row_id"]
+        for r in table.read(with_lineage=True).collect()
+    }
+    assert post_ids == pre_ids
+
+
+def test_dv_cow_update_applies_and_drops(spark, table):
+    """A CoW update on a DV'd table must NOT resurrect DV-dead rows: the
+    rewritten file is read with its DV applied, then the DV (keyed by
+    the old path) drops with the file."""
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k") < 3)
+    table.update_where(F.col("k") == 5, {"v": F.lit(999)})
+    m = table._read_manifest(table.current_version())
+    assert not m.get("delete_vectors")  # single file was rewritten
+    rows = {r["k"]: r["v"] for r in table.read().collect()}
+    assert sorted(rows) == list(range(3, 10))
+    assert rows[5] == 999
+
+
+def test_dv_untouched_files_keep_dv_through_append(spark, table):
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k") < 3)
+    table.append(_kv(spark, 10, 15))  # auto-carry
+    m = table._read_manifest(table.current_version())
+    assert len(m["delete_vectors"]) == 1
+    assert _keys(table.read()) == list(range(3, 15))
+
+
+def test_dv_changelog_both_directions(spark, table):
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k") < 3)
+    got = sorted(
+        (r["_change_type"], r["k"]) for r in table.changelog(1, 2).collect()
+    )
+    assert got == [("delete", 0), ("delete", 1), ("delete", 2)]
+    table.rollback(1)  # DV dropped → rows resurrect as inserts
+    got = sorted(
+        (r["_change_type"], r["k"]) for r in table.changelog(2, 3).collect()
+    )
+    assert got == [("insert", 0), ("insert", 1), ("insert", 2)]
+    # row-level pairs: DV delete keyed by _row_id
+    rl = table.changelog(1, 2, row_level=True).collect()
+    assert sorted((r["_change_type"], r["_row_id"]) for r in rl) == [
+        ("delete", 0),
+        ("delete", 1),
+        ("delete", 2),
+    ]
+
+
+def test_dv_branch_clone_carry(spark, table, tmp_path):
+    table.append(_kv(spark, 0, 12))
+    table.delete_where_dv(F.col("k") >= 10)
+    table.create_branch("audit")
+    table.append_branch("audit", _kv(spark, 100, 103))
+    assert _keys(table.read_branch("audit")) == list(range(10)) + [
+        100,
+        101,
+        102,
+    ]
+    table.fast_forward("audit")
+    assert _keys(table.read()) == list(range(10)) + [100, 101, 102]
+    clone = table.clone(str(tmp_path / "clone"))
+    assert _keys(clone.read()) == list(range(10)) + [100, 101, 102]
+
+
+def test_dv_composes_with_equality_deletes(spark, table):
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_mor(F.col("k") == 7, keys=["k"])
+    table.delete_where_dv(F.col("k") < 2)
+    assert _keys(table.read()) == [2, 3, 4, 5, 6, 8, 9]
+
+
+def test_coalesce_pos_deletes_to_dv(spark, table):
+    """v3 DV coalescing: pending pos-delete coordinate entries fold into
+    per-file bitmaps — metadata + one container write, NO data rewrite."""
+    table.append(_kv(spark, 0, 12))
+    files_before = set(table._read_manifest(1)["files"])
+    table.delete_where_pos(F.col("k") < 2)
+    table.delete_where_pos(F.col("k") == 5)
+    m = table.coalesce_deletes_to_dv()
+    assert not any(d.get("pos") for d in m.get("delete_files", []))
+    assert set(m["files"]) == files_before  # no data file touched
+    assert sum(
+        e["cardinality"] for e in m["delete_vectors"].values()
+    ) == 3
+    assert _keys(table.read()) == [2, 3, 4, 6, 7, 8, 9, 10, 11]
+    assert table.coalesce_deletes_to_dv() is None  # nothing pending
+
+
+def test_coalesce_merges_into_existing_dv(spark, table):
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k") == 0)
+    table.delete_where_pos(F.col("k") == 1)
+    m = table.coalesce_deletes_to_dv()
+    dvs = m["delete_vectors"]
+    assert len(dvs) == 1
+    assert next(iter(dvs.values()))["cardinality"] == 2
+    assert _keys(table.read()) == list(range(2, 10))
+
+
+def test_dv_prune_scopes_the_scan(spark, table):
+    """With a prune range, files that provably can't match are not
+    read; their DV state is untouched."""
+    table.append(_kv(spark, 0, 10))
+    table.append(_kv(spark, 10, 20))
+    table.delete_where_dv(F.col("k") < 3, prune={"k": (0, 3)})
+    dvs = table._read_manifest(table.current_version())["delete_vectors"]
+    assert len(dvs) == 1  # only the first file got a DV
+    assert _keys(table.read()) == list(range(3, 20))
+
+
+def test_dv_empty_match_no_commit(spark, table):
+    table.append(_kv(spark, 0, 5))
+    v = table.current_version()
+    table.delete_where_dv(F.col("k") > 100)
+    assert table.current_version() == v
+
+
+def test_dv_gc_reclaims_superseded_containers(spark, table):
+    table.append(_kv(spark, 0, 20))
+    table.delete_where_dv(F.col("k") == 0)
+    e1 = next(iter(table._read_manifest(2)["delete_vectors"].values()))
+    table.delete_where_dv(F.col("k") == 1)  # supersedes e1's container
+    e2 = next(iter(table._read_manifest(3)["delete_vectors"].values()))
+    assert os.path.exists(e1["path"]) and os.path.exists(e2["path"])
+    table.expire_snapshots(keep_last=1)
+    assert not os.path.exists(e1["path"])  # superseded + expired
+    assert os.path.exists(e2["path"])  # live
+    assert _keys(table.read()) == list(range(2, 20))
+
+
+def test_dv_orphan_sweep_age_guard(spark, table):
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k") == 0)
+    live = next(iter(
+        table._read_manifest(2)["delete_vectors"].values()
+    ))["path"]
+    # plant an unreferenced container, aged past the grace period
+    orphan = os.path.join(table._dv_dir, "dv-orphan.bin")
+    with open(orphan, "wb") as f:
+        f.write(b"\x01")
+    old = os.path.getmtime(orphan) - 7200
+    os.utime(orphan, (old, old))
+    removed = table.remove_orphan_files(older_than_seconds=3600)
+    assert orphan in removed
+    assert os.path.exists(live)
+
+
+def test_dv_files_metadata_columns(spark, table):
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k") < 4)
+    fm = table.files().collect()
+    assert len(fm) == 1
+    assert fm[0]["dv_path"] is not None
+    assert fm[0]["dv_deleted_rows"] == 4
+    # pre-DV version surfaces NULLs
+    fm1 = table.files(version=1).collect()
+    assert fm1[0]["dv_path"] is None
+
+
+def test_dv_manifest_json_is_serializable(spark, table):
+    table.append(_kv(spark, 0, 5))
+    table.delete_where_dv(F.col("k") == 0)
+    p = table._manifest_path(table.current_version())
+    with open(p) as f:
+        m = json.load(f)
+    e = next(iter(m["delete_vectors"].values()))
+    assert {"path", "offset", "length", "cardinality", "seq"} <= set(e)

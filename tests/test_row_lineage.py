@@ -471,3 +471,113 @@ def test_concurrent_appends_never_collide_ids(spark, table):
     assert len(set(ids)) == 30  # no collisions
     m = table._read_manifest(table.current_version())
     assert m["next_row_id"] == 30
+
+
+# ---- ADVICE r6 regressions: the reserved/fallback/loud-NULL holes ----
+
+
+def test_sink_commit_rejects_reserved_lineage_cols(spark, tmp_path):
+    """The sink/batch-writer commit path must refuse a physical
+    __row_id column exactly like LakehouseTable paths do — otherwise it
+    is written, reinterpreted as MATERIALIZED lineage on any
+    with_lineage read, and silently stripped by the raw-file stream
+    readers (ADVICE r6 medium)."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        _commit_append,
+        write_task_files,
+    )
+
+    root = str(tmp_path / "t")
+    files, stats, _ = write_task_files(
+        [{"k": 1, "__row_id": 7}], root
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        _commit_append(root, files, stats, {})
+    # schema_json-only detection too (empty batch declaring the name)
+    import json as _json
+
+    sj = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "__last_updated", "type": "long", "nullable": True}
+            ],
+        }
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        _commit_append(str(tmp_path / "t2"), [], {}, {}, schema_json=sj)
+
+
+def test_sink_missing_rows_stat_falls_back_to_footer(spark, tmp_path):
+    """A task stats entry missing __rows must NOT advance the row-id
+    counter by zero (the next file would reuse the same first_row_id);
+    the commit falls back to the parquet footer row count (ADVICE r6)."""
+    import json as _json
+    import os
+
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        _commit_append,
+        write_task_files,
+    )
+
+    root = str(tmp_path / "t")
+    f1, s1, _ = write_task_files([{"k": i} for i in range(5)], root)
+    f2, s2, _ = write_task_files([{"k": i} for i in range(5, 8)], root)
+    stats = {**s1, **s2}
+    # simulate the degenerate task message: __rows absent on BOTH files
+    for p in stats:
+        stats[p] = {k: v for k, v in stats[p].items() if k != "__rows"}
+    _commit_append(root, f1 + f2, stats, {})
+    with open(os.path.join(root, "snapshots", "v1.json")) as fh:
+        m = _json.load(fh)
+    with open(m["parts"][0]) as fh:
+        part = _json.load(fh)
+    bases = part["row_ids"]
+    assert m["next_row_id"] == 8
+    assert sorted(bases.values()) == sorted(
+        {sorted(f1 + f2)[0]: 0, sorted(f1 + f2)[1]: None}.keys()
+    ) or len(set(bases.values())) == 2  # two DISTINCT bases
+    # read back: ids dense and unique
+    t = LakehouseTable(spark, root)
+    ids = [r["_row_id"] for r in t.read(with_lineage=True).collect()]
+    assert sorted(ids) == list(range(8))
+
+
+def test_missing_base_raises_not_silent_null(spark, table):
+    """A scanned file absent from row_ids (sink commit onto a
+    pre-lineage table without backfill) must raise the same loud error
+    as the DSv2 batch reader, not yield NULL _row_id (ADVICE r6)."""
+    import json
+    import os
+
+    table.append(_kv(spark, 0, 5))
+    mp = os.path.join(table.path, "snapshots", "v1.json")
+    with open(mp) as f:
+        m = json.load(f)
+    # surgically drop one file's base, keep the row_ids map present
+    if "parts" in m:
+        with open(m["parts"][0]) as f:
+            part = json.load(f)
+        k = next(iter(part["row_ids"]))
+        part["row_ids"] = {
+            p: b for p, b in part["row_ids"].items() if p != k
+        }
+        with open(m["parts"][0], "w") as f:
+            json.dump(part, f)
+    # parts are cached as immutable — re-open the table to see the edit
+    fresh = LakehouseTable(spark, table.path)
+    with pytest.raises(ValueError, match="no first_row_id"):
+        fresh.read(with_lineage=True).collect()
+
+
+def test_merge_into_rejects_reserved_source_cols(spark, table):
+    """merge_into used to silently project away reserved source columns
+    instead of raising like append/stage (ADVICE r6)."""
+    table.append(_kv(spark, 0, 5))
+    src = spark.range(3).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit(9).alias("__row_id"),
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        table.merge_into(src, on=["k"], update_cols={"v": F.col("s.v")})

@@ -68,7 +68,13 @@ def _replica(df: DataFrame, table: str, i: int) -> DataFrame:
     if table == "embeddings" and i:
         # cyclic dimension rotation: slice+concat keeps the norm, kills
         # cross-replica cosine alignment
-        r = 3 * i
+        # rotation must stay inside the embedding width: unreduced 3*i
+        # goes negative-length in slice() for factor > 21 and silently
+        # produces empty arrays (ADVICE r6). 64 is the testdata dim; use
+        # a coprime-ish step and skip the degenerate rot-0 replicas.
+        r = (3 * i) % 64
+        if r == 0:
+            r = 1
         out = out.withColumn(
             "embedding",
             F.expr(
