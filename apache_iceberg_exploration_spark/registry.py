@@ -115,5 +115,7 @@ def _load_all() -> None:
     from .operators import corpus  # noqa: F401
     # r6 (third cycle) — Iceberg v3 row lineage + identity-keyed CDC.
     from .operators import lineage  # noqa: F401
+    # r7 — Iceberg v3 deletion vectors + equality-delete CDC emission.
+    from .operators import deletion  # noqa: F401
 
     _LOADED = True

@@ -3742,8 +3742,14 @@ class LakehouseTable:
     def history(self) -> DataFrame:
         """Snapshot-history metadata table — Iceberg's ``<table>.snapshots``
         / ``.history`` surface: one row per committed snapshot with its
-        lineage and operation. Driver-side: manifests are O(snapshots)
-        metadata, never data IO."""
+        lineage and operation, plus (r7, VERDICT r6 #6) the rollback-
+        forensics columns: ``committed_at``, ``restored_version`` (set
+        on rollback commits — which snapshot's state came back), and
+        ``effective_ancestor`` — the version whose DATA STATE this
+        snapshot descends from (a rollback's effective ancestor is the
+        restored snapshot, not its numeric parent), so a consumer can
+        walk the state lineage across restores. Driver-side: manifests
+        are O(snapshots) metadata, never data IO."""
         from pyspark.sql import types as T
 
         schema = T.StructType([
@@ -3752,6 +3758,9 @@ class LakehouseTable:
             T.StructField("operation", T.StringType(), False),
             T.StructField("file_count", T.LongType(), False),
             T.StructField("added_files", T.LongType(), False),
+            T.StructField("committed_at", T.DoubleType(), True),
+            T.StructField("restored_version", T.LongType(), True),
+            T.StructField("effective_ancestor", T.LongType(), True),
         ])
         rows = [
             (
@@ -3760,8 +3769,84 @@ class LakehouseTable:
                 m["operation"],
                 len(m["files"]),
                 int(m["summary"].get("added_files", 0)),
+                m.get("committed_at"),
+                m["summary"].get("restored_version"),
+                int(
+                    m["summary"].get("restored_version", m["parent"])
+                    or m["parent"]
+                ),
             )
             for m in self.snapshots()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def entries(self, version: int | str | None = None) -> DataFrame:
+        """``<table>.entries`` metadata table (Iceberg's manifest-entry
+        view): one row per data file PER STATUS at the given snapshot —
+        'added' (absent from the parent), 'existing' (carried), or
+        'deleted' (in the parent, gone here). The per-commit file ledger
+        a maintenance planner or incremental consumer inspects without
+        reading any data. Driver-side O(files) metadata."""
+        from pyspark.sql import types as T
+
+        v = self._resolve_version(version)
+        m = self._read_manifest(v)
+        parent_files: set[str] = set()
+        if m.get("parent") and os.path.exists(
+            self._manifest_path(m["parent"])
+        ):
+            parent_files = set(self._read_manifest(m["parent"])["files"])
+        seqs = m.get("file_seq", {})
+        rids = m.get("row_ids", {})
+        cur = set(m["files"])
+        schema = T.StructType([
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("status", T.StringType(), False),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("first_row_id", T.LongType(), True),
+        ])
+        rows = [
+            (
+                f,
+                "added" if f not in parent_files else "existing",
+                int(seqs.get(f, 0)),
+                rids.get(f),
+            )
+            for f in m["files"]
+        ] + [
+            (f, "deleted", None, None)
+            for f in sorted(parent_files - cur)
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def all_files(self) -> DataFrame:
+        """``<table>.all_files`` metadata table (Iceberg): every data
+        file referenced by ANY retained snapshot, with the version
+        range it lived through and whether the current snapshot still
+        holds it — the surface an orphan auditor or storage-cost
+        breakdown reads. Driver-side O(snapshots × files) metadata."""
+        from pyspark.sql import types as T
+
+        first: dict[str, int] = {}
+        last: dict[str, int] = {}
+        cur_files: set[str] = set()
+        cur_v = self.current_version()
+        for m in self.snapshots():
+            v = int(m["version"])
+            for f in m["files"]:
+                first.setdefault(f, v)
+                last[f] = v
+            if v == cur_v:
+                cur_files = set(m["files"])
+        schema = T.StructType([
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("first_version", T.LongType(), False),
+            T.StructField("last_version", T.LongType(), False),
+            T.StructField("in_current", T.BooleanType(), False),
+        ])
+        rows = [
+            (f, first[f], last[f], f in cur_files)
+            for f in sorted(first)
         ]
         return self.spark.createDataFrame(rows, schema)
 

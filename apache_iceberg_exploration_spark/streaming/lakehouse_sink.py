@@ -447,6 +447,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from ..registry import query  # noqa: E402
+from ._wait import await_or_raise  # noqa: E402
 
 
 @query(
@@ -499,8 +500,7 @@ def streaming_lakehouse_sink_ingest(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        q.stop()
+        await_or_raise(q, 300)
         out = (
             LakehouseTable(spark, root + "/t")
             .read()
@@ -586,8 +586,7 @@ def streaming_lakehouse_roundtrip_pipeline(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        q.stop()
+        await_or_raise(q, 300)
         out = (
             LakehouseTable(spark, root + "/b")
             .read()

@@ -111,11 +111,11 @@ def _added_files(root: str, since: int, until: int) -> list[str]:
     return out
 
 
-# equality-delete ops hide rows by VALUE with sequence-number scoping —
-# invisible to any file-level diff, still refused. Position deletes
-# ("delete-pos") name exact (file, row) coordinates, so the feed CAN
-# emit them (r6, VERDICT r5 #4): no longer in the refuse set.
-_MOR_OPS = {"delete-mor", "update-mor"}
+# r7 (VERDICT r6 #1): no delete flavor is refused anymore. Position
+# deletes name exact coordinates (emitted since r6); equality entries
+# are evaluated against the pre-commit side's carried files (seq-scoped,
+# stats-pruned) and emit matching rows; deletion vectors emit their
+# bitmap deltas. See _cdc_rows.
 
 
 def _manifest_files_sizes(
@@ -316,38 +316,61 @@ def _cdc_entry_delta(
     return added, removed
 
 
-def _cdc_entry_guards(
-    added_e: list[dict],
-    removed_e: list[dict],
-    files_changed: bool,
-    label: str,
-    v: int,
-) -> None:
-    """Equality-delete gating for the file-level CDC feed.
+def _eq_keyset(entry: dict) -> tuple[list[str], set[tuple]]:
+    """(key column names, set of doomed key tuples) of an EQUALITY
+    delete entry, read from its key parquet files. Unreadable key files
+    raise with direction (same contract as pos coordinates: GC keeps
+    them for every retained manifest)."""
+    import pyarrow.parquet as pq
 
-    ADDED equality entries hide rows by VALUE — invisible to any file
-    diff, always refused (the deferred-delete contract: their delete
-    events surface later, when a rewrite physically drops the rows —
-    pinned by test_cdc_stream_refuses_mor_delete_commits). REMOVED
-    equality entries are fine exactly when the same commit rewrites
-    files (compaction materializing them away: the hidden rows sit in
-    the removed files and the diff emits their deferred deletes);
-    without a file change (rollback past a MoR delete) the rows
-    resurrect invisibly — refused."""
-    if any(not d.get("pos") for d in added_e):
-        raise ValueError(
-            f"{label}: snapshot v{v} adds equality merge-on-read "
-            "delete files, invisible to a file-level diff; compact "
-            "first (rewrite_data_files) or consume "
-            "LakehouseTable.changelog in batch"
-        )
-    if not files_changed and any(not d.get("pos") for d in removed_e):
-        raise ValueError(
-            f"{label}: snapshot v{v} drops equality-delete entries "
-            "without rewriting files (rollback past a MoR delete?) — "
-            "the resurrected rows are invisible to a file-level diff; "
-            "consume LakehouseTable.changelog in batch"
-        )
+    keys = list(entry["keys"])
+    vals: set[tuple] = set()
+    for kf in entry["files"]:
+        try:
+            t = pq.read_table(kf, columns=keys)
+        except (FileNotFoundError, OSError) as ex:
+            raise ValueError(
+                "lakehouse CDC: an equality-delete entry references "
+                f"key file {kf!r} which is unreadable — widen the "
+                "interval past the damaged snapshot or re-sync from a "
+                "full read"
+            ) from ex
+        cols = [t.column(k).to_pylist() for k in keys]
+        vals.update(zip(*cols) if cols else [])
+    return keys, vals
+
+
+def _eq_stats_skip(file_stats: dict, keys: list[str], vals: set) -> bool:
+    """True when the file's recorded min/max for EVERY key column rules
+    out any of the entry's key tuples — the file provably holds no
+    matching row and need not be read (the VERDICT r7 'scoped by the
+    delete file's key ranges' prune)."""
+    for i, k in enumerate(keys):
+        rng = (file_stats or {}).get(k)
+        if not isinstance(rng, list) or len(rng) != 2:
+            continue
+        try:
+            kv = [t[i] for t in vals if t[i] is not None]
+            if kv and (max(kv) < rng[0] or min(kv) > rng[1]):
+                return True
+        except TypeError:
+            continue  # non-comparable key type: keep the file
+    return False
+
+
+def _dv_positions(entry: dict) -> set[int]:
+    """Decode one deletion-vector bitmap entry (path/offset/length into
+    a Puffin-style container) into its row positions."""
+    import numpy as np
+
+    with open(entry["path"], "rb") as f:
+        f.seek(int(entry["offset"]))
+        blob = f.read(int(entry["length"]))
+    return set(
+        np.nonzero(np.unpackbits(np.frombuffer(blob, dtype=np.uint8)))[
+            0
+        ].tolist()
+    )
 
 
 def _cdc_rows(
@@ -365,14 +388,27 @@ def _cdc_rows(
     its true inserts+deletes). Rows are (cols..., _change_type,
     _commit_version).
 
-    Equality-delete commits (delete-mor / update-mor) hide rows by
-    VALUE, which a file diff cannot see — refused loudly (compact
-    first, or use the batch ``LakehouseTable.changelog``). POSITION
-    delete commits ARE emitted (r6): the coordinate files name exact
-    (file, row) targets, so the feed reads precisely the doomed rows
-    and emits their delete events; file diffs thereafter exclude
-    already-dead coordinates, so the eventual compaction that
-    materializes the deletes away still nets to zero.
+    POSITION delete commits are emitted (r6): the coordinate files name
+    exact (file, row) targets, so the feed reads precisely the doomed
+    rows and emits their delete events. EQUALITY delete commits
+    (delete-mor / update-mor) are emitted too (r7, VERDICT r6 #1 —
+    lifting the r6 refusal): the entry's key tuples are evaluated
+    against the PRE-commit side's carried files — scoped by each file's
+    sequence number (a file newer than the entry is exempt) and its
+    manifest key-column min/max stats (non-overlapping files are not
+    read) — and the matching still-alive rows emit as deletes; an
+    entry REMOVED while its files persist (rollback past a MoR delete)
+    emits the matching rows back as inserts. DELETION VECTOR commits
+    (v3) emit the bitmap's newly-dead positions as deletes and, on
+    rollback, resurrected positions as inserts. File diffs everywhere
+    exclude already-dead rows (pos + DV + equality, each side under its
+    OWN pending set), so the eventual compaction that materializes any
+    delete flavor away still nets to zero.
+
+    In ``row_level`` mode an update_where_mor commit (equality delete +
+    same-identity reinsert in one commit) surfaces as Delta CDF
+    ``update_preimage``/``update_postimage`` PAIRS sharing the
+    ``_row_id``, not as unrelated delete+insert.
 
     ``row_level`` (``rowLineage=true``, r6): the diff keys on the
     Iceberg v3 ``_row_id`` (the file's first_row_id + position, or the
@@ -396,6 +432,8 @@ def _cdc_rows(
         )
 
     coords_cache: dict[str, dict[str, set[int]]] = {}
+    keyset_cache: dict[str, tuple[list[str], set[tuple]]] = {}
+    dv_cache: dict[tuple, set[int]] = {}
 
     def entry_coords(d: dict) -> dict[str, set[int]]:
         k = _entry_key(d)
@@ -403,11 +441,63 @@ def _cdc_rows(
             coords_cache[k] = _pos_coords(d["files"])
         return coords_cache[k]
 
-    def pending_dead(entries: list[dict]) -> dict[str, set[int]]:
+    def entry_keyset(d: dict) -> tuple[list[str], set[tuple]]:
+        k = _entry_key(d)
+        if k not in keyset_cache:
+            keyset_cache[k] = _eq_keyset(d)
+        return keyset_cache[k]
+
+    def dv_pos(e: dict) -> set[int]:
+        k = (e["path"], e["offset"], e["length"])
+        if k not in dv_cache:
+            dv_cache[k] = _dv_positions(e)
+        return dv_cache[k]
+
+    def eq_match_positions(
+        tf: str, keys: list[str], vals: set[tuple]
+    ) -> set[int]:
+        """Row positions in one data file whose key tuple is doomed."""
+        t = pq.read_table(tf, columns=[k for k in keys])
+        cols = [t.column(k).to_pylist() for k in keys]
+        return {
+            i
+            for i, tup in enumerate(zip(*cols) if cols else [])
+            if tup in vals
+        }
+
+    def side_dead(meta: dict, files) -> dict[str, set[int]]:
+        """Per-file dead positions of ONE side's pending delete state
+        (pos coordinates + deletion vectors + seq/stats-scoped equality
+        matches), restricted to the files about to be read — so file
+        diffs compare EFFECTIVE row sets and every delete flavor's
+        eventual materialization nets to zero."""
+        want = set(files)
         dead: dict[str, set[int]] = {}
-        for d in entries:
+        if not want:
+            return dead
+        for d in meta["delete_entries"]:
             if d.get("pos"):
                 for tf, ps in entry_coords(d).items():
+                    if tf in want:
+                        dead.setdefault(tf, set()).update(ps)
+        for tf, e in meta.get("delete_vectors", {}).items():
+            if tf in want:
+                dead.setdefault(tf, set()).update(dv_pos(e))
+        seqs = meta.get("file_seq", {})
+        stats = meta.get("stats", {})
+        for d in meta["delete_entries"]:
+            if d.get("pos"):
+                continue
+            keys, vals = entry_keyset(d)
+            if not vals:
+                continue
+            for tf in want:
+                if seqs.get(tf, 0) > d["seq"]:
+                    continue  # file postdates the delete: exempt
+                if _eq_stats_skip(stats.get(tf), keys, vals):
+                    continue
+                ps = eq_match_positions(tf, keys, vals)
+                if ps:
                     dead.setdefault(tf, set()).update(ps)
         return dead
 
@@ -513,9 +603,7 @@ def _cdc_rows(
         ]
 
     out: list[tuple] = []
-    prev_files = set(prev["files"])
-    prev_entries = prev["delete_entries"]
-    prev_row_ids = prev["row_ids"]
+    prev_meta = prev
     for v in range(since + 1, until + 1):
         m = _manifest_meta(root, v)
         if m is None:
@@ -523,67 +611,169 @@ def _cdc_rows(
                 f"lakehouse_stream CDC: snapshot v{v} expired — consumer "
                 "lagged past snapshot retention"
             )
+        prev_files = set(prev_meta["files"])
+        prev_row_ids = prev_meta["row_ids"]
         added_e, removed_e = _cdc_entry_delta(
-            prev_entries, m["delete_entries"]
+            prev_meta["delete_entries"], m["delete_entries"]
         )
         ts = _commit_ts(m)
         files = set(m["files"])
         removed = sorted(prev_files - files)
         added = sorted(files - prev_files)
-        _cdc_entry_guards(
-            added_e,
-            removed_e,
-            bool(removed or added),
-            "lakehouse_stream CDC",
-            v,
-        )
-        # new position deletes on files present on BOTH sides: emit the
-        # doomed rows as deletes (a file removed this commit reports its
-        # rows through the diff below; a file added this commit arrives
-        # with the rows already dead — both excluded here)
+        both = files & prev_files
+        # this commit's delete emissions, buffered so an equality delete
+        # whose identity is re-inserted in the SAME commit (MoR update)
+        # can pair as update_preimage/update_postimage
+        del_rows: list[tuple] = []  # value-mode (values,)
+        del_ids: dict[int, tuple] = {}  # row_level: rid -> old values
+        ins_pos: dict[str, set[int]] = {}  # resurrection positions
+
+        # --- delete-entry deltas over files present on BOTH sides (a
+        # file removed this commit reports its rows through the diff
+        # below; a file added this commit arrives with the rows already
+        # dead — both excluded here) ---
+        # position deletes: exact coordinates
         for d in added_e:
+            if not d.get("pos"):
+                continue
             for tf, ps in sorted(entry_coords(d).items()):
-                if tf in files and tf in prev_files:
+                if tf in both:
                     if row_level:
-                        out.extend(
-                            (*t, rid, "delete", v, ts)
+                        del_ids.update(
+                            (rid, t)
                             for t, rid in ids_at(tf, ps, prev_row_ids)
                         )
                     else:
-                        out.extend(
-                            (*t, "delete", v, ts)
-                            for t in rows_at(tf, ps)
-                        )
-        # position entries REMOVED while their target files persist
-        # (rollback past the delete): the rows come back — inserts
-        for d in removed_e:
-            if not d.get("pos"):
-                continue  # equality removal: deferred via the file diff
-            for tf, ps in sorted(entry_coords(d).items()):
-                if tf in files and tf in prev_files:
+                        del_rows.extend(rows_at(tf, ps))
+        # equality deletes (r7): evaluate the entry's key tuples against
+        # the pre-commit side's carried files — seq-scoped, stats-pruned
+        eq_added = [d for d in added_e if not d.get("pos")]
+        if eq_added and both:
+            prev_seqs = prev_meta.get("file_seq", {})
+            prev_stats = prev_meta.get("stats", {})
+            cand: set[str] = set()
+            scoped: list[tuple[dict, list[str], set[tuple], list[str]]] = []
+            for d in eq_added:
+                keys, vals = entry_keyset(d)
+                tfs = [
+                    tf
+                    for tf in sorted(both)
+                    if prev_seqs.get(tf, 0) <= d["seq"]
+                    and not _eq_stats_skip(prev_stats.get(tf), keys, vals)
+                ]
+                scoped.append((d, keys, vals, tfs))
+                cand.update(tfs)
+            # rows already dead on the pre-commit side (pos/DV/older
+            # equality entries) are not re-emitted
+            dead_before = side_dead(prev_meta, cand)
+            for d, keys, vals, tfs in scoped:
+                for tf in tfs:
+                    ps = eq_match_positions(tf, keys, vals) - (
+                        dead_before.get(tf) or set()
+                    )
+                    if not ps:
+                        continue
+                    dead_before.setdefault(tf, set()).update(ps)
                     if row_level:
-                        out.extend(
-                            (*t, rid, "insert", v, ts)
-                            for t, rid in ids_at(tf, ps, m["row_ids"])
+                        del_ids.update(
+                            (rid, t)
+                            for t, rid in ids_at(tf, ps, prev_row_ids)
                         )
                     else:
-                        out.extend(
-                            (*t, "insert", v, ts)
-                            for t in rows_at(tf, ps)
+                        del_rows.extend(rows_at(tf, ps))
+        # entries REMOVED while their target files persist (rollback
+        # past the delete): the rows come back — inserts
+        eq_removed = [d for d in removed_e if not d.get("pos")]
+        for d in removed_e:
+            if not d.get("pos"):
+                continue
+            for tf, ps in sorted(entry_coords(d).items()):
+                if tf in both:
+                    ins_pos.setdefault(tf, set()).update(ps)
+        if eq_removed and both:
+            cur_seqs = m.get("file_seq", {})
+            cur_stats = m.get("stats", {})
+            for d in eq_removed:
+                keys, vals = entry_keyset(d)
+                for tf in sorted(both):
+                    if cur_seqs.get(tf, 0) > d["seq"]:
+                        continue
+                    if _eq_stats_skip(cur_stats.get(tf), keys, vals):
+                        continue
+                    ps = eq_match_positions(tf, keys, vals)
+                    if ps:
+                        ins_pos.setdefault(tf, set()).update(ps)
+        # deletion-vector deltas (v3): newly-set bits are deletes,
+        # cleared bits (rollback — replacement is otherwise a superset)
+        # are resurrections
+        dv_prev = prev_meta.get("delete_vectors", {})
+        dv_cur = m.get("delete_vectors", {})
+        dv_dead_files = [
+            tf for tf in sorted(both) if dv_prev.get(tf) != dv_cur.get(tf)
+        ]
+        if dv_dead_files:
+            # subtract rows a pos/equality entry already killed
+            other_dead = side_dead(
+                {**prev_meta, "delete_vectors": {}}, dv_dead_files
+            )
+            for tf in dv_dead_files:
+                old_pos = dv_pos(dv_prev[tf]) if tf in dv_prev else set()
+                new_pos = dv_pos(dv_cur[tf]) if tf in dv_cur else set()
+                newly = new_pos - old_pos - (other_dead.get(tf) or set())
+                back = old_pos - new_pos
+                if newly:
+                    if row_level:
+                        del_ids.update(
+                            (rid, t)
+                            for t, rid in ids_at(tf, newly, prev_row_ids)
                         )
+                    else:
+                        del_rows.extend(rows_at(tf, newly))
+                if back:
+                    ins_pos.setdefault(tf, set()).update(back)
+        # resurrections: rows still dead under the CURRENT side's
+        # remaining pending state stay dead — not a change
+        if ins_pos:
+            still_dead = side_dead(m, set(ins_pos))
+            for tf in sorted(ins_pos):
+                ps = ins_pos[tf] - (still_dead.get(tf) or set())
+                if not ps:
+                    continue
+                if row_level:
+                    out.extend(
+                        (*t, rid, "insert", v, ts)
+                        for t, rid in ids_at(tf, ps, m["row_ids"])
+                    )
+                else:
+                    out.extend(
+                        (*t, "insert", v, ts) for t in rows_at(tf, ps)
+                    )
+
+        # --- file-level diff (each side under its OWN pending set) ---
         if (removed or added) and row_level:
             # identity-keyed commit diff: ids are unique per snapshot,
             # so the sides are dicts, not multisets
             new_map = read_id_map(
-                added, pending_dead(m["delete_entries"]), m["row_ids"]
+                added, side_dead(m, added), m["row_ids"]
             )
             old_map = read_id_map(
-                removed, pending_dead(prev_entries), prev_row_ids
+                removed, side_dead(prev_meta, removed), prev_row_ids
             )
             for rid in sorted(old_map.keys() - new_map.keys()):
                 out.append((*old_map[rid], rid, "delete", v, ts))
             for rid in sorted(new_map.keys() - old_map.keys()):
-                out.append((*new_map[rid], rid, "insert", v, ts))
+                if rid in del_ids:
+                    # equality-deleted identity re-inserted in the SAME
+                    # commit = MoR UPDATE: one Delta-CDF pair, not an
+                    # unrelated delete+insert
+                    out.append(
+                        (*del_ids.pop(rid), rid, "update_preimage", v, ts)
+                    )
+                    out.append(
+                        (*new_map[rid], rid, "update_postimage", v, ts)
+                    )
+                else:
+                    out.append((*new_map[rid], rid, "insert", v, ts))
             for rid in sorted(old_map.keys() & new_map.keys()):
                 if old_map[rid] != new_map[rid]:
                     out.append(
@@ -593,15 +783,21 @@ def _cdc_rows(
                         (*new_map[rid], rid, "update_postimage", v, ts)
                     )
         elif removed or added:
-            ca = read_multiset(added, pending_dead(m["delete_entries"]))
-            cr = read_multiset(removed, pending_dead(prev_entries))
+            ca = read_multiset(added, side_dead(m, added))
+            cr = read_multiset(removed, side_dead(prev_meta, removed))
             for t, n in sorted((ca - cr).items(), key=repr):
                 out.extend([(*t, "insert", v, ts)] * n)
             for t, n in sorted((cr - ca).items(), key=repr):
                 out.extend([(*t, "delete", v, ts)] * n)
-        prev_files = files
-        prev_entries = m["delete_entries"]
-        prev_row_ids = m["row_ids"]
+        # buffered deletes that found no same-commit reinsert
+        if row_level:
+            out.extend(
+                (*del_ids[rid], rid, "delete", v, ts)
+                for rid in sorted(del_ids)
+            )
+        else:
+            out.extend((*t, "delete", v, ts) for t in del_rows)
+        prev_meta = m
     return out
 
 
@@ -938,6 +1134,7 @@ def make_lakehouse_stream_dist_source():
                     )
                 prev_entries = prev["delete_entries"]
                 prev_files = set(prev["files"])
+                prev_dvs = prev["delete_vectors"]
                 for v in range(start["version"] + 1, end["version"] + 1):
                     m = _manifest_meta(self.root, v)
                     if m is None:
@@ -945,25 +1142,21 @@ def make_lakehouse_stream_dist_source():
                             f"lakehouse_stream_dist CDC: snapshot v{v} "
                             "expired"
                         )
-                    # equality guards run here (driver, metadata-only)
-                    # so refusal is loud at planning time; position-
-                    # delete commits PLAN a partition — their events
-                    # are computed executor-side by _cdc_rows
+                    # a commit plans ONE partition when anything about
+                    # its effective row set changed: files, delete
+                    # entries (pos AND equality — both emittable since
+                    # r7), or deletion vectors. Events are computed
+                    # executor-side by _cdc_rows.
                     added_e, removed_e = _cdc_entry_delta(
                         prev_entries, m["delete_entries"]
                     )
                     files_changed = set(m["files"]) != prev_files
-                    _cdc_entry_guards(
-                        added_e,
-                        removed_e,
-                        files_changed,
-                        "lakehouse_stream_dist CDC",
-                        v,
-                    )
-                    if files_changed or added_e or removed_e:
+                    dv_changed = m["delete_vectors"] != prev_dvs
+                    if files_changed or added_e or removed_e or dv_changed:
                         parts.append(InputPartition(("cdc", v)))
                     prev_files = set(m["files"])
                     prev_entries = m["delete_entries"]
+                    prev_dvs = m["delete_vectors"]
                 return parts
             files = _added_files(
                 self.root, start["version"], end["version"]
@@ -1051,6 +1244,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from ..registry import query  # noqa: E402
+from ._wait import await_or_raise  # noqa: E402
 from ..sources.io import load_table  # noqa: E402
 
 
@@ -1124,17 +1318,19 @@ def streaming_lakehouse_source_ingest(
 
 def _manifest_payload(
     root: str, version: int
-) -> tuple[list[str], dict, list]:
-    """(files, per-file stats, pending delete entries) of a snapshot,
-    parts-aware (the batch reader's planning inputs — no Spark needed)."""
+) -> tuple[list[str], dict, list, dict]:
+    """(files, per-file stats, pending delete entries, deletion vectors)
+    of a snapshot, parts-aware (the batch reader's planning inputs — no
+    Spark needed)."""
     if version <= 0:
-        return [], {}, []
+        return [], {}, [], {}
     path = os.path.join(root, "snapshots", f"v{version}.json")
     with open(path) as f:
         m = json.load(f)
     deletes = m.get("delete_files", [])
+    dvs = m.get("delete_vectors", {})
     if "files" in m:
-        return m["files"], m.get("stats", {}), deletes
+        return m["files"], m.get("stats", {}), deletes, dvs
     files: list[str] = []
     stats: dict = {}
     for ppath in m.get("parts", []):
@@ -1142,7 +1338,7 @@ def _manifest_payload(
             part = json.load(f)
         files.extend(part["files"])
         stats.update(part.get("stats", {}))
-    return files, stats, deletes
+    return files, stats, deletes, dvs
 
 
 def _manifest_lineage_maps(
@@ -1285,7 +1481,7 @@ def make_lakehouse_batch_source():
                 b[1] = hi
 
         def partitions(self):
-            files, stats, deletes = _manifest_payload(
+            files, stats, deletes, dvs = _manifest_payload(
                 self.root, self.version
             )
             if self.since is not None:
@@ -1302,6 +1498,7 @@ def make_lakehouse_batch_source():
                 # from the tip's stats simply aren't pruned.
                 files = _added_files(self.root, self.since, self.version)
                 deletes = []
+                dvs = {}
             if deletes:
                 # pending MoR deletes are applied by LakehouseTable.read
                 # (broadcast anti-join) but not by this file-level
@@ -1349,6 +1546,23 @@ def make_lakehouse_batch_source():
                 if not skip:
                     kept.append(f)
             self.planned_files = kept  # introspection for tests
+            # deletion vectors are POSITIONAL — unlike equality entries
+            # (refused above) this file-level reader APPLIES them: each
+            # partition carries its file's (path, offset, length) DV
+            # pointer and the executor masks the doomed positions out of
+            # the Arrow batches (exactly an Iceberg v3 reader's job)
+            dv_of = {
+                f: (
+                    (
+                        dvs[f]["path"],
+                        int(dvs[f]["offset"]),
+                        int(dvs[f]["length"]),
+                    )
+                    if f in dvs
+                    else None
+                )
+                for f in kept
+            }
             if self.with_lineage:
                 # each partition carries its file's lineage inputs so
                 # the executor computes ids with zero extra IO. For the
@@ -1379,20 +1593,60 @@ def make_lakehouse_batch_source():
                         "tracking) — commit once (any write) to assign"
                     )
                 return [
-                    InputPartition((f, row_ids[f], seqs.get(f, 0)))
+                    InputPartition((f, row_ids[f], seqs.get(f, 0), dv_of[f]))
                     for f in kept
                 ]
-            return [InputPartition(f) for f in kept]
+            return [InputPartition((f, dv_of[f])) for f in kept]
+
+        @staticmethod
+        def _dv_mask(dv: tuple | None, offset: int, n: int):
+            """Arrow keep-mask for batch rows [offset, offset+n) under a
+            (path, offset, length) DV pointer; None = keep all."""
+            if dv is None:
+                return None
+            import numpy as np
+            import pyarrow as pa
+
+            path, off, ln = dv
+            with open(path, "rb") as fh:
+                fh.seek(off)
+                bits = np.unpackbits(
+                    np.frombuffer(fh.read(ln), dtype=np.uint8)
+                )
+            keep = np.ones(n, dtype=bool)
+            hi = min(len(bits), offset + n)
+            if hi > offset:
+                keep[: hi - offset] = bits[offset:hi] == 0
+            if keep.all():
+                return None
+            return pa.array(keep)
 
         def read(self, partition):
             import pyarrow.parquet as pq
 
             if not self.with_lineage:
-                yield from _us_batches(pq.ParquetFile(partition.value))
+                f, dv = partition.value
+                if dv is None:
+                    yield from _us_batches(pq.ParquetFile(f))
+                    return
+                import pyarrow as pa
+
+                pf = pq.ParquetFile(f)
+                target = _us_schema(pf.schema_arrow)
+                offset = 0
+                for batch in pf.iter_batches():
+                    tbl = pa.Table.from_batches([batch])
+                    n = tbl.num_rows
+                    mask = self._dv_mask(dv, offset, n)
+                    offset += n
+                    out = tbl.select(target.names).cast(target)
+                    if mask is not None:
+                        out = out.filter(mask)
+                    yield from out.to_batches()
                 return
             import pyarrow as pa
 
-            f, base, seq = partition.value
+            f, base, seq, dv = partition.value
             pf = pq.ParquetFile(f)
             target = _us_schema(pf.schema_arrow)
             names = [fld.name for fld in target]
@@ -1423,6 +1677,11 @@ def make_lakehouse_batch_source():
                 ).append_column(
                     "_last_updated_version", pa.array(lu, pa.int64())
                 )
+                # DV mask AFTER id computation: ids derive from the
+                # row's ORIGINAL position, deleted or not
+                mask = self._dv_mask(dv, offset, n)
+                if mask is not None:
+                    out = out.filter(mask)
                 yield from out.to_batches()
                 offset += n
 
@@ -1995,7 +2254,7 @@ def streaming_cdc_mv_maintenance(
             .option("checkpointLocation", root + "/ck")
             .start()
         )
-        q.awaitTermination(180)
+        await_or_raise(q, 180)
         out = mv.read().filter(F.col("n_rows") > 0).select(
             "c_mktsegment",
             F.col("n_rows").cast("long").alias("n_rows"),

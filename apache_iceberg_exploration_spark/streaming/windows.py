@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ._wait import await_or_raise
 from ..sources.io import events_ts_to_timestamp, load_table
 
 _TUMBLING_ORACLE = """
@@ -228,8 +229,7 @@ def _run_available_now(df, output_mode: str):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        q.stop()
+        await_or_raise(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
@@ -542,8 +542,7 @@ def streaming_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        q.stop()
+        await_or_raise(q, 300)
 
         # crash-replay: batch 0's rows delivered again under its old id
         v_before = tbl.current_version()
@@ -654,8 +653,7 @@ def streaming_cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        q.stop()
+        await_or_raise(q, 300)
 
         out = tbl.read().select(
             "user_id",

@@ -293,3 +293,58 @@ def test_dv_manifest_json_is_serializable(spark, table):
         m = json.load(f)
     e = next(iter(m["delete_vectors"].values()))
     assert {"path", "offset", "length", "cardinality", "seq"} <= set(e)
+
+
+def test_batch_dsv2_reader_applies_dvs(spark, table):
+    """The DSv2 batch format APPLIES deletion vectors (positional, so
+    unlike equality entries no refusal is needed): executor-side Arrow
+    masks, correct under filters, time travel, and withLineage (ids
+    derive from the row's ORIGINAL position)."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k").isin(0, 3, 9))
+    spark.dataSource.register(make_lakehouse_batch_source())
+    df = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .load()
+    )
+    assert _keys(df) == [1, 2, 4, 5, 6, 7, 8]
+    # time travel to pre-DV snapshot
+    df1 = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("versionAsOf", "1")
+        .load()
+    )
+    assert _keys(df1) == list(range(10))
+    # lineage: surviving rows keep original-position ids
+    dfl = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("withLineage", "true")
+        .load()
+    )
+    got = {r["k"]: r["_row_id"] for r in dfl.collect()}
+    assert got == {k: k for k in [1, 2, 4, 5, 6, 7, 8]}
+
+
+def test_batch_dsv2_reader_dv_with_pushed_filter(spark, table):
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    table.append(_kv(spark, 0, 10))
+    table.append(_kv(spark, 10, 20))
+    table.delete_where_dv(F.col("k").isin(5, 15))
+    spark.dataSource.register(make_lakehouse_batch_source())
+    df = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .load()
+        .filter(F.col("k") >= 10)
+    )
+    assert _keys(df) == [k for k in range(10, 20) if k != 15]

@@ -3617,3 +3617,41 @@ def test_sink_commits_assign_row_lineage(spark, table, tmp_path):
     assert len(set(rows.values())) == 15  # all distinct
     assert all(rows[k] == k for k in range(10))  # batch ids unchanged
     assert all(rows[k] >= 10 for k in range(100, 105))  # fresh ids
+
+
+def test_entries_and_all_files_metadata(spark, tmp_path):
+    """entries() statuses (added/existing/deleted) and all_files()
+    version ranges across an append → append → rollback sequence
+    (VERDICT r6 #6)."""
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    df = (
+        spark.range(0, 10)
+        .select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        .coalesce(1)
+    )
+    t.append(df)  # v1: one file
+    t.append(df.filter(F.col("k") < 3))  # v2: +1 file
+    t.rollback(1)  # v3: back to v1's file
+    e2 = {(r["file_path"], r["status"]) for r in t.entries(2).collect()}
+    assert sum(1 for _, s in e2 if s == "added") == 1
+    assert sum(1 for _, s in e2 if s == "existing") == 1
+    e3 = {r["status"] for r in t.entries(3).collect()}
+    assert e3 == {"existing", "deleted"}  # rollback drops v2's file
+    af = {r["file_path"]: r for r in t.all_files().collect()}
+    assert len(af) == 2
+    ranges = sorted(
+        (r["first_version"], r["last_version"], r["in_current"])
+        for r in af.values()
+    )
+    assert ranges == [(1, 3, True), (2, 2, False)]
+    # history forensics: the rollback's effective ancestor is v1
+    h = {r["version"]: r for r in t.history().collect()}
+    assert h[3]["operation"] == "rollback"
+    assert h[3]["restored_version"] == 1
+    assert h[3]["effective_ancestor"] == 1
+    assert h[2]["effective_ancestor"] == 1
+    assert h[2]["restored_version"] is None
