@@ -1320,20 +1320,33 @@ def dedup_cross_source_leakage(
     )
 
 
-MH_LOOKUP_QUERY_DOC = 8  # has band candidates at BOTH test SFs
 MH_LOOKUP_TOP_K = 5
+
+# The query document is SELECTED FROM THE DATA — the smallest doc_id
+# sitting in any multi-occupant band bucket — rather than a hard-coded
+# id: a constant that happened to have candidates at sf0.001/sf0.01
+# went VACUOUS at sf0.1 (the r7 second-SF parity sweep's first catch),
+# and a regenerated testdata set could strand it entirely. The
+# selection is a deterministic argmin both engines express identically.
+_MH_QSEL_SQL = (
+    ", qsel AS ("
+    " SELECT min(m) AS q FROM ("
+    "  SELECT band, sig, count(*) AS n, min(doc_id) AS m"
+    "  FROM bands GROUP BY 1, 2) WHERE n > 1"
+    "), cand AS (SELECT DISTINCT b.doc_id AS cand_id"
+)
 
 
 def _mh_lookup_oracle() -> str:
     return f"""
         WITH {_MINHASH_PAIRS_ORACLE.split("WITH", 1)[1].replace(
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
-            ", cand AS (SELECT DISTINCT b.doc_id AS cand_id",
+            _MH_QSEL_SQL,
         ).replace(
             "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id",
             "ON a.band = b.band AND a.sig = b.sig"
-            f" AND a.doc_id = {MH_LOOKUP_QUERY_DOC}"
-            f" AND b.doc_id <> {MH_LOOKUP_QUERY_DOC}",
+            " AND a.doc_id = (SELECT q FROM qsel)"
+            " AND b.doc_id <> (SELECT q FROM qsel)",
         )}
         ),
         agree AS (
@@ -1341,7 +1354,7 @@ def _mh_lookup_oracle() -> str:
                    CAST(sum(CASE WHEN qa.h = qb.h THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_match
             FROM cand c
-            JOIN mh qa ON qa.doc_id = {MH_LOOKUP_QUERY_DOC}
+            JOIN mh qa ON qa.doc_id = (SELECT q FROM qsel)
             JOIN mh qb ON qb.doc_id = c.cand_id AND qb.seed = qa.seed
             GROUP BY 1
         )
@@ -1372,7 +1385,17 @@ def dedup_minhash_topk_lookup(
     """
     docs = load_table(spark, sf_dir, "documents")
     bands = scoped_persist(minhash_band_rows(docs))
-    qb = bands.filter(F.col("doc_id") == MH_LOOKUP_QUERY_DOC).select(
+    # query-doc selection from the data (see _MH_QSEL_SQL): one scalar
+    # over the persisted index — never vacuous while ANY near-dup pair
+    # exists at the SF
+    qdoc = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("m"))
+        .filter(F.col("n") > 1)
+        .agg(F.min("m").alias("q"))
+        .first()["q"]
+    )
+    qb = bands.filter(F.col("doc_id") == qdoc).select(
         F.col("band").alias("qband"), F.col("sig").alias("qsig")
     )
     cand = (
@@ -1381,7 +1404,7 @@ def dedup_minhash_topk_lookup(
             (F.col("band") == F.col("qband"))
             & (F.col("sig") == F.col("qsig")),
         )
-        .filter(F.col("doc_id") != MH_LOOKUP_QUERY_DOC)
+        .filter(F.col("doc_id") != qdoc)
         .select(F.col("doc_id").alias("cand_id"))
         .distinct()
     )
@@ -1397,7 +1420,7 @@ def dedup_minhash_topk_lookup(
         (F.col("band") * BAND_SIZE + F.col("pos")).alias("seed"),
         "h",
     )
-    qs = seeds.filter(F.col("doc_id") == MH_LOOKUP_QUERY_DOC).select(
+    qs = seeds.filter(F.col("doc_id") == qdoc).select(
         F.col("seed").alias("qseed"), F.col("h").alias("qh")
     )
     agree = (

@@ -409,3 +409,49 @@ def lakehouse_metadata_history_entries_audit(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_dv_update",
+    oracle=f"""
+        WITH base AS ({_BASE_SQL})
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN cents % 7 = 3 THEN cents + 55 ELSE cents END
+                   AS cents,
+               CAST(rid AS BIGINT) AS row_id,
+               CAST(CASE WHEN cents % 7 = 3 THEN 2 ELSE 1 END AS BIGINT)
+                   AS last_upd
+        FROM base
+    """,
+)
+def lakehouse_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-based MoR UPDATE (Iceberg v3's deletion-vector write mode):
+    ONE commit hides the matched rows' old images behind per-file
+    position bitmaps and appends replacements carrying the SAME
+    materialized ``__row_id`` — identity-preserving like the equality
+    form (``update_where_mor``) but requiring NO unique key (positions
+    pin exact rows). Read back with lineage: updated rows show the new
+    value, their ORIGINAL row id, and ``_last_updated_version`` = the
+    update commit; untouched rows keep version 1.
+
+    Scale: O(matched) image rows + O(matched/8) bitmap bytes at write;
+    at read, ONE shared DV anti-join regardless of how many updates
+    accumulated (equality entries each add an anti-join until
+    compaction). Cites: sources/lakehouse.py update_where_dv."""
+    root = tempfile.mkdtemp(prefix="lakehouse_dvu_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        tbl.append(_base_customer(spark, sf_dir))  # v1: ids = rank
+        tbl.update_where_dv(
+            F.col("cents") % 7 == 3, {"cents": F.col("cents") + 55}
+        )  # v2
+        out = tbl.read(with_lineage=True).select(
+            "c_custkey",
+            "c_mktsegment",
+            "cents",
+            F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_version").alias("last_upd"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1331,6 +1331,11 @@ def lakehouse_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
             on=["c_custkey"],
             delete_condition=F.lit(True),
             insert_unmatched=False,
+            # VERDICT r6 #5: the delete-key side is O(changed rows) and
+            # already pinned (the feed is checkpointed), so its count is
+            # one cheap local job — the hint lets the apply-merge
+            # broadcast it instead of shuffling the whole replica
+            source_rows_hint=dels.count(),
         )
         rep.append(ins)
 

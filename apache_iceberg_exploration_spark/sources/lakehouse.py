@@ -1899,7 +1899,27 @@ class LakehouseTable:
         if row_level:
             # a side over a pre-lineage manifest raises inside
             # _attach_lineage_cols ("row lineage unavailable") at _side
-            return self._changelog_row_level(old, new, m2, m1)
+            # row sums of each side's SCOPED files from manifest __rows
+            # stats (free) feed the broadcast decision downstream —
+            # None when any scoped file predates row-count stats
+            def side_rows(state: dict, files: set[str]) -> int | None:
+                st = state.get("stats", {})
+                total = 0
+                for f in files:
+                    r = st.get(f, {}).get("__rows")
+                    if r is None:
+                        return None
+                    total += int(r)
+                return total
+
+            return self._changelog_row_level(
+                old,
+                new,
+                m2,
+                m1,
+                old_rows=side_rows(m1, (f1 - f2) | affected),
+                new_rows=side_rows(m2, (f2 - f1) | affected),
+            )
 
         def tag(df: DataFrame, kind: str) -> DataFrame:
             return df.select(F.lit(kind).alias("_change_type"), "*")
@@ -1936,6 +1956,9 @@ class LakehouseTable:
         new: DataFrame | None,
         m2: dict,
         m1: dict,
+        old_rows: int | None = None,
+        new_rows: int | None = None,
+        broadcast_threshold_rows: int = 100_000,
     ) -> DataFrame:
         """Identity-keyed interval diff (Delta CDF's four change types):
         the sides (already scoped to changed files, already carrying
@@ -1975,14 +1998,6 @@ class LakehouseTable:
             return shaped(old, "delete")
         o = old.withColumn("_o_present", F.lit(True)).alias("__cl_o")
         n = new.withColumn("_n_present", F.lit(True)).alias("__cl_n")
-        joined = o.join(
-            n, o["_row_id"] == n["_row_id"], "full_outer"
-        )
-        only_new = o["_o_present"].isNull()
-        only_old = n["_n_present"].isNull()
-        same = F.struct(*[o[c] for c in user_cols]).eqNullSafe(
-            F.struct(*[n[c] for c in user_cols])
-        )
 
         def ev(kind: str, side: DataFrame) -> F.Column:
             return F.struct(
@@ -1991,6 +2006,79 @@ class LakehouseTable:
                 side["_row_id"].alias("_row_id"),
             )
 
+        same = F.struct(*[o[c] for c in user_cols]).eqNullSafe(
+            F.struct(*[n[c] for c in user_cols])
+        )
+        # Stats-driven broadcast (VERDICT r6 #5): Spark cannot broadcast
+        # a FULL OUTER join, so when the manifest __rows stats say one
+        # side is small, decompose it — big LEFT-OUTER broadcast(small)
+        # classifies deletes/updates (or inserts/updates) without ever
+        # shuffling the big side; the small side's unmatched leftovers
+        # are recovered with a second broadcast anti-join on the matched
+        # ids (≤ |small| rows by construction). The shape that matters
+        # at 10^6 files: a narrow rewrite diffed against a wide affected
+        # scope pays one broadcast, not a full-table shuffle.
+        small_new = (
+            new_rows is not None and new_rows <= broadcast_threshold_rows
+        )
+        small_old = (
+            old_rows is not None and old_rows <= broadcast_threshold_rows
+        )
+        if small_new and not (
+            small_old and (old_rows or 0) < (new_rows or 0)
+        ):
+            joined = o.join(
+                F.broadcast(n), o["_row_id"] == n["_row_id"], "left_outer"
+            )
+            events = F.when(
+                n["_n_present"].isNull(), F.array(ev("delete", o))
+            ).when(
+                ~same,
+                F.array(
+                    ev("update_preimage", o), ev("update_postimage", n)
+                ),
+            )
+            part = joined.select(F.explode(events).alias("__e")).select(
+                "__e.*"
+            )
+            matched = joined.filter(n["_n_present"].isNotNull()).select(
+                n["_row_id"].alias("__mid")
+            )
+            inserts = n.join(
+                F.broadcast(matched),
+                n["_row_id"] == F.col("__mid"),
+                "left_anti",
+            )
+            return part.unionByName(shaped(inserts, "insert"))
+        if small_old:
+            joined = n.join(
+                F.broadcast(o), o["_row_id"] == n["_row_id"], "left_outer"
+            )
+            events = F.when(
+                o["_o_present"].isNull(), F.array(ev("insert", n))
+            ).when(
+                ~same,
+                F.array(
+                    ev("update_preimage", o), ev("update_postimage", n)
+                ),
+            )
+            part = joined.select(F.explode(events).alias("__e")).select(
+                "__e.*"
+            )
+            matched = joined.filter(o["_o_present"].isNotNull()).select(
+                o["_row_id"].alias("__mid")
+            )
+            deletes = o.join(
+                F.broadcast(matched),
+                o["_row_id"] == F.col("__mid"),
+                "left_anti",
+            )
+            return part.unionByName(shaped(deletes, "delete"))
+        joined = o.join(
+            n, o["_row_id"] == n["_row_id"], "full_outer"
+        )
+        only_new = o["_o_present"].isNull()
+        only_old = n["_n_present"].isNull()
         events = (
             F.when(only_new, F.array(ev("insert", n)))
             .when(only_old, F.array(ev("delete", o)))
@@ -2185,9 +2273,17 @@ class LakehouseTable:
         return df.drop("__seq", "__file", "__pos")
 
     def _project_to_schema(
-        self, manifest: dict, with_lineage: bool = False
+        self,
+        manifest: dict,
+        with_lineage: bool = False,
+        keep_coords: bool = False,
     ) -> DataFrame:
         """Read a manifest's files projected to its declared schema.
+        ``keep_coords`` retains the physical ``__file``/``__pos``
+        columns through the delete anti-joins — for writers that need
+        BOTH the surviving rows and their coordinates (update_where_dv
+        records the old image's position in a deletion vector while
+        appending its replacement).
 
         Schema evolution contract (Iceberg-style, add-column only):
         files written before a column existed surface it as NULL; every
@@ -2209,7 +2305,10 @@ class LakehouseTable:
         deletes = manifest.get("delete_files", [])
         dvs = manifest.get("delete_vectors", {})
         has_pos = (
-            any(d.get("pos") for d in deletes) or bool(dvs) or with_lineage
+            any(d.get("pos") for d in deletes)
+            or bool(dvs)
+            or with_lineage
+            or keep_coords
         )
         df = self._scan_files(
             files,
@@ -2255,14 +2354,28 @@ class LakehouseTable:
         if with_lineage:
             df = self._attach_lineage_cols(df, manifest)
         if deletes or dvs:
+            if keep_coords:
+                # stash coordinate copies through the anti-joins (which
+                # drop the originals), then restore
+                df = df.withColumn("__kf", F.col("__file")).withColumn(
+                    "__kp", F.col("__pos")
+                )
             df = self._apply_deletes(
                 df,
                 deletes,
                 renames=self._schema_renames(schema_json),
                 delete_vectors=dvs,
             )
-        elif with_lineage:
+            if keep_coords:
+                df = (
+                    df.withColumn("__file", F.col("__kf"))
+                    .withColumn("__pos", F.col("__kp"))
+                    .drop("__kf", "__kp")
+                )
+        elif with_lineage and not keep_coords:
             df = df.drop("__seq", "__file", "__pos")
+        elif with_lineage:
+            df = df.drop("__seq")
         return df
 
     def _attach_lineage_cols(self, df: DataFrame, manifest: dict) -> DataFrame:
@@ -3384,36 +3497,10 @@ class LakehouseTable:
             df = df.withColumn("__file", F.col("__kf")).withColumn(
                 "__pos", F.col("__kp")
             )
-        doomed = df.filter(condition).select(
-            F.regexp_replace("__file", "^file:/+", "/").alias("__file"),
-            "__pos",
-        )
-        # pack positions into per-file bitmaps EXECUTOR-side (one task
-        # per touched data file); only the packed blobs reach the driver
-        import pandas as _pd
-
-        encode = self._dv_encode
-
-        def _pack(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
-            blob, card = encode(pdf["__pos"].to_numpy())
-            return _pd.DataFrame(
-                {
-                    "f": [pdf["__file"].iloc[0]],
-                    "blob": [blob],
-                    "card": [card],
-                }
-            )
-
-        packed = (
-            doomed.groupBy("__file")
-            .applyInPandas(_pack, "f string, blob binary, card long")
-            .collect()
-        )
-        if not packed:
+        doomed = df.filter(condition).select("__file", "__pos")
+        new_pos = self._pack_coords_to_positions(doomed)
+        if not new_pos:
             return self._read_manifest(v)  # no matching rows: no commit
-        new_pos = {
-            r["f"]: self._dv_decode(bytes(r["blob"])) for r in packed
-        }
 
         def build(parent: int) -> dict:
             prev = self._read_manifest(parent)
@@ -3521,6 +3608,207 @@ class LakehouseTable:
             )
 
         return self._commit_with_retry(build)
+
+    def _pack_coords_to_positions(self, coords: DataFrame) -> dict:
+        """(__file, __pos) rows → {plain file path: sorted int64
+        positions}. Positions are bitmap-packed EXECUTOR-side (one task
+        per touched file, applyInPandas); only the packed blobs cross
+        to the driver — O(deleted rows / 8) bytes, never row tuples."""
+        import pandas as _pd
+
+        encode = self._dv_encode
+
+        def _pack(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+            blob, card = encode(pdf["__pos"].to_numpy())
+            return _pd.DataFrame(
+                {
+                    "f": [pdf["__file"].iloc[0]],
+                    "blob": [blob],
+                    "card": [card],
+                }
+            )
+
+        packed = (
+            coords.select(
+                F.regexp_replace("__file", "^file:/+", "/").alias(
+                    "__file"
+                ),
+                "__pos",
+            )
+            .groupBy("__file")
+            .applyInPandas(_pack, "f string, blob binary, card long")
+            .collect()
+        )
+        return {
+            r["f"]: self._dv_decode(bytes(r["blob"])) for r in packed
+        }
+
+    def update_where_dv(
+        self,
+        condition: F.Column,
+        set_cols: dict[str, F.Column],
+        prune: dict[str, tuple] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict | None:
+        """Merge-on-read UPDATE via DELETION VECTORS (Iceberg v3's
+        DV-based UPDATE/MERGE write mode): ONE commit that (a) records
+        the matched rows' positions in per-file bitmaps — hiding the
+        old images — and (b) appends their updated images carrying the
+        SAME materialized ``__row_id`` (identity-preserving, like
+        :meth:`update_where_mor`). Unlike the equality-MoR form it
+        needs NO unique key — positions pin exact rows, so tables
+        without a natural key (event logs, near-duplicate corpora) get
+        cheap MoR updates too — and the read path pays the shared DV
+        anti-join instead of one per pending equality entry.
+
+        Through the CDC feed the commit surfaces as
+        ``update_preimage``/``update_postimage`` pairs sharing
+        ``_row_id`` (the DV delta's deletes meet the appended images'
+        identical ids — same pairing as the equality path).
+
+        Scale: write cost is O(matched rows) images + O(matched / 8)
+        bitmap bytes; no data file is rewritten. ``prune`` scopes the
+        scan exactly like :meth:`update_where`. Returns None when
+        nothing matches."""
+
+        def compute(base: int) -> tuple[dict | None, list[str]]:
+            manifest = self._read_manifest(base)
+            scoped = list(manifest["files"])
+            if prune:
+                scoped = self._prune_files(manifest, prune)
+                scoped = self._partition_prune(manifest, prune, scoped)
+            if not scoped:
+                return None, []
+            src = (
+                self._project_to_schema(
+                    {**manifest, "files": scoped},
+                    with_lineage=True,
+                    keep_coords=True,
+                )
+                .filter(condition)
+                .localCheckpoint(eager=True)
+            )
+            if not src.limit(1).count():
+                return None, []
+            new_pos = self._pack_coords_to_positions(
+                src.select("__file", "__pos")
+            )
+            user_cols = [
+                c
+                for c in src.columns
+                if c
+                not in (
+                    "__file",
+                    "__pos",
+                    "_row_id",
+                    "_last_updated_version",
+                )
+            ]
+            images = src.select(
+                *[
+                    (set_cols[c].alias(c) if c in set_cols else F.col(c))
+                    for c in user_cols
+                ],
+                F.col("_row_id").alias("__row_id"),
+                F.lit(None).cast("long").alias("__last_updated"),
+            )
+            if self.check_constraints():
+                self._enforce_constraints(
+                    images.drop("__row_id", "__last_updated")
+                )
+            snap_id, new_files = self._write_data_files(
+                images, partition_by
+            )
+            new_stats = self._collect_file_stats(new_files)
+            base_dv = manifest.get("delete_vectors", {})
+            touched = self._write_dv_container(new_pos, base_dv)
+            merged = dict(base_dv)
+            for f, e in touched.items():
+                merged[f] = {**e, "seq": base + 1}
+            old_seq = manifest.get("file_seq", {})
+            return self._snapshot(
+                "update-dv",
+                manifest["files"] + new_files,
+                base,
+                schema_json=manifest.get("schema"),
+                stats={**manifest.get("stats", {}), **new_stats},
+                file_seq={
+                    **{f: old_seq.get(f, 0) for f in manifest["files"]},
+                    **{f: base + 1 for f in new_files},
+                },
+                delete_files=manifest.get("delete_files", []),
+                delete_vectors=merged,
+                partition_specs=manifest.get("partition_specs"),
+                partitions=manifest.get("partitions"),
+                added=len(new_files),
+                dv_files=len(touched),
+            ), [snap_id]
+
+        return self._commit_rmw(compute)
+
+    def rewrite_dv_heavy_files(self, min_ratio: float = 0.1) -> dict | None:
+        """Targeted maintenance: rewrite ONLY the data files whose
+        deletion vector has accumulated past ``min_ratio`` of the
+        file's rows (Iceberg's delete-file-ratio compaction trigger) —
+        the DV is materialized away, everything else carries verbatim.
+        The steady-state answer to DV growth on hot files: cost tracks
+        the DV-heavy tail, never table size. Returns None when no file
+        crosses the threshold."""
+
+        def compute(base: int) -> tuple[dict | None, list[str]]:
+            manifest = self._read_manifest(base)
+            dvs = manifest.get("delete_vectors", {})
+            stats = manifest.get("stats", {})
+            targets = []
+            for f, e in dvs.items():
+                rows = stats.get(f, {}).get("__rows")
+                if rows is None:
+                    import pyarrow.parquet as _pq
+
+                    rows = _pq.ParquetFile(f).metadata.num_rows
+                if rows and e["cardinality"] >= min_ratio * rows:
+                    targets.append(f)
+            if not targets:
+                return None, []
+            carried = [
+                f for f in manifest["files"] if f not in set(targets)
+            ]
+            src = self._project_with_lineage_cols(
+                {**manifest, "files": sorted(targets)}
+            )
+            snap_id, new_files = self._write_data_files(src)
+            new_stats = self._collect_file_stats(new_files)
+            old_stats = manifest.get("stats", {})
+            old_seq = manifest.get("file_seq", {})
+            return self._snapshot(
+                "rewrite-dv-heavy",
+                carried + new_files,
+                base,
+                schema_json=manifest.get("schema"),
+                stats={
+                    **{
+                        f: old_stats[f] for f in carried if f in old_stats
+                    },
+                    **new_stats,
+                },
+                file_seq={
+                    **{f: old_seq.get(f, 0) for f in carried},
+                    **{f: base + 1 for f in new_files},
+                },
+                delete_files=manifest.get("delete_files", []),
+                # auto-carry drops the rewritten files' DVs with them
+                partition_specs=manifest.get("partition_specs"),
+                partitions={
+                    f: t
+                    for f, t in manifest.get("partitions", {}).items()
+                    if f in set(carried)
+                },
+                added=len(new_files),
+                rewritten=len(targets),
+                carried=len(carried),
+            ), [snap_id]
+
+        return self._commit_rmw(compute)
 
     def update_where(
         self,

@@ -1499,16 +1499,27 @@ def make_lakehouse_batch_source():
                 files = _added_files(self.root, self.since, self.version)
                 deletes = []
                 dvs = {}
+            pos_dead: dict[str, set[int]] = {}
             if deletes:
-                # pending MoR deletes are applied by LakehouseTable.read
-                # (broadcast anti-join) but not by this file-level
-                # reader — fail loudly rather than resurrect deleted
-                # rows; compaction materializes deletes away
-                raise ValueError(
-                    "lakehouse batch format: snapshot has pending"
-                    " merge-on-read deletes; compact first"
-                    " (rewrite_data_files) or read via LakehouseTable"
-                )
+                # POSITION deletes are applied (r7): their coordinate
+                # files resolve to per-file position sets at planning
+                # (driver, O(deleted rows) metadata) and merge into the
+                # same executor-side Arrow mask deletion vectors use.
+                # EQUALITY deletes still refuse: applying them would
+                # mean value-matching key tuples against every
+                # candidate file at planning time — read via
+                # LakehouseTable (broadcast anti-join), compact, or
+                # coalesce_deletes_to_dv first.
+                if any(not d.get("pos") for d in deletes):
+                    raise ValueError(
+                        "lakehouse batch format: snapshot has pending"
+                        " EQUALITY merge-on-read deletes; compact first"
+                        " (rewrite_data_files), coalesce to deletion"
+                        " vectors, or read via LakehouseTable"
+                    )
+                for d in deletes:
+                    for tf, ps in _pos_coords(d["files"]).items():
+                        pos_dead.setdefault(tf, set()).update(ps)
             kept = []
             for f in files:
                 st = stats.get(f, {})
@@ -1557,9 +1568,14 @@ def make_lakehouse_batch_source():
                         dvs[f]["path"],
                         int(dvs[f]["offset"]),
                         int(dvs[f]["length"]),
+                        sorted(pos_dead.get(f, ())),
                     )
                     if f in dvs
-                    else None
+                    else (
+                        (None, 0, 0, sorted(pos_dead[f]))
+                        if f in pos_dead
+                        else None
+                    )
                 )
                 for f in kept
             }
@@ -1601,22 +1617,28 @@ def make_lakehouse_batch_source():
         @staticmethod
         def _dv_mask(dv: tuple | None, offset: int, n: int):
             """Arrow keep-mask for batch rows [offset, offset+n) under a
-            (path, offset, length) DV pointer; None = keep all."""
+            (path, offset, length, extra_positions) delete pointer —
+            path None = position-delete coordinates only; None = keep
+            all."""
             if dv is None:
                 return None
             import numpy as np
             import pyarrow as pa
 
-            path, off, ln = dv
-            with open(path, "rb") as fh:
-                fh.seek(off)
-                bits = np.unpackbits(
-                    np.frombuffer(fh.read(ln), dtype=np.uint8)
-                )
+            path, off, ln, extra = dv
             keep = np.ones(n, dtype=bool)
-            hi = min(len(bits), offset + n)
-            if hi > offset:
-                keep[: hi - offset] = bits[offset:hi] == 0
+            if path is not None:
+                with open(path, "rb") as fh:
+                    fh.seek(off)
+                    bits = np.unpackbits(
+                        np.frombuffer(fh.read(ln), dtype=np.uint8)
+                    )
+                hi = min(len(bits), offset + n)
+                if hi > offset:
+                    keep[: hi - offset] = bits[offset:hi] == 0
+            for p in extra:
+                if offset <= p < offset + n:
+                    keep[p - offset] = False
             if keep.all():
                 return None
             return pa.array(keep)

@@ -348,3 +348,124 @@ def test_batch_dsv2_reader_dv_with_pushed_filter(spark, table):
         .filter(F.col("k") >= 10)
     )
     assert _keys(df) == [k for k in range(10, 20) if k != 15]
+
+
+def test_batch_dsv2_reader_applies_pos_deletes(spark, table):
+    """r7: the batch DSv2 reader applies v2 POSITION deletes through
+    the same Arrow mask as DVs (coordinates resolved at planning);
+    EQUALITY deletes still refuse with direction."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_pos(F.col("k").isin(2, 7))
+    spark.dataSource.register(make_lakehouse_batch_source())
+    df = (
+        spark.read.format("lakehouse").option("path", table.path).load()
+    )
+    assert _keys(df) == [0, 1, 3, 4, 5, 6, 8, 9]
+    # mixed with a DV on the same file
+    table.delete_where_dv(F.col("k") == 0)
+    df = (
+        spark.read.format("lakehouse").option("path", table.path).load()
+    )
+    assert _keys(df) == [1, 3, 4, 5, 6, 8, 9]
+    # lineage ids stay original-position under pos masks too
+    dfl = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("withLineage", "true")
+        .load()
+    )
+    assert {r["k"]: r["_row_id"] for r in dfl.collect()} == {
+        k: k for k in [1, 3, 4, 5, 6, 8, 9]
+    }
+    # equality refusal, with direction
+    table.delete_where_mor(F.col("k") == 1, keys=["k"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="EQUALITY"):
+        spark.read.format("lakehouse").option(
+            "path", table.path
+        ).load().collect()
+
+
+def test_update_where_dv_identity_and_read(spark, table):
+    """DV-based MoR UPDATE: one commit = DV hiding the old images +
+    appended replacements carrying the SAME __row_id; no unique key
+    required (works on tables with duplicate rows)."""
+    table.append(_kv(spark, 0, 10))
+    pre = {
+        r["k"]: r["_row_id"]
+        for r in table.read(with_lineage=True).collect()
+    }
+    m = table.update_where_dv(
+        F.col("k").isin(2, 8), {"v": F.lit(777)}
+    )
+    assert m["summary"]["dv_files"] == 1
+    rows = {r["k"]: r["v"] for r in table.read().collect()}
+    assert sorted(rows) == list(range(10))
+    assert rows[2] == 777 and rows[8] == 777 and rows[3] == 30
+    post = {
+        r["k"]: r["_row_id"]
+        for r in table.read(with_lineage=True).collect()
+    }
+    assert post == pre  # identity preserved through the update
+    upd = {
+        r["k"]: r["_last_updated_version"]
+        for r in table.read(with_lineage=True).collect()
+    }
+    assert upd[2] == 2 and upd[8] == 2 and upd[3] == 1
+    # no-match update: no commit
+    v = table.current_version()
+    assert table.update_where_dv(F.col("k") > 99, {"v": F.lit(0)}) is None
+    assert table.current_version() == v
+
+
+def test_update_where_dv_no_unique_key_needed(spark, table):
+    """The equality-MoR form requires a unique key; the DV form updates
+    by POSITION — ONE of two bit-identical rows can be updated."""
+    df = spark.createDataFrame([(1, 10), (1, 10), (2, 20)], "k long, v long")
+    table.append(df.coalesce(1))
+    table.update_where_dv(
+        (F.col("k") == 2), {"v": F.lit(99)}
+    )
+    got = sorted((r["k"], r["v"]) for r in table.read().collect())
+    assert got == [(1, 10), (1, 10), (2, 99)]
+
+
+def test_update_where_dv_cdc_pairs(spark, table):
+    """A DV-based update streams as update pairs sharing _row_id (the
+    DV delta's deletes meet the reinserted identical ids)."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        _cdc_rows,
+    )
+
+    table.append(_kv(spark, 0, 6))
+    table.update_where_dv(F.col("k") == 3, {"v": F.lit(333)})
+    rows = _cdc_rows(table.path, 1, 2, ["k", "v"], row_level=True)
+    assert sorted((r[0], r[1], r[2], r[3]) for r in rows) == [
+        (3, 30, 3, "update_preimage"),
+        (3, 333, 3, "update_postimage"),
+    ]
+
+
+def test_rewrite_dv_heavy_files(spark, table):
+    """Delete-ratio-triggered compaction: only files past the DV ratio
+    threshold rewrite; light-DV files carry with their DVs."""
+    table.append(_kv(spark, 0, 10))   # file A
+    table.append(_kv(spark, 10, 110))  # file B (100 rows)
+    table.delete_where_dv(
+        (F.col("k") < 5) | (F.col("k") == 20)
+    )  # A: 5/10 = 50%, B: 1/100 = 1%
+    m = table.rewrite_dv_heavy_files(min_ratio=0.2)
+    assert m is not None and m["summary"]["rewritten"] == 1
+    dvs = m["delete_vectors"]
+    assert len(dvs) == 1  # B's light DV carried; A's materialized
+    assert next(iter(dvs.values()))["cardinality"] == 1
+    assert _keys(table.read()) == [
+        k for k in range(5, 110) if k != 20
+    ]
+    # nothing above threshold anymore
+    assert table.rewrite_dv_heavy_files(min_ratio=0.2) is None

@@ -3655,3 +3655,58 @@ def test_entries_and_all_files_metadata(spark, tmp_path):
     assert h[3]["effective_ancestor"] == 1
     assert h[2]["effective_ancestor"] == 1
     assert h[2]["restored_version"] is None
+
+
+def test_changelog_row_level_broadcasts_small_side(spark, table):
+    """VERDICT r6 #5: when the manifest __rows stats say one scoped side
+    of the row-level changelog is small, the full-outer id join is
+    decomposed into broadcast left-outer + broadcast anti — with
+    auto-broadcast disabled, a BroadcastHashJoin in the plan can only
+    come from this decision. Results must be identical to the
+    full-outer form (threshold 0 disables it)."""
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+
+    src = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    table.append(src.coalesce(1).sortWithinPartitions("c_custkey"))
+    table.update_where(
+        F.col("c_custkey") < 5, {"c_acctbal": F.lit(0.0)}
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        feed = table.changelog(1, 2, row_level=True)
+        plan = feed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [_row_id" in plan
+        got = sorted(
+            (r["_change_type"], r["_row_id"]) for r in feed.collect()
+        )
+        # full-outer reference form via a monkeypatched threshold
+        orig = LakehouseTable._changelog_row_level
+
+        def no_bcast(self, *a, **kw):
+            kw["broadcast_threshold_rows"] = 0
+            return orig(self, *a, **kw)
+
+        LakehouseTable._changelog_row_level = no_bcast
+        try:
+            ref = table.changelog(1, 2, row_level=True)
+            ref_plan = ref._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin [_row_id" not in ref_plan
+            ref_got = sorted(
+                (r["_change_type"], r["_row_id"]) for r in ref.collect()
+            )
+        finally:
+            LakehouseTable._changelog_row_level = orig
+        assert got == ref_got
+        assert {c for c, _ in got} == {
+            "update_preimage",
+            "update_postimage",
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", old_thresh
+        )

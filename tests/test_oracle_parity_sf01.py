@@ -1,0 +1,76 @@
+"""Second-SF oracle parity spot-check (VERDICT r6 #4): the routine
+parity gate runs at sf0.01; ADAPTIVE machinery (semdedup's plane count,
+DF caps, calibrated thresholds, banding parameters) deserves a second
+data point where those knobs resolve differently. This sweep re-runs
+every oracled query from the adaptive families — dedup, similarity,
+corpus (span dedup), row lineage, deletion vectors — against DuckDB at
+sf0.1.
+
+Gated behind SPARK_GRAFT_SLOW=1 (≈ minutes, 10× the data): run
+    SPARK_GRAFT_SLOW=1 python -m pytest tests/test_oracle_parity_sf01.py -q
+Results of each round's run are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from apache_iceberg_exploration_spark import registry
+
+from .oracle_utils import compare
+
+SF_BIG = "/root/testdata/sf0.1"
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW") != "1",
+    reason="second-SF parity sweep is slow; set SPARK_GRAFT_SLOW=1",
+)
+
+registry._load_all()
+_FAMILIES = (
+    "apache_iceberg_exploration_spark.operators.dedup",
+    "apache_iceberg_exploration_spark.operators.similarity",
+    "apache_iceberg_exploration_spark.operators.corpus",
+    "apache_iceberg_exploration_spark.operators.lineage",
+    "apache_iceberg_exploration_spark.operators.deletion",
+)
+_CASES = sorted(
+    name
+    for name, fn in registry.all_queries().items()
+    if name in registry.all_oracles()
+    and getattr(fn, "__module__", "") in _FAMILIES
+)
+
+
+@pytest.fixture(scope="module")
+def duck_big():
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"'{SF_BIG}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_families_selected():
+    # the sweep must actually cover the adaptive families
+    assert len(_CASES) >= 40, _CASES
+
+
+@pytest.mark.parametrize("name", _CASES)
+def test_query_matches_oracle_at_sf01(spark, duck_big, name):
+    fn = registry.all_queries()[name]
+    sql = registry.all_oracles()[name]
+    df = fn(spark, SF_BIG)
+    ok, msg = compare(df, duck_big, sql)
+    assert ok, f"{name}@sf0.1: {msg}"
+    assert not msg.endswith("rows=0"), f"{name}@sf0.1: vacuous green"

@@ -64,6 +64,24 @@ def test_scaling_audit_covers_the_pairwise_family():
     assert must_cover <= set(art["queries"])
 
 
+def test_scaling_audit_covers_the_mutation_family():
+    """VERDICT r6 #3: the rewrite paths' O(added)-metadata and
+    O(rewritten-bytes) lineage claims must stay MEASURED — CoW update,
+    MERGE, compaction, identity changelog, streaming CDC drain, and
+    the r7 deletion-vector delete."""
+    with open(_ARTIFACT) as f:
+        art = json.load(f)
+    must_cover = {
+        "lakehouse_cow_update",
+        "lakehouse_merge_upsert",
+        "lakehouse_compaction_roundtrip",
+        "lakehouse_changelog_row_level_pairs",
+        "streaming_cdc_row_lineage_feed",
+        "lakehouse_dv_delete",
+    }
+    assert must_cover <= set(art["queries"])
+
+
 def test_semantic_dedup_cells_adapt_to_corpus_size():
     """The scale-path fix the audit forced: sign-LSH plane count grows
     with the corpus (constant cell occupancy), floored at 8 so the

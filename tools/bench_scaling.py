@@ -54,6 +54,18 @@ QUERIES = [
     "pack_concat_chunks",
     "contamination_ngram_overlap",
     "market_basket_lift_pairs",
+    # mutation family (VERDICT r6 #3): the rewrite paths — CoW update,
+    # MERGE upsert, compaction round-trip, identity-keyed changelog,
+    # streaming CDC drain, deletion-vector delete. Their O(added)
+    # metadata + O(rewritten-bytes) lineage carry claims are MEASURED
+    # here, not argued; commit machinery is a fixed cost, so slopes
+    # should sit well below 1 until data dominates.
+    "lakehouse_cow_update",
+    "lakehouse_merge_upsert",
+    "lakehouse_compaction_roundtrip",
+    "lakehouse_changelog_row_level_pairs",
+    "streaming_cdc_row_lineage_feed",
+    "lakehouse_dv_delete",
 ]
 
 SFS = [
