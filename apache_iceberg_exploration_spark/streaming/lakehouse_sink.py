@@ -134,7 +134,16 @@ def _commit_append(
             # drift guard and broke add_column/rename_column after it,
             # asymmetric with LakehouseTable.overwrite).
             prev = {}
-        for k in ("schema", "delete_files", "partition_specs"):
+        # delete_vectors carried too (r7): an append keeps every parent
+        # file, so its DVs stay valid verbatim — dropping them here
+        # would RESURRECT deleted rows on the next read. Overwrite
+        # resets prev above, so a replaced table sheds them correctly.
+        for k in (
+            "schema",
+            "delete_files",
+            "partition_specs",
+            "delete_vectors",
+        ):
             if k in prev:
                 manifest[k] = prev[k]
         if schema_json and "schema" not in manifest:

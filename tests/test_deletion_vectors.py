@@ -469,3 +469,60 @@ def test_rewrite_dv_heavy_files(spark, table):
     ]
     # nothing above threshold anymore
     assert table.rewrite_dv_heavy_files(min_ratio=0.2) is None
+
+
+def test_sink_and_batch_writer_append_carry_dvs(spark, table):
+    """A sink/batch-writer append onto a DV table must CARRY the
+    parent's deletion vectors (every parent file survives an append) —
+    dropping them would resurrect deleted rows."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k") < 3)
+    spark.dataSource.register(make_lakehouse_batch_source())
+    (
+        _kv(spark, 10, 13)
+        .write.format("lakehouse")
+        .option("path", table.path)
+        .mode("append")
+        .save()
+    )
+    fresh = LakehouseTable(spark, table.path)
+    assert _keys(fresh.read()) == list(range(3, 13))
+    m = fresh._read_manifest(fresh.current_version())
+    assert len(m.get("delete_vectors", {})) == 1
+
+
+def test_dv_overwrite_where_and_dynamic_partitions(spark, table, tmp_path):
+    """replaceWhere and dynamic partition overwrite on DV'd tables:
+    in-scope files rewrite with DVs APPLIED (no resurrection); carried
+    out-of-scope files keep their DVs."""
+    table.append(_kv(spark, 0, 10))   # file A: k 0..9
+    table.append(_kv(spark, 10, 20))  # file B: k 10..19
+    table.delete_where_dv(F.col("k").isin(1, 11))
+    repl = spark.createDataFrame([(5, 555)], "k long, v long")
+    table.overwrite_where(
+        repl, condition=F.col("k").between(0, 9), prune={"k": (0, 9)}
+    )
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    # scope replaced by {5}; B keeps its DV (11 still dead)
+    assert sorted(got) == [5] + [k for k in range(10, 20) if k != 11]
+    m = table._read_manifest(table.current_version())
+    assert len(m.get("delete_vectors", {})) == 1  # B's carried
+
+    t2 = LakehouseTable(spark, str(tmp_path / "t2"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "k long, part string, v long",
+    )
+    t2.overwrite(df, partition_by=["part"])
+    t2.delete_where_dv(F.col("k").isin(2, 3))
+    newa = spark.createDataFrame(
+        [(9, "a", 90)], "k long, part string, v long"
+    )
+    t2.overwrite_partitions_dynamic(newa)
+    got = sorted(r["k"] for r in t2.read().collect())
+    # partition a fully replaced by {9}; b keeps DV (3 dead)
+    assert got == [4, 9]
