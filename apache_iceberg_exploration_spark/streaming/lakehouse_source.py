@@ -1316,29 +1316,137 @@ def streaming_lakehouse_source_ingest(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _eq_footer_ranges(entry: dict) -> dict | None:
+    """Per-key (lo, hi) bounds of an equality-delete entry's doomed key
+    tuples, read from its key parquet FOOTER statistics — zero data IO.
+    None = unknown (missing footer stats): the entry stays applicable
+    everywhere (conservative)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for kf in entry["files"]:
+        md = pq.ParquetFile(kf).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in entry["keys"]:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo, hi = st.min, st.max
+                if name in out:
+                    plo, phi = out[name]
+                    out[name] = (min(plo, lo), max(phi, hi))
+                else:
+                    out[name] = (lo, hi)
+    return out or None
+
+
+def _ranges_disjoint(file_stats: dict, key_ranges: dict) -> bool:
+    """True when ANY key column's manifest min/max provably misses the
+    entry's key range — the file can hold no matching row."""
+    for k, (lo, hi) in key_ranges.items():
+        rng = (file_stats or {}).get(k)
+        if not isinstance(rng, list) or len(rng) != 2:
+            continue
+        try:
+            if rng[1] < lo or rng[0] > hi:
+                return True
+        except TypeError:
+            continue
+    return False
+
+
+def _project_arrow(tbl, target):
+    """Project one Arrow table to the TABLE's declared schema: missing
+    columns (written before an add_column) null-fill; physical types
+    cast (a file written int32 under a declared int64 — the
+    type-promotion lattice — reads wide). The batch reader must yield
+    batches in the DECLARED schema, not each file's own, or Spark's
+    Arrow ingest breaks on the first heterogeneous file."""
+    import pyarrow as pa
+
+    cols = []
+    for fld in target:
+        if fld.name in tbl.column_names:
+            cols.append(tbl.column(fld.name).cast(fld.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, fld.type))
+    return pa.Table.from_arrays(cols, schema=target)
+
+
+def _load_eq_keysets(eq_specs) -> list:
+    """Executor side: materialize each applicable equality entry's
+    doomed key tuples from its (small) key parquet files."""
+    import pyarrow.parquet as pq
+
+    loaded = []
+    for files_t, keys_t in eq_specs or ():
+        keys = list(keys_t)
+        vals: set = set()
+        for kf in files_t:
+            t = pq.read_table(kf, columns=keys)
+            cols = [t.column(k).to_pylist() for k in keys]
+            vals.update(zip(*cols) if cols else [])
+        loaded.append((keys, vals))
+    return loaded
+
+
+def _eq_dead_rows(tbl, eq_loaded) -> "set[int]":
+    """Row indices of one Arrow table claimed by the loaded equality
+    key sets. Raises when a key column is absent from the data file
+    (rename-after-MoR edge — read via LakehouseTable, which maps
+    historical names)."""
+    dead: set[int] = set()
+    for keys, vals in eq_loaded:
+        missing = [k for k in keys if k not in tbl.column_names]
+        if missing:
+            raise ValueError(
+                "lakehouse batch format: equality-delete key columns "
+                f"{missing} not present in the data file (renamed after "
+                "the delete?) — read via LakehouseTable"
+            )
+        cols = [tbl.column(k).to_pylist() for k in keys]
+        for i, tup in enumerate(zip(*cols)):
+            if tup in vals:
+                dead.add(i)
+    return dead
+
+
 def _manifest_payload(
     root: str, version: int
-) -> tuple[list[str], dict, list, dict]:
-    """(files, per-file stats, pending delete entries, deletion vectors)
-    of a snapshot, parts-aware (the batch reader's planning inputs — no
-    Spark needed)."""
+) -> tuple[list[str], dict, list, dict, dict]:
+    """(files, per-file stats, pending delete entries, deletion
+    vectors, file sequence numbers) of a snapshot, parts-aware (the
+    batch reader's planning inputs — no Spark needed)."""
     if version <= 0:
-        return [], {}, [], {}
+        return [], {}, [], {}, {}
     path = os.path.join(root, "snapshots", f"v{version}.json")
     with open(path) as f:
         m = json.load(f)
     deletes = m.get("delete_files", [])
     dvs = m.get("delete_vectors", {})
     if "files" in m:
-        return m["files"], m.get("stats", {}), deletes, dvs
+        return (
+            m["files"],
+            m.get("stats", {}),
+            deletes,
+            dvs,
+            m.get("file_seq", {}),
+        )
     files: list[str] = []
     stats: dict = {}
+    seqs: dict = {}
     for ppath in m.get("parts", []):
         with open(ppath) as f:
             part = json.load(f)
         files.extend(part["files"])
         stats.update(part.get("stats", {}))
-    return files, stats, deletes, dvs
+        seqs.update(part.get("file_seq", {}))
+    return files, stats, deletes, dvs, seqs
 
 
 def _manifest_lineage_maps(
@@ -1481,9 +1589,14 @@ def make_lakehouse_batch_source():
                 b[1] = hi
 
         def partitions(self):
-            files, stats, deletes, dvs = _manifest_payload(
+            files, stats, deletes, dvs, file_seqs = _manifest_payload(
                 self.root, self.version
             )
+            # schema anchor: the same first-manifest-file the
+            # DataSource.schema() contract uses — every partition
+            # projects its batches to THIS schema (null-fill for
+            # pre-add_column files, widen-cast for promoted types)
+            anchor = files[0] if files else None
             if self.since is not None:
                 # same append-walk + contract as the streaming source
                 # and read_incremental: the increment is rows AS
@@ -1500,26 +1613,24 @@ def make_lakehouse_batch_source():
                 deletes = []
                 dvs = {}
             pos_dead: dict[str, set[int]] = {}
+            eq_entries: list[dict] = []
             if deletes:
                 # POSITION deletes are applied (r7): their coordinate
                 # files resolve to per-file position sets at planning
                 # (driver, O(deleted rows) metadata) and merge into the
                 # same executor-side Arrow mask deletion vectors use.
-                # EQUALITY deletes still refuse: applying them would
-                # mean value-matching key tuples against every
-                # candidate file at planning time — read via
-                # LakehouseTable (broadcast anti-join), compact, or
-                # coalesce_deletes_to_dv first.
-                if any(not d.get("pos") for d in deletes):
-                    raise ValueError(
-                        "lakehouse batch format: snapshot has pending"
-                        " EQUALITY merge-on-read deletes; compact first"
-                        " (rewrite_data_files), coalesce to deletion"
-                        " vectors, or read via LakehouseTable"
-                    )
+                # EQUALITY deletes are applied too (r7, Iceberg's own
+                # reader design): planning only seq-scopes and
+                # stats-screens which entries can claim which files;
+                # the EXECUTOR reads the entry's small key parquet and
+                # masks matching rows — the key sets never pass through
+                # the driver.
                 for d in deletes:
-                    for tf, ps in _pos_coords(d["files"]).items():
-                        pos_dead.setdefault(tf, set()).update(ps)
+                    if d.get("pos"):
+                        for tf, ps in _pos_coords(d["files"]).items():
+                            pos_dead.setdefault(tf, set()).update(ps)
+                    else:
+                        eq_entries.append(d)
             kept = []
             for f in files:
                 st = stats.get(f, {})
@@ -1557,11 +1668,36 @@ def make_lakehouse_batch_source():
                 if not skip:
                     kept.append(f)
             self.planned_files = kept  # introspection for tests
-            # deletion vectors are POSITIONAL — unlike equality entries
-            # (refused above) this file-level reader APPLIES them: each
-            # partition carries its file's (path, offset, length) DV
-            # pointer and the executor masks the doomed positions out of
-            # the Arrow batches (exactly an Iceberg v3 reader's job)
+            # equality-entry scoping (planning side): an entry can claim
+            # a file only when the file's sequence number admits it and
+            # the entry's key ranges (from the key parquet FOOTER stats
+            # — zero data read) overlap the file's manifest stats. The
+            # executor reads the surviving entries' key parquet and
+            # masks matching rows.
+            eq_of: dict[str, tuple] = {}
+            if eq_entries:
+                ranges = {
+                    id(d): _eq_footer_ranges(d) for d in eq_entries
+                }
+                for f in kept:
+                    specs = []
+                    for d in eq_entries:
+                        if file_seqs.get(f, 0) > d["seq"]:
+                            continue
+                        rng = ranges[id(d)]
+                        if rng and _ranges_disjoint(
+                            stats.get(f, {}), rng
+                        ):
+                            continue
+                        specs.append(
+                            (tuple(d["files"]), tuple(d["keys"]))
+                        )
+                    if specs:
+                        eq_of[f] = tuple(specs)
+            # deletion vectors and position deletes are applied via the
+            # same executor-side Arrow mask: each partition carries its
+            # file's (path, offset, length) DV pointer + explicit dead
+            # positions (exactly an Iceberg v3 reader's job)
             dv_of = {
                 f: (
                     (
@@ -1609,36 +1745,51 @@ def make_lakehouse_batch_source():
                         "tracking) — commit once (any write) to assign"
                     )
                 return [
-                    InputPartition((f, row_ids[f], seqs.get(f, 0), dv_of[f]))
+                    InputPartition(
+                        (
+                            f,
+                            row_ids[f],
+                            seqs.get(f, 0),
+                            dv_of[f],
+                            eq_of.get(f),
+                            anchor,
+                        )
+                    )
                     for f in kept
                 ]
-            return [InputPartition((f, dv_of[f])) for f in kept]
+            return [
+                InputPartition((f, dv_of[f], eq_of.get(f), anchor))
+                for f in kept
+            ]
 
         @staticmethod
-        def _dv_mask(dv: tuple | None, offset: int, n: int):
+        def _dv_mask(dv: tuple | None, offset: int, n: int, eq_dead=None):
             """Arrow keep-mask for batch rows [offset, offset+n) under a
             (path, offset, length, extra_positions) delete pointer —
-            path None = position-delete coordinates only; None = keep
-            all."""
-            if dv is None:
+            path None = position-delete coordinates only — plus
+            batch-local equality-dead row indices; None = keep all."""
+            if dv is None and not eq_dead:
                 return None
             import numpy as np
             import pyarrow as pa
 
-            path, off, ln, extra = dv
             keep = np.ones(n, dtype=bool)
-            if path is not None:
-                with open(path, "rb") as fh:
-                    fh.seek(off)
-                    bits = np.unpackbits(
-                        np.frombuffer(fh.read(ln), dtype=np.uint8)
-                    )
-                hi = min(len(bits), offset + n)
-                if hi > offset:
-                    keep[: hi - offset] = bits[offset:hi] == 0
-            for p in extra:
-                if offset <= p < offset + n:
-                    keep[p - offset] = False
+            if dv is not None:
+                path, off, ln, extra = dv
+                if path is not None:
+                    with open(path, "rb") as fh:
+                        fh.seek(off)
+                        bits = np.unpackbits(
+                            np.frombuffer(fh.read(ln), dtype=np.uint8)
+                        )
+                    hi = min(len(bits), offset + n)
+                    if hi > offset:
+                        keep[: hi - offset] = bits[offset:hi] == 0
+                for p in extra:
+                    if offset <= p < offset + n:
+                        keep[p - offset] = False
+            for i in eq_dead or ():
+                keep[i] = False
             if keep.all():
                 return None
             return pa.array(keep)
@@ -1647,31 +1798,43 @@ def make_lakehouse_batch_source():
             import pyarrow.parquet as pq
 
             if not self.with_lineage:
-                f, dv = partition.value
-                if dv is None:
-                    yield from _us_batches(pq.ParquetFile(f))
+                f, dv, eq, anchor = partition.value
+                target = _us_schema(pq.ParquetFile(anchor).schema_arrow)
+                pf = pq.ParquetFile(f)
+                if (
+                    dv is None
+                    and eq is None
+                    and _us_schema(pf.schema_arrow) == target
+                ):
+                    yield from _us_batches(pf)
                     return
                 import pyarrow as pa
 
-                pf = pq.ParquetFile(f)
-                target = _us_schema(pf.schema_arrow)
+                eq_loaded = _load_eq_keysets(eq)
                 offset = 0
                 for batch in pf.iter_batches():
                     tbl = pa.Table.from_batches([batch])
                     n = tbl.num_rows
-                    mask = self._dv_mask(dv, offset, n)
+                    mask = self._dv_mask(
+                        dv,
+                        offset,
+                        n,
+                        _eq_dead_rows(tbl, eq_loaded)
+                        if eq_loaded
+                        else None,
+                    )
                     offset += n
-                    out = tbl.select(target.names).cast(target)
+                    out = _project_arrow(tbl, target)
                     if mask is not None:
                         out = out.filter(mask)
                     yield from out.to_batches()
                 return
             import pyarrow as pa
 
-            f, base, seq, dv = partition.value
+            f, base, seq, dv, eq, anchor = partition.value
+            eq_loaded = _load_eq_keysets(eq)
+            target = _us_schema(pq.ParquetFile(anchor).schema_arrow)
             pf = pq.ParquetFile(f)
-            target = _us_schema(pf.schema_arrow)
-            names = [fld.name for fld in target]
             has_rid = "__row_id" in pf.schema_arrow.names
             has_lu = "__last_updated" in pf.schema_arrow.names
             offset = 0
@@ -1693,15 +1856,20 @@ def make_lakehouse_batch_source():
                     lu = [p if p is not None else seq for p in plu]
                 else:
                     lu = [seq] * n
-                out = tbl.select(names).cast(target)
+                out = _project_arrow(tbl, target)
                 out = out.append_column(
                     "_row_id", pa.array(rid, pa.int64())
                 ).append_column(
                     "_last_updated_version", pa.array(lu, pa.int64())
                 )
-                # DV mask AFTER id computation: ids derive from the
-                # row's ORIGINAL position, deleted or not
-                mask = self._dv_mask(dv, offset, n)
+                # delete masks AFTER id computation: ids derive from
+                # the row's ORIGINAL position, deleted or not
+                mask = self._dv_mask(
+                    dv,
+                    offset,
+                    n,
+                    _eq_dead_rows(tbl, eq_loaded) if eq_loaded else None,
+                )
                 if mask is not None:
                     out = out.filter(mask)
                 yield from out.to_batches()

@@ -381,14 +381,23 @@ def test_batch_dsv2_reader_applies_pos_deletes(spark, table):
     assert {r["k"]: r["_row_id"] for r in dfl.collect()} == {
         k: k for k in [1, 3, 4, 5, 6, 8, 9]
     }
-    # equality refusal, with direction
+    # equality deletes are applied too (r7): planning seq-scopes and
+    # footer-stats-screens the entries; the executor masks matching
+    # rows from its key parquet
     table.delete_where_mor(F.col("k") == 1, keys=["k"])
-    import pytest as _pytest
-
-    with _pytest.raises(Exception, match="EQUALITY"):
-        spark.read.format("lakehouse").option(
-            "path", table.path
-        ).load().collect()
+    df = (
+        spark.read.format("lakehouse").option("path", table.path).load()
+    )
+    assert _keys(df) == [3, 4, 5, 6, 8, 9]
+    dfl = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("withLineage", "true")
+        .load()
+    )
+    assert {r["k"]: r["_row_id"] for r in dfl.collect()} == {
+        k: k for k in [3, 4, 5, 6, 8, 9]
+    }
 
 
 def test_update_where_dv_identity_and_read(spark, table):
@@ -526,3 +535,57 @@ def test_dv_overwrite_where_and_dynamic_partitions(spark, table, tmp_path):
     got = sorted(r["k"] for r in t2.read().collect())
     # partition a fully replaced by {9}; b keeps DV (3 dead)
     assert got == [4, 9]
+
+
+def test_batch_dsv2_reader_equality_seq_scoping(spark, table):
+    """Equality entries apply only to files whose sequence number
+    admits them: rows appended AFTER the delete with the same key
+    values survive (Iceberg v2 sequence semantics in the DSv2 reader)."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    table.append(_kv(spark, 0, 5))
+    table.delete_where_mor(F.col("k") == 2, keys=["k"])
+    # re-insert the same key AFTER the delete: newer seq → exempt
+    table.append(
+        spark.createDataFrame([(2, 999)], "k long, v long").coalesce(1)
+    )
+    spark.dataSource.register(make_lakehouse_batch_source())
+    df = (
+        spark.read.format("lakehouse").option("path", table.path).load()
+    )
+    got = sorted((r["k"], r["v"]) for r in df.collect())
+    assert got == [(0, 0), (1, 10), (2, 999), (3, 30), (4, 40)]
+    # MoR update through the batch reader: old image hidden, new shown
+    table.update_where_mor(
+        F.col("k") == 4, keys=["k"], set_cols={"v": F.lit(444)}
+    )
+    df = (
+        spark.read.format("lakehouse").option("path", table.path).load()
+    )
+    got = sorted((r["k"], r["v"]) for r in df.collect())
+    assert got == [(0, 0), (1, 10), (2, 999), (3, 30), (4, 444)]
+
+
+def test_batch_dsv2_reader_projects_declared_schema(spark, table):
+    """Every partition's batches are projected to the DECLARED schema:
+    a file written int32 under a promoted int64 column widens, and a
+    pre-add_column file null-fills — heterogeneous files no longer
+    break Spark's Arrow ingest (surfaced when MoR update tables became
+    batch-readable: update images wrote F.lit() int32 values)."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    table.append(_kv(spark, 0, 4))
+    table.update_where_mor(
+        F.col("k") == 1, keys=["k"], set_cols={"v": F.lit(111)}
+    )  # image file writes v as int32
+    spark.dataSource.register(make_lakehouse_batch_source())
+    df = (
+        spark.read.format("lakehouse").option("path", table.path).load()
+    )
+    got = sorted((r["k"], r["v"]) for r in df.collect())
+    assert got == [(0, 0), (1, 111), (2, 20), (3, 30)]
+    assert dict(df.dtypes)["v"] == "bigint"
