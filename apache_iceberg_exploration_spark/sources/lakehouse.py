@@ -373,7 +373,21 @@ class LakehouseTable:
     def _read_dv_blob(self, entry: dict) -> bytes:
         with open(entry["path"], "rb") as f:
             f.seek(entry["offset"])
-            return f.read(entry["length"])
+            blob = f.read(entry["length"])
+        digest = entry.get("sha256")
+        if digest is not None:
+            import hashlib
+
+            got = hashlib.sha256(blob).hexdigest()[:16]
+            if got != digest:
+                raise ValueError(
+                    "deletion-vector blob checksum mismatch at "
+                    f"{entry['path']!r} offset {entry['offset']} — "
+                    "container corrupted or truncated; restore from a "
+                    "retained snapshot (rollback) or rewrite the file "
+                    "(rewrite_dv_heavy_files / rewrite_data_files)"
+                )
+        return blob
 
     def _try_commit(
         self, version: int, manifest: dict, path: str | None = None
@@ -3433,11 +3447,18 @@ class LakehouseTable:
                     ))
                 blob, card = self._dv_encode(pos)
                 out.write(blob)
+                import hashlib
+
                 entries[f] = {
                     "path": container,
                     "offset": offset,
                     "length": len(blob),
                     "cardinality": card,
+                    # Puffin-style blob integrity: verified whenever a
+                    # blob is re-read for merging/coalescing, so silent
+                    # container corruption can never propagate into a
+                    # replacement DV
+                    "sha256": hashlib.sha256(blob).hexdigest()[:16],
                 }
                 offset += len(blob)
             out.flush()

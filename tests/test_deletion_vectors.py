@@ -589,3 +589,23 @@ def test_batch_dsv2_reader_projects_declared_schema(spark, table):
     got = sorted((r["k"], r["v"]) for r in df.collect())
     assert got == [(0, 0), (1, 111), (2, 20), (3, 30)]
     assert dict(df.dtypes)["v"] == "bigint"
+
+
+def test_dv_blob_checksum_guards_merge(spark, table):
+    """Puffin-style blob integrity: a corrupted container is caught
+    when its blob is re-read for a superset merge, with direction —
+    never silently folded into a replacement DV."""
+    table.append(_kv(spark, 0, 10))
+    table.delete_where_dv(F.col("k") == 0)
+    e = next(iter(table._read_manifest(2)["delete_vectors"].values()))
+    assert "sha256" in e
+    with open(e["path"], "r+b") as f:
+        f.seek(e["offset"])
+        b = f.read(1)
+        f.seek(e["offset"])
+        f.write(bytes([b[0] ^ 0xFF]))
+    # target a position OUTSIDE the corrupted byte (the flipped bits
+    # cover positions 0-7; a "newly dead" k there would empty the
+    # doomed set and skip the merge entirely)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        table.delete_where_dv(F.col("k") == 9)  # merge re-reads the blob
