@@ -3372,53 +3372,57 @@ class LakehouseTable:
         Scale: the delete commit writes O(matching rows) coordinate
         pairs; no data file is rewritten. Read amplification is one
         broadcast anti-join shared by ALL pending position deletes,
-        until ``rewrite_data_files`` materializes them away."""
-        v = self.current_version()
-        manifest = self._read_manifest(v)
-        pending = manifest.get("delete_files", [])
-        dvs = manifest.get("delete_vectors", {})
-        df = self._scan_files(
-            manifest["files"],
-            manifest.get("file_seq"),
-            with_seq=bool(pending),
-            with_pos=True,
-        )
-        if pending or dvs:
-            # keep coordinates through the anti-joins: _apply_deletes
-            # drops them, so stash copies under temp names
-            df = df.withColumn("__kf", F.col("__file")).withColumn(
-                "__kp", F.col("__pos")
-            )
-            df = self._apply_deletes(df, pending, delete_vectors=dvs)
-            df = df.withColumn("__file", F.col("__kf")).withColumn(
-                "__pos", F.col("__kp")
-            )
-        doomed = df.filter(condition).select("__file", "__pos")
-        _, del_files = self._write_data_files(doomed)
+        until ``rewrite_data_files`` materializes them away.
 
-        def build(parent: int) -> dict:
-            prev = self._read_manifest(parent)
+        Isolation (r7): serializable read-modify-write — coordinates
+        computed against a snapshot a concurrent rewrite replaced would
+        target vanished paths and the delete would be silently lost
+        (Iceberg's validateDataFilesExist failure mode); losing the
+        race recomputes against the new tip instead."""
+
+        def compute(base: int) -> tuple[dict | None, list[str]]:
+            manifest = self._read_manifest(base)
+            pending = manifest.get("delete_files", [])
+            dvs = manifest.get("delete_vectors", {})
+            df = self._scan_files(
+                manifest["files"],
+                manifest.get("file_seq"),
+                with_seq=bool(pending),
+                with_pos=True,
+            )
+            if pending or dvs:
+                # keep coordinates through the anti-joins:
+                # _apply_deletes drops them, so stash copies
+                df = df.withColumn("__kf", F.col("__file")).withColumn(
+                    "__kp", F.col("__pos")
+                )
+                df = self._apply_deletes(df, pending, delete_vectors=dvs)
+                df = df.withColumn("__file", F.col("__kf")).withColumn(
+                    "__pos", F.col("__kp")
+                )
+            doomed = df.filter(condition).select("__file", "__pos")
+            snap_id, del_files = self._write_data_files(doomed)
             entry = {
                 "files": del_files,
-                "seq": parent + 1,
+                "seq": base + 1,
                 "keys": [],
                 "pos": True,
             }
             return self._snapshot(
                 "delete-pos",
-                prev["files"],
-                parent,
-                schema_json=prev.get("schema"),
-                stats=prev.get("stats"),
-                file_seq=prev.get("file_seq"),
-                delete_files=prev.get("delete_files", []) + [entry],
-                partition_specs=prev.get("partition_specs"),
-                partitions=prev.get("partitions"),
+                manifest["files"],
+                base,
+                schema_json=manifest.get("schema"),
+                stats=manifest.get("stats"),
+                file_seq=manifest.get("file_seq"),
+                delete_files=manifest.get("delete_files", []) + [entry],
+                partition_specs=manifest.get("partition_specs"),
+                partitions=manifest.get("partitions"),
                 added=0,
                 delete_pos_files=len(del_files),
-            )
+            ), [snap_id]
 
-        return self._commit_with_retry(build)
+        return self._commit_rmw(compute)
 
     def _write_dv_container(
         self, per_file_positions: dict[str, "list[int]"], base_dv: dict
@@ -3491,64 +3495,70 @@ class LakehouseTable:
         DVs (positions decoded executor-side from the shared container),
         vs one coordinate-parquet read per pos-delete commit — strictly
         better than v2 position deletes at every point of the lifecycle,
-        until compaction materializes the DVs away entirely."""
-        v = self.current_version()
-        manifest = self._read_manifest(v)
-        scoped = list(manifest["files"])
-        if prune:
-            scoped = self._prune_files(manifest, prune)
-            scoped = self._partition_prune(manifest, prune, scoped)
-        if not scoped:
-            return manifest  # nothing can match: no commit
-        pending = manifest.get("delete_files", [])
-        dvs = manifest.get("delete_vectors", {})
-        df = self._scan_files(
-            scoped,
-            manifest.get("file_seq"),
-            with_seq=bool(pending),
-            with_pos=True,
-        )
-        if pending or dvs:
-            # already-dead rows (pending MoR deletes, existing DVs) are
-            # not re-targeted; stash coordinates through the anti-joins
-            df = df.withColumn("__kf", F.col("__file")).withColumn(
-                "__kp", F.col("__pos")
-            )
-            df = self._apply_deletes(df, pending, delete_vectors=dvs)
-            df = df.withColumn("__file", F.col("__kf")).withColumn(
-                "__pos", F.col("__kp")
-            )
-        doomed = df.filter(condition).select("__file", "__pos")
-        new_pos = self._pack_coords_to_positions(doomed)
-        if not new_pos:
-            return self._read_manifest(v)  # no matching rows: no commit
+        until compaction materializes the DVs away entirely.
 
-        def build(parent: int) -> dict:
-            prev = self._read_manifest(parent)
-            base_dv = prev.get("delete_vectors", {})
+        Isolation: runs under the serializable read-modify-write loop —
+        positions reference exact (file, row) coordinates, so a
+        concurrent rewrite that replaces a targeted file would strand
+        them (a SILENTLY LOST delete: the manifest scoping drops DV
+        entries for vanished files). Losing the race recomputes the
+        doomed set against the new tip instead."""
+
+        def compute(base: int) -> tuple[dict | None, list[str]]:
+            manifest = self._read_manifest(base)
+            scoped = list(manifest["files"])
+            if prune:
+                scoped = self._prune_files(manifest, prune)
+                scoped = self._partition_prune(manifest, prune, scoped)
+            if not scoped:
+                return None, []  # nothing can match: no commit
+            pending = manifest.get("delete_files", [])
+            dvs = manifest.get("delete_vectors", {})
+            df = self._scan_files(
+                scoped,
+                manifest.get("file_seq"),
+                with_seq=bool(pending),
+                with_pos=True,
+            )
+            if pending or dvs:
+                # already-dead rows (pending MoR deletes, existing DVs)
+                # are not re-targeted; stash coordinates through the
+                # anti-joins
+                df = df.withColumn("__kf", F.col("__file")).withColumn(
+                    "__kp", F.col("__pos")
+                )
+                df = self._apply_deletes(df, pending, delete_vectors=dvs)
+                df = df.withColumn("__file", F.col("__kf")).withColumn(
+                    "__pos", F.col("__kp")
+                )
+            doomed = df.filter(condition).select("__file", "__pos")
+            new_pos = self._pack_coords_to_positions(doomed)
+            if not new_pos:
+                return None, []  # no matching rows: no commit
+            base_dv = manifest.get("delete_vectors", {})
             touched = self._write_dv_container(new_pos, base_dv)
             merged = dict(base_dv)
             for f, e in touched.items():
-                merged[f] = {**e, "seq": parent + 1}
+                merged[f] = {**e, "seq": base + 1}
             return self._snapshot(
                 "delete-dv",
-                prev["files"],
-                parent,
-                schema_json=prev.get("schema"),
-                stats=prev.get("stats"),
-                file_seq=prev.get("file_seq"),
-                delete_files=prev.get("delete_files", []),
+                manifest["files"],
+                base,
+                schema_json=manifest.get("schema"),
+                stats=manifest.get("stats"),
+                file_seq=manifest.get("file_seq"),
+                delete_files=manifest.get("delete_files", []),
                 delete_vectors=merged,
-                partition_specs=prev.get("partition_specs"),
-                partitions=prev.get("partitions"),
+                partition_specs=manifest.get("partition_specs"),
+                partitions=manifest.get("partitions"),
                 added=0,
                 dv_files=len(touched),
                 dv_deleted_rows=int(
                     sum(e["cardinality"] for e in touched.values())
                 ),
-            )
+            ), []
 
-        return self._commit_with_retry(build)
+        return self._commit_rmw(compute)
 
     def coalesce_deletes_to_dv(self) -> dict | None:
         """DV COALESCING — the v3 successor to

@@ -609,3 +609,40 @@ def test_dv_blob_checksum_guards_merge(spark, table):
     # doomed set and skip the merge entirely)
     with pytest.raises(ValueError, match="checksum mismatch"):
         table.delete_where_dv(F.col("k") == 9)  # merge re-reads the blob
+
+
+def test_dv_delete_racing_compaction_never_lost(spark, table):
+    """delete_where_dv runs under the serializable RMW loop (r7): its
+    positions reference exact file paths, so losing a race against a
+    compaction that replaced those files must RECOMPUTE against the new
+    tip — never commit DV entries for vanished paths (a silently lost
+    delete, since manifest scoping drops them)."""
+    import threading
+
+    for lo in (0, 10, 20):
+        table.append(_kv(spark, lo, lo + 10))
+    errs = []
+
+    def do_delete():
+        try:
+            table.delete_where_dv(F.col("k") % 10 == 3)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    def do_compact():
+        try:
+            table.rewrite_data_files(target_file_count=2)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    ts = [
+        threading.Thread(target=do_delete),
+        threading.Thread(target=do_compact),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = _keys(table.read())
+    assert got == [k for k in range(30) if k % 10 != 3]  # delete landed
