@@ -4282,6 +4282,12 @@ class LakehouseTable:
                 F.count("*").alias("file_count"),
                 F.sum("num_rows").alias("row_count"),
                 F.sum("size_bytes").alias("total_bytes"),
+                # r7: per-partition deletion-vector mass — the signal a
+                # maintenance planner reads to target
+                # rewrite_dv_heavy_files at hot partitions
+                F.sum(F.coalesce("dv_deleted_rows", F.lit(0))).alias(
+                    "dv_deleted_rows"
+                ),
             )
         )
 
