@@ -1,0 +1,162 @@
+"""Model-based randomized mutation test: a seeded random sequence of
+table operations (append, CoW update/delete, DV delete, DV update,
+position delete, equality MoR delete, compaction, DV coalescing) is
+mirrored in a plain-Python model; after every step the table must read
+back exactly the model, and at the end the STREAMING CDC replay of the
+full history must net to the final state — the strongest composition
+guarantee the delete/rewrite machinery can offer (any path that loses,
+resurrects, or double-emits a row breaks one of the two checks).
+
+Deterministic: seeds are fixed; random.Random is test-local.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.sources.lakehouse import (
+    LakehouseTable,
+)
+from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+    _cdc_rows,
+)
+
+N_OPS = 12
+
+
+def _mk_df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long").coalesce(1)
+
+
+def _run_sequence(spark, tmp_path, seed: int) -> None:
+    rng = random.Random(seed)
+    t = LakehouseTable(spark, str(tmp_path / f"t{seed}"))
+    model: Counter = Counter()  # multiset of (k, v)
+    next_k = 0
+
+    def append(n):
+        nonlocal next_k
+        rows = [(next_k + i, (next_k + i) * 10) for i in range(n)]
+        next_k += n
+        t.append(_mk_df(spark, rows))
+        model.update(rows)
+
+    append(rng.randint(5, 15))  # v1 seed data
+    history = {t.current_version(): model.copy()}
+    ops = [
+        "append",
+        "cow_delete",
+        "dv_delete",
+        "pos_delete",
+        "mor_delete",
+        "cow_update",
+        "dv_update",
+        "compact",
+        "coalesce_dv",
+        "rollback",
+    ]
+    for step in range(N_OPS):
+        op = rng.choice(ops)
+        if op == "append":
+            append(rng.randint(1, 6))
+        elif op == "cow_delete":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            t.delete_where(F.col("k") % m == r)
+            for (k, v) in list(model):
+                if k % m == r:
+                    del model[(k, v)]
+        elif op == "dv_delete":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            t.delete_where_dv(F.col("k") % m == r)
+            for (k, v) in list(model):
+                if k % m == r:
+                    del model[(k, v)]
+        elif op == "pos_delete":
+            m = rng.randint(3, 6)
+            r = rng.randint(0, m - 1)
+            t.delete_where_pos(F.col("k") % m == r)
+            for (k, v) in list(model):
+                if k % m == r:
+                    del model[(k, v)]
+        elif op == "mor_delete":
+            m = rng.randint(3, 6)
+            r = rng.randint(0, m - 1)
+            t.delete_where_mor(F.col("k") % m == r, keys=["k"])
+            for (k, v) in list(model):
+                if k % m == r:
+                    del model[(k, v)]
+        elif op == "cow_update":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            t.update_where(
+                F.col("k") % m == r, {"v": F.col("v") + 1}
+            )
+            bump = [(k, v) for (k, v) in model if k % m == r]
+            for kv in bump:
+                c = model.pop(kv)
+                model[(kv[0], kv[1] + 1)] += c
+        elif op == "dv_update":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            t.update_where_dv(
+                F.col("k") % m == r, {"v": F.col("v") + 2}
+            )
+            bump = [(k, v) for (k, v) in model if k % m == r]
+            for kv in bump:
+                c = model.pop(kv)
+                model[(kv[0], kv[1] + 2)] += c
+        elif op == "compact":
+            t.rewrite_data_files(target_file_count=rng.randint(1, 3))
+        elif op == "coalesce_dv":
+            t.coalesce_deletes_to_dv()
+        elif op == "rollback":
+            target = rng.choice(sorted(history))
+            t.rollback(target)
+            model = history[target].copy()
+        history[t.current_version()] = model.copy()
+        got = Counter(
+            (r["k"], r["v"]) for r in t.read().collect()
+        )
+        assert got == model, (
+            f"seed {seed} step {step} op {op}: table != model\n"
+            f"extra in table: {got - model}\n"
+            f"missing from table: {model - got}"
+        )
+
+    # CDC replay of the FULL history nets to the final state — every
+    # delete flavor's emission and every rewrite's net-zero must
+    # compose across the whole random sequence
+    tip = t.current_version()
+    net: Counter = Counter()
+    for row in _cdc_rows(t.path, 0, tip, ["k", "v"]):
+        k, v, kind = row[0], row[1], row[2]
+        if kind == "insert":
+            net[(k, v)] += 1
+        else:
+            net[(k, v)] -= 1
+    assert not any(n < 0 for n in net.values()), f"seed {seed}: negative net"
+    alive = Counter({kv: n for kv, n in net.items() if n > 0})
+    assert alive == model, (
+        f"seed {seed}: CDC replay != final state\n"
+        f"extra: {alive - model}\nmissing: {model - alive}"
+    )
+    # windowed CDC reads compose: splitting the interval at any point
+    # yields the same multiset of events
+    cut = tip // 2
+    whole = sorted(_cdc_rows(t.path, 0, tip, ["k", "v"]))
+    split = sorted(
+        _cdc_rows(t.path, 0, cut, ["k", "v"])
+        + _cdc_rows(t.path, cut, tip, ["k", "v"])
+    )
+    assert whole == split, f"seed {seed}: CDC windows do not compose"
+
+
+@pytest.mark.parametrize("seed", [7, 39, 105])
+def test_random_mutation_sequences_match_model(spark, tmp_path, seed):
+    _run_sequence(spark, tmp_path, seed)
