@@ -46,7 +46,13 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
         model.update(rows)
 
     append(rng.randint(5, 15))  # v1 seed data
-    history = {t.current_version(): model.copy()}
+    # k -> _row_id, captured when first observed (v1 upfront so a
+    # rollback-to-v1 restores real knowledge, not an empty map)
+    ids: dict = {
+        r["k"]: r["_row_id"]
+        for r in t.read(with_lineage=True).collect()
+    }
+    history = {t.current_version(): (model.copy(), dict(ids))}
     ops = [
         "append",
         "cow_delete",
@@ -118,16 +124,35 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
         elif op == "rollback":
             target = rng.choice(sorted(history))
             t.rollback(target)
-            model = history[target].copy()
-        history[t.current_version()] = model.copy()
-        got = Counter(
-            (r["k"], r["v"]) for r in t.read().collect()
-        )
+            model, ids = (
+                history[target][0].copy(),
+                dict(history[target][1]),
+            )
+        rows = t.read(with_lineage=True).collect()
+        got = Counter((r["k"], r["v"]) for r in rows)
         assert got == model, (
             f"seed {seed} step {step} op {op}: table != model\n"
             f"extra in table: {got - model}\n"
             f"missing from table: {model - got}"
         )
+        # row-identity invariant (Iceberg v3): a surviving row's
+        # _row_id NEVER changes, whatever rewrote it; fresh rows get
+        # fresh ids (the counter is monotone, ids never reused)
+        seen_ids = set()
+        for r in rows:
+            k, rid = r["k"], r["_row_id"]
+            assert rid not in seen_ids, (
+                f"seed {seed} step {step}: duplicate _row_id {rid}"
+            )
+            seen_ids.add(rid)
+            if k in ids:
+                assert rid == ids[k], (
+                    f"seed {seed} step {step} op {op}: row k={k} "
+                    f"changed identity {ids[k]} -> {rid}"
+                )
+            else:
+                ids[k] = rid
+        history[t.current_version()] = (model.copy(), dict(ids))
 
     # CDC replay of the FULL history nets to the final state — every
     # delete flavor's emission and every rewrite's net-zero must
