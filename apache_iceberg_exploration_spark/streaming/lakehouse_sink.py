@@ -36,7 +36,11 @@ import os
 import time
 import uuid
 
-from .lakehouse_source import _current_version, _manifest_files
+from .lakehouse_source import (
+    _current_version,
+    _manifest_files,
+    _norm_path,
+)
 from .sinks import BATCH_HWM_KEY, BATCH_KEY
 
 
@@ -444,7 +448,7 @@ def make_lakehouse_stream_sink():
             opts = {k.lower(): v for k, v in self.options.items()}
             pb = opts.get("partitionby")
             return _Writer(
-                opts["path"],
+                _norm_path(opts["path"]),
                 [c.strip() for c in pb.split(",")] if pb else None,
                 schema_json=schema.json() if schema is not None else None,
             )

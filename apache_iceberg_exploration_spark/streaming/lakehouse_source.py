@@ -1006,7 +1006,7 @@ def make_lakehouse_stream_source():
             mf = opts.get("maxfilespertrigger")
             mb = opts.get("maxbytespertrigger")
             return _Reader(
-                opts["path"],
+                _norm_path(opts["path"]),
                 int(opts.get("startingversion", 0)),
                 int(mv) if mv is not None else None,
                 cdc=opts.get("readchangefeed", "").lower() == "true",
@@ -1228,7 +1228,7 @@ def make_lakehouse_stream_dist_source():
             mf = opts.get("maxfilespertrigger")
             mb = opts.get("maxbytespertrigger")
             return _DistReader(
-                opts["path"],
+                _norm_path(opts["path"]),
                 int(opts.get("startingversion", 0)),
                 int(mv) if mv is not None else None,
                 cdc=opts.get("readchangefeed", "").lower() == "true",
@@ -1885,7 +1885,7 @@ def make_lakehouse_batch_source():
             from pyspark.sql.types import LongType, StructField
 
             opts = {k.lower(): v for k, v in self.options.items()}
-            root = opts["path"]
+            root = _norm_path(opts["path"])
             files = _manifest_files(root, _resolve_version(root, opts))
             if not files:
                 raise ValueError(f"empty lakehouse table at {root}")
@@ -1902,7 +1902,7 @@ def make_lakehouse_batch_source():
 
         def reader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
-            root = opts["path"]
+            root = _norm_path(opts["path"])
             wl = opts.get("withlineage", "").lower() == "true"
             if "startingversion" in opts:
                 # incremental batch read: rows appended AFTER snapshot
@@ -1927,7 +1927,7 @@ def make_lakehouse_batch_source():
                 if c.strip()
             ]
             return _BatchWriter(
-                opts["path"],
+                _norm_path(opts["path"]),
                 overwrite,
                 parts,
                 schema.json() if schema is not None else None,

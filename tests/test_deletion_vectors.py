@@ -646,3 +646,23 @@ def test_dv_delete_racing_compaction_never_lost(spark, table):
     assert not errs
     got = _keys(table.read())
     assert got == [k for k in range(30) if k % 10 != 3]  # delete landed
+
+
+def test_batch_dsv2_reader_accepts_file_uri_path(spark, table):
+    """The path option accepts file:-URIs (what Spark normalizes table
+    locations to) — SQL `CREATE TABLE ... USING lakehouse` resolves
+    schema() through this, though Spark 4.1 does not yet plumb catalog
+    table options into the Python DS reader() (engine limitation:
+    reader-side options arrive empty for SQL tables)."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    table.append(_kv(spark, 0, 5))
+    spark.dataSource.register(make_lakehouse_batch_source())
+    df = (
+        spark.read.format("lakehouse")
+        .option("path", "file://" + table.path)
+        .load()
+    )
+    assert _keys(df) == list(range(5))
