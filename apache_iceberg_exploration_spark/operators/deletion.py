@@ -455,3 +455,58 @@ def lakehouse_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_dv_maintenance_cycle",
+    oracle=f"""
+        WITH base AS ({_BASE_SQL})
+        SELECT c_mktsegment,
+               count(*) AS n_alive,
+               CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM base
+        WHERE cents >= 0 AND c_custkey % 11 <> 3
+        GROUP BY 1
+    """,
+)
+def lakehouse_dv_maintenance_cycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The v3 delete-lifecycle maintenance loop end-to-end: position
+    deletes accumulate coordinate files → ``coalesce_deletes_to_dv``
+    folds them into bitmaps (no data rewrite) → a DV delete merges more
+    bits (latest-wins superset) → ``rewrite_dv_heavy_files``
+    materializes only the files past the delete-ratio threshold →
+    ``expire_snapshots`` reclaims the superseded containers. Read-back
+    must equal the declarative filter, and the final snapshot must hold
+    no pending delete state at all for the rewritten scope.
+
+    Scale: each stage costs its own tail — O(deleted rows) for the
+    coalesce, O(dv-heavy files) for the targeted rewrite, O(metadata)
+    for the expiry — never O(table); this is the steady-state hourly
+    tick for a mutation-heavy 100 TB table, replacing the v2 loop whose
+    pos-delete cleanup rewrote every targeted file's full bytes."""
+    root = tempfile.mkdtemp(prefix="lakehouse_dvm_q_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        tbl.append(_base_customer(spark, sf_dir))
+        tbl.delete_where_pos(F.col("cents") < 0)  # v2: coordinates
+        tbl.coalesce_deletes_to_dv()  # v3: coords -> bitmap
+        tbl.delete_where_dv(F.col("c_custkey") % 11 == 3)  # v4: merge
+        tbl.rewrite_dv_heavy_files(min_ratio=0.01)  # v5: materialize
+        m = tbl._read_manifest(tbl.current_version())
+        assert not m.get("delete_vectors") and not m.get(
+            "delete_files"
+        ), "maintenance must clear all pending delete state"
+        tbl.expire_snapshots(keep_last=1)  # superseded containers go
+        out = (
+            tbl.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_alive"),
+                F.sum("cents").cast("long").alias("cents_sum"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

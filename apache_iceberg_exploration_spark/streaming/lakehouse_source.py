@@ -457,6 +457,15 @@ def _cdc_rows(
         tf: str, keys: list[str], vals: set[tuple]
     ) -> set[int]:
         """Row positions in one data file whose key tuple is doomed."""
+        have = set(pq.ParquetFile(tf).schema_arrow.names)
+        missing = [k for k in keys if k not in have]
+        if missing:
+            raise ValueError(
+                "lakehouse CDC: equality-delete key columns "
+                f"{missing} not present in data file {tf!r} (renamed "
+                "after the delete?) — consume the batch "
+                "LakehouseTable.changelog, which maps historical names"
+            )
         t = pq.read_table(tf, columns=[k for k in keys])
         cols = [t.column(k).to_pylist() for k in keys]
         return {
