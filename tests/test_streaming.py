@@ -1736,3 +1736,51 @@ def test_await_or_raise_surfaces_stream_failure_fast(spark, tmp_path):
         await_or_raise(q, 300)
     assert _time.monotonic() - t0 < 60  # fast, not the 300 s timeout
     assert not q.isActive
+
+
+def test_cdc_equality_emission_is_stats_pruned(spark, tmp_path):
+    """The equality-delete CDC emission must read ONLY the carried
+    files whose manifest key stats overlap the entry's key range — the
+    'scoped by the delete file's key ranges' cost model (a clustered
+    table localizes each delete to a few files)."""
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        LakehouseTable,
+    )
+    from apache_iceberg_exploration_spark.streaming import (
+        lakehouse_source as ls,
+    )
+
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    # three key-disjoint files (sorted ranges recorded in stats)
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 50)
+            .select(F.col("id").alias("k"), F.lit(1).alias("v"))
+            .coalesce(1)
+            .sortWithinPartitions("k")
+        )
+    t.delete_where_mor(F.col("k").between(120, 130), keys=["k"])
+
+    # only the middle file's key range overlaps the entry
+    m = t._read_manifest(t.current_version())
+    stats = m.get("stats", {})
+    overl = [
+        f
+        for f in m["files"]
+        if stats.get(f, {}).get("k")
+        and not (
+            stats[f]["k"][1] < 120 or stats[f]["k"][0] > 130
+        )
+    ]
+    assert len(overl) == 1  # the prune target is real
+    # and the emission produces exactly the middle file's rows
+    rows = ls._cdc_rows(t.path, 3, 4, ["k", "v"])
+    assert sorted(r[0] for r in rows) == list(range(120, 131))
+    assert {r[2] for r in rows} == {"delete"}
+    # the stats-skip helper itself: disjoint file stats screen out
+    keys, vals = ls._eq_keyset(
+        [d for d in m["delete_files"] if not d.get("pos")][0]
+    )
+    first = m["files"][0]
+    assert ls._eq_stats_skip(stats[first], keys, vals)
+    assert not ls._eq_stats_skip(stats[overl[0]], keys, vals)
