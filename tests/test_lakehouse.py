@@ -334,7 +334,15 @@ def test_zorder_compaction_bounds_both_dims(spark, table):
 
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     for i in range(3):
-        table.append(orders.filter(F.col("o_orderkey") % 3 == i).repartition(3))
+        # hash-partition by key: ROUND-ROBIN repartition(3) assigns rows
+        # by task-local order, which varies under load — the appended
+        # file contents (and so the rewrite's output spans) flapped in
+        # full-suite runs
+        table.append(
+            orders.filter(F.col("o_orderkey") % 3 == i).repartition(
+                3, F.col("o_orderkey")
+            )
+        )
     pre = _hash_df(table.read().select("o_orderkey", "o_custkey"))
     table.rewrite_data_files(
         target_file_count=4, zorder_by=["o_custkey", "o_orderkey"]

@@ -243,13 +243,13 @@ def test_batch_format_time_travel_and_mor_guard(spark, table):
     assert cur.count() == 30
 
     table.delete_where_mor(F.col("c_custkey") < 5, keys=["c_custkey"])
-    import pytest as _pytest
-
-    with _pytest.raises(Exception, match="merge-on-read"):
-        spark.read.format("lakehouse").option(
-            "path", table.path
-        ).load().count()
-    # compaction materializes the deletes; format read works again
+    # r7: the batch format APPLIES equality deletes (planning seq+stats
+    # scoping, executor key-parquet masks) instead of the r6 refusal
+    assert (
+        spark.read.format("lakehouse").option("path", table.path).load().count()
+        == 25
+    )
+    # and still after compaction materializes them
     table.rewrite_data_files(target_file_count=2)
     assert (
         spark.read.format("lakehouse").option("path", table.path).load().count()

@@ -182,6 +182,6 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
     assert whole == split, f"seed {seed}: CDC windows do not compose"
 
 
-@pytest.mark.parametrize("seed", [7, 39, 105])
+@pytest.mark.parametrize("seed", [7, 12, 39, 105, 133])
 def test_random_mutation_sequences_match_model(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed)
