@@ -1132,8 +1132,6 @@ def make_lakehouse_stream_dist_source():
                 # against its added rows, so a commit is the atomic
                 # work unit); work per partition is bounded by that
                 # commit's CHANGED files — the scoped-changelog shape.
-                # The MoR guard runs here (driver, metadata-only) so
-                # refusal is loud at planning time, not task time.
                 parts = []
                 prev = _manifest_meta(self.root, start["version"])
                 if prev is None:
@@ -2282,9 +2280,9 @@ def streaming_lakehouse_cdc_feed(
     source from appends-only to full CDC, completing the pair with the
     batch ``LakehouseTable.changelog``.
 
-    MoR-delete commits are refused loudly (file-level diffs cannot see
-    rows hidden by delete files — compact first), mirroring the batch
-    reader's pending-delete guard; covered by test_streaming.
+    Every delete flavor is emitted (r7): position coordinates, DV
+    bitmap deltas, and equality entries (evaluated seq-scoped and
+    stats-pruned against the pre-commit side's carried files).
 
     Scale: each commit diffs only its CHANGED files (the scoped-
     changelog argument); the simple reader materializes driver-side —

@@ -666,3 +666,26 @@ def test_batch_dsv2_reader_accepts_file_uri_path(spark, table):
         .load()
     )
     assert _keys(df) == list(range(5))
+
+
+def test_update_where_dv_pruned_partitioned(spark, table):
+    """update_where_dv composes with stats pruning and partitioned
+    layout: out-of-range files are not scanned, images can land under
+    the table's spec, carried partitions keep their tuples."""
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b", i * 10) for i in range(20)],
+        "k long, part string, v long",
+    )
+    table.overwrite(df, partition_by=["part"])
+    m = table.update_where_dv(
+        F.col("k") == 3,
+        {"v": F.lit(303)},
+        prune={"k": (0, 9)},
+        partition_by=["part"],
+    )
+    assert m is not None
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got[3] == 303 and got[15] == 150 and len(got) == 20
+    # partition pruning still works end-to-end after the update
+    scan_b = table.scan({"k": (15, 15)})
+    assert {r["k"] for r in scan_b.collect()} == {15}
