@@ -117,5 +117,7 @@ def _load_all() -> None:
     from .operators import lineage  # noqa: F401
     # r7 — Iceberg v3 deletion vectors + equality-delete CDC emission.
     from .operators import deletion  # noqa: F401
+    # r8 — Iceberg v3 default column values.
+    from .operators import evolution  # noqa: F401
 
     _LOADED = True

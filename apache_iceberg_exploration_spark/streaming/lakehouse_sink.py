@@ -174,9 +174,8 @@ def _commit_append(
             # table's declared schema must fail the commit, not corrupt
             # the table (the batch's files are already on disk; abort
             # cleanup removes them)
-            declared = {
-                f["name"] for f in json.loads(prev["schema"])["fields"]
-            }
+            prev_fields = json.loads(prev["schema"])["fields"]
+            declared = {f["name"] for f in prev_fields}
             import pyarrow.parquet as _pq
 
             got = set(_pq.ParquetFile(files[0]).schema_arrow.names)
@@ -186,6 +185,30 @@ def _commit_append(
                     f"lakehouse_sink: batch columns {sorted(extra)} are not"
                     " in the table schema — evolve the table first"
                     " (add_column / merge evolve_schema)"
+                )
+            # DEFAULT column values (Iceberg v3): the task files are
+            # already on disk, so a batch that OMITS a defaulted column
+            # cannot have the write-default materialized post-hoc —
+            # and committing the files as-is would make readers apply
+            # the INITIAL-default to post-add rows. Refuse loudly (the
+            # constraints pattern above); select the column explicitly
+            # in the stream or write via LakehouseTable.append.
+            missing_defaulted = sorted(
+                f["name"]
+                for f in prev_fields
+                if f["name"] not in got
+                and (
+                    "initial_default" in (f.get("metadata") or {})
+                    or "write_default" in (f.get("metadata") or {})
+                )
+            )
+            if missing_defaulted:
+                raise ValueError(
+                    "lakehouse_sink: batch omits defaulted columns "
+                    f"{missing_defaulted} — this writer cannot "
+                    "materialize write-defaults into already-written "
+                    "task files; select them explicitly in the stream "
+                    "or write via LakehouseTable.append"
                 )
         if partition_specs:
             # identity hidden-partitioning for streamed files: merge with
@@ -326,7 +349,10 @@ def _write_one_file(rows: list[dict], data_dir: str):
     os.makedirs(data_dir, exist_ok=True)
     path = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
     pq.write_table(table, path)
-    per_col: dict = {"__rows": table.num_rows}
+    per_col: dict = {
+        "__rows": table.num_rows,
+        "__cols": list(table.column_names),
+    }
     for name, col in zip(table.column_names, table.columns):
         if pa.types.is_integer(col.type) or pa.types.is_floating(
             col.type

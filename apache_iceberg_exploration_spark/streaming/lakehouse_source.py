@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import tempfile
 
 
 def _current_version(root: str) -> int:
@@ -286,6 +287,203 @@ def _norm_path(v: str) -> str:
     return v
 
 
+def _manifest_schema_json(root: str, version: int) -> str | None:
+    """Declared Spark schema JSON of a snapshot (a top-level manifest
+    key, never a PART key) — None for pre-schema-tracking manifests."""
+    if version <= 0:
+        return None
+    path = os.path.join(root, "snapshots", f"v{version}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f).get("schema")
+
+
+def _default_py(value, type_json):
+    """Schema-metadata default literal → the python value
+    ``pyarrow...to_pylist()`` would yield for a MATERIALIZED column of
+    the declared type — so rows filled from the default compare equal
+    to rows whose file physically contains it (the CDC net-to-zero
+    requirement across a compaction that materializes defaults)."""
+    if value is None:
+        return None
+    t = type_json if isinstance(type_json, str) else ""
+    if t == "date":
+        from datetime import date
+
+        return date.fromisoformat(value)
+    if t.startswith("timestamp"):
+        from datetime import datetime
+
+        return datetime.fromisoformat(value)
+    if t.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(str(value))
+    if t == "double" or t == "float":
+        return float(value)
+    return value
+
+
+def _schema_defaults(schema_json: str | None) -> dict:
+    """{column: python initial-default} for declared fields carrying an
+    Iceberg v3 ``initial-default`` — the read-time fill for files
+    written before the column existed."""
+    if not schema_json:
+        return {}
+    out: dict = {}
+    for f in json.loads(schema_json)["fields"]:
+        md = f.get("metadata") or {}
+        if md.get("initial_default") is not None:
+            out[f["name"]] = _default_py(
+                md["initial_default"], f.get("type")
+            )
+    return out
+
+
+# SQL-table option smuggling (CREATE TABLE ... USING lakehouse): the
+# metadata key under which schema() embeds the table options into the
+# catalog-persisted schema, and the allowlist of option names carried.
+_SQL_OPTS_KEY = "__lakehouse_options"
+_SQL_CARRIED_OPTS = {
+    "path",
+    "versionasof",
+    "timestampasof",
+    "startingversion",
+    "endingversion",
+    "withlineage",
+    "partitionby",
+}
+
+
+_SQL_REG_PATH = os.path.join(
+    tempfile.gettempdir(), ".spark_lakehouse_sql_tables.json"
+)
+
+
+def _sql_fingerprint(schema) -> str:
+    """Metadata-insensitive shape key of a schema: (name, type) pairs,
+    lineage columns excluded. INSERT ... SELECT hands the writer the
+    QUERY's schema (no field metadata), so the option bundle must also
+    be resolvable by shape."""
+    return json.dumps(
+        [
+            [f.name, f.dataType.json()]
+            for f in schema.fields
+            if f.name not in ("_row_id", "_last_updated_version")
+        ]
+    )
+
+
+def _record_sql_options(fingerprint: str, opts: dict) -> None:
+    """Remember a SQL table's options on the driver host, keyed by
+    schema shape (the channel INSERT ... SELECT needs — its writer gets
+    neither options nor the catalog's metadata-carrying schema). Merged
+    read-modify-write with atomic replace; multiple DISTINCT option
+    bundles under one shape are all kept so lookup can refuse loudly
+    instead of writing into the wrong table."""
+    try:
+        with open(_SQL_REG_PATH) as f:
+            reg = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        reg = {}
+    # self-clean: drop bundles whose table no longer exists (scratch
+    # tables are rmtree'd after use — without this, accumulated same-
+    # shape entries would trip the ambiguity refusal forever)
+    entries = [
+        e
+        for e in reg.get(fingerprint, [])
+        if os.path.isdir(_norm_path(e.get("path", "")))
+    ]
+    reg[fingerprint] = entries
+    if opts not in entries:
+        entries.append(opts)
+    tmp = _SQL_REG_PATH + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(reg, f)
+    os.replace(tmp, _SQL_REG_PATH)
+
+
+def _lookup_sql_options(fingerprint: str) -> dict | None:
+    try:
+        with open(_SQL_REG_PATH) as f:
+            reg = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+    entries = [
+        e
+        for e in (reg.get(fingerprint) or [])
+        if os.path.isdir(_norm_path(e.get("path", "")))
+    ]
+    if not entries:
+        return None
+    paths = {e.get("path") for e in entries}
+    if len(paths) > 1:
+        raise ValueError(
+            "lakehouse SQL-table options are ambiguous: "
+            f"{len(paths)} tables share this schema shape ({sorted(paths)})"
+            " — write via df.write.format('lakehouse').option('path', ...)"
+        )
+    return entries[0]
+
+
+def _strip_sql_opts(st):
+    """StructType with the smuggled SQL-table option bundle removed from
+    field metadata (writers must not persist it into table schemas)."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields = []
+    for f in st.fields:
+        md = {
+            k: v
+            for k, v in (f.metadata or {}).items()
+            if k != _SQL_OPTS_KEY
+        }
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    return StructType(fields)
+
+
+def _nullable_struct(st):
+    """Declared Spark schema with every top-level field forced nullable —
+    Python Data Source rows are reassembled driver/worker-side where
+    Spark cannot prove the writer's not-null invariant, and a
+    nullable=False field in a DSv2-python schema breaks the streaming
+    ingest (INTERNAL_ERROR on collect). Matches from_arrow_schema's
+    behavior, which always yielded nullable fields here before."""
+    from pyspark.sql.types import StructField, StructType
+
+    # metadata (initial_default / prior_names) is STRIPPED: it is
+    # reader-internal, and Spark 4.1's Python streaming runner fails an
+    # assertion converting prefetched rows to Arrow when the source
+    # schema carries field metadata
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in st.fields]
+    )
+
+
+def _stream_colnames(root: str) -> list[str]:
+    """Column names a stream of this table emits: the declared schema's
+    (minus reserved lineage columns) when the tip manifest declares one
+    — so columns added after the first file (add_column, with or
+    without defaults) are present — else the first file's (pre-schema
+    tables)."""
+    sj = _manifest_schema_json(root, _current_version(root))
+    if sj:
+        return [
+            f["name"]
+            for f in json.loads(sj)["fields"]
+            if f["name"] not in _RESERVED_LINEAGE
+        ]
+    import pyarrow.parquet as pq
+
+    files = _manifest_files(root, _current_version(root))
+    return [
+        f.name
+        for f in pq.ParquetFile(files[0]).schema_arrow
+        if f.name not in _RESERVED_LINEAGE
+    ]
+
+
 def _pos_coords(entry_files: list[str]) -> dict[str, set[int]]:
     """target data file -> set of doomed row positions, from a position
     delete entry's coordinate files."""
@@ -344,14 +542,29 @@ def _eq_stats_skip(file_stats: dict, keys: list[str], vals: set) -> bool:
     """True when the file's recorded min/max for EVERY key column rules
     out any of the entry's key tuples — the file provably holds no
     matching row and need not be read (the VERDICT r7 'scoped by the
-    delete file's key ranges' prune)."""
+    delete file's key ranges' prune).
+
+    NULL-keyed tuples (ADVICE r8): min/max stats EXCLUDE nulls, and the
+    batch reader matches keys null-safely — so when any tuple carries a
+    NULL component for column k, k can prune only if the file's __nulls
+    stat proves the file holds no NULL at k (unknown counts keep the
+    file; CDC emission must never diverge from the batch read)."""
     for i, k in enumerate(keys):
         rng = (file_stats or {}).get(k)
         if not isinstance(rng, list) or len(rng) != 2:
             continue
+        null_keyed = any(t[i] is None for t in vals)
+        if null_keyed:
+            file_nulls = ((file_stats or {}).get("__nulls") or {}).get(k)
+            if file_nulls != 0:
+                continue  # a NULL row could match a NULL-keyed tuple
         try:
             kv = [t[i] for t in vals if t[i] is not None]
             if kv and (max(kv) < rng[0] or min(kv) > rng[1]):
+                return True
+            if not kv and null_keyed:
+                # every tuple is NULL at k and the file provably has no
+                # NULL at k: nothing can match
                 return True
         except TypeError:
             continue  # non-comparable key type: keep the file
@@ -360,12 +573,19 @@ def _eq_stats_skip(file_stats: dict, keys: list[str], vals: set) -> bool:
 
 def _dv_positions(entry: dict) -> set[int]:
     """Decode one deletion-vector bitmap entry (path/offset/length into
-    a Puffin-style container) into its row positions."""
+    a Puffin-style container) into its row positions. Checksum-verified
+    via the shared reader (ADVICE r7 — executor paths must not apply a
+    truncated bitmap silently)."""
     import numpy as np
 
-    with open(entry["path"], "rb") as f:
-        f.seek(int(entry["offset"]))
-        blob = f.read(int(entry["length"]))
+    from ..sources.lakehouse import _read_dv_bytes
+
+    blob = _read_dv_bytes(
+        entry["path"],
+        entry["offset"],
+        entry["length"],
+        entry.get("sha256"),
+    )
     return set(
         np.nonzero(np.unpackbits(np.frombuffer(blob, dtype=np.uint8)))[
             0
@@ -379,6 +599,7 @@ def _cdc_rows(
     until: int,
     colnames: list[str],
     row_level: bool = False,
+    defaults: dict | None = None,
 ) -> list[tuple]:
     """Change rows for snapshots (since, until] — the streaming CHANGE
     FEED (Delta's readChangeFeed / Iceberg's changelog scan, streamed):
@@ -430,6 +651,17 @@ def _cdc_rows(
             f"lakehouse_stream CDC: snapshot v{since} expired — consumer "
             "lagged past snapshot retention"
         )
+    # Iceberg v3 initial-defaults (immutable once set, so any manifest
+    # in the range yields the same values): rows read from files that
+    # predate an added defaulted column fill the default, exactly as
+    # the batch readers do — a compaction that MATERIALIZES the default
+    # into rewritten files then nets to zero here too
+    dflts = (
+        defaults
+        if defaults is not None
+        else _schema_defaults(_manifest_schema_json(root, until))
+    )
+    fill = [dflts.get(n) for n in colnames]
 
     coords_cache: dict[str, dict[str, set[int]]] = {}
     keyset_cache: dict[str, tuple[list[str], set[tuple]]] = {}
@@ -528,7 +760,8 @@ def _cdc_rows(
                     continue  # already logically deleted — not a change
                 c[
                     tuple(
-                        col[i] if col is not None else None for col in cols
+                        col[i] if col is not None else fill[j]
+                        for j, col in enumerate(cols)
                     )
                 ] += 1
         return c
@@ -541,7 +774,10 @@ def _cdc_rows(
             for n in colnames
         ]
         return [
-            tuple(col[i] if col is not None else None for col in cols)
+            tuple(
+                col[i] if col is not None else fill[j]
+                for j, col in enumerate(cols)
+            )
             for i in sorted(positions)
         ]
 
@@ -581,7 +817,8 @@ def _cdc_rows(
                 if i in skip:
                     continue
                 out_m[_rid(phys, base, i, f)] = tuple(
-                    col[i] if col is not None else None for col in cols
+                    col[i] if col is not None else fill[j]
+                    for j, col in enumerate(cols)
                 )
         return out_m
 
@@ -604,7 +841,8 @@ def _cdc_rows(
         return [
             (
                 tuple(
-                    col[i] if col is not None else None for col in cols
+                    col[i] if col is not None else fill[j]
+                    for j, col in enumerate(cols)
                 ),
                 _rid(phys, base, i, tf),
             )
@@ -884,15 +1122,20 @@ def make_lakehouse_stream_source():
             self.max_bytes = max_bytes_per_trigger
             self.cdc = cdc
             self.row_level = row_level
-            if cdc:
-                import pyarrow.parquet as pq
-
-                files = _manifest_files(root, _current_version(root))
-                self._colnames = [
-                    f.name
-                    for f in pq.ParquetFile(files[0]).schema_arrow
-                    if f.name not in _RESERVED_LINEAGE
-                ]
+            self._colnames = _stream_colnames(root)
+            # plain (non-CDC) replay projection: when the tip manifest
+            # declares a schema, rows from files that predate an
+            # add_column fill the column's initial-default (else NULL)
+            # instead of breaking tuple arity. The same tip-derived
+            # defaults feed every per-commit CDC diff (initial-defaults
+            # are immutable, so the tip's values hold for the whole
+            # history — a per-commit manifest may PREDATE the add).
+            sj = _manifest_schema_json(root, _current_version(root))
+            self._cdc_defaults = _schema_defaults(sj)
+            self._fill = [
+                self._cdc_defaults.get(n) for n in self._colnames
+            ]
+            self._declared = sj is not None
 
         def initialOffset(self) -> dict:
             # 0 = replay the whole table in the first batch; a
@@ -908,13 +1151,31 @@ def make_lakehouse_stream_source():
             rows: list[tuple] = []
             for f in files:
                 pf = pq.ParquetFile(f)
-                names = [
-                    n
-                    for n in pf.schema_arrow.names
-                    if n not in _RESERVED_LINEAGE
-                ]
-                for batch in pf.iter_batches(columns=names):
-                    rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+                have = set(pf.schema_arrow.names)
+                if not self._declared:
+                    names = [
+                        n
+                        for n in pf.schema_arrow.names
+                        if n not in _RESERVED_LINEAGE
+                    ]
+                    for batch in pf.iter_batches(columns=names):
+                        rows.extend(
+                            zip(*[c.to_pylist() for c in batch.columns])
+                        )
+                    continue
+                # declared-schema projection (column order + defaults)
+                present = [n for n in self._colnames if n in have]
+                for batch in pf.iter_batches(columns=present or None):
+                    got = {
+                        n: c.to_pylist()
+                        for n, c in zip(batch.schema.names, batch.columns)
+                    }
+                    n_rows = batch.num_rows
+                    cols = [
+                        got.get(n, [self._fill[j]] * n_rows)
+                        for j, n in enumerate(self._colnames)
+                    ]
+                    rows.extend(zip(*cols))
             return rows
 
         def read(self, start: dict):
@@ -945,6 +1206,7 @@ def make_lakehouse_stream_source():
                         until,
                         self._colnames,
                         row_level=self.row_level,
+                        defaults=self._cdc_defaults,
                     ),
                     {"version": until},
                 )
@@ -961,6 +1223,7 @@ def make_lakehouse_stream_source():
                     end["version"],
                     self._colnames,
                     row_level=self.row_level,
+                    defaults=self._cdc_defaults,
                 )
             return self._rows_for(
                 _added_files(self.root, start["version"], end["version"])
@@ -987,14 +1250,22 @@ def make_lakehouse_stream_source():
             )
 
             root = self.options["path"]
-            files = _manifest_files(root, _current_version(root))
-            if not files:
-                raise ValueError(f"empty lakehouse table at {root}")
-            import pyarrow.parquet as pq
+            sj = _manifest_schema_json(root, _current_version(root))
+            if sj:
+                from pyspark.sql.types import StructType
 
-            base = from_arrow_schema(
-                _us_schema(pq.ParquetFile(files[0]).schema_arrow)
-            )
+                base = _nullable_struct(
+                    StructType.fromJson(json.loads(sj))
+                )
+            else:
+                files = _manifest_files(root, _current_version(root))
+                if not files:
+                    raise ValueError(f"empty lakehouse table at {root}")
+                import pyarrow.parquet as pq
+
+                base = from_arrow_schema(
+                    _us_schema(pq.ParquetFile(files[0]).schema_arrow)
+                )
             opts = {k.lower(): v for k, v in self.options.items()}
             # Delta readChangeFeed column convention
             if opts.get("readchangefeed", "").lower() == "true":
@@ -1075,15 +1346,32 @@ def make_lakehouse_stream_dist_source():
             self._hwm = starting_version  # highest position observed
             self.cdc = cdc
             self.row_level = row_level
-            if cdc:
-                import pyarrow.parquet as pq
+            self._colnames = _stream_colnames(root)
+            self._cdc_defaults = _schema_defaults(
+                _manifest_schema_json(root, _current_version(root))
+            )
+            # plain (non-CDC) executor-side Arrow projection target:
+            # declared schema (add_column visibility + initial-default
+            # fill), computed driver-side once and pickled
+            self._target_arrow = None
+            self._defaults: dict = {}
+            self._renames: dict = {}
+            sj = _manifest_schema_json(root, _current_version(root))
+            if sj:
+                from pyspark.sql.pandas.types import to_arrow_schema
+                from pyspark.sql.types import StructType
 
-                files = _manifest_files(root, _current_version(root))
-                self._colnames = [
-                    f.name
-                    for f in pq.ParquetFile(files[0]).schema_arrow
-                    if f.name not in _RESERVED_LINEAGE
-                ]
+                self._target_arrow = to_arrow_schema(
+                    _nullable_struct(StructType.fromJson(json.loads(sj)))
+                )
+                self._defaults = _schema_defaults(sj)
+                self._renames = {
+                    f["name"]: (f.get("metadata") or {}).get(
+                        "prior_names", []
+                    )
+                    for f in json.loads(sj)["fields"]
+                    if (f.get("metadata") or {}).get("prior_names")
+                }
 
         def _learn(self, version: int) -> None:
             if version > self._hwm:
@@ -1181,14 +1469,32 @@ def make_lakehouse_stream_dist_source():
                     v,
                     self._colnames,
                     row_level=self.row_level,
+                    defaults=self._cdc_defaults,
                 )
                 return
             # executor-side: stream the file as Arrow batches (zero-copy
             # into Spark's Arrow pipe, no Python row materialization;
-            # ns timestamps demoted to µs for Spark's Arrow ingest)
+            # ns timestamps demoted to µs for Spark's Arrow ingest).
+            # Files predating the declared schema (add_column) project
+            # to it — initial-defaults filled, renames resolved.
             import pyarrow.parquet as pq
 
-            yield from _us_batches(pq.ParquetFile(partition.value))
+            pf = pq.ParquetFile(partition.value)
+            if (
+                self._target_arrow is None
+                or _us_schema(pf.schema_arrow) == self._target_arrow
+            ):
+                yield from _us_batches(pf)
+                return
+            import pyarrow as pa
+
+            for batch in pf.iter_batches():
+                yield from _project_arrow(
+                    pa.Table.from_batches([batch]),
+                    self._target_arrow,
+                    self._defaults,
+                    self._renames,
+                ).to_batches()
 
         def commit(self, end: dict) -> None:
             self._learn(end["version"])
@@ -1208,14 +1514,22 @@ def make_lakehouse_stream_dist_source():
             )
 
             root = self.options["path"]
-            files = _manifest_files(root, _current_version(root))
-            if not files:
-                raise ValueError(f"empty lakehouse table at {root}")
-            import pyarrow.parquet as pq
+            sj = _manifest_schema_json(root, _current_version(root))
+            if sj:
+                from pyspark.sql.types import StructType
 
-            base = from_arrow_schema(
-                _us_schema(pq.ParquetFile(files[0]).schema_arrow)
-            )
+                base = _nullable_struct(
+                    StructType.fromJson(json.loads(sj))
+                )
+            else:
+                files = _manifest_files(root, _current_version(root))
+                if not files:
+                    raise ValueError(f"empty lakehouse table at {root}")
+                import pyarrow.parquet as pq
+
+                base = from_arrow_schema(
+                    _us_schema(pq.ParquetFile(files[0]).schema_arrow)
+                )
             opts = {k.lower(): v for k, v in self.options.items()}
             if opts.get("readchangefeed", "").lower() == "true":
                 if opts.get("rowlineage", "").lower() == "true":
@@ -1331,6 +1645,7 @@ def _eq_footer_ranges(entry: dict) -> dict | None:
     import pyarrow.parquet as pq
 
     out: dict = {}
+    nulled: set = set()
     for kf in entry["files"]:
         md = pq.ParquetFile(kf).metadata
         for rg in range(md.num_row_groups):
@@ -1343,22 +1658,40 @@ def _eq_footer_ranges(entry: dict) -> dict | None:
                 st = col.statistics
                 if st is None or not st.has_min_max:
                     return None
+                # NULL-keyed tuples are invisible to min/max (ADVICE
+                # r8): remember which key columns carry any NULL (or an
+                # unknown null count) so _ranges_disjoint only prunes on
+                # them against provably null-free data files
+                if not st.has_null_count or st.null_count > 0:
+                    nulled.add(name)
                 lo, hi = st.min, st.max
                 if name in out:
                     plo, phi = out[name]
                     out[name] = (min(plo, lo), max(phi, hi))
                 else:
                     out[name] = (lo, hi)
-    return out or None
+    if not out:
+        return None
+    return {
+        k: (lo, hi, k in nulled) for k, (lo, hi) in out.items()
+    }
 
 
 def _ranges_disjoint(file_stats: dict, key_ranges: dict) -> bool:
     """True when ANY key column's manifest min/max provably misses the
-    entry's key range — the file can hold no matching row."""
-    for k, (lo, hi) in key_ranges.items():
+    entry's key range — the file can hold no matching row. A key column
+    whose delete tuples include NULLs (``has_null`` flag from
+    _eq_footer_ranges) prunes only when the data file's __nulls stat
+    proves it holds no NULL at that column (the batch reader matches
+    null-safely)."""
+    for k, (lo, hi, has_null) in key_ranges.items():
         rng = (file_stats or {}).get(k)
         if not isinstance(rng, list) or len(rng) != 2:
             continue
+        if has_null:
+            file_nulls = ((file_stats or {}).get("__nulls") or {}).get(k)
+            if file_nulls != 0:
+                continue
         try:
             if rng[1] < lo or rng[0] > hi:
                 return True
@@ -1367,19 +1700,37 @@ def _ranges_disjoint(file_stats: dict, key_ranges: dict) -> bool:
     return False
 
 
-def _project_arrow(tbl, target):
+def _project_arrow(
+    tbl, target, defaults: dict | None = None, renames: dict | None = None
+):
     """Project one Arrow table to the TABLE's declared schema: missing
-    columns (written before an add_column) null-fill; physical types
-    cast (a file written int32 under a declared int64 — the
-    type-promotion lattice — reads wide). The batch reader must yield
-    batches in the DECLARED schema, not each file's own, or Spark's
-    Arrow ingest breaks on the first heterogeneous file."""
+    columns (written before an add_column) fill the column's Iceberg v3
+    ``initial-default`` when one is declared (``defaults`` maps column
+    name → python value), else null; physical types cast (a file
+    written int32 under a declared int64 — the type-promotion lattice —
+    reads wide). The batch reader must yield batches in the DECLARED
+    schema, not each file's own, or Spark's Arrow ingest breaks on the
+    first heterogeneous file."""
     import pyarrow as pa
 
     cols = []
     for fld in target:
-        if fld.name in tbl.column_names:
-            cols.append(tbl.column(fld.name).cast(fld.type))
+        name = fld.name
+        if name not in tbl.column_names and renames:
+            # renamed columns: pre-rename files populate a prior name —
+            # newest prior name wins (the LakehouseTable coalesce chain)
+            for prior in reversed(renames.get(name, [])):
+                if prior in tbl.column_names:
+                    name = prior
+                    break
+        if name in tbl.column_names:
+            cols.append(tbl.column(name).cast(fld.type))
+        elif defaults and defaults.get(fld.name) is not None:
+            cols.append(
+                pa.array(
+                    [defaults[fld.name]] * tbl.num_rows, type=fld.type
+                )
+            )
         else:
             cols.append(pa.nulls(tbl.num_rows, fld.type))
     return pa.Table.from_arrays(cols, schema=target)
@@ -1547,6 +1898,7 @@ def make_lakehouse_batch_source():
             version: int,
             since: int | None = None,
             with_lineage: bool = False,
+            target_struct=None,
         ):
             self.root = root
             self.version = version
@@ -1556,6 +1908,52 @@ def make_lakehouse_batch_source():
             self.with_lineage = with_lineage
             self.bounds: dict[str, list] = {}  # col -> [lo, hi] (closed)
             self.null_preds: dict[str, bool] = {}  # col -> IS NULL?
+            # declared-schema projection target (driver-computed once,
+            # pickled with the reader): the snapshot's Spark schema —
+            # with its Iceberg v3 initial-defaults — beats the
+            # anchor-file schema whenever the manifest declares one
+            # (an anchor file predating an add_column would otherwise
+            # HIDE the added column from the whole scan)
+            self._target_arrow = None
+            self._defaults: dict = {}
+            self._renames: dict = {}
+            sj = _manifest_schema_json(root, version)
+            if sj:
+                self._defaults = _schema_defaults(sj)
+                self._renames = {
+                    f["name"]: (f.get("metadata") or {}).get(
+                        "prior_names", []
+                    )
+                    for f in json.loads(sj)["fields"]
+                    if (f.get("metadata") or {}).get("prior_names")
+                }
+            if target_struct is not None and target_struct.fields:
+                # the schema Spark planned with IS the contract the
+                # emitted batches must match — for a SQL table this is
+                # the catalog schema (possibly older than the manifest's
+                # after later evolution); lineage columns are appended
+                # after projection, so they leave the target
+                from pyspark.sql.pandas.types import to_arrow_schema
+                from pyspark.sql.types import StructType
+
+                plain = StructType(
+                    [
+                        f
+                        for f in target_struct.fields
+                        if f.name
+                        not in ("_row_id", "_last_updated_version")
+                    ]
+                )
+                self._target_arrow = to_arrow_schema(
+                    _nullable_struct(plain)
+                )
+            elif sj:
+                from pyspark.sql.pandas.types import to_arrow_schema
+                from pyspark.sql.types import StructType
+
+                self._target_arrow = to_arrow_schema(
+                    _nullable_struct(StructType.fromJson(json.loads(sj)))
+                )
 
         def pushFilters(self, filters):
             # materialized eagerly (not a generator): bounds must be set
@@ -1711,11 +2109,12 @@ def make_lakehouse_batch_source():
                         dvs[f]["path"],
                         int(dvs[f]["offset"]),
                         int(dvs[f]["length"]),
+                        dvs[f].get("sha256"),
                         sorted(pos_dead.get(f, ())),
                     )
                     if f in dvs
                     else (
-                        (None, 0, 0, sorted(pos_dead[f]))
+                        (None, 0, 0, None, sorted(pos_dead[f]))
                         if f in pos_dead
                         else None
                     )
@@ -1772,23 +2171,27 @@ def make_lakehouse_batch_source():
         @staticmethod
         def _dv_mask(dv: tuple | None, offset: int, n: int, eq_dead=None):
             """Arrow keep-mask for batch rows [offset, offset+n) under a
-            (path, offset, length, extra_positions) delete pointer —
-            path None = position-delete coordinates only — plus
-            batch-local equality-dead row indices; None = keep all."""
+            (path, offset, length, sha256, extra_positions) delete
+            pointer — path None = position-delete coordinates only —
+            plus batch-local equality-dead row indices; None = keep all.
+            Blob reads verify the recorded digest (ADVICE r7)."""
             if dv is None and not eq_dead:
                 return None
             import numpy as np
             import pyarrow as pa
 
+            from ..sources.lakehouse import _read_dv_bytes
+
             keep = np.ones(n, dtype=bool)
             if dv is not None:
-                path, off, ln, extra = dv
+                path, off, ln, digest, extra = dv
                 if path is not None:
-                    with open(path, "rb") as fh:
-                        fh.seek(off)
-                        bits = np.unpackbits(
-                            np.frombuffer(fh.read(ln), dtype=np.uint8)
+                    bits = np.unpackbits(
+                        np.frombuffer(
+                            _read_dv_bytes(path, off, ln, digest),
+                            dtype=np.uint8,
                         )
+                    )
                     hi = min(len(bits), offset + n)
                     if hi > offset:
                         keep[: hi - offset] = bits[offset:hi] == 0
@@ -1806,7 +2209,9 @@ def make_lakehouse_batch_source():
 
             if not self.with_lineage:
                 f, dv, eq, anchor = partition.value
-                target = _us_schema(pq.ParquetFile(anchor).schema_arrow)
+                target = self._target_arrow or _us_schema(
+                    pq.ParquetFile(anchor).schema_arrow
+                )
                 pf = pq.ParquetFile(f)
                 if (
                     dv is None
@@ -1831,7 +2236,9 @@ def make_lakehouse_batch_source():
                         else None,
                     )
                     offset += n
-                    out = _project_arrow(tbl, target)
+                    out = _project_arrow(
+                        tbl, target, self._defaults, self._renames
+                    )
                     if mask is not None:
                         out = out.filter(mask)
                     yield from out.to_batches()
@@ -1840,7 +2247,9 @@ def make_lakehouse_batch_source():
 
             f, base, seq, dv, eq, anchor = partition.value
             eq_loaded = _load_eq_keysets(eq)
-            target = _us_schema(pq.ParquetFile(anchor).schema_arrow)
+            target = self._target_arrow or _us_schema(
+                pq.ParquetFile(anchor).schema_arrow
+            )
             pf = pq.ParquetFile(f)
             has_rid = "__row_id" in pf.schema_arrow.names
             has_lu = "__last_updated" in pf.schema_arrow.names
@@ -1863,7 +2272,9 @@ def make_lakehouse_batch_source():
                     lu = [p if p is not None else seq for p in plu]
                 else:
                     lu = [seq] * n
-                out = _project_arrow(tbl, target)
+                out = _project_arrow(
+                    tbl, target, self._defaults, self._renames
+                )
                 out = out.append_column(
                     "_row_id", pa.array(rid, pa.int64())
                 ).append_column(
@@ -1889,26 +2300,90 @@ def make_lakehouse_batch_source():
 
         def schema(self):
             from pyspark.sql.pandas.types import from_arrow_schema
-            from pyspark.sql.types import LongType, StructField
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                StructType,
+            )
 
             opts = {k.lower(): v for k, v in self.options.items()}
             root = _norm_path(opts["path"])
-            files = _manifest_files(root, _resolve_version(root, opts))
-            if not files:
-                raise ValueError(f"empty lakehouse table at {root}")
-            import pyarrow.parquet as pq
+            version = _resolve_version(root, opts)
+            # the snapshot's DECLARED schema wins (it carries columns an
+            # anchor file may predate — add_column — plus Iceberg v3
+            # default metadata); anchor-file inference is the fallback
+            # for pre-schema-tracking manifests
+            sj = _manifest_schema_json(root, version)
+            if sj:
+                base = _nullable_struct(
+                    StructType.fromJson(json.loads(sj))
+                )
+            else:
+                files = _manifest_files(root, version)
+                if not files:
+                    raise ValueError(f"empty lakehouse table at {root}")
+                import pyarrow.parquet as pq
 
-            base = from_arrow_schema(
-                _us_schema(pq.ParquetFile(files[0]).schema_arrow)
-            )
+                base = from_arrow_schema(
+                    _us_schema(pq.ParquetFile(files[0]).schema_arrow)
+                )
             if opts.get("withlineage", "").lower() == "true":
                 base = base.add(
                     StructField("_row_id", LongType())
                 ).add(StructField("_last_updated_version", LongType()))
+            # SQL-table surface (CREATE TABLE ... USING lakehouse):
+            # Spark 4.1 instantiates the DataSource for reader()/writer()
+            # in a SEPARATE worker process with EMPTY options, while
+            # schema() (called once at CREATE) gets them — so the table
+            # options travel in the catalog-persisted schema itself, as
+            # metadata on the first field. reader()/writer() fall back
+            # to it when their own options are empty.
+            if base.fields and "path" in opts:
+                carried = {
+                    k: v
+                    for k, v in opts.items()
+                    if k in _SQL_CARRIED_OPTS
+                }
+                f0 = base.fields[0]
+                md = dict(f0.metadata or {})
+                md[_SQL_OPTS_KEY] = carried
+                fields = list(base.fields)
+                fields[0] = StructField(
+                    f0.name, f0.dataType, f0.nullable, md
+                )
+                base = StructType(fields)
+                # second channel for INSERT ... SELECT, whose writer
+                # receives the QUERY schema (metadata-free): a driver-
+                # host registry keyed by schema shape
+                _record_sql_options(_sql_fingerprint(base), carried)
             return base
 
+        @staticmethod
+        def _effective_opts(own: dict, schema) -> dict:
+            """Own options, falling back to the option bundle the
+            schema() call smuggled into the catalog schema (the SQL-
+            table path, where Spark hands reader()/writer() empty
+            options)."""
+            if "path" in own or schema is None:
+                return own
+            for f in getattr(schema, "fields", []) or []:
+                carried = (f.metadata or {}).get(_SQL_OPTS_KEY)
+                if carried:
+                    return {**carried, **own}
+            by_shape = _lookup_sql_options(_sql_fingerprint(schema))
+            if by_shape:
+                return {**by_shape, **own}
+            raise ValueError(
+                "lakehouse batch format: no 'path' option and the "
+                "schema carries no table options — read via "
+                "spark.read.format('lakehouse').option('path', ...) or "
+                "re-create the SQL table with OPTIONS (path '...')"
+            )
+
         def reader(self, schema):
-            opts = {k.lower(): v for k, v in self.options.items()}
+            opts = self._effective_opts(
+                {k.lower(): v for k, v in self.options.items()}, schema
+            )
             root = _norm_path(opts["path"])
             wl = opts.get("withlineage", "").lower() == "true"
             if "startingversion" in opts:
@@ -1920,14 +2395,23 @@ def make_lakehouse_batch_source():
                     opts.get("endingversion", _current_version(root))
                 )
                 return _BatchReader(
-                    root, until, since=since, with_lineage=wl
+                    root,
+                    until,
+                    since=since,
+                    with_lineage=wl,
+                    target_struct=schema,
                 )
             return _BatchReader(
-                root, _resolve_version(root, opts), with_lineage=wl
+                root,
+                _resolve_version(root, opts),
+                with_lineage=wl,
+                target_struct=schema,
             )
 
         def writer(self, schema, overwrite: bool):
-            opts = {k.lower(): v for k, v in self.options.items()}
+            opts = self._effective_opts(
+                {k.lower(): v for k, v in self.options.items()}, schema
+            )
             parts = [
                 c.strip()
                 for c in opts.get("partitionby", "").split(",")
@@ -1937,7 +2421,9 @@ def make_lakehouse_batch_source():
                 _norm_path(opts["path"]),
                 overwrite,
                 parts,
-                schema.json() if schema is not None else None,
+                _strip_sql_opts(schema).json()
+                if schema is not None
+                else None,
             )
 
     class _Msg(WriterCommitMessage):

@@ -689,3 +689,88 @@ def test_update_where_dv_pruned_partitioned(spark, table):
     # partition pruning still works end-to-end after the update
     scan_b = table.scan({"k": (15, 15)})
     assert {r["k"] for r in scan_b.collect()} == {15}
+
+
+# -- ADVICE r8 fixes: codec guard, executor checksum, NULL-key pruning ----
+
+
+def test_dv_encode_empty_raises():
+    with pytest.raises(ValueError, match="at least one position"):
+        LakehouseTable._dv_encode([])
+
+
+def test_read_dv_bytes_checksum_mismatch(tmp_path):
+    import hashlib
+
+    from apache_iceberg_exploration_spark.sources.lakehouse import (
+        _read_dv_bytes,
+    )
+
+    p = str(tmp_path / "container.bin")
+    blob, _ = LakehouseTable._dv_encode([1, 5, 9])
+    with open(p, "wb") as f:
+        f.write(blob)
+    good = hashlib.sha256(blob).hexdigest()[:16]
+    assert _read_dv_bytes(p, 0, len(blob), good) == blob
+    assert _read_dv_bytes(p, 0, len(blob), None) == blob  # legacy entry
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        _read_dv_bytes(p, 0, len(blob), "0" * 16)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        _read_dv_bytes(p, 0, len(blob) - 1, good)  # truncated read
+
+
+def test_dv_positions_and_mask_verify_checksum(tmp_path):
+    """The streaming decode and the DSv2 Arrow-mask path both refuse a
+    corrupted container instead of applying a wrong bitmap (ADVICE r8:
+    verification was driver-only)."""
+    from apache_iceberg_exploration_spark.streaming import (
+        lakehouse_source as ls,
+    )
+
+    p = str(tmp_path / "container.bin")
+    blob, _ = LakehouseTable._dv_encode([0, 2])
+    with open(p, "wb") as f:
+        f.write(blob)
+    entry = {"path": p, "offset": 0, "length": len(blob), "sha256": "bad"}
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        ls._dv_positions(entry)
+    entry["sha256"] = __import__("hashlib").sha256(blob).hexdigest()[:16]
+    assert ls._dv_positions(entry) == {0, 2}
+
+
+def test_eq_stats_skip_null_keys():
+    """A NULL-keyed delete tuple must not be pruned away from a file
+    whose min/max (null-exclusive) misses the non-null tuples but which
+    may hold NULL rows (ADVICE r8)."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        _eq_stats_skip,
+    )
+
+    stats_unknown_nulls = {"k": [1, 2]}
+    stats_has_nulls = {"k": [1, 2], "__nulls": {"k": 3}}
+    stats_no_nulls = {"k": [1, 2], "__nulls": {"k": 0}}
+    vals = {(5,), (None,)}
+    # non-null value 5 is out of range, but the NULL tuple may match
+    assert not _eq_stats_skip(stats_unknown_nulls, ["k"], vals)
+    assert not _eq_stats_skip(stats_has_nulls, ["k"], vals)
+    # file provably null-free: only 5 can match, and it can't
+    assert _eq_stats_skip(stats_no_nulls, ["k"], vals)
+    # all-NULL tuple set against a null-free file: nothing can match
+    assert _eq_stats_skip(stats_no_nulls, ["k"], {(None,)})
+    assert not _eq_stats_skip(stats_has_nulls, ["k"], {(None,)})
+    # no NULL tuples: the classic prune still fires
+    assert _eq_stats_skip(stats_unknown_nulls, ["k"], {(5,)})
+
+
+def test_ranges_disjoint_null_flag():
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        _ranges_disjoint,
+    )
+
+    # has_null=True: prune only against provably null-free files
+    rng = {"k": (5, 9, True)}
+    assert not _ranges_disjoint({"k": [1, 2]}, rng)
+    assert not _ranges_disjoint({"k": [1, 2], "__nulls": {"k": 1}}, rng)
+    assert _ranges_disjoint({"k": [1, 2], "__nulls": {"k": 0}}, rng)
+    # has_null=False: classic behavior
+    assert _ranges_disjoint({"k": [1, 2]}, {"k": (5, 9, False)})

@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 
 from apache_iceberg_exploration_spark.sources.io import load_table
 from apache_iceberg_exploration_spark.sources.lakehouse import LakehouseTable
+from apache_iceberg_exploration_spark.streaming._wait import (
+    await_or_raise,
+)
 from apache_iceberg_exploration_spark.streaming.stateful import (
     running_user_totals_stream,
 )
@@ -44,7 +47,7 @@ def test_state_carries_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     q.stop()
     # update-mode memory sink appends every emission; the LAST emission per
     # user must equal the all-data aggregate — proving state crossed the
@@ -101,7 +104,7 @@ def test_foreachbatch_merge_into_lakehouse(spark, tmp_path):
         .parquet(d)
     )
     q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     q.stop()
 
     got = {r.user_id: r.n_events for r in tbl.read().collect()}
@@ -135,7 +138,7 @@ def test_streaming_sliding_and_session_windows(spark, tmp_path):
         .format("memory").queryName("slide_out")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300); q.stop()
+    await_or_raise(q, 300); q.stop()
     got = {r.ws: r.n_events for r in spark.sql("SELECT * FROM slide_out").collect()}
     want = {
         r.ws: r.n
@@ -156,7 +159,7 @@ def test_streaming_sliding_and_session_windows(spark, tmp_path):
         .format("memory").queryName("sess_out")
         .trigger(availableNow=True).start()
     )
-    q2.awaitTermination(300); q2.stop()
+    await_or_raise(q2, 300); q2.stop()
     got2 = {
         (r.user_id, r.ss): r.n_events
         for r in spark.sql("SELECT * FROM sess_out").collect()
@@ -226,7 +229,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
         q.stop()
         return {(r.ws, r.k): r["count"] for r in emitted}
 
@@ -279,7 +282,7 @@ def test_transform_with_state_carries_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     q.stop()
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     assert len(rows) > ev.select("user_id").distinct().count()  # >1 batch
@@ -328,7 +331,7 @@ def test_foreachbatch_idempotent_replay(spark, tmp_path):
         .parquet(d)
     )
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     q.stop()
 
     total = ev.count()
@@ -405,7 +408,7 @@ def test_cdc_upsert_latest_is_batch_slicing_invariant(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     q.stop()
 
     w = Window.partitionBy("user_id").orderBy(
@@ -459,7 +462,7 @@ def test_lakehouse_stream_source_offset_continuity(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         q.stop()
         return spark.read.parquet(out)
 
@@ -501,7 +504,7 @@ def test_lakehouse_sink_exactly_once_and_interop(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     q.stop()
 
     tbl = LakehouseTable(spark, root)
@@ -583,7 +586,7 @@ def test_lakehouse_stream_starting_version_and_rate_limit(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         q.stop()
 
     # each drain admits bounded micro-batches until caught up; the
@@ -652,7 +655,7 @@ def test_lakehouse_stream_dist_rate_limit_bounded_drain_across_restarts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         q.stop()
 
     for _ in range(4):  # 2-version backlog, ≤1 version per run
@@ -751,7 +754,7 @@ def test_lakehouse_sink_partitioned_write_prunes(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     q.stop()
 
     tbl = LakehouseTable(spark, root)
@@ -811,7 +814,7 @@ def test_lakehouse_stream_skips_compaction_rewrites(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     q.stop()
     rows = spark.table("skip_rewrite_out").collect()
     keys = sorted(r.c_custkey for r in rows)
@@ -999,7 +1002,7 @@ def test_batch_writer_table_feeds_streaming_source(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     assert spark.read.parquet(out).count() == cust.count()
 
 
@@ -1099,7 +1102,7 @@ def test_cdc_dist_reader_matches_simple_reader(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"ck{i}"))
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         feeds[fmt] = sorted(
             tuple(r) for r in spark.sql(f"SELECT * FROM cdcfeed{i}").collect()
         )
@@ -1253,7 +1256,7 @@ def test_cdc_dist_plans_partition_for_pos_delete(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"ckp{i}"))
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         feeds[fmt] = sorted(
             tuple(r) for r in spark.sql(f"SELECT * FROM cdcpos{i}").collect()
         )
@@ -1317,7 +1320,7 @@ def test_stream_file_and_byte_rate_limits_bounded_drain(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         q.stop()
 
     for _ in range(3):
@@ -1356,7 +1359,7 @@ def test_stream_dist_byte_rate_limit_bounded_drain(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         q.stop()
 
     for _ in range(4):
@@ -1442,7 +1445,7 @@ def test_cdc_row_lineage_feed_update_pairs(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"ckrl{i}"))
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         feeds[fmt] = sorted(
             tuple(r)
             for r in spark.sql(
@@ -1535,7 +1538,7 @@ def test_cdc_mor_update_surfaces_as_update_pairs(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"ckmu{i}"))
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         feeds[fmt] = sorted(
             tuple(r)
             for r in spark.sql(
@@ -1692,7 +1695,7 @@ def test_cdc_dv_commit_plans_partition_in_dist_reader(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckdv"))
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = [
         tuple(r)
         for r in spark.sql(
@@ -1711,9 +1714,6 @@ def test_await_or_raise_surfaces_stream_failure_fast(spark, tmp_path):
     import pytest
     from pyspark.sql.types import LongType
 
-    from apache_iceberg_exploration_spark.streaming._wait import (
-        await_or_raise,
-    )
 
     def boom(x):
         raise RuntimeError("kaboom-in-task")
