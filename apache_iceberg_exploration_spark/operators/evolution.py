@@ -429,3 +429,305 @@ def lakehouse_ndv_table_statistics(
         return _materialize(latest)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_partition_stats_file",
+    oracle="""
+        SELECT concat('{"c_mktsegment":"', c_mktsegment, '"}')
+                   AS partition,
+               2 AS file_count,
+               count(*) AS row_count
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def lakehouse_partition_stats_file(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition statistics files (Iceberg partition-stats spec,
+    VERDICT r7 #4): each commit writes an O(partitions) rollup sidecar
+    maintained incrementally from the parent's (file/row/byte deltas
+    are additive); ``partitions()`` answers from it with NO manifest
+    fold — asserted in-band by checking the sidecar exists for the
+    served snapshot. Two hash-distributed writes → exactly 2 files per
+    segment partition, value-verified against the raw data.
+
+    Scale: the sidecar write is O(partitions) at commit; the read is
+    O(partitions) always — at 10^6 files / 10^3 partitions that's the
+    difference between a metadata fold and a dict load.
+    """
+    import os as _os
+
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = _cust(spark, sf_dir)
+        half = F.col("c_custkey") % 2
+        tbl.overwrite(
+            cust.filter(half == 0),
+            partition_by=["c_mktsegment"],
+            distribution="hash",
+        )
+        tbl.append(
+            cust.filter(half == 1),
+            partition_by=["c_mktsegment"],
+            distribution="hash",
+        )
+        assert _os.path.exists(
+            tbl._pstats_path(tbl.current_version())
+        ), "partition-stats sidecar missing"
+        out = tbl.partitions().select(
+            "partition", "file_count", "row_count"
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# -- distributed BPE merge-loop training (VERDICT r7 #5) -----------------
+#
+# K unrolled merge iterations over the word-TYPE frequency dictionary
+# (the ann_kmeans_cells fixed-budget pattern: each round = pair count →
+# argmax merge → re-segment). Symbols travel as a string with DOUBLE
+# \x1f boundaries ("\x1f\x1fa\x1f\x1fb\x1f\x1f"); one merge round is a
+# LITERAL replace of "\x1fa\x1f\x1fb\x1f" with "\x1fab\x1f" — the search
+# pattern claims only the INNER half of each outer boundary, so
+# adjacent matches don't steal each other's boundary chars and both
+# engines' greedy left-to-right non-overlapping replace() IS the BPE
+# merge rule exactly (single separators fail on self-adjacent pairs:
+# 'aaaa' must segment [aa,aa], not [aa,a,a]). That makes the whole
+# K-round training oracle-checkable as a DuckDB unrolled CTE chain
+# (list_reduce is unusable per the cross-engine-float-traps memory).
+
+_BPE_SEP = "\x1f"
+_BPE_K = 6
+
+
+def _bpe_oracle(k: int) -> str:
+    s = _BPE_SEP
+    ctes = [
+        f"""words0 AS (
+            SELECT '{s}{s}' || regexp_replace(w, '(.)', '\\1{s}{s}', 'g')
+                       AS syms,
+                   count(*) AS freq
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            )
+            WHERE regexp_matches(w, '^[a-z]{{2,}}$')
+            GROUP BY 1
+        )"""
+    ]
+    for i in range(k):
+        ctes.append(
+            f"""pairs{i} AS (
+            SELECT L[i] || '{s}' || L[i + 1] AS pair,
+                   sum(freq) AS weight
+            FROM (
+                SELECT list_filter(string_split(syms, '{s}'),
+                                   x -> x <> '') AS L,
+                       freq
+                FROM words{i}
+            ), unnest(range(1, len(L))) AS t(i)
+            GROUP BY 1
+        ),
+        best{i} AS (
+            SELECT pair, weight FROM pairs{i}
+            ORDER BY weight DESC, pair LIMIT 1
+        ),
+        words{i + 1} AS (
+            SELECT replace(syms,
+                           '{s}' || replace(pair, '{s}', '{s}{s}') || '{s}',
+                           '{s}' || replace(pair, '{s}', '') || '{s}')
+                       AS syms,
+                   freq
+            FROM words{i}, best{i}
+        )"""
+        )
+    selects = "\n        UNION ALL\n".join(
+        f"""        SELECT {i + 1} AS step,
+               string_split(pair, '{s}')[1] AS left_sym,
+               string_split(pair, '{s}')[2] AS right_sym,
+               replace(pair, '{s}', '') AS merged,
+               CAST(weight AS BIGINT) AS weight
+        FROM best{i}"""
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_K
+) -> DataFrame:
+    """K rounds of BPE merge training over the corpus word-type
+    dictionary; returns one row per round (step, left/right symbol,
+    merged token, corpus weight)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges_from_docs(spark, docs, k)
+
+
+def bpe_merges_from_docs(
+    spark: SparkSession, docs: DataFrame, k: int = _BPE_K
+) -> DataFrame:
+    s = _BPE_SEP
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(s + s), F.regexp_replace("w", "(.)", "$1" + s + s)
+            ).alias("syms"),
+            "freq",
+        )
+        # pin the dictionary: every round re-reads it for the pair
+        # count AND rewrites it for the merge — without the checkpoint
+        # each round would recompute the whole upstream chain (the
+        # ranking-helper lesson), and the K-deep replace() column chain
+        # would grow under project-collapse (the Hilbert lesson)
+        .localCheckpoint(eager=True)
+    )
+    out_rows = []
+    for step in range(1, k + 1):
+        arr = F.filter(F.split("syms", s), lambda x: x != F.lit(""))
+        pairs = (
+            words.select(arr.alias("L"), "freq")
+            .filter(F.size("L") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("L") - 1),
+                        lambda i: F.concat(
+                            F.element_at(F.col("L"), i),
+                            F.lit(s),
+                            F.element_at(F.col("L"), i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.col("weight").desc(), "pair")
+            .limit(1)
+            .collect()  # exactly one small row per round
+        )
+        pair, weight = pairs[0]["pair"], int(pairs[0]["weight"])
+        a, b = pair.split(s)
+        out_rows.append((step, a, b, a + b, weight))
+        words = words.select(
+            F.replace(
+                F.col("syms"),
+                F.lit(s + a + s + s + b + s),
+                F.lit(s + a + b + s),
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows,
+        "step int, left_sym string, right_sym string,"
+        " merged string, weight long",
+    )
+
+
+@query("tokenizer_bpe_merge_training", oracle=_bpe_oracle(_BPE_K))
+def tokenizer_bpe_merge_training(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed BPE tokenizer training, K merge rounds end to end
+    (VERDICT r7 #5 — extends bpe_merge_pair_counts' single pair-count
+    to the full loop): each round counts adjacent symbol pairs weighted
+    by word-type frequency (partial aggregate, |alphabet'|² shuffle
+    rows per task), picks the argmax merge (deterministic tie-break),
+    and re-segments the dictionary with ONE literal string replace —
+    greedy left-to-right non-overlapping in both engines, i.e. the BPE
+    merge rule itself. The learned merge table (step, pair, weight) is
+    the query result, value-hash-checked against a K-stage unrolled
+    DuckDB CTE chain.
+
+    Scale: the unit of work is the word-TYPE dictionary (vocabulary-
+    sized, not corpus-sized — the classic BPE trick); each round is one
+    partial-aggregated count plus a map-side projection, dictionary
+    pinned between rounds so round i+1 never recomputes round i.
+    """
+    return bpe_train_merges(spark, sf_dir, _BPE_K)
+
+
+@query(
+    "lakehouse_variant_shredded_scan",
+    oracle="""
+        SELECT c_mktsegment AS seg,
+               count(*) AS n_rows,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM customer
+        WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) >= 450000
+        GROUP BY 1
+    """,
+)
+def lakehouse_variant_shredded_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VARIANT columns through the lakehouse (VERDICT r7 #6): the
+    declared schema keeps Spark 4's VARIANT (semi-structured payloads —
+    the JSON-properties shape the reference's events feed would carry),
+    physically stored as canonical JSON text (parquet-native variant is
+    not pyarrow-readable, and the whole metadata layer here is
+    pyarrow-footed), with a TYPED SHREDDED stat column
+    (``variant_shred`` → ``__shred_props_cents``) whose footer min/max
+    land in the manifest — so this query's range scan file-prunes on a
+    field INSIDE the variant (asserted in-band: the low-cents file is
+    never opened) and then aggregates via ``variant_get``.
+
+    Scale: shredding adds one typed column per declared field at write;
+    pruning is the ordinary stats fold — no JSON is parsed for files
+    the range excludes.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = _cust(spark, sf_dir).select(
+            "c_custkey",
+            F.parse_json(
+                F.concat(
+                    F.lit('{"cents":'),
+                    F.col("cents").cast("string"),
+                    F.lit(',"seg":"'),
+                    F.col("c_mktsegment"),
+                    F.lit('"}'),
+                )
+            ).alias("props"),
+            "cents",
+        )
+        shred = {"props": {"cents": ("$.cents", "long")}}
+        lo = cust.filter(F.col("cents") < 450000)
+        hi = cust.filter(F.col("cents") >= 450000)
+        for part in (lo, hi):
+            tbl.append(
+                part.drop("cents")
+                .coalesce(1)
+                .sortWithinPartitions("c_custkey"),
+                variant_shred=shred,
+            )
+        pruned = tbl.scan({"__shred_props_cents": (450000, None)})
+        assert len(pruned.inputFiles()) == 1, "shred pruning failed"
+        out = (
+            pruned.select(
+                F.expr("variant_get(props, '$.seg', 'string')").alias(
+                    "seg"
+                ),
+                F.expr("variant_get(props, '$.cents', 'long')").alias(
+                    "cents"
+                ),
+            )
+            .filter(F.col("cents") >= 450000)
+            .groupBy("seg")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("cents_sum"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

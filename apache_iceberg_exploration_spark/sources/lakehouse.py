@@ -475,6 +475,18 @@ class LakehouseTable:
             raise CommitConflict(f"version {version} already committed") from e
         finally:
             os.unlink(tmp)
+        if path is None and "files" in manifest:
+            # partition statistics file (Iceberg partition-stats spec
+            # shape): an O(partitions) per-snapshot rollup written by
+            # the COMMIT WINNER so partitions() and maintenance planners
+            # read O(partitions), not O(files). Derived metadata only —
+            # a failure here must never un-commit the published
+            # manifest, and readers fall back to the manifest fold when
+            # the sidecar is absent.
+            try:
+                self._write_partition_stats(version, manifest)
+            except Exception:
+                pass
 
     # -- data-file production -------------------------------------------------
 
@@ -502,7 +514,7 @@ class LakehouseTable:
         snap_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", snap_id)
         specs = [PartitionSpec.parse(s) for s in (partition_by or [])]
-        out = df
+        out = self._encode_variant_cols(df)
         for sp in specs:
             if sp.kind != "identity":
                 out = out.withColumn(sp.field_name, sp.column())
@@ -526,6 +538,62 @@ class LakehouseTable:
             for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
         ]
         return snap_id, sorted(files)
+
+    @staticmethod
+    def _destring_variants(df: DataFrame) -> DataFrame:
+        """VARIANT columns as their canonical JSON text — for surfaces
+        that must compare or set-op rows (changelog diffs), where Spark
+        forbids VARIANT."""
+        from pyspark.sql import types as T
+
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.VariantType):
+                df = df.withColumn(f.name, F.col(f.name).cast("string"))
+        return df
+
+    @staticmethod
+    def _add_variant_shreds(
+        df: DataFrame, variant_shred: dict | None
+    ) -> DataFrame:
+        """Typed SHREDDED stat columns for variant pruning (the Iceberg/
+        Delta variant-shredding idea): ``variant_shred={"v": {"level":
+        ("$.level", "int")}}`` materializes ``__shred_v_level`` =
+        ``variant_get(v, '$.level', 'int')`` into the data files — a
+        reserved-prefix PHYSICAL column that never enters the declared
+        schema, but whose footer min/max land in the manifest stats, so
+        ``scan({"__shred_v_level": (lo, hi)})`` file-prunes on a field
+        INSIDE the variant without reading a byte of it."""
+        for col, fields in (variant_shred or {}).items():
+            for alias, (path, typ) in fields.items():
+                df = df.withColumn(
+                    f"__shred_{col}_{alias}",
+                    F.expr(f"variant_get({col}, '{path}', '{typ}')"),
+                )
+        return df
+
+    @staticmethod
+    def _encode_variant_cols(df: DataFrame) -> DataFrame:
+        """Physical encoding of Spark 4 VARIANT columns at the write
+        boundary (EVERY write funnels through _write_data_files —
+        appends, overwrites, CoW rewrites, compaction): VARIANT is
+        stored as its canonical JSON text (``cast(v AS string)``), not
+        parquet's native variant logical type, because pyarrow cannot
+        read that Thrift LogicalType and every metadata layer here
+        (footer stats, DSv2 Arrow reader, streaming readers, lineage
+        counting) is pyarrow-footed. The DECLARED schema keeps type
+        'variant' (the caller snapshots df.schema before this runs);
+        ``_project_to_schema`` parses the JSON back to VARIANT at
+        read."""
+        from pyspark.sql import types as T
+
+        vcols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.VariantType)
+        ]
+        for c in vcols:
+            df = df.withColumn(c, F.col(c).cast("string"))
+        return df
 
     @staticmethod
     def _file_partitions(files: list[str]) -> dict[str, dict[str, str]]:
@@ -1039,11 +1107,13 @@ class LakehouseTable:
                 dt = T.StructType.fromJson(
                     {"type": "struct", "fields": [f]}
                 ).fields[0].dataType
-                add.append(
-                    F.lit(md.get("write_default"))
-                    .cast(dt)
-                    .alias(f["name"])
+                lit = F.lit(md.get("write_default"))
+                col = (
+                    F.parse_json(lit.cast("string"))
+                    if isinstance(dt, T.VariantType)
+                    else lit.cast(dt)
                 )
+                add.append(col.alias(f["name"]))
         return df.select("*", *add) if add else df
 
     def update_column_type(self, name: str, spark_type: str) -> dict:
@@ -1081,6 +1151,7 @@ class LakehouseTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         distribution: str | None = None,
+        variant_shred: dict | None = None,
     ) -> dict:
         """Full-replace snapshot — the reference's only write mode
         (``mode("overwrite").saveAsTable``, etl.py:51-54).
@@ -1088,6 +1159,8 @@ class LakehouseTable:
         tuple (see :meth:`_write_data_files`). Persistent CHECK
         constraints are enforced before any file is written."""
         self._enforce_constraints(df)
+        logical_json = df.schema.json()
+        df = self._add_variant_shreds(df, variant_shred)
         _, files = self._write_data_files(df, partition_by, distribution)
         stats = self._collect_file_stats(files)
         specs = [
@@ -1098,7 +1171,7 @@ class LakehouseTable:
                 "overwrite",
                 files,
                 parent,
-                schema_json=df.schema.json(),
+                schema_json=logical_json,
                 stats=stats,
                 file_seq={f: parent + 1 for f in files},
                 delete_files=[],
@@ -1217,6 +1290,7 @@ class LakehouseTable:
         partition_by: list[str] | None = None,
         summary_extra: dict | None = None,
         distribution: str | None = None,
+        variant_shred: dict | None = None,
     ) -> dict:
         """Additive snapshot: new files + every file of the parent version.
         Data files are written ONCE before the commit loop — a rebase after
@@ -1230,6 +1304,11 @@ class LakehouseTable:
         any file is written."""
         df = self._apply_write_defaults(df)
         self._enforce_constraints(df)
+        # the DECLARED schema is the logical one: VARIANT stays variant
+        # (physically JSON, see _encode_variant_cols) and shredded stat
+        # columns never enter it
+        logical_json = df.schema.json()
+        df = self._add_variant_shreds(df, variant_shred)
         _, files = self._write_data_files(df, partition_by, distribution)
         new_stats = self._collect_file_stats(files)
 
@@ -1266,7 +1345,7 @@ class LakehouseTable:
                 # frame NARROWER than the table must not drop the table's
                 # extra columns (Iceberg appends never un-evolve a schema)
                 schema_json=self._merge_schema_json(
-                    prev_manifest.get("schema"), df.schema.json()
+                    prev_manifest.get("schema"), logical_json
                 ),
                 stats=stats,
                 file_seq=seq,
@@ -2056,10 +2135,17 @@ class LakehouseTable:
             sub["files"] = sorted(files)
             sub["schema"] = m2.get("schema")  # both sides under TO schema
             if row_level:
-                return self._project_to_schema(
+                out = self._project_to_schema(
                     sub, with_lineage=True
                 ).drop("_last_updated_version")
-            return self._project_to_schema(sub)
+            else:
+                out = self._project_to_schema(sub)
+            # VARIANT cannot participate in set ops / row comparisons
+            # (Spark UNSUPPORTED_FEATURE.SET_OPERATION_ON_VARIANT_TYPE):
+            # the feed diffs and emits the column's canonical JSON text
+            # — which is also exactly what the streaming CDC readers
+            # emit (they read the physical string encoding)
+            return self._destring_variants(out)
 
         old = _side(m1, (f1 - f2) | affected)
         new = _side(m2, (f2 - f1) | affected)
@@ -2109,7 +2195,12 @@ class LakehouseTable:
             # schema (a drained table still has one); only a table with
             # neither files nor schema anywhere is unreadable.
             if f2:
-                return tag(self._project_to_schema(dict(m2)).limit(0), "")
+                return tag(
+                    self._destring_variants(
+                        self._project_to_schema(dict(m2)).limit(0)
+                    ),
+                    "",
+                )
             schema_json = m2.get("schema") or m1.get("schema")
             if schema_json is None:
                 raise FileNotFoundError(
@@ -2117,8 +2208,10 @@ class LakehouseTable:
                 )
             from pyspark.sql import types as T
 
-            empty = self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(schema_json))
+            empty = self._destring_variants(
+                self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(schema_json))
+                )
             )
             return tag(empty, "")
         if old is None:
@@ -2160,7 +2253,15 @@ class LakehouseTable:
             shape = T.StructType.fromJson(json.loads(schema_json))
             shape = T.StructType(
                 [T.StructField("_change_type", T.StringType())]
-                + list(shape.fields)
+                + [
+                    T.StructField(
+                        f.name,
+                        T.StringType()
+                        if isinstance(f.dataType, T.VariantType)
+                        else f.dataType,
+                    )
+                    for f in shape.fields
+                ]
                 + [T.StructField("_row_id", T.LongType())]
             )
             return self.spark.createDataFrame([], shape)
@@ -2577,18 +2678,25 @@ class LakehouseTable:
                     for n in [f.name, *reversed(prior)]
                     if n in df.columns
                 ]
+                is_variant = isinstance(f.dataType, T.VariantType)
+
+                def fin(raw):
+                    # VARIANT is physically JSON text (see
+                    # _encode_variant_cols) — parse, never cast
+                    if is_variant:
+                        return F.parse_json(raw.cast("string"))
+                    return raw.cast(f.dataType)
+
                 if not cands:
                     # column absent from EVERY scanned file: all of them
                     # predate the add — constant initial-default (or
                     # NULL when none is declared)
                     dflt = (f.metadata or {}).get("initial_default")
-                    expr = F.lit(dflt).cast(f.dataType)
+                    expr = fin(F.lit(dflt))
                 elif len(cands) == 1:
-                    expr = F.col(cands[0]).cast(f.dataType)
+                    expr = fin(F.col(cands[0]))
                 else:
-                    expr = F.coalesce(*[F.col(n) for n in cands]).cast(
-                        f.dataType
-                    )
+                    expr = fin(F.coalesce(*[F.col(n) for n in cands]))
                 if cands and f.name in default_gaps:
                     val, lacking = default_gaps[f.name]
                     if inline:
@@ -2601,11 +2709,7 @@ class LakehouseTable:
                             ),
                             f.name,
                         )
-                    expr = (
-                        F.when(miss, F.lit(val))
-                        .otherwise(expr)
-                        .cast(f.dataType)
-                    )
+                    expr = F.when(miss, fin(F.lit(val))).otherwise(expr)
                 cols.append(expr.alias(f.name))
             cols += [F.col(c) for c in keep]
             df = df.select(*cols)
@@ -4805,11 +4909,126 @@ class LakehouseTable:
         ]
         return self.spark.createDataFrame(rows, schema)
 
+    # -- partition statistics files (Iceberg partition-stats spec) --------
+    #
+    # Every main-chain commit writes snapshots/pstats/v{N}.json — the
+    # per-partition-tuple rollup (file/row/byte counts + DV mass) —
+    # INCREMENTALLY from the parent's pstats plus the commit's file
+    # delta (counts are additive, so removal subtracts; HLL-style
+    # sketches couldn't do this). partitions() serves from the sidecar
+    # when one exists for the requested snapshot — O(partitions), zero
+    # manifest fold, zero Spark job — and falls back to the manifest
+    # aggregation otherwise (pre-pstats snapshots, sink-written
+    # commits, or a crashed pstats write).
+
+    @property
+    def _pstats_dir(self) -> str:
+        return os.path.join(self._snap_dir, "pstats")
+
+    def _pstats_path(self, version: int) -> str:
+        return os.path.join(self._pstats_dir, f"v{version}.json")
+
+    @staticmethod
+    def _ptuple(file: str, pmap: dict) -> str:
+        """Canonical partition-tuple key — byte-identical to the
+        metadata table's ``to_json(sorted map entries)`` rendering."""
+        t = pmap.get(file) or {}
+        return json.dumps(
+            {k: t[k] for k in sorted(t)}, separators=(",", ":")
+        )
+
+    def _write_partition_stats(self, version: int, manifest: dict) -> None:
+        files = manifest["files"]
+        stats = manifest.get("stats") or {}
+        pmap = manifest.get("partitions") or {}
+        parent = manifest.get("parent") or 0
+        agg: dict[str, dict] = {}
+        base = None
+        if parent and os.path.exists(self._pstats_path(parent)):
+            with open(self._pstats_path(parent)) as fh:
+                base = json.load(fh)
+        if base is not None:
+            prev_manifest = self._read_manifest(parent)
+            prev_files = set(prev_manifest["files"])
+            cur_files = set(files)
+            agg = {k: dict(v) for k, v in base["partitions"].items()}
+            deltas = [
+                (f, 1, stats, pmap) for f in cur_files - prev_files
+            ] + [
+                (
+                    f,
+                    -1,
+                    prev_manifest.get("stats") or {},
+                    prev_manifest.get("partitions") or {},
+                )
+                for f in prev_files - cur_files
+            ]
+        else:
+            deltas = [(f, 1, stats, pmap) for f in files]
+        for f, sign, st_map, pm in deltas:
+            st = st_map.get(f) or {}
+            rows, size = st.get("__rows"), st.get("__bytes")
+            if rows is None or size is None:
+                # a touched file without row/byte stats makes the
+                # additive rollup unsubtractable — skip this snapshot's
+                # sidecar entirely (the manifest fold stays exact)
+                raise ValueError("file without __rows/__bytes stats")
+            key = self._ptuple(f, pm)
+            e = agg.setdefault(
+                key, {"file_count": 0, "row_count": 0, "total_bytes": 0}
+            )
+            e["file_count"] += sign
+            e["row_count"] += sign * int(rows)
+            e["total_bytes"] += sign * int(size)
+        agg = {k: v for k, v in agg.items() if v["file_count"] > 0}
+        # DV mass is replaced wholesale per commit (latest-DV-wins makes
+        # per-file deltas non-additive); the map is O(files with DVs)
+        dv_mass: dict[str, int] = {}
+        for f, e in (manifest.get("delete_vectors") or {}).items():
+            key = self._ptuple(f, pmap)
+            dv_mass[key] = dv_mass.get(key, 0) + int(
+                e.get("cardinality", 0)
+            )
+        os.makedirs(self._pstats_dir, exist_ok=True)
+        out = self._pstats_path(version)
+        tmp = out + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"partitions": agg, "dv_mass": dv_mass}, fh)
+        os.replace(tmp, out)
+
     def partitions(self, version: int | str | None = None) -> DataFrame:
         """``<table>.partitions`` metadata table: per-partition-tuple file
         and row counts + bytes — what a compaction planner or skew monitor
         reads to find hot/fragmented partitions without scanning data.
-        Unpartitioned files roll up under the empty tuple."""
+        Unpartitioned files roll up under the empty tuple.
+
+        Served from the snapshot's partition-statistics sidecar when one
+        exists (O(partitions), no manifest fold — the Iceberg
+        partition-stats file); the manifest aggregation is the fallback
+        for snapshots without one."""
+        v = self._resolve_version(
+            version if version is not None else self.current_version()
+        )
+        p = self._pstats_path(v)
+        if os.path.exists(p):
+            with open(p) as fh:
+                blob = json.load(fh)
+            dv = blob.get("dv_mass") or {}
+            rows = [
+                (
+                    key,
+                    int(e["file_count"]),
+                    int(e["row_count"]),
+                    int(e["total_bytes"]),
+                    int(dv.get(key, 0)),
+                )
+                for key, e in sorted(blob["partitions"].items())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "partition string, file_count long, row_count long,"
+                " total_bytes long, dv_deleted_rows long",
+            )
         f = self.files(version)
         key = F.coalesce(
             F.to_json(F.expr("map_from_entries(array_sort(map_entries(partition)))")),

@@ -452,12 +452,26 @@ def _nullable_struct(st):
     behavior, which always yielded nullable fields here before."""
     from pyspark.sql.types import StructField, StructType
 
+    from pyspark.sql.types import StringType, VariantType
+
     # metadata (initial_default / prior_names) is STRIPPED: it is
     # reader-internal, and Spark 4.1's Python streaming runner fails an
     # assertion converting prefetched rows to Arrow when the source
-    # schema carries field metadata
+    # schema carries field metadata. VARIANT downgrades to its physical
+    # JSON-string encoding: Arrow has no variant type, so the DSv2 and
+    # streaming surfaces serve the JSON text (LakehouseTable.read()
+    # serves true VARIANT).
     return StructType(
-        [StructField(f.name, f.dataType, True) for f in st.fields]
+        [
+            StructField(
+                f.name,
+                StringType()
+                if isinstance(f.dataType, VariantType)
+                else f.dataType,
+                True,
+            )
+            for f in st.fields
+        ]
     )
 
 
