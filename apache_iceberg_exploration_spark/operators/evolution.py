@@ -569,6 +569,12 @@ def bpe_train_merges(
 def bpe_merges_from_docs(
     spark: SparkSession, docs: DataFrame, k: int = _BPE_K
 ) -> DataFrame:
+    merges, _ = _bpe_train(spark, docs, k)
+    return merges
+
+
+def _bpe_train(spark: SparkSession, docs: DataFrame, k: int):
+    """(merge-table DataFrame, final re-segmented word dictionary)."""
     s = _BPE_SEP
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -624,11 +630,12 @@ def bpe_merges_from_docs(
             ).alias("syms"),
             "freq",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    merges = spark.createDataFrame(
         out_rows,
         "step int, left_sym string, right_sym string,"
         " merged string, weight long",
     )
+    return merges, words
 
 
 @query("tokenizer_bpe_merge_training", oracle=_bpe_oracle(_BPE_K))
@@ -731,3 +738,69 @@ def lakehouse_variant_shredded_scan(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _bpe_compress_oracle(k: int) -> str:
+    s = _BPE_SEP
+    base = _bpe_oracle(k)
+    ctes = base[len("WITH ") : base.index("\n        SELECT 1 AS step")]
+    return f"""WITH {ctes},
+        sized AS (
+            SELECT w0.freq,
+                   len(list_filter(string_split(w0.syms, '{s}'),
+                       x -> x <> '')) AS n_chars,
+                   len(list_filter(string_split(wk.syms, '{s}'),
+                       x -> x <> '')) AS n_bpe
+            FROM (SELECT syms, freq,
+                         row_number() OVER (ORDER BY syms) AS rn
+                  FROM words0) w0
+            JOIN (SELECT syms, freq,
+                         row_number() OVER (ORDER BY replace(syms,
+                             '{s}', '')) AS rn
+                  FROM words{k}) wk USING (rn)
+        )
+        SELECT CAST(sum(freq) AS BIGINT) AS n_word_tokens,
+               count(*) AS n_word_types,
+               CAST(sum(freq * n_chars) AS BIGINT) AS char_symbols,
+               CAST(sum(freq * n_bpe) AS BIGINT) AS bpe_symbols
+        FROM sized"""
+
+
+@query(
+    "tokenizer_bpe_apply_compression",
+    oracle=_bpe_compress_oracle(_BPE_K),
+)
+def tokenizer_bpe_apply_compression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE APPLICATION at corpus scale: train K merges
+    (tokenizer_bpe_merge_training's loop), apply them to the word-type
+    dictionary, and report the corpus-level compression — total word
+    tokens, character symbols before, BPE symbols after. The
+    token-count delta is the quantity a training-data pipeline budgets
+    by (sequence lengths, packing density); computing it on the TYPE
+    dictionary and weighting by frequency makes application O(vocab),
+    not O(corpus).
+
+    The oracle re-runs the same K unrolled rounds in DuckDB and joins
+    the round-0 and round-K dictionaries positionally (merges never
+    reorder or drop word types — symbol content minus separators is
+    invariant, which the join key's sort exploits).
+    """
+    from ..sources.io import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    _, words = _bpe_train(spark, docs, _BPE_K)
+    s = _BPE_SEP
+    arr = F.filter(F.split("syms", s), lambda x: x != F.lit(""))
+    out = words.select(
+        "freq",
+        F.size(arr).alias("n_bpe"),
+        F.length(F.regexp_replace("syms", s, "")).alias("n_chars"),
+    ).agg(
+        F.sum("freq").alias("n_word_tokens"),
+        F.count("*").alias("n_word_types"),
+        F.sum(F.col("freq") * F.col("n_chars")).alias("char_symbols"),
+        F.sum(F.col("freq") * F.col("n_bpe")).alias("bpe_symbols"),
+    )
+    return out

@@ -5664,6 +5664,20 @@ class LakehouseTable:
             expired_files.update(self._delete_key_files(m))
             if not dry_run:
                 os.remove(p)
+                # per-snapshot sidecars die with their manifest: the
+                # partition-stats rollup always; the NDV stats blob
+                # unless it is the NEWEST one (it seeds the next
+                # analyze()'s incremental register merge)
+                for sidecar in (
+                    self._pstats_path(v),
+                    os.path.join(self._stats_dir, f"ndv-v{v}.json"),
+                ):
+                    if sidecar == self._latest_ndv_file():
+                        continue
+                    try:
+                        os.remove(sidecar)
+                    except OSError:
+                        pass
             expired.append(v)
 
         if dry_run:

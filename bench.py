@@ -163,6 +163,16 @@ HEADLINE = [
     "ann_multiprobe_lsh_topk",
     "pit_scd2_feature_join",
     "embedding_knn_label_confusion",
+    # r8 family: defaults, SQL-table surface, NDV/partition statistics,
+    # BPE training + application, variant shredding
+    "lakehouse_default_column_backfill",
+    "lakehouse_default_materializing_compaction",
+    "lakehouse_sql_table_surface",
+    "lakehouse_ndv_table_statistics",
+    "lakehouse_partition_stats_file",
+    "tokenizer_bpe_merge_training",
+    "tokenizer_bpe_apply_compression",
+    "lakehouse_variant_shredded_scan",
 ]
 
 

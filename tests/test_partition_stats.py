@@ -103,3 +103,26 @@ def test_sink_commit_falls_back(spark, table):
     assert not os.path.exists(table._pstats_path(v))
     got = table.partitions(v).collect()
     assert got[0]["file_count"] == 2 and got[0]["row_count"] == 15
+
+
+def test_expire_snapshots_sweeps_sidecars(spark, table):
+    _seeded(spark, table)
+    table.append(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            F.lit("a").alias("seg"),
+            F.lit(0).alias("v"),
+        ),
+        partition_by=["seg"],
+    )
+    table.analyze(columns=["k"])
+    import glob as _glob
+
+    assert len(_glob.glob(table._pstats_dir + "/v*.json")) == 3
+    table.analyze(columns=["k"])  # same version: still one ndv file
+    table.expire_snapshots(keep_last=1)
+    left = _glob.glob(table._pstats_dir + "/v*.json")
+    assert [p.split("/")[-1] for p in left] == ["v3.json"]
+    # the newest NDV blob survives expiry (incremental-merge seed)
+    assert table._latest_ndv_file() is not None
+    assert table.partitions().count() >= 1

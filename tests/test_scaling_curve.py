@@ -78,6 +78,13 @@ def test_scaling_audit_covers_the_mutation_family():
         "lakehouse_changelog_row_level_pairs",
         "streaming_cdc_row_lineage_feed",
         "lakehouse_dv_delete",
+        # r8: defaults, variant shredding, BPE loop, NDV analyze,
+        # partition-stats sidecars
+        "lakehouse_default_column_backfill",
+        "lakehouse_variant_shredded_scan",
+        "tokenizer_bpe_merge_training",
+        "lakehouse_ndv_table_statistics",
+        "lakehouse_partition_stats_file",
     }
     assert must_cover <= set(art["queries"])
 

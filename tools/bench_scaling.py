@@ -66,6 +66,16 @@ QUERIES = [
     "lakehouse_changelog_row_level_pairs",
     "streaming_cdc_row_lineage_feed",
     "lakehouse_dv_delete",
+    # r8 family: default-column lifecycle (per-file gap fill at read +
+    # write-default materialization), variant shredded scan (JSON
+    # encode + stats prune), the K-round BPE merge loop (word-TYPE
+    # dictionary — slope should sit well below 1), incremental NDV
+    # analyze, partition-stats sidecar serving.
+    "lakehouse_default_column_backfill",
+    "lakehouse_variant_shredded_scan",
+    "tokenizer_bpe_merge_training",
+    "lakehouse_ndv_table_statistics",
+    "lakehouse_partition_stats_file",
 ]
 
 SFS = [
