@@ -804,3 +804,64 @@ def tokenizer_bpe_apply_compression(
         F.sum(F.col("freq") * F.col("n_bpe")).alias("bpe_symbols"),
     )
     return out
+
+
+@query(
+    "lakehouse_table_properties_report",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('changelog.broadcast-threshold-rows', NULL, '100000'),
+            ('history.expire.min-snapshots-to-keep', '2', '2'),
+            ('owner.team', 'data-eng', 'data-eng'),
+            ('read.dv.inline-threshold-rows', NULL, '100000'),
+            ('write.distribution-mode', 'hash', 'hash'),
+            ('write.merge.broadcast-threshold-rows', NULL, '100000')
+        ) AS t(property_key, stored_value, effective_value)
+    """,
+)
+def lakehouse_table_properties_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Table properties (Iceberg TBLPROPERTIES) that DRIVE engine
+    behavior: ``write.distribution-mode=hash`` makes every partitioned
+    write cluster to one file per partition tuple (asserted in-band via
+    the partition-stats sidecar), the merge/changelog broadcast
+    thresholds and the DV decode regime resolve through the same store,
+    and ``history.expire.min-snapshots-to-keep`` floors retention.
+    Explicit method arguments always win; unset keys read their engine
+    default. The report lists every behavior key (plus free-form
+    metadata) with stored vs effective values — the ALTER TABLE SET
+    TBLPROPERTIES audit surface.
+
+    Scale: the store is one tiny sidecar read per operation — no
+    snapshot carries config (the partition-layout-erosion lesson).
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        tbl.set_property("write.distribution-mode", "hash")
+        tbl.set_property("history.expire.min-snapshots-to-keep", 2)
+        tbl.set_property("owner.team", "data-eng")
+        cust = _cust(spark, sf_dir)
+        # the property (not an argument) must produce one file per
+        # segment partition
+        tbl.append(
+            cust.repartition(8), partition_by=["c_mktsegment"]
+        )
+        parts = {
+            r["partition"]: r["file_count"]
+            for r in tbl.partitions().collect()
+        }
+        assert parts and all(n == 1 for n in parts.values()), parts
+        stored = tbl.properties()
+        keys = sorted(set(stored) | set(tbl.PROPERTY_DEFAULTS))
+        rows = [
+            (k, stored.get(k), tbl.get_property(k)) for k in keys
+        ]
+        return spark.createDataFrame(
+            rows,
+            "property_key string, stored_value string,"
+            " effective_value string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

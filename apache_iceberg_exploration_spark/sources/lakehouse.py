@@ -95,6 +95,28 @@ def _check_default_literal(value, col: str) -> None:
         )
 
 
+def _publish_sidecar(path: str, payload) -> None:
+    """Rename-free sidecar write (the object-store commit contract the
+    lifecycle test enforces: os.rename/replace/move never appear in the
+    table layer — S3 has no atomic rename). Pattern mirrors the
+    manifest commit: full tmp write + fsync, ``os.link`` to the final
+    name (create-if-absent), tmp unlinked. Sidecars are DERIVED
+    metadata keyed by version, so a pre-existing target is simply
+    superseded: unlink-then-link; a crash between the two leaves the
+    sidecar absent, which every reader treats as 'fall back'."""
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        if os.path.exists(path):
+            os.unlink(path)
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+
+
 def _read_dv_bytes(
     path: str, offset: int, length: int, sha256: str | None
 ) -> bytes:
@@ -485,8 +507,8 @@ class LakehouseTable:
             # the sidecar is absent.
             try:
                 self._write_partition_stats(version, manifest)
-            except Exception:
-                pass
+            except (OSError, ValueError, KeyError, TypeError):
+                pass  # derived sidecar only; readers fall back
 
     # -- data-file production -------------------------------------------------
 
@@ -1159,6 +1181,9 @@ class LakehouseTable:
         tuple (see :meth:`_write_data_files`). Persistent CHECK
         constraints are enforced before any file is written."""
         self._enforce_constraints(df)
+        distribution = self._resolve_distribution(
+            distribution, partition_by
+        )
         logical_json = df.schema.json()
         df = self._add_variant_shreds(df, variant_shred)
         _, files = self._write_data_files(df, partition_by, distribution)
@@ -1192,6 +1217,99 @@ class LakehouseTable:
     @property
     def _constraints_path(self) -> str:
         return os.path.join(self.path, "constraints.json")
+
+    # -- table properties (Iceberg TBLPROPERTIES) ---------------------------
+    #
+    # Table-level CONFIG, stored like constraints (sidecar file, atomic
+    # replace, never in snapshots — carrying config through every
+    # snapshot path is the partition-layout-erosion bug class). Known
+    # keys DRIVE ENGINE BEHAVIOR; unknown keys are free-form metadata
+    # (Iceberg's convention). Explicit method arguments always win over
+    # properties, which win over the engine defaults below.
+
+    PROPERTY_DEFAULTS = {
+        # 'hash' clusters partitioned writes to one file per tuple
+        # (Iceberg write.distribution-mode)
+        "write.distribution-mode": "none",
+        # merge_into broadcasts the source below this row count
+        "write.merge.broadcast-threshold-rows": "100000",
+        # DV decode: at or below this many dead rows the driver decodes
+        # bitmaps locally; above it the decode fans out via mapInPandas
+        "read.dv.inline-threshold-rows": "100000",
+        # changelog(row_level=True) broadcast decomposition threshold
+        "changelog.broadcast-threshold-rows": "100000",
+        # expire_snapshots retention floor (Iceberg
+        # history.expire.min-snapshots-to-keep)
+        "history.expire.min-snapshots-to-keep": "1",
+    }
+
+    @property
+    def _properties_path(self) -> str:
+        return os.path.join(self.path, "properties.json")
+
+    def properties(self) -> dict[str, str]:
+        """Explicitly SET properties (the stored map). Effective values
+        — stored, else engine default — come from :meth:`property`."""
+        if not os.path.exists(self._properties_path):
+            return {}
+        with open(self._properties_path) as f:
+            try:
+                return json.load(f)
+            except ValueError as ex:
+                raise ValueError(
+                    f"properties store {self._properties_path!r} is "
+                    "unparseable; restore or delete it explicitly"
+                ) from ex
+
+    def get_property(self, key: str) -> str | None:
+        """Effective value: stored, falling back to the engine default
+        for known behavior keys (None for unset free-form keys).
+        (Named get_property, not property — a method named ``property``
+        would shadow the builtin decorator for the rest of the class
+        body.)"""
+        return self.properties().get(key, self.PROPERTY_DEFAULTS.get(key))
+
+    def set_property(self, key: str, value) -> None:
+        """``ALTER TABLE ... SET TBLPROPERTIES``. Known behavior keys
+        are validated on write (a typo'd VALUE must fail here, not
+        misconfigure every later operation); unknown keys are free-form
+        table metadata."""
+        value = str(value)
+        if key == "write.distribution-mode":
+            if value not in ("none", "hash"):
+                raise ValueError(
+                    f"{key}: {value!r} not in ('none', 'hash')"
+                )
+        elif key in self.PROPERTY_DEFAULTS:
+            if not value.isdigit():
+                raise ValueError(
+                    f"{key}: {value!r} is not a non-negative integer"
+                )
+        props = self.properties()
+        props[key] = value
+        os.makedirs(self.path, exist_ok=True)
+        _publish_sidecar(self._properties_path, props)
+
+    def unset_property(self, key: str) -> None:
+        """``ALTER TABLE ... UNSET TBLPROPERTIES`` — behavior keys
+        revert to the engine default."""
+        props = self.properties()
+        props.pop(key, None)
+        _publish_sidecar(self._properties_path, props)
+
+    def _int_property(self, key: str) -> int:
+        return int(self.get_property(key))
+
+    def _resolve_distribution(
+        self, distribution: str | None, partition_by
+    ) -> str | None:
+        """Explicit argument wins; else the table's
+        ``write.distribution-mode`` property drives partitioned
+        writes."""
+        if distribution is not None or not partition_by:
+            return distribution
+        mode = self.get_property("write.distribution-mode")
+        return "hash" if mode == "hash" else None
 
     def check_constraints(self) -> dict[str, str]:
         if not os.path.exists(self._constraints_path):
@@ -1304,6 +1422,9 @@ class LakehouseTable:
         any file is written."""
         df = self._apply_write_defaults(df)
         self._enforce_constraints(df)
+        distribution = self._resolve_distribution(
+            distribution, partition_by
+        )
         # the DECLARED schema is the logical one: VARIANT stays variant
         # (physically JSON, see _encode_variant_cols) and shredded stat
         # columns never enter it
@@ -2184,6 +2305,9 @@ class LakehouseTable:
                 m1,
                 old_rows=side_rows(m1, (f1 - f2) | affected),
                 new_rows=side_rows(m2, (f2 - f1) | affected),
+                broadcast_threshold_rows=self._int_property(
+                    "changelog.broadcast-threshold-rows"
+                ),
             )
 
         def tag(df: DataFrame, kind: str) -> DataFrame:
@@ -2524,7 +2648,9 @@ class LakehouseTable:
                 int(e.get("cardinality", 0))
                 for e in delete_vectors.values()
             )
-            if total_dead <= 100_000:
+            if total_dead <= self._int_property(
+                "read.dv.inline-threshold-rows"
+            ):
                 pairs = [
                     (f, int(p))
                     for f, e in delete_vectors.items()
@@ -2977,11 +3103,9 @@ class LakehouseTable:
             },
         }
         os.makedirs(self._stats_dir, exist_ok=True)
-        out = os.path.join(self._stats_dir, f"ndv-v{v}.json")
-        tmp = out + f".{os.getpid()}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump(blob, fh)
-        os.replace(tmp, out)
+        _publish_sidecar(
+            os.path.join(self._stats_dir, f"ndv-v{v}.json"), blob
+        )
         return {
             "version": v,
             "mode": blob["mode"],
@@ -3465,7 +3589,7 @@ class LakehouseTable:
         prune_on: str | None = None,
         delete_unmatched_target: bool = False,
         source_rows_hint: int | None = None,
-        broadcast_threshold_rows: int = 100_000,
+        broadcast_threshold_rows: int | None = None,
     ) -> dict:
         """MERGE INTO (upsert): rows matched on ``on`` are updated with
         ``update_cols`` expressions (evaluated over target columns and
@@ -3574,7 +3698,14 @@ class LakehouseTable:
             if (
                 join_type == "left_outer"
                 and src_rows is not None
-                and src_rows <= broadcast_threshold_rows
+                and src_rows
+                <= (
+                    broadcast_threshold_rows
+                    if broadcast_threshold_rows is not None
+                    else self._int_property(
+                        "write.merge.broadcast-threshold-rows"
+                    )
+                )
             ):
                 src = F.broadcast(src)
             joined = target.join(src, cond, join_type)
@@ -4990,11 +5121,10 @@ class LakehouseTable:
                 e.get("cardinality", 0)
             )
         os.makedirs(self._pstats_dir, exist_ok=True)
-        out = self._pstats_path(version)
-        tmp = out + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"partitions": agg, "dv_mass": dv_mass}, fh)
-        os.replace(tmp, out)
+        _publish_sidecar(
+            self._pstats_path(version),
+            {"partitions": agg, "dv_mass": dv_mass},
+        )
 
     def partitions(self, version: int | str | None = None) -> DataFrame:
         """``<table>.partitions`` metadata table: per-partition-tuple file
@@ -5010,9 +5140,14 @@ class LakehouseTable:
             version if version is not None else self.current_version()
         )
         p = self._pstats_path(v)
+        blob = None
         if os.path.exists(p):
             with open(p) as fh:
-                blob = json.load(fh)
+                try:
+                    blob = json.load(fh)
+                except ValueError:
+                    blob = None  # crashed write: manifest fold serves
+        if blob is not None:
             dv = blob.get("dv_mass") or {}
             rows = [
                 (
@@ -5584,7 +5719,7 @@ class LakehouseTable:
 
     def expire_snapshots(
         self,
-        keep_last: int = 1,
+        keep_last: int | None = None,
         dry_run: bool = False,
         older_than_ts: float | None = None,
     ) -> list[int] | dict:
@@ -5610,6 +5745,15 @@ class LakehouseTable:
         every file in it is doomed — the same conservative rule as the
         real pass has always used)."""
         current = self.current_version()
+        if keep_last is None:
+            # the table's retention floor (Iceberg
+            # history.expire.min-snapshots-to-keep), default 1
+            keep_last = self._int_property(
+                "history.expire.min-snapshots-to-keep"
+            )
+        # the CURRENT snapshot is never expirable (keep_last=0 would
+        # delete the live manifest)
+        keep_last = max(keep_last, 1)
         cutoff = max(current - keep_last + 1, 1)
         if older_than_ts is not None:
             # Iceberg's expire_snapshots(older_than, retain_last):

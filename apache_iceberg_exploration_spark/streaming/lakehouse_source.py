@@ -357,7 +357,9 @@ _SQL_CARRIED_OPTS = {
 
 
 _SQL_REG_PATH = os.path.join(
-    tempfile.gettempdir(), ".spark_lakehouse_sql_tables.json"
+    tempfile.gettempdir(),
+    # per-user: the temp dir is shared on multi-tenant hosts
+    f".spark_lakehouse_sql_tables.{os.getuid()}.json",
 )
 
 
