@@ -3616,7 +3616,11 @@ def test_sink_commits_assign_row_lineage(spark, table, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    from apache_iceberg_exploration_spark.streaming._wait import (
+        await_or_raise,
+    )
+
+    await_or_raise(q, 120)
     rows = {
         r["k"]: r["_row_id"]
         for r in table.read(with_lineage=True).collect()

@@ -185,3 +185,146 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
 @pytest.mark.parametrize("seed", [7, 12, 39, 105, 133])
 def test_random_mutation_sequences_match_model(spark, tmp_path, seed):
     _run_sequence(spark, tmp_path, seed)
+
+
+# -- r8: schema evolution with DEFAULT column values in the mix ----------
+#
+# A second randomized sequence where `tier` is ADDED (with an
+# initial-default) after the seed data exists, and the ops include
+# evolving/dropping the write-default, appends that omit the column,
+# and rollbacks that restore BOTH data and the schema's default state
+# (rollback re-commits the old manifest's schema, write-default
+# included). The model tracks (k, v, tier) where tier is decided by
+# WHICH ERA wrote the row — exactly the per-file semantics the readers
+# implement.
+
+D0 = "gen0"
+
+
+def _run_defaults_sequence(spark, tmp_path, seed: int) -> None:
+    rng = random.Random(seed)
+    t = LakehouseTable(spark, str(tmp_path / f"d{seed}"))
+    model: Counter = Counter()  # multiset of (k, v, tier)
+    next_k = 0
+    wd: str | None = None  # current write-default (None = pre-add/dropped)
+    added = False
+
+    def append(n, explicit: str | None = None):
+        nonlocal next_k
+        ks = list(range(next_k, next_k + n))
+        next_k += n
+        if not added:
+            t.append(_mk_df(spark, [(k, k * 10) for k in ks]))
+            # pre-add rows read the (future) initial-default
+            model.update((k, k * 10, D0) for k in ks)
+        elif explicit is not None:
+            df = spark.createDataFrame(
+                [(k, k * 10, explicit) for k in ks],
+                "k long, v long, tier string",
+            ).coalesce(1)
+            t.append(df)
+            model.update((k, k * 10, explicit) for k in ks)
+        else:
+            t.append(_mk_df(spark, [(k, k * 10) for k in ks]))
+            model.update((k, k * 10, wd) for k in ks)
+
+    append(rng.randint(5, 12))  # v1: pre-add files
+    t.add_column("tier", "string", default=D0)  # v2
+    added, wd = True, D0
+    history = {t.current_version(): (model.copy(), wd)}
+    ops = [
+        "append_omit",
+        "append_explicit",
+        "set_default",
+        "drop_default",
+        "cow_delete",
+        "dv_delete",
+        "cow_update",
+        "mor_delete",
+        "compact",
+        "rollback",
+    ]
+    for step in range(N_OPS):
+        op = rng.choice(ops)
+        if op == "append_omit":
+            append(rng.randint(1, 5))
+        elif op == "append_explicit":
+            append(rng.randint(1, 4), explicit=f"x{rng.randint(0, 2)}")
+        elif op == "set_default":
+            wd = f"gen{rng.randint(1, 9)}"
+            t.set_column_default("tier", wd)
+        elif op == "drop_default":
+            wd = None
+            t.drop_column_default("tier")
+        elif op == "cow_delete":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            t.delete_where(F.col("k") % m == r)
+            for row in list(model):
+                if row[0] % m == r:
+                    del model[row]
+        elif op == "dv_delete":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            t.delete_where_dv(F.col("k") % m == r)
+            for row in list(model):
+                if row[0] % m == r:
+                    del model[row]
+        elif op == "cow_update":
+            m = rng.randint(2, 5)
+            r = rng.randint(0, m - 1)
+            t.update_where(F.col("k") % m == r, {"v": F.col("v") + 1})
+            bump = [row for row in model if row[0] % m == r]
+            for row in bump:
+                c = model.pop(row)
+                model[(row[0], row[1] + 1, row[2])] += c
+        elif op == "mor_delete":
+            m = rng.randint(3, 6)
+            r = rng.randint(0, m - 1)
+            t.delete_where_mor(F.col("k") % m == r, keys=["k"])
+            for row in list(model):
+                if row[0] % m == r:
+                    del model[row]
+        elif op == "compact":
+            t.rewrite_data_files(target_file_count=rng.randint(1, 3))
+        elif op == "rollback":
+            target = rng.choice(sorted(history))
+            t.rollback(target)
+            model, wd = history[target][0].copy(), history[target][1]
+        got = Counter(
+            (r["k"], r["v"], r["tier"]) for r in t.read().collect()
+        )
+        assert got == model, (
+            f"seed {seed} step {step} op {op}: table != model\n"
+            f"extra: {got - model}\nmissing: {model - got}"
+        )
+        history[t.current_version()] = (model.copy(), wd)
+
+    # CDC replay with STREAM-style defaults (the reader derives the
+    # fill from ITS tip schema once and applies it to every window) —
+    # nets to the final state and composes at any split
+    tip = t.current_version()
+    dflt = {"tier": D0}
+    net: Counter = Counter()
+    for row in _cdc_rows(t.path, 0, tip, ["k", "v", "tier"], defaults=dflt):
+        key, kind = (row[0], row[1], row[2]), row[3]
+        net[key] += 1 if kind == "insert" else -1
+    alive = Counter({kv: n for kv, n in net.items() if n > 0})
+    assert alive == model, (
+        f"seed {seed}: CDC replay != final state\n"
+        f"extra: {alive - model}\nmissing: {model - alive}"
+    )
+    cut = tip // 2
+    whole = sorted(_cdc_rows(t.path, 0, tip, ["k", "v", "tier"], defaults=dflt))
+    split = sorted(
+        _cdc_rows(t.path, 0, cut, ["k", "v", "tier"], defaults=dflt)
+        + _cdc_rows(t.path, cut, tip, ["k", "v", "tier"], defaults=dflt)
+    )
+    assert whole == split, f"seed {seed}: CDC windows do not compose"
+
+
+@pytest.mark.parametrize("seed", [11, 42, 77])
+def test_random_default_evolution_sequences_match_model(
+    spark, tmp_path, seed
+):
+    _run_defaults_sequence(spark, tmp_path, seed)

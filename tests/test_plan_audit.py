@@ -110,3 +110,44 @@ def test_no_cartesian_products_or_python_rows_anywhere(spark):
     # an unpartitioned window funnels its whole input through ONE task;
     # allowed only behind a LIMIT/bounded aggregate (allowlist above)
     assert not bad_window, f"single-partition windows: {bad_window}"
+
+
+def test_no_hardcoded_probe_entity_ids():
+    """VERDICT r7 nit #2 as a fleet lint: the sf0.1 sweep caught a
+    vacuous green where a hard-coded probe doc id hit an empty band
+    bucket at another scale factor (dedup_minhash_topk_lookup, fixed
+    to select its probe FROM the data). No registry query source may
+    equality-compare a known entity-id column to an integer literal —
+    probes must be data-derived. (Modulo-arithmetic slicing like
+    ``c_custkey % 5 == 0`` partitions ALL ids and is fine; the lint
+    targets point lookups of one specific row.)"""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    pkg = _os.path.join(
+        _os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))
+        ),
+        "apache_iceberg_exploration_spark",
+    )
+    id_cols = r"(doc_id|vec_id|c_custkey|o_orderkey|user_id|s_suppkey|p_partkey)"
+    pats = [
+        # F.col("doc_id") == 123  (no modulo/arith between col and ==)
+        _re.compile(
+            rf'F\.col\(["\']{id_cols}["\']\)\s*==\s*(F\.lit\()?\d+\b'
+        ),
+        # SQL: WHERE doc_id = 123 / AND vec_id = 45
+        _re.compile(rf"(WHERE|AND|ON)\s+{id_cols}\s*=\s*\d+\b"),
+    ]
+    offenders = []
+    for path in _glob.glob(_os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        for pat in pats:
+            for m in pat.finditer(src):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{path}:{line}: {m.group(0)}")
+    assert not offenders, (
+        "hard-coded probe entity ids (select probes FROM the data — "
+        f"the dedup_minhash_topk_lookup lesson): {offenders}"
+    )

@@ -119,3 +119,35 @@ def test_pathless_read_without_catalog_bundle_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no 'path' option"):
         inst.reader(StructType([]))
+
+
+def test_sql_table_pinned_version(spark, tmp_path):
+    """CREATE TABLE ... OPTIONS (path, versionAsOf): the carried option
+    bundle pins the SQL table to a snapshot — a reproducibility handle
+    (name a training run's exact table state in the catalog)."""
+    import uuid as _uuid
+
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    tbl = LakehouseTable(spark, str(tmp_path / "tbl"))
+    tbl.append(
+        spark.range(0, 5).select(F.col("id").alias("k")).coalesce(1)
+    )
+    tbl.append(
+        spark.range(5, 9).select(F.col("id").alias("k")).coalesce(1)
+    )
+    spark.dataSource.register(make_lakehouse_batch_source())
+    name = f"sqlt_{_uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {name} USING lakehouse"
+        f" OPTIONS (path '{tbl.path}', versionAsOf '1')"
+    )
+    try:
+        assert spark.sql(f"SELECT count(*) c FROM {name}").collect()[0][
+            "c"
+        ] == 5
+        assert tbl.read().count() == 9  # the live table moved on
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
