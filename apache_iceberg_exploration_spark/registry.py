@@ -119,5 +119,8 @@ def _load_all() -> None:
     from .operators import deletion  # noqa: F401
     # r8 — Iceberg v3 default column values.
     from .operators import evolution  # noqa: F401
+    # r8 continuation — Iceberg v3 geometry columns (WKB + envelope
+    # shreds). Newest module: registers LAST, after evolution.
+    from .operators import geotable  # noqa: F401
 
     _LOADED = True

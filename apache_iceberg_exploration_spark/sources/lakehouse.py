@@ -537,6 +537,9 @@ class LakehouseTable:
         data_dir = os.path.join(self.path, "data", snap_id)
         specs = [PartitionSpec.parse(s) for s in (partition_by or [])]
         out = self._encode_variant_cols(df)
+        # geometry envelope shreds (Iceberg v3 geo stats): every write
+        # path funnels through here, so rewrites re-materialize them
+        out = self._add_geo_shreds(out, self._geo_columns())
         for sp in specs:
             if sp.kind != "identity":
                 out = out.withColumn(sp.field_name, sp.column())
@@ -591,6 +594,41 @@ class LakehouseTable:
                     f"__shred_{col}_{alias}",
                     F.expr(f"variant_get({col}, '{path}', '{typ}')"),
                 )
+        return df
+
+    def _geo_columns(self) -> list[str]:
+        """Declared geometry columns (Iceberg v3 geo types) — table
+        CONFIG like constraints/properties, stored in the ``geo.columns``
+        property rather than threaded through every snapshot-building
+        path (the partition-layout-erosion lesson). Declared via
+        ``overwrite(geo_cols=[...])``."""
+        raw = self.get_property("geo.columns")
+        return [c for c in (raw or "").split(",") if c]
+
+    @staticmethod
+    def _add_geo_shreds(df: DataFrame, geo_cols: list[str]) -> DataFrame:
+        """Materialize per-row envelope shred columns
+        ``__geo_<col>_{xmin,ymin,xmax,ymax}`` for every declared
+        geometry column present in ``df`` — the Iceberg v3 geo-stats
+        design: the parquet footer min/max of these doubles give each
+        data file a bounding box in the manifest, so
+        ``scan(geo_bbox=...)`` skips files that cannot intersect the
+        query window. Recomputed on EVERY write (deterministic from the
+        WKB bytes), so CoW rewrites and compaction preserve pruning."""
+        if not geo_cols:
+            return df
+        from ..functions.geo import wkb_bbox
+
+        for c in geo_cols:
+            if c not in df.columns:
+                continue  # narrower append: schema-union semantics
+            tmp = f"__geo_bb_{c}"
+            df = df.withColumn(tmp, wkb_bbox(F.col(c)))
+            for part in ("xmin", "ymin", "xmax", "ymax"):
+                df = df.withColumn(
+                    f"__geo_{c}_{part}", F.col(f"{tmp}.{part}")
+                )
+            df = df.drop(tmp)
         return df
 
     @staticmethod
@@ -1174,12 +1212,37 @@ class LakehouseTable:
         partition_by: list[str] | None = None,
         distribution: str | None = None,
         variant_shred: dict | None = None,
+        geo_cols: list[str] | None = None,
     ) -> dict:
         """Full-replace snapshot — the reference's only write mode
         (``mode("overwrite").saveAsTable``, etl.py:51-54).
         ``distribution="hash"`` clusters rows to one file per partition
         tuple (see :meth:`_write_data_files`). Persistent CHECK
-        constraints are enforced before any file is written."""
+        constraints are enforced before any file is written.
+
+        ``geo_cols`` declares WKB-binary geometry columns (Iceberg v3
+        geo types; see functions/geo.py) — stored in the ``geo.columns``
+        table property, so EVERY later write (appends, CoW rewrites,
+        compaction) materializes the ``__geo_*`` envelope shreds that
+        power ``scan(geo_bbox=...)`` file skipping. Declared at
+        overwrite time because a full replace is the one write that
+        guarantees every live file carries the shreds from day one."""
+        from pyspark.sql import types as T
+
+        if geo_cols:
+            missing = [c for c in geo_cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"geo_cols not in frame: {missing}")
+            bad = [
+                c
+                for c in geo_cols
+                if not isinstance(df.schema[c].dataType, T.BinaryType)
+            ]
+            if bad:
+                raise ValueError(
+                    f"geo_cols must be WKB binary columns: {bad}"
+                )
+            self.set_property("geo.columns", ",".join(geo_cols))
         self._enforce_constraints(df)
         distribution = self._resolve_distribution(
             distribution, partition_by
@@ -1279,6 +1342,13 @@ class LakehouseTable:
             if value not in ("none", "hash"):
                 raise ValueError(
                     f"{key}: {value!r} not in ('none', 'hash')"
+                )
+        elif key == "geo.columns":
+            cols = [c for c in value.split(",") if c]
+            if not cols or any(not c.isidentifier() for c in cols):
+                raise ValueError(
+                    f"{key}: {value!r} must be a comma-separated list "
+                    "of column names"
                 )
         elif key in self.PROPERTY_DEFAULTS:
             if not value.isdigit():
@@ -1400,6 +1470,17 @@ class LakehouseTable:
             raise ValueError(
                 f"column names {sorted(bad)} are reserved for row-lineage "
                 "materialization — rename them before writing"
+            )
+        shredded = [
+            c
+            for c in df.columns
+            if c.startswith("__geo_") or c.startswith("__shred_")
+        ]
+        if shredded:
+            raise ValueError(
+                f"column names {sorted(shredded)} use reserved physical "
+                "stat-column prefixes (__geo_/__shred_) — rename them "
+                "before writing"
             )
 
     def append(
@@ -1722,6 +1803,13 @@ class LakehouseTable:
             },
         )
         dest._try_commit(v, manifest)
+        # table properties travel with the clone (Delta shallow-clone
+        # behavior) — load-bearing for geometry tables: 'geo.columns'
+        # drives shred materialization on every clone-side write, so
+        # dropping it would silently degrade geo_bbox scans there
+        props = self.properties()
+        if props:
+            _publish_sidecar(dest._properties_path, props)
         return dest
 
     def _resolve_version(self, version: int | str | None) -> int:
@@ -2706,13 +2794,18 @@ class LakehouseTable:
         manifest: dict,
         with_lineage: bool = False,
         keep_coords: bool = False,
+        extra_cols: list[str] | None = None,
     ) -> DataFrame:
         """Read a manifest's files projected to its declared schema.
         ``keep_coords`` retains the physical ``__file``/``__pos``
         columns through the delete anti-joins — for writers that need
         BOTH the surviving rows and their coordinates (update_where_dv
         records the old image's position in a deletion vector while
-        appending its replacement).
+        appending its replacement). ``extra_cols`` carries named
+        PHYSICAL columns (``__geo_*`` / ``__shred_*`` stat shreds)
+        through the declared projection and any delete joins — for
+        callers that filter on them and drop them before returning
+        (``scan(geo_bbox=...)``); absent columns are skipped.
 
         Schema evolution contract (Iceberg-style, add-column only):
         files written before a column existed surface it as NULL; every
@@ -2768,6 +2861,11 @@ class LakehouseTable:
                 keep += ["__file", "__pos"]
             if with_lineage:
                 keep += lineage_phys
+            keep += [
+                c
+                for c in (extra_cols or [])
+                if c in df.columns and c not in keep
+            ]
             norm_file = F.regexp_replace(
                 F.col("__file"), "^file:/+", "/"
             )
@@ -3496,9 +3594,10 @@ class LakehouseTable:
 
     def scan(
         self,
-        where: dict[str, tuple],
+        where: dict[str, tuple] | None = None,
         version: int | None = None,
         null_predicates: dict[str, bool] | None = None,
+        geo_bbox: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Stats-pruned scan: ``where`` maps column → inclusive
         ``(lo, hi)`` range (``None`` = open end). Files whose
@@ -3507,19 +3606,68 @@ class LakehouseTable:
         above parquet row-group pruning. The residual row filter is then
         applied, so results are exact regardless of pruning.
 
+        ``geo_bbox`` maps a declared geometry column (see
+        ``overwrite(geo_cols=...)``) → query window ``(xmin, ymin,
+        xmax, ymax)``; result rows are those whose geometry ENVELOPE
+        intersects the window (Iceberg v3 geo-stats semantics). File
+        skipping runs on the manifest's ``__geo_*`` shred stats; the
+        residual runs JVM-side on the shred columns when every kept
+        file materializes them, else falls back to an exact
+        Arrow-batched envelope recompute from the WKB bytes — correct
+        even for files written before the geo declaration.
+
         Scale: this is what makes point/range lookups on a 10^6-file
         table planning-bound instead of IO-bound — the manifest scan is
         O(files) driver-side metadata, no footer reads, no tasks for
         skipped files. Pairs with `rewrite_data_files(sort_by=...)` /
         `zorder_by=...`, which cluster values so files become prunable.
         """
+        where = dict(where or {})
         v = self.current_version() if version is None else version
         manifest = self._read_manifest(v)
-        kept = self._prune_files(manifest, where, null_predicates)
+        geo_pred: dict[str, tuple] = {}
+        if geo_bbox:
+            declared_geo = set(self._geo_columns())
+            for c, (x0, y0, x1, y1) in geo_bbox.items():
+                if c not in declared_geo:
+                    raise ValueError(
+                        f"{c!r} is not a declared geometry column "
+                        "(overwrite(geo_cols=...) / the 'geo.columns' "
+                        "property)"
+                    )
+                geo_pred[f"__geo_{c}_xmin"] = (None, x1)
+                geo_pred[f"__geo_{c}_xmax"] = (x0, None)
+                geo_pred[f"__geo_{c}_ymin"] = (None, y1)
+                geo_pred[f"__geo_{c}_ymax"] = (y0, None)
+        kept = self._prune_files(
+            manifest, {**where, **geo_pred}, null_predicates
+        )
         kept = self._partition_prune(manifest, where, kept)
         if not kept:
             return self._project_to_schema(manifest).limit(0)
-        df = self._project_to_schema({**manifest, "files": kept})
+        stats = manifest.get("stats", {})
+        shred_ready = {
+            c: all(
+                f"__geo_{c}_xmin"
+                in ((stats.get(f) or {}).get("__cols") or [])
+                for f in kept
+            )
+            for c in (geo_bbox or {})
+        }
+        extra = [
+            k
+            for c, ok in shred_ready.items()
+            if ok
+            for k in (
+                f"__geo_{c}_xmin",
+                f"__geo_{c}_xmax",
+                f"__geo_{c}_ymin",
+                f"__geo_{c}_ymax",
+            )
+        ]
+        df = self._project_to_schema(
+            {**manifest, "files": kept}, extra_cols=extra
+        )
         for col, (lo, hi) in where.items():
             if lo is not None:
                 df = df.filter(F.col(col) >= lo)
@@ -3529,6 +3677,22 @@ class LakehouseTable:
             df = df.filter(
                 F.col(col).isNull() if want_null else F.col(col).isNotNull()
             )
+        for c, (x0, y0, x1, y1) in (geo_bbox or {}).items():
+            if shred_ready[c]:
+                df = df.filter(
+                    (F.col(f"__geo_{c}_xmin") <= float(x1))
+                    & (F.col(f"__geo_{c}_xmax") >= float(x0))
+                    & (F.col(f"__geo_{c}_ymin") <= float(y1))
+                    & (F.col(f"__geo_{c}_ymax") >= float(y0))
+                )
+            else:
+                from ..functions.geo import geo_bbox_filter
+
+                df = df.filter(
+                    geo_bbox_filter(F.col(c), (x0, y0, x1, y1))
+                )
+        if extra:
+            df = df.drop(*extra)
         return df
 
     def read_incremental(
@@ -5184,6 +5348,44 @@ class LakehouseTable:
             )
         )
 
+    def geo_bounds(
+        self, col: str, version: int | str | None = None
+    ) -> DataFrame:
+        """Per-file bounding boxes of a declared geometry column,
+        served purely from manifest stats (the footer min/max of the
+        ``__geo_*`` shred columns) — no data file is opened. The
+        metadata surface a spatial maintenance planner reads: files
+        with overlapping envelopes are the re-clustering candidates
+        (sort by Hilbert/Morton of the centroid), exactly how Iceberg
+        v3's geo bounds feed its file-skipping planner. Files written
+        before the geo declaration surface NULL bounds."""
+        v = self._resolve_version(version)
+        manifest = self._read_manifest(v)
+        stats = manifest.get("stats", {})
+        rows = []
+        for f in manifest["files"]:
+            st = stats.get(f) or {}
+
+            def side(part: str, idx: int):
+                rng = st.get(f"__geo_{col}_{part}")
+                return float(rng[idx]) if rng else None
+
+            rows.append(
+                (
+                    f,
+                    st.get("__rows"),
+                    side("xmin", 0),
+                    side("ymin", 0),
+                    side("xmax", 1),
+                    side("ymax", 1),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file string, num_rows long, xmin double, ymin double, "
+            "xmax double, ymax double",
+        )
+
     def rollback(self, to_version: int) -> dict:
         """Restore the table to a previous snapshot's state by committing a
         NEW snapshot that points at the old version's exact file set (and
@@ -5521,6 +5723,7 @@ class LakehouseTable:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         hilbert_by: list[str] | None = None,
+        geo_cluster_by: str | None = None,
     ) -> dict:
         """Compaction: rewrite the current snapshot's files into
         ``target_file_count`` larger ones (default: executor parallelism).
@@ -5543,15 +5746,58 @@ class LakehouseTable:
         curve instead — same pruning contract as z-order but with
         step-adjacent locality (no Morton quadrant jumps), so each
         file's bounding rectangle is tighter; this is Delta OPTIMIZE's
-        upgraded default and an Iceberg-spec sort transform."""
+        upgraded default and an Iceberg-spec sort transform.
+
+        ``geo_cluster_by`` names a declared geometry column: rows are
+        Hilbert-clustered on their envelope CENTERS (decoded once,
+        Arrow-batched), so each output file covers a tight spatial
+        rectangle and ``scan(geo_bbox=...)`` pruning bites after
+        arbitrary-order ingestion — the geometry-aware OPTIMIZE a
+        spatial table needs (NULL geometries cluster together at the
+        origin)."""
         n = target_file_count or self.spark.sparkContext.defaultParallelism
+        if geo_cluster_by and geo_cluster_by not in self._geo_columns():
+            raise ValueError(
+                f"{geo_cluster_by!r} is not a declared geometry column"
+            )
 
         def compute(base: int) -> tuple[dict, list[str]]:
             # re-clustering rewrites every row — identity must ride along
             # (materialized __row_id/__last_updated), or a z-order pass
             # would silently re-key every downstream lineage consumer
             src = self._project_with_lineage_cols(self._read_manifest(base))
-            if hilbert_by:
+            if geo_cluster_by:
+                from ..functions.geo import wkb_bbox
+
+                # one bbox decode per row (materialized struct — field
+                # refs on the raw UDF column would re-evaluate it)
+                tmp = src.withColumn(
+                    "__gbb", wkb_bbox(F.col(geo_cluster_by))
+                )
+
+                def center(lo, hi):
+                    c = (
+                        F.col(f"__gbb.{lo}") + F.col(f"__gbb.{hi}")
+                    ) / 2
+                    # NULL geometry: NaN or null center depending on the
+                    # Arrow conversion — pin both to the origin
+                    return F.when(
+                        c.isNull() | F.isnan(c), F.lit(0.0)
+                    ).otherwise(c)
+
+                centered = tmp.withColumns(
+                    {
+                        "__gx": center("xmin", "xmax"),
+                        "__gy": center("ymin", "ymax"),
+                    }
+                ).drop("__gbb")
+                df = (
+                    self._with_hilbert_key(centered, ["__gx", "__gy"])
+                    .repartitionByRange(n, "__h")
+                    .sortWithinPartitions("__h")
+                    .drop("__h", "__gx", "__gy")
+                )
+            elif hilbert_by:
                 df = (
                     self._with_hilbert_key(src, hilbert_by)
                     .repartitionByRange(n, "__h")

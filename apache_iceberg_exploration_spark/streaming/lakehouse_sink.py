@@ -104,6 +104,17 @@ def _commit_append(
             f"lakehouse_sink: column names {sorted(bad)} are reserved for "
             "row-lineage materialization — rename them before writing"
         )
+    shredded = {
+        n
+        for n in declared_names
+        if n.startswith("__geo_") or n.startswith("__shred_")
+    }
+    if shredded:
+        raise ValueError(
+            f"lakehouse_sink: column names {sorted(shredded)} use "
+            "reserved physical stat-column prefixes (__geo_/__shred_) — "
+            "rename them before writing"
+        )
     cpath = os.path.join(root, "constraints.json")
     if os.path.exists(cpath):
         with open(cpath) as f:

@@ -488,7 +488,7 @@ def _stream_colnames(root: str) -> list[str]:
         return [
             f["name"]
             for f in json.loads(sj)["fields"]
-            if f["name"] not in _RESERVED_LINEAGE
+            if not _reserved_physical(f["name"])
         ]
     import pyarrow.parquet as pq
 
@@ -496,7 +496,7 @@ def _stream_colnames(root: str) -> list[str]:
     return [
         f.name
         for f in pq.ParquetFile(files[0]).schema_arrow
-        if f.name not in _RESERVED_LINEAGE
+        if not _reserved_physical(f.name)
     ]
 
 
@@ -1072,6 +1072,21 @@ def _cdc_rows(
 _RESERVED_LINEAGE = ("__row_id", "__last_updated")
 
 
+def _reserved_physical(name: str) -> bool:
+    """True for engine-materialized PHYSICAL columns that must never
+    surface through a raw-file read: row-lineage columns and the
+    ``__geo_*`` / ``__shred_*`` stat shreds (variant shredding, geometry
+    envelopes). Declared-schema projections exclude shreds naturally
+    (they are never declared); this guard covers the pre-schema raw
+    paths, where a rewritten file would otherwise change the visible
+    schema and un-cancel CDC multiset diffs."""
+    return (
+        name in _RESERVED_LINEAGE
+        or name.startswith("__geo_")
+        or name.startswith("__shred_")
+    )
+
+
 def _us_schema(schema):
     """Arrow schema with nanosecond timestamps demoted to microseconds
     (Spark's INT96 parquet timestamps surface as timestamp[ns] in
@@ -1089,7 +1104,7 @@ def _us_schema(schema):
                 f.nullable,
             )
             for f in schema
-            if f.name not in _RESERVED_LINEAGE
+            if not _reserved_physical(f.name)
         ]
     )
 
@@ -1172,7 +1187,7 @@ def make_lakehouse_stream_source():
                     names = [
                         n
                         for n in pf.schema_arrow.names
-                        if n not in _RESERVED_LINEAGE
+                        if not _reserved_physical(n)
                     ]
                     for batch in pf.iter_batches(columns=names):
                         rows.extend(

@@ -173,6 +173,12 @@ HEADLINE = [
     "tokenizer_bpe_merge_training",
     "tokenizer_bpe_apply_compression",
     "lakehouse_variant_shredded_scan",
+    # r8 continuation: Iceberg v3 geometry columns (WKB + envelope
+    # shred pruning)
+    "lakehouse_geo_bbox_pruned_scan",
+    "lakehouse_geo_point_in_polygon_join",
+    "lakehouse_geo_knn_window_probes",
+    "lakehouse_geo_file_bounds_report",
 ]
 
 

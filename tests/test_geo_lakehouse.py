@@ -1,0 +1,302 @@
+"""Geometry columns in lakehouse tables (Iceberg v3 geo types).
+
+The declared type is ``binary`` holding WKB; ``overwrite(geo_cols=...)``
+declares which columns are geometry (stored in the ``geo.columns`` table
+property), after which EVERY write materializes reserved
+``__geo_<col>_{xmin,ymin,xmax,ymax}`` envelope shreds whose footer
+min/max become per-file bounding boxes in the manifest —
+``scan(geo_bbox=...)`` file-skips on them (functions/geo.py has the WKB
+codec kernels).
+"""
+
+from __future__ import annotations
+
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.functions.geo import (
+    bbox_of,
+    exterior_ring,
+    st_contains_point,
+    st_point,
+    st_polygon,
+    st_ring,
+    st_x,
+    st_y,
+    wkb_point_bytes,
+    wkb_polygon_bytes,
+)
+from apache_iceberg_exploration_spark.sources.lakehouse import (
+    LakehouseTable,
+)
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return LakehouseTable(spark, str(tmp_path / "geo_tbl"))
+
+
+def _points(spark, lo, hi):
+    """Deterministic point cloud: x in [lo, hi), y = 2x + 1."""
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        st_point(
+            F.col("id").cast("double"),
+            (F.col("id") * 2 + 1).cast("double"),
+        ).alias("geom"),
+    )
+
+
+def _seeded(spark, table):
+    """Two spatially disjoint files: x in [0,50) and [100,150)."""
+    table.overwrite(
+        _points(spark, 0, 50).coalesce(1).sortWithinPartitions("k"),
+        geo_cols=["geom"],
+    )
+    table.append(_points(spark, 100, 150).coalesce(1).sortWithinPartitions("k"))
+
+
+# -- pure codec ------------------------------------------------------------
+
+
+def test_wkb_codec_roundtrip():
+    p = wkb_point_bytes(3.5, -7.25)
+    assert bbox_of(p) == (3.5, -7.25, 3.5, -7.25)
+    assert exterior_ring(p) == [3.5, -7.25]
+    poly = wkb_polygon_bytes([0, 0, 4, 0, 4, 4, 0, 4])
+    # ring auto-closed
+    assert exterior_ring(poly) == [0, 0, 4, 0, 4, 4, 0, 4, 0, 0]
+    assert bbox_of(poly) == (0, 0, 4, 4)
+
+
+def test_wkb_big_endian_and_multi():
+    import struct
+
+    # big-endian point
+    be = struct.pack(">BIdd", 0, 1, 2.0, 9.0)
+    assert bbox_of(be) == (2.0, 9.0, 2.0, 9.0)
+    # multipoint: count + nested WKB points
+    mp = struct.pack("<BII", 1, 4, 2) + wkb_point_bytes(
+        -1.0, 5.0
+    ) + wkb_point_bytes(3.0, -2.0)
+    assert bbox_of(mp) == (-1.0, -2.0, 3.0, 5.0)
+
+
+def test_kernels_roundtrip(spark):
+    df = spark.range(5).select(
+        F.col("id").alias("k"),
+        st_point(
+            F.col("id").cast("double"), (F.col("id") * 10).cast("double")
+        ).alias("g"),
+    )
+    got = df.select(
+        "k", st_x("g").alias("x"), st_y("g").alias("y")
+    ).collect()
+    assert all(r["x"] == r["k"] and r["y"] == 10 * r["k"] for r in got)
+    ring = df.limit(1).select(st_ring("g").alias("r")).first()["r"]
+    assert ring == [0.0, 0.0]
+
+
+def test_point_in_polygon_concave(spark):
+    # concave "notch" polygon: unit square with a bite from the top
+    ring = [0, 0, 10, 0, 10, 10, 5, 3, 0, 10]
+    cases = [
+        (5.0, 1.0, True),  # deep inside
+        (5.0, 5.0, False),  # inside the notch (outside polygon)
+        (1.0, 8.0, True),  # left lobe
+        (9.0, 8.0, True),  # right lobe
+        (11.0, 1.0, False),  # right of everything
+    ]
+    df = spark.createDataFrame(cases, "px double, py double, want boolean")
+    got = df.select(
+        "want",
+        st_contains_point(
+            st_polygon(F.lit(ring).cast("array<double>")), "px", "py"
+        ).alias("got"),
+    ).collect()
+    assert all(r["got"] == r["want"] for r in got)
+
+
+# -- lakehouse integration ---------------------------------------------------
+
+
+def test_geo_roundtrip_and_hidden_shreds(spark, table):
+    _seeded(spark, table)
+    back = table.read()
+    assert [c for c in back.columns] == ["k", "geom"]
+    got = back.select(
+        "k", st_x("geom").alias("x"), st_y("geom").alias("y")
+    ).collect()
+    assert len(got) == 100
+    assert all(r["x"] == r["k"] and r["y"] == 2 * r["k"] + 1 for r in got)
+
+
+def test_geo_shreds_in_files_and_stats(spark, table):
+    import pyarrow.parquet as pq
+
+    _seeded(spark, table)
+    m = table._read_manifest(table.current_version())
+    for f in m["files"]:
+        names = pq.ParquetFile(f).schema_arrow.names
+        for part in ("xmin", "ymin", "xmax", "ymax"):
+            assert f"__geo_geom_{part}" in names
+        st = m["stats"][f]
+        assert st["__geo_geom_xmin"][0] in (0.0, 100.0)
+
+
+def test_geo_bbox_scan_prunes_files(spark, table):
+    _seeded(spark, table)
+    hit = table.scan(geo_bbox={"geom": (10, 0, 20, 1000)})
+    assert len(hit.inputFiles()) == 1  # second file provably disjoint
+    ks = sorted(r["k"] for r in hit.collect())
+    assert ks == list(range(10, 21))
+    assert hit.columns == ["k", "geom"]
+    # window outside every file: planning-time empty
+    nothing = table.scan(geo_bbox={"geom": (60, 0, 80, 1000)})
+    assert nothing.inputFiles() == [] and nothing.count() == 0
+
+
+def test_geo_bbox_with_column_predicates(spark, table):
+    _seeded(spark, table)
+    got = table.scan(
+        where={"k": (None, 110)}, geo_bbox={"geom": (100, 0, 200, 1000)}
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(100, 111))
+
+
+def test_geo_scan_requires_declaration(spark, table):
+    _seeded(spark, table)
+    with pytest.raises(ValueError, match="not a declared geometry"):
+        table.scan(geo_bbox={"k": (0, 0, 1, 1)})
+
+
+def test_geo_reserved_prefix_rejected(spark, table):
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("__geo_x")
+    )
+    with pytest.raises(ValueError, match="reserved physical"):
+        table.append(bad)
+
+
+def test_geo_survives_cow_and_compaction(spark, table):
+    _seeded(spark, table)
+    table.delete_where(
+        F.col("k") == 10, prune={"k": (0, 49)}
+    )
+    table.rewrite_small_files()
+    hit = table.scan(geo_bbox={"geom": (0, 0, 20, 1000)})
+    # compaction merged the two files; shreds re-materialized so the
+    # scan is still stats-exact (one combined file now)
+    ks = sorted(r["k"] for r in hit.collect())
+    assert ks == [k for k in range(0, 21) if k != 10]
+    m = table._read_manifest(table.current_version())
+    assert all(
+        "__geo_geom_xmin" in (m["stats"][f].get("__cols") or [])
+        for f in m["files"]
+    )
+
+
+def test_geo_null_geometry_never_intersects(spark, table):
+    pts = _points(spark, 0, 10).withColumn(
+        "geom", F.when(F.col("k") < 5, F.col("geom"))
+    )
+    table.overwrite(pts.coalesce(1), geo_cols=["geom"])
+    got = table.scan(geo_bbox={"geom": (0, 0, 100, 1000)})
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_geo_fallback_residual_on_pre_declaration_files(spark, table):
+    """Files written BEFORE the declaration lack shreds; the residual
+    falls back to the exact Arrow-batched envelope recompute."""
+    table.append(_points(spark, 0, 50).coalesce(1))
+    table.set_property("geo.columns", "geom")
+    table.append(_points(spark, 100, 150).coalesce(1))
+    got = table.scan(geo_bbox={"geom": (10, 0, 20, 1000)})
+    assert sorted(r["k"] for r in got.collect()) == list(range(10, 21))
+    # pre-declaration file has no shred stats -> kept conservatively,
+    # exact filter still excludes the second file's rows
+    got2 = table.scan(geo_bbox={"geom": (120, 0, 130, 1000)})
+    assert sorted(r["k"] for r in got2.collect()) == list(range(120, 131))
+    # compaction heals shred coverage: after one rewrite the fast
+    # JVM-side residual path applies again
+    table.rewrite_small_files()
+    m = table._read_manifest(table.current_version())
+    assert all(
+        "__geo_geom_xmin" in (m["stats"][f].get("__cols") or [])
+        for f in m["files"]
+    )
+
+
+def test_geo_clone_carries_declaration(spark, table, tmp_path):
+    _seeded(spark, table)
+    dest = table.clone(str(tmp_path / "geo_clone"))
+    assert dest._geo_columns() == ["geom"]
+    dest.append(_points(spark, 200, 210).coalesce(1))
+    got = dest.scan(geo_bbox={"geom": (200, 0, 205, 1000)})
+    assert sorted(r["k"] for r in got.collect()) == list(range(200, 206))
+
+
+def test_geo_bounds_metadata_table(spark, table):
+    _seeded(spark, table)
+    rows = {
+        (r["xmin"], r["xmax"]): r["num_rows"]
+        for r in table.geo_bounds("geom").collect()
+    }
+    assert rows == {(0.0, 49.0): 50, (100.0, 149.0): 50}
+
+
+def test_geo_changelog_nets_zero_on_compaction(spark, table):
+    _seeded(spark, table)
+    v = table.current_version()
+    table.rewrite_small_files()
+    assert table.changelog(v).count() == 0
+    table.append(_points(spark, 300, 303).coalesce(1))
+    ch = table.changelog(v + 1)
+    assert ch.count() == 3
+    assert not [c for c in ch.columns if c.startswith("__geo_")]
+
+
+def test_geo_dsv2_reader_excludes_shreds(spark, table):
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    _seeded(spark, table)
+    spark.dataSource.register(make_lakehouse_batch_source())
+    d = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .load()
+    )
+    assert sorted(d.columns) == ["geom", "k"]
+    got = d.select("k", st_x("geom").alias("x")).filter(
+        F.col("k") == 120
+    ).collect()
+    assert got[0]["x"] == 120.0
+
+
+def test_geo_cluster_rewrite_improves_pruning(spark, table):
+    """Spatially random ingestion (hash-by-key files) leaves every file
+    spanning the whole box, so a small window opens everything;
+    ``rewrite_data_files(geo_cluster_by=...)`` Hilbert-clusters on the
+    envelope centers, after which the same window opens strictly fewer
+    files — and the result set is unchanged."""
+    pts = _points(spark, 0, 400)
+    table.overwrite(pts.repartition(4, "k"), geo_cols=["geom"])
+    # x == k in _points, so a window on x<=80 has a known answer
+    window = (0, 0, 80, 1000)
+    before = table.scan(geo_bbox={"geom": window})
+    assert len(before.inputFiles()) == 4  # every file spans the box
+    want = sorted(r["k"] for r in before.collect())
+    assert want == list(range(0, 81))
+    table.rewrite_data_files(geo_cluster_by="geom", target_file_count=4)
+    after = table.scan(geo_bbox={"geom": window})
+    assert len(after.inputFiles()) < 4, "clustering did not tighten files"
+    assert sorted(r["k"] for r in after.collect()) == want
+
+
+def test_geo_cluster_requires_declaration(spark, table):
+    table.append(_points(spark, 0, 10).coalesce(1))
+    with pytest.raises(ValueError, match="not a declared geometry"):
+        table.rewrite_data_files(geo_cluster_by="geom")
