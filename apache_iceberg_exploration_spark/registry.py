@@ -122,5 +122,7 @@ def _load_all() -> None:
     # r8 continuation — Iceberg v3 geometry columns (WKB + envelope
     # shreds). Newest module: registers LAST, after evolution.
     from .operators import geotable  # noqa: F401
+    # r8 continuation — training-data selection (DSIR-style).
+    from .operators import selection  # noqa: F401
 
     _LOADED = True

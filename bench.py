@@ -179,6 +179,9 @@ HEADLINE = [
     "lakehouse_geo_point_in_polygon_join",
     "lakehouse_geo_knn_window_probes",
     "lakehouse_geo_file_bounds_report",
+    # r8 continuation: training-data selection
+    "training_dsir_target_selection",
+    "training_mix_apportionment",
 ]
 
 

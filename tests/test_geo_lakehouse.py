@@ -300,3 +300,36 @@ def test_geo_cluster_requires_declaration(spark, table):
     table.append(_points(spark, 0, 10).coalesce(1))
     with pytest.raises(ValueError, match="not a declared geometry"):
         table.rewrite_data_files(geo_cluster_by="geom")
+
+
+def test_geo_stream_read_excludes_shreds(spark, table, tmp_path):
+    """A streaming read of a geometry table emits the declared schema
+    only — the physical __geo_* envelope shreds stay table metadata."""
+    from apache_iceberg_exploration_spark.streaming._wait import (
+        await_or_raise,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_source,
+    )
+
+    _seeded(spark, table)
+    spark.dataSource.register(make_lakehouse_stream_source())
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("lakehouse_stream")
+        .option("path", table.path)
+        .load()
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 120)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["geom", "k"]
+    assert got.count() == 100
+    xs = {r["x"] for r in got.select(st_x("geom").alias("x")).collect()}
+    assert xs == {float(k) for k in list(range(50)) + list(range(100, 150))}

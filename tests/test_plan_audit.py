@@ -85,6 +85,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     "dq_benford_first_digit",
     "domain_token_mix",
     "chi_square_independence_test",
+    # TOPK-bounded: row_number AFTER .limit(100) (TakeOrdered)
+    "training_dsir_target_selection",
+    # |sources|-bounded: remainder rank over the per-source aggregate
+    "training_mix_apportionment",
 }
 
 
