@@ -124,5 +124,7 @@ def _load_all() -> None:
     from .operators import geotable  # noqa: F401
     # r8 continuation — training-data selection (DSIR-style).
     from .operators import selection  # noqa: F401
+    # r8 continuation — oracled metadata-table queries.
+    from .operators import metadata_queries  # noqa: F401
 
     _LOADED = True

@@ -596,6 +596,31 @@ class LakehouseTable:
                 )
         return df
 
+    def _apply_write_sort(self, df: DataFrame) -> DataFrame:
+        """Iceberg ``write.sort-order`` via the ``write.sort-by`` table
+        property: INGEST writes (append / overwrite / constrained
+        append) are range-distributed on the configured columns and
+        locally sorted (``write.distribution-mode=range`` + sort-order,
+        the Iceberg pairing) — every data file then covers a NARROW,
+        mostly disjoint value range, so footer min/max pruning bites
+        without a maintenance pass. A plain local sort would only
+        tighten row groups: hash-placed tasks each still span the full
+        range, so file-level skipping never engages. The output keeps
+        the incoming partition count (one range per existing task — no
+        small-file explosion on small appends); rewrite paths keep
+        their own explicit clustering (sort_by/zorder/hilbert/geo),
+        which a property re-sort would silently destroy. Columns
+        absent from the frame (engine-internal writes, narrower
+        appends) skip."""
+        raw = self.get_property("write.sort-by")
+        cols = [c for c in (raw or "").split(",") if c]
+        if not cols or any(c not in df.columns for c in cols):
+            return df
+        n = max(1, df.rdd.getNumPartitions())
+        return df.repartitionByRange(n, *cols).sortWithinPartitions(
+            *cols
+        )
+
     def _geo_columns(self) -> list[str]:
         """Declared geometry columns (Iceberg v3 geo types) — table
         CONFIG like constraints/properties, stored in the ``geo.columns``
@@ -1248,6 +1273,7 @@ class LakehouseTable:
             distribution, partition_by
         )
         logical_json = df.schema.json()
+        df = self._apply_write_sort(df)
         df = self._add_variant_shreds(df, variant_shred)
         _, files = self._write_data_files(df, partition_by, distribution)
         stats = self._collect_file_stats(files)
@@ -1343,7 +1369,7 @@ class LakehouseTable:
                 raise ValueError(
                     f"{key}: {value!r} not in ('none', 'hash')"
                 )
-        elif key == "geo.columns":
+        elif key in ("geo.columns", "write.sort-by"):
             cols = [c for c in value.split(",") if c]
             if not cols or any(not c.isidentifier() for c in cols):
                 raise ValueError(
@@ -1510,6 +1536,7 @@ class LakehouseTable:
         # (physically JSON, see _encode_variant_cols) and shredded stat
         # columns never enter it
         logical_json = df.schema.json()
+        df = self._apply_write_sort(df)
         df = self._add_variant_shreds(df, variant_shred)
         _, files = self._write_data_files(df, partition_by, distribution)
         new_stats = self._collect_file_stats(files)
@@ -5384,6 +5411,151 @@ class LakehouseTable:
             rows,
             "file string, num_rows long, xmin double, ymin double, "
             "xmax double, ymax double",
+        )
+
+    def count_rows(self, version: int | str | None = None) -> int:
+        """O(metadata) exact row count — Iceberg's ``count(*)``-from-
+        manifest answer: Σ per-file ``__rows`` stats (footer fallback
+        for stat-less legacy files — still metadata-only), minus
+        deletion-vector cardinalities and position-delete coordinate
+        counts (small key parquets, driver-side). Pending EQUALITY
+        deletes have unknown mass without evaluation, so the method
+        falls back to ``read().count()`` — correct at one data-scan
+        cost, never silently wrong."""
+        v = self._resolve_version(version)
+        manifest = self._read_manifest(v)
+        if any(
+            not e.get("pos") for e in manifest.get("delete_files", [])
+        ):
+            return self._project_to_schema(manifest).count()
+        stats = manifest.get("stats", {})
+        total = 0
+        for f in manifest["files"]:
+            rows = (stats.get(f) or {}).get("__rows")
+            if rows is None:
+                import pyarrow.parquet as pq
+
+                rows = pq.ParquetFile(f).metadata.num_rows
+            total += int(rows)
+        total -= sum(
+            int(e["cardinality"])
+            for e in manifest.get("delete_vectors", {}).values()
+        )
+        for entry in manifest.get("delete_files", []):
+            import pyarrow.parquet as pq
+
+            total -= sum(
+                pq.ParquetFile(kf).metadata.num_rows
+                for kf in entry["files"]
+            )
+        return total
+
+    def manifests(self, version: int | str | None = None) -> DataFrame:
+        """``<table>.manifests`` metadata table (Iceberg's manifest-list
+        introspection): the immutable part files backing a snapshot's
+        manifest — path, on-disk bytes, data files covered, and which
+        per-file maps the part carries. The surface that makes the
+        O(added)-metadata commit claim INSPECTABLE: after N appends the
+        tip manifest lists ~N parts whose sizes sum to the real metadata
+        footprint, and ``rewrite_manifest_parts()`` visibly collapses
+        them. Legacy inline manifests surface as one synthetic row."""
+        v = self._resolve_version(version)
+        mpath = self._manifest_path(v)
+        with open(mpath) as f:
+            raw = json.load(f)
+        rows = []
+        if "parts" in raw:
+            for p in raw["parts"]:
+                try:
+                    size = os.path.getsize(p)
+                    body = self._load_part(p)
+                except OSError:
+                    size, body = None, {"files": []}
+                rows.append(
+                    (
+                        p,
+                        size,
+                        len(body.get("files", [])),
+                        ",".join(
+                            k for k in self.PART_KEYS if body.get(k)
+                        ),
+                    )
+                )
+        else:
+            rows.append(
+                (
+                    mpath,
+                    os.path.getsize(mpath),
+                    len(raw.get("files", [])),
+                    ",".join(k for k in self.PART_KEYS if raw.get(k)),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, size_bytes long, n_data_files long, "
+            "carried_keys string",
+        )
+
+    def position_deletes(
+        self, version: int | str | None = None
+    ) -> DataFrame:
+        """``<table>.position_deletes`` metadata table: every pending
+        row-level delete a reader of this snapshot must apply, by kind —
+        ``dv`` rows are deletion-vector entries (cardinality from the
+        manifest, zero data IO); ``pos`` rows come from position-delete
+        coordinate files (small key parquets, read driver-side);
+        ``eq`` rows are equality-delete entries (key-tuple files —
+        dead-row count unknown without evaluation, surfaced as NULL).
+        The maintenance surface behind ``coalesce_deletes_to_dv`` /
+        ``rewrite_dv_heavy_files`` decisions."""
+        v = self._resolve_version(version)
+        manifest = self._read_manifest(v)
+        rows = []
+        for f, e in manifest.get("delete_vectors", {}).items():
+            rows.append(
+                (f, "dv", e["path"], int(e["seq"]), int(e["cardinality"]))
+            )
+        for entry in manifest.get("delete_files", []):
+            if entry.get("pos"):
+                import pyarrow.parquet as pq
+
+                per_file: dict[str, int] = {}
+                for kf in entry["files"]:
+                    t = pq.read_table(kf, columns=["__file"])
+                    for fname, n in (
+                        t.column("__file")
+                        .to_pandas()
+                        .value_counts()
+                        .items()
+                    ):
+                        # coordinate files store file:///-URIs;
+                        # manifests store plain paths — normalize
+                        key = re.sub(r"^file:/+", "/", str(fname))
+                        per_file[key] = per_file.get(key, 0) + int(n)
+                for tgt, n in sorted(per_file.items()):
+                    rows.append(
+                        (
+                            tgt,
+                            "pos",
+                            ";".join(entry["files"]),
+                            int(entry["seq"]),
+                            n,
+                        )
+                    )
+            else:
+                rows.append(
+                    (
+                        None,
+                        "eq",
+                        ";".join(entry["files"]),
+                        int(entry["seq"]),
+                        None,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "data_file string, kind string, source string, seq long, "
+            "dead_rows long",
         )
 
     def rollback(self, to_version: int) -> dict:

@@ -39,6 +39,11 @@ _FAMILIES = (
     # loop's merge sequence and the HLL estimates resolve differently
     # at 10x data, exactly the adaptive-knob class this sweep exists for
     "apache_iceberg_exploration_spark.operators.evolution",
+    # late r8: geometry (pruning/file-layout geometry resolves
+    # differently at 10x data) and DSIR selection (vocab cap + share
+    # model recomputed per SF)
+    "apache_iceberg_exploration_spark.operators.geotable",
+    "apache_iceberg_exploration_spark.operators.selection",
 )
 _CASES = sorted(
     name

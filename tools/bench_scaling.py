@@ -76,6 +76,13 @@ QUERIES = [
     "tokenizer_bpe_merge_training",
     "lakehouse_ndv_table_statistics",
     "lakehouse_partition_stats_file",
+    # late r8: geometry columns (band build is linear; the scan side
+    # must stay pruning-bound) and training-data selection (explode +
+    # broadcast-share model — linear in tokens).
+    "lakehouse_geo_bbox_pruned_scan",
+    "lakehouse_geo_knn_window_probes",
+    "training_dsir_target_selection",
+    "training_mix_apportionment",
 ]
 
 SFS = [
