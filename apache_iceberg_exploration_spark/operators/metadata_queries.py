@@ -80,3 +80,56 @@ def lakehouse_delete_file_inventory(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_sql_metadata_tvf",
+    oracle="""
+        WITH eras AS (
+            SELECT c_custkey % 3 AS seq_key, count(*) AS n
+            FROM customer GROUP BY 1
+        )
+        SELECT seq_key + 1 AS seq,
+               1 AS n_files,
+               CAST(n AS BIGINT) AS rows_sum
+        FROM eras
+    """,
+)
+def lakehouse_sql_metadata_tvf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-plane SQL: ``lakehouse_files('<path>')`` is a Python
+    UDTF (sources/sql_tvf.py), so per-file row counts and sequence
+    numbers are queryable from pure SQL — the Iceberg
+    ``SELECT * FROM db.tbl.files`` surface next to the data-plane
+    ``CREATE TABLE ... USING lakehouse``. Three single-file appends
+    from disjoint key slices make the per-sequence file count and row
+    mass a pure function of the keys, which the oracle recomputes.
+    """
+    from ..sources.sql_tvf import register_metadata_tvfs
+
+    root = tempfile.mkdtemp(prefix="lakehouse_tvf_", dir="/tmp")
+    try:
+        tbl = LakehouseTable(spark, root + "/t")
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k")
+        )
+        for m in (0, 1, 2):
+            tbl.append(
+                cust.filter(F.col("k") % 3 == m)
+                .coalesce(1)
+                .sortWithinPartitions("k")
+            )
+        register_metadata_tvfs(spark)
+        out = spark.sql(
+            f"""
+            SELECT seq,
+                   count(*) AS n_files,
+                   sum(rows) AS rows_sum
+            FROM lakehouse_files('{tbl.path}')
+            GROUP BY seq
+            """
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

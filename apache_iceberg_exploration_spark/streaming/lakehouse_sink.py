@@ -104,9 +104,17 @@ def _commit_append(
             f"lakehouse_sink: column names {sorted(bad)} are reserved for "
             "row-lineage materialization — rename them before writing"
         )
+    # write_task_files materializes envelope shreds for DECLARED geo
+    # columns itself — those engine-generated names are expected in the
+    # task files; the guard targets USER columns squatting the prefixes
+    own_shreds = {
+        f"__geo_{c}_{part}"
+        for c in _geo_columns_of(root)
+        for part in ("xmin", "ymin", "xmax", "ymax")
+    }
     shredded = {
         n
-        for n in declared_names
+        for n in declared_names - own_shreds
         if n.startswith("__geo_") or n.startswith("__shred_")
     }
     if shredded:
@@ -190,7 +198,12 @@ def _commit_append(
             import pyarrow.parquet as _pq
 
             got = set(_pq.ParquetFile(files[0]).schema_arrow.names)
-            extra = got - declared
+            # engine-materialized envelope shreds are not drift
+            extra = got - declared - {
+                f"__geo_{c}_{part}"
+                for c in _geo_columns_of(root)
+                for part in ("xmin", "ymin", "xmax", "ymax")
+            }
             if extra:
                 raise ValueError(
                     f"lakehouse_sink: batch columns {sorted(extra)} are not"
@@ -310,6 +323,18 @@ def _commit_append(
 
 
 
+def _geo_columns_of(root: str) -> list[str]:
+    """Declared geometry columns from the table's properties sidecar
+    (executor-side read, same contract as the table layer: unparseable
+    or absent sidecar == no declaration)."""
+    try:
+        with open(os.path.join(root, "properties.json")) as f:
+            raw = json.load(f).get("geo.columns", "")
+    except (OSError, ValueError):
+        return []
+    return [c for c in raw.split(",") if c]
+
+
 def write_task_files(
     rows: list[dict], root: str, partition_cols: list[str] | None = None
 ) -> tuple[list[str], dict, dict]:
@@ -317,9 +342,32 @@ def write_task_files(
     batch writer: serialize one task's rows to parquet file(s) under a
     fresh data dir (hive-style subdirs per partition tuple when
     ``partition_cols``), computing per-column min/max + row-count stats
-    from the arrow table. Returns (files, stats, partitions)."""
+    from the arrow table. Returns (files, stats, partitions).
+
+    Geometry tables: the ``__geo_*`` envelope shreds are materialized
+    here too (pure-python ``bbox_of`` per row — sink rows already
+    travel as dicts), so sink- and batch-writer-written files carry
+    the same per-file bounding boxes as engine writes and
+    ``scan(geo_bbox=...)`` keeps its fast JVM residual + pruning
+    instead of degrading to the decode fallback until compaction."""
     if not rows:
         return [], {}, {}
+    geo = [c for c in _geo_columns_of(root) if c in rows[0]]
+    if geo:
+        from ..functions.geo import bbox_of
+
+        for r in rows:
+            for c in geo:
+                b = r.get(c)
+                bb = (
+                    (None, None, None, None)
+                    if b is None
+                    else bbox_of(bytes(b))
+                )
+                r[f"__geo_{c}_xmin"] = bb[0]
+                r[f"__geo_{c}_ymin"] = bb[1]
+                r[f"__geo_{c}_xmax"] = bb[2]
+                r[f"__geo_{c}_ymax"] = bb[3]
     data_dir = os.path.join(root, "data", f"stream-{uuid.uuid4().hex[:12]}")
     if not partition_cols:
         path, per_col = _write_one_file(rows, data_dir)

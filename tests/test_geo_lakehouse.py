@@ -333,3 +333,32 @@ def test_geo_stream_read_excludes_shreds(spark, table, tmp_path):
     assert got.count() == 100
     xs = {r["x"] for r in got.select(st_x("geom").alias("x")).collect()}
     assert xs == {float(k) for k in list(range(50)) + list(range(100, 150))}
+
+
+def test_geo_sink_written_files_carry_shreds(spark, table):
+    """The DSv2 batch writer (shared write_task_files kernel with the
+    streaming sink) materializes envelope shreds for declared geometry
+    columns too — sink-appended files keep the fast JVM residual and
+    pruning instead of degrading to the decode fallback."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    _seeded(spark, table)
+    spark.dataSource.register(make_lakehouse_batch_source())
+    (
+        _points(spark, 200, 250)
+        .coalesce(1)
+        .write.format("lakehouse")
+        .option("path", table.path)
+        .mode("append")
+        .save()
+    )
+    m = table._read_manifest(table.current_version())
+    assert all(
+        "__geo_geom_xmin" in (m["stats"][f].get("__cols") or [])
+        for f in m["files"]
+    ), "sink-written file lacks envelope shreds"
+    hit = table.scan(geo_bbox={"geom": (200, 0, 220, 1000)})
+    assert len(hit.inputFiles()) == 1
+    assert sorted(r["k"] for r in hit.collect()) == list(range(200, 221))

@@ -105,3 +105,23 @@ def test_write_sort_property_tightens_file_ranges(spark, table):
     hit = table.scan({"k": (100, 140)})
     assert len(hit.inputFiles()) == 1
     assert hit.count() == 41
+
+
+def test_sql_snapshots_tvf(spark, table):
+    from apache_iceberg_exploration_spark.sources.sql_tvf import (
+        register_metadata_tvfs,
+    )
+
+    table.append(_rows(spark, 0, 10).coalesce(1))
+    table.append(_rows(spark, 10, 30).coalesce(1))
+    table.delete_where_dv(F.col("k") == 5)
+    register_metadata_tvfs(spark)
+    got = spark.sql(
+        f"SELECT * FROM lakehouse_snapshots('{table.path}') ORDER BY version"
+    ).collect()
+    assert [(r["version"], r["operation"], r["n_files"]) for r in got] == [
+        (1, "append", 1),
+        (2, "append", 2),
+        (3, "delete-dv", 2),
+    ]
+    assert all(r["committed_at"] > 0 for r in got)

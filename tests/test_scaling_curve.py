@@ -108,3 +108,17 @@ def test_semantic_dedup_cells_adapt_to_corpus_size():
         cur = adaptive_n_planes(n)
         assert cur >= prev
         prev = cur
+
+
+def test_scaling_audit_covers_the_late_r8_families():
+    """Geometry scans must stay pruning-bound and the selection model
+    linear in tokens — measured, not argued."""
+    with open(_ARTIFACT) as f:
+        art = json.load(f)
+    must_cover = {
+        "lakehouse_geo_bbox_pruned_scan",
+        "lakehouse_geo_knn_window_probes",
+        "training_dsir_target_selection",
+        "training_mix_apportionment",
+    }
+    assert must_cover <= set(art["queries"])
