@@ -444,3 +444,73 @@ def lakehouse_geo_file_bounds_report(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_geo_cluster_pruned_scan",
+    oracle=f"""
+        WITH {_PTS_SQL}
+        SELECT seg,
+               count(*) AS n_pts,
+               CAST(sum(x) AS BIGINT) AS x_sum,
+               CAST(sum(k) AS BIGINT) AS key_sum
+        FROM pts
+        WHERE x BETWEEN 0 AND {_BAND // 2}
+          AND y BETWEEN 0 AND {GRID_BOX // 2}
+        GROUP BY seg
+    """,
+)
+def lakehouse_geo_cluster_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spatial OPTIMIZE end to end: points land in hash-placed (i.e.
+    spatially random) files where every file spans the whole box and a
+    window scan must open all of them; ``rewrite_data_files(
+    geo_cluster_by=...)`` Hilbert-clusters on the envelope centers,
+    after which the same window provably opens FEWER files (asserted)
+    and the re-decoded coordinate sums still hash-match the oracle —
+    re-clustering moved bytes, never values.
+
+    Scale: the rewrite is one range shuffle on the Hilbert key (the
+    envelope decode is one Arrow-batched pass); the payoff compounds —
+    every later window scan on a 10^6-file table opens only
+    curve-adjacent files.
+    """
+    root = _scratch()
+    try:
+        tbl = LakehouseTable(spark, root + "/pts")
+        pts = _cust_points(spark, sf_dir)
+        geo = pts.select(
+            "k",
+            "seg",
+            st_point(
+                F.col("x").cast("double"), F.col("y").cast("double")
+            ).alias("geom"),
+        )
+        tbl.overwrite(geo.repartition(4, "k"), geo_cols=["geom"])
+        window = (0, 0, _BAND // 2, GRID_BOX // 2)
+        # hash-placed files are spatially random: at any realistic SF
+        # most (statistically all) of them intersect the window; the
+        # pinned claim is RELATIVE — clustering must strictly shrink
+        # the planned file set
+        pre = len(tbl.scan(geo_bbox={"geom": window}).inputFiles())
+        assert pre >= 2, "degenerate pre-cluster layout"
+        tbl.rewrite_data_files(geo_cluster_by="geom", target_file_count=4)
+        hit = tbl.scan(geo_bbox={"geom": window})
+        assert len(hit.inputFiles()) < pre, "clustering did not tighten"
+        out = (
+            hit.select(
+                "seg",
+                "k",
+                st_x("geom").cast("long").alias("x"),
+            )
+            .groupBy("seg")
+            .agg(
+                F.count("*").alias("n_pts"),
+                F.sum("x").alias("x_sum"),
+                F.sum("k").alias("key_sum"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -179,9 +179,13 @@ HEADLINE = [
     "lakehouse_geo_point_in_polygon_join",
     "lakehouse_geo_knn_window_probes",
     "lakehouse_geo_file_bounds_report",
+    "lakehouse_geo_cluster_pruned_scan",
     # r8 continuation: training-data selection
     "training_dsir_target_selection",
     "training_mix_apportionment",
+    # r8 continuation: metadata-plane queries
+    "lakehouse_delete_file_inventory",
+    "lakehouse_sql_metadata_tvf",
 ]
 
 

@@ -362,3 +362,59 @@ def test_geo_sink_written_files_carry_shreds(spark, table):
     hit = table.scan(geo_bbox={"geom": (200, 0, 220, 1000)})
     assert len(hit.inputFiles()) == 1
     assert sorted(r["k"] for r in hit.collect()) == list(range(200, 221))
+
+
+def test_geo_survives_every_mutation_path(spark, table, tmp_path):
+    """Envelope shreds and scan correctness through the whole mutation
+    surface: CoW update, MERGE upsert, WAP publish, rollback, and
+    branch fast-forward all re-materialize shreds (every write funnels
+    through _write_data_files), so the fast-path gate stays closed and
+    geo scans stay exact after arbitrary table history."""
+
+    def live(expect):
+        got = sorted(
+            r["k"]
+            for r in table.scan(
+                geo_bbox={"geom": (0, 0, 10_000, 10_000)}
+            ).collect()
+        )
+        assert got == sorted(expect), got
+        m = table._read_manifest(table.current_version())
+        assert all(
+            "__geo_geom_xmin" in (m["stats"][f].get("__cols") or [])
+            for f in m["files"]
+        ), "a mutation path dropped the envelope shreds"
+
+    _seeded(spark, table)  # x in [0,50) and [100,150)
+    base = list(range(50)) + list(range(100, 150))
+    live(base)
+    # CoW update: move k=3 to x=9000 (geometry rewritten)
+    table.update_where(
+        F.col("k") == 3,
+        {"geom": st_point(F.lit(9000.0), F.lit(9000.0))},
+        prune={"k": (0, 49)},
+    )
+    live(base)
+    hit = table.scan(geo_bbox={"geom": (8000, 8000, 9500, 9500)})
+    assert [r["k"] for r in hit.collect()] == [3]
+    # MERGE upsert: new rows 300..304 + relocate k=101
+    src = _points(spark, 300, 305).unionByName(
+        spark.range(101, 102).select(
+            F.col("id").alias("k"),
+            st_point(F.lit(7000.0), F.lit(7000.0)).alias("geom"),
+        )
+    )
+    table.merge_into(src, on=["k"])
+    live(base + list(range(300, 305)))
+    # WAP: staged append publishes atomically
+    sid = table.stage_append(_points(spark, 400, 403).coalesce(1))
+    table.publish(sid)
+    live(base + list(range(300, 305)) + [400, 401, 402])
+    # rollback to the pre-WAP version restores the pre-WAP geometry
+    table.rollback(table.current_version() - 1)
+    live(base + list(range(300, 305)))
+    # branch + append + fast-forward
+    table.create_branch("exp")
+    table.append_branch("exp", _points(spark, 500, 502).coalesce(1))
+    table.fast_forward("exp")
+    live(base + list(range(300, 305)) + [500, 501])
