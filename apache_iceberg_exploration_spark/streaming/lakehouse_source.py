@@ -1890,6 +1890,25 @@ def _resolve_version(root: str, opts: dict) -> int:
     return _current_version(root)
 
 
+def _parse_geo_bbox(raw: str) -> dict[str, tuple]:
+    """``geoBBox`` option: ``'col:xmin,ymin,xmax,ymax'`` specs joined
+    by ';' — the DSv2 surface for geometry envelope scans."""
+    out: dict[str, tuple] = {}
+    for spec in raw.split(";"):
+        spec = spec.strip()
+        if not spec:
+            continue
+        col, _, nums = spec.partition(":")
+        vals = [v for v in nums.split(",") if v.strip()]
+        if not col.strip() or len(vals) != 4:
+            raise ValueError(
+                f"geoBBox spec {spec!r}: expected "
+                "'col:xmin,ymin,xmax,ymax'"
+            )
+        out[col.strip()] = tuple(float(v) for v in vals)
+    return out
+
+
 def make_lakehouse_batch_source():
     """Batch ``spark.read.format("lakehouse")`` with FILTER PUSHDOWN into
     manifest pruning: Spark hands the reader its typed predicates
@@ -1930,6 +1949,7 @@ def make_lakehouse_batch_source():
             since: int | None = None,
             with_lineage: bool = False,
             target_struct=None,
+            geo_bbox: dict[str, tuple] | None = None,
         ):
             self.root = root
             self.version = version
@@ -1939,6 +1959,17 @@ def make_lakehouse_batch_source():
             self.with_lineage = with_lineage
             self.bounds: dict[str, list] = {}  # col -> [lo, hi] (closed)
             self.null_preds: dict[str, bool] = {}  # col -> IS NULL?
+            # geometry envelope scan (Iceberg v3 geo stats through DSv2
+            # options): window intersection decomposes into four
+            # one-sided bounds on the __geo_* shred stats, so the
+            # existing pruning loop file-skips with zero new machinery;
+            # the residual runs in _geo_keep at read time
+            self.geo_bbox = geo_bbox or {}
+            for c, (x0, y0, x1, y1) in self.geo_bbox.items():
+                self.bounds[f"__geo_{c}_xmin"] = [None, x1]
+                self.bounds[f"__geo_{c}_xmax"] = [x0, None]
+                self.bounds[f"__geo_{c}_ymin"] = [None, y1]
+                self.bounds[f"__geo_{c}_ymax"] = [y0, None]
             # declared-schema projection target (driver-computed once,
             # pickled with the reader): the snapshot's Spark schema —
             # with its Iceberg v3 initial-defaults — beats the
@@ -2235,6 +2266,58 @@ def make_lakehouse_batch_source():
                 return None
             return pa.array(keep)
 
+        def _geo_keep(self, tbl):
+            """numpy keep-mask for the geoBBox residual over one Arrow
+            batch (pre-projection: the shred columns / geometry bytes
+            are still present). Shred fast path when the file carries
+            them (columnar compare, NaN/null never intersects); exact
+            WKB envelope decode otherwise; a file missing the geometry
+            column entirely predates the add — NULL geometry, no
+            rows match. None = keep all."""
+            if not self.geo_bbox:
+                return None
+            import numpy as np
+
+            from ..functions.geo import bbox_of
+
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            names = set(tbl.column_names)
+            for c, (x0, y0, x1, y1) in self.geo_bbox.items():
+                shreds = [
+                    f"__geo_{c}_{part}"
+                    for part in ("xmin", "xmax", "ymin", "ymax")
+                ]
+                if all(sh in names for sh in shreds):
+                    def col(name):
+                        return np.asarray(
+                            tbl.column(name).to_pandas(), dtype="float64"
+                        )
+
+                    with np.errstate(invalid="ignore"):
+                        keep &= (
+                            (col(shreds[0]) <= x1)
+                            & (col(shreds[1]) >= x0)
+                            & (col(shreds[2]) <= y1)
+                            & (col(shreds[3]) >= y0)
+                        )
+                elif c in names:
+                    for i, b in enumerate(tbl.column(c).to_pylist()):
+                        if not keep[i]:
+                            continue
+                        if b is None:
+                            keep[i] = False
+                            continue
+                        bx0, by0, bx1, by1 = bbox_of(b)
+                        keep[i] = (
+                            bx0 <= x1
+                            and bx1 >= x0
+                            and by0 <= y1
+                            and by1 >= y0
+                        )
+                else:
+                    keep[:] = False
+            return keep
+
         def read(self, partition):
             import pyarrow.parquet as pq
 
@@ -2247,10 +2330,12 @@ def make_lakehouse_batch_source():
                 if (
                     dv is None
                     and eq is None
+                    and not self.geo_bbox
                     and _us_schema(pf.schema_arrow) == target
                 ):
                     yield from _us_batches(pf)
                     return
+                import numpy as np
                 import pyarrow as pa
 
                 eq_loaded = _load_eq_keysets(eq)
@@ -2266,12 +2351,20 @@ def make_lakehouse_batch_source():
                         if eq_loaded
                         else None,
                     )
+                    gk = self._geo_keep(tbl)
                     offset += n
                     out = _project_arrow(
                         tbl, target, self._defaults, self._renames
                     )
-                    if mask is not None:
-                        out = out.filter(mask)
+                    if mask is not None or gk is not None:
+                        # ONE combined filter: sequential filters would
+                        # misalign the second mask's row indexing
+                        keep = np.ones(n, dtype=bool)
+                        if gk is not None:
+                            keep &= gk
+                        if mask is not None:
+                            keep &= mask.to_numpy(zero_copy_only=False)
+                        out = out.filter(pa.array(keep))
                     yield from out.to_batches()
                 return
             import pyarrow as pa
@@ -2319,8 +2412,16 @@ def make_lakehouse_batch_source():
                     n,
                     _eq_dead_rows(tbl, eq_loaded) if eq_loaded else None,
                 )
-                if mask is not None:
-                    out = out.filter(mask)
+                gk = self._geo_keep(tbl)
+                if mask is not None or gk is not None:
+                    import numpy as np
+
+                    keep = np.ones(n, dtype=bool)
+                    if gk is not None:
+                        keep &= gk
+                    if mask is not None:
+                        keep &= mask.to_numpy(zero_copy_only=False)
+                    out = out.filter(pa.array(keep))
                 yield from out.to_batches()
                 offset += n
 
@@ -2417,6 +2518,11 @@ def make_lakehouse_batch_source():
             )
             root = _norm_path(opts["path"])
             wl = opts.get("withlineage", "").lower() == "true"
+            gb = (
+                _parse_geo_bbox(opts["geobbox"])
+                if "geobbox" in opts
+                else None
+            )
             if "startingversion" in opts:
                 # incremental batch read: rows appended AFTER snapshot
                 # startingVersion, up to endingVersion (default: tip) —
@@ -2431,12 +2537,14 @@ def make_lakehouse_batch_source():
                     since=since,
                     with_lineage=wl,
                     target_struct=schema,
+                    geo_bbox=gb,
                 )
             return _BatchReader(
                 root,
                 _resolve_version(root, opts),
                 with_lineage=wl,
                 target_struct=schema,
+                geo_bbox=gb,
             )
 
         def writer(self, schema, overwrite: bool):

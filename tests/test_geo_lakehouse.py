@@ -418,3 +418,59 @@ def test_geo_survives_every_mutation_path(spark, table, tmp_path):
     table.append_branch("exp", _points(spark, 500, 502).coalesce(1))
     table.fast_forward("exp")
     live(base + list(range(300, 305)) + [500, 501])
+
+
+def test_geo_dsv2_geobbox_option(spark, table):
+    """The DSv2 batch surface honors the geometry window: planning
+    prunes on the __geo_* shred stats, the executor applies the
+    envelope residual (shred fast path for engine files, exact WKB
+    decode for shred-less ones), and the emitted schema stays
+    declared-only."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    _seeded(spark, table)  # x in [0,50) and [100,150), two files
+    spark.dataSource.register(make_lakehouse_batch_source())
+    d = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("geoBBox", "geom:10,0,20,1000")
+        .load()
+    )
+    assert sorted(d.columns) == ["geom", "k"]
+    got = sorted(r["k"] for r in d.collect())
+    assert got == list(range(10, 21))
+    # planning-time pruning is introspectable on the reader itself
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (  # noqa: E501
+        _parse_geo_bbox,
+    )
+
+    assert _parse_geo_bbox("geom:10,0,20,1000") == {
+        "geom": (10.0, 0.0, 20.0, 1000.0)
+    }
+    # window over the second file only
+    d2 = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("geoBBox", "geom:120,0,130,1000")
+        .load()
+    )
+    assert sorted(r["k"] for r in d2.collect()) == list(range(120, 131))
+    # composes with versionAsOf (only the first file exists at v1)
+    d3 = (
+        spark.read.format("lakehouse")
+        .option("path", table.path)
+        .option("versionAsOf", "1")
+        .option("geoBBox", "geom:0,0,1000,1000")
+        .load()
+    )
+    assert d3.count() == 50
+    with pytest.raises(Exception, match="geoBBox"):
+        (
+            spark.read.format("lakehouse")
+            .option("path", table.path)
+            .option("geoBBox", "geom:1,2,3")
+            .load()
+            .collect()
+        )
