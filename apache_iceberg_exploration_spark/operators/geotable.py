@@ -514,3 +514,71 @@ def lakehouse_geo_cluster_pruned_scan(
         return _materialize(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_geo_timetravel_window_scan",
+    oracle=f"""
+        WITH {_PTS_SQL},
+        eras AS (
+            SELECT 'pre' AS era, k, x FROM pts
+            UNION ALL
+            SELECT 'post', k,
+                   CASE WHEN x < {_BAND} THEN x + {2 * GRID_BOX}
+                        ELSE x END
+            FROM pts
+        )
+        SELECT era,
+               count(*) AS n_pts,
+               CAST(sum(k) AS BIGINT) AS key_sum
+        FROM eras
+        WHERE x BETWEEN 0 AND {GRID_BOX}
+        GROUP BY era
+    """,
+)
+def lakehouse_geo_timetravel_window_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Geometry scans compose with time travel: a CoW update relocates
+    every point of the first x-band far outside the box (coordinates
+    rewritten through st_x/st_y + re-encoded WKB — the geometry
+    round-trips THROUGH the update expression), and the same window
+    then returns different row sets at the pre-update snapshot vs the
+    tip, both value-hash-verified. Envelope shreds are re-derived for
+    the rewritten file by the write path, so both scans stay
+    stats-pruned — historical snapshots keep their own file bounds.
+    """
+    root = _scratch()
+    try:
+        tbl = _point_table(spark, sf_dir, root)
+        pre_v = tbl.current_version()
+        tbl.update_where(
+            # decode-from-WKB predicate: the first band's points
+            st_x("geom") < _BAND,
+            {
+                "geom": st_point(
+                    st_x("geom") + 2 * GRID_BOX, st_y("geom")
+                )
+            },
+        )
+        window = (0, 0, GRID_BOX, GRID_BOX)
+
+        def era(tag, version):
+            return tbl.scan(
+                geo_bbox={"geom": window}, version=version
+            ).select(
+                F.lit(tag).alias("era"), "k"
+            )
+
+        out = (
+            era("pre", pre_v)
+            .unionByName(era("post", tbl.current_version()))
+            .groupBy("era")
+            .agg(
+                F.count("*").alias("n_pts"),
+                F.sum("k").alias("key_sum"),
+            )
+        )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
