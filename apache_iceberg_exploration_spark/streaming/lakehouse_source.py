@@ -1145,6 +1145,7 @@ def make_lakehouse_stream_source():
             max_files_per_trigger: int | None = None,
             max_bytes_per_trigger: int | None = None,
             row_level: bool = False,
+            geo_bbox: dict[str, tuple] | None = None,
         ):
             self.root = root
             self.starting_version = starting_version
@@ -1153,6 +1154,19 @@ def make_lakehouse_stream_source():
             self.max_bytes = max_bytes_per_trigger
             self.cdc = cdc
             self.row_level = row_level
+            # geometry ingestion filter (append stream only): rows whose
+            # envelope misses the window are dropped at the source. CDC
+            # mode is REFUSED — a spatial filter over a change feed
+            # would silently drop delete events for relocated rows and
+            # un-balance every downstream merge.
+            self.geo_bbox = geo_bbox or {}
+            if self.geo_bbox and cdc:
+                raise ValueError(
+                    "lakehouse_stream: geoBBox cannot combine with "
+                    "readChangeFeed (a windowed change feed would drop "
+                    "delete events for rows that left the window) — "
+                    "filter the MERGE target instead"
+                )
             self._colnames = _stream_colnames(root)
             # plain (non-CDC) replay projection: when the tip manifest
             # declares a schema, rows from files that predate an
@@ -1173,6 +1187,24 @@ def make_lakehouse_stream_source():
             # startingVersion consumes only commits AFTER that snapshot
             # (Iceberg's stream-from-snapshot)
             return {"version": self.starting_version}
+
+        def _geo_keep_row(self, row: tuple) -> bool:
+            from ..functions.geo import bbox_of
+
+            for c, (x0, y0, x1, y1) in self.geo_bbox.items():
+                try:
+                    i = self._colnames.index(c)
+                except ValueError:
+                    return False  # geometry column absent: NULL, no match
+                b = row[i]
+                if b is None:
+                    return False
+                bx0, by0, bx1, by1 = bbox_of(b)
+                if not (
+                    bx0 <= x1 and bx1 >= x0 and by0 <= y1 and by1 >= y0
+                ):
+                    return False
+            return True
 
         def _rows_for(self, files: list[str]):
             # a LIST, not a generator: the runtime pickles the batch into
@@ -1207,6 +1239,8 @@ def make_lakehouse_stream_source():
                         for j, n in enumerate(self._colnames)
                     ]
                     rows.extend(zip(*cols))
+            if self.geo_bbox:
+                rows = [r for r in rows if self._geo_keep_row(r)]
             return rows
 
         def read(self, start: dict):
@@ -1324,6 +1358,11 @@ def make_lakehouse_stream_source():
                 max_files_per_trigger=int(mf) if mf is not None else None,
                 max_bytes_per_trigger=int(mb) if mb is not None else None,
                 row_level=opts.get("rowlineage", "").lower() == "true",
+                geo_bbox=(
+                    _parse_geo_bbox(opts["geobbox"])
+                    if "geobbox" in opts
+                    else None
+                ),
             )
 
     return LakehouseStreamSource
@@ -1576,6 +1615,13 @@ def make_lakehouse_stream_dist_source():
 
         def streamReader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
+            if "geobbox" in opts:
+                raise ValueError(
+                    "lakehouse_stream_dist: geoBBox is not supported on "
+                    "the distributed reader yet — use lakehouse_stream "
+                    "(row-filtered at the source) or filter on "
+                    "st_x/st_y in the query"
+                )
             mv = opts.get("maxversionspertrigger")
             mf = opts.get("maxfilespertrigger")
             mb = opts.get("maxbytespertrigger")

@@ -474,3 +474,50 @@ def test_geo_dsv2_geobbox_option(spark, table):
             .load()
             .collect()
         )
+
+
+def test_geo_stream_geobbox_ingestion_filter(spark, table, tmp_path):
+    """The append stream honors a geometry window at the source; the
+    CDC combination is refused loudly (a windowed change feed would
+    drop delete events for relocated rows)."""
+    from apache_iceberg_exploration_spark.streaming._wait import (
+        await_or_raise,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_source,
+    )
+
+    _seeded(spark, table)  # x in [0,50) and [100,150)
+    spark.dataSource.register(make_lakehouse_stream_source())
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("lakehouse_stream")
+        .option("path", table.path)
+        .option("geoBBox", "geom:100,0,130,1000")
+        .load()
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 120)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert sorted(r["k"] for r in got.collect()) == list(range(100, 131))
+    # the refusal surfaces from the source worker asynchronously
+    q2 = (
+        spark.readStream.format("lakehouse_stream")
+        .option("path", table.path)
+        .option("geoBBox", "geom:0,0,1,1")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="geoBBox cannot combine"):
+        await_or_raise(q2, 120)
+    q2.stop()

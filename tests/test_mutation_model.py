@@ -135,6 +135,13 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
             f"extra in table: {got - model}\n"
             f"missing from table: {model - got}"
         )
+        # O(metadata) count invariant (late r8): stats minus DV/pos
+        # mass must equal the true row count after EVERY mutation kind
+        # (the one sanctioned exception — pending equality deletes —
+        # falls back to an exact scan inside count_rows itself)
+        assert t.count_rows() == sum(model.values()), (
+            f"seed {seed} step {step} op {op}: count_rows drifted"
+        )
         # row-identity invariant (Iceberg v3): a surviving row's
         # _row_id NEVER changes, whatever rewrote it; fresh rows get
         # fresh ids (the counter is monotone, ids never reused)
