@@ -5421,7 +5421,14 @@ class LakehouseTable:
         counts (small key parquets, driver-side). Pending EQUALITY
         deletes have unknown mass without evaluation, so the method
         falls back to ``read().count()`` — correct at one data-scan
-        cost, never silently wrong."""
+        cost, never silently wrong.
+
+        Pos-delete coordinates are scoped to LIVE files: CoW rewrite
+        paths carry ``delete_files`` entries verbatim while removing
+        their target data files, so a coordinate whose target file has
+        vanished from the manifest is dead weight, not a pending delete
+        (it must NOT be subtracted — the rewrite already dropped those
+        rows physically)."""
         v = self._resolve_version(version)
         manifest = self._read_manifest(v)
         if any(
@@ -5441,14 +5448,29 @@ class LakehouseTable:
             int(e["cardinality"])
             for e in manifest.get("delete_vectors", {}).values()
         )
+        live = set(manifest["files"])
         for entry in manifest.get("delete_files", []):
-            import pyarrow.parquet as pq
-
-            total -= sum(
-                pq.ParquetFile(kf).metadata.num_rows
-                for kf in entry["files"]
-            )
+            for tgt, n in self._pos_coord_counts(entry).items():
+                if tgt in live:
+                    total -= n
         return total
+
+    @staticmethod
+    def _pos_coord_counts(entry: dict) -> dict[str, int]:
+        """Per-target-file coordinate counts for one pos-delete entry.
+        Coordinate parquets store ``file:///``-URIs in ``__file``;
+        manifests store plain paths — normalize before keying."""
+        import pyarrow.parquet as pq
+
+        per_file: dict[str, int] = {}
+        for kf in entry["files"]:
+            t = pq.read_table(kf, columns=["__file"])
+            for fname, n in (
+                t.column("__file").to_pandas().value_counts().items()
+            ):
+                key = re.sub(r"^file:/+", "/", str(fname))
+                per_file[key] = per_file.get(key, 0) + int(n)
+        return per_file
 
     def manifests(self, version: int | str | None = None) -> DataFrame:
         """``<table>.manifests`` metadata table (Iceberg's manifest-list
@@ -5507,9 +5529,15 @@ class LakehouseTable:
         ``eq`` rows are equality-delete entries (key-tuple files —
         dead-row count unknown without evaluation, surfaced as NULL).
         The maintenance surface behind ``coalesce_deletes_to_dv`` /
-        ``rewrite_dv_heavy_files`` decisions."""
+        ``rewrite_dv_heavy_files`` decisions.
+
+        Coordinates whose target data file is no longer in the
+        manifest (CoW rewrites carry pos entries verbatim after
+        removing their targets) surface as kind ``pos_stale`` so
+        maintenance planners don't over-estimate pending delete mass."""
         v = self._resolve_version(version)
         manifest = self._read_manifest(v)
+        live = set(manifest["files"])
         rows = []
         for f, e in manifest.get("delete_vectors", {}).items():
             rows.append(
@@ -5517,26 +5545,13 @@ class LakehouseTable:
             )
         for entry in manifest.get("delete_files", []):
             if entry.get("pos"):
-                import pyarrow.parquet as pq
-
-                per_file: dict[str, int] = {}
-                for kf in entry["files"]:
-                    t = pq.read_table(kf, columns=["__file"])
-                    for fname, n in (
-                        t.column("__file")
-                        .to_pandas()
-                        .value_counts()
-                        .items()
-                    ):
-                        # coordinate files store file:///-URIs;
-                        # manifests store plain paths — normalize
-                        key = re.sub(r"^file:/+", "/", str(fname))
-                        per_file[key] = per_file.get(key, 0) + int(n)
-                for tgt, n in sorted(per_file.items()):
+                for tgt, n in sorted(
+                    self._pos_coord_counts(entry).items()
+                ):
                     rows.append(
                         (
                             tgt,
-                            "pos",
+                            "pos" if tgt in live else "pos_stale",
                             ";".join(entry["files"]),
                             int(entry["seq"]),
                             n,

@@ -1181,6 +1181,18 @@ def make_lakehouse_stream_source():
                 self._cdc_defaults.get(n) for n in self._colnames
             ]
             self._declared = sj is not None
+            if self.geo_bbox and not self._declared:
+                # _geo_keep_row indexes tuples by self._colnames order,
+                # but the no-declared-schema branch of _rows_for emits
+                # tuples in each FILE's physical column order — mixed
+                # writers could disagree, silently filtering the wrong
+                # column. Refuse loudly (mirrors the dist reader).
+                raise ValueError(
+                    "lakehouse_stream: geoBBox requires a declared "
+                    "table schema (files may disagree on column order "
+                    "otherwise) — write via the engine or declare the "
+                    "schema first"
+                )
 
         def initialOffset(self) -> dict:
             # 0 = replay the whole table in the first batch; a

@@ -125,3 +125,47 @@ def test_sql_snapshots_tvf(spark, table):
         (3, "delete-dv", 2),
     ]
     assert all(r["committed_at"] > 0 for r in got)
+
+
+def test_count_rows_after_pos_delete_then_cow_rewrite(spark, table):
+    """Directed regression (ADVICE r8): CoW rewrite paths carry pos
+    delete_files entries verbatim while removing their target data
+    files, so the stale coordinates must NOT be subtracted twice.
+    append 100 -> pos-delete 10 -> CoW delete 12 more: the CoW rewrite
+    physically dropped the 10 pos-dead rows from its new files, so
+    count_rows must match read().count() == 78."""
+    table.append(_rows(spark, 0, 100).coalesce(1))
+    table.delete_where_pos(F.col("k") % 10 == 3)  # 10 rows dead (MoR)
+    assert table.count_rows() == 90
+    table.delete_where(F.col("k") % 25 == 0)  # CoW: 4 more rows
+    # 100 - 10 (pos) - 4 (CoW; k=3,13,..,93 already dead, disjoint
+    # from k=0,25,50,75) = 86
+    assert table.read().count() == 86
+    assert table.count_rows() == table.read().count() == 86
+    # the stale coordinates surface distinctly, never as pending mass
+    kinds = {
+        r["kind"]: r["dead_rows"]
+        for r in table.position_deletes().collect()
+    }
+    assert "pos" not in kinds or kinds.get("pos", 0) == 0
+    assert kinds.get("pos_stale", 0) == 10
+
+
+def test_position_deletes_scopes_to_live_targets(spark, table):
+    """update_where (CoW) after a pos delete: stale coordinates are
+    flagged, live ones still counted."""
+    table.append(_rows(spark, 0, 50).coalesce(1))
+    table.append(_rows(spark, 50, 100).coalesce(1))
+    # pos-delete rows in BOTH files
+    table.delete_where_pos(F.col("k").isin(7, 57))
+    # CoW-update only the first file's range: its coordinate goes stale
+    table.update_where(
+        F.col("k") == 20, {"g": F.lit(99)}, prune={"k": (0, 49)}
+    )
+    rows = table.position_deletes().collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], 0)
+        by_kind[r["kind"]] += r["dead_rows"]
+    assert by_kind == {"pos": 1, "pos_stale": 1}
+    assert table.count_rows() == table.read().count() == 98
