@@ -1,0 +1,202 @@
+"""Streaming UPSERT into the lakehouse (r9, VERDICT r8 #1).
+
+The native streaming sink's ``mode=upsert`` commits each micro-batch
+as data files PLUS one equality-delete entry over the batch's keys —
+the Flink-into-Iceberg write shape — replacing the driver-side
+``foreachBatch`` MERGE the engine needed for keyed CDC ingestion
+before. These queries replay a keyed change stream built from
+``orders`` (each customer's i-th order is the i-th generation of their
+state, tombstones via key arithmetic) and value-hash the resulting
+latest state / change feed against pure-SQL oracles.
+
+Reference parity: the reference recomputes whole partitions daily
+(etl.py:59-95 delete-before-read); upsert commits make the same table
+maintainable with O(batch) incremental writes.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load_table
+from ..sources.lakehouse import LakehouseTable
+
+
+def _order_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer, their orders ranked by o_orderkey: generation i of
+    customer state = their i-th order. Window is PARTITIONED by
+    customer (lint-safe)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("o_custkey"))
+    )
+
+
+def _replay_upsert(spark: SparkSession, sf_dir: str) -> str:
+    """Build the source commits (3 generations) and upsert-replay them
+    into a destination table; returns the destination root. Generation
+    3 TOMBSTONES customers whose third order key is ≡0 (mod 7)."""
+    from ..streaming._wait import await_or_raise
+    from ..streaming.lakehouse_sink import make_lakehouse_stream_sink
+    from ..streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+    )
+
+    root = tempfile.mkdtemp(prefix="lakehouse_upsert_", dir="/tmp")
+    ranked = _order_generations(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    src = LakehouseTable(spark, root + "/src")
+    for i in (1, 2, 3):
+        gen = (
+            ranked.filter(F.col("rn") == i)
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.col("o_orderkey").alias("latest_order"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long")
+                .alias("price_cents"),
+                (
+                    (F.lit(i) == 3)
+                    & (F.col("o_orderkey") % 7 == 0)
+                ).alias("__deleted"),
+            )
+            .repartition(4, "cust")
+        )
+        src.append(gen)
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    spark.dataSource.register(make_lakehouse_stream_sink())
+    for _ in range(3):
+        stream = (
+            spark.readStream.format("lakehouse_stream_dist")
+            .option("path", root + "/src")
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("lakehouse_sink")
+            .option("path", root + "/dst")
+            .option("checkpointLocation", root + "/cp")
+            .option("mode", "upsert")
+            .option("upsertKeys", "cust")
+            .option("deleteColumn", "__deleted")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    return root
+
+
+@query(
+    "streaming_upsert_latest_state_replay",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY o_custkey) AS cnt
+            FROM orders
+        ),
+        latest AS (
+            SELECT * FROM ranked WHERE rn = least(cnt, 3)
+        )
+        SELECT CAST(o_custkey AS BIGINT) AS cust,
+               CAST(o_orderkey AS BIGINT) AS latest_order,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+        FROM latest
+        WHERE NOT (cnt >= 3 AND o_orderkey % 7 = 0)
+    """,
+)
+def streaming_upsert_latest_state_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyed CDC stream → lakehouse via the native upsert sink: three
+    generations of per-customer state stream through `mode=upsert`
+    (each micro-batch = data files + ONE equality-delete entry over the
+    batch's keys, atomically), generation 3 tombstoning ≡0 (mod 7)
+    third orders via ``deleteColumn``. The destination read back must
+    equal the window last-per-key oracle — exact latest-state with no
+    driver-side MERGE anywhere in the loop.
+
+    Scale: each upsert commit writes O(batch) data + O(batch keys)
+    delete metadata, never touching existing files; readers pay one
+    broadcast anti-join per pending entry until compaction folds them
+    away (``rewrite_data_files`` restores pure-scan reads). The key
+    contract (≤1 row/key/batch) is the same one Flink's upsert sink
+    imposes, enforced per-task."""
+    root = _replay_upsert(spark, sf_dir)
+    try:
+        out = LakehouseTable(spark, root + "/dst").read()
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_upsert_cdc_change_counts",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY o_custkey) AS cnt
+            FROM orders
+        ),
+        gen3 AS (SELECT * FROM ranked WHERE rn = 3),
+        agg AS (
+            SELECT
+                count(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_del,
+                count(*) FILTER (WHERE o_orderkey % 7 <> 0) AS n_upd
+            FROM gen3
+        )
+        SELECT _change_type, CAST(n AS BIGINT) AS n
+        FROM (
+            SELECT 'delete' AS _change_type, n_del AS n FROM agg
+            UNION ALL
+            SELECT 'update_preimage', n_upd FROM agg
+            UNION ALL
+            SELECT 'update_postimage', n_upd FROM agg
+        )
+        WHERE n > 0
+    """,
+)
+def streaming_upsert_cdc_change_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CDC feed ACROSS an upsert commit pairs each upserted key's
+    old and new rows as ``update_preimage``/``update_postimage`` (Delta
+    CDF MERGE shape) and emits tombstoned keys as deletes — counted per
+    change type for generation 3 and value-hashed against the key
+    arithmetic. Every gen-3 customer existed in gen 2, so the commit
+    has zero plain inserts: the feed must classify ALL of its rows as
+    pairs or deletes, which fails loudly if the pairing ever regresses
+    to unpaired delete+insert."""
+    from ..streaming.lakehouse_source import _cdc_rows
+
+    root = _replay_upsert(spark, sf_dir)
+    try:
+        dst = LakehouseTable(spark, root + "/dst")
+        v = dst.current_version()
+        rows = _cdc_rows(
+            root + "/dst", v - 1, v, ["cust", "latest_order", "price_cents"]
+        )
+        counts: dict[str, int] = {}
+        for r in rows:
+            counts[r[3]] = counts.get(r[3], 0) + 1
+        out = spark.createDataFrame(
+            sorted(counts.items()), "_change_type string, n long"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

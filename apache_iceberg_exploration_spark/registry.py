@@ -126,5 +126,8 @@ def _load_all() -> None:
     from .operators import selection  # noqa: F401
     # r8 continuation — oracled metadata-table queries.
     from .operators import metadata_queries  # noqa: F401
+    # r9 — streaming upsert sink (equality-delete commits). Newest
+    # module: registers LAST, after metadata_queries.
+    from .operators import upsert  # noqa: F401
 
     _LOADED = True

@@ -71,12 +71,23 @@ def _commit_append(
     partition_specs: list[dict] | None = None,
     overwrite: bool = False,
     schema_json: str | None = None,
+    eq_delete: tuple[list[str], list[str]] | None = None,
 ) -> int:
     """Standalone append commit speaking LakehouseTable's manifest
     protocol: optimistic create-exclusive publish, parts-format payload
     (one new part for this batch, parent parts carried verbatim), prev
     schema/delete_files/partition_specs carried so MoR semantics and
-    projection survive. Returns the committed version."""
+    projection survive. Returns the committed version.
+
+    ``eq_delete=(key_files, key_cols)`` is the streaming UPSERT commit
+    (Flink-into-Iceberg's write shape): the same atomic manifest adds
+    the batch's data files AND an equality-delete entry claiming the
+    batch's keys against every PRE-commit file — entry ``seq`` is the
+    parent version, the new files get ``seq = parent+1``, so the batch
+    deletes its keys' old rows everywhere while its own rows stay
+    exempt (Iceberg sequence-number semantics, already honored by every
+    reader). On the table's very first commit there is nothing to
+    delete, so the entry is skipped."""
     snap_dir = os.path.join(root, "snapshots")
     parts_dir = os.path.join(snap_dir, "parts")
     os.makedirs(parts_dir, exist_ok=True)
@@ -138,10 +149,13 @@ def _commit_append(
         prev = (
             _raw(os.path.join(snap_dir, f"v{parent}.json")) if parent else {}
         )
+        op = "overwrite" if overwrite else "append"
+        if eq_delete:
+            op = "streaming-upsert"
         manifest = {
             "version": parent + 1,
             "parent": parent,
-            "operation": "overwrite" if overwrite else "append",
+            "operation": op,
             "committed_at": time.time(),
             "summary": {"added_files": len(files), **summary},
         }
@@ -169,6 +183,11 @@ def _commit_append(
         ):
             if k in prev:
                 manifest[k] = prev[k]
+        if eq_delete and parent > 0:
+            key_files, key_cols = eq_delete
+            manifest["delete_files"] = manifest.get(
+                "delete_files", []
+            ) + [{"files": key_files, "seq": parent, "keys": key_cols}]
         if schema_json and "schema" not in manifest:
             # overwrite, or the table's very first commit: the writer's
             # declared Spark schema becomes the table schema
@@ -451,11 +470,16 @@ def make_lakehouse_stream_sink():
 
     class _Msg(WriterCommitMessage):
         def __init__(
-            self, files: list[str], stats: dict, partitions: dict | None = None
+            self,
+            files: list[str],
+            stats: dict,
+            partitions: dict | None = None,
+            key_files: list[str] | None = None,
         ):
             self.files = files
             self.stats = stats
             self.partitions = partitions or {}
+            self.key_files = key_files or []
 
     class _Writer(DataSourceStreamWriter):
         def __init__(
@@ -463,10 +487,14 @@ def make_lakehouse_stream_sink():
             root: str,
             partition_cols: list[str] | None = None,
             schema_json: str | None = None,
+            upsert_keys: list[str] | None = None,
+            delete_col: str | None = None,
         ):
             self.root = root
             self.partition_cols = partition_cols or []
             self.schema_json = schema_json
+            self.upsert_keys = upsert_keys or []
+            self.delete_col = delete_col
 
         def write(self, iterator) -> "_Msg":
             # EXECUTOR side: partition rows -> parquet file(s) + stats
@@ -474,15 +502,65 @@ def make_lakehouse_stream_sink():
             # file per partition tuple in hive-style dirs so readers
             # partition-prune streamed data like batch data)
             rows = [r.asDict() for r in iterator]
+            key_files: list[str] = []
+            if self.upsert_keys:
+                # UPSERT mode (Flink-into-Iceberg): this task also
+                # writes a keys-only parquet of its rows' key tuples —
+                # the commit turns them into one equality-delete entry.
+                # Contract: at most one row per key per micro-batch
+                # (repartition the stream by the keys upstream); the
+                # per-task check catches same-task violations for free,
+                # cross-task duplicates require the upstream shuffle.
+                seen: set[tuple] = set()
+                for r in rows:
+                    tup = tuple(r[k] for k in self.upsert_keys)
+                    if tup in seen:
+                        raise ValueError(
+                            "lakehouse_sink upsert: duplicate key "
+                            f"{tup!r} within one micro-batch — upsert "
+                            "requires at most one row per key per "
+                            "batch (dedupe or aggregate upstream)"
+                        )
+                    seen.add(tup)
+                if self.delete_col:
+                    # tombstone rows: key joins the equality delete,
+                    # row does NOT land in the data files (keyed CDC
+                    # apply — Debezium-style __deleted streams)
+                    live = []
+                    for r in rows:
+                        dead = bool(r.pop(self.delete_col, False))
+                        if not dead:
+                            live.append(r)
+                    rows = live
+                if seen:
+                    key_rows = [
+                        dict(zip(self.upsert_keys, tup))
+                        for tup in sorted(seen, key=repr)
+                    ]
+                    kf, _ = _write_one_file(
+                        key_rows,
+                        os.path.join(
+                            self.root,
+                            "data",
+                            f"stream-{uuid.uuid4().hex[:12]}",
+                        ),
+                    )
+                    key_files.append(kf)
             files, stats, partitions = write_task_files(
                 rows, self.root, self.partition_cols
             )
-            return _Msg(files, stats, partitions or None)
+            return _Msg(files, stats, partitions or None, key_files)
 
         def commit(self, messages, batchId: int) -> None:
             # DRIVER side, once per micro-batch: one atomic manifest
             # publish = data landed AND batch recorded
             files = [f for m in messages if m for f in m.files]
+            key_files = [
+                f
+                for m in messages
+                if m
+                for f in getattr(m, "key_files", [])
+            ]
             stats: dict = {}
             partitions: dict = {}
             for m in messages:
@@ -493,9 +571,9 @@ def make_lakehouse_stream_sink():
             if hwm is not None and batchId <= hwm:
                 # replayed micro-batch: its rows are already committed;
                 # drop the redundant files, publish nothing
-                self._drop(files)
+                self._drop(files + key_files)
                 return
-            if not files:
+            if not files and not key_files:
                 return  # empty batch: no commit, offsets still advance
             _commit_append(
                 self.root,
@@ -506,6 +584,11 @@ def make_lakehouse_stream_sink():
                     BATCH_HWM_KEY: max(
                         batchId, hwm if hwm is not None else batchId
                     ),
+                    **(
+                        {"upsert_keys": ",".join(self.upsert_keys)}
+                        if self.upsert_keys
+                        else {}
+                    ),
                 },
                 partitions=partitions or None,
                 partition_specs=[
@@ -515,10 +598,21 @@ def make_lakehouse_stream_sink():
                 if self.partition_cols
                 else None,
                 schema_json=self.schema_json,
+                eq_delete=(key_files, self.upsert_keys)
+                if self.upsert_keys and key_files
+                else None,
             )
 
         def abort(self, messages, batchId: int) -> None:
-            self._drop([f for m in messages if m for f in m.files])
+            self._drop(
+                [f for m in messages if m for f in m.files]
+                + [
+                    f
+                    for m in messages
+                    if m
+                    for f in getattr(m, "key_files", [])
+                ]
+            )
 
         @staticmethod
         def _drop(files: list[str]) -> None:
@@ -532,10 +626,57 @@ def make_lakehouse_stream_sink():
         def streamWriter(self, schema, overwrite: bool):
             opts = {k.lower(): v for k, v in self.options.items()}
             pb = opts.get("partitionby")
+            mode = (opts.get("mode") or "append").lower()
+            keys = [
+                c.strip()
+                for c in (opts.get("upsertkeys") or "").split(",")
+                if c.strip()
+            ]
+            delete_col = opts.get("deletecolumn") or None
+            if mode == "upsert" and not keys:
+                raise ValueError(
+                    "lakehouse_sink: mode=upsert requires upsertKeys "
+                    "(comma-separated key columns)"
+                )
+            if keys and mode != "upsert":
+                raise ValueError(
+                    "lakehouse_sink: upsertKeys requires mode=upsert"
+                )
+            schema_json = None
+            if schema is not None:
+                if keys:
+                    names = set(schema.fieldNames())
+                    missing = [k for k in keys if k not in names]
+                    if missing:
+                        raise ValueError(
+                            "lakehouse_sink upsert: key columns "
+                            f"{missing} not in the stream schema"
+                        )
+                    if delete_col and delete_col not in names:
+                        raise ValueError(
+                            "lakehouse_sink upsert: deleteColumn "
+                            f"{delete_col!r} not in the stream schema"
+                        )
+                    if delete_col and delete_col in keys:
+                        raise ValueError(
+                            "lakehouse_sink upsert: deleteColumn cannot "
+                            "be a key column"
+                        )
+                if delete_col:
+                    # the tombstone flag is transport metadata, not
+                    # table data — the declared table schema excludes it
+                    from pyspark.sql.types import StructType
+
+                    schema = StructType(
+                        [f for f in schema.fields if f.name != delete_col]
+                    )
+                schema_json = schema.json()
             return _Writer(
                 _norm_path(opts["path"]),
                 [c.strip() for c in pb.split(",")] if pb else None,
-                schema_json=schema.json() if schema is not None else None,
+                schema_json=schema_json,
+                upsert_keys=keys,
+                delete_col=delete_col,
             )
 
     return LakehouseStreamSink

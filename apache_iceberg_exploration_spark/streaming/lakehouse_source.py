@@ -911,6 +911,22 @@ def _cdc_rows(
         # equality deletes (r7): evaluate the entry's key tuples against
         # the pre-commit side's carried files — seq-scoped, stats-pruned
         eq_added = [d for d in added_e if not d.get("pos")]
+        # streaming-upsert commits (r9): the SAME commit equality-deletes
+        # a key's old row and appends its new row — pair them by the
+        # entry's key columns as update_preimage/update_postimage (Delta
+        # CDF MERGE semantics). Identity note: the new row is a NEW
+        # physical row, so in row_level mode the pair spans two _row_ids
+        # (old id on the preimage, new id on the postimage) — unlike
+        # update_where_mor, which preserves identity.
+        upsert_idx: list[int] | None = None
+        if m["op"] == "streaming-upsert" and eq_added:
+            try:
+                upsert_idx = [
+                    colnames.index(k) for k in eq_added[0]["keys"]
+                ]
+            except ValueError:
+                upsert_idx = None  # renamed key column: fall back to
+                # unpaired delete+insert (still net-correct)
         if eq_added and both:
             prev_seqs = prev_meta.get("file_seq", {})
             prev_stats = prev_meta.get("stats", {})
@@ -1022,6 +1038,12 @@ def _cdc_rows(
             old_map = read_id_map(
                 removed, side_dead(prev_meta, removed), prev_row_ids
             )
+            eq_del_bykey: dict[tuple, list[int]] = {}
+            if upsert_idx is not None:
+                for orid in sorted(del_ids):
+                    eq_del_bykey.setdefault(
+                        tuple(del_ids[orid][i] for i in upsert_idx), []
+                    ).append(orid)
             for rid in sorted(old_map.keys() - new_map.keys()):
                 out.append((*old_map[rid], rid, "delete", v, ts))
             for rid in sorted(new_map.keys() - old_map.keys()):
@@ -1035,8 +1057,26 @@ def _cdc_rows(
                     out.append(
                         (*new_map[rid], rid, "update_postimage", v, ts)
                     )
-                else:
-                    out.append((*new_map[rid], rid, "insert", v, ts))
+                    continue
+                if upsert_idx is not None:
+                    key = tuple(new_map[rid][i] for i in upsert_idx)
+                    olds = eq_del_bykey.get(key)
+                    if olds:
+                        orid = olds.pop(0)
+                        out.append(
+                            (
+                                *del_ids.pop(orid),
+                                orid,
+                                "update_preimage",
+                                v,
+                                ts,
+                            )
+                        )
+                        out.append(
+                            (*new_map[rid], rid, "update_postimage", v, ts)
+                        )
+                        continue
+                out.append((*new_map[rid], rid, "insert", v, ts))
             for rid in sorted(old_map.keys() & new_map.keys()):
                 if old_map[rid] != new_map[rid]:
                     out.append(
@@ -1048,8 +1088,28 @@ def _cdc_rows(
         elif removed or added:
             ca = read_multiset(added, side_dead(m, added))
             cr = read_multiset(removed, side_dead(prev_meta, removed))
+            delmap: dict[tuple, list[tuple]] = {}
+            if upsert_idx is not None:
+                for t in del_rows:
+                    delmap.setdefault(
+                        tuple(t[i] for i in upsert_idx), []
+                    ).append(t)
+                del_rows = []
             for t, n in sorted((ca - cr).items(), key=repr):
-                out.extend([(*t, "insert", v, ts)] * n)
+                for _ in range(n):
+                    olds = delmap.get(
+                        tuple(t[i] for i in upsert_idx)
+                    ) if upsert_idx is not None else None
+                    if olds:
+                        out.append(
+                            (*olds.pop(0), "update_preimage", v, ts)
+                        )
+                        out.append((*t, "update_postimage", v, ts))
+                    else:
+                        out.append((*t, "insert", v, ts))
+            # tombstoned keys (no same-commit reinsert) stay deletes
+            for key in sorted(delmap, key=repr):
+                del_rows.extend(delmap[key])
             for t, n in sorted((cr - ca).items(), key=repr):
                 out.extend([(*t, "delete", v, ts)] * n)
         # buffered deletes that found no same-commit reinsert

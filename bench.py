@@ -186,6 +186,9 @@ HEADLINE = [
     # r8 continuation: metadata-plane queries
     "lakehouse_delete_file_inventory",
     "lakehouse_sql_metadata_tvf",
+    # r9: streaming upsert sink (equality-delete commits)
+    "streaming_upsert_latest_state_replay",
+    "streaming_upsert_cdc_change_counts",
 ]
 
 

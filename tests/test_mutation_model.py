@@ -45,6 +45,58 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
         t.append(_mk_df(spark, rows))
         model.update(rows)
 
+    def upsert(n_new, n_upd, n_dead):
+        """One streaming-upsert micro-batch committed through the
+        sink's protocol (data files + equality-delete entry in one
+        atomic manifest): update n_upd live keys, tombstone n_dead
+        others, insert n_new fresh keys."""
+        import os as _os
+        import uuid as _uuid
+
+        from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+            _commit_append,
+            _write_one_file,
+            write_task_files,
+        )
+
+        nonlocal next_k
+        live = sorted({k for (k, v) in model})
+        upd = live[:n_upd]
+        dead = live[n_upd : n_upd + n_dead]
+        fresh = list(range(next_k, next_k + n_new))
+        next_k += n_new
+        new_rows = [(k, k * 10 + 7) for k in upd] + [
+            (k, k * 10) for k in fresh
+        ]
+        files, stats, _ = write_task_files(
+            [{"k": k, "v": v} for k, v in new_rows], t.path
+        )
+        key_rows = [{"k": k} for k, _ in new_rows] + [
+            {"k": k} for k in dead
+        ]
+        kf, _ = _write_one_file(
+            key_rows,
+            _os.path.join(
+                t.path, "data", f"stream-{_uuid.uuid4().hex[:12]}"
+            ),
+        )
+        _commit_append(
+            t.path,
+            files,
+            stats,
+            {},
+            eq_delete=([kf], ["k"]),
+        )
+        for kk in set(upd) | set(dead):
+            for (k, v) in list(model):
+                if k == kk:
+                    del model[(k, v)]
+            # the key's next incarnation is a NEW physical row: its
+            # identity legitimately changes (Flink-style upsert does
+            # not carry row ids) — forget the old one
+            ids.pop(kk, None)
+        model.update(new_rows)
+
     append(rng.randint(5, 15))  # v1 seed data
     # k -> _row_id, captured when first observed (v1 upfront so a
     # rollback-to-v1 restores real knowledge, not an empty map)
@@ -64,11 +116,16 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
         "compact",
         "coalesce_dv",
         "rollback",
+        "upsert",
     ]
     for step in range(N_OPS):
         op = rng.choice(ops)
         if op == "append":
             append(rng.randint(1, 6))
+        elif op == "upsert":
+            upsert(
+                rng.randint(1, 4), rng.randint(0, 3), rng.randint(0, 2)
+            )
         elif op == "cow_delete":
             m = rng.randint(2, 5)
             r = rng.randint(0, m - 1)
@@ -168,7 +225,9 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
     net: Counter = Counter()
     for row in _cdc_rows(t.path, 0, tip, ["k", "v"]):
         k, v, kind = row[0], row[1], row[2]
-        if kind == "insert":
+        # streaming-upsert commits emit Delta-CDF update PAIRS in value
+        # mode too (r9): postimage adds a row, preimage removes one
+        if kind in ("insert", "update_postimage"):
             net[(k, v)] += 1
         else:
             net[(k, v)] -= 1

@@ -44,6 +44,9 @@ _FAMILIES = (
     # model recomputed per SF)
     "apache_iceberg_exploration_spark.operators.geotable",
     "apache_iceberg_exploration_spark.operators.selection",
+    # r9: streaming upsert — the generation/tombstone split and the
+    # per-batch key-file sizes resolve differently at 10x data
+    "apache_iceberg_exploration_spark.operators.upsert",
 )
 _CASES = sorted(
     name
