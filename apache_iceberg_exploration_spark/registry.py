@@ -129,5 +129,8 @@ def _load_all() -> None:
     # r9 — streaming upsert sink (equality-delete commits). Newest
     # module: registers LAST, after metadata_queries.
     from .operators import upsert  # noqa: F401
+    # r9 — table encryption. Newest module: registers LAST, after
+    # upsert.
+    from .operators import crypto_queries  # noqa: F401
 
     _LOADED = True

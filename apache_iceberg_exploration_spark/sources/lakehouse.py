@@ -118,7 +118,12 @@ def _publish_sidecar(path: str, payload) -> None:
 
 
 def _read_dv_bytes(
-    path: str, offset: int, length: int, sha256: str | None
+    path: str,
+    offset: int,
+    length: int,
+    sha256: str | None,
+    table_key: bytes | None = None,
+    encrypted: bool = False,
 ) -> bytes:
     """Read one deletion-vector blob from its Puffin-style container and
     verify its recorded sha256 prefix. Module-level (picklable) so
@@ -141,6 +146,19 @@ def _read_dv_bytes(
                 "or rewrite the file (rewrite_dv_heavy_files / "
                 "rewrite_data_files)"
             )
+    if encrypted:
+        # encrypted container (table encryption): the sha256 above
+        # covers the CIPHERTEXT (integrity checkable without the key);
+        # the per-container data key unwraps from the key sidecar
+        from . import encryption as E
+
+        if table_key is None:
+            raise ValueError(
+                "lakehouse encryption: deletion-vector container "
+                f"{path!r} is encrypted — provide the table key"
+            )
+        meta = E.read_key_sidecar(path)
+        return E.decrypt_blob(blob, E.unwrap_key(meta["key"], table_key))
     return blob
 
 
@@ -248,6 +266,9 @@ class LakehouseTable:
     spark: SparkSession
     path: str
     max_commit_retries: int = 10
+    # table-encryption key (KMS stand-in, never persisted): raw bytes
+    # or hex string; required to read/write an encrypted table
+    encryption_key: bytes | str | None = None
 
     # -- manifest bookkeeping -------------------------------------------------
 
@@ -446,6 +467,8 @@ class LakehouseTable:
             entry["offset"],
             entry["length"],
             entry.get("sha256"),
+            table_key=self._maybe_key() if entry.get("enc") else None,
+            encrypted=bool(entry.get("enc")),
         )
 
     def _try_commit(
@@ -554,6 +577,18 @@ class LakehouseTable:
                     "distribution='hash' requires partition_by"
                 )
             out = out.repartition(*[sp.field_name for sp in specs])
+        if self._encryption_on():
+            # encrypted tables: executor-side Arrow write → in-memory
+            # parquet → AES-GCM envelope. Plaintext never touches disk;
+            # stats are computed write-side and land in the key sidecar
+            # (encrypt-then-stat). Returned paths come from the
+            # SUCCESSFUL tasks' rows, not a directory glob — a retried
+            # task's partial files are unreferenced orphans for
+            # remove_orphan_files, never committed.
+            files = self._write_encrypted_files(
+                out, data_dir, [sp.field_name for sp in specs]
+            )
+            return snap_id, sorted(files)
         writer = out.write.mode("errorifexists")
         if specs:
             writer = writer.partitionBy(*[sp.field_name for sp in specs])
@@ -563,6 +598,68 @@ class LakehouseTable:
             for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
         ]
         return snap_id, sorted(files)
+
+    def _write_encrypted_files(
+        self, out: DataFrame, data_dir: str, spec_fields: list[str]
+    ) -> list[str]:
+        """Distributed encrypted write: each task serializes its rows
+        (grouped into hive-style subdirs when ``spec_fields``) to
+        parquet in memory, envelope-encrypts to one file per partition
+        tuple, and publishes the per-file key sidecar (wrapped data key
+        + plaintext stats + Arrow schema). Mirrors
+        ``writer.partitionBy(...).parquet(...)`` file-for-file."""
+        key = self._enc_key()
+        key_id = self.get_property("encryption.key-id") or "k1"
+
+        def task(batches):
+            import pyarrow as pa
+
+            from . import encryption as E
+
+            chunks = list(batches)
+            if not chunks or sum(b.num_rows for b in chunks) == 0:
+                return
+            tbl = pa.Table.from_batches(chunks)
+            groups: list[tuple[list[str], "pa.Table"]] = []
+            if spec_fields:
+                from urllib.parse import quote
+
+                import pandas as pd
+
+                keys_pdf = tbl.select(spec_fields).to_pandas()
+                for tup, idx in keys_pdf.groupby(
+                    spec_fields, dropna=False, sort=True
+                ).indices.items():
+                    if len(spec_fields) == 1:
+                        tup = (tup,)
+                    segs = [
+                        f"{c}="
+                        + (
+                            quote(str(v), safe="")
+                            if v is not None and v == v
+                            else "__HIVE_DEFAULT_PARTITION__"
+                        )
+                        for c, v in zip(spec_fields, tup)
+                    ]
+                    groups.append(
+                        (segs, tbl.take(idx).drop_columns(spec_fields))
+                    )
+            else:
+                groups.append(([], tbl))
+            for segs, sub in groups:
+                path = os.path.join(
+                    data_dir, *segs, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                E.write_encrypted_parquet(sub, path, key, key_id)
+                yield pa.RecordBatch.from_pylist(
+                    [{"file": path}],
+                    schema=pa.schema([("file", pa.string())]),
+                )
+
+        return [
+            r["file"]
+            for r in out.mapInArrow(task, "file string").collect()
+        ]
 
     @staticmethod
     def _destring_variants(df: DataFrame) -> DataFrame:
@@ -710,6 +807,14 @@ class LakehouseTable:
         import pyarrow.parquet as pq
 
         def one_file(f: str) -> tuple[str, dict]:
+            from . import encryption as E
+
+            if E.is_encrypted_file(f):
+                # encrypted files carry write-side plaintext stats in
+                # their key sidecar (encrypt-then-stat) — the footer is
+                # ciphertext, and commit-time stats must never need the
+                # table key
+                return f, dict(E.read_key_sidecar(f)["stats"])
             md = pq.ParquetFile(f).metadata
             # "__rows"/"__bytes" are reserved stats keys (row count and
             # on-disk size, for the files metadata table, cost-based
@@ -954,10 +1059,8 @@ class LakehouseTable:
             n = (stats or {}).get(f, {}).get("__rows")
             if n is None:
                 # path without precomputed stats (e.g. publish of an old
-                # stage): one footer read — metadata-only, no data IO
-                import pyarrow.parquet as pq
-
-                n = pq.ParquetFile(f).metadata.num_rows
+                # stage): one footer/sidecar read — metadata-only
+                n = LakehouseTable._file_num_rows(f)
             bases[f] = next_id
             next_id += int(n)
         manifest["row_ids"] = bases
@@ -1395,6 +1498,91 @@ class LakehouseTable:
 
     def _int_property(self, key: str) -> int:
         return int(self.get_property(key))
+
+    # -- table encryption (Iceberg v3 encryption pillar) ---------------------
+    #
+    # Envelope scheme (see sources/encryption.py): per-file random data
+    # keys wrap under the caller-held TABLE key; wrapped keys + plaintext
+    # stats + schema live in per-file sidecars under <table>/keys/. The
+    # properties sidecar records only key METADATA (enabled flag, key id,
+    # a verifier so a wrong key fails loudly before any data read) — the
+    # table key itself is never persisted anywhere.
+
+    def enable_encryption(
+        self, key: bytes | str, key_id: str = "k1"
+    ) -> None:
+        """Turn on encryption for every subsequent write. Existing
+        plaintext files keep reading (per-file magic sniff);
+        ``rewrite_data_files()`` re-encrypts them. Refused when the
+        table already has a DIFFERENT key enabled (rotate instead)."""
+        from . import encryption as E
+
+        k = E.normalize_table_key(key)
+        if self.get_property("encryption.enabled") == "true":
+            E.check_verifier(
+                json.loads(self.get_property("encryption.verifier")), k
+            )
+            return
+        self.set_property("encryption.verifier", json.dumps(E.make_verifier(k)))
+        self.set_property("encryption.key-id", key_id)
+        self.set_property("encryption.enabled", "true")
+        self.encryption_key = k
+
+    def _encryption_on(self) -> bool:
+        return self.get_property("encryption.enabled") == "true"
+
+    def _enc_key(self) -> bytes | None:
+        """The validated table key, or None for plaintext tables.
+        Encrypted table + missing/wrong key = loud failure."""
+        if not self._encryption_on():
+            return None
+        from . import encryption as E
+
+        if self.encryption_key is None:
+            raise ValueError(
+                "lakehouse encryption: this table is encrypted — pass "
+                "encryption_key= to LakehouseTable (the table key is "
+                "never stored with the table)"
+            )
+        k = E.normalize_table_key(self.encryption_key)
+        E.check_verifier(
+            json.loads(self.get_property("encryption.verifier")), k
+        )
+        return k
+
+    def rotate_table_key(
+        self, new_key: bytes | str, new_key_id: str | None = None
+    ) -> int:
+        """Rewrap every per-file data key under ``new_key`` — O(files)
+        sidecar rewrites, ZERO data bytes touched, and every historical
+        snapshot stays readable (data keys never change). Returns the
+        number of rewrapped sidecars. The old key stops working
+        immediately (verifier replaced atomically last)."""
+        from . import encryption as E
+
+        old = self._enc_key()
+        if old is None:
+            raise ValueError(
+                "lakehouse encryption: table is not encrypted"
+            )
+        new = E.normalize_table_key(new_key)
+        n = 0
+        for sp in glob.glob(os.path.join(self.path, "keys", "*.json")):
+            with open(sp) as f:
+                meta = json.load(f)
+            data_key = E.unwrap_key(meta["key"], old)
+            meta["key"] = E.wrap_key(data_key, new)
+            if new_key_id:
+                meta["key_id"] = new_key_id
+            _publish_sidecar(sp, meta)
+            n += 1
+        self.set_property(
+            "encryption.verifier", json.dumps(E.make_verifier(new))
+        )
+        if new_key_id:
+            self.set_property("encryption.key-id", new_key_id)
+        self.encryption_key = new
+        return n
 
     def _resolve_distribution(
         self, distribution: str | None, partition_by
@@ -2307,12 +2495,12 @@ class LakehouseTable:
             pos_targets: set[str] = set()
             for d in changed_dels:
                 if d.get("pos"):
-                    import pyarrow.parquet as _pq
+                    from . import encryption as _E
 
                     for kf in d["files"]:
                         try:
-                            col = _pq.read_table(
-                                kf, columns=["__file"]
+                            col = _E.read_table_auto(
+                                kf, self._maybe_key(), columns=["__file"]
                             ).column("__file")
                         except (FileNotFoundError, OSError) as ex:
                             # ADVICE r4 weighed a conservative fallback
@@ -2637,6 +2825,16 @@ class LakehouseTable:
         attaches the row's physical identity (``__file``, ``__pos``) from
         Spark's hidden ``_metadata`` struct — the coordinates positional
         deletes target; generated by the parquet reader, not stored."""
+        from . import encryption as E
+
+        if any(E.is_encrypted_file(f) for f in files):
+            # encrypted tables read through the Arrow decrypt path (the
+            # JVM parquet reader cannot open envelope ciphertext);
+            # mixed plain+encrypted file sets — a table encrypted
+            # mid-history — are handled file-by-file
+            return self._scan_files_encrypted(
+                files, file_seq or {}, with_seq, with_pos
+            )
         data_root = os.path.join(self.path, "data")
         seqs = file_seq or {}
         groups: dict[tuple[str, int], list[str]] = {}
@@ -2675,6 +2873,158 @@ class LakehouseTable:
         for s in scans[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
         return out
+
+    def _scan_files_encrypted(
+        self,
+        files: list[str],
+        seqs: dict[str, int],
+        with_seq: bool,
+        with_pos: bool,
+    ) -> DataFrame:
+        """Encrypted twin of :meth:`_scan_files`: one Arrow task per
+        file decrypts its blob executor-side and emits the same shape —
+        the union PHYSICAL schema (planned driver-side from the key
+        sidecars' plaintext Arrow schemas, no decryption), hive
+        partition columns recovered from the path, plus ``__seq`` /
+        ``__file`` / ``__pos`` when requested. Everything above this
+        method (declared projection, defaults, renames, MoR deletes,
+        lineage) is unchanged.
+
+        Scale: parallelism = files (one decrypt+parse per task, Arrow
+        batches straight into Spark); the whole-file envelope means no
+        column pruning inside encrypted files — documented trade
+        (SCALE.md r9), recovered only by Parquet Modular Encryption."""
+        import pyarrow as pa
+
+        from . import encryption as E
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        key = self._enc_key()
+        schemas = []
+        for f in files:
+            if E.is_encrypted_file(f):
+                schemas.append(E.sidecar_schema(f))
+            else:
+                import pyarrow.parquet as pq
+
+                schemas.append(pq.read_schema(f))
+        parts = self._file_partitions(files)
+        part_cols = sorted({c for d in parts.values() for c in d})
+        unified = pa.unify_schemas(
+            schemas, promote_options="permissive"
+        )
+        union = pa.schema(
+            [fld for fld in unified if fld.name not in part_cols]
+            + [pa.field(c, pa.string()) for c in part_cols]
+        )
+        extra = []
+        if with_seq:
+            extra.append(pa.field("__seq", pa.int64()))
+        if with_pos:
+            extra += [
+                pa.field("__file", pa.string()),
+                pa.field("__pos", pa.int64()),
+            ]
+        out_schema = pa.schema(list(union) + extra)
+        spec_rows = [
+            (f, int(seqs.get(f, 0)), json.dumps(parts.get(f, {})))
+            for f in sorted(files)
+        ]
+
+        def task(batches):
+            for b in batches:
+                for row in b.to_pylist():
+                    f, seq, pvals = row["f"], row["s"], json.loads(row["p"])
+                    t = E.read_table_auto(f, key)
+                    n = t.num_rows
+                    arrays = []
+                    for fld in union:
+                        if fld.name in t.column_names:
+                            col = t.column(fld.name)
+                            if col.type != fld.type:
+                                col = col.cast(fld.type)
+                            arrays.append(col)
+                        elif fld.name in pvals:
+                            v = pvals[fld.name]
+                            if v == "__HIVE_DEFAULT_PARTITION__":
+                                v = None
+                            arrays.append(
+                                pa.chunked_array(
+                                    [pa.array([v] * n, fld.type)]
+                                )
+                            )
+                        else:
+                            arrays.append(
+                                pa.chunked_array([pa.nulls(n, fld.type)])
+                            )
+                    if with_seq:
+                        arrays.append(
+                            pa.chunked_array(
+                                [pa.array([seq] * n, pa.int64())]
+                            )
+                        )
+                    if with_pos:
+                        arrays.append(
+                            pa.chunked_array([pa.array([f] * n)])
+                        )
+                        arrays.append(
+                            pa.chunked_array(
+                                [pa.array(range(n), pa.int64())]
+                            )
+                        )
+                    yield from pa.Table.from_arrays(
+                        arrays, schema=out_schema
+                    ).to_batches()
+
+        plan = self.spark.createDataFrame(
+            spec_rows, "f string, s long, p string"
+        ).repartition(max(1, len(files)))
+        return plan.mapInArrow(task, from_arrow_schema(out_schema))
+
+    def _maybe_key(self) -> bytes | None:
+        """Validated table key when encryption is on (raises loudly if
+        missing/wrong), None for plaintext tables."""
+        return self._enc_key() if self._encryption_on() else None
+
+    @staticmethod
+    def _file_num_rows(f: str) -> int:
+        """Row count of one data file without the table key: plaintext
+        footer, or the encrypted file's sidecar stats."""
+        from . import encryption as E
+
+        if E.is_encrypted_file(f):
+            return int(E.read_key_sidecar(f)["stats"]["__rows"])
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f).metadata.num_rows
+
+    def _read_delete_parquets(self, files: list[str]) -> DataFrame:
+        """Open delete key/coordinate parquets (tiny, always broadcast
+        downstream). Encrypted tables' delete files are encrypted like
+        data files — decrypt driver-side and ship as a local relation
+        (they are broadcast-sized by construction); plaintext files keep
+        the zero-copy JVM read."""
+        from . import encryption as E
+
+        if not any(E.is_encrypted_file(f) for f in files):
+            return self.spark.read.parquet(*files)
+        key = self._enc_key()
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        tbls = [E.read_table_auto(f, key) for f in files]
+        schema = pa.unify_schemas(
+            [t.schema for t in tbls], promote_options="permissive"
+        )
+        rows = [
+            tuple(r[name] for name in schema.names)
+            for t in tbls
+            for r in t.to_pylist()
+        ]
+        return self.spark.createDataFrame(
+            rows, from_arrow_schema(schema)
+        )
 
     def _apply_deletes(
         self,
@@ -2721,7 +3071,9 @@ class LakehouseTable:
             cur_keys = tuple(rev.get(k, k) for k in keys)
             dels = None
             for d in entries:
-                one = self.spark.read.parquet(*d["files"]).select(*keys)
+                one = self._read_delete_parquets(d["files"]).select(
+                    *keys
+                )
                 for k, ck in zip(keys, cur_keys):
                     if k != ck:
                         one = one.withColumnRenamed(k, ck)
@@ -2735,8 +3087,8 @@ class LakehouseTable:
                 "left_anti",
             )
         if pos_entries:
-            dels = self.spark.read.parquet(
-                *[f for d in pos_entries for f in d["files"]]
+            dels = self._read_delete_parquets(
+                [f for d in pos_entries for f in d["files"]]
             ).select(
                 F.col("__file").alias("__dfile"),
                 F.col("__pos").alias("__dpos"),
@@ -2778,6 +3130,13 @@ class LakehouseTable:
                 import pandas as _pd
 
                 decode = self._dv_decode
+                tkey = (
+                    self._maybe_key()
+                    if any(
+                        e.get("enc") for e in delete_vectors.values()
+                    )
+                    else None
+                )
                 entries = [
                     (
                         f,
@@ -2785,19 +3144,29 @@ class LakehouseTable:
                         int(e["offset"]),
                         int(e["length"]),
                         e.get("sha256"),
+                        bool(e.get("enc")),
                     )
                     for f, e in delete_vectors.items()
                 ]
                 edf = self.spark.createDataFrame(
                     entries,
                     "__dvf string, __dvp string, __dvo long, __dvl long,"
-                    " __dvh string",
+                    " __dvh string, __dve boolean",
                 )
 
                 def _expand(batches):
                     for pdf in batches:
-                        for f, p, o, ln, dg in pdf.itertuples(index=False):
-                            blob = _read_dv_bytes(p, int(o), int(ln), dg)
+                        for f, p, o, ln, dg, enc in pdf.itertuples(
+                            index=False
+                        ):
+                            blob = _read_dv_bytes(
+                                p,
+                                int(o),
+                                int(ln),
+                                dg,
+                                table_key=tkey if enc else None,
+                                encrypted=bool(enc),
+                            )
                             yield _pd.DataFrame(
                                 {"__dfile": f, "__dpos": decode(blob)}
                             )
@@ -3031,10 +3400,16 @@ class LakehouseTable:
                     present = True
                 else:
                     if fp not in footer_cache:
-                        import pyarrow.parquet as pq
+                        from . import encryption as _E
 
                         footer_cache[fp] = set(
-                            pq.ParquetFile(fp).schema_arrow.names
+                            (
+                                _E.sidecar_schema(fp)
+                                if _E.is_encrypted_file(fp)
+                                else __import__(
+                                    "pyarrow.parquet", fromlist=["x"]
+                                ).read_schema(fp)
+                            ).names
                         )
                     present = any(c in footer_cache[fp] for c in cands)
                 if not present:
@@ -3508,11 +3883,17 @@ class LakehouseTable:
         ]
 
         def index_one(f: str) -> None:
-            schema_names = pq.read_schema(f).names
+            from . import encryption as E
+
+            schema_names = (
+                E.sidecar_schema(f)
+                if E.is_encrypted_file(f)
+                else pq.read_schema(f)
+            ).names
             want = [c for c in cols if c in schema_names]
             per_col: dict[str, str] = {}
             if want:
-                tbl = pq.read_table(f, columns=want)
+                tbl = E.read_table_auto(f, self._maybe_key(), columns=want)
                 for c in want:
                     bits = bytearray(self.BLOOM_BITS // 8)
                     for val in tbl.column(c).to_pylist():
@@ -4404,6 +4785,23 @@ class LakehouseTable:
         container = os.path.join(
             self._dv_dir, f"dv-{uuid.uuid4().hex}.bin"
         )
+        enc_key = self._maybe_key()
+        dv_data_key = None
+        if enc_key is not None:
+            # table encryption: one data key per container, wrapped in
+            # the container's key sidecar; each blob encrypted
+            # independently so offset/length access still works
+            from . import encryption as E
+
+            dv_data_key = E.generate_data_key()
+            E.write_key_sidecar(
+                container,
+                {
+                    "key_id": self.get_property("encryption.key-id")
+                    or "k1",
+                    "key": E.wrap_key(dv_data_key, enc_key),
+                },
+            )
         entries: dict[str, dict] = {}
         offset = 0
         with open(container, "wb") as out:
@@ -4415,6 +4813,10 @@ class LakehouseTable:
                         self._read_dv_blob(old)
                     ))
                 blob, card = self._dv_encode(pos)
+                if dv_data_key is not None:
+                    from . import encryption as E
+
+                    blob = E.encrypt_blob(blob, dv_data_key)
                 out.write(blob)
                 import hashlib
 
@@ -4423,6 +4825,7 @@ class LakehouseTable:
                     "offset": offset,
                     "length": len(blob),
                     "cardinality": card,
+                    **({"enc": True} if dv_data_key is not None else {}),
                     # Puffin-style blob integrity: verified whenever a
                     # blob is re-read for merging/coalescing, so silent
                     # container corruption can never propagate into a
@@ -4759,9 +5162,7 @@ class LakehouseTable:
             for f, e in dvs.items():
                 rows = stats.get(f, {}).get("__rows")
                 if rows is None:
-                    import pyarrow.parquet as _pq
-
-                    rows = _pq.ParquetFile(f).metadata.num_rows
+                    rows = self._file_num_rows(f)
                 if rows and e["cardinality"] >= min_ratio * rows:
                     targets.append(f)
             if not targets:
@@ -5185,7 +5586,7 @@ class LakehouseTable:
         def footer(f: str) -> tuple[int, int]:
             rows = stats.get(f, {}).get("__rows")
             if rows is None:  # pre-__rows manifest: read the footer
-                rows = pq.ParquetFile(f).metadata.num_rows
+                rows = LakehouseTable._file_num_rows(f)
             return rows, os.path.getsize(f)
 
         if flist:
@@ -5440,9 +5841,7 @@ class LakehouseTable:
         for f in manifest["files"]:
             rows = (stats.get(f) or {}).get("__rows")
             if rows is None:
-                import pyarrow.parquet as pq
-
-                rows = pq.ParquetFile(f).metadata.num_rows
+                rows = self._file_num_rows(f)
             total += int(rows)
         total -= sum(
             int(e["cardinality"])
@@ -5455,16 +5854,17 @@ class LakehouseTable:
                     total -= n
         return total
 
-    @staticmethod
-    def _pos_coord_counts(entry: dict) -> dict[str, int]:
+    def _pos_coord_counts(self, entry: dict) -> dict[str, int]:
         """Per-target-file coordinate counts for one pos-delete entry.
         Coordinate parquets store ``file:///``-URIs in ``__file``;
         manifests store plain paths — normalize before keying."""
-        import pyarrow.parquet as pq
+        from . import encryption as E
 
         per_file: dict[str, int] = {}
         for kf in entry["files"]:
-            t = pq.read_table(kf, columns=["__file"])
+            t = E.read_table_auto(
+                kf, self._maybe_key(), columns=["__file"]
+            )
             for fname, n in (
                 t.column("__file").to_pandas().value_counts().items()
             ):
@@ -6341,6 +6741,19 @@ class LakehouseTable:
             ):
                 os.remove(dvp)
                 removed.append(dvp)
+        # encryption key sidecars whose artifact is referenced by no
+        # retained manifest: removing the wrapped data key after the
+        # ciphertext is unreferenced is CRYPTO-SHREDDING — even a disk
+        # image of the expired file stays unreadable. Same age guard.
+        ref_basenames = {os.path.basename(f) for f in referenced}
+        for kp in glob.glob(os.path.join(self.path, "keys", "*.json")):
+            artifact = os.path.basename(kp)[: -len(".json")]
+            if (
+                artifact not in ref_basenames
+                and now - os.path.getmtime(kp) > older_than_seconds
+            ):
+                os.remove(kp)
+                removed.append(kp)
         ref_hashes = {
             os.path.basename(self._bloom_sidecar_path(f))
             for f in referenced

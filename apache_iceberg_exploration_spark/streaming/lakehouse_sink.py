@@ -134,6 +134,23 @@ def _commit_append(
             "reserved physical stat-column prefixes (__geo_/__shred_) — "
             "rename them before writing"
         )
+    # table encryption: the sink/batch-writer task files are written
+    # PLAINTEXT by write_task_files — committing them into an encrypted
+    # table would silently mix cleartext into ciphertext data dirs.
+    # Refuse loudly (the constraints pattern); ingest via
+    # LakehouseTable.append, whose write path encrypts executor-side.
+    try:
+        with open(os.path.join(root, "properties.json")) as _pf:
+            _props = json.load(_pf)
+    except (OSError, ValueError):
+        _props = {}
+    if _props.get("encryption.enabled") == "true":
+        raise ValueError(
+            "lakehouse_sink: table is ENCRYPTED — this writer emits "
+            "plaintext task files; write via LakehouseTable.append "
+            "(or foreachBatch + append) so files are encrypted "
+            "executor-side"
+        )
     cpath = os.path.join(root, "constraints.json")
     if os.path.exists(cpath):
         with open(cpath) as f:

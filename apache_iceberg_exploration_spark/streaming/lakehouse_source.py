@@ -277,6 +277,42 @@ def _commit_ts(meta: dict):
     return datetime.fromtimestamp(float(ts), tz=timezone.utc)
 
 
+def _enc_key_opt(opts: dict) -> bytes | None:
+    """encryptionKey option (hex) -> validated key bytes, for every
+    reader format over an encrypted table."""
+    raw = opts.get("encryptionkey")
+    if not raw:
+        return None
+    from ..sources.encryption import normalize_table_key
+
+    return normalize_table_key(raw)
+
+
+def _pf_auto(path: str, table_key: bytes | None = None):
+    """ParquetFile over a possibly-encrypted file (table encryption)."""
+    from ..sources.encryption import parquet_file_auto
+
+    return parquet_file_auto(path, table_key)
+
+
+def _rt_auto(path: str, table_key: bytes | None = None, columns=None):
+    from ..sources.encryption import read_table_auto
+
+    return read_table_auto(path, table_key, columns=columns)
+
+
+def _schema_auto(path: str):
+    """Arrow schema of a possibly-encrypted file WITHOUT the table key
+    (encrypted files publish their schema in the key sidecar)."""
+    from ..sources import encryption as E
+
+    if E.is_encrypted_file(path):
+        return E.sidecar_schema(path)
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).schema_arrow
+
+
 def _norm_path(v: str) -> str:
     """Coordinate files store the parquet reader's file URI
     (file:///...); manifests store plain paths — normalize."""
@@ -490,24 +526,22 @@ def _stream_colnames(root: str) -> list[str]:
             for f in json.loads(sj)["fields"]
             if not _reserved_physical(f["name"])
         ]
-    import pyarrow.parquet as pq
-
     files = _manifest_files(root, _current_version(root))
     return [
         f.name
-        for f in pq.ParquetFile(files[0]).schema_arrow
+        for f in _schema_auto(files[0])
         if not _reserved_physical(f.name)
     ]
 
 
-def _pos_coords(entry_files: list[str]) -> dict[str, set[int]]:
+def _pos_coords(
+    entry_files: list[str], table_key: bytes | None = None
+) -> dict[str, set[int]]:
     """target data file -> set of doomed row positions, from a position
     delete entry's coordinate files."""
-    import pyarrow.parquet as pq
-
     out: dict[str, set[int]] = {}
     for kf in entry_files:
-        t = pq.read_table(kf)
+        t = _rt_auto(kf, table_key)
         for fv, pv in zip(
             t.column("__file").to_pylist(), t.column("__pos").to_pylist()
         ):
@@ -530,18 +564,18 @@ def _cdc_entry_delta(
     return added, removed
 
 
-def _eq_keyset(entry: dict) -> tuple[list[str], set[tuple]]:
+def _eq_keyset(
+    entry: dict, table_key: bytes | None = None
+) -> tuple[list[str], set[tuple]]:
     """(key column names, set of doomed key tuples) of an EQUALITY
     delete entry, read from its key parquet files. Unreadable key files
     raise with direction (same contract as pos coordinates: GC keeps
     them for every retained manifest)."""
-    import pyarrow.parquet as pq
-
     keys = list(entry["keys"])
     vals: set[tuple] = set()
     for kf in entry["files"]:
         try:
-            t = pq.read_table(kf, columns=keys)
+            t = _rt_auto(kf, table_key, columns=keys)
         except (FileNotFoundError, OSError) as ex:
             raise ValueError(
                 "lakehouse CDC: an equality-delete entry references "
@@ -587,7 +621,9 @@ def _eq_stats_skip(file_stats: dict, keys: list[str], vals: set) -> bool:
     return False
 
 
-def _dv_positions(entry: dict) -> set[int]:
+def _dv_positions(
+    entry: dict, table_key: bytes | None = None
+) -> set[int]:
     """Decode one deletion-vector bitmap entry (path/offset/length into
     a Puffin-style container) into its row positions. Checksum-verified
     via the shared reader (ADVICE r7 — executor paths must not apply a
@@ -601,6 +637,8 @@ def _dv_positions(entry: dict) -> set[int]:
         entry["offset"],
         entry["length"],
         entry.get("sha256"),
+        table_key=table_key if entry.get("enc") else None,
+        encrypted=bool(entry.get("enc")),
     )
     return set(
         np.nonzero(np.unpackbits(np.frombuffer(blob, dtype=np.uint8)))[
@@ -616,6 +654,7 @@ def _cdc_rows(
     colnames: list[str],
     row_level: bool = False,
     defaults: dict | None = None,
+    table_key: bytes | None = None,
 ) -> list[tuple]:
     """Change rows for snapshots (since, until] — the streaming CHANGE
     FEED (Delta's readChangeFeed / Iceberg's changelog scan, streamed):
@@ -686,26 +725,26 @@ def _cdc_rows(
     def entry_coords(d: dict) -> dict[str, set[int]]:
         k = _entry_key(d)
         if k not in coords_cache:
-            coords_cache[k] = _pos_coords(d["files"])
+            coords_cache[k] = _pos_coords(d["files"], table_key)
         return coords_cache[k]
 
     def entry_keyset(d: dict) -> tuple[list[str], set[tuple]]:
         k = _entry_key(d)
         if k not in keyset_cache:
-            keyset_cache[k] = _eq_keyset(d)
+            keyset_cache[k] = _eq_keyset(d, table_key)
         return keyset_cache[k]
 
     def dv_pos(e: dict) -> set[int]:
         k = (e["path"], e["offset"], e["length"])
         if k not in dv_cache:
-            dv_cache[k] = _dv_positions(e)
+            dv_cache[k] = _dv_positions(e, table_key)
         return dv_cache[k]
 
     def eq_match_positions(
         tf: str, keys: list[str], vals: set[tuple]
     ) -> set[int]:
         """Row positions in one data file whose key tuple is doomed."""
-        have = set(pq.ParquetFile(tf).schema_arrow.names)
+        have = set(_schema_auto(tf).names)
         missing = [k for k in keys if k not in have]
         if missing:
             raise ValueError(
@@ -714,7 +753,7 @@ def _cdc_rows(
                 "after the delete?) — consume the batch "
                 "LakehouseTable.changelog, which maps historical names"
             )
-        t = pq.read_table(tf, columns=[k for k in keys])
+        t = _rt_auto(tf, table_key, columns=[k for k in keys])
         cols = [t.column(k).to_pylist() for k in keys]
         return {
             i
@@ -763,7 +802,7 @@ def _cdc_rows(
     ) -> Counter:
         c: Counter = Counter()
         for f in files:
-            t = pq.read_table(f)
+            t = _rt_auto(f, table_key)
             names = t.column_names
             cols = [
                 t.column(n).to_pylist() if n in names else None
@@ -783,7 +822,7 @@ def _cdc_rows(
         return c
 
     def rows_at(tf: str, positions: set[int]) -> list[tuple]:
-        t = pq.read_table(tf)
+        t = _rt_auto(tf, table_key)
         names = t.column_names
         cols = [
             t.column(n).to_pylist() if n in names else None
@@ -816,7 +855,7 @@ def _cdc_rows(
     ) -> dict[int, tuple]:
         out_m: dict[int, tuple] = {}
         for f in files:
-            t = pq.read_table(f)
+            t = _rt_auto(f, table_key)
             names = t.column_names
             cols = [
                 t.column(n).to_pylist() if n in names else None
@@ -842,7 +881,7 @@ def _cdc_rows(
         tf: str, positions: set[int], bases: dict[str, int]
     ) -> list[tuple]:
         """(row values, _row_id) at the given positions of one file."""
-        t = pq.read_table(tf)
+        t = _rt_auto(tf, table_key)
         names = t.column_names
         cols = [
             t.column(n).to_pylist() if n in names else None
@@ -1206,6 +1245,7 @@ def make_lakehouse_stream_source():
             max_bytes_per_trigger: int | None = None,
             row_level: bool = False,
             geo_bbox: dict[str, tuple] | None = None,
+            enc_key: bytes | None = None,
         ):
             self.root = root
             self.starting_version = starting_version
@@ -1214,6 +1254,7 @@ def make_lakehouse_stream_source():
             self.max_bytes = max_bytes_per_trigger
             self.cdc = cdc
             self.row_level = row_level
+            self._enc_key = enc_key
             # geometry ingestion filter (append stream only): rows whose
             # envelope misses the window are dropped at the source. CDC
             # mode is REFUSED — a spatial filter over a change feed
@@ -1285,7 +1326,7 @@ def make_lakehouse_stream_source():
 
             rows: list[tuple] = []
             for f in files:
-                pf = pq.ParquetFile(f)
+                pf = _pf_auto(f, self._enc_key)
                 have = set(pf.schema_arrow.names)
                 if not self._declared:
                     names = [
@@ -1344,6 +1385,7 @@ def make_lakehouse_stream_source():
                         self._colnames,
                         row_level=self.row_level,
                         defaults=self._cdc_defaults,
+                        table_key=self._enc_key,
                     ),
                     {"version": until},
                 )
@@ -1361,6 +1403,7 @@ def make_lakehouse_stream_source():
                     self._colnames,
                     row_level=self.row_level,
                     defaults=self._cdc_defaults,
+                    table_key=self._enc_key,
                 )
             return self._rows_for(
                 _added_files(self.root, start["version"], end["version"])
@@ -1398,10 +1441,8 @@ def make_lakehouse_stream_source():
                 files = _manifest_files(root, _current_version(root))
                 if not files:
                     raise ValueError(f"empty lakehouse table at {root}")
-                import pyarrow.parquet as pq
-
                 base = from_arrow_schema(
-                    _us_schema(pq.ParquetFile(files[0]).schema_arrow)
+                    _us_schema(_schema_auto(files[0]))
                 )
             opts = {k.lower(): v for k, v in self.options.items()}
             # Delta readChangeFeed column convention
@@ -1435,6 +1476,7 @@ def make_lakehouse_stream_source():
                     if "geobbox" in opts
                     else None
                 ),
+                enc_key=_enc_key_opt(opts),
             )
 
     return LakehouseStreamSource
@@ -1479,6 +1521,7 @@ def make_lakehouse_stream_dist_source():
             max_files_per_trigger: int | None = None,
             max_bytes_per_trigger: int | None = None,
             row_level: bool = False,
+            enc_key: bytes | None = None,
         ):
             self.root = root
             self.starting_version = starting_version
@@ -1488,6 +1531,7 @@ def make_lakehouse_stream_dist_source():
             self._hwm = starting_version  # highest position observed
             self.cdc = cdc
             self.row_level = row_level
+            self._enc_key = enc_key
             self._colnames = _stream_colnames(root)
             self._cdc_defaults = _schema_defaults(
                 _manifest_schema_json(root, _current_version(root))
@@ -1612,6 +1656,7 @@ def make_lakehouse_stream_dist_source():
                     self._colnames,
                     row_level=self.row_level,
                     defaults=self._cdc_defaults,
+                    table_key=self._enc_key,
                 )
                 return
             # executor-side: stream the file as Arrow batches (zero-copy
@@ -1619,9 +1664,7 @@ def make_lakehouse_stream_dist_source():
             # ns timestamps demoted to µs for Spark's Arrow ingest).
             # Files predating the declared schema (add_column) project
             # to it — initial-defaults filled, renames resolved.
-            import pyarrow.parquet as pq
-
-            pf = pq.ParquetFile(partition.value)
+            pf = _pf_auto(partition.value, self._enc_key)
             if (
                 self._target_arrow is None
                 or _us_schema(pf.schema_arrow) == self._target_arrow
@@ -1667,10 +1710,8 @@ def make_lakehouse_stream_dist_source():
                 files = _manifest_files(root, _current_version(root))
                 if not files:
                     raise ValueError(f"empty lakehouse table at {root}")
-                import pyarrow.parquet as pq
-
                 base = from_arrow_schema(
-                    _us_schema(pq.ParquetFile(files[0]).schema_arrow)
+                    _us_schema(_schema_auto(files[0]))
                 )
             opts = {k.lower(): v for k, v in self.options.items()}
             if opts.get("readchangefeed", "").lower() == "true":
@@ -1705,6 +1746,7 @@ def make_lakehouse_stream_dist_source():
                 max_files_per_trigger=int(mf) if mf is not None else None,
                 max_bytes_per_trigger=int(mb) if mb is not None else None,
                 row_level=opts.get("rowlineage", "").lower() == "true",
+                enc_key=_enc_key_opt(opts),
             )
 
     return LakehouseStreamDistSource
@@ -1790,12 +1832,33 @@ def _eq_footer_ranges(entry: dict) -> dict | None:
     """Per-key (lo, hi) bounds of an equality-delete entry's doomed key
     tuples, read from its key parquet FOOTER statistics — zero data IO.
     None = unknown (missing footer stats): the entry stays applicable
-    everywhere (conservative)."""
+    everywhere (conservative). Encrypted key files (table encryption)
+    publish the same bounds in their plaintext key-sidecar stats."""
     import pyarrow.parquet as pq
+
+    from ..sources import encryption as E
 
     out: dict = {}
     nulled: set = set()
     for kf in entry["files"]:
+        if E.is_encrypted_file(kf):
+            st = E.read_key_sidecar(kf).get("stats") or {}
+            snulls = st.get("__nulls")
+            for name in entry["keys"]:
+                rng = st.get(name)
+                if not isinstance(rng, list) or len(rng) != 2:
+                    return None
+                nk = (snulls or {}).get(name)
+                if nk is None or nk > 0:
+                    nulled.add(name)
+                lo, hi = rng
+                cur = out.get(name)
+                out[name] = (
+                    (lo, hi)
+                    if cur is None
+                    else (min(cur[0], lo), max(cur[1], hi))
+                )
+            continue
         md = pq.ParquetFile(kf).metadata
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
@@ -1885,17 +1948,15 @@ def _project_arrow(
     return pa.Table.from_arrays(cols, schema=target)
 
 
-def _load_eq_keysets(eq_specs) -> list:
+def _load_eq_keysets(eq_specs, table_key: bytes | None = None) -> list:
     """Executor side: materialize each applicable equality entry's
     doomed key tuples from its (small) key parquet files."""
-    import pyarrow.parquet as pq
-
     loaded = []
     for files_t, keys_t in eq_specs or ():
         keys = list(keys_t)
         vals: set = set()
         for kf in files_t:
-            t = pq.read_table(kf, columns=keys)
+            t = _rt_auto(kf, table_key, columns=keys)
             cols = [t.column(k).to_pylist() for k in keys]
             vals.update(zip(*cols) if cols else [])
         loaded.append((keys, vals))
@@ -2068,9 +2129,11 @@ def make_lakehouse_batch_source():
             with_lineage: bool = False,
             target_struct=None,
             geo_bbox: dict[str, tuple] | None = None,
+            enc_key: bytes | None = None,
         ):
             self.root = root
             self.version = version
+            self._enc_key = enc_key
             # incremental batch read (Iceberg's incremental scan):
             # plan only files ADDED by append commits in (since, version]
             self.since = since
@@ -2212,7 +2275,9 @@ def make_lakehouse_batch_source():
                 # the driver.
                 for d in deletes:
                     if d.get("pos"):
-                        for tf, ps in _pos_coords(d["files"]).items():
+                        for tf, ps in _pos_coords(
+                            d["files"], self._enc_key
+                        ).items():
                             pos_dead.setdefault(tf, set()).update(ps)
                     else:
                         eq_entries.append(d)
@@ -2291,10 +2356,11 @@ def make_lakehouse_batch_source():
                         int(dvs[f]["length"]),
                         dvs[f].get("sha256"),
                         sorted(pos_dead.get(f, ())),
+                        bool(dvs[f].get("enc")),
                     )
                     if f in dvs
                     else (
-                        (None, 0, 0, None, sorted(pos_dead[f]))
+                        (None, 0, 0, None, sorted(pos_dead[f]), False)
                         if f in pos_dead
                         else None
                     )
@@ -2348,13 +2414,13 @@ def make_lakehouse_batch_source():
                 for f in kept
             ]
 
-        @staticmethod
-        def _dv_mask(dv: tuple | None, offset: int, n: int, eq_dead=None):
+        def _dv_mask(self, dv: tuple | None, offset: int, n: int, eq_dead=None):
             """Arrow keep-mask for batch rows [offset, offset+n) under a
-            (path, offset, length, sha256, extra_positions) delete
+            (path, offset, length, sha256, extra_positions, enc) delete
             pointer — path None = position-delete coordinates only —
             plus batch-local equality-dead row indices; None = keep all.
-            Blob reads verify the recorded digest (ADVICE r7)."""
+            Blob reads verify the recorded digest (ADVICE r7); encrypted
+            containers (table encryption) decrypt with the reader's key."""
             if dv is None and not eq_dead:
                 return None
             import numpy as np
@@ -2364,11 +2430,18 @@ def make_lakehouse_batch_source():
 
             keep = np.ones(n, dtype=bool)
             if dv is not None:
-                path, off, ln, digest, extra = dv
+                path, off, ln, digest, extra, enc = dv
                 if path is not None:
                     bits = np.unpackbits(
                         np.frombuffer(
-                            _read_dv_bytes(path, off, ln, digest),
+                            _read_dv_bytes(
+                                path,
+                                off,
+                                ln,
+                                digest,
+                                table_key=self._enc_key if enc else None,
+                                encrypted=enc,
+                            ),
                             dtype=np.uint8,
                         )
                     )
@@ -2437,14 +2510,12 @@ def make_lakehouse_batch_source():
             return keep
 
         def read(self, partition):
-            import pyarrow.parquet as pq
-
             if not self.with_lineage:
                 f, dv, eq, anchor = partition.value
                 target = self._target_arrow or _us_schema(
-                    pq.ParquetFile(anchor).schema_arrow
+                    _schema_auto(anchor)
                 )
-                pf = pq.ParquetFile(f)
+                pf = _pf_auto(f, self._enc_key)
                 if (
                     dv is None
                     and eq is None
@@ -2456,7 +2527,7 @@ def make_lakehouse_batch_source():
                 import numpy as np
                 import pyarrow as pa
 
-                eq_loaded = _load_eq_keysets(eq)
+                eq_loaded = _load_eq_keysets(eq, self._enc_key)
                 offset = 0
                 for batch in pf.iter_batches():
                     tbl = pa.Table.from_batches([batch])
@@ -2488,11 +2559,11 @@ def make_lakehouse_batch_source():
             import pyarrow as pa
 
             f, base, seq, dv, eq, anchor = partition.value
-            eq_loaded = _load_eq_keysets(eq)
+            eq_loaded = _load_eq_keysets(eq, self._enc_key)
             target = self._target_arrow or _us_schema(
-                pq.ParquetFile(anchor).schema_arrow
+                _schema_auto(anchor)
             )
-            pf = pq.ParquetFile(f)
+            pf = _pf_auto(f, self._enc_key)
             has_rid = "__row_id" in pf.schema_arrow.names
             has_lu = "__last_updated" in pf.schema_arrow.names
             offset = 0
@@ -2572,10 +2643,8 @@ def make_lakehouse_batch_source():
                 files = _manifest_files(root, version)
                 if not files:
                     raise ValueError(f"empty lakehouse table at {root}")
-                import pyarrow.parquet as pq
-
                 base = from_arrow_schema(
-                    _us_schema(pq.ParquetFile(files[0]).schema_arrow)
+                    _us_schema(_schema_auto(files[0]))
                 )
             if opts.get("withlineage", "").lower() == "true":
                 base = base.add(
@@ -2656,6 +2725,7 @@ def make_lakehouse_batch_source():
                     with_lineage=wl,
                     target_struct=schema,
                     geo_bbox=gb,
+                    enc_key=_enc_key_opt(opts),
                 )
             return _BatchReader(
                 root,
@@ -2663,6 +2733,7 @@ def make_lakehouse_batch_source():
                 with_lineage=wl,
                 target_struct=schema,
                 geo_bbox=gb,
+                enc_key=_enc_key_opt(opts),
             )
 
         def writer(self, schema, overwrite: bool):

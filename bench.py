@@ -189,6 +189,8 @@ HEADLINE = [
     # r9: streaming upsert sink (equality-delete commits)
     "streaming_upsert_latest_state_replay",
     "streaming_upsert_cdc_change_counts",
+    # r9: table encryption
+    "lakehouse_encrypted_table_mutations",
 ]
 
 

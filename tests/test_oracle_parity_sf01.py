@@ -47,6 +47,8 @@ _FAMILIES = (
     # r9: streaming upsert — the generation/tombstone split and the
     # per-batch key-file sizes resolve differently at 10x data
     "apache_iceberg_exploration_spark.operators.upsert",
+    # r9: encryption — file layout/rotation fan-out resolves per SF
+    "apache_iceberg_exploration_spark.operators.crypto_queries",
 )
 _CASES = sorted(
     name
