@@ -1228,6 +1228,18 @@ def _us_batches(pf):
             )
 
 
+def _us_batches_tbl(tbl):
+    """_us_batches over an in-memory Arrow table (post-filter): ns→µs
+    timestamp cast + reserved-column strip, then record batches."""
+    target = _us_schema(tbl.schema)
+    if target == tbl.schema:
+        yield from tbl.to_batches()
+        return
+    yield from tbl.select([f.name for f in target]).cast(
+        target
+    ).to_batches()
+
+
 def make_lakehouse_stream_source():
     """Build (and return) the DataSource class. Deferred import keeps the
     module importable on Spark versions without the Python Data Source
@@ -1522,6 +1534,7 @@ def make_lakehouse_stream_dist_source():
             max_bytes_per_trigger: int | None = None,
             row_level: bool = False,
             enc_key: bytes | None = None,
+            geo_bbox: dict[str, tuple] | None = None,
         ):
             self.root = root
             self.starting_version = starting_version
@@ -1532,6 +1545,22 @@ def make_lakehouse_stream_dist_source():
             self.cdc = cdc
             self.row_level = row_level
             self._enc_key = enc_key
+            # geometry ingestion filter (r9, VERDICT r8 #3 — lifts the
+            # r8 refusal): appended files whose __geo_* shred stats
+            # provably miss the window are SKIPPED at partition
+            # planning; surviving files run the same Arrow residual as
+            # the DSv2 batch path. CDC is still refused (a windowed
+            # change feed would drop delete events for rows that left
+            # the window). Arrow reads are name-keyed, so the simple
+            # reader's column-order hazard does not apply here.
+            self.geo_bbox = geo_bbox or {}
+            if self.geo_bbox and cdc:
+                raise ValueError(
+                    "lakehouse_stream_dist: geoBBox cannot combine with "
+                    "readChangeFeed (a windowed change feed would drop "
+                    "delete events for rows that left the window) — "
+                    "filter the MERGE target instead"
+                )
             self._colnames = _stream_colnames(root)
             self._cdc_defaults = _schema_defaults(
                 _manifest_schema_json(root, _current_version(root))
@@ -1642,6 +1671,34 @@ def make_lakehouse_stream_dist_source():
             files = _added_files(
                 self.root, start["version"], end["version"]
             )
+            if self.geo_bbox:
+                # per-file envelope-shred prune over the increment's
+                # manifests: a whole commit outside the window plans
+                # ZERO partitions (stats are plaintext metadata — no
+                # data IO here)
+                stats: dict = {}
+                for v in range(
+                    start["version"] + 1, end["version"] + 1
+                ):
+                    mp = os.path.join(
+                        self.root, "snapshots", f"v{v}.json"
+                    )
+                    if not os.path.exists(mp):
+                        continue
+                    with open(mp) as fh:
+                        stats.update(
+                            _manifest_part_map(
+                                self.root, json.load(fh), "stats"
+                            )
+                        )
+                files = [
+                    f
+                    for f in files
+                    if not _geo_file_skip(
+                        stats.get(f) or {}, self.geo_bbox
+                    )
+                ]
+            self.planned_files = files  # introspection for tests
             return [InputPartition(f) for f in files]
 
         def read(self, partition):
@@ -1665,7 +1722,7 @@ def make_lakehouse_stream_dist_source():
             # Files predating the declared schema (add_column) project
             # to it — initial-defaults filled, renames resolved.
             pf = _pf_auto(partition.value, self._enc_key)
-            if (
+            if not self.geo_bbox and (
                 self._target_arrow is None
                 or _us_schema(pf.schema_arrow) == self._target_arrow
             ):
@@ -1674,8 +1731,19 @@ def make_lakehouse_stream_dist_source():
             import pyarrow as pa
 
             for batch in pf.iter_batches():
+                tbl = pa.Table.from_batches([batch])
+                gk = _geo_keep_mask(tbl, self.geo_bbox)
+                if gk is not None:
+                    tbl = tbl.filter(pa.array(gk))
+                if tbl.num_rows == 0:
+                    continue
+                if self._target_arrow is None:
+                    # no declared schema: geo filter applied by NAME on
+                    # the raw Arrow batch (order-safe), emitted as-is
+                    yield from _us_batches_tbl(tbl)
+                    continue
                 yield from _project_arrow(
-                    pa.Table.from_batches([batch]),
+                    tbl,
                     self._target_arrow,
                     self._defaults,
                     self._renames,
@@ -1728,13 +1796,6 @@ def make_lakehouse_stream_dist_source():
 
         def streamReader(self, schema):
             opts = {k.lower(): v for k, v in self.options.items()}
-            if "geobbox" in opts:
-                raise ValueError(
-                    "lakehouse_stream_dist: geoBBox is not supported on "
-                    "the distributed reader yet — use lakehouse_stream "
-                    "(row-filtered at the source) or filter on "
-                    "st_x/st_y in the query"
-                )
             mv = opts.get("maxversionspertrigger")
             mf = opts.get("maxfilespertrigger")
             mb = opts.get("maxbytespertrigger")
@@ -1747,6 +1808,11 @@ def make_lakehouse_stream_dist_source():
                 max_bytes_per_trigger=int(mb) if mb is not None else None,
                 row_level=opts.get("rowlineage", "").lower() == "true",
                 enc_key=_enc_key_opt(opts),
+                geo_bbox=(
+                    _parse_geo_bbox(opts["geobbox"])
+                    if "geobbox" in opts
+                    else None
+                ),
             )
 
     return LakehouseStreamDistSource
@@ -2067,6 +2133,87 @@ def _resolve_version(root: str, opts: dict) -> int:
             raise ValueError(f"no snapshot at or before timestamp {ts}")
         return best
     return _current_version(root)
+
+
+def _geo_keep_mask(tbl, geo_bbox: dict[str, tuple]):
+    """numpy keep-mask for the geoBBox residual over one Arrow batch
+    (pre-projection: the shred columns / geometry bytes are still
+    present). Shred fast path when the file carries them (columnar
+    compare, NaN/null never intersects); exact WKB envelope decode
+    otherwise; a file missing the geometry column entirely predates the
+    add — NULL geometry, no rows match. None = keep all. Shared by the
+    DSv2 batch reader and the distributed streaming reader (r9)."""
+    if not geo_bbox:
+        return None
+    import numpy as np
+
+    from ..functions.geo import bbox_of
+
+    keep = np.ones(tbl.num_rows, dtype=bool)
+    names = set(tbl.column_names)
+    for c, (x0, y0, x1, y1) in geo_bbox.items():
+        shreds = [
+            f"__geo_{c}_{part}"
+            for part in ("xmin", "xmax", "ymin", "ymax")
+        ]
+        if all(sh in names for sh in shreds):
+            def col(name):
+                return np.asarray(
+                    tbl.column(name).to_pandas(), dtype="float64"
+                )
+
+            with np.errstate(invalid="ignore"):
+                keep &= (
+                    (col(shreds[0]) <= x1)
+                    & (col(shreds[1]) >= x0)
+                    & (col(shreds[2]) <= y1)
+                    & (col(shreds[3]) >= y0)
+                )
+        elif c in names:
+            for i, b in enumerate(tbl.column(c).to_pylist()):
+                if not keep[i]:
+                    continue
+                if b is None:
+                    keep[i] = False
+                    continue
+                bx0, by0, bx1, by1 = bbox_of(b)
+                keep[i] = (
+                    bx0 <= x1 and bx1 >= x0 and by0 <= y1 and by1 >= y0
+                )
+        else:
+            keep[:] = False
+    return keep
+
+
+def _geo_file_skip(st: dict, geo_bbox: dict[str, tuple]) -> bool:
+    """Planning-side file prune for a geometry window: True when the
+    file's ``__geo_*`` envelope-shred stats (or its column inventory)
+    PROVE no row can intersect — missing stats keep the file (the read
+    residual stays exact)."""
+    for c, (x0, y0, x1, y1) in geo_bbox.items():
+        cols = st.get("__cols")
+        if cols is not None and c not in cols:
+            return True  # column absent: NULL geometry, nothing matches
+        rngs = [
+            st.get(f"__geo_{c}_{part}")
+            for part in ("xmin", "xmax", "ymin", "ymax")
+        ]
+        if any(
+            not isinstance(r, list) or len(r) != 2 for r in rngs
+        ):
+            continue
+        xmin_r, xmax_r, ymin_r, ymax_r = rngs
+        try:
+            if (
+                xmin_r[0] > x1
+                or xmax_r[1] < x0
+                or ymin_r[0] > y1
+                or ymax_r[1] < y0
+            ):
+                return True
+        except TypeError:
+            continue
+    return False
 
 
 def _parse_geo_bbox(raw: str) -> dict[str, tuple]:
@@ -2458,56 +2605,7 @@ def make_lakehouse_batch_source():
             return pa.array(keep)
 
         def _geo_keep(self, tbl):
-            """numpy keep-mask for the geoBBox residual over one Arrow
-            batch (pre-projection: the shred columns / geometry bytes
-            are still present). Shred fast path when the file carries
-            them (columnar compare, NaN/null never intersects); exact
-            WKB envelope decode otherwise; a file missing the geometry
-            column entirely predates the add — NULL geometry, no
-            rows match. None = keep all."""
-            if not self.geo_bbox:
-                return None
-            import numpy as np
-
-            from ..functions.geo import bbox_of
-
-            keep = np.ones(tbl.num_rows, dtype=bool)
-            names = set(tbl.column_names)
-            for c, (x0, y0, x1, y1) in self.geo_bbox.items():
-                shreds = [
-                    f"__geo_{c}_{part}"
-                    for part in ("xmin", "xmax", "ymin", "ymax")
-                ]
-                if all(sh in names for sh in shreds):
-                    def col(name):
-                        return np.asarray(
-                            tbl.column(name).to_pandas(), dtype="float64"
-                        )
-
-                    with np.errstate(invalid="ignore"):
-                        keep &= (
-                            (col(shreds[0]) <= x1)
-                            & (col(shreds[1]) >= x0)
-                            & (col(shreds[2]) <= y1)
-                            & (col(shreds[3]) >= y0)
-                        )
-                elif c in names:
-                    for i, b in enumerate(tbl.column(c).to_pylist()):
-                        if not keep[i]:
-                            continue
-                        if b is None:
-                            keep[i] = False
-                            continue
-                        bx0, by0, bx1, by1 = bbox_of(b)
-                        keep[i] = (
-                            bx0 <= x1
-                            and bx1 >= x0
-                            and by0 <= y1
-                            and by1 >= y0
-                        )
-                else:
-                    keep[:] = False
-            return keep
+            return _geo_keep_mask(tbl, self.geo_bbox)
 
         def read(self, partition):
             if not self.with_lineage:
