@@ -132,5 +132,8 @@ def _load_all() -> None:
     # r9 — table encryption. Newest module: registers LAST, after
     # upsert.
     from .operators import crypto_queries  # noqa: F401
+    # r9 — materialized-view objects. Newest module: registers LAST,
+    # after crypto_queries.
+    from .operators import mview_queries  # noqa: F401
 
     _LOADED = True

@@ -191,6 +191,8 @@ HEADLINE = [
     "streaming_upsert_cdc_change_counts",
     # r9: table encryption
     "lakehouse_encrypted_table_mutations",
+    # r9: materialized-view objects
+    "lakehouse_materialized_view_incremental",
 ]
 
 

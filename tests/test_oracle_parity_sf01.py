@@ -49,6 +49,8 @@ _FAMILIES = (
     "apache_iceberg_exploration_spark.operators.upsert",
     # r9: encryption — file layout/rotation fan-out resolves per SF
     "apache_iceberg_exploration_spark.operators.crypto_queries",
+    # r9: MV objects — changelog slice sizes resolve per SF
+    "apache_iceberg_exploration_spark.operators.mview_queries",
 )
 _CASES = sorted(
     name
