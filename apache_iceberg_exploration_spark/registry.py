@@ -135,5 +135,11 @@ def _load_all() -> None:
     # r9 — materialized-view objects. Newest module: registers LAST,
     # after crypto_queries.
     from .operators import mview_queries  # noqa: F401
+    # r9 — grid-partitioned large-large spatial join. Newest module:
+    # registers LAST, after mview_queries.
+    from .operators import spatial_join  # noqa: F401
+    # r9 — SQL maintenance-procedure surface. Newest module: registers
+    # LAST, after spatial_join.
+    from .operators import maintenance_queries  # noqa: F401
 
     _LOADED = True

@@ -51,6 +51,9 @@ _FAMILIES = (
     "apache_iceberg_exploration_spark.operators.crypto_queries",
     # r9: MV objects — changelog slice sizes resolve per SF
     "apache_iceberg_exploration_spark.operators.mview_queries",
+    # r9: grid spatial join (cell densities per SF) + SQL CALL cycle
+    "apache_iceberg_exploration_spark.operators.spatial_join",
+    "apache_iceberg_exploration_spark.operators.maintenance_queries",
 )
 _CASES = sorted(
     name

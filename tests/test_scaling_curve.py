@@ -85,6 +85,11 @@ def test_scaling_audit_covers_the_mutation_family():
         "tokenizer_bpe_merge_training",
         "lakehouse_ndv_table_statistics",
         "lakehouse_partition_stats_file",
+        # r9: upsert sink, encryption, grid spatial join, MV refresh
+        "streaming_upsert_latest_state_replay",
+        "lakehouse_encrypted_table_mutations",
+        "geo_grid_partitioned_spatial_join",
+        "lakehouse_materialized_view_incremental",
     }
     assert must_cover <= set(art["queries"])
 

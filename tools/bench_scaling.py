@@ -83,6 +83,15 @@ QUERIES = [
     "lakehouse_geo_knn_window_probes",
     "training_dsir_target_selection",
     "training_mix_apportionment",
+    # r9: streaming upsert (equality-delete commits — fixed streaming
+    # machinery + O(batch) data, slope well below 1), encryption
+    # (AES-GCM per byte — linear), grid spatial join (cell-keyed
+    # equi-join — linear in points + covered cells), MV incremental
+    # refresh (changelog slice + O(groups) merge).
+    "streaming_upsert_latest_state_replay",
+    "lakehouse_encrypted_table_mutations",
+    "geo_grid_partitioned_spatial_join",
+    "lakehouse_materialized_view_incremental",
 ]
 
 SFS = [
