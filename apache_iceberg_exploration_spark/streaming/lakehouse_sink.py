@@ -106,9 +106,17 @@ def _commit_append(
     if schema_json:
         declared_names = {f["name"] for f in json.loads(schema_json)["fields"]}
     if files:
-        import pyarrow.parquet as _pq0
+        from ..sources import encryption as _E0
 
-        declared_names |= set(_pq0.ParquetFile(files[0]).schema_arrow.names)
+        declared_names |= set(
+            (
+                _E0.sidecar_schema(files[0])
+                if _E0.is_encrypted_file(files[0])
+                else __import__(
+                    "pyarrow.parquet", fromlist=["x"]
+                ).ParquetFile(files[0]).schema_arrow
+            ).names
+        )
     bad = _reserved & declared_names
     if bad:
         raise ValueError(
@@ -134,23 +142,26 @@ def _commit_append(
             "reserved physical stat-column prefixes (__geo_/__shred_) — "
             "rename them before writing"
         )
-    # table encryption: the sink/batch-writer task files are written
-    # PLAINTEXT by write_task_files — committing them into an encrypted
-    # table would silently mix cleartext into ciphertext data dirs.
-    # Refuse loudly (the constraints pattern); ingest via
-    # LakehouseTable.append, whose write path encrypts executor-side.
+    # table encryption: committing PLAINTEXT task files into an
+    # encrypted table would silently mix cleartext into ciphertext data
+    # dirs — enforce that every task file is actually encrypted (the
+    # writers encrypt when given encryptionKey; a missing option fails
+    # HERE, loudly, before any manifest is published).
     try:
         with open(os.path.join(root, "properties.json")) as _pf:
             _props = json.load(_pf)
     except (OSError, ValueError):
         _props = {}
-    if _props.get("encryption.enabled") == "true":
-        raise ValueError(
-            "lakehouse_sink: table is ENCRYPTED — this writer emits "
-            "plaintext task files; write via LakehouseTable.append "
-            "(or foreachBatch + append) so files are encrypted "
-            "executor-side"
-        )
+    if _props.get("encryption.enabled") == "true" and files:
+        from ..sources import encryption as _E
+
+        bad_plain = [f for f in files if not _E.is_encrypted_file(f)]
+        if bad_plain:
+            raise ValueError(
+                "lakehouse_sink: table is ENCRYPTED but the batch "
+                "wrote plaintext task files — pass .option("
+                "'encryptionKey', <hex>) on the writer"
+            )
     cpath = os.path.join(root, "constraints.json")
     if os.path.exists(cpath):
         with open(cpath) as f:
@@ -231,9 +242,17 @@ def _commit_append(
             # cleanup removes them)
             prev_fields = json.loads(prev["schema"])["fields"]
             declared = {f["name"] for f in prev_fields}
-            import pyarrow.parquet as _pq
+            from ..sources import encryption as _E1
 
-            got = set(_pq.ParquetFile(files[0]).schema_arrow.names)
+            got = set(
+                (
+                    _E1.sidecar_schema(files[0])
+                    if _E1.is_encrypted_file(files[0])
+                    else __import__(
+                        "pyarrow.parquet", fromlist=["x"]
+                    ).ParquetFile(files[0]).schema_arrow
+                ).names
+            )
             # engine-materialized envelope shreds are not drift
             extra = got - declared - {
                 f"__geo_{c}_{part}"
@@ -298,10 +317,10 @@ def _commit_append(
                 # a task stats entry missing __rows must NOT advance by
                 # zero (the next file would reuse this first_row_id and
                 # ids would collide) — mirror _assign_row_lineage's
-                # parquet-footer fallback (ADVICE r6)
-                import pyarrow.parquet as _pqf
+                # footer/sidecar fallback (ADVICE r6)
+                from ..sources.lakehouse import LakehouseTable as _LT
 
-                n_rows = _pqf.ParquetFile(p).metadata.num_rows
+                n_rows = _LT._file_num_rows(p)
             next_id += int(n_rows)
         manifest["next_row_id"] = next_id
         part_body = {
@@ -359,6 +378,27 @@ def _commit_append(
 
 
 
+def _sink_enc_key(root: str, opts: dict) -> bytes | None:
+    """encryptionKey option → validated key bytes (driver-side, at
+    writer construction: a wrong key fails the query START, not the
+    first commit). None for plaintext tables."""
+    raw = opts.get("encryptionkey")
+    if not raw:
+        return None
+    from ..sources import encryption as E
+
+    key = E.normalize_table_key(raw)
+    try:
+        with open(os.path.join(root, "properties.json")) as f:
+            props = json.load(f)
+    except (OSError, ValueError):
+        props = {}
+    ver = props.get("encryption.verifier")
+    if ver:
+        E.check_verifier(json.loads(ver), key)
+    return key
+
+
 def _geo_columns_of(root: str) -> list[str]:
     """Declared geometry columns from the table's properties sidecar
     (executor-side read, same contract as the table layer: unparseable
@@ -372,7 +412,10 @@ def _geo_columns_of(root: str) -> list[str]:
 
 
 def write_task_files(
-    rows: list[dict], root: str, partition_cols: list[str] | None = None
+    rows: list[dict],
+    root: str,
+    partition_cols: list[str] | None = None,
+    enc_key: bytes | None = None,
 ) -> tuple[list[str], dict, dict]:
     """EXECUTOR-side task write shared by the streaming sink and the
     batch writer: serialize one task's rows to parquet file(s) under a
@@ -406,7 +449,7 @@ def write_task_files(
                 r[f"__geo_{c}_ymax"] = bb[3]
     data_dir = os.path.join(root, "data", f"stream-{uuid.uuid4().hex[:12]}")
     if not partition_cols:
-        path, per_col = _write_one_file(rows, data_dir)
+        path, per_col = _write_one_file(rows, data_dir, enc_key)
         return [path], {path: per_col}, {}
     from urllib.parse import quote
 
@@ -426,7 +469,9 @@ def write_task_files(
             )
             for c, v in zip(partition_cols, tup)
         ]
-        path, per_col = _write_one_file(grp, os.path.join(data_dir, *segs))
+        path, per_col = _write_one_file(
+            grp, os.path.join(data_dir, *segs), enc_key
+        )
         files.append(path)
         stats[path] = per_col
         partitions[path] = {
@@ -436,13 +481,24 @@ def write_task_files(
     return files, stats, partitions
 
 
-def _write_one_file(rows: list[dict], data_dir: str):
+def _write_one_file(
+    rows: list[dict], data_dir: str, enc_key: bytes | None = None
+):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pa.Table.from_pylist(rows)
     os.makedirs(data_dir, exist_ok=True)
     path = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+    if enc_key is not None:
+        # table encryption: envelope-encrypt executor-side (stats +
+        # wrapped key + schema land in the key sidecar, same contract
+        # as the engine write path)
+        from ..sources import encryption as E
+
+        return path, E.write_encrypted_parquet(
+            table, path, enc_key, "sink"
+        )
     pq.write_table(table, path)
     per_col: dict = {
         "__rows": table.num_rows,
@@ -506,12 +562,14 @@ def make_lakehouse_stream_sink():
             schema_json: str | None = None,
             upsert_keys: list[str] | None = None,
             delete_col: str | None = None,
+            enc_key: bytes | None = None,
         ):
             self.root = root
             self.partition_cols = partition_cols or []
             self.schema_json = schema_json
             self.upsert_keys = upsert_keys or []
             self.delete_col = delete_col
+            self.enc_key = enc_key
 
         def write(self, iterator) -> "_Msg":
             # EXECUTOR side: partition rows -> parquet file(s) + stats
@@ -561,10 +619,11 @@ def make_lakehouse_stream_sink():
                             "data",
                             f"stream-{uuid.uuid4().hex[:12]}",
                         ),
+                        self.enc_key,
                     )
                     key_files.append(kf)
             files, stats, partitions = write_task_files(
-                rows, self.root, self.partition_cols
+                rows, self.root, self.partition_cols, self.enc_key
             )
             return _Msg(files, stats, partitions or None, key_files)
 
@@ -694,6 +753,7 @@ def make_lakehouse_stream_sink():
                 schema_json=schema_json,
                 upsert_keys=keys,
                 delete_col=delete_col,
+                enc_key=_sink_enc_key(_norm_path(opts["path"]), opts),
             )
 
     return LakehouseStreamSink

@@ -2843,6 +2843,8 @@ def make_lakehouse_batch_source():
                 for c in opts.get("partitionby", "").split(",")
                 if c.strip()
             ]
+            from ..streaming.lakehouse_sink import _sink_enc_key
+
             return _BatchWriter(
                 _norm_path(opts["path"]),
                 overwrite,
@@ -2850,6 +2852,7 @@ def make_lakehouse_batch_source():
                 _strip_sql_opts(schema).json()
                 if schema is not None
                 else None,
+                enc_key=_sink_enc_key(_norm_path(opts["path"]), opts),
             )
 
     class _Msg(WriterCommitMessage):
@@ -2888,18 +2891,20 @@ def make_lakehouse_batch_source():
             overwrite: bool,
             partition_cols: list[str],
             schema_json: str | None = None,
+            enc_key: bytes | None = None,
         ):
             self.root = root
             self.overwrite = overwrite
             self.partition_cols = partition_cols
             self.schema_json = schema_json
+            self.enc_key = enc_key
 
         def write(self, iterator):
             from ..streaming.lakehouse_sink import write_task_files
 
             rows = [r.asDict() for r in iterator]
             files, stats, partitions = write_task_files(
-                rows, self.root, self.partition_cols
+                rows, self.root, self.partition_cols, self.enc_key
             )
             return _Msg(files, stats, partitions or None)
 

@@ -238,15 +238,97 @@ def test_partitioned_encrypted_write(spark, tmp_path):
     assert t.scan({"g": (1, 1)}).count() == 10
 
 
-def test_sink_refuses_encrypted_table(spark, tmp_path):
+def test_sink_writers_encrypt_with_key_refuse_plaintext(spark, tmp_path):
+    """r9 continuation: the streaming sink and DSv2 batch writer
+    encrypt executor-side when given encryptionKey; a plaintext batch
+    into an encrypted table fails at COMMIT (before any manifest), and
+    a wrong key fails at writer construction."""
     from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
         _commit_append,
+        write_task_files,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
     )
 
     t = _mk(spark, tmp_path, "t")
     t.append(_rows(spark, 0, 5))
+    # plaintext task files into an encrypted table: refused at commit
+    files, stats, _ = write_task_files(
+        [{"k": 99, "v": 990, "s": "x"}], t.path
+    )
     with pytest.raises(ValueError, match="ENCRYPTED"):
-        _commit_append(t.path, [], {}, {})
+        _commit_append(t.path, files, stats, {})
+    # DSv2 batch writer with the key: encrypted files, readable state
+    spark.dataSource.register(make_lakehouse_batch_source())
+    _rows(spark, 100, 110).write.format("lakehouse").option(
+        "path", t.path
+    ).option("encryptionKey", KEY.hex()).mode("append").save()
+    m = t._read_manifest(t.current_version())
+    assert all(E.is_encrypted_file(f) for f in m["files"])
+    assert t.read().count() == 15
+    # wrong key: loud failure before any write
+    with pytest.raises(Exception, match="wrong table key"):
+        _rows(spark, 0, 1).write.format("lakehouse").option(
+            "path", t.path
+        ).option("encryptionKey", "00" * 16).mode("append").save()
+
+
+def test_streaming_sink_upsert_on_encrypted_table(spark, tmp_path):
+    """The full composition: keyed CDC stream upserted INTO an
+    encrypted table — data files AND the per-batch equality-delete key
+    files are ciphertext; latest-state reads back exactly."""
+    from apache_iceberg_exploration_spark.streaming._wait import (
+        await_or_raise,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        make_lakehouse_stream_sink,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+    )
+
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [Row(k=i, val=f"g1-{i}") for i in range(8)]
+        ).repartition(2, "k")
+    )
+    src.append(
+        spark.createDataFrame(
+            [Row(k=2, val="g2-2"), Row(k=9, val="g2-9")]
+        ).repartition(2, "k")
+    )
+    dst = _mk(spark, tmp_path, "dst")  # pre-created, encrypted
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    spark.dataSource.register(make_lakehouse_stream_sink())
+    for _ in range(2):
+        q = (
+            spark.readStream.format("lakehouse_stream_dist")
+            .option("path", src.path)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.format("lakehouse_sink")
+            .option("path", dst.path)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .option("mode", "upsert")
+            .option("upsertKeys", "k")
+            .option("encryptionKey", KEY.hex())
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    got = {r["k"]: r["val"] for r in dst.read().collect()}
+    want = {i: f"g1-{i}" for i in range(8) if i != 2}
+    want.update({2: "g2-2", 9: "g2-9"})
+    assert got == want
+    m = dst._read_manifest(dst.current_version())
+    # every artifact — data AND equality key files — is ciphertext
+    for f in m["files"]:
+        assert E.is_encrypted_file(f)
+    for d in m.get("delete_files", []):
+        for kf in d["files"]:
+            assert E.is_encrypted_file(kf)
 
 
 def test_gc_crypto_shreds_expired_keys(spark, tmp_path):
