@@ -99,3 +99,75 @@ def lakehouse_materialized_view_incremental(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_upsert_mv_composition",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY o_custkey) AS cnt
+            FROM orders
+        ),
+        latest AS (
+            SELECT * FROM ranked WHERE rn = least(cnt, 3)
+        ),
+        final AS (
+            SELECT o_custkey % 7 AS seg,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM latest
+            WHERE NOT (cnt >= 3 AND o_orderkey % 7 = 0)
+        )
+        SELECT CAST(seg AS BIGINT) AS seg,
+               CAST(sum(cents) AS BIGINT) AS cents_total,
+               CAST(count(*) AS BIGINT) AS n_custs
+        FROM final
+        GROUP BY 1
+    """,
+)
+def streaming_upsert_mv_composition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r9 pieces COMPOSE: a keyed CDC stream maintains a table via
+    the native upsert sink (equality-delete commits), an MV object is
+    created over it after two generations, and the THIRD generation —
+    an upsert commit with updates AND tombstones — is absorbed through
+    ``read_mv``'s incremental refresh: the changelog slice over the
+    upsert commit yields update PAIRS and deletes, whose signed deltas
+    merge into the storage table. The result must equal the oracle's
+    from-scratch aggregate over the final latest-state — one hash
+    covering sink semantics, CDC pairing, changelog netting, and MV
+    maintenance at once.
+
+    Scale: the refresh reads only the upsert commit's changed rows;
+    the upsert commit wrote only its batch; the MV storage is
+    O(segments). Nothing in this loop ever rescans the source."""
+    from ..operators.upsert import _drain_once, _replay_upsert
+
+    root = _replay_upsert(spark, sf_dir, runs=2)
+    try:
+        M.create_materialized_view(
+            spark,
+            root + "/mv",
+            root + "/dst",
+            {
+                "group_by": ["seg"],
+                "aggs": {
+                    "cents_total": ("sum", "price_cents"),
+                    "n_custs": ("count", "price_cents"),
+                },
+            },
+        )
+        _drain_once(spark, root)  # generation 3: updates + tombstones
+        out = M.read_mv(spark, root + "/mv").select(
+            F.col("seg").cast("long").alias("seg"),
+            F.col("cents_total").cast("long").alias("cents_total"),
+            F.col("n_custs").cast("long").alias("n_custs"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -40,16 +40,43 @@ def _order_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _replay_upsert(spark: SparkSession, sf_dir: str) -> str:
-    """Build the source commits (3 generations) and upsert-replay them
-    into a destination table; returns the destination root. Generation
-    3 TOMBSTONES customers whose third order key is ≡0 (mod 7)."""
+def _drain_once(spark: SparkSession, root: str) -> None:
+    """Drain ONE source commit into the upsert destination (the
+    maxVersionsPerTrigger=1 + availableNow single-batch pattern)."""
     from ..streaming._wait import await_or_raise
     from ..streaming.lakehouse_sink import make_lakehouse_stream_sink
     from ..streaming.lakehouse_source import (
         make_lakehouse_stream_dist_source,
     )
 
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    spark.dataSource.register(make_lakehouse_stream_sink())
+    stream = (
+        spark.readStream.format("lakehouse_stream_dist")
+        .option("path", root + "/src")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("lakehouse_sink")
+        .option("path", root + "/dst")
+        .option("checkpointLocation", root + "/cp")
+        .option("mode", "upsert")
+        .option("upsertKeys", "cust")
+        .option("deleteColumn", "__deleted")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+
+
+def _replay_upsert(
+    spark: SparkSession, sf_dir: str, runs: int = 3
+) -> str:
+    """Build the source commits (3 generations) and upsert-replay the
+    first ``runs`` of them into a destination table; returns the root.
+    Generation 3 TOMBSTONES customers whose third order key is
+    ≡0 (mod 7)."""
     root = tempfile.mkdtemp(prefix="lakehouse_upsert_", dir="/tmp")
     ranked = _order_generations(spark, sf_dir).localCheckpoint(
         eager=True
@@ -60,6 +87,7 @@ def _replay_upsert(spark: SparkSession, sf_dir: str) -> str:
             ranked.filter(F.col("rn") == i)
             .select(
                 F.col("o_custkey").alias("cust"),
+                (F.col("o_custkey") % 7).alias("seg"),
                 F.col("o_orderkey").alias("latest_order"),
                 F.floor(F.col("o_totalprice") * 100 + 0.5)
                 .cast("long")
@@ -72,26 +100,8 @@ def _replay_upsert(spark: SparkSession, sf_dir: str) -> str:
             .repartition(4, "cust")
         )
         src.append(gen)
-    spark.dataSource.register(make_lakehouse_stream_dist_source())
-    spark.dataSource.register(make_lakehouse_stream_sink())
-    for _ in range(3):
-        stream = (
-            spark.readStream.format("lakehouse_stream_dist")
-            .option("path", root + "/src")
-            .option("maxVersionsPerTrigger", "1")
-            .load()
-        )
-        q = (
-            stream.writeStream.format("lakehouse_sink")
-            .option("path", root + "/dst")
-            .option("checkpointLocation", root + "/cp")
-            .option("mode", "upsert")
-            .option("upsertKeys", "cust")
-            .option("deleteColumn", "__deleted")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_or_raise(q, 300)
+    for _ in range(runs):
+        _drain_once(spark, root)
     return root
 
 
@@ -110,6 +120,7 @@ def _replay_upsert(spark: SparkSession, sf_dir: str) -> str:
             SELECT * FROM ranked WHERE rn = least(cnt, 3)
         )
         SELECT CAST(o_custkey AS BIGINT) AS cust,
+               CAST(o_custkey % 7 AS BIGINT) AS seg,
                CAST(o_orderkey AS BIGINT) AS latest_order,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                    AS price_cents

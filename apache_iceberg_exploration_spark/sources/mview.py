@@ -119,22 +119,34 @@ def create_materialized_view(
     source_path: str,
     spec: dict,
     name: str | None = None,
+    encryption_key: bytes | str | None = None,
 ) -> dict:
     """Create the MV object: full initial build of the storage table
     from the source's CURRENT snapshot, then publish ``mv.json``
     recording that snapshot as the refresh state.
 
     ``spec`` = ``{"group_by": [cols], "aggs": {out: (kind, src_col)}}``
-    with kind ∈ {sum, count}."""
+    with kind ∈ {sum, count}.
+
+    ``encryption_key`` (never persisted — mv.json records only that a
+    key is REQUIRED) reads an encrypted source AND encrypts the storage
+    table under the same key, so the aggregate inherits the source's
+    at-rest protection."""
     _validate_spec(spec)
     if os.path.exists(_mv_meta_path(mv_path)):
         raise ValueError(f"materialized view already exists at {mv_path!r}")
-    src = LakehouseTable(spark, source_path)
+    src = LakehouseTable(
+        spark, source_path, encryption_key=encryption_key
+    )
     v = src.current_version()
     if v == 0:
         raise ValueError(f"source table {source_path!r} is empty")
     storage_dir = os.path.join(mv_path, f"storage-{uuid.uuid4().hex[:8]}")
-    storage = LakehouseTable(spark, storage_dir)
+    storage = LakehouseTable(
+        spark, storage_dir, encryption_key=encryption_key
+    )
+    if encryption_key is not None:
+        storage.enable_encryption(encryption_key)
     storage.overwrite(_full_build(src.read(version=v), spec))
     os.makedirs(mv_path, exist_ok=True)
     meta = {
@@ -143,24 +155,37 @@ def create_materialized_view(
         "spec": spec,
         "storage_path": storage_dir,
         "last_source_version": v,
+        "encrypted": encryption_key is not None,
     }
     _publish_sidecar(_mv_meta_path(mv_path), meta)
     return meta
 
 
-def refresh_materialized_view(spark: SparkSession, mv_path: str) -> dict:
+def refresh_materialized_view(
+    spark: SparkSession,
+    mv_path: str,
+    encryption_key: bytes | str | None = None,
+) -> dict:
     """Incremental refresh to the source tip: changelog slice → signed
     per-group deltas → one MERGE into the storage table (matched
     groups fold, zero-count groups delete, new groups insert). Records
     the refreshed-through version in BOTH the storage commit summary
     (idempotence marker) and ``mv.json``. Returns the meta."""
     meta = _read_meta(mv_path)
-    src = LakehouseTable(spark, meta["source_path"])
+    if meta.get("encrypted") and encryption_key is None:
+        raise ValueError(
+            "materialized view is encrypted — pass encryption_key="
+        )
+    src = LakehouseTable(
+        spark, meta["source_path"], encryption_key=encryption_key
+    )
     tip = src.current_version()
     last = int(meta["last_source_version"])
     if tip <= last:
         return meta  # already fresh: zero work
-    storage = LakehouseTable(spark, meta["storage_path"])
+    storage = LakehouseTable(
+        spark, meta["storage_path"], encryption_key=encryption_key
+    )
     # idempotence: a refresh that committed to storage but crashed
     # before the mv.json publish must not re-apply its deltas
     applied = _storage_refreshed_through(storage)
@@ -223,6 +248,7 @@ def read_mv(
     spark: SparkSession,
     mv_path: str,
     max_staleness_versions: int = 0,
+    encryption_key: bytes | str | None = None,
 ) -> DataFrame:
     """Staleness-aware MV read. Freshness = recorded source version vs
     the source's current version — two metadata reads, no data IO.
@@ -234,8 +260,12 @@ def read_mv(
         spark, meta["source_path"]
     ).current_version()
     if src_tip - int(meta["last_source_version"]) > max_staleness_versions:
-        meta = refresh_materialized_view(spark, mv_path)
-    storage = LakehouseTable(spark, meta["storage_path"])
+        meta = refresh_materialized_view(
+            spark, mv_path, encryption_key=encryption_key
+        )
+    storage = LakehouseTable(
+        spark, meta["storage_path"], encryption_key=encryption_key
+    )
     return storage.read().drop(_COUNT_COL)
 
 

@@ -116,12 +116,15 @@ _METADATA_PROCS = (
     "rewrite_manifest_parts",
     "set_property",
     "unset_property",
+    "mv_gc_orphan_storage",  # path = the MV directory
 )
 _SPARK_PROCS = (
     "rewrite_data_files",
     "rewrite_small_files",
     "coalesce_deletes_to_dv",
     "analyze",
+    "mv_create",  # path = the MV directory; args: source_path, spec
+    "mv_refresh",  # path = the MV directory
 )
 
 
@@ -187,6 +190,19 @@ def _run_procedure(spark, path: str, proc: str, args_json: str | None):
         rep = t.coalesce_deletes_to_dv(**kwargs) or {"noop": True}
     elif proc == "analyze":
         rep = t.analyze(**kwargs)
+    elif proc == "mv_create":
+        from . import mview as M
+
+        rep = M.create_materialized_view(spark, path, **kwargs)
+    elif proc == "mv_refresh":
+        from . import mview as M
+
+        rep = M.refresh_materialized_view(spark, path, **kwargs)
+    elif proc == "mv_gc_orphan_storage":
+        from . import mview as M
+
+        removed = M.gc_orphan_storage(path)
+        rep = {"removed": removed, "n_removed": len(removed)}
     return _flatten_report(proc, rep)
 
 

@@ -193,9 +193,10 @@ HEADLINE = [
     "lakehouse_encrypted_table_mutations",
     # r9: materialized-view objects
     "lakehouse_materialized_view_incremental",
-    # r9: grid spatial join + SQL CALL surface
+    # r9: grid spatial join + SQL CALL surface + upsert->MV composition
     "geo_grid_partitioned_spatial_join",
     "lakehouse_sql_maintenance_cycle",
+    "streaming_upsert_mv_composition",
 ]
 
 

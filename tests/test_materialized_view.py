@@ -190,3 +190,92 @@ def test_spec_validation(spark, tmp_path):
         M.create_materialized_view(
             spark, str(tmp_path / "m3"), src.path, SPEC
         )
+
+
+def test_mv_over_streaming_upsert_source(spark, tmp_path):
+    """Composition: a source maintained by the streaming UPSERT sink
+    (equality-delete commits) drives an MV — the refresh's changelog
+    slice must net the upserts' update pairs and tombstones exactly."""
+    from apache_iceberg_exploration_spark.streaming._wait import (
+        await_or_raise,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        make_lakehouse_stream_sink,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+    )
+
+    feed = LakehouseTable(spark, str(tmp_path / "feed"))
+    feed.append(
+        spark.createDataFrame(
+            [
+                Row(k=i, g=i % 3, v=i * 10, __deleted=False)
+                for i in range(12)
+            ]
+        ).repartition(2, "k")
+    )
+    feed.append(
+        spark.createDataFrame(
+            [
+                Row(k=1, g=1, v=5000, __deleted=False),  # update
+                Row(k=6, g=0, v=None, __deleted=True),  # tombstone
+                Row(k=20, g=2, v=7, __deleted=False),  # insert
+            ]
+        ).repartition(2, "k"),
+    )
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    spark.dataSource.register(make_lakehouse_stream_sink())
+    src_path = str(tmp_path / "state")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse_stream_dist")
+            .option("path", feed.path)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.format("lakehouse_sink")
+            .option("path", src_path)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .option("mode", "upsert")
+            .option("upsertKeys", "k")
+            .option("deleteColumn", "__deleted")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+
+    drain()  # batch 1 only (maxVersionsPerTrigger=1)
+    M.create_materialized_view(spark, str(tmp_path / "mv"), src_path, SPEC)
+    drain()  # batch 2: the upsert commit
+    src = LakehouseTable(spark, src_path)
+    assert _got(spark, str(tmp_path / "mv")) == _expected(spark, src)
+
+
+def test_mv_over_encrypted_source(spark, tmp_path):
+    key = bytes(range(16))
+    src = LakehouseTable(spark, str(tmp_path / "src"), encryption_key=key)
+    src.enable_encryption(key)
+    src.append(_rows(spark, 0, 30))
+    mv = str(tmp_path / "mv")
+    M.create_materialized_view(
+        spark, mv, src.path, SPEC, encryption_key=key
+    )
+    from apache_iceberg_exploration_spark.sources import encryption as E
+
+    meta = M._read_meta(mv)
+    assert meta["encrypted"]
+    storage = LakehouseTable(spark, meta["storage_path"])
+    m = storage._read_manifest(storage.current_version())
+    assert all(E.is_encrypted_file(f) for f in m["files"])
+    src.append(_rows(spark, 30, 40))
+    src.delete_where(F.col("k") % 9 == 1)
+    got = {
+        r["g"]: (r["total"], r["n_rows"])
+        for r in M.read_mv(spark, mv, encryption_key=key).collect()
+    }
+    assert got == _expected(spark, src)
+    # keyless refresh of an encrypted MV fails loudly
+    src.append(_rows(spark, 40, 45))
+    with pytest.raises(ValueError, match="encrypted"):
+        M.read_mv(spark, mv)

@@ -140,3 +140,40 @@ def test_call_procedure_driver_side_full_verb_set(spark, tmp_path):
     # and the metadata verbs work driver-side too
     out = call_procedure(spark, path, "expire_snapshots", keep_last=1)
     assert out.columns == ["procedure", "key", "value"]
+
+
+def test_mv_lifecycle_through_call_surface(spark, tmp_path):
+    """MV verbs ride the same CALL surface: create/refresh driver-side
+    (they launch Spark jobs), orphan GC from pure SQL."""
+    from pyspark.sql import Row
+
+    src = _seed(spark, str(tmp_path / "src"), n_appends=2)
+    mv = str(tmp_path / "mv")
+    rep = {
+        r["key"]: r["value"]
+        for r in call_procedure(
+            spark,
+            mv,
+            "mv_create",
+            source_path=src.path,
+            spec={"group_by": ["k"], "aggs": {"total": ["sum", "v"]}},
+        ).collect()
+    }
+    assert json.loads(rep["last_source_version"]) == 2
+    src.append(
+        spark.createDataFrame([Row(k=1, v=999)]).coalesce(1)
+    )
+    rep = {
+        r["key"]: r["value"]
+        for r in call_procedure(spark, mv, "mv_refresh").collect()
+    }
+    assert json.loads(rep["last_source_version"]) == 3
+    register_metadata_tvfs(spark)
+    rep = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            f"SELECT * FROM lakehouse_call('{mv}', "
+            "'mv_gc_orphan_storage', '{}')"
+        ).collect()
+    }
+    assert json.loads(rep["n_removed"]) == 0
