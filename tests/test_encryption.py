@@ -365,3 +365,97 @@ def test_enable_on_existing_table_mixes_and_compaction_unifies(
     m2 = t._read_manifest(t.current_version())
     assert all(E.is_encrypted_file(f) for f in m2["files"])
     assert _vals(t.read()) == [(i, i * 10, f"s{i}") for i in range(30)]
+
+
+def test_encrypted_geo_table_bbox_scan(spark, tmp_path):
+    """Geometry columns compose with encryption: envelope shreds are
+    materialized INTO the encrypted files, their min/max land in the
+    plaintext sidecar stats, so scan(geo_bbox=...) still file-prunes a
+    ciphertext table and the residual decodes WKB post-decrypt."""
+    from apache_iceberg_exploration_spark.functions.geo import st_point
+
+    t = _mk(spark, tmp_path, "t")
+    pts = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        st_point(
+            (F.col("id") % 100).cast("double"),
+            (F.col("id") % 100).cast("double"),
+        ).alias("geom"),
+    )
+    # two spatially disjoint encrypted files: x in [0,50) and [50,100)
+    t.overwrite(
+        pts.filter(F.col("k") % 100 < 50).coalesce(1),
+        geo_cols=["geom"],
+    )
+    t.append(pts.filter(F.col("k") % 100 >= 50).coalesce(1))
+    m = t._read_manifest(t.current_version())
+    assert all(E.is_encrypted_file(f) for f in m["files"])
+    # shred stats are in the PLAINTEXT sidecar-fed manifest stats
+    st = m["stats"][m["files"][0]]
+    assert "__geo_geom_xmin" in st
+    hit = t.scan(geo_bbox={"geom": (10.0, 10.0, 20.0, 20.0)})
+    assert sorted(r["k"] for r in hit.collect()) == sorted(
+        k for k in range(200) if 10 <= k % 100 <= 20
+    )
+
+
+def test_partitioned_upsert_on_encrypted_table(spark, tmp_path):
+    """partitionBy + mode=upsert + encryption in one sink write: data
+    files land hive-partitioned AND encrypted, partition tuples are
+    recorded, and latest-state survives."""
+    from apache_iceberg_exploration_spark.streaming._wait import (
+        await_or_raise,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        make_lakehouse_stream_sink,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+    )
+
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [Row(k=i, g=i % 2, val=f"a{i}") for i in range(10)]
+        ).repartition(2, "k")
+    )
+    src.append(
+        spark.createDataFrame(
+            [Row(k=3, g=1, val="b3"), Row(k=11, g=1, val="b11")]
+        ).repartition(2, "k")
+    )
+    dst = _mk(spark, tmp_path, "dst")
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    spark.dataSource.register(make_lakehouse_stream_sink())
+    for _ in range(2):
+        q = (
+            spark.readStream.format("lakehouse_stream_dist")
+            .option("path", src.path)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.format("lakehouse_sink")
+            .option("path", dst.path)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .option("mode", "upsert")
+            .option("upsertKeys", "k")
+            .option("partitionBy", "g")
+            .option("encryptionKey", KEY.hex())
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    got = {r["k"]: (r["g"], r["val"]) for r in dst.read().collect()}
+    want = {i: (i % 2, f"a{i}") for i in range(10)}
+    want.update({3: (1, "b3"), 11: (1, "b11")})
+    assert got == want
+    m = dst._read_manifest(dst.current_version())
+    data_files = m["files"]
+    assert all("/g=" in f for f in data_files)
+    assert all(E.is_encrypted_file(f) for f in data_files)
+    assert all(
+        m["partitions"][f]["g"] in ("0", "1") for f in data_files
+    )
+    # partition-scoped read stays exact on the encrypted layout
+    assert dst.scan({"g": (1, 1)}).count() == sum(
+        1 for v in want.values() if v[0] == 1
+    )
