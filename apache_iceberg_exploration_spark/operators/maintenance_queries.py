@@ -71,6 +71,12 @@ def lakehouse_sql_maintenance_cycle(
             t.append(cust.filter(F.col("k") % 4 == i).repartition(2))
         register_metadata_tvfs(spark)
         spark.dataSource.register(make_lakehouse_batch_source())
+        # the DSv2 reader pushes filters; a vanilla (driver) session
+        # needs the Python-pushdown flag on (session.py sets it, the
+        # driver's own session does not)
+        spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "true"
+        )
         spark.sql(
             f"CREATE TABLE {name} USING lakehouse "
             f"OPTIONS (path '{t.path}')"
