@@ -563,6 +563,7 @@ def make_lakehouse_stream_sink():
             upsert_keys: list[str] | None = None,
             delete_col: str | None = None,
             enc_key: bytes | None = None,
+            validate_keys: bool = False,
         ):
             self.root = root
             self.partition_cols = partition_cols or []
@@ -570,6 +571,7 @@ def make_lakehouse_stream_sink():
             self.upsert_keys = upsert_keys or []
             self.delete_col = delete_col
             self.enc_key = enc_key
+            self.validate_keys = validate_keys
 
         def write(self, iterator) -> "_Msg":
             # EXECUTOR side: partition rows -> parquet file(s) + stats
@@ -643,6 +645,33 @@ def make_lakehouse_stream_sink():
                 if m:
                     stats.update(m.stats)
                     partitions.update(getattr(m, "partitions", {}) or {})
+            if self.validate_keys and len(key_files) > 1:
+                # validateUpsertKeys: the per-task check cannot see a
+                # key duplicated ACROSS tasks (an upstream stream not
+                # repartitioned by key). Key files are broadcast-sized
+                # by construction — one driver pass over them catches
+                # the contract violation BEFORE the commit instead of
+                # silently keeping both rows (neither would be
+                # equality-deleted: the entry's seq exempts the batch's
+                # own files).
+                from ..sources.encryption import read_table_auto
+
+                seen: set[tuple] = set()
+                for kf in key_files:
+                    t = read_table_auto(kf, self.enc_key)
+                    cols = [
+                        t.column(k).to_pylist() for k in self.upsert_keys
+                    ]
+                    for tup in zip(*cols) if cols else []:
+                        if tup in seen:
+                            self._drop(files + key_files)
+                            raise ValueError(
+                                "lakehouse_sink upsert: duplicate key "
+                                f"{tup!r} ACROSS tasks within one "
+                                "micro-batch — repartition the stream "
+                                "by the upsert keys upstream"
+                            )
+                        seen.add(tup)
             hwm = _last_batch_hwm(self.root)
             if hwm is not None and batchId <= hwm:
                 # replayed micro-batch: its rows are already committed;
@@ -754,6 +783,9 @@ def make_lakehouse_stream_sink():
                 upsert_keys=keys,
                 delete_col=delete_col,
                 enc_key=_sink_enc_key(_norm_path(opts["path"]), opts),
+                validate_keys=(
+                    opts.get("validateupsertkeys", "").lower() == "true"
+                ),
             )
 
     return LakehouseStreamSink

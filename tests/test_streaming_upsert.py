@@ -305,3 +305,30 @@ def test_upsert_cdc_row_lineage_pairs_span_ids(spark, tmp_path):
     assert pre[0][2] != post[0][2]  # identity changes across the upsert
     assert {r[3] for r in rows if r[0] == 2} == {"delete"}
     assert {r[3] for r in rows if r[0] == 9} == {"insert"}
+
+
+def test_validate_upsert_keys_catches_cross_task_duplicates(
+    spark, tmp_path
+):
+    """validateUpsertKeys=true: a key duplicated across TASKS (stream
+    not key-partitioned) fails the batch at commit — the per-task check
+    alone cannot see it."""
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    # duplicate k=5 forced into DIFFERENT partitions: round-robin over
+    # a 2-row frame puts one row in each task
+    dup = spark.createDataFrame(
+        [Row(k=5, val="a", gen=1), Row(k=5, val="b", gen=1)]
+    ).repartition(2)
+    src.append(dup)
+    with pytest.raises(Exception, match="ACROSS tasks"):
+        _run_upsert_stream(
+            spark,
+            src.path,
+            str(tmp_path / "dst"),
+            str(tmp_path / "cp"),
+            upsertKeys="k",
+            validateUpsertKeys="true",
+        )
+    # nothing was committed — the batch aborted pre-publish
+    dst = LakehouseTable(spark, str(tmp_path / "dst"))
+    assert dst.current_version() == 0
