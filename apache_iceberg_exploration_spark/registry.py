@@ -141,5 +141,8 @@ def _load_all() -> None:
     # r9 — SQL maintenance-procedure surface. Newest module: registers
     # LAST, after spatial_join.
     from .operators import maintenance_queries  # noqa: F401
+    # r10 — Parquet Modular Encryption mode. Newest module: registers
+    # LAST, after maintenance_queries.
+    from .operators import pme_queries  # noqa: F401
 
     _LOADED = True

@@ -25,12 +25,30 @@ the ciphertext is never parsed), mirroring what
 file pruning, partition stats, and the files() metadata table behave
 identically on encrypted tables.
 
-Trade documented in SCALE.md: whole-file envelope encryption gives up
-parquet column-projection/row-group pushdown on encrypted files (a
-reader decrypts the whole blob); Parquet Modular Encryption would
-recover that at the cost of KMS plumbing in every JVM reader. At
-100 TB you run modular encryption through the catalog's KMS; this
-module keeps the same key hierarchy so the swap is mechanical.
+Two ciphertext layouts behind the SAME key hierarchy and sidecar
+contract (``encryption.mode`` table property picks the writer; readers
+sniff the 4-byte magic per file, so mode flips mid-history just work):
+
+- ``envelope`` (r9 default): whole-file AES-GCM container (``LHE1``
+  magic). Simple, format-agnostic (also used for DV blobs and any
+  non-parquet artifact), but a reader must decrypt the whole blob —
+  no intra-file column projection or row-group pushdown.
+- ``pme`` (r10): Parquet Modular Encryption via
+  ``pyarrow.parquet.encryption`` — the file stays REAL parquet on disk
+  (``PARE`` magic, encrypted footer), every column chunk carries its
+  own AES-GCM data key, so a 2-of-20-column projection reads and
+  decrypts only those chunks' bytes (asserted in
+  tests/test_encryption_pme.py at ~12% of the file). The key hierarchy
+  is unchanged: a random per-file FILE MASTER KEY plays the sidecar
+  data-key role (wrapped by the table key, rotation rewraps sidecars
+  with zero data IO); PME's internal KEK/DEK material is wrapped by
+  that FMK through an in-memory KmsClient and stored inside the
+  footer. A fresh CryptoFactory per file keeps the KEK cache from
+  leaking one file's FMK into another (all files share the master-key
+  id ``"fmk"`` but never the key).
+
+At 100 TB you run PME through the catalog KMS; here the table key IS
+the KMS stand-in, so the swap stays mechanical.
 
 Reference parity: the reference mounts credentials as plaintext env
 config (docker-compose.yaml:35-47) and never encrypts data at rest —
@@ -47,7 +65,9 @@ import os
 import uuid
 
 ENC_MAGIC = b"LHE1"
+PME_MAGIC = b"PARE"  # parquet's own encrypted-footer magic
 _VERIFIER_PLAINTEXT = b"lakehouse-table-key-verifier-v1"
+ENC_MODES = ("envelope", "pme")
 
 
 def _aesgcm(key: bytes):
@@ -134,12 +154,122 @@ def decrypt_blob(blob: bytes, data_key: bytes) -> bytes:
         ) from ex
 
 
-def is_encrypted_file(path: str) -> bool:
+def _file_head(path: str) -> bytes:
     try:
         with open(path, "rb") as f:
-            return f.read(4) == ENC_MAGIC
+            return f.read(4)
     except OSError:
-        return False
+        return b""
+
+
+def is_encrypted_file(path: str) -> bool:
+    return _file_head(path) in (ENC_MAGIC, PME_MAGIC)
+
+
+def table_enc_mode(table_root: str) -> str:
+    """The table's declared write mode (``encryption.mode`` property) —
+    read straight from the properties sidecar so writer kernels that
+    must not import the table layer (the streaming sink) can resolve
+    it. Absent/unparseable == envelope (the r9 default)."""
+    try:
+        with open(os.path.join(table_root, "properties.json")) as f:
+            mode = json.load(f).get("encryption.mode", "envelope")
+    except (OSError, ValueError):
+        return "envelope"
+    return mode if mode in ENC_MODES else "envelope"
+
+
+# -- Parquet Modular Encryption plumbing ----------------------------------
+
+
+class _FmkKms:
+    """In-memory KmsClient whose sole master key is ONE file's FMK —
+    PME's KEKs are AES-GCM-wrapped with it and live inside the footer's
+    internal key material. Built lazily (pyarrow import stays off the
+    module-import path, same discipline as the pandas UDF kernels)."""
+
+    def __new__(cls, conf):
+        import pyarrow.parquet.encryption as pe
+
+        class _Client(pe.KmsClient):
+            def __init__(self, fmk_hex: str):
+                pe.KmsClient.__init__(self)
+                self._gcm = _aesgcm(bytes.fromhex(fmk_hex))
+
+            def wrap_key(self, key_bytes, master_key_identifier):
+                nonce = os.urandom(12)
+                return base64.b64encode(
+                    nonce
+                    + self._gcm.encrypt(
+                        nonce, key_bytes, master_key_identifier.encode()
+                    )
+                ).decode()
+
+            def unwrap_key(self, wrapped_key, master_key_identifier):
+                raw = base64.b64decode(wrapped_key)
+                return self._gcm.decrypt(
+                    raw[:12], raw[12:], master_key_identifier.encode()
+                )
+
+        return _Client(conf.custom_kms_conf["fmk"])
+
+
+def _pme_factory(fmk: bytes):
+    import pyarrow.parquet.encryption as pe
+
+    conf = pe.KmsConnectionConfig(custom_kms_conf={"fmk": fmk.hex()})
+    # fresh factory per file: the KEK cache is keyed by master-key ID
+    # ("fmk" for every file) but the KEY differs per file — a shared
+    # factory would decrypt file B's KEKs with file A's cached FMK
+    return pe.CryptoFactory(_FmkKms), conf
+
+
+def parquet_leaf_paths(schema) -> list[str]:
+    """Parquet LEAF column paths for an Arrow schema (``emb`` →
+    ``emb.list.element``, struct ``s`` → ``s.u``/``s.v``): PME column
+    keys bind to leaf paths, and any leaf NOT listed stays plaintext —
+    enumerating via an empty-table footer round-trip is exact by
+    construction for whatever arrow-to-parquet mapping this pyarrow
+    uses."""
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(schema.empty_table(), buf)
+    ps = pq.ParquetFile(io.BytesIO(buf.getvalue())).schema
+    return [ps.column(i).path for i in range(len(ps.names))]
+
+
+def pme_decryption_properties(fmk: bytes):
+    import pyarrow.parquet.encryption as pe
+
+    factory, conf = _pme_factory(fmk)
+    return factory.file_decryption_properties(
+        conf, pe.DecryptionConfiguration()
+    )
+
+
+def _pme_encryption_properties(fmk: bytes, schema):
+    import pyarrow.parquet.encryption as pe
+
+    factory, conf = _pme_factory(fmk)
+    return factory.file_encryption_properties(
+        conf,
+        pe.EncryptionConfiguration(
+            footer_key="fmk",
+            column_keys={"fmk": parquet_leaf_paths(schema)},
+            data_key_length_bits=128,
+        ),
+    )
+
+
+def _pme_file_fmk(path: str, table_key: bytes | None) -> bytes:
+    if table_key is None:
+        raise ValueError(
+            f"lakehouse encryption: {path!r} is encrypted — provide "
+            "the table key (encryption_key= / .option('encryptionKey', "
+            "<hex>))"
+        )
+    return unwrap_key(read_key_sidecar(path)["key"], table_key)
 
 
 def owner_root(path: str) -> str:
@@ -237,41 +367,72 @@ def arrow_stats(table, blob_len: int) -> dict:
 
 
 def write_encrypted_parquet(
-    table, path: str, table_key: bytes, key_id: str
+    table, path: str, table_key: bytes, key_id: str,
+    mode: str = "envelope",
 ) -> dict:
-    """Serialize one Arrow table to parquet IN MEMORY, envelope-encrypt
-    it to ``path``, and publish the key sidecar (wrapped data key +
-    plaintext stats + serialized Arrow schema). Plaintext NEVER touches
-    disk. Returns the stats dict."""
+    """Write one Arrow table to ``path`` encrypted, and publish the key
+    sidecar (wrapped per-file key + plaintext stats + serialized Arrow
+    schema). Plaintext NEVER touches disk in either mode. Returns the
+    stats dict.
+
+    - ``envelope``: serialize to parquet in memory, AES-GCM the whole
+      blob (LHE1 container).
+    - ``pme``: Parquet Modular Encryption — real parquet on disk with
+      encrypted footer + per-column data keys, all wrapped under a
+      per-file FMK that takes the sidecar data-key slot (so rotation
+      and GC crypto-shred are mode-blind)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    buf = io.BytesIO()
-    pq.write_table(table, buf)
-    data_key = generate_data_key()
-    blob = encrypt_blob(buf.getvalue(), data_key)
-    stats = arrow_stats(table, len(blob))
+    if mode not in ENC_MODES:
+        raise ValueError(
+            f"lakehouse encryption: unknown mode {mode!r} "
+            f"(expected one of {ENC_MODES})"
+        )
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(blob)
-    write_key_sidecar(
-        path,
-        {
-            "key_id": key_id,
-            "key": wrap_key(data_key, table_key),
-            "stats": stats,
-            "schema": base64.b64encode(
-                table.schema.serialize().to_pybytes()
-            ).decode(),
-        },
-    )
+    data_key = generate_data_key()
+    if mode == "pme":
+        pq.write_table(
+            table,
+            path,
+            encryption_properties=_pme_encryption_properties(
+                data_key, table.schema
+            ),
+        )
+        stats = arrow_stats(table, os.path.getsize(path))
+    else:
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        blob = encrypt_blob(buf.getvalue(), data_key)
+        stats = arrow_stats(table, len(blob))
+        with open(path, "wb") as f:
+            f.write(blob)
+    sidecar = {
+        "key_id": key_id,
+        "key": wrap_key(data_key, table_key),
+        "stats": stats,
+        "schema": base64.b64encode(
+            table.schema.serialize().to_pybytes()
+        ).decode(),
+    }
+    if mode == "pme":
+        sidecar["mode"] = "pme"
+    write_key_sidecar(path, sidecar)
     return stats
 
 
 def read_plain_bytes(path: str, table_key: bytes | None) -> bytes:
-    """Plaintext parquet bytes of a possibly-encrypted file."""
+    """Plaintext parquet bytes of a possibly-encrypted ENVELOPE file.
+    PME files have no whole-file plaintext form (column chunks decrypt
+    independently) — open those through :func:`parquet_file_auto`."""
     with open(path, "rb") as f:
         blob = f.read()
+    if blob[:4] == PME_MAGIC:
+        raise ValueError(
+            f"lakehouse encryption: {path!r} is modular-encrypted "
+            "parquet — read it via parquet_file_auto/read_table_auto "
+            "(there is no whole-file plaintext blob to return)"
+        )
     if blob[:4] != ENC_MAGIC:
         return blob
     if table_key is None:
@@ -286,12 +447,21 @@ def read_plain_bytes(path: str, table_key: bytes | None) -> bytes:
 
 def parquet_file_auto(path: str, table_key: bytes | None = None):
     """``pq.ParquetFile`` over a possibly-encrypted file (sniffs the
-    magic; plaintext files open zero-copy as before)."""
+    magic; plaintext files open zero-copy as before; PME files open
+    IN PLACE with decryption properties, so downstream
+    ``read(columns=...)`` / ``iter_batches(columns=...)`` touch only
+    the projected column chunks' bytes)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    with open(path, "rb") as f:
-        head = f.read(4)
+    head = _file_head(path)
+    if head == PME_MAGIC:
+        return pq.ParquetFile(
+            path,
+            decryption_properties=pme_decryption_properties(
+                _pme_file_fmk(path, table_key)
+            ),
+        )
     if head != ENC_MAGIC:
         return pq.ParquetFile(path)
     return pq.ParquetFile(
@@ -306,8 +476,12 @@ def read_table_auto(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    with open(path, "rb") as f:
-        head = f.read(4)
+    head = _file_head(path)
+    if head == PME_MAGIC:
+        # ParquetFile.read, not pq.read_table: pyarrow 16's dataset
+        # path does not propagate decryption properties to fragment
+        # discovery (it fails reading the encrypted footer)
+        return parquet_file_auto(path, table_key).read(columns=columns)
     if head != ENC_MAGIC:
         return pq.read_table(path, columns=columns)
     return pq.read_table(

@@ -610,6 +610,7 @@ class LakehouseTable:
         ``writer.partitionBy(...).parquet(...)`` file-for-file."""
         key = self._enc_key()
         key_id = self.get_property("encryption.key-id") or "k1"
+        enc_mode = self.get_property("encryption.mode") or "envelope"
 
         def task(batches):
             import pyarrow as pa
@@ -650,7 +651,9 @@ class LakehouseTable:
                 path = os.path.join(
                     data_dir, *segs, f"part-{uuid.uuid4().hex}.parquet"
                 )
-                E.write_encrypted_parquet(sub, path, key, key_id)
+                E.write_encrypted_parquet(
+                    sub, path, key, key_id, mode=enc_mode
+                )
                 yield pa.RecordBatch.from_pylist(
                     [{"file": path}],
                     schema=pa.schema([("file", pa.string())]),
@@ -1509,22 +1512,39 @@ class LakehouseTable:
     # table key itself is never persisted anywhere.
 
     def enable_encryption(
-        self, key: bytes | str, key_id: str = "k1"
+        self, key: bytes | str, key_id: str = "k1",
+        mode: str = "envelope",
     ) -> None:
         """Turn on encryption for every subsequent write. Existing
         plaintext files keep reading (per-file magic sniff);
         ``rewrite_data_files()`` re-encrypts them. Refused when the
-        table already has a DIFFERENT key enabled (rotate instead)."""
+        table already has a DIFFERENT key enabled (rotate instead) —
+        re-enabling with the SAME key may still switch the write mode.
+
+        ``mode``: ``"envelope"`` (whole-file AES-GCM container) or
+        ``"pme"`` (Parquet Modular Encryption — per-column data keys,
+        encrypted footer; keeps intra-file column projection, see
+        sources/encryption.py). Readers sniff per file, so a table may
+        carry both layouts mid-history."""
         from . import encryption as E
 
+        if mode not in E.ENC_MODES:
+            raise ValueError(
+                f"lakehouse encryption: unknown mode {mode!r} "
+                f"(expected one of {E.ENC_MODES})"
+            )
         k = E.normalize_table_key(key)
         if self.get_property("encryption.enabled") == "true":
             E.check_verifier(
                 json.loads(self.get_property("encryption.verifier")), k
             )
+            if mode != (self.get_property("encryption.mode")
+                        or "envelope"):
+                self.set_property("encryption.mode", mode)
             return
         self.set_property("encryption.verifier", json.dumps(E.make_verifier(k)))
         self.set_property("encryption.key-id", key_id)
+        self.set_property("encryption.mode", mode)
         self.set_property("encryption.enabled", "true")
         self.encryption_key = k
 

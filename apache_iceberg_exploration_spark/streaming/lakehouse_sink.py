@@ -448,8 +448,13 @@ def write_task_files(
                 r[f"__geo_{c}_xmax"] = bb[2]
                 r[f"__geo_{c}_ymax"] = bb[3]
     data_dir = os.path.join(root, "data", f"stream-{uuid.uuid4().hex[:12]}")
+    enc_mode = "envelope"
+    if enc_key is not None:
+        from ..sources.encryption import table_enc_mode
+
+        enc_mode = table_enc_mode(root)
     if not partition_cols:
-        path, per_col = _write_one_file(rows, data_dir, enc_key)
+        path, per_col = _write_one_file(rows, data_dir, enc_key, enc_mode)
         return [path], {path: per_col}, {}
     from urllib.parse import quote
 
@@ -470,7 +475,7 @@ def write_task_files(
             for c, v in zip(partition_cols, tup)
         ]
         path, per_col = _write_one_file(
-            grp, os.path.join(data_dir, *segs), enc_key
+            grp, os.path.join(data_dir, *segs), enc_key, enc_mode
         )
         files.append(path)
         stats[path] = per_col
@@ -482,7 +487,8 @@ def write_task_files(
 
 
 def _write_one_file(
-    rows: list[dict], data_dir: str, enc_key: bytes | None = None
+    rows: list[dict], data_dir: str, enc_key: bytes | None = None,
+    enc_mode: str = "envelope",
 ):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -491,13 +497,14 @@ def _write_one_file(
     os.makedirs(data_dir, exist_ok=True)
     path = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
     if enc_key is not None:
-        # table encryption: envelope-encrypt executor-side (stats +
+        # table encryption: encrypt executor-side in the TABLE's
+        # declared mode (envelope container or modular parquet; stats +
         # wrapped key + schema land in the key sidecar, same contract
         # as the engine write path)
         from ..sources import encryption as E
 
         return path, E.write_encrypted_parquet(
-            table, path, enc_key, "sink"
+            table, path, enc_key, "sink", mode=enc_mode
         )
     pq.write_table(table, path)
     per_col: dict = {
@@ -614,6 +621,11 @@ def make_lakehouse_stream_sink():
                         dict(zip(self.upsert_keys, tup))
                         for tup in sorted(seen, key=repr)
                     ]
+                    enc_mode = "envelope"
+                    if self.enc_key is not None:
+                        from ..sources.encryption import table_enc_mode
+
+                        enc_mode = table_enc_mode(self.root)
                     kf, _ = _write_one_file(
                         key_rows,
                         os.path.join(
@@ -622,6 +634,7 @@ def make_lakehouse_stream_sink():
                             f"stream-{uuid.uuid4().hex[:12]}",
                         ),
                         self.enc_key,
+                        enc_mode,
                     )
                     key_files.append(kf)
             files, stats, partitions = write_task_files(

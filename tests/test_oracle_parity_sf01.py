@@ -54,6 +54,9 @@ _FAMILIES = (
     # r9: grid spatial join (cell densities per SF) + SQL CALL cycle
     "apache_iceberg_exploration_spark.operators.spatial_join",
     "apache_iceberg_exploration_spark.operators.maintenance_queries",
+    # r10: PME encryption — per-column key fan-out and file layout
+    # resolve per SF
+    "apache_iceberg_exploration_spark.operators.pme_queries",
 )
 _CASES = sorted(
     name
