@@ -144,5 +144,8 @@ def _load_all() -> None:
     # r10 — Parquet Modular Encryption mode. Newest module: registers
     # LAST, after maintenance_queries.
     from .operators import pme_queries  # noqa: F401
+    # r10 — join MVs + min/max MVs. Newest module: registers LAST,
+    # after pme_queries.
+    from .operators import mview_join_queries  # noqa: F401
 
     _LOADED = True

@@ -29,6 +29,33 @@ be expressible in a self-maintainable algebra. Arbitrary DataFrame
 transforms stay in the foreachBatch/`streaming_cdc_mv_maintenance`
 pattern (exact, but caller-owned).
 
+r10 (VERDICT r9 #2) widens the declared algebra two ways:
+
+- **join MVs**: ``spec["join"] = {"right_path": <lakehouse table>,
+  "on": [key, ...]}`` declares an INNER equi-join before the group-by.
+  Maintenance is the classic two-delta identity — with L1 = L0 + ΔL
+  and R1 = R0 + ΔR (signed multisets),
+
+      L1⋈R1 − L0⋈R0 = ΔL⋈R1 + L0⋈ΔR
+
+  so a refresh joins the (small, signed) left changelog slice against
+  the right table AT ITS NEW VERSION, plus the left table AT ITS OLD
+  VERSION (time travel) against the signed right slice; each join
+  broadcasts the delta side, so the cost is one pruned scan per base
+  table — never a recompute-shaped shuffle-agg. Both source versions
+  are recorded in ``mv.json`` / the refresh markers.
+- **min/max aggregates**: not self-maintainable under deletes (a
+  delete can kill the current max), so refresh SPLITS the touched
+  groups: insert-only groups fold incrementally
+  (``least``/``greatest`` + sum/count addition — merge #1), groups
+  that saw any delete/update-preimage are recomputed EXACTLY from the
+  source relation scoped to just those group keys (broadcast
+  semi-join — merge #2, a value-idempotent replace). Crash between
+  the two merges is recovered via a stage-1 marker in the storage
+  summary: the next refresh first FINISHES the old refresh's merge #2
+  (replace is idempotent, the del-group set re-derives
+  deterministically from the same changelog slice), then continues.
+
 Refresh atomicity rides the storage table's own commit protocol (one
 manifest link per refresh); ``mv.json`` updates are rename-free
 sidecar publishes. A crashed refresh leaves a committed-but-unrecorded
@@ -75,32 +102,134 @@ def _read_meta(mv_path: str) -> dict:
 def _validate_spec(spec: dict) -> None:
     if not spec.get("group_by"):
         raise ValueError("mv spec requires non-empty group_by")
+    join = spec.get("join")
+    if join is not None and (
+        not join.get("right_path") or not join.get("on")
+    ):
+        raise ValueError(
+            "mv join spec requires right_path and on=[key, ...] "
+            "(INNER equi-join on same-named key columns)"
+        )
     for out, (kind, _col) in spec.get("aggs", {}).items():
-        if kind not in ("sum", "count"):
+        if kind not in ("sum", "count", "min", "max"):
             raise ValueError(
                 f"mv agg {out!r}: kind {kind!r} not incrementally "
-                "maintainable here (supported: sum, count; express avg "
-                "as sum/count at read)"
+                "maintainable here (supported: sum, count, min, max; "
+                "express avg as sum/count at read)"
             )
         if out == _COUNT_COL:
             raise ValueError(f"{_COUNT_COL} is reserved")
 
 
-def _signed_deltas(changes: DataFrame, spec: dict) -> DataFrame:
-    """Per-group signed deltas from a changelog slice: inserts (and
-    update postimages) count +1, deletes (and preimages) -1."""
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), 1
-    ).otherwise(-1)
-    aggs = [F.sum(sign).alias(_COUNT_COL)]
+def _has_minmax(spec: dict) -> bool:
+    return any(
+        kind in ("min", "max")
+        for kind, _ in spec.get("aggs", {}).values()
+    )
+
+
+def _needed_cols(spec: dict) -> list[str]:
+    cols = list(spec["group_by"])
+    for _out, (_kind, col) in spec.get("aggs", {}).items():
+        if col and col not in cols:
+            cols.append(col)
+    return cols
+
+
+def _open_right(
+    spark: SparkSession, spec: dict, encryption_key
+) -> LakehouseTable | None:
+    join = spec.get("join")
+    if join is None:
+        return None
+    return LakehouseTable(
+        spark, join["right_path"], encryption_key=encryption_key
+    )
+
+
+def _relation(
+    src: LakehouseTable,
+    right: LakehouseTable | None,
+    spec: dict,
+    l_version: int,
+    r_version: int,
+) -> DataFrame:
+    """The MV's source relation at pinned versions: the base table, or
+    the declared INNER equi-join (key columns same-named both sides —
+    validated at create, so the join coalesces keys unambiguously)."""
+    df = src.read(version=l_version)
+    if right is not None:
+        df = df.join(
+            right.read(version=r_version), on=list(spec["join"]["on"])
+        )
+    return df
+
+
+def _sign(changes: DataFrame) -> DataFrame:
+    """Signed multiset view of a changelog slice: inserts (and update
+    postimages) +1, deletes (and preimages) -1."""
+    return changes.withColumn(
+        "__sign",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+
+
+def _delta_rows(
+    src: LakehouseTable,
+    right: LakehouseTable | None,
+    spec: dict,
+    l_last: int,
+    l_tip: int,
+    r_last: int,
+    r_tip: int,
+) -> DataFrame:
+    """Signed row-level deltas of the source RELATION over the version
+    window. Single table: the changelog slice itself. Join: the
+    two-delta identity ΔL⋈R1 + L0⋈ΔR (each term skipped when its
+    delta side is empty — in particular a right-only commit never
+    reads the left changelog, and vice versa). The delta side of each
+    join is small by construction, so Catalyst/AQE broadcasts it; the
+    base-table side is ONE pruned scan, never a shuffle-agg."""
+    need = _needed_cols(spec)
+    sel = need + ["__sign"]
+    if right is None:
+        return _sign(src.changelog(l_last, l_tip)).select(*sel)
+    on = list(spec["join"]["on"])
+    parts = []
+    if l_tip > l_last:
+        parts.append(
+            _sign(src.changelog(l_last, l_tip))
+            .join(right.read(version=r_tip), on=on)
+            .select(*sel)
+        )
+    if r_tip > r_last:
+        parts.append(
+            src.read(version=l_last)
+            .join(_sign(right.changelog(r_last, r_tip)), on=on)
+            .select(*sel)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _agg_signed(rows: DataFrame, spec: dict) -> DataFrame:
+    """Per-group signed deltas (sum/count algebra) from signed rows."""
+    aggs = [F.sum("__sign").alias(_COUNT_COL)]
     for out, (kind, col) in spec.get("aggs", {}).items():
         if kind == "count":
-            aggs.append(F.sum(sign).cast("long").alias(out))
-        else:
+            aggs.append(F.sum("__sign").cast("long").alias(out))
+        elif kind == "sum":
             aggs.append(
-                F.sum(F.col(col) * sign).alias(out)
+                F.sum(F.col(col) * F.col("__sign")).alias(out)
             )
-    return changes.groupBy(*spec["group_by"]).agg(*aggs)
+        else:  # min/max: only valid on insert-only groups (+1 signs)
+            aggs.append(getattr(F, kind)(F.col(col)).alias(out))
+    return rows.groupBy(*spec["group_by"]).agg(*aggs)
 
 
 def _full_build(source_df: DataFrame, spec: dict) -> DataFrame:
@@ -108,8 +237,8 @@ def _full_build(source_df: DataFrame, spec: dict) -> DataFrame:
     for out, (kind, col) in spec.get("aggs", {}).items():
         if kind == "count":
             aggs.append(F.count("*").cast("long").alias(out))
-        else:
-            aggs.append(F.sum(col).alias(out))
+        else:  # sum/min/max share the exact-recompute shape
+            aggs.append(getattr(F, kind)(col).alias(out))
     return source_df.groupBy(*spec["group_by"]).agg(*aggs)
 
 
@@ -141,13 +270,32 @@ def create_materialized_view(
     v = src.current_version()
     if v == 0:
         raise ValueError(f"source table {source_path!r} is empty")
+    right = _open_right(spark, spec, encryption_key)
+    r_v = 0
+    if right is not None:
+        r_v = right.current_version()
+        if r_v == 0:
+            raise ValueError(
+                f"join right table {spec['join']['right_path']!r} is "
+                "empty"
+            )
+        # same-named non-key columns would make delta joins ambiguous
+        on = set(spec["join"]["on"])
+        l_cols = set(src.read(version=v).columns) - on
+        r_cols = set(right.read(version=r_v).columns) - on
+        clash = sorted(l_cols & r_cols)
+        if clash:
+            raise ValueError(
+                "mv join spec: non-key columns must be disjoint "
+                f"between the two sides (clash: {clash})"
+            )
     storage_dir = os.path.join(mv_path, f"storage-{uuid.uuid4().hex[:8]}")
     storage = LakehouseTable(
         spark, storage_dir, encryption_key=encryption_key
     )
     if encryption_key is not None:
         storage.enable_encryption(encryption_key)
-    storage.overwrite(_full_build(src.read(version=v), spec))
+    storage.overwrite(_full_build(_relation(src, right, spec, v, r_v), spec))
     os.makedirs(mv_path, exist_ok=True)
     meta = {
         "name": name or os.path.basename(mv_path),
@@ -157,8 +305,110 @@ def create_materialized_view(
         "last_source_version": v,
         "encrypted": encryption_key is not None,
     }
+    if right is not None:
+        meta["last_right_version"] = r_v
     _publish_sidecar(_mv_meta_path(mv_path), meta)
     return meta
+
+
+def _bump(meta: dict, mv_path: str, l: int, r: int) -> dict:
+    meta["last_source_version"] = l
+    if meta["spec"].get("join") is not None:
+        meta["last_right_version"] = r
+    _publish_sidecar(_mv_meta_path(mv_path), meta)
+    return meta
+
+
+def _marker(
+    storage: LakehouseTable, key: str, rkey: str
+) -> tuple[int, int] | None:
+    """Highest (left, right) version pair recorded under the given
+    summary marker in the storage history — the crash-recovery floor
+    for idempotent refresh (right component 0 for single-table MVs)."""
+    best = None
+    for s in storage.snapshots():
+        sm = s.get("summary", {}) or {}
+        if sm.get(key) is not None:
+            v = (int(sm[key]), int(sm.get(rkey, 0)))
+            if best is None or v > best:
+                best = v
+    return best
+
+
+def _summary(l: int, r: int, spec: dict, stage: bool = False) -> dict:
+    if stage:
+        d = {"mv_refresh_stage1": l}
+        if spec.get("join") is not None:
+            d["mv_refresh_stage1_right"] = r
+    else:
+        d = {"mv_refreshed_through": l}
+        if spec.get("join") is not None:
+            d["mv_refreshed_right"] = r
+    return d
+
+
+def _replace_phase(
+    spark: SparkSession,
+    src: LakehouseTable,
+    right: LakehouseTable | None,
+    storage: LakehouseTable,
+    spec: dict,
+    frm: tuple[int, int],
+    to: tuple[int, int],
+    del_keys: DataFrame | None = None,
+) -> None:
+    """Merge #2 of a min/max refresh: groups that saw any
+    delete/update-preimage in the slice are recomputed EXACTLY from the
+    source relation at the target versions, scoped to just those group
+    keys (broadcast semi-join), and REPLACED in storage — groups with
+    zero surviving rows are deleted. Value-idempotent: re-running it
+    after a crash replaces with the same values, so it carries the
+    FINAL refresh marker."""
+    keys = spec["group_by"]
+    if del_keys is None:
+        rows = _delta_rows(
+            src, right, spec, frm[0], to[0], frm[1], to[1]
+        )
+        del_keys = (
+            rows.groupBy(*keys)
+            .agg(F.min("__sign").alias("__mn"))
+            .filter(F.col("__mn") < 0)
+            .select(*keys)
+            .localCheckpoint(eager=True)
+        )
+    if del_keys.isEmpty():
+        return
+    rel = _relation(src, right, spec, to[0], to[1]).join(
+        F.broadcast(del_keys), on=keys
+    )
+    rec = _full_build(rel, spec)
+    full = del_keys.join(rec, on=keys, how="left").withColumn(
+        _COUNT_COL, F.coalesce(F.col(_COUNT_COL), F.lit(0))
+    )
+    # zero-count groups matter only if storage HAS them (a group born
+    # and fully deleted within the slice is a no-op, and inserting its
+    # zero row would be wrong) — storage is MV-sized, the semi-join is
+    # cheap
+    zero = full.filter(F.col(_COUNT_COL) == 0).join(
+        storage.read().select(*keys), on=keys, how="left_semi"
+    )
+    src_merge = (
+        full.filter(F.col(_COUNT_COL) != 0)
+        .unionByName(zero)
+        .localCheckpoint(eager=True)
+    )
+    if src_merge.isEmpty():
+        return
+    update_cols = {_COUNT_COL: F.col(f"s.{_COUNT_COL}")}
+    for o in spec.get("aggs", {}):
+        update_cols[o] = F.col(f"s.{o}")
+    storage.merge_into(
+        src_merge,
+        on=keys,
+        update_cols=update_cols,
+        delete_condition=F.col(f"s.{_COUNT_COL}") == 0,
+        summary_extra=_summary(to[0], to[1], spec),
+    )
 
 
 def refresh_materialized_view(
@@ -166,82 +416,144 @@ def refresh_materialized_view(
     mv_path: str,
     encryption_key: bytes | str | None = None,
 ) -> dict:
-    """Incremental refresh to the source tip: changelog slice → signed
-    per-group deltas → one MERGE into the storage table (matched
-    groups fold, zero-count groups delete, new groups insert). Records
-    the refreshed-through version in BOTH the storage commit summary
-    (idempotence marker) and ``mv.json``. Returns the meta."""
+    """Incremental refresh to the source tip(s): signed row deltas of
+    the source relation (changelog slice; two-delta join for join MVs)
+    → per-group deltas → MERGE into the storage table. sum/count specs
+    need ONE merge (matched groups fold, zero-count groups delete, new
+    groups insert); specs with min/max split into a fold merge for
+    insert-only groups and an exact group-scoped recompute-replace for
+    delete-touched groups (see module docstring). Records the
+    refreshed-through version(s) in BOTH the storage commit summary
+    (idempotence/stage markers) and ``mv.json``. Returns the meta."""
     meta = _read_meta(mv_path)
     if meta.get("encrypted") and encryption_key is None:
         raise ValueError(
             "materialized view is encrypted — pass encryption_key="
         )
+    spec = meta["spec"]
     src = LakehouseTable(
         spark, meta["source_path"], encryption_key=encryption_key
     )
-    tip = src.current_version()
-    last = int(meta["last_source_version"])
-    if tip <= last:
+    right = _open_right(spark, spec, encryption_key)
+    l_tip = src.current_version()
+    r_tip = right.current_version() if right is not None else 0
+    l_last = int(meta["last_source_version"])
+    r_last = int(meta.get("last_right_version", 0))
+    if l_tip <= l_last and r_tip <= r_last:
         return meta  # already fresh: zero work
     storage = LakehouseTable(
         spark, meta["storage_path"], encryption_key=encryption_key
     )
     # idempotence: a refresh that committed to storage but crashed
     # before the mv.json publish must not re-apply its deltas
-    applied = _storage_refreshed_through(storage)
-    if applied is not None and applied >= tip:
-        meta["last_source_version"] = tip
-        _publish_sidecar(_mv_meta_path(mv_path), meta)
-        return meta
-    start = max(last, applied or 0)
-    spec = meta["spec"]
-    deltas = _signed_deltas(src.changelog(start, tip), spec)
-    nonzero = deltas.filter(F.col(_COUNT_COL) != 0)
-    # groups whose net row delta is zero can still move a SUM (an
-    # update changed the measure): keep them too when any agg moved
-    moved = deltas.filter(F.col(_COUNT_COL) == 0)
-    agg_outs = list(spec.get("aggs", {}))
-    if agg_outs:
-        cond = None
-        for o in agg_outs:
-            c = F.col(o) != 0
-            cond = c if cond is None else (cond | c)
-        moved = moved.filter(cond)
-        nonzero = nonzero.unionByName(moved)
-    delta_rows = nonzero.localCheckpoint(eager=True)
-    if delta_rows.isEmpty():
-        meta["last_source_version"] = tip
-        _publish_sidecar(_mv_meta_path(mv_path), meta)
-        return meta
-    keys = spec["group_by"]
-    update_cols = {
-        _COUNT_COL: F.col(f"t.{_COUNT_COL}") + F.col(f"s.{_COUNT_COL}")
-    }
-    for o in agg_outs:
-        update_cols[o] = F.col(f"t.{o}") + F.col(f"s.{o}")
-    storage.merge_into(
-        delta_rows,
-        on=keys,
-        update_cols=update_cols,
-        delete_condition=(
-            F.col(f"t.{_COUNT_COL}") + F.col(f"s.{_COUNT_COL}") == 0
-        ),
-        summary_extra={"mv_refreshed_through": tip},
+    fin = _marker(storage, "mv_refreshed_through", "mv_refreshed_right")
+    if fin is not None:
+        l_last, r_last = max(l_last, fin[0]), max(r_last, fin[1])
+    if l_tip <= l_last and r_tip <= r_last:
+        return _bump(meta, mv_path, l_last, r_last)
+    st1 = _marker(
+        storage, "mv_refresh_stage1", "mv_refresh_stage1_right"
     )
-    meta["last_source_version"] = tip
-    _publish_sidecar(_mv_meta_path(mv_path), meta)
-    return meta
-
-
-def _storage_refreshed_through(storage: LakehouseTable) -> int | None:
-    """Highest mv_refreshed_through marker in the storage history — the
-    crash-recovery floor for idempotent refresh."""
-    marks = [
-        s.get("summary", {}).get("mv_refreshed_through")
-        for s in storage.snapshots()
-    ]
-    marks = [int(m) for m in marks if m is not None]
-    return max(marks) if marks else None
+    if st1 is not None and (st1[0] > l_last or st1[1] > r_last):
+        # a staged refresh committed its fold merge then crashed before
+        # the replace phase: finish THAT refresh first (the del-group
+        # set re-derives deterministically from the same slice, replace
+        # is value-idempotent), then continue from its versions
+        _replace_phase(
+            spark, src, right, storage, spec, (l_last, r_last), st1
+        )
+        l_last = max(l_last, st1[0])
+        r_last = max(r_last, st1[1])
+        meta = _bump(meta, mv_path, l_last, r_last)
+        if l_tip <= l_last and r_tip <= r_last:
+            return meta
+    rows = _delta_rows(
+        src, right, spec, l_last, l_tip, r_last, r_tip
+    )
+    keys = spec["group_by"]
+    agg_outs = list(spec.get("aggs", {}))
+    if not _has_minmax(spec):
+        deltas = _agg_signed(rows, spec)
+        nonzero = deltas.filter(F.col(_COUNT_COL) != 0)
+        # groups whose net row delta is zero can still move a SUM (an
+        # update changed the measure): keep them too when any agg moved
+        moved = deltas.filter(F.col(_COUNT_COL) == 0)
+        if agg_outs:
+            cond = None
+            for o in agg_outs:
+                c = F.col(o) != 0
+                cond = c if cond is None else (cond | c)
+            moved = moved.filter(cond)
+            nonzero = nonzero.unionByName(moved)
+        delta_rows = nonzero.localCheckpoint(eager=True)
+        if delta_rows.isEmpty():
+            return _bump(meta, mv_path, l_tip, r_tip)
+        update_cols = {
+            _COUNT_COL: F.col(f"t.{_COUNT_COL}")
+            + F.col(f"s.{_COUNT_COL}")
+        }
+        for o in agg_outs:
+            update_cols[o] = F.col(f"t.{o}") + F.col(f"s.{o}")
+        storage.merge_into(
+            delta_rows,
+            on=keys,
+            update_cols=update_cols,
+            delete_condition=(
+                F.col(f"t.{_COUNT_COL}") + F.col(f"s.{_COUNT_COL}")
+                == 0
+            ),
+            summary_extra=_summary(l_tip, r_tip, spec),
+        )
+        return _bump(meta, mv_path, l_tip, r_tip)
+    # min/max: insert-only groups fold, delete-touched groups recompute
+    del_keys = (
+        rows.groupBy(*keys)
+        .agg(F.min("__sign").alias("__mn"))
+        .filter(F.col("__mn") < 0)
+        .select(*keys)
+        .localCheckpoint(eager=True)
+    )
+    has_del = not del_keys.isEmpty()
+    ins_rows = (
+        rows.join(del_keys, on=keys, how="left_anti")
+        if has_del
+        else rows
+    )
+    deltas = _agg_signed(ins_rows, spec).localCheckpoint(eager=True)
+    if not deltas.isEmpty():
+        update_cols = {
+            _COUNT_COL: F.col(f"t.{_COUNT_COL}")
+            + F.col(f"s.{_COUNT_COL}")
+        }
+        for o, (kind, _col) in spec.get("aggs", {}).items():
+            if kind == "min":
+                update_cols[o] = F.least(
+                    F.col(f"t.{o}"), F.col(f"s.{o}")
+                )
+            elif kind == "max":
+                update_cols[o] = F.greatest(
+                    F.col(f"t.{o}"), F.col(f"s.{o}")
+                )
+            else:
+                update_cols[o] = F.col(f"t.{o}") + F.col(f"s.{o}")
+        storage.merge_into(
+            deltas,
+            on=keys,
+            update_cols=update_cols,
+            summary_extra=_summary(l_tip, r_tip, spec, stage=has_del),
+        )
+    if has_del:
+        _replace_phase(
+            spark,
+            src,
+            right,
+            storage,
+            spec,
+            (l_last, r_last),
+            (l_tip, r_tip),
+            del_keys=del_keys,
+        )
+    return _bump(meta, mv_path, l_tip, r_tip)
 
 
 def read_mv(
@@ -250,16 +562,23 @@ def read_mv(
     max_staleness_versions: int = 0,
     encryption_key: bytes | str | None = None,
 ) -> DataFrame:
-    """Staleness-aware MV read. Freshness = recorded source version vs
-    the source's current version — two metadata reads, no data IO.
-    Within budget: serve the storage table AS IS (the provably
-    metadata-only fast path). Over budget: incremental refresh first.
-    The per-group row-count bookkeeping column stays internal."""
+    """Staleness-aware MV read. Freshness = recorded source version(s)
+    vs the source's current version(s) — two metadata reads per source,
+    no data IO. Within budget: serve the storage table AS IS (the
+    provably metadata-only fast path). Over budget: incremental refresh
+    first. The per-group row-count bookkeeping column stays internal."""
     meta = _read_meta(mv_path)
     src_tip = LakehouseTable(
         spark, meta["source_path"]
     ).current_version()
-    if src_tip - int(meta["last_source_version"]) > max_staleness_versions:
+    lag = src_tip - int(meta["last_source_version"])
+    join = meta["spec"].get("join")
+    if join is not None:
+        r_tip = LakehouseTable(
+            spark, join["right_path"]
+        ).current_version()
+        lag = max(lag, r_tip - int(meta.get("last_right_version", 0)))
+    if lag > max_staleness_versions:
         meta = refresh_materialized_view(
             spark, mv_path, encryption_key=encryption_key
         )

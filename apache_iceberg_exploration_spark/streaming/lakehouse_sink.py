@@ -411,6 +411,389 @@ def _geo_columns_of(root: str) -> list[str]:
     return [c for c in raw.split(",") if c]
 
 
+def _enrich_geo_rows(rows: list, root: str) -> None:
+    """Materialize ``__geo_*`` envelope shreds into row dicts for the
+    table's DECLARED geometry columns present in the rows (shared by
+    the task writer and the patch-completion rewrite)."""
+    if not rows:
+        return
+    geo = [c for c in _geo_columns_of(root) if c in rows[0]]
+    if not geo:
+        return
+    from ..functions.geo import bbox_of
+
+    for r in rows:
+        for c in geo:
+            b = r.get(c)
+            bb = (
+                (None, None, None, None)
+                if b is None
+                else bbox_of(bytes(b))
+            )
+            r[f"__geo_{c}_xmin"] = bb[0]
+            r[f"__geo_{c}_ymin"] = bb[1]
+            r[f"__geo_{c}_xmax"] = bb[2]
+            r[f"__geo_{c}_ymax"] = bb[3]
+
+
+def _spark_type_to_arrow(t):
+    """Primitive Spark schema-JSON type string → arrow type, for
+    completing a declared-but-never-materialized (default-gap) column
+    in a patched upsert row. Exotic types fail loudly — materialize the
+    column (any write) before patching around it."""
+    import pyarrow as pa
+
+    m = {
+        "long": pa.int64(),
+        "integer": pa.int32(),
+        "short": pa.int16(),
+        "byte": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "binary": pa.binary(),
+    }
+    if isinstance(t, str) and t.startswith("timestamp"):
+        return pa.timestamp("us")
+    if isinstance(t, str) and t in m:
+        return m[t]
+    raise ValueError(
+        f"lakehouse_sink patch: cannot synthesize arrow type for "
+        f"declared type {t!r} — write the column once before patching"
+    )
+
+
+def _lookup_current_rows(
+    root: str,
+    key_cols: list[str],
+    key_tuples: set,
+    enc_key,
+    need_full: bool,
+    order_col: str | None = None,
+):
+    """Spark-free key-scoped lookup of the CURRENT row per batch key:
+    candidate data files are range-pruned by the manifest's plaintext
+    stats against the batch keys' min/max, read column-pruned (keys +
+    order column unless the patch path needs full rows), and per key
+    the row from the highest-sequence file wins — exact for tables
+    maintained by this upsert pipeline (each batch's equality delete
+    kills lower-seq copies; compaction removes dead rows), the declared
+    contract for ordered/patch upserts. Equality-delete tombstones are
+    honored (a key dead under an entry with seq ≥ its file's seq has no
+    current row). Returns {key_tuple: (file_seq, row_dict)}.
+
+    Scale: this is the read-merge a partial/ordered upsert fundamentally
+    requires (Flink pays it as per-record state lookups); here it is
+    one column-pruned, stats-pruned pass over the candidate files per
+    micro-batch, driver-side — on a cluster the same pass is a
+    distributed semi-join keyed on the batch keys."""
+    from ..sources.encryption import read_table_auto
+    from .lakehouse_source import (
+        _current_version,
+        _manifest_meta,
+        _reserved_physical,
+    )
+
+    v = _current_version(root)
+    meta = _manifest_meta(root, v)
+    if not meta or not meta["files"] or not key_tuples:
+        return {}
+    # batch key ranges per key column (conservative file pruning)
+    ranges = {}
+    for i, c in enumerate(key_cols):
+        vals = [t[i] for t in key_tuples if t[i] is not None]
+        if vals:
+            try:
+                ranges[c] = (min(vals), max(vals))
+            except TypeError:
+                pass
+    # tombstone floors: equality-delete entries on the same keys kill
+    # rows in files with seq <= entry seq
+    del_seq: dict = {}
+    for d in meta.get("delete_entries", []):
+        if d.get("pos") or d.get("keys") != key_cols:
+            continue
+        for kf in d["files"]:
+            t = read_table_auto(kf, enc_key, columns=key_cols)
+            for tup in zip(
+                *[t.column(k).to_pylist() for k in key_cols]
+            ):
+                if tup in key_tuples:
+                    del_seq[tup] = max(
+                        del_seq.get(tup, -1), int(d["seq"])
+                    )
+    stats, fseq = meta["stats"], meta["file_seq"]
+    want = None
+    if not need_full:
+        want = list(key_cols) + (
+            [order_col] if order_col else []
+        )
+    best: dict = {}
+    for f in meta["files"]:
+        st = stats.get(f) or {}
+        skip = False
+        for c, (blo, bhi) in ranges.items():
+            mm = st.get(c)
+            if (
+                isinstance(mm, list)
+                and len(mm) == 2
+                and mm[0] is not None
+            ):
+                try:
+                    if bhi < mm[0] or blo > mm[1]:
+                        skip = True
+                        break
+                except TypeError:
+                    pass
+        if skip:
+            continue
+        seq = int(fseq.get(f, 0))
+        cols = want
+        if want is not None:
+            have = set(
+                (st.get("__cols") or want)
+            )
+            cols = [c for c in want if c in have]
+            if any(k not in cols for k in key_cols):
+                continue  # file predates the key columns: no match
+        t = read_table_auto(f, enc_key, columns=cols)
+        names = [
+            n for n in t.column_names if not _reserved_physical(n)
+        ]
+        data = {n: t.column(n).to_pylist() for n in names}
+        key_lists = [data[k] for k in key_cols]
+        for i, tup in enumerate(zip(*key_lists)):
+            if tup not in key_tuples:
+                continue
+            if seq <= del_seq.get(tup, -1):
+                continue
+            prev = best.get(tup)
+            if prev is None or seq > prev[0]:
+                best[tup] = (
+                    seq,
+                    {n: data[n][i] for n in names},
+                )
+    return best
+
+
+def _write_defaults(schema_json: str | None) -> dict:
+    """{column: (python write-default or None, declared type)} for every
+    declared field — the fill for columns a patch row omits on a
+    brand-new key."""
+    from .lakehouse_source import _default_py
+
+    if not schema_json:
+        return {}
+    out = {}
+    for f in json.loads(schema_json)["fields"]:
+        md = f.get("metadata") or {}
+        d = md.get("write_default", md.get("initial_default"))
+        out[f["name"]] = (
+            _default_py(d, f.get("type")),
+            f.get("type"),
+        )
+    return out
+
+
+def _rewrite_task_file(path, tbl, enc_key, enc_mode):
+    """Replace an UNCOMMITTED task file's contents in place (ordered
+    upserts dropping losers, patch completion) and return fresh stats
+    in the same shape the writers publish."""
+    import pyarrow.parquet as pq
+
+    from ..sources import encryption as E
+
+    if enc_key is not None:
+        os.unlink(path)
+        return E.write_encrypted_parquet(
+            tbl, path, enc_key, "sink", mode=enc_mode
+        )
+    pq.write_table(tbl, path)
+    return E.arrow_stats(tbl, os.path.getsize(path))
+
+
+def _drop_task_file(path):
+    from ..sources import encryption as E
+
+    if os.path.exists(path):
+        os.unlink(path)
+    side = E.key_sidecar_path(path)
+    if os.path.exists(side):
+        os.unlink(side)
+
+
+def _resolve_upsert_semantics(
+    root: str,
+    files: list[str],
+    key_files: list[str],
+    stats: dict,
+    partitions: dict,
+    key_cols: list[str],
+    order_col: str | None,
+    patch: bool,
+    enc_key,
+):
+    """Driver-side, pre-commit resolution for ordered and/or partial
+    (patch) upserts: one key-scoped current-state lookup feeds both.
+    Ordered: a batch row replaces the key only when its order value is
+    STRICTLY greater than the highest ever accepted (ties and late
+    arrivals are dropped — the deterministic convergence rule; NULL
+    orders lose to any non-NULL). Patch: surviving rows inherit every
+    declared column the batch omitted from the key's current row
+    (write-defaults / NULL for brand-new keys), so the committed files
+    are always FULL-schema and every reader stays unchanged. Returns
+    the (possibly rewritten) files/key_files/stats/partitions."""
+    import pyarrow as pa
+
+    from ..sources import encryption as E
+    from ..sources.encryption import read_table_auto
+    from .lakehouse_source import (
+        _current_version,
+        _manifest_schema_json,
+        _schema_auto,
+    )
+
+    enc_mode = E.table_enc_mode(root) if enc_key is not None else "envelope"
+    # batch keys from the data files (tombstone-only keys need no
+    # resolution: deletes apply unconditionally and inherit nothing)
+    batch_keys: set = set()
+    per_file_rows: dict[str, list[dict]] = {}
+    for f in files:
+        t = read_table_auto(f, enc_key)
+        rows = t.to_pylist()
+        per_file_rows[f] = rows
+        for r in rows:
+            batch_keys.add(tuple(r[k] for k in key_cols))
+    current = _lookup_current_rows(
+        root,
+        key_cols,
+        batch_keys,
+        enc_key,
+        need_full=patch,
+        order_col=order_col,
+    )
+    drop_keys: set = set()
+    if order_col:
+        # a batch row replaces the key iff its order STRICTLY exceeds
+        # the stored one (stored NULL/absent order loses to anything;
+        # ties and late arrivals drop — deterministic convergence)
+        for rows in per_file_rows.values():
+            for r in rows:
+                tup = tuple(r[k] for k in key_cols)
+                cur = current.get(tup)
+                if cur is None:
+                    continue
+                cur_ov = cur[1].get(order_col)
+                ov = r.get(order_col)
+                if cur_ov is not None and (
+                    ov is None or not ov > cur_ov
+                ):
+                    drop_keys.add(tup)
+    schema_json = _manifest_schema_json(root, _current_version(root))
+    declared = (
+        [f["name"] for f in json.loads(schema_json)["fields"]]
+        if schema_json
+        else None
+    )
+    defaults = _write_defaults(schema_json) if patch else {}
+    # arrow type per output column: prefer an existing data file's
+    # physical type, fall back to the patch batch's, then the declared
+    # type map (default-gap columns)
+    type_cache: dict = {}
+    from .lakehouse_source import _manifest_meta
+
+    _meta_now = _manifest_meta(root, _current_version(root))
+
+    def _arrow_type(col):
+        if col in type_cache:
+            return type_cache[col]
+        meta = _meta_now
+        for f in reversed(meta["files"] if meta else []):
+            sch = _schema_auto(f)
+            if col in sch.names:
+                type_cache[col] = sch.field(col).type
+                return type_cache[col]
+        for f in files:
+            sch = _schema_auto(f)
+            if col in sch.names:
+                type_cache[col] = sch.field(col).type
+                return type_cache[col]
+        type_cache[col] = _spark_type_to_arrow(
+            defaults.get(col, (None, None))[1]
+        )
+        return type_cache[col]
+
+    new_files, new_stats, new_parts = [], {}, {}
+    for f in files:
+        rows = per_file_rows[f]
+        keep = [
+            r
+            for r in rows
+            if tuple(r[k] for k in key_cols) not in drop_keys
+        ]
+        if not keep:
+            _drop_task_file(f)
+            continue
+        changed = len(keep) != len(rows)
+        if patch and declared:
+            batch_cols = set(keep[0])
+            completed = []
+            for r in keep:
+                tup = tuple(r[k] for k in key_cols)
+                cur = current.get(tup)
+                out = {}
+                for c in declared:
+                    if c in batch_cols:
+                        out[c] = r[c]
+                    elif cur is not None and c in cur[1]:
+                        out[c] = cur[1][c]
+                    else:
+                        out[c] = defaults.get(c, (None, None))[0]
+                completed.append(out)
+            # geometry shreds recomputed over the COMPLETED rows (an
+            # inherited geometry keeps pruning-consistent envelopes)
+            _enrich_geo_rows(completed, root)
+            keep, changed = completed, True
+        if changed:
+            names = list(keep[0])
+            tbl = pa.Table.from_pylist(
+                keep,
+                schema=pa.schema(
+                    [(n, _arrow_type(n)) for n in names]
+                ),
+            )
+            new_stats[f] = _rewrite_task_file(
+                f, tbl, enc_key, enc_mode
+            )
+        else:
+            new_stats[f] = stats[f]
+        new_files.append(f)
+        if f in (partitions or {}):
+            new_parts[f] = partitions[f]
+    # key files: losing keys must NOT kill the stored winners
+    new_key_files = []
+    for kf in key_files:
+        if not drop_keys:
+            new_key_files.append(kf)
+            continue
+        t = read_table_auto(kf, enc_key)
+        rows = [
+            r
+            for r in t.to_pylist()
+            if tuple(r[k] for k in key_cols) not in drop_keys
+        ]
+        if not rows:
+            _drop_task_file(kf)
+            continue
+        if len(rows) != t.num_rows:
+            tbl = pa.Table.from_pylist(rows, schema=t.schema)
+            _rewrite_task_file(kf, tbl, enc_key, enc_mode)
+        new_key_files.append(kf)
+    return new_files, new_key_files, new_stats, new_parts
+
+
 def write_task_files(
     rows: list[dict],
     root: str,
@@ -431,22 +814,7 @@ def write_task_files(
     instead of degrading to the decode fallback until compaction."""
     if not rows:
         return [], {}, {}
-    geo = [c for c in _geo_columns_of(root) if c in rows[0]]
-    if geo:
-        from ..functions.geo import bbox_of
-
-        for r in rows:
-            for c in geo:
-                b = r.get(c)
-                bb = (
-                    (None, None, None, None)
-                    if b is None
-                    else bbox_of(bytes(b))
-                )
-                r[f"__geo_{c}_xmin"] = bb[0]
-                r[f"__geo_{c}_ymin"] = bb[1]
-                r[f"__geo_{c}_xmax"] = bb[2]
-                r[f"__geo_{c}_ymax"] = bb[3]
+    _enrich_geo_rows(rows, root)
     data_dir = os.path.join(root, "data", f"stream-{uuid.uuid4().hex[:12]}")
     enc_mode = "envelope"
     if enc_key is not None:
@@ -571,6 +939,8 @@ def make_lakehouse_stream_sink():
             delete_col: str | None = None,
             enc_key: bytes | None = None,
             validate_keys: bool = False,
+            order_col: str | None = None,
+            patch: bool = False,
         ):
             self.root = root
             self.partition_cols = partition_cols or []
@@ -579,6 +949,8 @@ def make_lakehouse_stream_sink():
             self.delete_col = delete_col
             self.enc_key = enc_key
             self.validate_keys = validate_keys
+            self.order_col = order_col
+            self.patch = patch
 
         def write(self, iterator) -> "_Msg":
             # EXECUTOR side: partition rows -> parquet file(s) + stats
@@ -693,6 +1065,26 @@ def make_lakehouse_stream_sink():
                 return
             if not files and not key_files:
                 return  # empty batch: no commit, offsets still advance
+            if self.upsert_keys and (self.order_col or self.patch):
+                # ordered / partial-column upserts: one key-scoped
+                # current-state lookup drops losing rows and completes
+                # patch rows BEFORE the commit (the committed files are
+                # always full-schema, in-order — readers unchanged)
+                files, key_files, stats, partitions = (
+                    _resolve_upsert_semantics(
+                        self.root,
+                        files,
+                        key_files,
+                        stats,
+                        partitions,
+                        self.upsert_keys,
+                        self.order_col,
+                        self.patch,
+                        self.enc_key,
+                    )
+                )
+                if not files and not key_files:
+                    return  # the whole batch lost the ordering race
             _commit_append(
                 self.root,
                 files,
@@ -715,7 +1107,10 @@ def make_lakehouse_stream_sink():
                 ]
                 if self.partition_cols
                 else None,
-                schema_json=self.schema_json,
+                # patch batches carry a PARTIAL stream schema; the
+                # completed files are full-schema, so the table schema
+                # stands as-is
+                schema_json=None if self.patch else self.schema_json,
                 eq_delete=(key_files, self.upsert_keys)
                 if self.upsert_keys and key_files
                 else None,
@@ -751,6 +1146,8 @@ def make_lakehouse_stream_sink():
                 if c.strip()
             ]
             delete_col = opts.get("deletecolumn") or None
+            order_col = opts.get("upsertorderby") or None
+            patch = (opts.get("upsertpatch") or "").lower() == "true"
             if mode == "upsert" and not keys:
                 raise ValueError(
                     "lakehouse_sink: mode=upsert requires upsertKeys "
@@ -760,6 +1157,53 @@ def make_lakehouse_stream_sink():
                 raise ValueError(
                     "lakehouse_sink: upsertKeys requires mode=upsert"
                 )
+            if (order_col or patch) and mode != "upsert":
+                raise ValueError(
+                    "lakehouse_sink: upsertOrderBy/upsertPatch require "
+                    "mode=upsert"
+                )
+            if order_col and delete_col:
+                # a tombstone has no data row, so its order value would
+                # vanish from the max-ever-accepted comparison — an
+                # older late row would then wrongly win after a delete.
+                # Refuse the combination instead of being subtly wrong.
+                raise ValueError(
+                    "lakehouse_sink: upsertOrderBy cannot be combined "
+                    "with deleteColumn (tombstones carry no persistent "
+                    "order value — apply ordered deletes upstream)"
+                )
+            root = _norm_path(opts["path"])
+            if patch:
+                from .lakehouse_source import (
+                    _current_version,
+                    _manifest_schema_json,
+                )
+
+                tbl_schema = _manifest_schema_json(
+                    root, _current_version(root)
+                )
+                if not tbl_schema:
+                    raise ValueError(
+                        "lakehouse_sink: upsertPatch requires an "
+                        "existing table with a declared schema (a "
+                        "patch inherits the columns it omits — there "
+                        "is nothing to inherit on a first write)"
+                    )
+                declared = {
+                    f["name"]
+                    for f in json.loads(tbl_schema)["fields"]
+                }
+                if schema is not None:
+                    bogus = sorted(
+                        set(schema.fieldNames())
+                        - declared
+                        - ({delete_col} if delete_col else set())
+                    )
+                    if bogus:
+                        raise ValueError(
+                            "lakehouse_sink: patch columns "
+                            f"{bogus} are not in the table schema"
+                        )
             schema_json = None
             if schema is not None:
                 if keys:
@@ -789,16 +1233,38 @@ def make_lakehouse_stream_sink():
                         [f for f in schema.fields if f.name != delete_col]
                     )
                 schema_json = schema.json()
+            part_cols = (
+                [c.strip() for c in pb.split(",")] if pb else None
+            )
+            if schema is not None:
+                names = set(schema.fieldNames())
+                if order_col and order_col not in names:
+                    raise ValueError(
+                        "lakehouse_sink: upsertOrderBy column "
+                        f"{order_col!r} not in the stream schema"
+                    )
+                if patch and part_cols:
+                    missing_pc = [
+                        c for c in part_cols if c not in names
+                    ]
+                    if missing_pc:
+                        raise ValueError(
+                            "lakehouse_sink: patch batches must carry "
+                            f"the partition columns {missing_pc} "
+                            "(files are laid out before completion)"
+                        )
             return _Writer(
-                _norm_path(opts["path"]),
-                [c.strip() for c in pb.split(",")] if pb else None,
+                root,
+                part_cols,
                 schema_json=schema_json,
                 upsert_keys=keys,
                 delete_col=delete_col,
-                enc_key=_sink_enc_key(_norm_path(opts["path"]), opts),
+                enc_key=_sink_enc_key(root, opts),
                 validate_keys=(
                     opts.get("validateupsertkeys", "").lower() == "true"
                 ),
+                order_col=order_col,
+                patch=patch,
             )
 
     return LakehouseStreamSink

@@ -199,6 +199,9 @@ HEADLINE = [
     "streaming_upsert_mv_composition",
     # r10: Parquet Modular Encryption (column-pruned encrypted reads)
     "lakehouse_pme_encrypted_projection_mutations",
+    # r10: join MVs (two-delta) + min/max MVs (group-scoped recompute)
+    "lakehouse_mv_join_two_delta_refresh",
+    "lakehouse_mv_minmax_group_recompute",
 ]
 
 

@@ -178,12 +178,14 @@ def test_spec_validation(spark, tmp_path):
         M.create_materialized_view(
             spark, str(tmp_path / "m1"), src.path, {"group_by": []}
         )
+    # r10: min/max ARE maintainable now (group-scoped recompute on
+    # deletes) — the rejected class is non-decomposable aggregates
     with pytest.raises(ValueError, match="not incrementally"):
         M.create_materialized_view(
             spark,
             str(tmp_path / "m2"),
             src.path,
-            {"group_by": ["g"], "aggs": {"m": ("max", "v")}},
+            {"group_by": ["g"], "aggs": {"m": ("median", "v")}},
         )
     M.create_materialized_view(spark, str(tmp_path / "m3"), src.path, SPEC)
     with pytest.raises(ValueError, match="already exists"):

@@ -57,6 +57,9 @@ _FAMILIES = (
     # r10: PME encryption — per-column key fan-out and file layout
     # resolve per SF
     "apache_iceberg_exploration_spark.operators.pme_queries",
+    # r10: join/min-max MVs — delta slice sizes and touched-group sets
+    # resolve per SF
+    "apache_iceberg_exploration_spark.operators.mview_join_queries",
 )
 _CASES = sorted(
     name

@@ -1,0 +1,382 @@
+"""Upsert sink hardening (r10 — VERDICT r9 #3): ordered upserts (a
+declared version column makes late-arriving older rows lose
+deterministically — shuffled batch order converges to the same state)
+and partial-column PATCH upserts (absent columns inherit the key's
+current row via a key-scoped, stats-pruned read-merge at commit)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apache_iceberg_exploration_spark.sources.lakehouse import (
+    LakehouseTable,
+)
+
+
+def _drain(spark, src_root, dst_root, cp, **sink_opts):
+    from apache_iceberg_exploration_spark.streaming._wait import (
+        await_or_raise,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+        make_lakehouse_stream_sink,
+    )
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+    )
+
+    spark.dataSource.register(make_lakehouse_stream_dist_source())
+    spark.dataSource.register(make_lakehouse_stream_sink())
+    w = (
+        spark.readStream.format("lakehouse_stream_dist")
+        .option("path", src_root)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("lakehouse_sink")
+        .option("path", dst_root)
+        .option("checkpointLocation", cp)
+        .option("mode", "upsert")
+        .option("upsertKeys", "k")
+    )
+    for opt, v in sink_opts.items():
+        w = w.option(opt, v)
+    q = w.trigger(availableNow=True).start()
+    await_or_raise(q, 300)
+
+
+def _state(spark, dst_root, cols):
+    t = LakehouseTable(spark, dst_root)
+    return {
+        r["k"]: tuple(r[c] for c in cols)
+        for r in t.read().collect()
+    }
+
+
+def _mk_src(spark, path, commits):
+    src = LakehouseTable(spark, path)
+    for rows in commits:
+        src.append(spark.createDataFrame(rows).repartition(2, "k"))
+    return src
+
+
+def test_ordered_upsert_shuffled_replay_converges(spark, tmp_path):
+    """The same row set distributed into commits in three different
+    arrival orders converges to the same latest-state (max version per
+    key) under upsertOrderBy."""
+    rows = {
+        (k, ver): Row(k=k, ver=ver, val=f"v{ver}-k{k}")
+        for k in range(6)
+        for ver in (1, 2, 3)
+    }
+    arrivals = [
+        # in order
+        [[rows[(k, v)] for k in range(6)] for v in (1, 2, 3)],
+        # newest first — every later batch is a late arrival
+        [[rows[(k, v)] for k in range(6)] for v in (3, 2, 1)],
+        # interleaved per-key disorder
+        [
+            [rows[(0, 2)], rows[(1, 3)], rows[(2, 1)], rows[(3, 2)],
+             rows[(4, 3)], rows[(5, 1)]],
+            [rows[(0, 3)], rows[(1, 1)], rows[(2, 3)], rows[(3, 1)],
+             rows[(4, 2)], rows[(5, 3)]],
+            [rows[(0, 1)], rows[(1, 2)], rows[(2, 2)], rows[(3, 3)],
+             rows[(4, 1)], rows[(5, 2)]],
+        ],
+    ]
+    states = []
+    for i, commits in enumerate(arrivals):
+        _mk_src(spark, str(tmp_path / f"src{i}"), commits)
+        for _ in range(3):
+            _drain(
+                spark,
+                str(tmp_path / f"src{i}"),
+                str(tmp_path / f"dst{i}"),
+                str(tmp_path / f"cp{i}"),
+                upsertOrderBy="ver",
+            )
+        states.append(
+            _state(spark, str(tmp_path / f"dst{i}"), ["ver", "val"])
+        )
+    assert states[0] == {k: (3, f"v3-k{k}") for k in range(6)}
+    assert states[0] == states[1] == states[2]
+
+
+def test_ordered_upsert_partial_batch_losers(spark, tmp_path):
+    """Within ONE batch some keys win and some lose: losers' rows are
+    dropped AND their stored winners survive the batch's equality
+    delete (the key-file rewrite)."""
+    _mk_src(
+        spark,
+        str(tmp_path / "src"),
+        [
+            [Row(k=0, ver=5, val="a5"), Row(k=1, ver=5, val="b5")],
+            # k=0 late (loses), k=1 newer (wins), k=2 brand new
+            [Row(k=0, ver=4, val="a4"), Row(k=1, ver=6, val="b6"),
+             Row(k=2, ver=1, val="c1")],
+        ],
+    )
+    for _ in range(2):
+        _drain(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "cp"),
+            upsertOrderBy="ver",
+        )
+    assert _state(spark, str(tmp_path / "dst"), ["ver", "val"]) == {
+        0: (5, "a5"),
+        1: (6, "b6"),
+        2: (1, "c1"),
+    }
+    # ties lose too (idempotent replay of the same version)
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [Row(k=1, ver=6, val="b6-dup")]
+        ).repartition(1)
+    )
+    _drain(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp"),
+        upsertOrderBy="ver",
+    )
+    assert _state(spark, str(tmp_path / "dst"), ["ver", "val"])[1] == (
+        6,
+        "b6",
+    )
+
+
+def test_ordered_upsert_whole_batch_loses_no_commit(spark, tmp_path):
+    _mk_src(
+        spark,
+        str(tmp_path / "src"),
+        [
+            [Row(k=0, ver=9, val="new")],
+            [Row(k=0, ver=1, val="stale")],
+        ],
+    )
+    for _ in range(2):
+        _drain(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "cp"),
+            upsertOrderBy="ver",
+        )
+    dst = LakehouseTable(spark, str(tmp_path / "dst"))
+    assert _state(spark, str(tmp_path / "dst"), ["ver", "val"]) == {
+        0: (9, "new")
+    }
+    assert dst.current_version() == 1  # the stale batch never committed
+
+
+def test_ordered_upsert_cdc_stays_paired(spark, tmp_path):
+    """CDC over an ordered-upsert table: accepted replacements pair as
+    update_pre/postimage; dropped late rows produce NO events."""
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        _cdc_rows,
+    )
+
+    _mk_src(
+        spark,
+        str(tmp_path / "src"),
+        [
+            [Row(k=0, ver=1, val="x1"), Row(k=1, ver=2, val="y2")],
+            [Row(k=0, ver=2, val="x2"), Row(k=1, ver=1, val="y-late")],
+        ],
+    )
+    for _ in range(2):
+        _drain(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "cp"),
+            upsertOrderBy="ver",
+        )
+    dst = LakehouseTable(spark, str(tmp_path / "dst"))
+    feed = _cdc_rows(
+        dst.path, 0, dst.current_version(), ["k", "ver", "val"]
+    )
+    by_type: dict = {}
+    for r in feed:
+        by_type.setdefault(r[3], []).append(r[:3])
+    assert len(by_type.get("insert", [])) == 2  # first batch
+    # k=0 replaced (one pre/post pair); k=1's late row vanished
+    assert by_type.get("update_preimage") == [(0, 1, "x1")]
+    assert by_type.get("update_postimage") == [(0, 2, "x2")]
+
+
+def test_patch_upsert_inherits_absent_columns(spark, tmp_path):
+    dst = LakehouseTable(spark, str(tmp_path / "dst"))
+    dst.append(
+        spark.createDataFrame(
+            [Row(k=i, a=i * 10, b=f"b{i}", c=float(i)) for i in range(4)]
+        ).repartition(2, "k")
+    )
+    # patch source carries ONLY (k, a)
+    _mk_src(
+        spark,
+        str(tmp_path / "src"),
+        [[Row(k=1, a=111), Row(k=3, a=333), Row(k=9, a=999)]],
+    )
+    _drain(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp"),
+        upsertPatch="true",
+    )
+    got = _state(spark, str(tmp_path / "dst"), ["a", "b", "c"])
+    assert got[1] == (111, "b1", 1.0)  # b, c inherited
+    assert got[3] == (333, "b3", 3.0)
+    assert got[9] == (999, None, None)  # brand-new key: NULL fill
+    assert got[0] == (0, "b0", 0.0)  # untouched keys untouched
+    # chained patches inherit through prior patches
+    src2 = LakehouseTable(spark, str(tmp_path / "src2"))
+    src2.append(
+        spark.createDataFrame([Row(k=1, c=42.5)]).repartition(1)
+    )
+    _drain(
+        spark,
+        str(tmp_path / "src2"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp2"),
+        upsertPatch="true",
+    )
+    got = _state(spark, str(tmp_path / "dst"), ["a", "b", "c"])
+    assert got[1] == (111, "b1", 42.5)
+
+
+def test_patch_upsert_null_set_vs_absent(spark, tmp_path):
+    """A column PRESENT in the patch with NULL sets NULL; only absent
+    columns inherit."""
+    dst = LakehouseTable(spark, str(tmp_path / "dst"))
+    dst.append(
+        spark.createDataFrame(
+            [Row(k=0, a=1, b="keep")]
+        ).repartition(1)
+    )
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [Row(k=0, b=None)],
+            schema="k long, b string",
+        ).repartition(1)
+    )
+    _drain(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp"),
+        upsertPatch="true",
+    )
+    assert _state(spark, str(tmp_path / "dst"), ["a", "b"]) == {
+        0: (1, None)
+    }
+
+
+def test_patch_refuses_first_write_and_bogus_columns(spark, tmp_path):
+    _mk_src(spark, str(tmp_path / "src"), [[Row(k=0, a=1)]])
+    with pytest.raises(Exception, match="existing table"):
+        _drain(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "empty_dst"),
+            str(tmp_path / "cp"),
+            upsertPatch="true",
+        )
+    dst = LakehouseTable(spark, str(tmp_path / "dst"))
+    dst.append(spark.createDataFrame([Row(k=0, x=1)]).repartition(1))
+    with pytest.raises(Exception, match="not in the table schema"):
+        _drain(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "cp2"),
+            upsertPatch="true",
+        )
+
+
+def test_order_plus_patch_compose(spark, tmp_path):
+    """ordered AND patch together: late patches drop, fresh patches
+    inherit."""
+    dst = LakehouseTable(spark, str(tmp_path / "dst"))
+    dst.append(
+        spark.createDataFrame(
+            [Row(k=0, ver=5, a=1, b="orig")]
+        ).repartition(1)
+    )
+    _mk_src(
+        spark,
+        str(tmp_path / "src"),
+        [
+            [Row(k=0, ver=4, a=99)],  # late: dropped entirely
+            [Row(k=0, ver=6, a=7)],  # fresh: a set, b inherited
+        ],
+    )
+    for _ in range(2):
+        _drain(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "cp"),
+            upsertOrderBy="ver",
+            upsertPatch="true",
+        )
+    assert _state(spark, str(tmp_path / "dst"), ["ver", "a", "b"]) == {
+        0: (6, 7, "orig")
+    }
+
+
+def test_ordered_refuses_delete_column(spark, tmp_path):
+    _mk_src(spark, str(tmp_path / "src"), [[Row(k=0, ver=1, d=False)]])
+    with pytest.raises(Exception, match="deleteColumn"):
+        _drain(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "cp"),
+            upsertOrderBy="ver",
+            deleteColumn="d",
+        )
+
+
+def test_ordered_upsert_encrypted_partitioned(spark, tmp_path):
+    """Composition: ordering on an ENCRYPTED, PARTITIONED destination —
+    the loser rewrite preserves ciphertext and hive layout."""
+    from apache_iceberg_exploration_spark.sources import encryption as E
+
+    KEY = bytes(range(16))
+    dst = LakehouseTable(
+        spark, str(tmp_path / "dst"), encryption_key=KEY
+    )
+    dst.enable_encryption(KEY, mode="pme")
+    _mk_src(
+        spark,
+        str(tmp_path / "src"),
+        [
+            [Row(k=0, g=0, ver=2, val="new0"),
+             Row(k=1, g=1, ver=2, val="new1")],
+            [Row(k=0, g=0, ver=1, val="stale0"),
+             Row(k=1, g=1, ver=3, val="newer1")],
+        ],
+    )
+    for _ in range(2):
+        _drain(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "cp"),
+            upsertOrderBy="ver",
+            partitionBy="g",
+            encryptionKey=KEY.hex(),
+        )
+    assert _state(spark, str(tmp_path / "dst"), ["g", "ver", "val"]) == {
+        0: (0, 2, "new0"),
+        1: (1, 3, "newer1"),
+    }
+    m = dst._read_manifest(dst.current_version())
+    assert all("/g=" in f and E.is_encrypted_file(f) for f in m["files"])
