@@ -147,5 +147,11 @@ def _load_all() -> None:
     # r10 — join MVs + min/max MVs. Newest module: registers LAST,
     # after pme_queries.
     from .operators import mview_join_queries  # noqa: F401
+    # r10 — ordered + partial-column upserts. Newest module: registers
+    # LAST, after mview_join_queries.
+    from .operators import upsert2_queries  # noqa: F401
+    # r10 — plain VIEW objects. Newest module: registers LAST, after
+    # upsert2_queries.
+    from .operators import view_queries  # noqa: F401
 
     _LOADED = True

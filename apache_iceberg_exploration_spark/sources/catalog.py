@@ -99,3 +99,36 @@ class LakehouseCatalog:
             shutil.rmtree(self._path(identifier), ignore_errors=True)
         else:
             raise ValueError("path catalog only supports purge drops")
+
+    # -- views (Iceberg view spec shape, r10 — sources/views.py) -------------
+
+    def create_view(
+        self,
+        identifier: str,
+        sql: str,
+        replace: bool = False,
+        properties: dict | None = None,
+    ) -> dict:
+        from . import views as V
+
+        return V.create_view(self, identifier, sql, replace, properties)
+
+    def view(self, identifier: str, version: int | None = None):
+        from . import views as V
+
+        return V.read_view(self, identifier, version)
+
+    def views(self, ns: str) -> list[str]:
+        from . import views as V
+
+        return V.views(self, ns)
+
+    def view_versions(self, identifier: str):
+        from . import views as V
+
+        return V.view_versions(self, identifier)
+
+    def drop_view(self, identifier: str) -> None:
+        from . import views as V
+
+        V.drop_view(self, identifier)

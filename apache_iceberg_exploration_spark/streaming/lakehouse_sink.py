@@ -49,17 +49,114 @@ def _raw(path: str) -> dict:
         return json.load(f)
 
 
-def _last_batch_hwm(root: str) -> int | None:
+def _last_batch_hwm(root: str, app: str = "default") -> int | None:
+    """Replay high-water mark, scoped by ``txnAppId`` (Delta's txn
+    pattern): batch ids are only comparable within ONE streaming
+    pipeline — a restart of the same query (same checkpoint, same app
+    id) replays its uncommitted batch with the same id and must dedupe,
+    but an INDEPENDENT query writing to the same table starts at batch
+    0 again and must NOT be mistaken for a replay. The default app id
+    keeps the r9 single-pipeline behavior (and reads pre-r10
+    manifests, which recorded unscoped keys)."""
     marks = []
+    suffix = "" if app == "default" else f".{app}"
     for v in range(1, _current_version(root) + 1):
         p = os.path.join(root, "snapshots", f"v{v}.json")
         if not os.path.exists(p):
             continue
         s = _raw(p).get("summary", {})
-        for k in (BATCH_HWM_KEY, BATCH_KEY):
+        for k in (BATCH_HWM_KEY + suffix, BATCH_KEY + suffix):
             if k in s:
                 marks.append(s[k])
     return max(marks) if marks else None
+
+
+class UpsertKeyConflict(Exception):
+    """A concurrent commit claimed (equality-deleted) keys that
+    intersect this upsert batch's keys — blind rebase would let the
+    last writer win silently (Iceberg's validateNoConflictingDeletes
+    condition). Ordered upserts re-resolve against the new tip and
+    retry; plain upserts surface this to the pipeline."""
+
+    def __init__(self, keys, conservative: bool = False):
+        self.keys = keys
+        self.conservative = conservative
+        what = (
+            "a concurrent non-append commit (cannot prove key "
+            "disjointness)"
+            if conservative
+            else f"concurrently upserted keys {sorted(keys)[:5]!r}"
+        )
+        super().__init__(
+            "lakehouse_sink upsert: rebase blocked by " + what + " — "
+            "declare upsertOrderBy for deterministic resolution, or "
+            "serialize the writers"
+        )
+
+
+def _concurrent_conflict(
+    root: str,
+    since: int,
+    parent: int,
+    key_cols: list[str],
+    tuples: set,
+    enc_key,
+):
+    """Scan the rebase window (since, parent] for commits whose deletes
+    could claim this batch's keys. Appends are always benign; a
+    concurrent streaming-upsert conflicts iff its equality-delete keys
+    intersect ours (its key files are broadcast-sized — one read);
+    anything else (CoW rewrites, merges, compactions) is a conservative
+    conflict: proving key disjointness would mean re-deriving its
+    predicate. Returns None (clean) or an UpsertKeyConflict."""
+    from ..sources.encryption import read_table_auto
+
+    # state-preserving ops: layout/metadata changes only — no row of
+    # any key appears, disappears, or changes value, so key decisions
+    # made at `since` stay valid across them
+    benign = {
+        "append",
+        "add-files",
+        "compact",
+        "compact-small",
+        "coalesce-deletes-dv",
+        "rewrite-manifests",
+        "rewrite-pos-deletes",
+        "rewrite-dv-heavy",
+        "evolve-schema",
+    }
+    for v in range(since + 1, parent + 1):
+        p = os.path.join(root, "snapshots", f"v{v}.json")
+        if not os.path.exists(p):
+            return UpsertKeyConflict(set(), conservative=True)
+        m = _raw(p)
+        op = m.get("operation")
+        if op in benign:
+            continue
+        if op != "streaming-upsert":
+            return UpsertKeyConflict(set(), conservative=True)
+        # the commit's OWN entry is the one with seq == v-1 appended at
+        # the tail; older entries were checked in their own windows
+        entries = [
+            d
+            for d in m.get("delete_files", [])
+            if int(d.get("seq", -1)) == v - 1 and not d.get("pos")
+        ]
+        hit = set()
+        for d in entries:
+            if d.get("keys") != key_cols:
+                # different key columns: cannot prove disjointness
+                return UpsertKeyConflict(set(), conservative=True)
+            for kf in d["files"]:
+                t = read_table_auto(kf, enc_key, columns=key_cols)
+                for tup in zip(
+                    *[t.column(k).to_pylist() for k in key_cols]
+                ):
+                    if tup in tuples:
+                        hit.add(tup)
+        if hit:
+            return UpsertKeyConflict(hit)
+    return None
 
 
 def _commit_append(
@@ -72,6 +169,7 @@ def _commit_append(
     overwrite: bool = False,
     schema_json: str | None = None,
     eq_delete: tuple[list[str], list[str]] | None = None,
+    conflict_check: dict | None = None,
 ) -> int:
     """Standalone append commit speaking LakehouseTable's manifest
     protocol: optimistic create-exclusive publish, parts-format payload
@@ -174,6 +272,27 @@ def _commit_append(
                 )
     for _ in range(20):
         parent = _current_version(root)
+        if (
+            conflict_check is not None
+            and parent > conflict_check["since"]
+        ):
+            # validateNoConflictingDeletes (Iceberg): this batch's
+            # key decisions were made against `since` — a concurrent
+            # commit in (since, parent] claiming intersecting keys
+            # invalidates them; blind rebase would silently let the
+            # last writer win
+            err = _concurrent_conflict(
+                root,
+                conflict_check["since"],
+                parent,
+                conflict_check["key_cols"],
+                conflict_check["tuples"],
+                conflict_check.get("enc_key"),
+            )
+            if err is not None:
+                raise err
+            # window proven benign: rebase decisions stay valid
+            conflict_check["since"] = parent
         prev = (
             _raw(os.path.join(snap_dir, f"v{parent}.json")) if parent else {}
         )
@@ -941,6 +1060,7 @@ def make_lakehouse_stream_sink():
             validate_keys: bool = False,
             order_col: str | None = None,
             patch: bool = False,
+            txn_app: str | None = None,
         ):
             self.root = root
             self.partition_cols = partition_cols or []
@@ -951,6 +1071,10 @@ def make_lakehouse_stream_sink():
             self.validate_keys = validate_keys
             self.order_col = order_col
             self.patch = patch
+            self.txn_app = txn_app or "default"
+            self._app_suffix = (
+                "" if self.txn_app == "default" else f".{self.txn_app}"
+            )
 
         def write(self, iterator) -> "_Msg":
             # EXECUTOR side: partition rows -> parquet file(s) + stats
@@ -1057,7 +1181,7 @@ def make_lakehouse_stream_sink():
                                 "by the upsert keys upstream"
                             )
                         seen.add(tup)
-            hwm = _last_batch_hwm(self.root)
+            hwm = _last_batch_hwm(self.root, self.txn_app)
             if hwm is not None and batchId <= hwm:
                 # replayed micro-batch: its rows are already committed;
                 # drop the redundant files, publish nothing
@@ -1065,56 +1189,108 @@ def make_lakehouse_stream_sink():
                 return
             if not files and not key_files:
                 return  # empty batch: no commit, offsets still advance
-            if self.upsert_keys and (self.order_col or self.patch):
-                # ordered / partial-column upserts: one key-scoped
-                # current-state lookup drops losing rows and completes
-                # patch rows BEFORE the commit (the committed files are
-                # always full-schema, in-order — readers unchanged)
-                files, key_files, stats, partitions = (
-                    _resolve_upsert_semantics(
+            attempt = 0
+            while True:
+                since = _current_version(self.root)
+                if self.upsert_keys and (self.order_col or self.patch):
+                    # ordered / partial-column upserts: one key-scoped
+                    # current-state lookup drops losing rows and
+                    # completes patch rows BEFORE the commit (the
+                    # committed files are always full-schema, in-order
+                    # — readers unchanged)
+                    files, key_files, stats, partitions = (
+                        _resolve_upsert_semantics(
+                            self.root,
+                            files,
+                            key_files,
+                            stats,
+                            partitions,
+                            self.upsert_keys,
+                            self.order_col,
+                            self.patch,
+                            self.enc_key,
+                        )
+                    )
+                    if not files and not key_files:
+                        return  # whole batch lost the ordering race
+                conflict = None
+                if self.upsert_keys and key_files:
+                    # SURVIVING batch keys arm validateNoConflicting-
+                    # Deletes: a concurrent commit claiming any of them
+                    # in (since, tip] aborts the blind rebase
+                    from ..sources.encryption import read_table_auto
+
+                    tuples: set = set()
+                    for kf in key_files:
+                        t = read_table_auto(
+                            kf, self.enc_key, columns=self.upsert_keys
+                        )
+                        tuples |= set(
+                            zip(
+                                *[
+                                    t.column(k).to_pylist()
+                                    for k in self.upsert_keys
+                                ]
+                            )
+                        )
+                    conflict = {
+                        "since": since,
+                        "key_cols": self.upsert_keys,
+                        "tuples": tuples,
+                        "enc_key": self.enc_key,
+                    }
+                try:
+                    _commit_append(
                         self.root,
                         files,
-                        key_files,
                         stats,
-                        partitions,
-                        self.upsert_keys,
-                        self.order_col,
-                        self.patch,
-                        self.enc_key,
+                        {
+                            BATCH_KEY + self._app_suffix: batchId,
+                            BATCH_HWM_KEY + self._app_suffix: max(
+                                batchId,
+                                hwm if hwm is not None else batchId,
+                            ),
+                            **(
+                                {
+                                    "upsert_keys": ",".join(
+                                        self.upsert_keys
+                                    )
+                                }
+                                if self.upsert_keys
+                                else {}
+                            ),
+                        },
+                        partitions=partitions or None,
+                        partition_specs=[
+                            {"kind": "identity", "col": c, "n": None}
+                            for c in self.partition_cols
+                        ]
+                        if self.partition_cols
+                        else None,
+                        # patch batches carry a PARTIAL stream schema;
+                        # the completed files are full-schema, so the
+                        # table schema stands as-is
+                        schema_json=None
+                        if self.patch
+                        else self.schema_json,
+                        eq_delete=(key_files, self.upsert_keys)
+                        if self.upsert_keys and key_files
+                        else None,
+                        conflict_check=conflict,
                     )
-                )
-                if not files and not key_files:
-                    return  # the whole batch lost the ordering race
-            _commit_append(
-                self.root,
-                files,
-                stats,
-                {
-                    BATCH_KEY: batchId,
-                    BATCH_HWM_KEY: max(
-                        batchId, hwm if hwm is not None else batchId
-                    ),
-                    **(
-                        {"upsert_keys": ",".join(self.upsert_keys)}
-                        if self.upsert_keys
-                        else {}
-                    ),
-                },
-                partitions=partitions or None,
-                partition_specs=[
-                    {"kind": "identity", "col": c, "n": None}
-                    for c in self.partition_cols
-                ]
-                if self.partition_cols
-                else None,
-                # patch batches carry a PARTIAL stream schema; the
-                # completed files are full-schema, so the table schema
-                # stands as-is
-                schema_json=None if self.patch else self.schema_json,
-                eq_delete=(key_files, self.upsert_keys)
-                if self.upsert_keys and key_files
-                else None,
-            )
+                    return
+                except UpsertKeyConflict:
+                    # ordered upserts re-resolve deterministically (the
+                    # order column decides the race); plain and patch
+                    # upserts cannot — surface the conflict
+                    attempt += 1
+                    if (
+                        not self.order_col
+                        or self.patch
+                        or attempt >= 5
+                    ):
+                        self._drop(files + key_files)
+                        raise
 
         def abort(self, messages, batchId: int) -> None:
             self._drop(
@@ -1265,6 +1441,7 @@ def make_lakehouse_stream_sink():
                 ),
                 order_col=order_col,
                 patch=patch,
+                txn_app=opts.get("txnappid") or None,
             )
 
     return LakehouseStreamSink

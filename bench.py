@@ -202,6 +202,11 @@ HEADLINE = [
     # r10: join MVs (two-delta) + min/max MVs (group-scoped recompute)
     "lakehouse_mv_join_two_delta_refresh",
     "lakehouse_mv_minmax_group_recompute",
+    # r10: ordered + partial-column upserts
+    "streaming_upsert_out_of_order_replay",
+    "streaming_upsert_partial_column_patch",
+    # r10: versioned SQL views over the path catalog
+    "lakehouse_sql_view_catalog",
 ]
 
 

@@ -60,6 +60,11 @@ _FAMILIES = (
     # r10: join/min-max MVs — delta slice sizes and touched-group sets
     # resolve per SF
     "apache_iceberg_exploration_spark.operators.mview_join_queries",
+    # r10: ordered/patch upserts — loser sets and completion fan-out
+    # resolve per SF
+    "apache_iceberg_exploration_spark.operators.upsert2_queries",
+    # r10: SQL views — resolution over per-SF table layouts
+    "apache_iceberg_exploration_spark.operators.view_queries",
 )
 _CASES = sorted(
     name

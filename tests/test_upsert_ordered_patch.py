@@ -234,7 +234,9 @@ def test_patch_upsert_inherits_absent_columns(spark, tmp_path):
     assert got[3] == (333, "b3", 3.0)
     assert got[9] == (999, None, None)  # brand-new key: NULL fill
     assert got[0] == (0, "b0", 0.0)  # untouched keys untouched
-    # chained patches inherit through prior patches
+    # chained patches inherit through prior patches — an INDEPENDENT
+    # query (fresh checkpoint) needs its own txnAppId so its batch 0
+    # is not mistaken for a replay of the first pipeline's batch 0
     src2 = LakehouseTable(spark, str(tmp_path / "src2"))
     src2.append(
         spark.createDataFrame([Row(k=1, c=42.5)]).repartition(1)
@@ -245,9 +247,32 @@ def test_patch_upsert_inherits_absent_columns(spark, tmp_path):
         str(tmp_path / "dst"),
         str(tmp_path / "cp2"),
         upsertPatch="true",
+        txnAppId="pipeline2",
     )
     got = _state(spark, str(tmp_path / "dst"), ["a", "b", "c"])
     assert got[1] == (111, "b1", 42.5)
+
+
+def test_txn_app_id_scopes_replay_detection(spark, tmp_path):
+    """Two independent pipelines (fresh checkpoints, both batch 0)
+    write to one table: without txnAppId the second's first batch is
+    treated as a replay and silently dropped; with distinct app ids
+    both land. Replay WITHIN an app id still dedupes."""
+    _mk_src(spark, str(tmp_path / "srcA"), [[Row(k=0, v="a")]])
+    _mk_src(spark, str(tmp_path / "srcB"), [[Row(k=1, v="b")]])
+    dst = str(tmp_path / "dst")
+    _drain(spark, str(tmp_path / "srcA"), dst, str(tmp_path / "cpA"),
+           txnAppId="appA")
+    _drain(spark, str(tmp_path / "srcB"), dst, str(tmp_path / "cpB"),
+           txnAppId="appB")
+    assert _state(spark, dst, ["v"]) == {0: ("a",), 1: ("b",)}
+    t = LakehouseTable(spark, dst)
+    v = t.current_version()
+    # replay of appA's batch 0 (same checkpoint wiped = same batch id):
+    # a SECOND run over the same source+checkpoint is a true no-op
+    _drain(spark, str(tmp_path / "srcA"), dst, str(tmp_path / "cpA"),
+           txnAppId="appA")
+    assert LakehouseTable(spark, dst).current_version() == v
 
 
 def test_patch_upsert_null_set_vs_absent(spark, tmp_path):
@@ -374,9 +399,10 @@ def test_ordered_upsert_encrypted_partitioned(spark, tmp_path):
             partitionBy="g",
             encryptionKey=KEY.hex(),
         )
-    assert _state(spark, str(tmp_path / "dst"), ["g", "ver", "val"]) == {
-        0: (0, 2, "new0"),
-        1: (1, 3, "newer1"),
+    got = {
+        r["k"]: (r["g"], r["ver"], r["val"])
+        for r in dst.read().collect()
     }
+    assert got == {0: (0, 2, "new0"), 1: (1, 3, "newer1")}
     m = dst._read_manifest(dst.current_version())
     assert all("/g=" in f and E.is_encrypted_file(f) for f in m["files"])
