@@ -192,21 +192,36 @@ def streaming_upsert_cdc_change_counts(
     arithmetic. Every gen-3 customer existed in gen 2, so the commit
     has zero plain inserts: the feed must classify ALL of its rows as
     pairs or deletes, which fails loudly if the pairing ever regresses
-    to unpaired delete+insert."""
-    from ..streaming.lakehouse_source import _cdc_rows
+    to unpaired delete+insert.
+
+    Scale: the diff runs EXECUTOR-side through the distributed CDC
+    reader (readChangeFeed + startingVersion — one partition per
+    commit, `_cdc_rows` evaluated where the data lives) and aggregates
+    with a plain groupBy; the driver never materializes row-level
+    changes (r9-verdict cleanup — the old form called `_cdc_rows`
+    driver-side and counted in a dict)."""
+    from ..streaming.lakehouse_source import (
+        make_lakehouse_stream_dist_source,
+    )
+    from ..streaming.windows import _run_available_now
 
     root = _replay_upsert(spark, sf_dir)
     try:
         dst = LakehouseTable(spark, root + "/dst")
         v = dst.current_version()
-        rows = _cdc_rows(
-            root + "/dst", v - 1, v, ["cust", "latest_order", "price_cents"]
+        spark.dataSource.register(make_lakehouse_stream_dist_source())
+        feed = _run_available_now(
+            spark.readStream.format("lakehouse_stream_dist")
+            .option("path", root + "/dst")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", str(v - 1))
+            .load(),
+            "append",
         )
-        counts: dict[str, int] = {}
-        for r in rows:
-            counts[r[3]] = counts.get(r[3], 0) + 1
-        out = spark.createDataFrame(
-            sorted(counts.items()), "_change_type string, n long"
+        out = (
+            feed.groupBy("_change_type")
+            .agg(F.count("*").alias("n"))
+            .orderBy("_change_type")
         )
         return out.localCheckpoint(eager=True)
     finally:

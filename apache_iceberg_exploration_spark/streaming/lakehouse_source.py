@@ -1978,6 +1978,41 @@ def _ranges_disjoint(file_stats: dict, key_ranges: dict) -> bool:
     return False
 
 
+def _needed_physical(
+    pf_names,
+    target,
+    renames: dict | None,
+    eq,
+    geo_bbox: dict | None,
+    lineage: bool = False,
+):
+    """Physical columns one projected read actually needs: the target
+    fields (through their rename history), equality-delete key columns,
+    geometry columns + their envelope shreds for the geoBBox residual,
+    and the materialized lineage columns. Returns the pruned column
+    list for ``iter_batches(columns=...)`` — or None when everything is
+    needed (plain full read, zero overhead). On PME files the pruning
+    is also a DECRYPTION saving: unprojected column chunks are never
+    read or decrypted; on plaintext files it skips their column chunks'
+    IO."""
+    need: set = set()
+    for fld in target:
+        need.add(fld.name)
+        for prior in (renames or {}).get(fld.name, []):
+            need.add(prior)
+    for spec in eq or ():
+        need |= set(spec[1])
+    for c in geo_bbox or {}:
+        need.add(c)
+        need |= {
+            f"__geo_{c}_{p}" for p in ("xmin", "xmax", "ymin", "ymax")
+        }
+    if lineage:
+        need |= {"__row_id", "__last_updated"}
+    cols = [n for n in pf_names if n in need]
+    return cols if len(cols) < len(pf_names) else None
+
+
 def _project_arrow(
     tbl, target, defaults: dict | None = None, renames: dict | None = None
 ):
@@ -2626,8 +2661,19 @@ def make_lakehouse_batch_source():
                 import pyarrow as pa
 
                 eq_loaded = _load_eq_keysets(eq, self._enc_key)
+                # column pruning: the projection path touches only the
+                # columns the target schema (through renames), the
+                # equality keys, and the geo residual need — on PME
+                # files the skipped chunks are never even decrypted
+                prune_cols = _needed_physical(
+                    pf.schema_arrow.names,
+                    target,
+                    self._renames,
+                    eq,
+                    self.geo_bbox,
+                )
                 offset = 0
-                for batch in pf.iter_batches():
+                for batch in pf.iter_batches(columns=prune_cols):
                     tbl = pa.Table.from_batches([batch])
                     n = tbl.num_rows
                     mask = self._dv_mask(
@@ -2664,8 +2710,16 @@ def make_lakehouse_batch_source():
             pf = _pf_auto(f, self._enc_key)
             has_rid = "__row_id" in pf.schema_arrow.names
             has_lu = "__last_updated" in pf.schema_arrow.names
+            prune_cols = _needed_physical(
+                pf.schema_arrow.names,
+                target,
+                self._renames,
+                eq,
+                self.geo_bbox,
+                lineage=True,
+            )
             offset = 0
-            for batch in pf.iter_batches():
+            for batch in pf.iter_batches(columns=prune_cols):
                 tbl = pa.Table.from_batches([batch])
                 n = tbl.num_rows
                 # Iceberg v3 inheritance, Arrow-side: materialized ids

@@ -97,6 +97,83 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
             ids.pop(kk, None)
         model.update(new_rows)
 
+    def racing_upserts():
+        """Two upsert batches prepared against the SAME version (the
+        concurrent-writer race, r10): both commit with
+        validateNoConflictingDeletes armed. Disjoint keys: both land.
+        Intersecting keys: the first lands, the second is REFUSED with
+        UpsertKeyConflict (never silently last-rebase-wins)."""
+        import os as _os
+        import uuid as _uuid
+
+        from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+            UpsertKeyConflict,
+            _commit_append,
+            _write_one_file,
+            drop_task_dirs,
+            write_task_files,
+        )
+
+        nonlocal next_k
+        live = sorted({k for (k, v) in model})
+        overlap = bool(live) and rng.random() < 0.5
+
+        def prep(rows):
+            files, stats, _ = write_task_files(
+                [{"k": k, "v": v} for k, v in rows], t.path
+            )
+            kf, _ = _write_one_file(
+                [{"k": k} for k, _ in rows],
+                _os.path.join(
+                    t.path, "data", f"stream-{_uuid.uuid4().hex[:12]}"
+                ),
+            )
+            return files, stats, kf, {(k,) for k, _ in rows}
+
+        a_rows = [(next_k, next_k * 10)]
+        b_key = live[0] if overlap else next_k + 1
+        b_rows = [(b_key, b_key * 10 + 3)]
+        if overlap:
+            a_rows.append((live[0], live[0] * 10 + 5))
+        next_k += 2
+        since = t.current_version()
+        a = prep(a_rows)
+        b = prep(b_rows)
+        for rows, (files, stats, kf, tuples), expect_conflict in (
+            (a_rows, a, False),
+            (b_rows, b, overlap),
+        ):
+            conflict = {
+                "since": since,
+                "key_cols": ["k"],
+                "tuples": tuples,
+                "enc_key": None,
+            }
+            if expect_conflict:
+                try:
+                    _commit_append(
+                        t.path, files, stats, {},
+                        eq_delete=([kf], ["k"]),
+                        conflict_check=conflict,
+                    )
+                    raise AssertionError(
+                        "intersecting racing upserts both landed"
+                    )
+                except UpsertKeyConflict:
+                    drop_task_dirs(files + [kf])
+                continue
+            _commit_append(
+                t.path, files, stats, {},
+                eq_delete=([kf], ["k"]),
+                conflict_check=conflict,
+            )
+            for kk in {k for k, _ in rows}:
+                for (k, v) in list(model):
+                    if k == kk:
+                        del model[(k, v)]
+                ids.pop(kk, None)
+            model.update(rows)
+
     append(rng.randint(5, 15))  # v1 seed data
     # k -> _row_id, captured when first observed (v1 upfront so a
     # rollback-to-v1 restores real knowledge, not an empty map)
@@ -117,6 +194,7 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
         "coalesce_dv",
         "rollback",
         "upsert",
+        "racing_upserts",
     ]
     for step in range(N_OPS):
         op = rng.choice(ops)
@@ -126,6 +204,8 @@ def _run_sequence(spark, tmp_path, seed: int) -> None:
             upsert(
                 rng.randint(1, 4), rng.randint(0, 3), rng.randint(0, 2)
             )
+        elif op == "racing_upserts":
+            racing_upserts()
         elif op == "cow_delete":
             m = rng.randint(2, 5)
             r = rng.randint(0, m - 1)

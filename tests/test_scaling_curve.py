@@ -90,6 +90,13 @@ def test_scaling_audit_covers_the_mutation_family():
         "lakehouse_encrypted_table_mutations",
         "geo_grid_partitioned_spatial_join",
         "lakehouse_materialized_view_incremental",
+        # r10: PME, join/min-max MVs, ordered/patch upserts, SQL views
+        "lakehouse_pme_encrypted_projection_mutations",
+        "lakehouse_mv_join_two_delta_refresh",
+        "lakehouse_mv_minmax_group_recompute",
+        "streaming_upsert_out_of_order_replay",
+        "streaming_upsert_partial_column_patch",
+        "lakehouse_sql_view_catalog",
     }
     assert must_cover <= set(art["queries"])
 

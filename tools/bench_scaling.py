@@ -92,6 +92,18 @@ QUERIES = [
     "lakehouse_encrypted_table_mutations",
     "geo_grid_partitioned_spatial_join",
     "lakehouse_materialized_view_incremental",
+    # r10: PME encryption (per-column AES — linear like the envelope),
+    # join-MV two-delta refresh (broadcast delta joins — linear in the
+    # base scans), min/max MV (scoped recompute — linear in touched
+    # groups' mass), ordered upsert replay (key-scoped lookup — bounded
+    # by candidate files), patch completion (same lookup + batch
+    # rewrite), SQL views (pure metadata over a linear scan).
+    "lakehouse_pme_encrypted_projection_mutations",
+    "lakehouse_mv_join_two_delta_refresh",
+    "lakehouse_mv_minmax_group_recompute",
+    "streaming_upsert_out_of_order_replay",
+    "streaming_upsert_partial_column_patch",
+    "lakehouse_sql_view_catalog",
 ]
 
 SFS = [
