@@ -2013,6 +2013,73 @@ def _needed_physical(
     return cols if len(cols) < len(pf_names) else None
 
 
+def _rg_keep_indexes(pf, bounds: dict) -> "list[int] | None":
+    """Row-group indexes surviving the pushed interval bounds (the
+    DSv2 pushFilters fold): a group drops only when its column-chunk
+    min/max PROVE disjointness — missing stats, absent columns, and
+    incomparable types keep it (Spark re-applies every pushed filter
+    row-level, so pruning here is exactness-preserving). Returns None
+    when nothing prunes (zero-overhead full read). This is the
+    intra-file tier below manifest file pruning — at 100 TB files are
+    row-group-sized multiples, so a selective pushed range skips most
+    of a kept file's bytes (and, on PME files, their decryption)."""
+    if not bounds:
+        return None
+    md = pf.metadata
+    paths = {
+        md.schema.column(j).path: j for j in range(md.num_columns)
+    }
+    keep, pruned = [], False
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        drop = False
+        for col, (lo, hi) in bounds.items():
+            j = paths.get(col)
+            if j is None:
+                continue
+            st = rg.column(j).statistics
+            if st is None or not st.has_min_max:
+                continue
+            try:
+                if (hi is not None and st.min > hi) or (
+                    lo is not None and st.max < lo
+                ):
+                    drop = True
+                    break
+            except TypeError:
+                continue
+        if drop:
+            pruned = True
+        else:
+            keep.append(i)
+    return keep if pruned else None
+
+
+def _tables_with_offsets(pf, columns, bounds: dict):
+    """Yield (arrow table, ORIGINAL row offset) pairs for one data
+    file, row-group-pruned by the pushed bounds. Original offsets keep
+    every positional consumer exact — deletion-vector and position-
+    delete masks address file-absolute row indexes, and row-lineage ids
+    derive from original positions — whatever groups were skipped."""
+    import pyarrow as pa
+
+    keep = _rg_keep_indexes(pf, bounds)
+    if keep is None:
+        off = 0
+        for b in pf.iter_batches(columns=columns):
+            t = pa.Table.from_batches([b])
+            yield t, off
+            off += t.num_rows
+        return
+    md = pf.metadata
+    starts, s = [], 0
+    for i in range(md.num_row_groups):
+        starts.append(s)
+        s += md.row_group(i).num_rows
+    for i in keep:
+        yield pf.read_row_group(i, columns=columns), starts[i]
+
+
 def _project_arrow(
     tbl, target, defaults: dict | None = None, renames: dict | None = None
 ):
@@ -2654,6 +2721,9 @@ def make_lakehouse_batch_source():
                     and eq is None
                     and not self.geo_bbox
                     and _us_schema(pf.schema_arrow) == target
+                    # pushed bounds that prune row groups take the
+                    # projecting path below (IO saved beats the copy)
+                    and _rg_keep_indexes(pf, self.bounds) is None
                 ):
                     yield from _us_batches(pf)
                     return
@@ -2672,9 +2742,9 @@ def make_lakehouse_batch_source():
                     eq,
                     self.geo_bbox,
                 )
-                offset = 0
-                for batch in pf.iter_batches(columns=prune_cols):
-                    tbl = pa.Table.from_batches([batch])
+                for tbl, offset in _tables_with_offsets(
+                    pf, prune_cols, self.bounds
+                ):
                     n = tbl.num_rows
                     mask = self._dv_mask(
                         dv,
@@ -2685,7 +2755,6 @@ def make_lakehouse_batch_source():
                         else None,
                     )
                     gk = self._geo_keep(tbl)
-                    offset += n
                     out = _project_arrow(
                         tbl, target, self._defaults, self._renames
                     )
@@ -2718,9 +2787,9 @@ def make_lakehouse_batch_source():
                 self.geo_bbox,
                 lineage=True,
             )
-            offset = 0
-            for batch in pf.iter_batches(columns=prune_cols):
-                tbl = pa.Table.from_batches([batch])
+            for tbl, offset in _tables_with_offsets(
+                pf, prune_cols, self.bounds
+            ):
                 n = tbl.num_rows
                 # Iceberg v3 inheritance, Arrow-side: materialized ids
                 # win; NULL slots inherit base+position / the file seq
@@ -2764,7 +2833,6 @@ def make_lakehouse_batch_source():
                         keep &= mask.to_numpy(zero_copy_only=False)
                     out = out.filter(pa.array(keep))
                 yield from out.to_batches()
-                offset += n
 
     class LakehouseBatchSource(DataSource):
         @classmethod
