@@ -153,5 +153,8 @@ def _load_all() -> None:
     # r10 — plain VIEW objects. Newest module: registers LAST, after
     # upsert2_queries.
     from .operators import view_queries  # noqa: F401
+    # r10 — catalog multi-table transactions. Newest module: registers
+    # LAST, after view_queries.
+    from .operators import txn_queries  # noqa: F401
 
     _LOADED = True

@@ -44,6 +44,9 @@ class LakehouseCatalog:
             d
             for d in os.listdir(self.warehouse)
             if os.path.isdir(os.path.join(self.warehouse, d))
+            # _catalog holds the transaction commit log (txn.py), not
+            # a user namespace
+            and not d.startswith("_")
         )
 
     def drop_namespace(self, ns: str) -> None:
@@ -99,6 +102,28 @@ class LakehouseCatalog:
             shutil.rmtree(self._path(identifier), ignore_errors=True)
         else:
             raise ValueError("path catalog only supports purge drops")
+
+    # -- multi-table transactions (Nessie shape, r10 — sources/txn.py) -------
+
+    def transaction(self):
+        """``with cat.transaction() as tx: tx.table("ns.a").append(...);
+        tx.table("ns.b").delete_where(...)`` — one atomic catalog
+        commit pins every touched table's produced version."""
+        from .txn import CatalogTransaction
+
+        return CatalogTransaction(self)
+
+    def snapshot(self, version: int | None = None):
+        """Consistent multi-table read view at a catalog commit
+        (default: the tip)."""
+        from .txn import CatalogSnapshot
+
+        return CatalogSnapshot(self, version)
+
+    def catalog_tip(self) -> int:
+        from .txn import catalog_tip
+
+        return catalog_tip(self.warehouse)
 
     # -- views (Iceberg view spec shape, r10 — sources/views.py) -------------
 

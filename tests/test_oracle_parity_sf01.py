@@ -65,6 +65,8 @@ _FAMILIES = (
     "apache_iceberg_exploration_spark.operators.upsert2_queries",
     # r10: SQL views — resolution over per-SF table layouts
     "apache_iceberg_exploration_spark.operators.view_queries",
+    # r10: catalog transactions — pin maps over per-SF commit shapes
+    "apache_iceberg_exploration_spark.operators.txn_queries",
 )
 _CASES = sorted(
     name
