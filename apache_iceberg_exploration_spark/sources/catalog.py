@@ -105,25 +105,48 @@ class LakehouseCatalog:
 
     # -- multi-table transactions (Nessie shape, r10 — sources/txn.py) -------
 
-    def transaction(self):
+    def transaction(self, ref: str = "main"):
         """``with cat.transaction() as tx: tx.table("ns.a").append(...);
         tx.table("ns.b").delete_where(...)`` — one atomic catalog
-        commit pins every touched table's produced version."""
+        commit on the named ref pins every touched table's produced
+        version."""
         from .txn import CatalogTransaction
 
-        return CatalogTransaction(self)
+        return CatalogTransaction(self, ref=ref)
 
-    def snapshot(self, version: int | None = None):
+    def snapshot(self, version: int | None = None, ref: str = "main"):
         """Consistent multi-table read view at a catalog commit
-        (default: the tip)."""
+        (default: the named ref's head)."""
         from .txn import CatalogSnapshot
 
-        return CatalogSnapshot(self, version)
+        return CatalogSnapshot(self, version, ref=ref)
 
-    def catalog_tip(self) -> int:
-        from .txn import catalog_tip
+    def catalog_tip(self, ref: str = "main") -> int:
+        from .txn import ref_head
 
-        return catalog_tip(self.warehouse)
+        return ref_head(self.warehouse, ref)
+
+    def create_branch(self, name: str, from_ref: str = "main") -> int:
+        from .txn import create_branch
+
+        return create_branch(self.warehouse, name, from_ref)
+
+    def create_catalog_tag(
+        self, name: str, from_ref: str = "main"
+    ) -> int:
+        from .txn import create_tag
+
+        return create_tag(self.warehouse, name, from_ref)
+
+    def merge_branch(self, src: str, into: str = "main") -> dict:
+        from .txn import merge_ref
+
+        return merge_ref(self.warehouse, src, into)
+
+    def refs(self) -> dict:
+        from .txn import list_refs
+
+        return list_refs(self.warehouse)
 
     # -- views (Iceberg view spec shape, r10 — sources/views.py) -------------
 

@@ -207,8 +207,9 @@ HEADLINE = [
     "streaming_upsert_partial_column_patch",
     # r10: versioned SQL views over the path catalog
     "lakehouse_sql_view_catalog",
-    # r10: catalog-level multi-table transactions (Nessie shape)
+    # r10: catalog-level multi-table transactions + branches/merges
     "lakehouse_catalog_multitable_txn",
+    "lakehouse_catalog_branch_merge",
 ]
 
 

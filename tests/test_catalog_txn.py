@@ -76,17 +76,30 @@ def test_context_manager_abort_publishes_nothing(spark, cat):
 
 
 def test_conflicting_transactions_first_wins(spark, cat):
+    """Two transactions racing on one table: the first lands; the
+    second is refused at TOUCH time by the tip-equals-pin soundness
+    guard (mutating on top of state the ref never pinned would leak
+    the winner's rows into the loser's pin)."""
     t1 = CatalogTransaction(cat)
-    t2 = CatalogTransaction(cat)
+    t2 = CatalogTransaction(cat)  # same base
     t1.table("s.a").append(
         spark.createDataFrame([Row(k=300, v=1)]).repartition(1)
     )
-    t2.table("s.a").append(
-        spark.createDataFrame([Row(k=301, v=2)]).repartition(1)
-    )
     t1.commit()
+    with pytest.raises(CatalogConflict, match="physically moved"):
+        t2.table("s.a")
+    # and a commit-time pin race (touched BEFORE the winner mutated)
+    # is caught by the publish check
+    t4 = CatalogTransaction(cat)
+    t5 = CatalogTransaction(cat)
+    t4.table("s.b")
+    t5.table("s.b")
+    t4.table("s.b").append(
+        spark.createDataFrame([Row(k=300, w="x")]).repartition(1)
+    )
+    t4.commit()
     with pytest.raises(CatalogConflict, match="re-pinned"):
-        t2.commit()
+        t5.commit()
 
 
 def test_disjoint_transactions_merge(spark, cat):
