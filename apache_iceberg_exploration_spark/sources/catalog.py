@@ -28,9 +28,19 @@ from .lakehouse import LakehouseTable
 class LakehouseCatalog:
     """``warehouse/<namespace>/<table>`` path-addressed catalog."""
 
-    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        name: str = "my_catalog",
+    ) -> None:
         self.spark = spark
         self.warehouse = warehouse
+        # The catalog's own name (the reference's ``my_catalog``,
+        # constant.py:43). 3-part identifiers must use THIS prefix —
+        # view SQL mentioning ``other_catalog.ns.t`` is NOT silently
+        # adopted (ADVICE r10).
+        self.name = name
         os.makedirs(warehouse, exist_ok=True)
 
     # -- namespaces ----------------------------------------------------------
@@ -59,7 +69,12 @@ class LakehouseCatalog:
 
     def _split(self, identifier: str) -> tuple[str, str]:
         parts = identifier.split(".")
-        if len(parts) == 3:  # catalog.ns.table — catalog name is implicit
+        if len(parts) == 3:  # catalog.ns.table — prefix must be OURS
+            if parts[0] != self.name:
+                raise ValueError(
+                    f"unknown catalog {parts[0]!r} in {identifier!r} "
+                    f"(this catalog is {self.name!r})"
+                )
             parts = parts[1:]
         if len(parts) != 2:
             raise ValueError(

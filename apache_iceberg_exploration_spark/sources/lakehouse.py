@@ -1513,22 +1513,26 @@ class LakehouseTable:
 
     def enable_encryption(
         self, key: bytes | str, key_id: str = "k1",
-        mode: str = "envelope",
+        mode: str | None = None,
     ) -> None:
         """Turn on encryption for every subsequent write. Existing
         plaintext files keep reading (per-file magic sniff);
         ``rewrite_data_files()`` re-encrypts them. Refused when the
-        table already has a DIFFERENT key enabled (rotate instead) —
-        re-enabling with the SAME key may still switch the write mode.
+        table already has a DIFFERENT key enabled (rotate instead).
+        Re-enabling with the SAME key keeps the current write mode
+        unless ``mode`` is explicitly passed (ADVICE r10: the default
+        used to silently downgrade a PME table back to envelope) and
+        arms this handle's key.
 
         ``mode``: ``"envelope"`` (whole-file AES-GCM container) or
         ``"pme"`` (Parquet Modular Encryption — per-column data keys,
         encrypted footer; keeps intra-file column projection, see
-        sources/encryption.py). Readers sniff per file, so a table may
-        carry both layouts mid-history."""
+        sources/encryption.py). ``None`` (default) = keep current mode,
+        or ``"envelope"`` for a first enable. Readers sniff per file,
+        so a table may carry both layouts mid-history."""
         from . import encryption as E
 
-        if mode not in E.ENC_MODES:
+        if mode is not None and mode not in E.ENC_MODES:
             raise ValueError(
                 f"lakehouse encryption: unknown mode {mode!r} "
                 f"(expected one of {E.ENC_MODES})"
@@ -1538,13 +1542,15 @@ class LakehouseTable:
             E.check_verifier(
                 json.loads(self.get_property("encryption.verifier")), k
             )
-            if mode != (self.get_property("encryption.mode")
-                        or "envelope"):
+            if mode is not None and mode != (
+                self.get_property("encryption.mode") or "envelope"
+            ):
                 self.set_property("encryption.mode", mode)
+            self.encryption_key = k
             return
         self.set_property("encryption.verifier", json.dumps(E.make_verifier(k)))
         self.set_property("encryption.key-id", key_id)
-        self.set_property("encryption.mode", mode)
+        self.set_property("encryption.mode", mode or "envelope")
         self.set_property("encryption.enabled", "true")
         self.encryption_key = k
 
@@ -6651,11 +6657,14 @@ class LakehouseTable:
         expired = []
         expired_files: set[str] = set()
         expired_parts: set[str] = set()
+        expired_ops: dict[str, str] = {}
         for v in range(1, cutoff):
             p = self._manifest_path(v)
             if v in tagged or not os.path.exists(p):
                 continue
-            expired_parts.update(self._raw_manifest(p).get("parts", []))
+            raw = self._raw_manifest(p)
+            expired_parts.update(raw.get("parts", []))
+            expired_ops[str(v)] = raw.get("operation") or "unknown"
             m = self._read_manifest(v)
             expired_files.update(m["files"])
             expired_files.update(self._delete_key_files(m))
@@ -6684,6 +6693,25 @@ class LakehouseTable:
                 "doomed_parts": sorted(expired_parts - retained_parts),
                 "retained_file_count": len(retained_files),
             }
+
+        # record each expired version's OPERATION in a tiny sidecar
+        # (ADVICE r10): a streaming upsert's concurrent-conflict check
+        # scans its rebase window's snapshot ops — when expiry removed
+        # one mid-stream, the op record lets the check prove the expired
+        # commit benign instead of conservatively dropping the batch.
+        # O(history) strings; readers treat an absent/garbled sidecar
+        # as "unknown" (the old conservative behavior).
+        if expired:
+            ops_path = os.path.join(
+                self.path, "snapshots", "expired-ops.json"
+            )
+            try:
+                with open(ops_path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                rec = {}
+            rec.update(expired_ops)
+            _publish_sidecar(ops_path, rec)
 
         # manifest parts referenced ONLY by expired snapshots go with them
         # (metadata GC — the manifest-list half of Iceberg's expire)

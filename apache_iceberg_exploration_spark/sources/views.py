@@ -51,34 +51,60 @@ def _read_meta(view_dir: str) -> dict:
         ) from ex
 
 
+# Quoted regions the identifier rewrite must NOT touch: single-quoted
+# string literals (with '' escapes), double-quoted strings, and
+# backtick-quoted identifiers (ADVICE r10 — a WHERE src = 'silver.orders'
+# literal was being rewritten to the temp-view name).
+_QUOTED = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`[^`]*`")
+
+
+def _sub_outside_quotes(pat: str, repl: str, sql: str) -> str:
+    """re.sub applied only to the unquoted segments of ``sql``."""
+    out, last = [], 0
+    for m in _QUOTED.finditer(sql):
+        out.append(re.sub(pat, repl, sql[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(re.sub(pat, repl, sql[last:]))
+    return "".join(out)
+
+
 def _resolve_sql(catalog, sql: str, _seen: frozenset = frozenset()) -> DataFrame:
     """Execute view SQL against the path catalog: every known
     ``[cat.]ns.name`` identifier (tables AND views) is rewritten to a
     registered temp view; views resolve recursively with a cycle
     guard. Unknown identifiers fall through to Spark's own resolution
-    (session-registered SQL tables / temp views keep working)."""
+    (session-registered SQL tables / temp views keep working).
+
+    The 3-part prefix is accepted only when it is THIS catalog's name
+    (``other_catalog.silver.orders`` is left for Spark to resolve — it
+    must not silently alias into this catalog), and quoted string /
+    backtick regions are masked from the rewrite (ADVICE r10)."""
     spark = catalog.spark
+    cat_prefix = rf"(?:{re.escape(getattr(catalog, 'name', 'my_catalog'))}\.)?"
     for ns in catalog.namespaces():
         for t in catalog.tables(ns):
             ident = f"{ns}.{t}"
-            pat = rf"(?<![\w.`])(?:\w+\.)?{re.escape(ident)}(?![\w.])"
-            if re.search(pat, sql):
-                tmp = f"__lh_view_{ns}__{t}"
-                catalog.table(ident).read().createOrReplaceTempView(tmp)
-                sql = re.sub(pat, tmp, sql)
+            pat = rf"(?<![\w.`]){cat_prefix}{re.escape(ident)}(?![\w.])"
+            new = _sub_outside_quotes(pat, f"__lh_view_{ns}__{t}", sql)
+            if new != sql:
+                catalog.table(ident).read().createOrReplaceTempView(
+                    f"__lh_view_{ns}__{t}"
+                )
+                sql = new
         for v in views(catalog, ns):
             ident = f"{ns}.{v}"
-            pat = rf"(?<![\w.`])(?:\w+\.)?{re.escape(ident)}(?![\w.])"
-            if re.search(pat, sql):
+            pat = rf"(?<![\w.`]){cat_prefix}{re.escape(ident)}(?![\w.])"
+            new = _sub_outside_quotes(pat, f"__lh_view_{ns}__{v}", sql)
+            if new != sql:
                 if ident in _seen:
                     raise ValueError(
                         f"view cycle detected through {ident!r}"
                     )
-                tmp = f"__lh_view_{ns}__{v}"
                 read_view(
                     catalog, ident, _seen=_seen | {ident}
-                ).createOrReplaceTempView(tmp)
-                sql = re.sub(pat, tmp, sql)
+                ).createOrReplaceTempView(f"__lh_view_{ns}__{v}")
+                sql = new
     return spark.sql(sql)
 
 

@@ -377,3 +377,25 @@ def test_pme_nested_and_array_columns_fully_encrypted(spark, tmp_path):
     assert b"needle50" not in raw  # struct leaf is ciphertext
     back = E.read_table_auto(path, KEY)
     assert back.equals(tbl)
+
+
+def test_reenable_keeps_mode_and_arms_handle(spark, tmp_path):
+    """ADVICE r10: re-running the r9 idiom ``enable_encryption(key)``
+    (no mode argument) on a PME table must NOT downgrade writes back to
+    envelope, and a handle constructed without encryption_key= that
+    re-enables with the right key is armed for subsequent writes."""
+    path = str(tmp_path / "t")
+    t = LakehouseTable(spark, path, encryption_key=KEY)
+    t.enable_encryption(KEY, mode="pme")
+    t.append(_rows(spark, 0, 10))
+    # handle WITHOUT encryption_key=: enable_encryption(key) validates,
+    # arms the handle, and keeps the PME mode
+    t2 = LakehouseTable(spark, path)
+    t2.enable_encryption(KEY)
+    assert t2.get_property("encryption.mode") == "pme"
+    t2.append(_rows(spark, 10, 20))  # would raise 'pass encryption_key='
+    m = t2._read_manifest(t2.current_version())
+    assert {E._file_head(f) for f in m["files"]} == {E.PME_MAGIC}
+    # explicit mode= still switches
+    t2.enable_encryption(KEY, mode="envelope")
+    assert t2.get_property("encryption.mode") == "envelope"

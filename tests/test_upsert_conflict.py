@@ -199,3 +199,63 @@ def test_plain_writer_conflict_surfaces(spark, tmp_path, monkeypatch):
         w.commit([_task_msg(root, [{"k": 0, "v": "mine"}], ["k"])], 100)
     got = {r["k"]: r["v"] for r in LakehouseTable(spark, root).read().collect()}
     assert got == {0: "rival"}  # the rival's commit stands alone
+
+
+def test_expired_snapshots_in_window_use_op_record(spark, tmp_path):
+    """ADVICE r10: snapshot expiry racing the stream must not drop a
+    batch whose rebase window is provably benign — expire_snapshots
+    records each expired version's operation; the conflict check
+    consults it (and recovers an expired upsert's claim set from the
+    TIP's carried equality entries)."""
+    root = str(tmp_path / "t")
+    _upsert_commit(root, [{"k": 0, "v": "a"}], ["k"])  # v1
+    since = 1
+    t = LakehouseTable(spark, root)
+    # two plain APPENDS in the window (benign ops)...
+    t.append(spark.createDataFrame([Row(k=100, v="x")]).coalesce(1))  # v2
+    t.append(spark.createDataFrame([Row(k=101, v="y")]).coalesce(1))  # v3
+    # ...then expiry removes their snapshot JSONs mid-stream
+    expired = t.expire_snapshots(keep_last=1)
+    assert set(expired) >= {1, 2}
+    assert not os.path.exists(
+        os.path.join(root, "snapshots", "v2.json")
+    )
+    # window (1, 3] spans expired versions, all benign → commit lands
+    v = _upsert_commit(root, [{"k": 0, "v": "b"}], ["k"], since=since)
+    assert v == 4
+    got = {r["k"]: r["v"] for r in LakehouseTable(spark, root).read().collect()}
+    assert got == {0: "b", 100: "x", 101: "y"}
+
+
+def test_expired_upsert_claim_recovered_from_tip_entries(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _upsert_commit(root, [{"k": 0, "v": "a"}], ["k"])  # v1
+    since = 1
+    # concurrent upsert claims k=5 at v2, then an append at v3
+    _upsert_commit(root, [{"k": 5, "v": "c"}], ["k"])  # v2
+    t = LakehouseTable(spark, root)
+    t.append(spark.createDataFrame([Row(k=9, v="z")]).coalesce(1))  # v3
+    assert 2 in t.expire_snapshots(keep_last=1)
+    # intersecting batch: the expired upsert's keys come from the tip's
+    # carried equality entry (seq == 1) → EXACT conflict, not conservative
+    with pytest.raises(S.UpsertKeyConflict, match="concurrently upserted"):
+        _upsert_commit(root, [{"k": 5, "v": "d"}], ["k"], since=since)
+    # disjoint batch sails through the same expired window
+    v = _upsert_commit(root, [{"k": 7, "v": "e"}], ["k"], since=since)
+    assert v >= 4
+
+
+def test_expired_window_without_op_record_stays_conservative(
+    spark, tmp_path
+):
+    root = str(tmp_path / "t")
+    _upsert_commit(root, [{"k": 0, "v": "a"}], ["k"])  # v1
+    since = 1
+    t = LakehouseTable(spark, root)
+    t.append(spark.createDataFrame([Row(k=100, v="x")]).coalesce(1))  # v2
+    t.append(spark.createDataFrame([Row(k=101, v="y")]).coalesce(1))  # v3
+    t.expire_snapshots(keep_last=1)
+    # a pre-fix expiry (no sidecar) keeps the old conservative behavior
+    os.remove(os.path.join(root, "snapshots", "expired-ops.json"))
+    with pytest.raises(S.UpsertKeyConflict, match="cannot prove"):
+        _upsert_commit(root, [{"k": 0, "v": "b"}], ["k"], since=since)

@@ -406,3 +406,119 @@ def test_ordered_upsert_encrypted_partitioned(spark, tmp_path):
     assert got == {0: (0, 2, "new0"), 1: (1, 3, "newer1")}
     m = dst._read_manifest(dst.current_version())
     assert all("/g=" in f and E.is_encrypted_file(f) for f in m["files"])
+
+
+def test_lookup_handles_missing_cols_inventory(spark, tmp_path):
+    """ADVICE r10: a candidate file whose stats entry lacks the __cols
+    inventory AND physically lacks the order column must be read by its
+    own schema (pre-order-column era), not crash the column-pruned
+    read."""
+    import glob
+    import json
+    import os
+
+    from apache_iceberg_exploration_spark.streaming import (
+        lakehouse_sink as S,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakehouseTable(spark, root)
+    t.append(
+        spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]).coalesce(1)
+    )
+    t.add_column("o", "long")  # declared, never materialized
+    # strip the inventory from every part's stats (simulates a writer
+    # that predates __cols)
+    for p in glob.glob(os.path.join(root, "snapshots", "parts", "*.json")):
+        with open(p) as f:
+            body = json.load(f)
+        for st in (body.get("stats") or {}).values():
+            st.pop("__cols", None)
+        with open(p, "w") as f:
+            json.dump(body, f)
+    best = S._lookup_current_rows(
+        root, ["k"], {(1,)}, None, need_full=False, order_col="o"
+    )
+    assert (1,) in best
+    assert best[(1,)][1]["k"] == 1
+    assert "o" not in best[(1,)][1]
+
+
+def test_resolution_is_executor_side_not_driver(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #2: ordered/patch resolution happens in the write
+    TASKS (executor-side, keys task-disjoint by contract) — the
+    driver-side pass over materialized batch rows must NOT run on the
+    happy path (it remains only as the conflict-retry fallback)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from apache_iceberg_exploration_spark.streaming import (
+        lakehouse_sink as S,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakehouseTable(spark, root)
+    t.append(
+        spark.createDataFrame(
+            [Row(k=0, ver=5, v="base"), Row(k=1, ver=1, v="b1")]
+        ).coalesce(1)
+    )
+
+    def boom(*a, **kw):  # the driver pass is dead on the happy path
+        raise AssertionError(
+            "driver-side _resolve_upsert_semantics must not run"
+        )
+
+    monkeypatch.setattr(S, "_resolve_upsert_semantics", boom)
+    cls = S.make_lakehouse_stream_sink()
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ver", LongType()),
+            StructField("v", StringType()),
+        ]
+    )
+    ds = cls(
+        options={
+            "path": root,
+            "mode": "upsert",
+            "upsertkeys": "k",
+            "upsertorderby": "ver",
+        }
+    )
+    w = ds.streamWriter(schema, False)
+    # the task resolves: k=0 loses (ver 3 < stored 5), k=1 wins (2 > 1)
+    msg = w.write(iter([Row(k=0, ver=3, v="stale"), Row(k=1, ver=2, v="win")]))
+    assert msg.resolved_at == 1  # decisions pinned to the pre-commit tip
+    w.commit([msg], 100)
+    got = {
+        r["k"]: (r["ver"], r["v"])
+        for r in LakehouseTable(spark, root).read().collect()
+    }
+    assert got == {0: (5, "base"), 1: (2, "win")}
+
+    # PATCH path too: absent column inherited executor-side
+    ds2 = cls(
+        options={
+            "path": root,
+            "mode": "upsert",
+            "upsertkeys": "k",
+            "upsertpatch": "true",
+        }
+    )
+    schema2 = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    w2 = ds2.streamWriter(schema2, False)
+    msg2 = w2.write(iter([Row(k=1, v="patched")]))
+    assert msg2.resolved_at == 2
+    w2.commit([msg2], 101)
+    got = {
+        r["k"]: (r["ver"], r["v"])
+        for r in LakehouseTable(spark, root).read().collect()
+    }
+    assert got == {0: (5, "base"), 1: (2, "patched")}

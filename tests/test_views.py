@@ -128,3 +128,28 @@ def test_failure_modes(cat):
     cat.create_view("silver.v1", "SELECT 1 AS x")
     with pytest.raises(ValueError, match="history: 1..1"):
         cat.view("silver.v1", version=9)
+
+
+def test_string_literals_and_foreign_catalogs_not_rewritten(cat):
+    """ADVICE r10: identifiers inside quoted string literals must NOT
+    be rewritten to temp-view names, and a 3-part identifier with a
+    FOREIGN catalog prefix must not silently alias into this catalog."""
+    cat.create_view(
+        "silver.lit",
+        "SELECT g, 'silver.orders' AS src, count(*) AS n "
+        "FROM silver.orders GROUP BY g",
+    )
+    rows = cat.view("silver.lit").collect()
+    assert {r["src"] for r in rows} == {"silver.orders"}
+    assert sum(r["n"] for r in rows) == 30
+    # foreign-catalog identifier: NOT adopted — resolution fails loudly
+    # (Spark cannot resolve other_catalog.silver.orders) instead of
+    # silently reading this catalog's table
+    with pytest.raises(Exception):
+        cat.create_view(
+            "silver.foreign",
+            "SELECT count(*) AS n FROM other_catalog.silver.orders",
+        )
+    # and catalog.table() refuses foreign prefixes outright
+    with pytest.raises(ValueError, match="unknown catalog"):
+        cat.table("other_catalog.silver.orders")
