@@ -1,0 +1,183 @@
+"""Oracled queries for the REST-catalog HTTP surface (r11 — VERDICT
+r10 #1, sources/rest_catalog.py).
+
+Both queries resolve tables OVER HTTP (stdlib urllib against the
+in-process stdlib server) and read the served live-file manifest with
+a PLAIN ``spark.read.parquet`` — no engine read path on the client
+side — so the value hash proves the HTTP metadata is sufficient for an
+external engine to consume the table exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.catalog import LakehouseCatalog
+from ..sources.io import load_table
+from ..sources.rest_catalog import RestCatalogServer
+
+
+def _http(url: str, method: str = "GET", body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+@query(
+    "lakehouse_rest_catalog_http_read",
+    oracle="""
+        WITH src AS (
+            SELECT o_custkey AS cust,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders
+            WHERE o_custkey % 7 <> 3
+        )
+        SELECT CAST(cust % 5 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS cents_total
+        FROM src
+        GROUP BY 1
+    """,
+)
+def lakehouse_rest_catalog_http_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """External-engine interop over HTTP: orders lands as a catalog
+    table, a CoW delete prunes cust≡3 (mod 7), and the CLIENT resolves
+    the table through ``GET /v1/namespaces/s/tables/orders`` — reading
+    the returned ``x-lakehouse.files`` manifest with a plain
+    ``spark.read.parquet``. The aggregate must equal the oracle's
+    post-delete state, proving the served file list is exactly the
+    LIVE set (the deleted rows' original files are gone from it).
+
+    Scale: the HTTP exchange is O(snapshots) JSON metadata — zero data
+    moves through the server; the client reads parquet directly from
+    storage, which is precisely how an external engine would consume a
+    100 TB table through a REST catalog (Iceberg REST spec shape).
+    Reference: the reference's my_catalog is resolvable by any engine
+    with the Iceberg runtime (constant.py:43-55); this is that
+    property for the rebuilt format."""
+    root = tempfile.mkdtemp(prefix="lakehouse_rest_", dir="/tmp")
+    try:
+        cat = LakehouseCatalog(spark, root + "/wh")
+        cat.create_namespace("s")
+        t = cat.table("s.orders")
+        t.append(
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long")
+                .alias("cents"),
+            )
+            .repartition(4, "cust")
+        )
+        t.delete_where(F.col("cust") % 7 == 3)
+        with RestCatalogServer(cat.warehouse) as srv:
+            res = _http(f"{srv.url}/v1/namespaces/s/tables/orders")
+        x = res["x-lakehouse"]
+        assert not x["delete-pending"], "CoW delete must leave no MoR"
+        client_df = spark.read.parquet(*x["files"])
+        out = (
+            client_df.groupBy(
+                (F.col("cust") % 5).cast("long").alias("bucket")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("cents").cast("long").alias("cents_total"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_rest_catalog_txn_pinned_read",
+    oracle="""
+        WITH facts AS (
+            SELECT c_custkey AS cust, c_nationkey AS nat,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM customer
+        )
+        SELECT nat,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents_total
+        FROM facts
+        GROUP BY 1
+    """,
+)
+def lakehouse_rest_catalog_txn_pinned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transaction commit OVER HTTP + pinned time-travel read: the
+    client pins the customer table's version via
+    ``POST /v1/transactions/commit`` (CAS requirement against the
+    never-pinned state), a direct writer then dumps junk rows into the
+    table, and the client re-resolves through ``GET /v1/refs/main`` →
+    ``GET .../tables/customer?snapshot-id=<pin>`` — reading the PINNED
+    file list with plain parquet. The aggregate equals the pre-junk
+    oracle: HTTP-committed pins give external readers the same
+    isolation the in-package catalog snapshot gives (txn_queries.py).
+
+    Scale: commit = one CAS pointer link; pinned resolution = one JSON
+    read per table — both O(1) in data size."""
+    root = tempfile.mkdtemp(prefix="lakehouse_rest_txn_", dir="/tmp")
+    try:
+        cat = LakehouseCatalog(spark, root + "/wh")
+        cat.create_namespace("s")
+        t = cat.table("s.customer")
+        t.append(
+            load_table(spark, sf_dir, "customer")
+            .select(
+                F.col("c_custkey").alias("cust"),
+                F.col("c_nationkey").alias("nat"),
+                F.floor(F.col("c_acctbal") * 100 + 0.5)
+                .cast("long")
+                .alias("cents"),
+            )
+            .repartition(4, "cust")
+        )
+        with RestCatalogServer(cat.warehouse) as srv:
+            committed = _http(
+                f"{srv.url}/v1/transactions/commit",
+                "POST",
+                {
+                    "ref": "main",
+                    "updates": {"s.customer": t.current_version()},
+                    "requirements": {"s.customer": None},
+                },
+            )
+            assert committed["commit"] >= 1
+            # direct (catalog-invisible) junk write AFTER the pin
+            t.append(
+                spark.createDataFrame(
+                    [(10**9 + i, 0, 999) for i in range(7)],
+                    "cust long, nat long, cents long",
+                ).repartition(1)
+            )
+            pins = _http(f"{srv.url}/v1/refs/main")["pins"]
+            res = _http(
+                f"{srv.url}/v1/namespaces/s/tables/customer"
+                f"?snapshot-id={pins['s.customer']}"
+            )
+        client_df = spark.read.parquet(*res["x-lakehouse"]["files"])
+        out = client_df.groupBy("nat").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -157,4 +157,7 @@ def _load_all() -> None:
     # LAST, after view_queries.
     from .operators import txn_queries  # noqa: F401
 
+    # r11: REST-catalog HTTP interop (newest modules append after this)
+    from .operators import rest_catalog_queries  # noqa: F401
+
     _LOADED = True

@@ -210,6 +210,9 @@ HEADLINE = [
     # r10: catalog-level multi-table transactions + branches/merges
     "lakehouse_catalog_multitable_txn",
     "lakehouse_catalog_branch_merge",
+    # r11: REST-catalog HTTP interop (resolve + read over HTTP)
+    "lakehouse_rest_catalog_http_read",
+    "lakehouse_rest_catalog_txn_pinned_read",
 ]
 
 
