@@ -157,7 +157,9 @@ def _load_all() -> None:
     # LAST, after view_queries.
     from .operators import txn_queries  # noqa: F401
 
-    # r11: REST-catalog HTTP interop (newest modules append after this)
+    # r11: REST-catalog HTTP interop, MV routing/filter/avg (newest
+    # modules append after the LAST of these)
     from .operators import rest_catalog_queries  # noqa: F401
+    from .operators import mview_routing_queries  # noqa: F401
 
     _LOADED = True

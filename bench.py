@@ -213,6 +213,9 @@ HEADLINE = [
     # r11: REST-catalog HTTP interop (resolve + read over HTTP)
     "lakehouse_rest_catalog_http_read",
     "lakehouse_rest_catalog_txn_pinned_read",
+    # r11: MV WHERE filter + first-class avg + automatic query routing
+    "lakehouse_mv_filtered_avg_refresh",
+    "lakehouse_mv_query_routing",
 ]
 
 
