@@ -161,5 +161,6 @@ def _load_all() -> None:
     # modules append after the LAST of these)
     from .operators import rest_catalog_queries  # noqa: F401
     from .operators import mview_routing_queries  # noqa: F401
+    from .operators import upsert_maintenance_queries  # noqa: F401
 
     _LOADED = True

@@ -5034,6 +5034,138 @@ class LakehouseTable:
 
         return self._commit_with_retry(build)
 
+    def coalesce_equality_deletes_to_dv(self) -> dict | None:
+        """EQUALITY-delete debt compaction (r11 — VERDICT r10 #7):
+        streaming upserts add one equality-delete entry per commit, and
+        every reader pays one key-parquet read per pending entry (plus
+        the broadcast anti-join) until a full data rewrite. This verb
+        MATERIALIZES the pending equality entries into deletion vectors
+        without rewriting any data file: an entry's effect is fully
+        determined at commit time (it kills matching rows only in files
+        with ``seq <= entry.seq`` — later files are exempt, and new
+        files always get higher seqs), so the matching rows' positions
+        are computed once (the same seq-checked semi-join the reader
+        pays on every scan, run ONE last time), OR-merged into at most
+        one bitmap per data file, and the entries are dropped.
+
+        CDC nets zero across this commit: the removed entries' dead set
+        and the added DVs' dead set are the same rows (side_dead gives
+        each diff side its full dead set, exactly as for compaction).
+        The op kind rides the existing state-preserving
+        ``coalesce-deletes-dv`` classification (benign for concurrent
+        upsert conflict windows, zero-change for the CDC planner).
+
+        Scale: one column-pruned scan of the seq-scoped candidate files
+        + O(deleted rows / 8) bitmap bytes — paid ONCE at maintenance
+        time instead of per read; afterwards readers decode one DV
+        container instead of N key parquets. Returns None when no
+        equality entries are pending."""
+        if not any(
+            not d.get("pos")
+            for d in self._read_manifest(self.current_version()).get(
+                "delete_files", []
+            )
+        ):
+            return None
+
+        def build(parent: int) -> dict:
+            prev = self._read_manifest(parent)
+            eq_entries = [
+                d
+                for d in prev.get("delete_files", [])
+                if not d.get("pos")
+            ]
+            if not eq_entries:
+                return prev
+            fseq = prev.get("file_seq", {})
+            max_seq = max(int(d["seq"]) for d in eq_entries)
+            scoped = [
+                f
+                for f in prev["files"]
+                if int(fseq.get(f, 0)) <= max_seq
+            ]
+            new_pos: dict = {}
+            if scoped:
+                df = self._scan_files(
+                    scoped, fseq, with_seq=True, with_pos=True
+                )
+                rev = {
+                    p: cur
+                    for cur, priors in self._schema_renames(
+                        prev.get("schema")
+                    ).items()
+                    for p in priors
+                }
+                by_keys: dict[tuple[str, ...], list[dict]] = {}
+                for d in eq_entries:
+                    by_keys.setdefault(tuple(d["keys"]), []).append(d)
+                doomed = None
+                for keys, entries in by_keys.items():
+                    cur_keys = tuple(rev.get(k, k) for k in keys)
+                    dels = None
+                    for d in entries:
+                        one = self._read_delete_parquets(
+                            d["files"]
+                        ).select(*keys)
+                        for k, ck in zip(keys, cur_keys):
+                            if k != ck:
+                                one = one.withColumnRenamed(k, ck)
+                        one = one.withColumn(
+                            "__del_seq", F.lit(d["seq"])
+                        )
+                        dels = (
+                            one
+                            if dels is None
+                            else dels.unionByName(one)
+                        )
+                    # the reader's anti-join condition, inverted: rows
+                    # the entries WOULD kill become DV positions
+                    cond = [
+                        df[k].eqNullSafe(dels[k]) for k in cur_keys
+                    ]
+                    cond.append(dels["__del_seq"] >= df["__seq"])
+                    hit = df.join(
+                        F.broadcast(dels),
+                        functools_reduce(lambda a, b: a & b, cond),
+                        "left_semi",
+                    ).select("__file", "__pos")
+                    doomed = (
+                        hit
+                        if doomed is None
+                        else doomed.unionByName(hit)
+                    )
+                if doomed is not None:
+                    # a row matched by two entries must count once
+                    new_pos = self._pack_coords_to_positions(
+                        doomed.distinct()
+                    )
+            base_dv = prev.get("delete_vectors", {})
+            merged = dict(base_dv)
+            if new_pos:
+                touched = self._write_dv_container(new_pos, base_dv)
+                for f, e in touched.items():
+                    merged[f] = {**e, "seq": parent + 1}
+            return self._snapshot(
+                "coalesce-deletes-dv",
+                prev["files"],
+                parent,
+                schema_json=prev.get("schema"),
+                stats=prev.get("stats"),
+                file_seq=fseq,
+                delete_files=[
+                    d
+                    for d in prev.get("delete_files", [])
+                    if d.get("pos")
+                ],
+                delete_vectors=merged,
+                partition_specs=prev.get("partition_specs"),
+                partitions=prev.get("partitions"),
+                added=0,
+                coalesced_eq_entries=len(eq_entries),
+            )
+
+        return self._commit_with_retry(build)
+
     def _pack_coords_to_positions(self, coords: DataFrame) -> dict:
         """(__file, __pos) rows → {plain file path: sorted int64
         positions}. Positions are bitmap-packed EXECUTOR-side (one task

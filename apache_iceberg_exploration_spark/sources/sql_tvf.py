@@ -122,6 +122,7 @@ _SPARK_PROCS = (
     "rewrite_data_files",
     "rewrite_small_files",
     "coalesce_deletes_to_dv",
+    "coalesce_equality_deletes_to_dv",
     "analyze",
     "mv_create",  # path = the MV directory; args: source_path, spec
     "mv_refresh",  # path = the MV directory
@@ -188,6 +189,10 @@ def _run_procedure(spark, path: str, proc: str, args_json: str | None):
         rep = t.rewrite_small_files(**kwargs)
     elif proc == "coalesce_deletes_to_dv":
         rep = t.coalesce_deletes_to_dv(**kwargs) or {"noop": True}
+    elif proc == "coalesce_equality_deletes_to_dv":
+        rep = t.coalesce_equality_deletes_to_dv(**kwargs) or {
+            "noop": True
+        }
     elif proc == "analyze":
         rep = t.analyze(**kwargs)
     elif proc == "mv_create":

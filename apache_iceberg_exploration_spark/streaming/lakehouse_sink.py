@@ -687,6 +687,13 @@ def _lookup_current_rows(
                         del_seq.get(tup, -1), int(d["seq"])
                     )
     stats, fseq = meta["stats"], meta["file_seq"]
+    # deletion vectors (r11): after coalesce_equality_deletes_to_dv a
+    # tombstoned key's rows are DV-dead instead of entry-dead — reading
+    # them as "current" would resurrect deleted keys into patches and
+    # ordering decisions. Decode each candidate file's DV lazily.
+    dvs = meta.get("delete_vectors") or {}
+    from .lakehouse_source import _dv_positions
+
     want = None
     if not need_full:
         want = list(key_cols) + (
@@ -712,6 +719,9 @@ def _lookup_current_rows(
         if skip:
             continue
         seq = int(fseq.get(f, 0))
+        dv_dead: set = (
+            _dv_positions(dvs[f], enc_key) if f in dvs else set()
+        )
         cols = want
         if want is not None:
             have_inv = st.get("__cols")
@@ -744,7 +754,9 @@ def _lookup_current_rows(
                 for i, tup in enumerate(
                     zip(*[kt.column(k).to_pylist() for k in key_cols])
                 )
-                if tup in key_tuples and seq > del_seq.get(tup, -1)
+                if tup in key_tuples
+                and seq > del_seq.get(tup, -1)
+                and i not in dv_dead
             ]
             if not hit_idx:
                 continue
@@ -761,6 +773,9 @@ def _lookup_current_rows(
                 continue
             if seq <= del_seq.get(tup, -1):
                 continue
+            if want is not None and i in dv_dead:
+                continue  # need_full filtered dv_dead in hit_idx
+
             prev = best.get(tup)
             if prev is None or seq > prev[0]:
                 best[tup] = (

@@ -216,6 +216,8 @@ HEADLINE = [
     # r11: MV WHERE filter + first-class avg + automatic query routing
     "lakehouse_mv_filtered_avg_refresh",
     "lakehouse_mv_query_routing",
+    # r11: equality-delete debt compaction (upsert maintenance)
+    "streaming_upsert_eq_debt_coalesce",
 ]
 
 

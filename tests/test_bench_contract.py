@@ -15,18 +15,19 @@ import bench
 from apache_iceberg_exploration_spark import registry
 
 
-def test_headline_frozen_at_164():
+def test_headline_frozen_at_165():
     # 128 through r7; +17 across r8 (defaults / SQL table / NDV /
     # pstats / BPE / variant / geometry / selection / metadata SQL);
     # +7 in r9 (streaming upsert ×2, encryption, MV, grid spatial
     # join, SQL CALL cycle, upsert→MV composition); +8 in r10 (PME,
     # join/min-max MVs, ordered/patch upserts, SQL views, catalog
     # transaction + branch merge); +2 in r11 (REST-catalog HTTP
-    # interop, MV routing + filtered-avg MVs) — the round's new engine surfaces belong in the
+    # interop, MV routing + filtered-avg MVs, eq-delete debt coalesce)
+    # — the round's new engine surfaces belong in the
     # per-round bench record. The stdout-cap constraint binds only the
     # core-33 map printed on the final line, which is unchanged.
-    assert len(bench.HEADLINE) == 164, (
-        "the bench headline is re-frozen at 164 (runtime ≈4 min, stdout "
+    assert len(bench.HEADLINE) == 165, (
+        "the bench headline is re-frozen at 165 (runtime ≈4 min, stdout "
         "tail near the driver cap): add new operators to the registry "
         "and parity suite, and only swap them into HEADLINE by "
         "replacing an entry"
