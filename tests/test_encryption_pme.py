@@ -399,3 +399,70 @@ def test_reenable_keeps_mode_and_arms_handle(spark, tmp_path):
     # explicit mode= still switches
     t2.enable_encryption(KEY, mode="envelope")
     assert t2.get_property("encryption.mode") == "envelope"
+
+
+def test_pme_footer_unreadable_without_key(spark, tmp_path):
+    """PME files carry an ENCRYPTED footer: a plain parquet reader (no
+    decryption properties) must fail on the file — there is no
+    plaintext leaf to leak, list/struct leaves included
+    (parquet_leaf_paths enumerated them at write)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "k": list(range(50)),
+            "emb": [[float(i), i + 0.5] for i in range(50)],
+            "s": [{"u": i, "v": f"needle{i}"} for i in range(50)],
+        }
+    )
+    root = tmp_path / "t" / "data" / "s1"
+    root.mkdir(parents=True)
+    path = str(root / "f.parquet")
+    stats = E.write_encrypted_parquet(tbl, path, KEY, "k1", mode="pme")
+    # the write enumerated every NESTED leaf (list element + both
+    # struct members), so no column chunk is plaintext
+    leaves = E.parquet_leaf_paths(tbl.schema)
+    assert len(leaves) == 4, leaves
+    with pytest.raises(Exception):
+        pq.ParquetFile(path).read()  # encrypted footer: loud failure
+    # planning stays keyless: the sidecar carries the plaintext stats
+    assert stats["__rows"] == 50
+
+
+def test_gc_crypto_shreds_mixed_envelope_pme_history(spark, tmp_path):
+    """Expiry + orphan GC on a table whose history mixes envelope-era
+    and PME-era files: every expired file's key sidecar is shredded
+    (the wrapped per-file key dies with it), live files of BOTH
+    layouts keep theirs, and reads stay exact."""
+    path = str(tmp_path / "t")
+    t = LakehouseTable(spark, path, encryption_key=KEY)
+    t.enable_encryption(KEY)  # envelope era
+    t.append(_rows(spark, 0, 10))
+    t.enable_encryption(KEY, mode="pme")
+    t.append(_rows(spark, 10, 20))
+    doomed = list(t._read_manifest(2)["files"])
+    heads = {E._file_head(f) for f in doomed}
+    assert heads == {E.ENC_MAGIC, E.PME_MAGIC}  # genuinely mixed
+    # re-cluster: both eras' files are superseded by fresh PME files
+    t.rewrite_data_files(target_file_count=1)
+    live = list(t._read_manifest(t.current_version())["files"])
+    expired = t.expire_snapshots(keep_last=1)
+    assert set(expired) >= {1, 2}
+    for p in doomed + [E.key_sidecar_path(f) for f in doomed]:
+        if os.path.exists(p):
+            os.utime(p, (1, 1))  # age past the orphan grace period
+    t.remove_orphan_files(older_than_seconds=3600)
+    for f in doomed:
+        assert not os.path.exists(f), f
+        assert not os.path.exists(E.key_sidecar_path(f)), f
+    for f in live:
+        assert os.path.exists(f)
+        assert os.path.exists(E.key_sidecar_path(f))
+    t2 = LakehouseTable(spark, path, encryption_key=KEY)
+    assert _vals(t2.read()) == [(i, i * 10, f"s{i}") for i in range(20)]
+    # and the old key-era reads fail loudly once rotated away
+    t2.rotate_table_key(KEY2, "k2")
+    stale = LakehouseTable(spark, path, encryption_key=KEY)
+    with pytest.raises(ValueError, match="wrong table key"):
+        stale.read().collect()
