@@ -12,6 +12,10 @@ served by a stdlib ``http.server`` over one warehouse root:
 - ``GET  /v1/namespaces/{ns}``                           → namespace exists
 - ``GET  /v1/namespaces/{ns}/tables``                    → table identifiers
 - ``GET|HEAD /v1/namespaces/{ns}/tables/{t}``            → LoadTableResult
+- ``POST /v1/namespaces/{ns}/tables/{t}``                → CommitTableRequest
+  (``add-files`` updates + ``assert-snapshot-id`` requirements — the
+  Spark-free external-writer path; first commit creates the table)
+- ``DELETE /v1/namespaces/{ns}/tables/{t}``              → drop (purge)
 - ``GET  /v1/namespaces/{ns}/views`` (+``/{v}``)         → LoadViewResult
 - ``GET|POST /v1/refs`` (+``GET /v1/refs/{name}``)       → catalog branches/tags
   (the Nessie-flavored extension over txn.py's commit log — table-level
@@ -325,6 +329,64 @@ def load_view_result(warehouse: str, ns: str, name: str) -> dict | None:
     }
 
 
+def commit_add_files(
+    warehouse: str,
+    ns: str,
+    name: str,
+    files: list[str],
+    expected_snapshot_id: int | None = None,
+) -> int:
+    """Spark-free table WRITE over REST semantics (the Iceberg REST
+    ``CommitTableRequest`` shape with an ``add-files`` update): an
+    external writer lands parquet files itself, then POSTs their paths
+    — the server collects footer stats, derives the Spark schema from
+    the Arrow footer, and publishes ONE atomic manifest through the
+    same ``_commit_append`` kernel the streaming sink uses (schema
+    drift/promotion, lineage counters, constraint and encryption
+    refusals all apply). ``expected_snapshot_id`` is the
+    ``assert-snapshot-id`` requirement — checked before the commit,
+    409 on mismatch.
+
+    Scale: stats collection is O(files) footer reads on a thread pool;
+    the commit is one JSON link — the external writer moved the data,
+    the catalog only governs it (exactly Iceberg REST's division of
+    labor)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ..streaming.lakehouse_sink import _commit_append
+    from .lakehouse import LakehouseTable
+
+    root = os.path.join(warehouse, ns, name)
+    if not files:
+        raise ValueError("add-files requires a non-empty file list")
+    for f in files:
+        if not os.path.exists(f):
+            raise ValueError(f"add-files: no such file {f!r}")
+    if expected_snapshot_id is not None:
+        from ..streaming.lakehouse_source import _current_version
+
+        cur = _current_version(root)
+        if cur != int(expected_snapshot_id):
+            raise CatalogConflict(
+                f"assert-snapshot-id failed for {ns}.{name}: current "
+                f"{cur}, expected {expected_snapshot_id}"
+            )
+    stats = LakehouseTable._collect_file_stats(files)
+    import pyarrow.parquet as pq
+
+    schema_json = from_arrow_schema(
+        pq.ParquetFile(files[0]).schema_arrow
+    ).json()
+    os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+    return _commit_append(
+        root,
+        files,
+        stats,
+        {"committed-via": "rest"},
+        schema_json=schema_json,
+    )
+
+
 def commit_transaction(
     warehouse: str,
     ref: str,
@@ -477,6 +539,40 @@ def _make_handler(warehouse: str, catalog_name: str):
                 )
             if len(p) == 4 and p[0] == "namespaces" and p[2] == "tables":
                 ns, t = p[1], p[3]
+                if method == "POST":
+                    # CommitTableRequest shape: add-files updates +
+                    # assert-snapshot-id requirement (Spark-free write)
+                    body = self._body()
+                    expected = None
+                    for r in body.get("requirements") or []:
+                        if r.get("type") == "assert-snapshot-id":
+                            expected = r.get("snapshot-id")
+                    add: list[str] = []
+                    for u in body.get("updates") or []:
+                        if u.get("action") == "add-files":
+                            add += list(u.get("files") or [])
+                        else:
+                            return self._error(
+                                400,
+                                "BadRequestException",
+                                f"unsupported update action "
+                                f"{u.get('action')!r} (supported: "
+                                "add-files)",
+                            )
+                    v = commit_add_files(wh, ns, t, add, expected)
+                    return self._json(200, {"snapshot-id": v})
+                if method == "DELETE":
+                    root = os.path.join(wh, ns, t)
+                    if not os.path.isdir(
+                        os.path.join(root, "snapshots")
+                    ):
+                        return self._error(
+                            404, "NoSuchTableException", f"{ns}.{t}"
+                        )
+                    import shutil
+
+                    shutil.rmtree(root, ignore_errors=True)
+                    return self._json(204, None)
                 snap = q.get("snapshot-id", [None])[0]
                 res = load_table_result(
                     wh, ns, t, int(snap) if snap else None
@@ -573,6 +669,7 @@ def _make_handler(warehouse: str, catalog_name: str):
         do_GET = _route
         do_POST = _route
         do_HEAD = _route
+        do_DELETE = _route
 
     return _Handler
 

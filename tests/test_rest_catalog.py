@@ -8,6 +8,7 @@ conflict)."""
 from __future__ import annotations
 
 import json
+import os
 import urllib.error
 import urllib.request
 
@@ -244,3 +245,94 @@ def test_server_is_spark_free(tmp_path):
         cwd="/root/repo",
     )
     assert "SPARK_FREE_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_external_writer_commits_over_http(served, spark):
+    """The WRITE half of interop: an external writer lands parquet with
+    pyarrow only, POSTs a CommitTableRequest (add-files +
+    assert-snapshot-id), and the engine sees a normal table commit —
+    schema recorded, stats collected, readable alongside engine writes.
+    Stale requirements 409; DELETE drops the table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cat, srv = served
+    wh = cat.warehouse
+    # external writer: no engine write API, just files + HTTP
+    ext_dir = os.path.join(wh, "silver", "extern", "data", "ext-1")
+    os.makedirs(ext_dir)
+    f1 = os.path.join(ext_dir, "part-0.parquet")
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}), f1
+    )
+    st, res = _get(
+        f"{srv.url}/v1/namespaces/silver/tables/extern",
+        "POST",
+        {
+            "requirements": [
+                {"type": "assert-snapshot-id", "snapshot-id": 0}
+            ],
+            "updates": [{"action": "add-files", "files": [f1]}],
+        },
+    )
+    assert st == 200 and res["snapshot-id"] == 1
+    t = cat.table("silver.extern")
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # stats landed: scan pruning works on the adopted file
+    assert t.scan({"k": (2, 3)}).count() == 2
+    # second external commit with a STALE requirement → 409
+    f2 = os.path.join(ext_dir, "part-1.parquet")
+    pq.write_table(pa.table({"k": [4], "v": [40]}), f2)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(
+            f"{srv.url}/v1/namespaces/silver/tables/extern",
+            "POST",
+            {
+                "requirements": [
+                    {"type": "assert-snapshot-id", "snapshot-id": 0}
+                ],
+                "updates": [{"action": "add-files", "files": [f2]}],
+            },
+        )
+    assert ei.value.code == 409
+    # correct requirement lands; engine read sees both commits
+    st, res = _get(
+        f"{srv.url}/v1/namespaces/silver/tables/extern",
+        "POST",
+        {
+            "requirements": [
+                {"type": "assert-snapshot-id", "snapshot-id": 1}
+            ],
+            "updates": [{"action": "add-files", "files": [f2]}],
+        },
+    )
+    assert res["snapshot-id"] == 2
+    assert cat.table("silver.extern").read().count() == 4
+    # schema drift is refused by the commit kernel (loud 400)
+    f3 = os.path.join(ext_dir, "part-2.parquet")
+    pq.write_table(pa.table({"k": [9], "nope": ["x"]}), f3)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(
+            f"{srv.url}/v1/namespaces/silver/tables/extern",
+            "POST",
+            {"updates": [{"action": "add-files", "files": [f3]}]},
+        )
+    assert ei.value.code == 400
+    # unsupported update action is a 400, not a silent no-op
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(
+            f"{srv.url}/v1/namespaces/silver/tables/extern",
+            "POST",
+            {"updates": [{"action": "set-properties"}]},
+        )
+    assert ei.value.code == 400
+    # DELETE drops the table
+    req = urllib.request.Request(
+        f"{srv.url}/v1/namespaces/silver/tables/extern",
+        method="DELETE",
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 204
+    st, tl = _get(f"{srv.url}/v1/namespaces/silver/tables")
+    assert {i["name"] for i in tl["identifiers"]} == {"orders"}

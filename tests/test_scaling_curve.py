@@ -97,6 +97,11 @@ def test_scaling_audit_covers_the_mutation_family():
         "streaming_upsert_out_of_order_replay",
         "streaming_upsert_partial_column_patch",
         "lakehouse_sql_view_catalog",
+        # r11: REST interop, MV routing/filter, eq-delete coalesce
+        "lakehouse_rest_catalog_http_read",
+        "lakehouse_mv_filtered_avg_refresh",
+        "lakehouse_mv_query_routing",
+        "streaming_upsert_eq_debt_coalesce",
     }
     assert must_cover <= set(art["queries"])
 

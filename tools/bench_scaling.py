@@ -104,6 +104,15 @@ QUERIES = [
     "streaming_upsert_out_of_order_replay",
     "streaming_upsert_partial_column_patch",
     "lakehouse_sql_view_catalog",
+    # r11: REST-catalog resolution + plain-parquet client read (linear
+    # in the served file list's data), filtered-avg join MV (two-delta,
+    # linear in changed rows), MV query routing (MV-sized storage
+    # re-agg — sub-linear by design), eq-delete debt coalesce (one
+    # seq-scoped semi-join pass over candidate files — linear).
+    "lakehouse_rest_catalog_http_read",
+    "lakehouse_mv_filtered_avg_refresh",
+    "lakehouse_mv_query_routing",
+    "streaming_upsert_eq_debt_coalesce",
 ]
 
 SFS = [
