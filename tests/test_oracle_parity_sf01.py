@@ -67,6 +67,13 @@ _FAMILIES = (
     "apache_iceberg_exploration_spark.operators.view_queries",
     # r10: catalog transactions — pin maps over per-SF commit shapes
     "apache_iceberg_exploration_spark.operators.txn_queries",
+    # r11: REST catalog — served file lists + pinned reads resolve per
+    # SF; MV routing/filter — storage shapes + delta slices per SF;
+    # eq-delete debt coalesce — entry/DV fan-out per SF
+    "apache_iceberg_exploration_spark.operators.rest_catalog_queries",
+    "apache_iceberg_exploration_spark.operators.mview_routing_queries",
+    "apache_iceberg_exploration_spark.operators."
+    "upsert_maintenance_queries",
 )
 _CASES = sorted(
     name
