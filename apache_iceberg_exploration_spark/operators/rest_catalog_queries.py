@@ -181,3 +181,77 @@ def lakehouse_rest_catalog_txn_pinned_read(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_rest_catalog_plan_pruned_read",
+    oracle="""
+        WITH src AS (
+            SELECT o_orderkey AS k, o_custkey AS cust,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders
+        ),
+        lims AS (
+            SELECT CAST(floor(max(k) * 0.25) AS BIGINT) AS lo,
+                   CAST(floor(max(k) * 0.50) AS BIGINT) AS hi
+            FROM src
+        )
+        SELECT CAST(cust % 4 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS cents_total
+        FROM src, lims
+        WHERE k BETWEEN lims.lo AND lims.hi
+        GROUP BY 1
+    """,
+)
+def lakehouse_rest_catalog_plan_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Server-side scan planning over HTTP (the Iceberg REST plan-scan
+    shape): orders lands range-clustered on the order key, the client
+    POSTs a key-range filter to ``/plan``, and the server returns a
+    stats-pruned file subset — the query ASSERTS files were actually
+    pruned, then reads only the surviving files with a plain parquet
+    reader plus the residual filter. Hash equality against the direct
+    range aggregate proves pruning never drops a matching row.
+
+    Scale: the client of a 100 TB table downloads the paths of the
+    files its predicate can touch — O(surviving files) metadata — and
+    scans only those; the server did for an external engine what
+    pushFilters does for Spark, in O(files) dict lookups."""
+    root = tempfile.mkdtemp(prefix="lakehouse_rest_plan_", dir="/tmp")
+    try:
+        cat = LakehouseCatalog(spark, root + "/wh")
+        cat.create_namespace("s")
+        t = cat.table("s.orders")
+        src = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("cust"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        t.append(src.repartitionByRange(8, "k"))
+        kmax = src.agg(F.max("k")).collect()[0][0]
+        lo, hi = int(kmax * 0.25), int(kmax * 0.50)
+        with RestCatalogServer(cat.warehouse) as srv:
+            plan = _http(
+                f"{srv.url}/v1/namespaces/s/tables/orders/plan",
+                "POST",
+                {"filters": [{"col": "k", "lo": lo, "hi": hi}]},
+            )
+        assert plan["pruned-files"] > 0, plan  # pruning has teeth
+        assert not plan["delete-pending"]
+        client_df = spark.read.parquet(*plan["files"]).where(
+            (F.col("k") >= lo) & (F.col("k") <= hi)
+        )
+        out = client_df.groupBy(
+            (F.col("cust") % 4).cast("long").alias("bucket")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -16,6 +16,8 @@ served by a stdlib ``http.server`` over one warehouse root:
   (``add-files`` updates + ``assert-snapshot-id`` requirements — the
   Spark-free external-writer path; first commit creates the table)
 - ``DELETE /v1/namespaces/{ns}/tables/{t}``              → drop (purge)
+- ``POST /v1/namespaces/{ns}/tables/{t}/plan``           → server-side scan
+  planning: stats-pruned file list for range filters (plan-scan shape)
 - ``GET  /v1/namespaces/{ns}/views`` (+``/{v}``)         → LoadViewResult
 - ``GET|POST /v1/refs`` (+``GET /v1/refs/{name}``)       → catalog branches/tags
   (the Nessie-flavored extension over txn.py's commit log — table-level
@@ -329,6 +331,75 @@ def load_view_result(warehouse: str, ns: str, name: str) -> dict | None:
     }
 
 
+def plan_table_scan(
+    warehouse: str,
+    ns: str,
+    name: str,
+    filters: list[dict] | None = None,
+    snapshot_id: int | None = None,
+) -> dict | None:
+    """Server-side SCAN PLANNING (the Iceberg REST spec's plan-scan
+    endpoints): prune the snapshot's file list against range filters
+    using the manifest's per-file column stats — the client downloads
+    only the surviving files' paths instead of the full manifest, and
+    reads only those files. Filters are ``{"col": c, "lo": x,
+    "hi": y}`` dicts (either bound may be absent = open-ended); a file survives unless its stats PROVE disjointness
+    (absent stats keep the file — conservative, never wrong). Residual
+    filtering stays the client's job, exactly as with Iceberg scan
+    tasks.
+
+    Scale: planning is O(files) dict lookups over already-loaded
+    manifest metadata, zero data IO — the server does for an external
+    engine what the DSv2 reader's pushFilters does for Spark."""
+    from ..streaming.lakehouse_source import (
+        _current_version,
+        _manifest_meta,
+    )
+
+    root = os.path.join(warehouse, ns, name)
+    current = _current_version(root)
+    if current <= 0:
+        return None
+    v = int(snapshot_id) if snapshot_id is not None else current
+    meta = _manifest_meta(root, v)
+    if meta is None:
+        return None
+    stats = meta.get("stats") or {}
+    kept = []
+    for f in meta["files"]:
+        st = stats.get(f) or {}
+        keep = True
+        for flt in filters or []:
+            mm = st.get(flt["col"])
+            if not (
+                isinstance(mm, list)
+                and len(mm) == 2
+                and mm[0] is not None
+            ):
+                continue  # no stats: cannot prove disjoint — keep
+            lo, hi = flt.get("lo"), flt.get("hi")
+            try:
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    keep = False
+                    break
+            except TypeError:
+                continue  # cross-type compare: keep (conservative)
+        if keep:
+            kept.append(f)
+    props = _table_properties(root)
+    return {
+        "snapshot-id": v,
+        "files": sorted(kept),
+        "total-files": len(meta["files"]),
+        "pruned-files": len(meta["files"]) - len(kept),
+        "encrypted": props.get("encryption.enabled") == "true",
+        "delete-pending": bool(meta.get("delete_entries"))
+        or bool(meta.get("delete_vectors")),
+    }
+
+
 def commit_add_files(
     warehouse: str,
     ns: str,
@@ -537,6 +608,26 @@ def _make_handler(warehouse: str, catalog_name: str):
                         ]
                     },
                 )
+            if (
+                len(p) == 5
+                and p[0] == "namespaces"
+                and p[2] == "tables"
+                and p[4] == "plan"
+                and method == "POST"
+            ):
+                body = self._body()
+                res = plan_table_scan(
+                    wh,
+                    p[1],
+                    p[3],
+                    filters=body.get("filters"),
+                    snapshot_id=body.get("snapshot-id"),
+                )
+                if res is None:
+                    return self._error(
+                        404, "NoSuchTableException", f"{p[1]}.{p[3]}"
+                    )
+                return self._json(200, res)
             if len(p) == 4 and p[0] == "namespaces" and p[2] == "tables":
                 ns, t = p[1], p[3]
                 if method == "POST":

@@ -336,3 +336,61 @@ def test_external_writer_commits_over_http(served, spark):
         assert resp.status == 204
     st, tl = _get(f"{srv.url}/v1/namespaces/silver/tables")
     assert {i["name"] for i in tl["identifiers"]} == {"orders"}
+
+
+def test_scan_planning_prunes_files_server_side(spark, tmp_path):
+    """POST tables/{t}/plan returns a stats-pruned file subset for
+    range filters — the external reader downloads and reads ONLY the
+    surviving files (plus its own residual filter), matching the
+    engine scan exactly."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_namespace("s")
+    t = cat.table("s.facts")
+    # range-clustered files: stats pruning has real teeth
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "id % 7 AS g", "id * 3 AS v"
+    )
+    t.append(df.repartitionByRange(8, "k"))
+    with RestCatalogServer(cat.warehouse) as srv:
+        st, plan = _get(
+            f"{srv.url}/v1/namespaces/s/tables/facts/plan",
+            "POST",
+            {"filters": [{"col": "k", "lo": 100, "hi": 260}]},
+        )
+        assert st == 200
+        assert plan["total-files"] == 8
+        assert plan["pruned-files"] >= 5, plan
+        assert 0 < len(plan["files"]) < 8
+        # client: read the planned subset + residual filter
+        got = (
+            spark.read.parquet(*plan["files"])
+            .where("k BETWEEN 100 AND 260")
+            .count()
+        )
+        assert got == 161
+        # open-ended bound + no-filters plan = full list
+        st, plan2 = _get(
+            f"{srv.url}/v1/namespaces/s/tables/facts/plan",
+            "POST",
+            {"filters": [{"col": "k", "lo": 900}]},
+        )
+        assert len(plan2["files"]) <= 2
+        st, plan3 = _get(
+            f"{srv.url}/v1/namespaces/s/tables/facts/plan", "POST", {}
+        )
+        assert len(plan3["files"]) == 8
+        # unknown column: conservative, keeps everything
+        st, plan4 = _get(
+            f"{srv.url}/v1/namespaces/s/tables/facts/plan",
+            "POST",
+            {"filters": [{"col": "nope", "lo": 0, "hi": 1}]},
+        )
+        assert len(plan4["files"]) == 8
+        # missing table → 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(
+                f"{srv.url}/v1/namespaces/s/tables/ghost/plan",
+                "POST",
+                {},
+            )
+        assert ei.value.code == 404
