@@ -255,3 +255,73 @@ def lakehouse_rest_catalog_plan_pruned_read(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "lakehouse_rest_client_datasource_read",
+    oracle="""
+        WITH src AS (
+            SELECT c_custkey AS cust,
+                   c_nationkey % 5 AS region_bucket,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM customer
+        )
+        SELECT CAST(region_bucket AS BIGINT) AS region_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents_total
+        FROM src
+        WHERE cust >= 100
+        GROUP BY 1
+    """,
+)
+def lakehouse_rest_client_datasource_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CLIENT half of REST interop as a Spark data source:
+    ``format("lakehouse_rest")`` resolves the table through the HTTP
+    catalog (schema from LoadTableResult), pushes its filter to the
+    server's /plan endpoint, and reads per-file Arrow tasks — over a
+    HIVE-PARTITIONED table, so the value hash also pins the r11
+    partition-column recovery (engine partition_by files omit the
+    column; the path carries it).
+
+    Scale: the session needs only the catalog URL plus storage access
+    — planning is two HTTP metadata exchanges, pruning happens
+    server-side, and data reads go straight to storage one task per
+    surviving file (the Iceberg REST division of labor end-to-end)."""
+    root = tempfile.mkdtemp(prefix="lakehouse_rest_ds_", dir="/tmp")
+    try:
+        from ..sources.rest_client import make_lakehouse_rest_source
+
+        cat = LakehouseCatalog(spark, root + "/wh")
+        cat.create_namespace("s")
+        t = cat.table("s.customer")
+        t.append(
+            load_table(spark, sf_dir, "customer")
+            .select(
+                F.col("c_custkey").alias("cust"),
+                (F.col("c_nationkey") % 5).alias("region_bucket"),
+                F.floor(F.col("c_acctbal") * 100 + 0.5)
+                .cast("long")
+                .alias("cents"),
+            )
+            .repartition(2, "cust"),
+            partition_by=["region_bucket"],
+        )
+        spark.dataSource.register(make_lakehouse_rest_source())
+        with RestCatalogServer(cat.warehouse) as srv:
+            df = (
+                spark.read.format("lakehouse_rest")
+                .option("restUrl", srv.url)
+                .option("table", "s.customer")
+                .load()
+                .where(F.col("cust") >= 100)
+            )
+            out = df.groupBy("region_bucket").agg(
+                F.count("*").alias("n"),
+                F.sum("cents").cast("long").alias("cents_total"),
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

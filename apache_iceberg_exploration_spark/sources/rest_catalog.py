@@ -291,6 +291,10 @@ def load_table_result(
             "files": sorted(meta["files"]),
             "encrypted": props.get("encryption.enabled") == "true",
             "delete-pending": pending_deletes,
+            # the engine's native Spark schema JSON (incl. default /
+            # prior-name metadata) — what the REST CLIENT data source
+            # plans and projects with
+            "schema-json": raw.get("schema"),
         },
     }
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import tempfile
 
 
@@ -717,6 +718,30 @@ def _cdc_rows(
         else _schema_defaults(_manifest_schema_json(root, until))
     )
     fill = [dflts.get(n) for n in colnames]
+    # hive-partitioned files OMIT the partition column — recover it
+    # from the path (typed via the declared schema) or every CDC row
+    # reads the column NULL (the r11 bug class)
+    _sj_types: dict = {}
+    _sj = _manifest_schema_json(root, until)
+    if _sj:
+        _sj_types = {
+            f["name"]: f.get("type") for f in json.loads(_sj)["fields"]
+        }
+
+    def _cols_for(tf: str, t) -> list:
+        names = t.column_names
+        hv = _hive_path_values(tf)
+        cols = []
+        for n in colnames:
+            if n in names:
+                cols.append(t.column(n).to_pylist())
+            elif n in hv:
+                cols.append(
+                    [_hive_cast(hv[n], _sj_types.get(n))] * t.num_rows
+                )
+            else:
+                cols.append(None)
+        return cols
 
     coords_cache: dict[str, dict[str, set[int]]] = {}
     keyset_cache: dict[str, tuple[list[str], set[tuple]]] = {}
@@ -803,11 +828,7 @@ def _cdc_rows(
         c: Counter = Counter()
         for f in files:
             t = _rt_auto(f, table_key)
-            names = t.column_names
-            cols = [
-                t.column(n).to_pylist() if n in names else None
-                for n in colnames
-            ]
+            cols = _cols_for(f, t)
             skip = dead.get(f, ())
             n_rows = t.num_rows
             for i in range(n_rows):
@@ -823,11 +844,7 @@ def _cdc_rows(
 
     def rows_at(tf: str, positions: set[int]) -> list[tuple]:
         t = _rt_auto(tf, table_key)
-        names = t.column_names
-        cols = [
-            t.column(n).to_pylist() if n in names else None
-            for n in colnames
-        ]
+        cols = _cols_for(tf, t)
         return [
             tuple(
                 col[i] if col is not None else fill[j]
@@ -857,10 +874,7 @@ def _cdc_rows(
         for f in files:
             t = _rt_auto(f, table_key)
             names = t.column_names
-            cols = [
-                t.column(n).to_pylist() if n in names else None
-                for n in colnames
-            ]
+            cols = _cols_for(f, t)
             phys = (
                 t.column("__row_id").to_pylist()
                 if "__row_id" in names
@@ -883,10 +897,7 @@ def _cdc_rows(
         """(row values, _row_id) at the given positions of one file."""
         t = _rt_auto(tf, table_key)
         names = t.column_names
-        cols = [
-            t.column(n).to_pylist() if n in names else None
-            for n in colnames
-        ]
+        cols = _cols_for(tf, t)
         phys = (
             t.column("__row_id").to_pylist()
             if "__row_id" in names
@@ -1747,6 +1758,7 @@ def make_lakehouse_stream_dist_source():
                     self._target_arrow,
                     self._defaults,
                     self._renames,
+                    hive_vals=_hive_path_values(partition.value),
                 ).to_batches()
 
         def commit(self, end: dict) -> None:
@@ -2080,8 +2092,54 @@ def _tables_with_offsets(pf, columns, bounds: dict):
         yield pf.read_row_group(i, columns=columns), starts[i]
 
 
+def _hive_path_values(path: str) -> dict[str, str | None]:
+    """Partition values encoded in a file's hive-style ``col=val``
+    directory segments (engine partition_by writes OMIT the partition
+    column from the file — the path carries it). Values stay strings
+    here; ``_project_arrow`` casts them to the declared type.
+    ``__HIVE_DEFAULT_PARTITION__`` decodes to NULL."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    d = os.path.dirname(path)
+    while d:
+        base = os.path.basename(d)
+        m = re.match(r"([^=/]+)=(.*)", base)
+        if not m:
+            break
+        val = m.group(2)
+        out[m.group(1)] = (
+            None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+        )
+        d = os.path.dirname(d)
+    return out
+
+
+def _hive_cast(sval: str | None, type_str):
+    """Typed python value for a hive-path partition string, per the
+    declared Spark schema-JSON type (partition columns are scalar by
+    construction)."""
+    if sval is None:
+        return None
+    if type_str in ("long", "integer", "short", "byte"):
+        return int(sval)
+    if type_str in ("double", "float"):
+        return float(sval)
+    if type_str == "boolean":
+        return sval.lower() == "true"
+    if type_str == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(sval)
+    return sval
+
+
 def _project_arrow(
-    tbl, target, defaults: dict | None = None, renames: dict | None = None
+    tbl,
+    target,
+    defaults: dict | None = None,
+    renames: dict | None = None,
+    hive_vals: dict | None = None,
 ):
     """Project one Arrow table to the TABLE's declared schema: missing
     columns (written before an add_column) fill the column's Iceberg v3
@@ -2090,7 +2148,13 @@ def _project_arrow(
     written int32 under a declared int64 — the type-promotion lattice —
     reads wide). The batch reader must yield batches in the DECLARED
     schema, not each file's own, or Spark's Arrow ingest breaks on the
-    first heterogeneous file."""
+    first heterogeneous file.
+
+    ``hive_vals`` (column → string value from the file's hive path
+    segments) ranks ABOVE defaults: a hive-partitioned file genuinely
+    HAS that value for every row — null-filling it was the r11 bug
+    class (partition columns silently read NULL through the DSv2 and
+    REST-client readers)."""
     import pyarrow as pa
 
     cols = []
@@ -2105,6 +2169,16 @@ def _project_arrow(
                     break
         if name in tbl.column_names:
             cols.append(tbl.column(name).cast(fld.type))
+        elif hive_vals and fld.name in hive_vals:
+            sval = hive_vals[fld.name]
+            if sval is None:
+                cols.append(pa.nulls(tbl.num_rows, fld.type))
+            else:
+                cols.append(
+                    pa.array(
+                        [sval] * tbl.num_rows, type=pa.string()
+                    ).cast(fld.type)
+                )
         elif defaults and defaults.get(fld.name) is not None:
             cols.append(
                 pa.array(
@@ -2756,7 +2830,11 @@ def make_lakehouse_batch_source():
                     )
                     gk = self._geo_keep(tbl)
                     out = _project_arrow(
-                        tbl, target, self._defaults, self._renames
+                        tbl,
+                        target,
+                        self._defaults,
+                        self._renames,
+                        hive_vals=_hive_path_values(f),
                     )
                     if mask is not None or gk is not None:
                         # ONE combined filter: sequential filters would
@@ -2807,7 +2885,11 @@ def make_lakehouse_batch_source():
                 else:
                     lu = [seq] * n
                 out = _project_arrow(
-                    tbl, target, self._defaults, self._renames
+                    tbl,
+                    target,
+                    self._defaults,
+                    self._renames,
+                    hive_vals=_hive_path_values(f),
                 )
                 out = out.append_column(
                     "_row_id", pa.array(rid, pa.int64())
