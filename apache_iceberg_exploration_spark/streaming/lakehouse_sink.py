@@ -692,7 +692,23 @@ def _lookup_current_rows(
     # them as "current" would resurrect deleted keys into patches and
     # ordering decisions. Decode each candidate file's DV lazily.
     dvs = meta.get("delete_vectors") or {}
-    from .lakehouse_source import _dv_positions
+    from .lakehouse_source import (
+        _dv_positions,
+        _hive_cast,
+        _hive_path_values,
+        _manifest_schema_json,
+    )
+
+    # hive-partitioned files omit the partition column — a table
+    # partitioned by a KEY (or a patch-inherited) column must recover
+    # it from the path or candidate files are skipped/misread (the r11
+    # partition-column bug class)
+    _sj = _manifest_schema_json(root, v)
+    _types = (
+        {fl["name"]: fl.get("type") for fl in json.loads(_sj)["fields"]}
+        if _sj
+        else {}
+    )
 
     want = None
     if not need_full:
@@ -722,6 +738,10 @@ def _lookup_current_rows(
         dv_dead: set = (
             _dv_positions(dvs[f], enc_key) if f in dvs else set()
         )
+        hv = {
+            c: _hive_cast(sv, _types.get(c))
+            for c, sv in _hive_path_values(f).items()
+        }
         cols = want
         if want is not None:
             have_inv = st.get("__cols")
@@ -735,7 +755,9 @@ def _lookup_current_rows(
                 have_inv = _schema_auto(f).names
             have = set(have_inv)
             cols = [c for c in want if c in have]
-            if any(k not in cols for k in key_cols):
+            if any(
+                k not in cols and k not in hv for k in key_cols
+            ):
                 continue  # file predates the key columns: no match
         if want is None:
             # full-row lookup (patch): two-phase — key columns first,
@@ -746,15 +768,34 @@ def _lookup_current_rows(
                 from .lakehouse_source import _schema_auto
 
                 have_inv = _schema_auto(f).names
-            if any(k not in have_inv for k in key_cols):
+            if any(
+                k not in have_inv and k not in hv for k in key_cols
+            ):
                 continue  # file predates the key columns: no match
-            kt = read_table_auto(f, enc_key, columns=key_cols)
+            file_keys = [k for k in key_cols if k not in hv]
+            if file_keys:
+                kt = read_table_auto(f, enc_key, columns=file_keys)
+                key_src = {
+                    k: kt.column(k).to_pylist() for k in file_keys
+                }
+                n_rows = kt.num_rows
+            else:
+                # whole key is path-encoded: every row shares the tuple
+                key_src = {}
+                n_rows = int(st.get("__rows") or 0)
+                if not n_rows:
+                    kt_full = read_table_auto(f, enc_key)
+                    n_rows = kt_full.num_rows
             hit_idx = [
                 i
-                for i, tup in enumerate(
-                    zip(*[kt.column(k).to_pylist() for k in key_cols])
+                for i in range(n_rows)
+                if (
+                    tup := tuple(
+                        hv[k] if k in hv else key_src[k][i]
+                        for k in key_cols
+                    )
                 )
-                if tup in key_tuples
+                in key_tuples
                 and seq > del_seq.get(tup, -1)
                 and i not in dv_dead
             ]
@@ -767,6 +808,10 @@ def _lookup_current_rows(
             n for n in t.column_names if not _reserved_physical(n)
         ]
         data = {n: t.column(n).to_pylist() for n in names}
+        # path-encoded (partition) columns the file omits
+        for c, pv in hv.items():
+            if c not in data and (want is None or c in want):
+                data[c] = [pv] * t.num_rows
         key_lists = [data[k] for k in key_cols]
         for i, tup in enumerate(zip(*key_lists)):
             if tup not in key_tuples:
@@ -780,7 +825,7 @@ def _lookup_current_rows(
             if prev is None or seq > prev[0]:
                 best[tup] = (
                     seq,
-                    {n: data[n][i] for n in names},
+                    {n: vals[i] for n, vals in data.items()},
                 )
     return best
 

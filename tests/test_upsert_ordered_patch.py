@@ -522,3 +522,93 @@ def test_resolution_is_executor_side_not_driver(spark, tmp_path, monkeypatch):
         for r in LakehouseTable(spark, root).read().collect()
     }
     assert got == {0: (5, "base"), 1: (2, "patched")}
+
+
+def test_lookup_handles_partition_column_keys(spark, tmp_path):
+    """r11 partition-column bug class, upsert-lookup edition: a table
+    partitioned BY the upsert key stores the key only in the hive
+    path — the current-state lookup must recover it (ordered losers
+    still drop; patch still inherits) instead of skipping every
+    candidate file as 'predates the key columns'."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from apache_iceberg_exploration_spark.streaming import (
+        lakehouse_sink as S,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakehouseTable(spark, root)
+    t.append(
+        spark.createDataFrame(
+            [Row(k=0, ver=5, v="base0"), Row(k=1, ver=1, v="base1")]
+        ).coalesce(1),
+        partition_by=["k"],
+    )
+    # sanity: the key column is NOT in the data files
+    import pyarrow.parquet as pq
+
+    f = t._read_manifest(1)["files"][0]
+    assert "k" not in pq.ParquetFile(f).schema_arrow.names
+    # direct lookup sees both keys with correct values
+    cur = S._lookup_current_rows(
+        root, ["k"], {(0,), (1,)}, None, need_full=True
+    )
+    assert cur[(0,)][1]["v"] == "base0" and cur[(0,)][1]["k"] == 0
+    cur2 = S._lookup_current_rows(
+        root, ["k"], {(0,), (1,)}, None, need_full=False, order_col="ver"
+    )
+    assert cur2[(0,)][1]["ver"] == 5
+    # ordered upsert through the writer: stale k=0 drops, k=1 wins
+    cls = S.make_lakehouse_stream_sink()
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ver", LongType()),
+            StructField("v", StringType()),
+        ]
+    )
+    ds = cls(
+        options={
+            "path": root,
+            "mode": "upsert",
+            "upsertkeys": "k",
+            "upsertorderby": "ver",
+            "partitionby": "k",
+        }
+    )
+    w = ds.streamWriter(schema, False)
+    msg = w.write(
+        iter([Row(k=0, ver=3, v="stale"), Row(k=1, ver=2, v="win")])
+    )
+    w.commit([msg], 50)
+    got = {
+        r["k"]: (r["ver"], r["v"])
+        for r in LakehouseTable(spark, root).read().collect()
+    }
+    assert got == {0: (5, "base0"), 1: (2, "win")}
+    # patch inherits across the partition layout too
+    ds2 = cls(
+        options={
+            "path": root,
+            "mode": "upsert",
+            "upsertkeys": "k",
+            "upsertpatch": "true",
+            "partitionby": "k",
+        }
+    )
+    schema2 = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    w2 = ds2.streamWriter(schema2, False)
+    msg2 = w2.write(iter([Row(k=0, v="patched")]))
+    w2.commit([msg2], 51)
+    got = {
+        r["k"]: (r["ver"], r["v"])
+        for r in LakehouseTable(spark, root).read().collect()
+    }
+    assert got == {0: (5, "patched"), 1: (2, "win")}
