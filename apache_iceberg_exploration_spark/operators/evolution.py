@@ -205,6 +205,11 @@ def lakehouse_default_dsv2_scan(
     try:
         tbl = _evolve(spark, sf_dir, root)
         spark.dataSource.register(make_lakehouse_batch_source())
+        # the DSv2 reader implements pushFilters — a vanilla (driver)
+        # session refuses to plan it unless the flag is on
+        spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "true"
+        )
         out = (
             spark.read.format("lakehouse")
             .option("path", tbl.path)

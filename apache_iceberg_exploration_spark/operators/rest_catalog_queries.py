@@ -310,6 +310,12 @@ def lakehouse_rest_client_datasource_read(
             partition_by=["region_bucket"],
         )
         spark.dataSource.register(make_lakehouse_rest_source())
+        # the reader implements pushFilters, which Spark REFUSES to
+        # plan unless the python-pushdown flag is on — a vanilla
+        # (driver) session does not set it (session.py does)
+        spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "true"
+        )
         with RestCatalogServer(cat.warehouse) as srv:
             df = (
                 spark.read.format("lakehouse_rest")
