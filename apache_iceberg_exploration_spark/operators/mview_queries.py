@@ -146,9 +146,35 @@ def streaming_upsert_mv_composition(
     Scale: the refresh reads only the upsert commit's changed rows;
     the upsert commit wrote only its batch; the MV storage is
     O(segments). Nothing in this loop ever rescans the source."""
-    from ..operators.upsert import _drain_once, _replay_upsert
+    from ..operators.upsert import (
+        _drain_commits,
+        _drain_once,
+        _gen_frame,
+        _order_generations,
+    )
 
-    root = _replay_upsert(spark, sf_dir, runs=2)
+    # generations 1-2 stream through before the MV exists; generation 3
+    # (updates + tombstones) is appended to the SOURCE only after MV
+    # creation, so its drain is exactly the commit the incremental
+    # refresh must absorb (same final tables as building all three
+    # up front — the src feed's commit order is unchanged)
+    root = tempfile.mkdtemp(prefix="lakehouse_upsert_", dir="/tmp")
+    ranked = _order_generations(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    src = LakehouseTable(spark, root + "/src")
+    for i in (1, 2):
+        src.append(_gen_frame(ranked, i))
+    _drain_commits(
+        spark,
+        root + "/src",
+        root + "/dst",
+        root + "/cp",
+        2,
+        mode="upsert",
+        upsertKeys="cust",
+        deleteColumn="__deleted",
+    )
     try:
         M.create_materialized_view(
             spark,
@@ -162,6 +188,7 @@ def streaming_upsert_mv_composition(
                 },
             },
         )
+        src.append(_gen_frame(ranked, 3))
         _drain_once(spark, root)  # generation 3: updates + tombstones
         out = M.read_mv(spark, root + "/mv").select(
             F.col("seg").cast("long").alias("seg"),

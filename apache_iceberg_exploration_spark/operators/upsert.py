@@ -16,6 +16,7 @@ maintainable with O(batch) incremental writes.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -40,10 +41,50 @@ def _order_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain_once(spark: SparkSession, root: str) -> None:
-    """Drain ONE source commit into the upsert destination (the
-    maxVersionsPerTrigger=1 + availableNow single-batch pattern)."""
-    from ..streaming._wait import await_or_raise
+def _gen_frame(ranked: DataFrame, i: int) -> DataFrame:
+    """Generation ``i`` of per-customer state (tombstones in gen 3)."""
+    return (
+        ranked.filter(F.col("rn") == i)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("o_custkey") % 7).alias("seg"),
+            F.col("o_orderkey").alias("latest_order"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("price_cents"),
+            ((F.lit(i) == 3) & (F.col("o_orderkey") % 7 == 0)).alias(
+                "__deleted"
+            ),
+        )
+        .repartition(4, "cust")
+    )
+
+
+def _drain_commits(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    cp: str,
+    n: int,
+    timeout: float = 300.0,
+    **sink_opts: str,
+) -> None:
+    """Drain ``n`` source commits as ``n`` micro-batches of ONE
+    streaming query (optimization r11, guide §1/§2: the fixed machinery
+    here was N query startups, not the batches themselves — measured
+    ~1 s of planner/checkpoint/Python-worker setup per start at sf0.1).
+    availableNow cannot do this for Python sources (it falls back to a
+    single batch, merging the commits), so the query runs under a
+    continuous processingTime trigger with maxVersionsPerTrigger=1 and
+    is stopped once the checkpoint's commit log holds the n-th batch.
+
+    Only safe when ``n`` covers ALL currently undrained source versions:
+    after batch n-1 commits there is no new offset, so no further batch
+    can race the stop. The ``commits/<id>`` file is written by the
+    engine AFTER the sink's commit returns, so observing it guarantees
+    the lakehouse commit is durable before ``stop()``."""
+    import time
+
     from ..streaming.lakehouse_sink import make_lakehouse_stream_sink
     from ..streaming.lakehouse_source import (
         make_lakehouse_stream_dist_source,
@@ -51,57 +92,81 @@ def _drain_once(spark: SparkSession, root: str) -> None:
 
     spark.dataSource.register(make_lakehouse_stream_dist_source())
     spark.dataSource.register(make_lakehouse_stream_sink())
-    stream = (
+    cdir = os.path.join(cp, "commits")
+    done = (
+        [int(f) for f in os.listdir(cdir) if f.isdigit()]
+        if os.path.isdir(cdir)
+        else []
+    )
+    target = os.path.join(
+        cdir, str((max(done) + 1 if done else 0) + n - 1)
+    )
+    w = (
         spark.readStream.format("lakehouse_stream_dist")
-        .option("path", root + "/src")
+        .option("path", src_root)
         .option("maxVersionsPerTrigger", "1")
         .load()
+        .writeStream.format("lakehouse_sink")
+        .option("path", dst_root)
+        .option("checkpointLocation", cp)
     )
-    q = (
-        stream.writeStream.format("lakehouse_sink")
-        .option("path", root + "/dst")
-        .option("checkpointLocation", root + "/cp")
-        .option("mode", "upsert")
-        .option("upsertKeys", "cust")
-        .option("deleteColumn", "__deleted")
-        .trigger(availableNow=True)
-        .start()
+    for opt, v in sink_opts.items():
+        w = w.option(opt, v)
+    q = w.trigger(processingTime="0 seconds").start()
+    deadline = time.monotonic() + timeout
+    try:
+        while not os.path.exists(target):
+            ex = q.exception()
+            if ex is not None:
+                raise ex
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"upsert drain did not reach batch file {target} "
+                    f"within {timeout:.0f}s: {q.status}"
+                )
+            time.sleep(0.02)
+    finally:
+        q.stop()
+
+
+def _drain_once(spark: SparkSession, root: str) -> None:
+    """Drain ONE source commit into the upsert destination."""
+    _drain_commits(
+        spark,
+        root + "/src",
+        root + "/dst",
+        root + "/cp",
+        1,
+        mode="upsert",
+        upsertKeys="cust",
+        deleteColumn="__deleted",
     )
-    await_or_raise(q, 300)
 
 
 def _replay_upsert(
     spark: SparkSession, sf_dir: str, runs: int = 3
 ) -> str:
-    """Build the source commits (3 generations) and upsert-replay the
-    first ``runs`` of them into a destination table; returns the root.
-    Generation 3 TOMBSTONES customers whose third order key is
-    ≡0 (mod 7)."""
+    """Build ``runs`` source generations and upsert-replay them into a
+    destination table (one commit per generation — a single streaming
+    query, see _drain_commits); returns the root. Generation 3
+    TOMBSTONES customers whose third order key is ≡0 (mod 7)."""
     root = tempfile.mkdtemp(prefix="lakehouse_upsert_", dir="/tmp")
     ranked = _order_generations(spark, sf_dir).localCheckpoint(
         eager=True
     )
     src = LakehouseTable(spark, root + "/src")
-    for i in (1, 2, 3):
-        gen = (
-            ranked.filter(F.col("rn") == i)
-            .select(
-                F.col("o_custkey").alias("cust"),
-                (F.col("o_custkey") % 7).alias("seg"),
-                F.col("o_orderkey").alias("latest_order"),
-                F.floor(F.col("o_totalprice") * 100 + 0.5)
-                .cast("long")
-                .alias("price_cents"),
-                (
-                    (F.lit(i) == 3)
-                    & (F.col("o_orderkey") % 7 == 0)
-                ).alias("__deleted"),
-            )
-            .repartition(4, "cust")
-        )
-        src.append(gen)
-    for _ in range(runs):
-        _drain_once(spark, root)
+    for i in range(1, runs + 1):
+        src.append(_gen_frame(ranked, i))
+    _drain_commits(
+        spark,
+        root + "/src",
+        root + "/dst",
+        root + "/cp",
+        runs,
+        mode="upsert",
+        upsertKeys="cust",
+        deleteColumn="__deleted",
+    )
     return root
 
 

@@ -2881,20 +2881,64 @@ class LakehouseTable:
                 while re.match(r"[^=/]+=", os.path.basename(base)):
                     base = os.path.dirname(base)
             groups.setdefault((base, seqs.get(f, 0)), []).append(f)
-        scans = []
+        # Optimization (r11, guide §7.3 driver-side planning): each
+        # DataFrameReader.parquet() call costs ~70 ms of JVM file-index
+        # + footer schema inference, and a table touched by N commits
+        # (or a streaming batch with N task dirs) planned N calls per
+        # read. Files that sit DIRECTLY in their snapshot dir need no
+        # basePath (there are no hive segments to recover), so all such
+        # groups sharing a sequence number collapse into ONE read.
+        # Hive-partitioned groups keep the per-dir basePath read.
+        flat: dict[int, list[str]] = {}
+        hive_groups: list[tuple[tuple[str, int], list[str]]] = []
         for (base, seq), grp in sorted(groups.items()):
-            s = (
-                self.spark.read.option("basePath", base)
-                .option("mergeSchema", True)
-                .parquet(*grp)
-            )
+            if all(os.path.dirname(f) == base for f in grp):
+                flat.setdefault(seq, []).extend(grp)
+            else:
+                hive_groups.append(((base, seq), grp))
+
+        def _attach(s: DataFrame, seq: int) -> DataFrame:
             if with_seq:
                 s = s.withColumn("__seq", F.lit(seq))
             if with_pos:
                 s = s.withColumn(
                     "__file", F.col("_metadata.file_path")
                 ).withColumn("__pos", F.col("_metadata.row_index"))
-            scans.append(s)
+            return s
+
+        scans = []
+        for seq, grp in sorted(flat.items()):
+            grp = sorted(grp)
+            try:
+                s = self.spark.read.option("mergeSchema", True).parquet(
+                    *grp
+                )
+            except Exception:
+                # type-promoted history (int→long / float→double across
+                # commits): parquet schema merge refuses mixed physical
+                # types — fall back to one read per dir, coerced by
+                # unionByName like the pre-merge shape
+                s = None
+                subs: dict[str, list[str]] = {}
+                for f in grp:
+                    subs.setdefault(os.path.dirname(f), []).append(f)
+                for _, fs in sorted(subs.items()):
+                    one = self.spark.read.option(
+                        "mergeSchema", True
+                    ).parquet(*fs)
+                    s = (
+                        one
+                        if s is None
+                        else s.unionByName(one, allowMissingColumns=True)
+                    )
+            scans.append(_attach(s, seq))
+        for (base, seq), grp in hive_groups:
+            s = (
+                self.spark.read.option("basePath", base)
+                .option("mergeSchema", True)
+                .parquet(*grp)
+            )
+            scans.append(_attach(s, seq))
         out = scans[0]
         for s in scans[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
@@ -3037,19 +3081,13 @@ class LakehouseTable:
         key = self._enc_key()
         import pyarrow as pa
 
-        from pyspark.sql.pandas.types import from_arrow_schema
-
         tbls = [E.read_table_auto(f, key) for f in files]
-        schema = pa.unify_schemas(
-            [t.schema for t in tbls], promote_options="permissive"
-        )
-        rows = [
-            tuple(r[name] for name in schema.names)
-            for t in tbls
-            for r in t.to_pylist()
-        ]
+        # ship as ONE Arrow table (Spark 4 createDataFrame accepts
+        # pyarrow directly) — ~2x faster than the old per-row tuple
+        # conversion for broadcast-sized key sets (optimization r11,
+        # guide §4: batches over pickled rows at every boundary)
         return self.spark.createDataFrame(
-            rows, from_arrow_schema(schema)
+            pa.concat_tables(tbls, promote_options="permissive")
         )
 
     def _apply_deletes(
