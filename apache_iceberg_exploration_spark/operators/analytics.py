@@ -2113,16 +2113,21 @@ def max_concurrent_sessions_sweep(
     from ..functions.ranking import with_global_cumsum_static
 
     ev = load_table(spark, sf_dir, "events")
-    iv = ev.select(
-        F.unix_micros("ts").alias("s"),
-        F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias(
-            "e"
-        ),
-    )
-    n_intervals = iv.count()
-    edges = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
-        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
-    )
+    # ONE events pass: each event explodes to its +1/-1 edge pair
+    # (optimization r11 — the union-of-two-selects form scanned events
+    # twice, and the separate n_intervals count a third time; the open
+    # count now rides the edge aggregate and n_intervals is a scalar
+    # off the pinned curve input)
+    s_us = F.unix_micros("ts")
+    e_us = F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTE"))
+    edges = ev.select(
+        F.explode(
+            F.array(
+                F.struct(s_us.alias("t"), F.lit(1).alias("d")),
+                F.struct(e_us.alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("x")
+    ).select("x.t", "x.d")
     # pin BEFORE fan-out (ADVICE r4): the curve feeds three separate
     # actions (the cumsum helper's internal per-bucket collect, the
     # peak aggregate, the argmax filter) — unpinned, each action
@@ -2131,9 +2136,16 @@ def max_concurrent_sessions_sweep(
     # cusum_changepoint_daily pin
     per_t = (
         edges.groupBy("t")
-        .agg(F.sum("d").cast("long").alias("net"))
+        .agg(
+            F.sum("d").cast("long").alias("net"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("__opens"),
+        )
         .localCheckpoint()
     )
+    n_intervals = per_t.agg(F.sum("__opens")).first()[0]
+    per_t = per_t.drop("__opens")
     # bucket: month-resolution epoch (µs // 30 days) — monotone in t
     curve = with_global_cumsum_static(
         per_t,
@@ -2200,7 +2212,15 @@ def percentile_sketch_bounds_eval(
         .cast("long")
         .alias("cents")
     )
-    n = li.count()
+    # one pass serves BOTH the row count and the sketch (optimization
+    # r11 — a separate li.count() was a full third scan of lineitem)
+    head = li.agg(
+        F.count("*").alias("n"),
+        F.percentile_approx(
+            "cents", [p / 10000 for p in PCT_BP], PCT_ACCURACY
+        ).alias("a"),
+    ).first()
+    n, approx = head["n"], head["a"]
     err = -(-n // PCT_ACCURACY)  # ceil(n / accuracy)
     targets = {}
     for p in PCT_BP:
@@ -2214,11 +2234,6 @@ def percentile_sketch_bounds_eval(
         r["rn"]: r["cents"]
         for r in ranked.filter(F.col("rn").isin(wanted)).collect()
     }  # bounded: 9 scalars
-    approx = li.agg(
-        F.percentile_approx(
-            "cents", [p / 10000 for p in PCT_BP], PCT_ACCURACY
-        ).alias("a")
-    ).first()["a"]
     rows = []
     for (p, (lo_r, r, hi_r)), a in zip(sorted(targets.items()), approx):
         rows.append(

@@ -147,17 +147,19 @@ def streaming_upsert_mv_composition(
     the upsert commit wrote only its batch; the MV storage is
     O(segments). Nothing in this loop ever rescans the source."""
     from ..operators.upsert import (
-        _drain_commits,
-        _drain_once,
+        _await_commit,
         _gen_frame,
         _order_generations,
+        _start_drain,
     )
 
     # generations 1-2 stream through before the MV exists; generation 3
-    # (updates + tombstones) is appended to the SOURCE only after MV
-    # creation, so its drain is exactly the commit the incremental
-    # refresh must absorb (same final tables as building all three
-    # up front — the src feed's commit order is unchanged)
+    # (updates + tombstones) reaches the SOURCE only after MV creation,
+    # so its drain is exactly the commit the incremental refresh must
+    # absorb. ONE streaming query serves all three micro-batches: it
+    # idles on the exhausted 2-version source while the MV is created
+    # over dst@v2, then picks up the gen-3 append (optimization r11 —
+    # the second availableNow query startup this replaced cost ~1.5 s)
     root = tempfile.mkdtemp(prefix="lakehouse_upsert_", dir="/tmp")
     ranked = _order_generations(spark, sf_dir).localCheckpoint(
         eager=True
@@ -165,17 +167,17 @@ def streaming_upsert_mv_composition(
     src = LakehouseTable(spark, root + "/src")
     for i in (1, 2):
         src.append(_gen_frame(ranked, i))
-    _drain_commits(
+    q, cdir, base = _start_drain(
         spark,
         root + "/src",
         root + "/dst",
         root + "/cp",
-        2,
         mode="upsert",
         upsertKeys="cust",
         deleteColumn="__deleted",
     )
     try:
+        _await_commit(q, cdir, base + 1, 300)  # gens 1-2 committed
         M.create_materialized_view(
             spark,
             root + "/mv",
@@ -189,7 +191,8 @@ def streaming_upsert_mv_composition(
             },
         )
         src.append(_gen_frame(ranked, 3))
-        _drain_once(spark, root)  # generation 3: updates + tombstones
+        _await_commit(q, cdir, base + 2, 300)  # gen 3: upd + tombstones
+        q.stop()
         out = M.read_mv(spark, root + "/mv").select(
             F.col("seg").cast("long").alias("seg"),
             F.col("cents_total").cast("long").alias("cents_total"),
@@ -197,4 +200,8 @@ def streaming_upsert_mv_composition(
         )
         return out.localCheckpoint(eager=True)
     finally:
+        try:
+            q.stop()  # no-op when already stopped; stops on error paths
+        except Exception:
+            pass
         shutil.rmtree(root, ignore_errors=True)

@@ -83,8 +83,27 @@ def _drain_commits(
     can race the stop. The ``commits/<id>`` file is written by the
     engine AFTER the sink's commit returns, so observing it guarantees
     the lakehouse commit is durable before ``stop()``."""
-    import time
+    q, cdir, base = _start_drain(
+        spark, src_root, dst_root, cp, **sink_opts
+    )
+    try:
+        _await_commit(q, cdir, base + n - 1, timeout)
+    finally:
+        q.stop()
 
+
+def _start_drain(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    cp: str,
+    **sink_opts: str,
+):
+    """Start the continuous-trigger upsert drain; returns ``(query,
+    commits_dir, next_batch_id)`` so callers can interleave work
+    between micro-batches (see streaming_upsert_mv_composition: the MV
+    is created while the SAME query idles on an exhausted source, then
+    generation 3 is appended and absorbed — no second query startup)."""
     from ..streaming.lakehouse_sink import make_lakehouse_stream_sink
     from ..streaming.lakehouse_source import (
         make_lakehouse_stream_dist_source,
@@ -98,9 +117,6 @@ def _drain_commits(
         if os.path.isdir(cdir)
         else []
     )
-    target = os.path.join(
-        cdir, str((max(done) + 1 if done else 0) + n - 1)
-    )
     w = (
         spark.readStream.format("lakehouse_stream_dist")
         .option("path", src_root)
@@ -113,20 +129,29 @@ def _drain_commits(
     for opt, v in sink_opts.items():
         w = w.option(opt, v)
     q = w.trigger(processingTime="0 seconds").start()
+    return q, cdir, (max(done) + 1 if done else 0)
+
+
+def _await_commit(q, cdir: str, batch_id: int, timeout: float) -> None:
+    """Block until the engine's commit log holds ``batch_id`` (written
+    AFTER the sink commit returns — the lakehouse commit is durable),
+    re-raising the query's own exception immediately on failure."""
+    import time
+
+    target = os.path.join(cdir, str(batch_id))
     deadline = time.monotonic() + timeout
-    try:
-        while not os.path.exists(target):
-            ex = q.exception()
-            if ex is not None:
-                raise ex
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"upsert drain did not reach batch file {target} "
-                    f"within {timeout:.0f}s: {q.status}"
-                )
-            time.sleep(0.02)
-    finally:
-        q.stop()
+    while not os.path.exists(target):
+        ex = q.exception()
+        if ex is not None:
+            q.stop()
+            raise ex
+        if time.monotonic() > deadline:
+            q.stop()
+            raise TimeoutError(
+                f"upsert drain did not reach batch file {target} "
+                f"within {timeout:.0f}s: {q.status}"
+            )
+        time.sleep(0.02)
 
 
 def _drain_once(spark: SparkSession, root: str) -> None:
