@@ -154,20 +154,6 @@ def _await_commit(q, cdir: str, batch_id: int, timeout: float) -> None:
         time.sleep(0.02)
 
 
-def _drain_once(spark: SparkSession, root: str) -> None:
-    """Drain ONE source commit into the upsert destination."""
-    _drain_commits(
-        spark,
-        root + "/src",
-        root + "/dst",
-        root + "/cp",
-        1,
-        mode="upsert",
-        upsertKeys="cust",
-        deleteColumn="__deleted",
-    )
-
-
 def _replay_upsert(
     spark: SparkSession, sf_dir: str, runs: int = 3
 ) -> str:

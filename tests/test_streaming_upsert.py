@@ -332,3 +332,52 @@ def test_validate_upsert_keys_catches_cross_task_duplicates(
     # nothing was committed — the batch aborted pre-publish
     dst = LakehouseTable(spark, str(tmp_path / "dst"))
     assert dst.current_version() == 0
+
+
+def test_drain_commits_one_query_n_batches(spark, tmp_path):
+    """_drain_commits (optimization r11): ONE continuous-trigger
+    streaming query drains N source versions as N separate sink
+    commits — identical commit structure to N availableNow runs (the
+    semantics every upsert query's oracle hash depends on), without
+    N query startups. Pins: (a) one commit per source version, (b) the
+    per-commit equality-delete entry count (one per post-first commit),
+    (c) exact latest-state, (d) the engine commit log holds exactly N
+    batch entries (one query, N micro-batches — not one merged batch)."""
+    import os
+
+    from apache_iceberg_exploration_spark.operators.upsert import (
+        _drain_commits,
+    )
+
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    src.append(_gen(spark, 1, list(range(10))))
+    src.append(_gen(spark, 2, [2, 3, 5, 12]))
+    src.append(_gen(spark, 3, [3, 7, 12, 20]))
+    _drain_commits(
+        spark,
+        src.path,
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp"),
+        3,
+        mode="upsert",
+        upsertKeys="k",
+    )
+    dst = LakehouseTable(spark, str(tmp_path / "dst"))
+    assert dst.current_version() == 3  # one sink commit per version
+    got = {r["k"]: (r["val"], r["gen"]) for r in dst.read().collect()}
+    want = {k: (f"g1-{k}", 1) for k in range(10)}
+    want.update({k: (f"g2-{k}", 2) for k in [2, 5]})
+    want.update({k: (f"g3-{k}", 3) for k in [3, 7, 12, 20]})
+    assert got == want
+    eq_entries = [
+        d
+        for d in dst._read_manifest(3).get("delete_files", [])
+        if not d.get("pos")
+    ]
+    assert len(eq_entries) == 2  # first commit has nothing to delete
+    commits = [
+        f
+        for f in os.listdir(str(tmp_path / "cp" / "commits"))
+        if f.isdigit()
+    ]
+    assert sorted(commits) == ["0", "1", "2"]  # 3 micro-batches, 1 query
