@@ -161,22 +161,23 @@ def streaming_upsert_mv_composition(
     # over dst@v2, then picks up the gen-3 append (optimization r11 —
     # the second availableNow query startup this replaced cost ~1.5 s)
     root = tempfile.mkdtemp(prefix="lakehouse_upsert_", dir="/tmp")
-    ranked = _order_generations(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
-    src = LakehouseTable(spark, root + "/src")
-    for i in (1, 2):
-        src.append(_gen_frame(ranked, i))
-    q, cdir, base = _start_drain(
-        spark,
-        root + "/src",
-        root + "/dst",
-        root + "/cp",
-        mode="upsert",
-        upsertKeys="cust",
-        deleteColumn="__deleted",
-    )
-    try:
+    q = None
+    try:  # covers setup too: a failure below must not leak root/q
+        ranked = _order_generations(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        src = LakehouseTable(spark, root + "/src")
+        for i in (1, 2):
+            src.append(_gen_frame(ranked, i))
+        q, cdir, base = _start_drain(
+            spark,
+            root + "/src",
+            root + "/dst",
+            root + "/cp",
+            mode="upsert",
+            upsertKeys="cust",
+            deleteColumn="__deleted",
+        )
         _await_commit(q, cdir, base + 1, 300)  # gens 1-2 committed
         M.create_materialized_view(
             spark,
@@ -201,7 +202,9 @@ def streaming_upsert_mv_composition(
         return out.localCheckpoint(eager=True)
     finally:
         try:
-            q.stop()  # no-op when already stopped; stops on error paths
+            if q is not None:
+                # no-op when already stopped; stops on error paths
+                q.stop()
         except Exception:
             pass
         shutil.rmtree(root, ignore_errors=True)

@@ -89,7 +89,12 @@ def _drain_commits(
     try:
         _await_commit(q, cdir, base + n - 1, timeout)
     finally:
-        q.stop()
+        # _await_commit already stops on its own error paths; a stop()
+        # failure here must not mask its exception (ADVICE r11)
+        try:
+            q.stop()
+        except Exception:
+            pass
 
 
 def _start_drain(

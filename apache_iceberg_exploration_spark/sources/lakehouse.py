@@ -357,7 +357,20 @@ class LakehouseTable:
         whose files are all still present WITH identical per-file
         entries (parts are immutable, so 'same path, same contents').
         Only the delta — new files plus survivors of partially-retained
-        parts — is written, as one new part."""
+        parts — is written, as one new part.
+
+        Merge-on-commit (r12, guide §7.3 driver-side planning; Iceberg's
+        ``commit.manifest.min-count-to-merge`` behavior): an append-only
+        history otherwise accretes one part per commit, and every
+        manifest read then opens O(commits) part files — 500 tiny
+        appends made planning open 500 JSONs. When the carried-part
+        count reaches the merge threshold, parts smaller than
+        ``total_files // 8`` fold into this commit's new part, bounding
+        the part count at threshold + ~8 big parts; a file is re-merged
+        only each time the table grows past another 8×, so total
+        rewrite work stays O(files · log(files)). Old manifests keep
+        referencing the unmerged parts (immutable); GC reclaims them
+        with their manifests."""
         files = manifest.pop("files")
         present = [k for k in self.PART_KEYS if k in manifest]
         maps = {k: (manifest.pop(k) or {}) for k in present}
@@ -381,6 +394,19 @@ class LakehouseTable:
             ):
                 carried.append(ppath)
                 covered.update(pfiles)
+        if len(carried) >= self._int_property(
+            "commit.manifest.min-count-to-merge"
+        ):
+            target = max(2, len(files) // 8)
+            keep = []
+            for ppath in carried:
+                if len(self._load_part(ppath)["files"]) < target:
+                    covered.difference_update(
+                        self._load_part(ppath)["files"]
+                    )
+                else:
+                    keep.append(ppath)
+            carried = keep
         rest = [f for f in files if f not in covered]
         if rest or not carried:
             os.makedirs(self._parts_dir, exist_ok=True)
@@ -1436,6 +1462,11 @@ class LakehouseTable:
         # expire_snapshots retention floor (Iceberg
         # history.expire.min-snapshots-to-keep)
         "history.expire.min-snapshots-to-keep": "1",
+        # merge-on-commit: fold small manifest parts into the commit's
+        # new part once this many are carried (Iceberg
+        # commit.manifest.min-count-to-merge) — bounds manifest reads
+        # at O(threshold) part files instead of O(commits)
+        "commit.manifest.min-count-to-merge": "100",
     }
 
     @property
@@ -2850,7 +2881,13 @@ class LakehouseTable:
         so it's a per-scan constant — zero per-row cost). ``with_pos``
         attaches the row's physical identity (``__file``, ``__pos``) from
         Spark's hidden ``_metadata`` struct — the coordinates positional
-        deletes target; generated by the parquet reader, not stored."""
+        deletes target; generated by the parquet reader, not stored.
+
+        Union ordering (ADVICE r11): flat seq-sorted groups precede
+        hive-partitioned groups, which differs from the pre-r11
+        sorted-(base, seq) interleaving for mixed flat+hive histories —
+        consumers must (and do) select columns by NAME, never
+        positionally, off this raw scan."""
         from . import encryption as E
 
         if any(E.is_encrypted_file(f) for f in files):
@@ -2913,24 +2950,32 @@ class LakehouseTable:
                 s = self.spark.read.option("mergeSchema", True).parquet(
                     *grp
                 )
-            except Exception:
+            except Exception as exc:
                 # type-promoted history (int→long / float→double across
                 # commits): parquet schema merge refuses mixed physical
                 # types — fall back to one read per dir, coerced by
-                # unionByName like the pre-merge shape
-                s = None
-                subs: dict[str, list[str]] = {}
-                for f in grp:
-                    subs.setdefault(os.path.dirname(f), []).append(f)
-                for _, fs in sorted(subs.items()):
-                    one = self.spark.read.option(
-                        "mergeSchema", True
-                    ).parquet(*fs)
-                    s = (
-                        one
-                        if s is None
-                        else s.unionByName(one, allowMissingColumns=True)
-                    )
+                # unionByName like the pre-merge shape. A NON-schema
+                # failure (missing/corrupt file, FS error) will fail the
+                # per-dir reads too — chain the original merged-read
+                # error so diagnosis sees both (ADVICE r11)
+                try:
+                    s = None
+                    subs: dict[str, list[str]] = {}
+                    for f in grp:
+                        subs.setdefault(os.path.dirname(f), []).append(f)
+                    for _, fs in sorted(subs.items()):
+                        one = self.spark.read.option(
+                            "mergeSchema", True
+                        ).parquet(*fs)
+                        s = (
+                            one
+                            if s is None
+                            else s.unionByName(
+                                one, allowMissingColumns=True
+                            )
+                        )
+                except Exception as exc2:
+                    raise exc2 from exc
             scans.append(_attach(s, seq))
         for (base, seq), grp in hive_groups:
             s = (

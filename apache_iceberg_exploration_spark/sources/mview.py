@@ -47,14 +47,15 @@ r10 (VERDICT r9 #2) widens the declared algebra two ways:
 - **min/max aggregates**: not self-maintainable under deletes (a
   delete can kill the current max), so refresh SPLITS the touched
   groups: insert-only groups fold incrementally
-  (``least``/``greatest`` + sum/count addition — merge #1), groups
-  that saw any delete/update-preimage are recomputed EXACTLY from the
-  source relation scoped to just those group keys (broadcast
-  semi-join — merge #2, a value-idempotent replace). Crash between
-  the two merges is recovered via a stage-1 marker in the storage
-  summary: the next refresh first FINISHES the old refresh's merge #2
-  (replace is idempotent, the del-group set re-derives
-  deterministically from the same changelog slice), then continues.
+  (``least``/``greatest`` + sum/count addition), groups that saw any
+  delete/update-preimage are recomputed EXACTLY from the source
+  relation scoped to just those group keys (broadcast semi-join, a
+  value-idempotent replace). Both arms commit as ONE merge (r12): a
+  per-row ``__mv_replace`` flag on the merge source selects fold vs
+  replace semantics per group, so the refresh is atomic — no staged
+  partial state. Tables written by the pre-r12 two-merge version that
+  crashed between their merges still recover: their ``stage1`` marker
+  routes through the legacy :func:`_replace_phase` finish first.
 
 Refresh atomicity rides the storage table's own commit protocol (one
 manifest link per refresh); ``mv.json`` updates are rename-free
@@ -382,15 +383,23 @@ def _marker(
 ) -> tuple[int, int] | None:
     """Highest (left, right) version pair recorded under the given
     summary marker in the storage history — the crash-recovery floor
-    for idempotent refresh (right component 0 for single-table MVs)."""
-    best = None
-    for s in storage.snapshots():
-        sm = s.get("summary", {}) or {}
+    for idempotent refresh (right component 0 for single-table MVs).
+
+    Scans the storage history newest-first on the RAW manifests
+    (summaries are inline — no part materialization) and stops at the
+    first hit: refreshes commit in version order and each records
+    source tips ≥ its predecessor's, so the newest marker IS the max.
+    The old oldest-first full scan read O(commits) materialized
+    manifests per refresh (optimization r12, guide §7.3 driver-side
+    planning)."""
+    for v in range(storage.current_version(), 0, -1):
+        p = storage._manifest_path(v)
+        if not os.path.exists(p):
+            continue
+        sm = storage._raw_manifest(p).get("summary") or {}
         if sm.get(key) is not None:
-            v = (int(sm[key]), int(sm.get(rkey, 0)))
-            if best is None or v > best:
-                best = v
-    return best
+            return (int(sm[key]), int(sm.get(rkey, 0)))
+    return None
 
 
 def _summary(l: int, r: int, spec: dict, stage: bool = False) -> dict:
@@ -405,6 +414,35 @@ def _summary(l: int, r: int, spec: dict, stage: bool = False) -> dict:
     return d
 
 
+def _recompute_rows(
+    src: LakehouseTable,
+    right: LakehouseTable | None,
+    storage: LakehouseTable,
+    spec: dict,
+    to: tuple[int, int],
+    del_keys: DataFrame,
+) -> DataFrame:
+    """Exact replacement rows for the delete-touched groups: recomputed
+    from the source relation at the target versions, scoped to just
+    those group keys (broadcast semi-join). Groups with zero surviving
+    rows are kept (count 0 — the merge's DELETE arm) only when storage
+    HAS them: a group born and fully deleted within the slice is a
+    no-op, and inserting its zero row would be wrong — storage is
+    MV-sized, the semi-join is cheap."""
+    keys = spec["group_by"]
+    rel = _relation(src, right, spec, to[0], to[1]).join(
+        F.broadcast(del_keys), on=keys
+    )
+    rec = _full_build(rel, spec)
+    full = del_keys.join(rec, on=keys, how="left").withColumn(
+        _COUNT_COL, F.coalesce(F.col(_COUNT_COL), F.lit(0))
+    )
+    zero = full.filter(F.col(_COUNT_COL) == 0).join(
+        storage.read().select(*keys), on=keys, how="left_semi"
+    )
+    return full.filter(F.col(_COUNT_COL) != 0).unionByName(zero)
+
+
 def _replace_phase(
     spark: SparkSession,
     src: LakehouseTable,
@@ -415,13 +453,14 @@ def _replace_phase(
     to: tuple[int, int],
     del_keys: DataFrame | None = None,
 ) -> None:
-    """Merge #2 of a min/max refresh: groups that saw any
-    delete/update-preimage in the slice are recomputed EXACTLY from the
-    source relation at the target versions, scoped to just those group
-    keys (broadcast semi-join), and REPLACED in storage — groups with
-    zero surviving rows are deleted. Value-idempotent: re-running it
-    after a crash replaces with the same values, so it carries the
-    FINAL refresh marker."""
+    """LEGACY-RECOVERY merge: finish a crashed OLD-FORMAT (pre-r12)
+    staged refresh whose fold merge committed a ``mv_refresh_stage1``
+    marker but whose recompute-replace never ran. Current refreshes are
+    single-commit (see :func:`refresh_materialized_view`) and never
+    write stage markers, so this only fires on tables written by the
+    two-merge version. Value-idempotent: re-running it after a crash
+    replaces with the same values, so it carries the FINAL refresh
+    marker."""
     keys = spec["group_by"]
     if del_keys is None:
         rows = _delta_rows(
@@ -436,25 +475,9 @@ def _replace_phase(
         )
     if del_keys.isEmpty():
         return
-    rel = _relation(src, right, spec, to[0], to[1]).join(
-        F.broadcast(del_keys), on=keys
-    )
-    rec = _full_build(rel, spec)
-    full = del_keys.join(rec, on=keys, how="left").withColumn(
-        _COUNT_COL, F.coalesce(F.col(_COUNT_COL), F.lit(0))
-    )
-    # zero-count groups matter only if storage HAS them (a group born
-    # and fully deleted within the slice is a no-op, and inserting its
-    # zero row would be wrong) — storage is MV-sized, the semi-join is
-    # cheap
-    zero = full.filter(F.col(_COUNT_COL) == 0).join(
-        storage.read().select(*keys), on=keys, how="left_semi"
-    )
-    src_merge = (
-        full.filter(F.col(_COUNT_COL) != 0)
-        .unionByName(zero)
-        .localCheckpoint(eager=True)
-    )
+    src_merge = _recompute_rows(
+        src, right, storage, spec, to, del_keys
+    ).localCheckpoint(eager=True)
     if src_merge.isEmpty():
         return
     update_cols = {_COUNT_COL: F.col(f"s.{_COUNT_COL}")}
@@ -476,11 +499,12 @@ def refresh_materialized_view(
 ) -> dict:
     """Incremental refresh to the source tip(s): signed row deltas of
     the source relation (changelog slice; two-delta join for join MVs)
-    → per-group deltas → MERGE into the storage table. sum/count specs
-    need ONE merge (matched groups fold, zero-count groups delete, new
-    groups insert); specs with min/max split into a fold merge for
-    insert-only groups and an exact group-scoped recompute-replace for
-    delete-touched groups (see module docstring). Records the
+    → per-group deltas → ONE MERGE into the storage table. sum/count
+    specs: matched groups fold, zero-count groups delete, new groups
+    insert. Specs with min/max: insert-only groups fold, delete-touched
+    groups recompute exactly — both arms in the SAME merge commit,
+    steered per row by a ``__mv_replace`` flag (see module docstring;
+    single-commit since r12). Records the
     refreshed-through version(s) in BOTH the storage commit summary
     (idempotence/stage markers) and ``mv.json``. Returns the meta."""
     meta = _read_meta(mv_path)
@@ -564,6 +588,15 @@ def refresh_materialized_view(
         )
         return _bump(meta, mv_path, l_tip, r_tip)
     # min/max: insert-only groups fold, delete-touched groups recompute
+    # — fused into ONE merge commit (optimization r12, guide §1.2: the
+    # old form bridged TWO merge commits with a stage marker, paying
+    # the full read-join-write-commit machinery twice per refresh; a
+    # per-row __mv_replace flag on the merge source selects fold vs
+    # replace semantics per group instead, and the refresh is atomic —
+    # no partial state to recover). The signed delta rows are pinned
+    # once: the del-key derivation and the fold aggregate both consume
+    # them (the unpinned form re-ran the changelog diff per pass).
+    rows = rows.localCheckpoint(eager=True)
     del_keys = (
         rows.groupBy(*keys)
         .agg(F.min("__sign").alias("__mn"))
@@ -577,40 +610,44 @@ def refresh_materialized_view(
         if has_del
         else rows
     )
-    deltas = _agg_signed(ins_rows, spec).localCheckpoint(eager=True)
-    if not deltas.isEmpty():
-        update_cols = {
-            _COUNT_COL: F.col(f"t.{_COUNT_COL}")
-            + F.col(f"s.{_COUNT_COL}")
-        }
-        for o, (kind, _col) in _physical_aggs(spec).items():
-            if kind == "min":
-                update_cols[o] = F.least(
-                    F.col(f"t.{o}"), F.col(f"s.{o}")
-                )
-            elif kind == "max":
-                update_cols[o] = F.greatest(
-                    F.col(f"t.{o}"), F.col(f"s.{o}")
-                )
-            else:
-                update_cols[o] = F.col(f"t.{o}") + F.col(f"s.{o}")
-        storage.merge_into(
-            deltas,
-            on=keys,
-            update_cols=update_cols,
-            summary_extra=_summary(l_tip, r_tip, spec, stage=has_del),
-        )
+    flag = "__mv_replace"
+    src_merge = _agg_signed(ins_rows, spec).withColumn(
+        flag, F.lit(False)
+    )
     if has_del:
-        _replace_phase(
-            spark,
-            src,
-            right,
-            storage,
-            spec,
-            (l_last, r_last),
-            (l_tip, r_tip),
-            del_keys=del_keys,
+        # replacement rows for delete-touched groups: exact recompute
+        # at the target versions (value-idempotent). The flag column
+        # never lands in storage — merge_into projects target columns
+        # only; it just steers each matched row's update expression.
+        src_merge = src_merge.unionByName(
+            _recompute_rows(
+                src, right, storage, spec, (l_tip, r_tip), del_keys
+            ).withColumn(flag, F.lit(True))
         )
+    src_merge = src_merge.localCheckpoint(eager=True)
+    if src_merge.isEmpty():
+        return _bump(meta, mv_path, l_tip, r_tip)
+    rep = F.col(f"s.{flag}")
+    update_cols = {
+        _COUNT_COL: F.when(rep, F.col(f"s.{_COUNT_COL}")).otherwise(
+            F.col(f"t.{_COUNT_COL}") + F.col(f"s.{_COUNT_COL}")
+        )
+    }
+    for o, (kind, _col) in _physical_aggs(spec).items():
+        if kind == "min":
+            fold = F.least(F.col(f"t.{o}"), F.col(f"s.{o}"))
+        elif kind == "max":
+            fold = F.greatest(F.col(f"t.{o}"), F.col(f"s.{o}"))
+        else:
+            fold = F.col(f"t.{o}") + F.col(f"s.{o}")
+        update_cols[o] = F.when(rep, F.col(f"s.{o}")).otherwise(fold)
+    storage.merge_into(
+        src_merge,
+        on=keys,
+        update_cols=update_cols,
+        delete_condition=rep & (F.col(f"s.{_COUNT_COL}") == 0),
+        summary_extra=_summary(l_tip, r_tip, spec),
+    )
     return _bump(meta, mv_path, l_tip, r_tip)
 
 

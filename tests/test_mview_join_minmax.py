@@ -2,8 +2,9 @@
 the two-delta identity (ΔL⋈R1 + L0⋈ΔR over signed changelog slices),
 and min/max aggregates maintained by insert-only folding plus exact
 group-scoped recompute when a delete touches the group (the
-delete-that-kills-the-max case), with stage-marker crash recovery
-between the two merges."""
+delete-that-kills-the-max case). Since r12 both arms commit as ONE
+merge (per-row __mv_replace flag); legacy two-merge tables that
+crashed between their merges still recover via the stage-1 marker."""
 
 from __future__ import annotations
 
@@ -187,6 +188,7 @@ def test_minmax_insert_only_folds_without_recompute(
         )
 
     monkeypatch.setattr(M, "_replace_phase", boom)
+    monkeypatch.setattr(M, "_recompute_rows", boom)
     assert _got(spark, mv, ["g", "hi", "lo", "total"]) == (
         _expected_minmax(src)
     )
@@ -228,12 +230,54 @@ def test_minmax_mixed_batch_update_and_inserts(spark, tmp_path):
     assert got[2][1] == -5 and got[3] == (50, 50, 50)
 
 
-def test_minmax_crash_between_merges_recovers(
-    spark, tmp_path, monkeypatch
-):
-    """Crash after the fold merge (stage-1 marker committed) but before
-    the recompute-replace: the next refresh finishes the old refresh
-    first — no double-fold, exact final state."""
+def test_minmax_refresh_is_single_commit(spark, tmp_path):
+    """A min/max refresh with BOTH insert-only and delete-touched
+    groups commits exactly ONE storage snapshot (r12 — the pre-r12
+    form bridged two merges with a stage marker), writes no stage
+    marker, and a crash between the merge commit and the mv.json bump
+    recovers idempotently (no double-apply, no extra commit)."""
+    src = LakehouseTable(spark, str(tmp_path / "src"))
+    src.append(_vals(spark, 0, 30))
+    mv = str(tmp_path / "mv")
+    M.create_materialized_view(spark, mv, src.path, MINMAX_SPEC)
+    src.append(
+        spark.createDataFrame(
+            [Row(k=200, g=1, v=999)]
+        ).repartition(1)
+    )
+    src.delete_where(F.col("k") == 27, prune={"k": (27, 27)})
+    storage = LakehouseTable(
+        spark, M._read_meta(mv)["storage_path"]
+    )
+    v0 = storage.current_version()
+    meta = M.refresh_materialized_view(spark, mv)
+    assert storage.current_version() == v0 + 1  # ONE commit
+    tip = storage._read_manifest(v0 + 1)
+    sm = tip.get("summary", {}) or {}
+    assert sm.get("mv_refresh_stage1") is None  # no staged state
+    assert int(sm["mv_refreshed_through"]) == meta[
+        "last_source_version"
+    ]
+    got = _got(spark, mv, ["g", "hi", "lo", "total"])
+    assert got == _expected_minmax(src)
+    assert got[1][0] == 999 and got[0][0] == 24
+    # crash between merge commit and mv.json publish: rewind mv.json
+    # and refresh again — the final marker makes it a metadata bump
+    meta["last_source_version"] = 1
+    M._publish_sidecar(M._mv_meta_path(mv), meta)
+    M.refresh_materialized_view(spark, mv)
+    assert storage.current_version() == v0 + 1
+    assert _got(spark, mv, ["g", "hi", "lo", "total"]) == (
+        _expected_minmax(src)
+    )
+
+
+def test_minmax_legacy_staged_crash_recovers(spark, tmp_path):
+    """UPGRADE COMPAT: a table written by the pre-r12 TWO-merge version
+    that crashed after its fold merge (stage-1 marker committed, no
+    recompute-replace) is finished by the next refresh — no
+    double-fold, exact final state. The staged state is built here
+    exactly as the old code built it."""
     src = LakehouseTable(spark, str(tmp_path / "src"))
     src.append(_vals(spark, 0, 30))
     mv = str(tmp_path / "mv")
@@ -246,15 +290,40 @@ def test_minmax_crash_between_merges_recovers(
     )
     src.delete_where(F.col("k") == 27, prune={"k": (27, 27)})
 
-    real = M._replace_phase
+    # replay the OLD code's merge #1: fold the insert-only groups and
+    # commit with the stage-1 marker, then "crash"
+    spec = MINMAX_SPEC
+    storage = LakehouseTable(
+        spark, M._read_meta(mv)["storage_path"]
+    )
+    l_tip = src.current_version()
+    rows = M._delta_rows(src, None, spec, 1, l_tip, 0, 0)
+    keys = spec["group_by"]
+    del_keys = (
+        rows.groupBy(*keys)
+        .agg(F.min("__sign").alias("__mn"))
+        .filter(F.col("__mn") < 0)
+        .select(*keys)
+        .localCheckpoint(eager=True)
+    )
+    deltas = M._agg_signed(
+        rows.join(del_keys, on=keys, how="left_anti"), spec
+    )
+    update_cols = {
+        "__mv_rows": F.col("t.__mv_rows") + F.col("s.__mv_rows"),
+        "hi": F.greatest(F.col("t.hi"), F.col("s.hi")),
+        "lo": F.least(F.col("t.lo"), F.col("s.lo")),
+        "total": F.col("t.total") + F.col("s.total"),
+    }
+    storage.merge_into(
+        deltas,
+        on=keys,
+        update_cols=update_cols,
+        summary_extra={"mv_refresh_stage1": l_tip},
+    )
 
-    def boom(*a, **kw):
-        raise RuntimeError("injected crash before replace phase")
-
-    monkeypatch.setattr(M, "_replace_phase", boom)
-    with pytest.raises(RuntimeError, match="injected crash"):
-        M.refresh_materialized_view(spark, mv)
-    monkeypatch.setattr(M, "_replace_phase", real)
+    # the next refresh must finish the staged refresh via the legacy
+    # replace phase (recompute of the delete-touched groups only)
     got = _got(spark, mv, ["g", "hi", "lo", "total"])
     assert got == _expected_minmax(src)
     assert got[1][0] == 999  # the fold landed exactly once
