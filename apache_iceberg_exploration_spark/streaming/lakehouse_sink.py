@@ -1876,8 +1876,12 @@ def streaming_lakehouse_roundtrip_pipeline(
     root = tempfile.mkdtemp(prefix="lakehouse_rt_q_", dir="/tmp")
     try:
         a = LakehouseTable(spark, root + "/a")
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
+        # pin once: the three commit slices below otherwise each re-scan
+        # events (optimization r12, guide §1.2 — 3 scans → 1)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .localCheckpoint(eager=True)
         )
         for i in range(3):
             a.append(ev.filter(F.col("event_id") % 3 == i))

@@ -15,34 +15,58 @@ from apache_iceberg_exploration_spark.sources.lakehouse import (
 )
 
 
-def _drain(spark, src_root, dst_root, cp, **sink_opts):
-    from apache_iceberg_exploration_spark.streaming._wait import (
-        await_or_raise,
-    )
-    from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
-        make_lakehouse_stream_sink,
-    )
-    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
-        make_lakehouse_stream_dist_source,
+def _drain(spark, src_root, dst_root, cp, n=1, **sink_opts):
+    """Drain ``n`` undrained source commits as ``n`` micro-batches of
+    ONE streaming query (arrival order = source commit order, identical
+    to n separate availableNow runs — the pattern the engine's own
+    _drain_commits pins; porting the multi-run loops here cut ~2.4 s of
+    query startup per removed run, optimization r12 suite-time work).
+    ``n=0`` runs one availableNow query instead — the shape for replay
+    checks where NO new batch is expected (the drain's commit-log wait
+    would otherwise time out)."""
+    if n == 0:
+        from apache_iceberg_exploration_spark.streaming._wait import (
+            await_or_raise,
+        )
+        from apache_iceberg_exploration_spark.streaming.lakehouse_sink import (
+            make_lakehouse_stream_sink,
+        )
+        from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+            make_lakehouse_stream_dist_source,
+        )
+
+        spark.dataSource.register(make_lakehouse_stream_dist_source())
+        spark.dataSource.register(make_lakehouse_stream_sink())
+        w = (
+            spark.readStream.format("lakehouse_stream_dist")
+            .option("path", src_root)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.format("lakehouse_sink")
+            .option("path", dst_root)
+            .option("checkpointLocation", cp)
+            .option("mode", "upsert")
+            .option("upsertKeys", "k")
+        )
+        for opt, v in sink_opts.items():
+            w = w.option(opt, v)
+        q = w.trigger(availableNow=True).start()
+        await_or_raise(q, 300)
+        return
+    from apache_iceberg_exploration_spark.operators.upsert import (
+        _drain_commits,
     )
 
-    spark.dataSource.register(make_lakehouse_stream_dist_source())
-    spark.dataSource.register(make_lakehouse_stream_sink())
-    w = (
-        spark.readStream.format("lakehouse_stream_dist")
-        .option("path", src_root)
-        .option("maxVersionsPerTrigger", "1")
-        .load()
-        .writeStream.format("lakehouse_sink")
-        .option("path", dst_root)
-        .option("checkpointLocation", cp)
-        .option("mode", "upsert")
-        .option("upsertKeys", "k")
+    _drain_commits(
+        spark,
+        src_root,
+        dst_root,
+        cp,
+        n,
+        mode="upsert",
+        upsertKeys="k",
+        **sink_opts,
     )
-    for opt, v in sink_opts.items():
-        w = w.option(opt, v)
-    q = w.trigger(availableNow=True).start()
-    await_or_raise(q, 300)
 
 
 def _state(spark, dst_root, cols):
@@ -87,14 +111,14 @@ def test_ordered_upsert_shuffled_replay_converges(spark, tmp_path):
     states = []
     for i, commits in enumerate(arrivals):
         _mk_src(spark, str(tmp_path / f"src{i}"), commits)
-        for _ in range(3):
-            _drain(
-                spark,
-                str(tmp_path / f"src{i}"),
-                str(tmp_path / f"dst{i}"),
-                str(tmp_path / f"cp{i}"),
-                upsertOrderBy="ver",
-            )
+        _drain(
+            spark,
+            str(tmp_path / f"src{i}"),
+            str(tmp_path / f"dst{i}"),
+            str(tmp_path / f"cp{i}"),
+            n=3,
+            upsertOrderBy="ver",
+        )
         states.append(
             _state(spark, str(tmp_path / f"dst{i}"), ["ver", "val"])
         )
@@ -116,14 +140,14 @@ def test_ordered_upsert_partial_batch_losers(spark, tmp_path):
              Row(k=2, ver=1, val="c1")],
         ],
     )
-    for _ in range(2):
-        _drain(
-            spark,
-            str(tmp_path / "src"),
-            str(tmp_path / "dst"),
-            str(tmp_path / "cp"),
-            upsertOrderBy="ver",
-        )
+    _drain(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp"),
+        n=2,
+        upsertOrderBy="ver",
+    )
     assert _state(spark, str(tmp_path / "dst"), ["ver", "val"]) == {
         0: (5, "a5"),
         1: (6, "b6"),
@@ -158,14 +182,14 @@ def test_ordered_upsert_whole_batch_loses_no_commit(spark, tmp_path):
             [Row(k=0, ver=1, val="stale")],
         ],
     )
-    for _ in range(2):
-        _drain(
-            spark,
-            str(tmp_path / "src"),
-            str(tmp_path / "dst"),
-            str(tmp_path / "cp"),
-            upsertOrderBy="ver",
-        )
+    _drain(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp"),
+        n=2,
+        upsertOrderBy="ver",
+    )
     dst = LakehouseTable(spark, str(tmp_path / "dst"))
     assert _state(spark, str(tmp_path / "dst"), ["ver", "val"]) == {
         0: (9, "new")
@@ -188,14 +212,14 @@ def test_ordered_upsert_cdc_stays_paired(spark, tmp_path):
             [Row(k=0, ver=2, val="x2"), Row(k=1, ver=1, val="y-late")],
         ],
     )
-    for _ in range(2):
-        _drain(
-            spark,
-            str(tmp_path / "src"),
-            str(tmp_path / "dst"),
-            str(tmp_path / "cp"),
-            upsertOrderBy="ver",
-        )
+    _drain(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp"),
+        n=2,
+        upsertOrderBy="ver",
+    )
     dst = LakehouseTable(spark, str(tmp_path / "dst"))
     feed = _cdc_rows(
         dst.path, 0, dst.current_version(), ["k", "ver", "val"]
@@ -270,8 +294,10 @@ def test_txn_app_id_scopes_replay_detection(spark, tmp_path):
     v = t.current_version()
     # replay of appA's batch 0 (same checkpoint wiped = same batch id):
     # a SECOND run over the same source+checkpoint is a true no-op
+    # (n=0: availableNow — no new batch is expected, so the drain's
+    # commit-log wait would never be satisfied)
     _drain(spark, str(tmp_path / "srcA"), dst, str(tmp_path / "cpA"),
-           txnAppId="appA")
+           n=0, txnAppId="appA")
     assert LakehouseTable(spark, dst).current_version() == v
 
 
@@ -342,15 +368,15 @@ def test_order_plus_patch_compose(spark, tmp_path):
             [Row(k=0, ver=6, a=7)],  # fresh: a set, b inherited
         ],
     )
-    for _ in range(2):
-        _drain(
-            spark,
-            str(tmp_path / "src"),
-            str(tmp_path / "dst"),
-            str(tmp_path / "cp"),
-            upsertOrderBy="ver",
-            upsertPatch="true",
-        )
+    _drain(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp"),
+        n=2,
+        upsertOrderBy="ver",
+        upsertPatch="true",
+    )
     assert _state(spark, str(tmp_path / "dst"), ["ver", "a", "b"]) == {
         0: (6, 7, "orig")
     }
@@ -389,16 +415,16 @@ def test_ordered_upsert_encrypted_partitioned(spark, tmp_path):
              Row(k=1, g=1, ver=3, val="newer1")],
         ],
     )
-    for _ in range(2):
-        _drain(
-            spark,
-            str(tmp_path / "src"),
-            str(tmp_path / "dst"),
-            str(tmp_path / "cp"),
-            upsertOrderBy="ver",
-            partitionBy="g",
-            encryptionKey=KEY.hex(),
-        )
+    _drain(
+        spark,
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "cp"),
+        n=2,
+        upsertOrderBy="ver",
+        partitionBy="g",
+        encryptionKey=KEY.hex(),
+    )
     got = {
         r["k"]: (r["g"], r["ver"], r["val"])
         for r in dst.read().collect()
