@@ -556,18 +556,15 @@ def refresh_materialized_view(
     agg_outs = list(_physical_aggs(spec))
     if not _has_minmax(spec):
         deltas = _agg_signed(rows, spec)
-        nonzero = deltas.filter(F.col(_COUNT_COL) != 0)
-        # groups whose net row delta is zero can still move a SUM (an
-        # update changed the measure): keep them too when any agg moved
-        moved = deltas.filter(F.col(_COUNT_COL) == 0)
-        if agg_outs:
-            cond = None
-            for o in agg_outs:
-                c = F.col(o) != 0
-                cond = c if cond is None else (cond | c)
-            moved = moved.filter(cond)
-            nonzero = nonzero.unionByName(moved)
-        delta_rows = nonzero.localCheckpoint(eager=True)
+        # keep groups whose net row count moved OR any agg moved (an
+        # update can move a SUM at zero net rows). ONE filter — the old
+        # union-of-two-filters shape evaluated the unpinned aggregate
+        # (and the changelog slice under it) twice in the pin job
+        # (optimization r12, guide §1.2)
+        cond = F.col(_COUNT_COL) != 0
+        for o in agg_outs:
+            cond = cond | (F.col(o) != 0)
+        delta_rows = deltas.filter(cond).localCheckpoint(eager=True)
         if delta_rows.isEmpty():
             return _bump(meta, mv_path, l_tip, r_tip)
         update_cols = {
@@ -593,26 +590,45 @@ def refresh_materialized_view(
     # the full read-join-write-commit machinery twice per refresh; a
     # per-row __mv_replace flag on the merge source selects fold vs
     # replace semantics per group instead, and the refresh is atomic —
-    # no partial state to recover). The signed delta rows are pinned
-    # once: the del-key derivation and the fold aggregate both consume
-    # them (the unpinned form re-ran the changelog diff per pass).
-    rows = rows.localCheckpoint(eager=True)
-    del_keys = (
-        rows.groupBy(*keys)
-        .agg(F.min("__sign").alias("__mn"))
-        .filter(F.col("__mn") < 0)
-        .select(*keys)
-        .localCheckpoint(eager=True)
-    )
+    # no partial state to recover). ONE aggregation pass over the
+    # signed rows serves both the del-key detection (min sign < 0) and
+    # the fold deltas: the min/max fold values are guarded to +1 rows
+    # (over an insert-only group that IS min/max of all its rows, and
+    # delete-touched groups discard theirs — they recompute), so the
+    # old shape's raw-row pin + del-key pass + anti-join collapse into
+    # this single pinned O(groups) aggregate.
+    aggs = [
+        F.min("__sign").alias("__mn"),
+        F.sum("__sign").alias(_COUNT_COL),
+    ]
+    for o, (kind, col) in _physical_aggs(spec).items():
+        if kind == "count":
+            aggs.append(F.sum("__sign").cast("long").alias(o))
+        elif kind == "countnn":
+            aggs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), F.col("__sign"))
+                    .otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(o)
+            )
+        elif kind == "sum":
+            aggs.append(F.sum(F.col(col) * F.col("__sign")).alias(o))
+        else:  # min/max fold value: +1 rows only (see above)
+            aggs.append(
+                getattr(F, kind)(
+                    F.when(F.col("__sign") == 1, F.col(col))
+                ).alias(o)
+            )
+    g = rows.groupBy(*keys).agg(*aggs).localCheckpoint(eager=True)
+    del_keys = g.filter(F.col("__mn") < 0).select(*keys)
     has_del = not del_keys.isEmpty()
-    ins_rows = (
-        rows.join(del_keys, on=keys, how="left_anti")
-        if has_del
-        else rows
-    )
     flag = "__mv_replace"
-    src_merge = _agg_signed(ins_rows, spec).withColumn(
-        flag, F.lit(False)
+    src_merge = (
+        g.filter(F.col("__mn") >= 0)
+        .drop("__mn")
+        .withColumn(flag, F.lit(False))
     )
     if has_del:
         # replacement rows for delete-touched groups: exact recompute
