@@ -57,18 +57,29 @@ def _last_batch_hwm(root: str, app: str = "default") -> int | None:
     but an INDEPENDENT query writing to the same table starts at batch
     0 again and must NOT be mistaken for a replay. The default app id
     keeps the r9 single-pipeline behavior (and reads pre-r10
-    manifests, which recorded unscoped keys)."""
-    marks = []
+    manifests, which recorded unscoped keys).
+
+    Scans newest-first with early stop (optimization r12, guide §7.3:
+    the oldest-first full scan opened O(commits) manifest JSONs PER
+    BATCH): within one app the recorded HWM is non-decreasing across
+    its commits (each commit writes ``max(batchId, prev hwm)``; legacy
+    per-batch keys are per-pipeline batch ids, also increasing), so the
+    newest manifest carrying the app's key holds the maximum — commits
+    of other writers/apps in between simply don't carry the key."""
     suffix = "" if app == "default" else f".{app}"
-    for v in range(1, _current_version(root) + 1):
+    for v in range(_current_version(root), 0, -1):
         p = os.path.join(root, "snapshots", f"v{v}.json")
         if not os.path.exists(p):
             continue
         s = _raw(p).get("summary", {})
-        for k in (BATCH_HWM_KEY + suffix, BATCH_KEY + suffix):
-            if k in s:
-                marks.append(s[k])
-    return max(marks) if marks else None
+        marks = [
+            s[k]
+            for k in (BATCH_HWM_KEY + suffix, BATCH_KEY + suffix)
+            if k in s
+        ]
+        if marks:
+            return max(marks)
+    return None
 
 
 class UpsertKeyConflict(Exception):

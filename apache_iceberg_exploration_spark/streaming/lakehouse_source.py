@@ -2297,17 +2297,18 @@ def _resolve_version(root: str, opts: dict) -> int:
                 return int(json.load(f)["version"])
     if "timestampasof" in opts:
         ts = float(opts["timestampasof"])
-        best = 0
-        for v in range(1, _current_version(root) + 1):
+        # newest-first with early stop: committed_at is non-decreasing
+        # in version, so the first snapshot at or before ts IS the
+        # answer (the oldest-first full scan opened O(commits) JSONs —
+        # optimization r12, guide §7.3)
+        for v in range(_current_version(root), 0, -1):
             path = os.path.join(root, "snapshots", f"v{v}.json")
             if not os.path.exists(path):
                 continue
             with open(path) as f:
                 if json.load(f).get("committed_at", 0.0) <= ts:
-                    best = v
-        if not best:
-            raise ValueError(f"no snapshot at or before timestamp {ts}")
-        return best
+                    return v
+        raise ValueError(f"no snapshot at or before timestamp {ts}")
     return _current_version(root)
 
 

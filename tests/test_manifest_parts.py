@@ -277,6 +277,43 @@ def test_batch_reader_prunes_files_from_pushed_filters(spark, table):
     assert total == 3
 
 
+def test_batch_format_timestamp_as_of(spark, table):
+    """timestampAsOf resolves to the newest snapshot at or before the
+    timestamp (focused test for the r12 newest-first early-stop scan:
+    between-commit ts → v1, after-tip ts → tip, before-v1 ts → error)."""
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    from apache_iceberg_exploration_spark.streaming.lakehouse_source import (
+        make_lakehouse_batch_source,
+    )
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey"
+    )
+    table.append(cust.filter(F_col("c_custkey") < 10))   # v1
+    table.append(cust.filter(F_col("c_custkey") >= 10))  # v2
+    t1 = _json.load(open(table._manifest_path(1)))["committed_at"]
+    t2 = _json.load(open(table._manifest_path(2)))["committed_at"]
+    spark.dataSource.register(make_lakehouse_batch_source())
+
+    def read_at(ts):
+        return (
+            spark.read.format("lakehouse")
+            .option("path", table.path)
+            .option("timestampAsOf", str(ts))
+            .load()
+            .count()
+        )
+
+    assert read_at((t1 + t2) / 2) == 10      # between commits → v1
+    assert read_at(_time.time() + 60) == cust.count()  # after tip → v2
+    with _pytest.raises(Exception, match="no snapshot"):
+        read_at(t1 - 10)
+
+
 def test_batch_format_time_travel_and_mor_guard(spark, table):
     """versionAsOf reads a historical snapshot through the DSv2 format;
     a snapshot with pending MoR deletes is refused loudly instead of
